@@ -1,0 +1,184 @@
+"""Graph construction + traverse/algebra operator tests, asserted against
+DuckDB on the same parquet fixtures (the reference's golden-validation idea,
+SURVEY §5, adapted: DuckDB plays the role of the LDBC validation params)."""
+
+import duckdb
+import pyspark.sql.functions as F
+import pytest
+
+from torcdb_spark import algebra
+from torcdb_spark.graph import LABEL_TAGS, PropertyGraph
+from torcdb_spark.ids import uint128_pair
+from torcdb_spark.traverse import (
+    Direction,
+    fill_properties,
+    khop,
+    remove_edge_if,
+    traverse,
+    v_map,
+    v_set,
+)
+
+
+@pytest.fixture(scope="module")
+def ddb(sf_dir):
+    con = duckdb.connect()
+    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    return con
+
+
+def test_vertex_counts_match_tables(graph, ddb):
+    got = {
+        r["label"]: r["cnt"]
+        for r in graph.vertices.groupBy("label").agg(F.count("*").alias("cnt")).collect()
+    }
+    exp = {
+        "region": ddb.sql("select count(*) from region").fetchone()[0],
+        "nation": ddb.sql("select count(*) from nation").fetchone()[0],
+        "customer": ddb.sql("select count(*) from customer").fetchone()[0],
+        "supplier": ddb.sql("select count(*) from supplier").fetchone()[0],
+        "part": ddb.sql("select count(*) from part").fetchone()[0],
+        "order": ddb.sql("select count(*) from orders").fetchone()[0],
+        "lineitem": ddb.sql("select count(*) from lineitem").fetchone()[0],
+        "user": ddb.sql("select count(distinct user_id) from events").fetchone()[0],
+        "document": ddb.sql("select count(*) from documents").fetchone()[0],
+    }
+    assert got == exp
+
+
+def test_one_edge_per_src_dst_label(graph):
+    dupes = (
+        graph.edges.groupBy("src", "dst", "label")
+        .agg(F.count("*").alias("c"))
+        .where(F.col("c") > 1)
+        .count()
+    )
+    assert dupes == 0
+
+
+def test_traverse_out_matches_fk(graph, spark, ddb):
+    """customer --placed--> order for 10 customers == FK join in DuckDB."""
+    custkeys = [1, 2, 3, 4, 5, 6, 7, 8, 9, 10]
+    frontier = spark.createDataFrame(
+        [(uint128_pair(LABEL_TAGS["customer"], k),) for k in custkeys], ["id"]
+    )
+    tr = traverse(frontier, graph.edges, "placed", Direction.OUT,
+                  neighbor_labels=["order"])
+    got = tr.count()
+    exp = ddb.sql(
+        "select count(*) from orders where o_custkey between 1 and 10"
+    ).fetchone()[0]
+    assert got == exp
+
+
+def test_traverse_in_is_reverse(graph, spark, ddb):
+    """order --placed(IN)--> customer: every order has exactly 1 customer."""
+    okeys = [r[0] for r in ddb.sql("select o_orderkey from orders limit 20").fetchall()]
+    frontier = spark.createDataFrame(
+        [(uint128_pair(LABEL_TAGS["order"], k),) for k in okeys], ["id"]
+    )
+    tr = traverse(frontier, graph.edges, "placed", Direction.IN,
+                  neighbor_labels=["customer"])
+    assert tr.count() == len(okeys)
+    assert v_set(tr).count() <= len(okeys)
+
+
+def test_traverse_both_unions_directions(graph, spark):
+    frontier = spark.createDataFrame(
+        [(uint128_pair(LABEL_TAGS["nation"], 1),)], ["id"]
+    )
+    out_n = traverse(frontier, graph.edges, "inRegion", Direction.OUT).count()
+    in_n = traverse(frontier, graph.edges, "fromNation", Direction.IN).count()
+    both_in_region = traverse(frontier, graph.edges, "inRegion", Direction.BOTH).count()
+    assert out_n == 1  # nation -> its region
+    assert both_in_region == out_n  # no region->nation edges stored
+    assert in_n > 0  # customers from nation 1
+
+
+def test_fill_properties_and_projection(graph, spark):
+    frontier = spark.createDataFrame(
+        [(uint128_pair(LABEL_TAGS["customer"], 1),)], ["id"]
+    )
+    tr = traverse(frontier, graph.edges, "placed", Direction.OUT)
+    hydrated = fill_properties(tr, graph.vertices, keys=["o_totalprice"])
+    rows = hydrated.collect()
+    assert rows
+    for r in rows:
+        assert set(r.props.keys()) <= {"o_totalprice"}
+
+
+def test_fuse_equals_two_hop_sql(graph, spark, ddb):
+    """fuse(customer→order, order→lineitem) == 2-hop FK join."""
+    custkeys = [1, 2, 3]
+    frontier = spark.createDataFrame(
+        [(uint128_pair(LABEL_TAGS["customer"], k),) for k in custkeys], ["id"]
+    )
+    hop1 = traverse(frontier, graph.edges, "placed", Direction.OUT)
+    hop2 = traverse(v_set(hop1), graph.edges, "contains", Direction.OUT)
+    fused = algebra.fuse(hop1, hop2)
+    got = fused.count()
+    exp = ddb.sql(
+        """select count(*) from orders join lineitem on l_orderkey = o_orderkey
+           where o_custkey in (1,2,3)"""
+    ).fetchone()[0]
+    assert got == exp
+
+
+def test_intersect_subtract_algebra_laws(graph, spark):
+    frontier = spark.createDataFrame(
+        [(uint128_pair(LABEL_TAGS["customer"], k),) for k in range(1, 6)], ["id"]
+    )
+    tr = traverse(frontier, graph.edges, "placed", Direction.OUT)
+    all_n = v_set(tr)
+    # intersect with the full neighbor set is identity (by count)
+    assert algebra.intersect(tr, all_n).count() == tr.count()
+    # subtract the full neighbor set is empty
+    assert algebra.subtract(tr, all_n).count() == 0
+    # intersect + subtract partition the result
+    half = all_n.limit(5)
+    assert (
+        algebra.intersect(tr, half).count() + algebra.subtract(tr, half).count()
+        == tr.count()
+    )
+    # keylist ⊆ frontier
+    assert algebra.keylist(tr).count() <= 5
+
+
+def test_remove_edge_if(graph, spark, ddb):
+    frontier = spark.createDataFrame(
+        [(uint128_pair(LABEL_TAGS["customer"], k),) for k in range(1, 11)], ["id"]
+    )
+    tr = traverse(frontier, graph.edges, "placed", Direction.OUT, fill_edge=True)
+    kept = remove_edge_if(
+        tr, lambda dst, props: props["totalprice"].cast("double") < 1000.0
+    )
+    exp = ddb.sql(
+        """select count(*) from orders
+           where o_custkey between 1 and 10 and not (o_totalprice < 1000)"""
+    ).fetchone()[0]
+    assert kept.count() == exp
+
+
+def test_khop_matches_sql(graph, spark, ddb):
+    frontier = spark.createDataFrame(
+        [(uint128_pair(LABEL_TAGS["customer"], 7),)], ["id"]
+    )
+    two_hop = khop(frontier, graph.edges, "placed", 1)
+    # 1 hop from customer via placed = that customer's orders
+    exp = ddb.sql("select count(*) from orders where o_custkey = 7").fetchone()[0]
+    assert two_hop.count() == exp
+
+
+def test_v_map_groups(graph, spark):
+    frontier = spark.createDataFrame(
+        [(uint128_pair(LABEL_TAGS["customer"], k),) for k in (1, 2)], ["id"]
+    )
+    tr = traverse(frontier, graph.edges, "placed", Direction.OUT)
+    vm = v_map(tr).collect()
+    assert len(vm) <= 2
+    total = sum(len(r.neighbors) for r in vm)
+    assert total == tr.count()

@@ -1,0 +1,224 @@
+"""Property-graph data model as a pair of DataFrames.
+
+The reference stores a property graph in RAMCloud KV blobs: per-vertex label
+object + property-map object (TorcGraph.java:242-313), and segmented per-
+(vertex, edgeLabel, direction, neighborLabel) adjacency lists
+(TorcEdgeList.java:42-112). The Spark-native layout is columnar instead:
+
+- ``vertices(id BINARY(16), label STRING, props MAP<STRING,STRING>)``
+- ``edges(src BINARY(16), src_label STRING, dst BINARY(16),
+  dst_label STRING, label STRING, props MAP<STRING,STRING>)``
+
+Carrying ``src_label``/``dst_label`` as columns replicates the reference's
+key-space narrowing by neighbor label (TorcHelper.java:352-370 — the label is
+part of the edge-list key; TorcGraphProviderOptimizationStrategy.java:67-103
+pushes label predicates into the fetch). In Spark those columns become plain
+pushed-down predicates on the edge scan, and at scale the edges dataset is
+written partitioned by ``(label, dst_label)`` so the same narrowing becomes
+partition pruning.
+
+Reference invariants enforced on construction (TorcGraph.java:74-81):
+- at most one edge per (src, dst, label);
+- edges are conceptually bidirectional: stored once in their FK direction,
+  queried in both (Direction.BOTH = union of the two orientations — the
+  reference instead double-stores, TorcGraph.java:1242-1275; single-store +
+  union keeps storage at 1× and lets Catalyst prune unreferenced directions).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from torcdb_spark.ids import id_col
+from torcdb_spark.sources.tables import load_table
+
+VERTEX_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.BinaryType(), False),
+        T.StructField("label", T.StringType(), False),
+        T.StructField("props", T.MapType(T.StringType(), T.StringType()), True),
+    ]
+)
+
+EDGE_SCHEMA = T.StructType(
+    [
+        T.StructField("src", T.BinaryType(), False),
+        T.StructField("src_label", T.StringType(), False),
+        T.StructField("dst", T.BinaryType(), False),
+        T.StructField("dst_label", T.StringType(), False),
+        T.StructField("label", T.StringType(), False),
+        T.StructField("props", T.MapType(T.StringType(), T.StringType()), True),
+    ]
+)
+
+# Per-label tag packed into the upper long of every vertex id so ids are
+# globally unique across labels (FIXTURES.md §4).
+LABEL_TAGS = {
+    "region": 1,
+    "nation": 2,
+    "customer": 3,
+    "supplier": 4,
+    "part": 5,
+    "order": 6,
+    "lineitem": 7,
+    "user": 8,
+    "document": 9,
+}
+
+
+@dataclass(frozen=True)
+class PropertyGraph:
+    """An immutable property-graph view over two DataFrames."""
+
+    vertices: DataFrame
+    edges: DataFrame
+
+    # -- construction -------------------------------------------------------
+
+    @staticmethod
+    def from_tables(spark: SparkSession, sf_dir: str) -> "PropertyGraph":
+        """Build the FIXTURES.md §4 graph from the relational fixtures.
+
+        Every base-table row becomes a vertex; every foreign key becomes a
+        directed edge. This is the Spark analogue of the reference's bulk
+        image load (TorcGraph.java:756-820) — one declarative plan instead of
+        a byte-level prepend simulation.
+        """
+        t = {n: load_table(spark, sf_dir, n) for n in
+             ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents")}
+
+        def v(df: DataFrame, label: str, key: str, prop_cols: list[str]) -> DataFrame:
+            props = F.map_from_arrays(
+                F.array(*[F.lit(c) for c in prop_cols]),
+                F.array(*[F.col(c).cast("string") for c in prop_cols]),
+            )
+            return df.select(
+                id_col(LABEL_TAGS[label], F.col(key)).alias("id"),
+                F.lit(label).alias("label"),
+                props.alias("props"),
+            )
+
+        # lineitem has no unique natural key in the fixtures (duplicate
+        # (l_orderkey, l_linenumber) pairs exist) — synthesize a surrogate:
+        # row_number within each order (a per-key window: shuffles by
+        # l_orderkey only, so it scales; never a global window).
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("l_orderkey").orderBy(
+            "l_linenumber", "l_partkey", "l_suppkey", "l_quantity",
+            "l_extendedprice"
+        )
+        lineitem = t["lineitem"].withColumn(
+            "l_linekey",
+            F.col("l_orderkey") * 65536 + F.row_number().over(w),
+        )
+        users = t["events"].select(F.col("user_id")).distinct()
+
+        vertices = (
+            v(t["region"], "region", "r_regionkey", ["r_name"])
+            .unionByName(v(t["nation"], "nation", "n_nationkey", ["n_name"]))
+            .unionByName(v(t["customer"], "customer", "c_custkey",
+                           ["c_name", "c_acctbal", "c_mktsegment"]))
+            .unionByName(v(t["supplier"], "supplier", "s_suppkey",
+                           ["s_name", "s_acctbal"]))
+            .unionByName(v(t["part"], "part", "p_partkey",
+                           ["p_name", "p_brand", "p_type", "p_size", "p_retailprice"]))
+            .unionByName(v(t["orders"], "order", "o_orderkey",
+                           ["o_orderstatus", "o_totalprice", "o_orderdate",
+                            "o_orderpriority"]))
+            .unionByName(v(lineitem, "lineitem", "l_linekey",
+                           ["l_quantity", "l_extendedprice", "l_returnflag"]))
+            .unionByName(v(users, "user", "user_id", []))
+            .unionByName(v(t["documents"], "document", "doc_id",
+                           ["lang", "source", "n_chars"]))
+        )
+
+        def e(df: DataFrame, label: str, src_label: str, src_key: str,
+              dst_label: str, dst_key: str, prop_cols: dict[str, str]) -> DataFrame:
+            props = F.map_from_arrays(
+                F.array(*[F.lit(k) for k in prop_cols]),
+                F.array(*[F.col(c).cast("string") for c in prop_cols.values()]),
+            )
+            return df.select(
+                id_col(LABEL_TAGS[src_label], F.col(src_key)).alias("src"),
+                F.lit(src_label).alias("src_label"),
+                id_col(LABEL_TAGS[dst_label], F.col(dst_key)).alias("dst"),
+                F.lit(dst_label).alias("dst_label"),
+                F.lit(label).alias("label"),
+                props.alias("props"),
+            )
+
+        edges = (
+            e(t["nation"], "inRegion", "nation", "n_nationkey",
+              "region", "n_regionkey", {})
+            .unionByName(e(t["customer"], "fromNation", "customer", "c_custkey",
+                           "nation", "c_nationkey", {}))
+            .unionByName(e(t["supplier"], "suppFromNation", "supplier", "s_suppkey",
+                           "nation", "s_nationkey", {}))
+            .unionByName(e(t["orders"], "placed", "customer", "o_custkey",
+                           "order", "o_orderkey",
+                           {"orderdate": "o_orderdate", "totalprice": "o_totalprice"}))
+            .unionByName(e(lineitem, "contains", "order", "l_orderkey",
+                           "lineitem", "l_linekey",
+                           {"linenumber": "l_linenumber"}))
+            .unionByName(e(lineitem, "ofPart", "lineitem", "l_linekey",
+                           "part", "l_partkey",
+                           {"quantity": "l_quantity",
+                            "extendedprice": "l_extendedprice"}))
+            .unionByName(e(lineitem, "suppliedBy", "lineitem", "l_linekey",
+                           "supplier", "l_suppkey",
+                           {"discount": "l_discount"}))
+        )
+        # one-edge-per-(src,dst,label) invariant (TorcGraph.java:74-78)
+        edges = edges.dropDuplicates(["src", "dst", "label"])
+        return PropertyGraph(vertices=vertices, edges=edges)
+
+    # -- element API (reference §2.1) --------------------------------------
+
+    def vertices_by_id(self, ids: list[bytes]) -> DataFrame:
+        """Point lookups (TorcGraph.vertices, TorcGraph.java:327-373).
+
+        The reference refuses full scans (:369); Spark supports both — with
+        no ids this returns the full vertex set.
+        """
+        if not ids:
+            return self.vertices
+        return self.vertices.where(F.col("id").isin([bytes(i) for i in ids]))
+
+    def add_vertices(self, new: DataFrame) -> "PropertyGraph":
+        """Batch addVertex (TorcGraph.java:242-313) as an append."""
+        return PropertyGraph(
+            vertices=self.vertices.unionByName(new.select(*VERTEX_SCHEMA.names)),
+            edges=self.edges,
+        )
+
+    def add_edges(self, new: DataFrame) -> "PropertyGraph":
+        """Batch addEdge (TorcGraph.java:1202-1279): append, keeping the
+        one-edge-per-(src,dst,label) invariant — latest write wins, like the
+        reference's overwrite of the edge property blob."""
+        merged = (
+            new.select(*EDGE_SCHEMA.names)
+            .unionByName(self.edges)
+            .dropDuplicates(["src", "dst", "label"])
+        )
+        return PropertyGraph(vertices=self.vertices, edges=merged)
+
+    def degrees(self, direction: str = "OUT") -> DataFrame:
+        """Per-vertex degree — a groupBy with map-side partial aggregation."""
+        if direction == "OUT":
+            key = "src"
+        elif direction == "IN":
+            key = "dst"
+        else:
+            both = self.edges.select(F.col("src").alias("v")).unionAll(
+                self.edges.select(F.col("dst").alias("v"))
+            )
+            return both.groupBy("v").agg(F.count("*").alias("degree"))
+        return self.edges.groupBy(F.col(key).alias("v")).agg(
+            F.count("*").alias("degree")
+        )

@@ -1,0 +1,57 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Equivalent of ``TorcGraph.open(Configuration)`` (reference
+TorcGraph.java:200-234): one entry point that wires the engine's execution
+settings. On a real cluster the same settings apply; only ``master`` and the
+partition counts change.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "torcdb_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    Defaults favor the driver's local[$SPARK_GRAFT_CPUS] harness but every
+    setting below is what we would run with on a 1000-executor cluster:
+
+    - AQE on (runtime coalescing of shuffle partitions, skew-join splitting,
+      dynamic broadcast conversion) — the engine relies on AQE instead of
+      hand-tuning per-query partition counts;
+    - session timezone pinned to UTC so timestamp semantics are stable and
+      comparable with external oracles;
+    - Arrow enabled for the Pandas-UDF operators (similarity, multimodal).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        # local mode: ~1× cores; a cluster deployment would set this to
+        # 2-3× total executor cores (AQE coalesces the excess at runtime).
+        shuffle_partitions = int(cpus) if cpus.isdigit() else 32
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # fixture parquet carries TIMESTAMP(NANOS); read as long, the source
+        # layer converts to timestamp (sources/tables.py TIMESTAMP_COLS)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()
