@@ -1,10 +1,8 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship query on sf0.001; ``queries()`` /
+``oracle_sql()`` expose the declared operator inventory from SURVEY.md §2
+(implemented in ``torcdb_spark/queries.py``) for the DuckDB correctness gate.
 """
 
 from __future__ import annotations
@@ -15,24 +13,52 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: 3-hop graph traversal on the property-graph view —
+    BUILDING-segment customers → orders → lineitems → suppliers, with
+    set-algebra composition and property hydration, aggregated to
+    per-supplier revenue. Exercises S5, T1, T2, A1 end-to-end."""
+    import pyspark.sql.functions as F
+
+    from torcdb_spark import PropertyGraph, traverse, Direction, algebra
+    from torcdb_spark.ids import id_lower
+
+    g = PropertyGraph.from_tables(spark, "/root/testdata/sf0.001")
+    frontier = g.vertices.where(
+        (F.col("label") == "customer")
+        & (F.col("props")["c_mktsegment"] == "BUILDING")
+    ).select("id")
+    h1 = traverse(frontier, g.edges, "placed", Direction.OUT)
+    h2 = traverse(
+        h1.select(F.col("dst").alias("id")).dropDuplicates(["id"]),
+        g.edges, "contains", Direction.OUT,
+    )
+    cust_to_line = algebra.fuse(h1, h2)
+    h3 = traverse(
+        cust_to_line.select(F.col("dst").alias("id")).dropDuplicates(["id"]),
+        g.edges, "suppliedBy", Direction.OUT, fill_edge=True,
+    )
+    supplier_rev = (
+        algebra.fuse(cust_to_line, h3)
+        .groupBy("dst")
+        .agg(F.count("*").alias("n_paths"))
+        .join(g.vertices, F.col("dst") == F.col("id"))
+        .select(
+            id_lower(F.col("id")).alias("s_suppkey"),
+            F.col("props")["s_name"].alias("s_name"),
+            F.col("n_paths").cast("long").alias("n_paths"),
+        )
+        .orderBy("s_suppkey")
+    )
+    return supplier_rev
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from torcdb_spark.queries import queries as _q
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return _q()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from torcdb_spark.queries import oracle_sql as _o
+
+    return _o()

@@ -1,0 +1,22 @@
+"""Extension operators beyond the reference surface: the LLM-data-pipeline
+toolkit (dedup, similarity search, text analysis, multimodal columns) plus
+relational helpers (per-group top-k). Every operator is DataFrame→DataFrame,
+shuffle-partitionable, with no driver-side collects — designed for 100 TB.
+"""
+
+from torcdb_spark.operators.dedup import exact_dedup, minhash_lsh_dedup, simhash_dedup
+from torcdb_spark.operators.similarity import cosine_topk_bruteforce, cosine_topk_lsh
+from torcdb_spark.operators.text import text_stats, quality_score, token_count
+from torcdb_spark.operators.topk import topk_per_group
+
+__all__ = [
+    "exact_dedup",
+    "minhash_lsh_dedup",
+    "simhash_dedup",
+    "cosine_topk_bruteforce",
+    "cosine_topk_lsh",
+    "text_stats",
+    "quality_score",
+    "token_count",
+    "topk_per_group",
+]

@@ -1,0 +1,206 @@
+"""Deduplication operators for document-scale corpora.
+
+Three tiers, all shuffle-partitionable with no driver-side state:
+
+- exact: hash-groupBy on a normalized fingerprint — one shuffle on the
+  64-bit key; at 100 TB this is the cheapest possible dedup (map-side
+  partial aggregation, AQE handles skew on pathological duplicate counts).
+- MinHash + LSH: shingle → per-permutation min-hash → band → bucket-join.
+  Candidate generation is an equi-join on (band, bucket-hash), i.e. a plain
+  shuffle join whose key space grows with data (no crossJoin anywhere), then
+  exact Jaccard verification only within buckets.
+- SimHash: 64-bit locality hash; near-dups = equal hash on rotated bands
+  (here: exact-simhash buckets as the conservative variant).
+
+Everything uses ``xxhash64``/integer arithmetic, so results are
+deterministic across runs and partitionings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from torcdb_spark.operators.text import fingerprint, shingles
+
+# Mersenne prime 2^31-1 for the universal-hash permutation family — small
+# enough that a·x + b stays within a 64-bit long under ANSI arithmetic.
+_P = (1 << 31) - 1
+
+
+def exact_dedup(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep the lowest-id document per exact (normalized) text. Returns the
+    surviving rows' ids + the duplicate-group size."""
+    return (
+        docs.select(F.col(id_col), fingerprint(F.col(text_col)).alias("_fp"))
+        .groupBy("_fp")
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count("*").cast("long").alias("group_size"),
+        )
+        .select(id_col, "group_size")
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    shingle_n: int = 5,
+) -> DataFrame:
+    """(id, sig array<long>) — per-permutation minimum of a universal hash
+    family over the shingle set: h_i(x) = (a_i·x + b_i) mod p, with
+    x = xxhash64(shingle). All higher-order functions, zero UDFs."""
+    # deterministic coefficients derived from the permutation index
+    coeffs = [
+        (F.lit(2 * i + 1), F.lit((i * 0x9E3779B9) % _P)) for i in range(num_perm)
+    ]
+    sh = shingles(F.col(text_col), shingle_n)
+    hashed = F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(_P)))
+    sig = F.array(
+        *[
+            F.array_min(F.transform(hashed, lambda x: (a * x + b) % _P))
+            for (a, b) in coeffs
+        ]
+    )
+    return docs.select(F.col(id_col), sig.alias("sig"))
+
+
+def minhash_lsh_candidates(
+    sigs: DataFrame, id_col: str = "doc_id", bands: int = 16, rows: int = 4
+) -> DataFrame:
+    """LSH banding: split each signature into ``bands`` bands of ``rows``
+    values, bucket by xxhash64(band values), self-join per bucket → candidate
+    pairs (a < b). The join key (band_idx, bucket) keeps the shuffle uniform;
+    no pairwise comparison outside buckets."""
+    banded = sigs.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",", *[F.element_at(F.col("sig"), bi * rows + r + 1).cast("string") for r in range(rows)]
+                            )
+                        ).alias("bucket"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bucket")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def minhash_lsh_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_n: int = 5,
+    jaccard_threshold: float = 0.8,
+) -> DataFrame:
+    """Near-dup pairs with estimated Jaccard ≥ threshold.
+
+    Pipeline: signatures → LSH candidates → verify on signature agreement
+    (fraction of matching minhashes estimates Jaccard). Returns
+    (id_a, id_b, est_jaccard)."""
+    rows = num_perm // bands
+    sigs = minhash_signatures(docs, text_col, id_col, num_perm, shingle_n)
+    cand = minhash_lsh_candidates(sigs, id_col, bands, rows)
+    sa = sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
+    est = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    ) / F.lit(num_perm)
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", F.round(est, 4).alias("est_jaccard"))
+        .where(F.col("est_jaccard") >= jaccard_threshold)
+    )
+
+
+def simhash(text_col, num_bits: int = 64):
+    """64-bit SimHash over shingle hashes: for each bit, sum ±1 votes across
+    shingles, take the sign. Expressed with aggregate() over the shingle
+    array — stays in codegen."""
+    hashed = F.transform(shingles(text_col), lambda s: F.xxhash64(s))
+    bits = [
+        F.when(
+            F.aggregate(
+                F.transform(
+                    hashed,
+                    lambda h: F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+                ),
+                F.lit(0),
+                lambda acc, v: acc + v,
+            )
+            > 0,
+            F.lit(1).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+        for i in range(num_bits)
+    ]
+    out = F.lit(0).cast("long")
+    for i, b in enumerate(bits):
+        out = out.bitwiseOR(F.shiftleft(b, i))
+    return out
+
+
+def simhash_dedup(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Conservative SimHash dedup: documents sharing the identical 64-bit
+    simhash. Returns (id, group_size) keeping the lowest id per bucket."""
+    return (
+        docs.select(F.col(id_col), simhash(F.col(text_col)).alias("_sh"))
+        .groupBy("_sh")
+        .agg(F.min(id_col).alias(id_col), F.count("*").cast("long").alias("group_size"))
+        .select(id_col, "group_size")
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    candidates: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 5,
+) -> DataFrame:
+    """Exact n-gram Jaccard for given candidate pairs (id_a, id_b) —
+    the verification stage after LSH blocking. Joins shingle sets in and
+    computes |∩|/|∪| via array_intersect/array_union."""
+    sh = docs.select(
+        F.col(id_col), shingles(F.col(text_col), shingle_n).alias("sh")
+    )
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    jac = F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
+    return (
+        candidates.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
+    )

@@ -1,0 +1,77 @@
+"""Text-analysis operators over a document table — all JVM-side expressions
+(no Python UDFs in the hot path), so they vectorize inside whole-stage
+codegen and scale linearly with partitions: per-row transforms with zero
+shuffle.
+
+These extend the reference surface (TorcDB has no text ops) toward the
+training-data-pipeline workload: token counting, quality scoring,
+fingerprinting, n-gram shingling (feeds dedup.py's MinHash).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# BPE-ish word/punct tokenizer: words, numbers, or single punctuation marks.
+TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count (0 for empty/blank strings)."""
+    trimmed = F.trim(text)
+    return F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
+        F.size(F.split(trimmed, r"\s+"))
+    )
+
+
+def bpe_token_count(text: Column) -> Column:
+    """Token count under the BPE-ish regex (words / numbers / punct marks)."""
+    return F.size(F.regexp_extract_all(text, F.lit(TOKEN_REGEX), 0))
+
+
+def text_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document statistics: characters, whitespace tokens, regex tokens,
+    alpha ratio, punctuation count."""
+    t = F.col(text_col)
+    return docs.select(
+        F.col(id_col),
+        F.length(t).cast("long").alias("n_chars"),
+        token_count(t).cast("long").alias("n_tokens"),
+        bpe_token_count(t).cast("long").alias("n_bpe_tokens"),
+        F.length(F.regexp_replace(t, r"[^A-Za-z]", "")).cast("long").alias("n_alpha"),
+        F.length(F.regexp_replace(t, r"[A-Za-z0-9\s]", "")).cast("long").alias("n_punct"),
+    )
+
+
+def quality_score(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic quality score in [0,1]: blend of length band, alpha ratio
+    and mean token length band — the usual cheap pre-filters before
+    expensive dedup/classification stages. Deterministic integer/ratio
+    arithmetic so an external SQL oracle can replicate it exactly."""
+    s = text_stats(docs, text_col, id_col)
+    n_chars = F.col("n_chars")
+    alpha_ratio = F.when(n_chars > 0, F.col("n_alpha") / n_chars).otherwise(F.lit(0.0))
+    len_ok = (n_chars >= 100) & (n_chars <= 20000)
+    mean_tok = F.when(F.col("n_tokens") > 0, n_chars / F.col("n_tokens")).otherwise(F.lit(0.0))
+    tok_ok = (mean_tok >= 3.0) & (mean_tok <= 12.0)
+    score = (
+        F.when(len_ok, 0.4).otherwise(0.0)
+        + F.when(tok_ok, 0.3).otherwise(0.0)
+        + alpha_ratio * 0.3
+    )
+    return s.select(id_col, F.round(score, 4).alias("quality"))
+
+
+def shingles(text: Column, n: int = 5) -> Column:
+    """Character n-gram shingle array (distinct), the MinHash input.
+    Pure higher-order-function pipeline: sequence → transform → substring."""
+    t = F.lower(F.regexp_replace(text, r"\s+", " "))
+    idx = F.sequence(F.lit(1), F.greatest(F.length(t) - (n - 1), F.lit(1)))
+    return F.array_distinct(F.transform(idx, lambda i: t.substr(i, F.lit(n))))
+
+
+def fingerprint(text: Column) -> Column:
+    """64-bit document fingerprint: xxhash64 of the whitespace-normalized,
+    lowercased text — the exact-dup key."""
+    return F.xxhash64(F.lower(F.regexp_replace(F.trim(text), r"\s+", " ")))

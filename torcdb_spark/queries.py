@@ -1,0 +1,630 @@
+"""Declared query inventory: every operator from SURVEY.md §2 exposed as a
+(spark_fn, oracle_sql) pair for the driver's DuckDB correctness gate.
+
+Naming convention follows SURVEY §2's operator ids: ``s*`` sources,
+``t*`` traversal, ``a*`` set algebra (TorcHelper), ``q*`` relational/OLAP
+(the Gremlin-library-level surface §2.4), ``d*``/``e*``/``x*`` the
+LLM-pipeline extension operators (§2.5). Graph queries run on the
+FIXTURES.md §4 property-graph view and are oracled by the equivalent
+foreign-key SQL — that equivalence IS the semantic claim being verified.
+
+Determinism rules (driver hashes values order-insensitively but exactly):
+- every aggregate/computed column aliased identically in Spark and SQL;
+- doubles rounded (2dp money, 3-4dp ratios) on BOTH sides;
+- timestamps rendered as strings on both sides;
+- counts cast to BIGINT on both sides;
+- top-k ranks ordered by rounded measures with unique-key tiebreaks.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from torcdb_spark import algebra
+from torcdb_spark.graph import PropertyGraph
+from torcdb_spark.ids import id_lower
+from torcdb_spark.operators.dedup import exact_dedup, minhash_lsh_dedup
+from torcdb_spark.operators.similarity import cosine_topk_bruteforce
+from torcdb_spark.operators.text import text_stats
+from torcdb_spark.operators.topk import topk_per_group
+from torcdb_spark.sources.tables import load_table
+from torcdb_spark.traverse import (
+    Direction,
+    fill_properties,
+    remove_edge_if,
+    traverse,
+    v_map,
+)
+
+SparkQuery = Callable[[SparkSession, str], DataFrame]
+
+_QUERIES: dict[str, SparkQuery] = {}
+_ORACLES: dict[str, str] = {}
+
+
+def _register(name: str, oracle: str | None = None):
+    def deco(fn: SparkQuery) -> SparkQuery:
+        _QUERIES[name] = fn
+        if oracle is not None:
+            _ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _graph(spark: SparkSession, sf_dir: str) -> PropertyGraph:
+    return PropertyGraph.from_tables(spark, sf_dir)
+
+
+def _customers(g: PropertyGraph) -> DataFrame:
+    return g.vertices.where(F.col("label") == "customer").select("id")
+
+
+# ---------------------------------------------------------------------------
+# §2.1 sources — point lookup (S5); full scan is the trivial case
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "s5_vertex_lookup",
+    """SELECT c_custkey, c_name, c_mktsegment FROM customer
+       WHERE c_custkey BETWEEN 1 AND 10""",
+)
+def s5_vertex_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-lookup vertices by id (TorcGraph.vertices, TorcGraph.java:327-373)
+    + property projection, mapped back to business keys."""
+    from torcdb_spark.graph import LABEL_TAGS
+    from torcdb_spark.ids import uint128_pair
+
+    g = _graph(spark, sf_dir)
+    ids = [uint128_pair(LABEL_TAGS["customer"], k) for k in range(1, 11)]
+    v = g.vertices_by_id(ids)
+    return v.select(
+        id_lower(F.col("id")).alias("c_custkey"),
+        F.col("props")["c_name"].alias("c_name"),
+        F.col("props")["c_mktsegment"].alias("c_mktsegment"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.2 traversal operators (T1, T2, T3)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "t1_traverse_out",
+    "SELECT o_custkey AS src_key, o_orderkey AS dst_key FROM orders",
+)
+def t1_traverse_out(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hop OUT expansion (TorcGraph.traverse, TorcGraph.java:479-585):
+    all customers --placed--> orders."""
+    g = _graph(spark, sf_dir)
+    tr = traverse(_customers(g), g.edges, "placed", Direction.OUT,
+                  neighbor_labels=["order"], broadcast_frontier=False)
+    return tr.select(
+        id_lower(F.col("src")).alias("src_key"),
+        id_lower(F.col("dst")).alias("dst_key"),
+    )
+
+
+@_register(
+    "t1_traverse_in",
+    "SELECT o_orderkey AS src_key, o_custkey AS dst_key FROM orders",
+)
+def t1_traverse_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hop IN expansion: orders --placed(IN)--> their customer."""
+    g = _graph(spark, sf_dir)
+    frontier = g.vertices.where(F.col("label") == "order").select("id")
+    tr = traverse(frontier, g.edges, "placed", Direction.IN,
+                  neighbor_labels=["customer"], broadcast_frontier=False)
+    return tr.select(
+        id_lower(F.col("src")).alias("src_key"),
+        id_lower(F.col("dst")).alias("dst_key"),
+    )
+
+
+@_register(
+    "t1_traverse_both",
+    """SELECT CAST(c_nationkey AS BIGINT) AS src_key, c_custkey AS dst_key
+       FROM customer""",
+)
+def t1_traverse_both(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOTH-direction semantics (TorcGraph.java:74-81: edges are
+    bidirectional): nations --fromNation(BOTH)--> customers resolves via the
+    IN orientation since the stored direction is customer→nation."""
+    g = _graph(spark, sf_dir)
+    frontier = g.vertices.where(F.col("label") == "nation").select("id")
+    tr = traverse(frontier, g.edges, "fromNation", Direction.BOTH,
+                  broadcast_frontier=False)
+    return tr.select(
+        id_lower(F.col("src")).alias("src_key"),
+        id_lower(F.col("dst")).alias("dst_key"),
+    )
+
+
+@_register(
+    "t2_fill_properties",
+    """SELECT o_custkey AS src_key, o_orderkey AS dst_key,
+              round(o_totalprice, 2) AS totalprice, o_orderstatus
+       FROM orders""",
+)
+def t2_fill_properties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """traverse + fillProperties (TorcGraph.java:587-734): hydrate the
+    neighbor orders with projected properties (key-filtered, :693-697)."""
+    g = _graph(spark, sf_dir)
+    tr = traverse(_customers(g), g.edges, "placed", Direction.OUT,
+                  broadcast_frontier=False)
+    hyd = fill_properties(
+        tr.select(F.col("dst").alias("id")).dropDuplicates(["id"]),
+        g.vertices,
+        keys=["o_totalprice", "o_orderstatus"],
+    )
+    joined = tr.join(hyd.withColumnRenamed("id", "dst"), "dst")
+    return joined.select(
+        id_lower(F.col("src")).alias("src_key"),
+        id_lower(F.col("dst")).alias("dst_key"),
+        F.round(F.col("props")["o_totalprice"].cast("double"), 2).alias("totalprice"),
+        F.col("props")["o_orderstatus"].alias("o_orderstatus"),
+    )
+
+
+@_register(
+    "t3_vertex_neighbors",
+    """SELECT o_custkey AS src_key, CAST(count(*) AS BIGINT) AS n_neighbors
+       FROM orders GROUP BY o_custkey""",
+)
+def t3_vertex_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bulk vertexNeighbors (TorcGraph.java:833-939) → vMap view
+    (TraversalResult.vMap): per-source neighbor list sizes."""
+    g = _graph(spark, sf_dir)
+    tr = traverse(_customers(g), g.edges, "placed", Direction.OUT,
+                  broadcast_frontier=False)
+    vm = v_map(tr)
+    return vm.select(
+        id_lower(F.col("src")).alias("src_key"),
+        F.size(F.col("neighbors")).cast("long").alias("n_neighbors"),
+    )
+
+
+@_register(
+    "t8_degree_out",
+    """SELECT c_custkey AS v_key,
+              CAST(1 + count(o_orderkey) AS BIGINT) AS degree
+       FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+       GROUP BY c_custkey""",
+)
+def t8_degree_out(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-degree per customer vertex (placed orders + its fromNation edge)
+    — the degree view over the edge table (map-side partial agg)."""
+    g = _graph(spark, sf_dir)
+    deg = g.degrees("OUT")
+    cust = g.vertices.where(F.col("label") == "customer").select("id")
+    return deg.join(cust, deg["v"] == cust["id"], "inner").select(
+        id_lower(F.col("v")).alias("v_key"),
+        F.col("degree").cast("long").alias("degree"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.3 set algebra on traversal results (A1-A4)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "a1_fuse",
+    """SELECT o_custkey AS src_key, CAST(count(*) AS BIGINT) AS n_lineitems
+       FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+       GROUP BY o_custkey""",
+)
+def a1_fuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fuse (TorcHelper.java:407-456): 2-hop path join customer→order→
+    lineitem, grouped to per-customer path counts."""
+    g = _graph(spark, sf_dir)
+    h1 = traverse(_customers(g), g.edges, "placed", Direction.OUT,
+                  broadcast_frontier=False)
+    h2 = traverse(h1.select(F.col("dst").alias("id")).dropDuplicates(["id"]),
+                  g.edges, "contains", Direction.OUT, broadcast_frontier=False)
+    fused = algebra.fuse(h1, h2)
+    return fused.groupBy("src").agg(F.count("*").alias("n_lineitems")).select(
+        id_lower(F.col("src")).alias("src_key"),
+        F.col("n_lineitems").cast("long").alias("n_lineitems"),
+    )
+
+
+@_register(
+    "a2_intersect",
+    """SELECT o_custkey AS src_key, o_orderkey AS dst_key
+       FROM orders WHERE o_totalprice > 300000""",
+)
+def a2_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """intersect (TorcHelper.java:458-539): customers' order-neighbors
+    ∩ {high-value orders} as a left-semi join."""
+    g = _graph(spark, sf_dir)
+    tr = traverse(_customers(g), g.edges, "placed", Direction.OUT,
+                  broadcast_frontier=False)
+    keep = g.vertices.where(
+        (F.col("label") == "order")
+        & (F.col("props")["o_totalprice"].cast("double") > 300000)
+    ).select("id")
+    out = algebra.intersect(tr, keep)
+    return out.select(
+        id_lower(F.col("src")).alias("src_key"),
+        id_lower(F.col("dst")).alias("dst_key"),
+    )
+
+
+@_register(
+    "a3_subtract",
+    """SELECT o_custkey AS src_key, o_orderkey AS dst_key
+       FROM orders WHERE NOT (o_totalprice > 300000)""",
+)
+def a3_subtract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """subtract (TorcHelper.java:541-592): the anti-join complement of
+    a2_intersect."""
+    g = _graph(spark, sf_dir)
+    tr = traverse(_customers(g), g.edges, "placed", Direction.OUT,
+                  broadcast_frontier=False)
+    remove = g.vertices.where(
+        (F.col("label") == "order")
+        & (F.col("props")["o_totalprice"].cast("double") > 300000)
+    ).select("id")
+    out = algebra.subtract(tr, remove)
+    return out.select(
+        id_lower(F.col("src")).alias("src_key"),
+        id_lower(F.col("dst")).alias("dst_key"),
+    )
+
+
+@_register(
+    "a4_remove_edge_if",
+    """SELECT o_custkey AS src_key, o_orderkey AS dst_key
+       FROM orders WHERE NOT (o_totalprice < 250000)""",
+)
+def a4_remove_edge_if(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """removeEdgeIf (TorcHelper.java:594-638): θ-filter over edge
+    properties of the traversal result."""
+    g = _graph(spark, sf_dir)
+    tr = traverse(_customers(g), g.edges, "placed", Direction.OUT,
+                  fill_edge=True, broadcast_frontier=False)
+    kept = remove_edge_if(
+        tr, lambda dst, props: props["totalprice"].cast("double") < 250000
+    )
+    return kept.select(
+        id_lower(F.col("src")).alias("src_key"),
+        id_lower(F.col("dst")).alias("dst_key"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.4 relational / OLAP surface (Gremlin-library level → Spark SQL)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q1_pricing_summary",
+    """SELECT l_returnflag, l_linestatus,
+              round(sum(l_quantity), 2) AS sum_qty,
+              round(sum(l_extendedprice), 2) AS sum_base_price,
+              round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+              round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+              round(avg(l_quantity), 2) AS avg_qty,
+              round(avg(l_extendedprice), 2) AS avg_price,
+              round(avg(l_discount), 4) AS avg_disc,
+              CAST(count(*) AS BIGINT) AS count_order
+       FROM lineitem
+       WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+       GROUP BY l_returnflag, l_linestatus""",
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary: scan → filter (pushed to parquet)
+    → partial+final hash aggregate. One shuffle on the 2-col group key."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@_register(
+    "q3_shipping_priority",
+    """SELECT o_orderkey,
+              round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+              strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+              o_orderpriority
+       FROM customer
+       JOIN orders ON c_custkey = o_custkey
+       JOIN lineitem ON l_orderkey = o_orderkey
+       WHERE c_mktsegment = 'BUILDING'
+         AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+         AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+       GROUP BY o_orderkey, o_orderdate, o_orderpriority
+       ORDER BY revenue DESC, o_orderkey
+       LIMIT 10""",
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped: selective dim filter (broadcast join), fact join,
+    agg, global top-10 (TakeOrderedAndProject — no full sort)."""
+    c = load_table(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select(
+            "o_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+@_register(
+    "q5_nation_revenue",
+    """SELECT n_name,
+              round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       FROM customer, orders, lineitem, supplier, nation, region
+       WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+         AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+         AND r_name = 'ASIA'
+         AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+         AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+       GROUP BY n_name""",
+)
+def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped local-supplier revenue: 6-way join with broadcast
+    dims; Catalyst reorders, AQE re-plans at runtime."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(s), (li["l_suppkey"] == s["s_suppkey"])
+              & (c["c_nationkey"] == s["s_nationkey"]))
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@_register(
+    "q_topk_orders_per_customer",
+    """SELECT o_custkey, o_orderkey, o_totalprice, CAST(rnk AS BIGINT) AS rnk
+       FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                    row_number() OVER (PARTITION BY o_custkey
+                                       ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+             FROM orders)
+       WHERE rnk <= 3""",
+)
+def q_topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k (Gremlin order/limit per group): one shuffle on the
+    group key, sort within partitions only."""
+    o = load_table(spark, sf_dir, "orders")
+    out = topk_per_group(
+        o,
+        ["o_custkey"],
+        [F.desc("o_totalprice"), F.asc("o_orderkey")],
+        k=3,
+    )
+    return out.select(
+        "o_custkey", "o_orderkey", "o_totalprice", F.col("rnk").cast("long").alias("rnk")
+    )
+
+
+@_register(
+    "q_rollup_region_nation",
+    """SELECT r_name, n_name, CAST(count(*) AS BIGINT) AS n_customers,
+              round(sum(c_acctbal), 2) AS sum_acctbal
+       FROM customer
+       JOIN nation ON c_nationkey = n_nationkey
+       JOIN region ON n_regionkey = r_regionkey
+       GROUP BY ROLLUP(r_name, n_name)""",
+)
+def q_rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup (region → nation → grand total) — stock
+    ``rollup`` (SURVEY §2.5: absent in reference, free in Spark)."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .rollup("r_name", "n_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("sum_acctbal"),
+        )
+    )
+
+
+@_register(
+    "q_events_tumbling",
+    """SELECT strftime(time_bucket(INTERVAL '15 minutes', ts),
+                       '%Y-%m-%d %H:%M:%S') AS window_start,
+              event_type,
+              CAST(count(*) AS BIGINT) AS n_events,
+              round(sum(value), 2) AS sum_value
+       FROM events GROUP BY 1, 2""",
+)
+def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation over the event stream (batch form; the
+    identical transformation runs under readStream — see
+    torcdb_spark/streaming)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "15 minutes").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@_register(
+    "q_events_sessions",
+    """SELECT user_id,
+              CAST(sum(is_new) AS BIGINT) AS n_sessions,
+              CAST(count(*) AS BIGINT) AS n_events
+       FROM (SELECT user_id,
+                    CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL THEN 1
+                         WHEN epoch_ms(ts) - lag(epoch_ms(ts)) OVER w
+                              > 1800000 THEN 1
+                         ELSE 0 END AS is_new
+             FROM events
+             WINDOW w AS (PARTITION BY user_id ORDER BY ts))
+       GROUP BY user_id""",
+)
+def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (30-min inactivity gap) via lag + conditional count —
+    the batch analogue of session_window() in streaming. Session counts are
+    invariant to tie-ordering of equal timestamps."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    ms = F.unix_millis(F.col("ts"))
+    lag_ms = F.lag(ms).over(w)
+    is_new = F.when(lag_ms.isNull() | (ms - lag_ms > 1800000), 1).otherwise(0)
+    return (
+        ev.select("user_id", is_new.alias("is_new"))
+        .groupBy("user_id")
+        .agg(
+            F.sum("is_new").cast("long").alias("n_sessions"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.5 extension operators: dedup / text / similarity (LLM pipeline)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "d1_dedup_exact",
+    """SELECT min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS group_size
+       FROM documents
+       GROUP BY lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))""",
+)
+def d1_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by normalized-text fingerprint (hash-groupBy; map-side
+    partial agg, one shuffle on the 64-bit key)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_dedup(docs)
+
+
+@_register(
+    "d2_text_stats",
+    """SELECT doc_id,
+              CAST(length(text) AS BIGINT) AS n_chars,
+              CAST(CASE WHEN trim(text) = '' THEN 0
+                   ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+                   AS BIGINT) AS n_tokens,
+              CAST(len(regexp_extract_all(text,
+                   '[A-Za-z]+|[0-9]+|[^A-Za-z0-9[:space:]]')) AS BIGINT)
+                   AS n_bpe_tokens,
+              CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                   AS BIGINT) AS n_alpha,
+              CAST(length(regexp_replace(text, '[A-Za-z0-9[:space:]]', '', 'g'))
+                   AS BIGINT) AS n_punct
+       FROM documents""",
+)
+def d2_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token/char statistics — pure JVM expressions, zero
+    shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text_stats(docs)
+
+
+@_register(
+    "e1_cosine_topk",
+    """WITH q AS (SELECT vec_id AS query_id,
+                         CAST(embedding AS DOUBLE[]) AS qv
+                  FROM embeddings WHERE vec_id < 10),
+            scored AS (
+              SELECT query_id, e.vec_id AS neighbor_id,
+                     round(list_dot_product(qv, CAST(e.embedding AS DOUBLE[]))
+                           / (sqrt(list_dot_product(qv, qv))
+                              * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                                      CAST(e.embedding AS DOUBLE[])))),
+                           3) AS score
+              FROM q, embeddings e WHERE e.vec_id <> query_id)
+       SELECT query_id, neighbor_id, score, CAST(rnk AS BIGINT) AS rnk
+       FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                          ORDER BY score DESC, neighbor_id) AS rnk
+             FROM scored)
+       WHERE rnk <= 5""",
+)
+def e1_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k similarity search: broadcast query batch ×
+    corpus, JVM-side dot products, per-query window top-k."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    out = cosine_topk_bruteforce(emb, queries, k=5)
+    return out.select(
+        "query_id", "neighbor_id", "score", F.col("rnk").cast("long").alias("rnk")
+    )
+
+
+@_register("x_minhash_near_dups")  # non-SQL-expressible: hash family is Spark-side
+def x_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-duplicate pairs (rows-only check: the xxhash64-based
+    permutation family has no DuckDB equivalent)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_dedup(docs, jaccard_threshold=0.5)
+
+
+def queries() -> dict[str, SparkQuery]:
+    return dict(_QUERIES)
+
+
+def oracle_sql() -> dict[str, str]:
+    return dict(_ORACLES)
