@@ -1,0 +1,54 @@
+"""DataFrame-Pregel analytics tests on tiny graphs with known answers."""
+
+import pytest
+
+from torcdb_spark.analytics import (
+    bfs_distances,
+    connected_components,
+    pagerank,
+    triangle_count,
+)
+
+
+@pytest.fixture(scope="module")
+def chain(spark):
+    # 0→1→2→3, plus isolated pair 10→11
+    return spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (10, 11)], ["src", "dst"]
+    )
+
+
+def test_connected_components(chain):
+    comp = {r.id: r.component for r in connected_components(chain).collect()}
+    assert comp[0] == comp[1] == comp[2] == comp[3] == 0
+    assert comp[10] == comp[11] == 10
+
+
+def test_bfs_distances(spark, chain):
+    sources = spark.createDataFrame([(0,)], ["id"])
+    d = {r.id: r.distance for r in bfs_distances(chain, sources).collect()}
+    assert d == {0: 0, 1: 1, 2: 2, 3: 3}
+
+
+def test_pagerank_sums_to_n(spark):
+    # star graph: everyone points to 0
+    edges = spark.createDataFrame([(i, 0) for i in range(1, 6)], ["src", "dst"])
+    pr = pagerank(edges, num_iter=15)
+    ranks = {r.id: r.rank for r in pr.collect()}
+    assert abs(sum(ranks.values()) - len(ranks)) < 1e-6
+    assert ranks[0] == max(ranks.values())
+
+
+def test_pagerank_cycle_uniform(spark):
+    edges = spark.createDataFrame([(0, 1), (1, 2), (2, 0)], ["src", "dst"])
+    ranks = [r.rank for r in pagerank(edges, num_iter=20).collect()]
+    assert all(abs(r - 1.0) < 1e-6 for r in ranks)
+
+
+def test_triangle_count(spark):
+    # triangle 0-1-2 plus a pendant 2-3
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (0, 2), (2, 3)], ["src", "dst"]
+    )
+    t = {r.id: r.triangles for r in triangle_count(edges).collect()}
+    assert t == {0: 1, 1: 1, 2: 1}

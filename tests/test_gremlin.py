@@ -1,0 +1,75 @@
+"""Fluent Gremlin-ish layer tests vs direct SQL on the fixtures."""
+
+import duckdb
+import pytest
+
+from torcdb_spark.gremlin import G
+from torcdb_spark.graph import LABEL_TAGS
+from torcdb_spark.ids import uint128_pair
+
+
+@pytest.fixture(scope="module")
+def ddb(sf_dir):
+    con = duckdb.connect()
+    for t in ("customer", "orders", "lineitem", "nation"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+def test_v_out_count(graph, ddb):
+    n = G(graph).V().has_label("customer").out("placed").count()
+    exp = ddb.sql("select count(*) from orders").fetchone()[0]
+    assert n == exp
+
+
+def test_v_ids_out_values(graph, ddb):
+    cid = uint128_pair(LABEL_TAGS["customer"], 1)
+    vals = G(graph).V(cid).out("placed").values("o_orderstatus").collect()
+    exp = ddb.sql(
+        "select o_orderstatus, count(*) from orders where o_custkey=1 group by 1"
+    ).fetchall()
+    got = {}
+    for r in vals:
+        got[r.o_orderstatus] = got.get(r.o_orderstatus, 0) + 1
+    assert got == dict(exp)
+
+
+def test_has_filter_pushes_into_traversal(graph, ddb):
+    n = (
+        G(graph)
+        .V()
+        .has_label("customer")
+        .has("c_mktsegment", "BUILDING")
+        .out("placed")
+        .count()
+    )
+    exp = ddb.sql(
+        """select count(*) from orders join customer on c_custkey=o_custkey
+           where c_mktsegment='BUILDING'"""
+    ).fetchone()[0]
+    assert n == exp
+
+
+def test_in_traversal(graph, ddb):
+    nid = uint128_pair(LABEL_TAGS["nation"], 3)
+    n = G(graph).V(nid).in_("fromNation").count()
+    exp = ddb.sql("select count(*) from customer where c_nationkey=3").fetchone()[0]
+    assert n == exp
+
+
+def test_two_hop_dedup_group_count(graph, ddb):
+    cid = uint128_pair(LABEL_TAGS["customer"], 2)
+    out = (
+        G(graph).V(cid).out("placed").out("contains").dedup().group_count()
+    )
+    total = sum(r["count"] for r in out.collect())
+    exp = ddb.sql(
+        """select count(*) from lineitem join orders on l_orderkey=o_orderkey
+           where o_custkey=2"""
+    ).fetchone()[0]
+    assert total == exp
+
+
+def test_missing_edge_label_raises(graph):
+    with pytest.raises(ValueError):
+        G(graph).V().out()

@@ -1,0 +1,170 @@
+"""Unit tests for the LLM-pipeline operators (dedup/similarity/text/
+multimodal) on small in-memory DataFrames with known answers."""
+
+import math
+
+import pyspark.sql.functions as F
+import pytest
+
+from torcdb_spark.functions.vector import cosine_similarity
+from torcdb_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_dedup,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_dedup,
+)
+from torcdb_spark.operators.multimodal import (
+    documents_as_media,
+    extract_features,
+    frame_sample,
+)
+from torcdb_spark.operators.similarity import (
+    cosine_topk_bruteforce,
+    cosine_topk_lsh,
+)
+from torcdb_spark.operators.text import text_stats, quality_score
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "The quick brown fox jumps over the lazy dog near the river bank today."),
+        (2, "The quick brown fox jumps over the lazy dog near the river bank today."),  # exact dup of 1
+        (3, "The quick brown fox jumps over the lazy dog near the river bank tonight."),  # near dup of 1
+        (4, "Completely different content about machine learning pipelines and data."),
+        (5, "   the QUICK brown fox jumps over the lazy dog near the river bank today. "),  # case/ws dup of 1
+        (6, ""),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup_groups(docs):
+    out = {r.doc_id: r.group_size for r in exact_dedup(docs).collect()}
+    # 1,2,5 collapse (case/whitespace-normalized); 3,4,6 singletons
+    assert out[1] == 3
+    assert out[3] == 1
+    assert out[4] == 1
+    assert out[6] == 1
+    assert 2 not in out and 5 not in out
+
+
+def test_minhash_signature_shape_and_determinism(docs):
+    sigs1 = {r.doc_id: r.sig for r in minhash_signatures(docs, num_perm=32).collect()}
+    sigs2 = {r.doc_id: r.sig for r in minhash_signatures(docs, num_perm=32).collect()}
+    assert sigs1 == sigs2  # deterministic across runs
+    assert all(len(s) == 32 for s in sigs1.values())
+    # identical docs → identical signatures
+    assert sigs1[1] == sigs1[2]
+    # near-dup shares most minhashes
+    agree = sum(a == b for a, b in zip(sigs1[1], sigs1[3])) / 32
+    assert agree > 0.5
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    pairs = {
+        (r.id_a, r.id_b): r.est_jaccard
+        for r in minhash_lsh_dedup(docs, jaccard_threshold=0.5).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0
+    assert (1, 3) in pairs  # near dup found via LSH banding
+    assert all(not (4 in p) for p in pairs)  # unrelated doc never paired
+
+
+def test_ngram_jaccard_verification(spark, docs):
+    cand = spark.createDataFrame([(1, 2), (1, 3), (1, 4)], ["id_a", "id_b"])
+    out = {(r.id_a, r.id_b): r.jaccard for r in ngram_jaccard_pairs(docs, cand).collect()}
+    assert out[(1, 2)] == 1.0
+    assert out[(1, 3)] > 0.6
+    assert out[(1, 4)] < 0.2
+
+
+def test_simhash_groups_exact_dups(docs):
+    out = {r.doc_id: r.group_size for r in simhash_dedup(docs).collect()}
+    assert out[1] >= 2  # 1 and 2 identical → same simhash
+
+
+def test_cosine_similarity_column(spark):
+    df = spark.createDataFrame(
+        [([1.0, 0.0], [0.0, 1.0]), ([1.0, 2.0], [2.0, 4.0]), ([0.0, 0.0], [1.0, 0.0])],
+        ["a", "b"],
+    )
+    vals = df.select(cosine_similarity(F.col("a"), F.col("b")).alias("c")).collect()
+    assert abs(vals[0].c - 0.0) < 1e-12
+    assert abs(vals[1].c - 1.0) < 1e-12
+    assert vals[2].c is None  # zero-norm → NULL, not NaN
+
+
+def test_cosine_topk_bruteforce_known(spark):
+    vecs = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),
+        (2, [0.0, 1.0, 0.0]),
+        (3, [-1.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    out = cosine_topk_bruteforce(df, df.where("vec_id = 0"), k=2).collect()
+    ranked = [r.neighbor_id for r in sorted(out, key=lambda r: r.rnk)]
+    assert ranked == [1, 2]
+
+
+def test_cosine_topk_lsh_recall(spark, sf_dir):
+    """LSH variant finds most of the brute-force top-1 neighbors."""
+    from torcdb_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(200).cache()
+    queries = emb.where("vec_id < 5")
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk_bruteforce(emb, queries, k=1).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk_lsh(emb, queries, k=5, num_bits=6, num_tables=6).collect()
+    }
+    hits = sum(1 for pair in exact if pair in approx)
+    assert hits >= len(exact) // 2  # ≥50% top-1 recall with tiny tables
+
+
+def test_text_stats_empty_and_basic(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello, world! 42"), (2, ""), (3, "   ")], ["doc_id", "text"]
+    )
+    out = {r.doc_id: r for r in text_stats(df).collect()}
+    assert out[1].n_tokens == 3
+    assert out[1].n_bpe_tokens == 5  # Hello , world ! 42
+    assert out[1].n_punct == 2  # comma + exclamation
+    assert out[2].n_tokens == 0
+    assert out[3].n_tokens == 0
+
+
+def test_quality_score_range(spark, sf_dir):
+    from torcdb_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    qs = quality_score(docs)
+    bad = qs.where((F.col("quality") < 0) | (F.col("quality") > 1)).count()
+    assert bad == 0
+
+
+def test_multimodal_feature_plumbing(spark, sf_dir):
+    from torcdb_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    media = documents_as_media(docs)
+    feats = extract_features(media, feature_dim=8).collect()
+    assert len(feats) == 50
+    for r in feats:
+        assert len(r.feature) == 8
+        assert abs(sum(r.feature) - 1.0) < 1e-5  # normalized histogram
+        assert r.n_bytes > 0
+
+
+def test_frame_sample_plumbing(spark):
+    rows = [(1, None, "video/mp4", None, None, 25), (2, None, "video/mp4", None, None, 3)]
+    from torcdb_spark.operators.multimodal import MEDIA_SCHEMA
+
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = frame_sample(media, every_n=10)
+    got = {(r.media_id, r.frame_idx) for r in out.collect()}
+    assert got == {(1, 0), (1, 10), (1, 20), (2, 0)}

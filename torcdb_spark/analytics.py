@@ -1,0 +1,187 @@
+"""Graph analytics: DataFrame-Pregel supersteps.
+
+TorcDB explicitly refuses OLAP graph compute (``compute()`` throws,
+TorcGraph.java:315-324; feature flag :1818-1821). This module supplies it
+the Spark way — iterative message-passing expressed as DataFrame joins, the
+same dataflow GraphX/Pregel runs, but staying in Spark SQL so Catalyst/AQE
+optimize each superstep and no RDD serialization is paid.
+
+Superstep = messages (vertices ⋈ edges) → aggregate by dst → update state.
+Each iteration ``localCheckpoint``s the state DataFrame: without it the
+lineage/plan doubles per iteration and the job dies at scale long before
+memory does (SURVEY §7.4, the #1 Spark-specific risk for iterative graph
+work). Edges are re-used across supersteps — persist() once; at cluster
+scale, bucket the edge table by src so the per-superstep join co-locates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _checkpointed(df: DataFrame) -> DataFrame:
+    return df.localCheckpoint(eager=True)
+
+
+def pagerank(
+    edges: DataFrame,
+    num_iter: int = 10,
+    damping: float = 0.85,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """PageRank over a directed edge list → (id, rank).
+
+    Dangling mass is redistributed uniformly each superstep so ranks sum to
+    |V| (the GraphX convention with normalized start rank 1.0)."""
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")).persist()
+    verts = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .dropDuplicates(["id"])
+        .persist()
+    )
+    n = verts.count()
+    out_deg = e.groupBy("src").agg(F.count("*").alias("out_deg"))
+    state = verts.select("id", F.lit(1.0).alias("rank"))
+    for _ in range(num_iter):
+        contrib = (
+            state.join(out_deg, state["id"] == out_deg["src"], "inner")
+            .select(F.col("id").alias("csrc"), (F.col("rank") / F.col("out_deg")).alias("c"))
+        )
+        msgs = (
+            e.join(contrib, e["src"] == contrib["csrc"])
+            .groupBy("dst")
+            .agg(F.sum("c").alias("msum"))
+        )
+        # dangling vertices contribute their rank uniformly
+        dangling = (
+            state.join(out_deg, state["id"] == out_deg["src"], "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+            .first()[0]
+        )
+        state = _checkpointed(
+            verts.join(msgs, verts["id"] == msgs["dst"], "left")
+            .select(
+                "id",
+                (
+                    F.lit(1 - damping)
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("msum"), F.lit(0.0)) + F.lit(dangling / n))
+                ).alias("rank"),
+            )
+        )
+    return state
+
+
+def connected_components(
+    edges: DataFrame,
+    max_iter: int = 20,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Undirected connected components via iterative label propagation
+    (small-label-wins) → (id, component). Converges in O(diameter)
+    supersteps; each superstep is one join+min-aggregate."""
+    und = (
+        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+        .unionByName(
+            edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b"))
+        )
+        .dropDuplicates(["a", "b"])
+        .persist()
+    )
+    state = (
+        und.select(F.col("a").alias("id"))
+        .dropDuplicates(["id"])
+        .withColumn("component", F.col("id"))
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            und.join(state, und["a"] == state["id"])
+            .groupBy("b")
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        new_state = _checkpointed(
+            state.join(nbr_min, state["id"] == nbr_min["b"], "left").select(
+                "id",
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("nbr_component"), F.col("component")),
+                ).alias("component"),
+            )
+        )
+        changed = (
+            new_state.alias("n")
+            .join(state.alias("o"), "id")
+            .where(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        state = new_state
+        if changed == 0:
+            break
+    return state
+
+
+def bfs_distances(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_depth: int = 10,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Multi-source BFS → (id, distance); frontier-expansion loop with an
+    anti-join against the visited set (the iterative form of khop that also
+    records depth)."""
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")).persist()
+    id_c = "id" if "id" in sources.columns else sources.columns[0]
+    visited = sources.select(F.col(id_c).alias("id")).dropDuplicates(["id"]).withColumn(
+        "distance", F.lit(0)
+    )
+    frontier = visited.select("id")
+    for depth in range(1, max_depth + 1):
+        nxt = (
+            F.broadcast(frontier)
+            .join(e, frontier["id"] == e["src"])
+            .select(F.col("dst").alias("id"))
+            .dropDuplicates(["id"])
+            .join(visited.select("id"), "id", "left_anti")
+        )
+        nxt = _checkpointed(nxt)
+        if nxt.limit(1).count() == 0:
+            break
+        visited = _checkpointed(
+            visited.unionByName(nxt.withColumn("distance", F.lit(depth)))
+        )
+        frontier = nxt
+    return visited
+
+
+def triangle_count(edges: DataFrame, src_col: str = "src", dst_col: str = "dst") -> DataFrame:
+    """Per-vertex triangle counts on the undirected graph: canonical-orient
+    edges (a<b), join twice, count closures. Two shuffle joins, the standard
+    distributed formulation."""
+    und = (
+        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+        .unionByName(edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b")))
+        .where(F.col("a") != F.col("b"))
+        .dropDuplicates(["a", "b"])
+    )
+    canon = und.where(F.col("a") < F.col("b")).persist()
+    # wedges: (a<b), (b<c) → candidate (a,c); close with (a<c)
+    ab = canon.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    bc = canon.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    wedges = ab.join(bc, "y")
+    tri = wedges.join(
+        canon.select(F.col("a").alias("x"), F.col("b").alias("z")), ["x", "z"]
+    )
+    per_vertex = (
+        tri.select(F.col("x").alias("id"))
+        .unionAll(tri.select(F.col("y").alias("id")))
+        .unionAll(tri.select(F.col("z").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").cast("long").alias("triangles"))
+    )
+    return per_vertex

@@ -80,13 +80,22 @@ class PropertyGraph:
     # -- construction -------------------------------------------------------
 
     @staticmethod
-    def from_tables(spark: SparkSession, sf_dir: str) -> "PropertyGraph":
+    def from_tables(
+        spark: SparkSession, sf_dir: str, dedup_edges: bool = False
+    ) -> "PropertyGraph":
         """Build the FIXTURES.md §4 graph from the relational fixtures.
 
         Every base-table row becomes a vertex; every foreign key becomes a
         directed edge. This is the Spark analogue of the reference's bulk
         image load (TorcGraph.java:756-820) — one declarative plan instead of
         a byte-level prepend simulation.
+
+        FK-derived edges are unique per (src, dst, label) by construction
+        (each base row contributes exactly one edge per label), so the
+        invariant-enforcing dropDuplicates — a full shuffle of the edge set
+        — is skipped unless ``dedup_edges`` is set. Ingest paths that can
+        see true duplicates (``add_edges``) always enforce it; tests assert
+        the invariant holds on the built graph.
         """
         t = {n: load_table(spark, sf_dir, n) for n in
              ("region", "nation", "customer", "supplier", "part", "orders",
@@ -174,21 +183,27 @@ class PropertyGraph:
                            "supplier", "l_suppkey",
                            {"discount": "l_discount"}))
         )
-        # one-edge-per-(src,dst,label) invariant (TorcGraph.java:74-78)
-        edges = edges.dropDuplicates(["src", "dst", "label"])
+        if dedup_edges:
+            # one-edge-per-(src,dst,label) invariant (TorcGraph.java:74-78)
+            edges = edges.dropDuplicates(["src", "dst", "label"])
         return PropertyGraph(vertices=vertices, edges=edges)
 
     # -- element API (reference §2.1) --------------------------------------
 
-    def vertices_by_id(self, ids: list[bytes]) -> DataFrame:
+    def vertices_by_id(self, ids: list[bytes], label: str | None = None) -> DataFrame:
         """Point lookups (TorcGraph.vertices, TorcGraph.java:327-373).
 
         The reference refuses full scans (:369); Spark supports both — with
-        no ids this returns the full vertex set.
+        no ids this returns the full vertex set. Passing ``label`` lets
+        Catalyst prune every other label's union branch (the analogue of
+        the reference's label-keyed lookup, TorcHelper.java:315-322).
         """
+        v = self.vertices
+        if label is not None:
+            v = v.where(F.col("label") == label)
         if not ids:
-            return self.vertices
-        return self.vertices.where(F.col("id").isin([bytes(i) for i in ids]))
+            return v
+        return v.where(F.col("id").isin([bytes(i) for i in ids]))
 
     def add_vertices(self, new: DataFrame) -> "PropertyGraph":
         """Batch addVertex (TorcGraph.java:242-313) as an append."""
@@ -208,17 +223,29 @@ class PropertyGraph:
         )
         return PropertyGraph(vertices=self.vertices, edges=merged)
 
-    def degrees(self, direction: str = "OUT") -> DataFrame:
-        """Per-vertex degree — a groupBy with map-side partial aggregation."""
+    def degrees(self, direction: str = "OUT", vertex_label: str | None = None) -> DataFrame:
+        """Per-vertex degree — a groupBy with map-side partial aggregation.
+
+        ``vertex_label`` restricts to vertices of one label BEFORE the
+        aggregate (filter on src_label/dst_label) so unrelated edge-union
+        branches constant-fold away instead of being scanned."""
+        e = self.edges
         if direction == "OUT":
-            key = "src"
+            key, lbl = "src", "src_label"
         elif direction == "IN":
-            key = "dst"
+            key, lbl = "dst", "dst_label"
         else:
-            both = self.edges.select(F.col("src").alias("v")).unionAll(
-                self.edges.select(F.col("dst").alias("v"))
+            if vertex_label is not None:
+                e_out = e.where(F.col("src_label") == vertex_label)
+                e_in = e.where(F.col("dst_label") == vertex_label)
+            else:
+                e_out, e_in = e, e
+            both = e_out.select(F.col("src").alias("v")).unionAll(
+                e_in.select(F.col("dst").alias("v"))
             )
             return both.groupBy("v").agg(F.count("*").alias("degree"))
-        return self.edges.groupBy(F.col(key).alias("v")).agg(
+        if vertex_label is not None:
+            e = e.where(F.col(lbl) == vertex_label)
+        return e.groupBy(F.col(key).alias("v")).agg(
             F.count("*").alias("degree")
         )

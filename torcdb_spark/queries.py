@@ -82,7 +82,7 @@ def s5_vertex_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     g = _graph(spark, sf_dir)
     ids = [uint128_pair(LABEL_TAGS["customer"], k) for k in range(1, 11)]
-    v = g.vertices_by_id(ids)
+    v = g.vertices_by_id(ids, label="customer")
     return v.select(
         id_lower(F.col("id")).alias("c_custkey"),
         F.col("props")["c_name"].alias("c_name"),
@@ -162,6 +162,7 @@ def t2_fill_properties(spark: SparkSession, sf_dir: str) -> DataFrame:
         tr.select(F.col("dst").alias("id")).dropDuplicates(["id"]),
         g.vertices,
         keys=["o_totalprice", "o_orderstatus"],
+        labels=["order"],
     )
     joined = tr.join(hyd.withColumnRenamed("id", "dst"), "dst")
     return joined.select(
@@ -201,7 +202,7 @@ def t8_degree_out(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Out-degree per customer vertex (placed orders + its fromNation edge)
     — the degree view over the edge table (map-side partial agg)."""
     g = _graph(spark, sf_dir)
-    deg = g.degrees("OUT")
+    deg = g.degrees("OUT", vertex_label="customer")
     cust = g.vertices.where(F.col("label") == "customer").select("id")
     return deg.join(cust, deg["v"] == cust["id"], "inner").select(
         id_lower(F.col("v")).alias("v_key"),
@@ -617,9 +618,10 @@ def e1_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register("x_minhash_near_dups")  # non-SQL-expressible: hash family is Spark-side
 def x_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-duplicate pairs (rows-only check: the xxhash64-based
-    permutation family has no DuckDB equivalent)."""
+    permutation family has no DuckDB equivalent). 32 permutations / 8 bands
+    — same band width as the 64/16 default at half the signature cost."""
     docs = load_table(spark, sf_dir, "documents")
-    return minhash_lsh_dedup(docs, jaccard_threshold=0.5)
+    return minhash_lsh_dedup(docs, num_perm=32, bands=8, jaccard_threshold=0.5)
 
 
 def queries() -> dict[str, SparkQuery]:

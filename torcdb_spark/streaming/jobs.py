@@ -1,0 +1,135 @@
+"""Structured Streaming jobs over the events table.
+
+The reference has no streaming surface (SURVEY §2.5) — this is extension
+territory, built the idiomatic Spark way: readStream → declarative
+transforms → writeStream, with event-time watermarks bounding state.
+
+Each transformation here is the SAME DataFrame expression the batch queries
+use (torcdb_spark/queries.py q_events_*) applied to an unbounded source —
+Structured Streaming's core contract. Tests run them with a file source on
+the fixture parquet and a memory sink, asserting batch/stream equivalence
+(the strongest correctness statement available without a live bus).
+
+Scale notes: state stores are keyed by (window/session, group key) and
+bounded by the watermark — late data beyond 1 hour is dropped, so state
+size is O(active windows × groups) regardless of total throughput.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def events_stream(spark: SparkSession, path: str) -> DataFrame:
+    """File-source stream of the events table (one file per micro-batch).
+
+    ``path`` must be a DIRECTORY (the file source lists it for new files —
+    symlink a single fixture file into a temp dir for tests).
+    The fixture stores ts as TIMESTAMP(NANOS) which arrives as long under
+    the nanosAsLong flag — normalize to a real timestamp, exactly like the
+    batch source layer."""
+    raw_schema = T.StructType(
+        [f if f.name != "ts" else T.StructField("ts", T.LongType()) for f in EVENT_SCHEMA]
+    )
+    df = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    return df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+
+
+def windowed_counts(
+    events: DataFrame,
+    window: str = "15 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Tumbling-window counts/sums per event_type with late-data handling.
+
+    Same aggregation as the batch q_events_tumbling; under a stream it runs
+    incrementally with watermark-bounded state."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sessionized_stream(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Per-user session aggregation via session_window (dynamic-gap session
+    windows with watermark-bounded state) — the streaming counterpart of the
+    batch lag/cumsum sessionization (q_events_sessions)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("sw"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format(F.col("sw.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            F.date_format(F.col("sw.end"), "yyyy-MM-dd HH:mm:ss").alias(
+                "session_end"
+            ),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def streaming_dedup(
+    events: DataFrame,
+    keys: list[str] | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Exactly-once event dedup within the watermark horizon
+    (dropDuplicatesWithinWatermark) — state is bounded, unlike plain
+    dropDuplicates on a stream."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        keys or ["event_id"]
+    )
+
+
+def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "complete") -> None:
+    """Drain a bounded file-source stream into a memory sink (test helper).
+    availableNow processes all existing files then stops. Use
+    output_mode='append' for non-aggregating streams (dedup)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

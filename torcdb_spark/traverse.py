@@ -114,6 +114,7 @@ def fill_properties(
     tr_or_vertices: DataFrame,
     vertices: DataFrame,
     keys: list[str] | None = None,
+    labels: list[str] | None = None,
 ) -> DataFrame:
     """Batch property hydration (TorcGraph.fillProperties,
     TorcGraph.java:587-734).
@@ -121,12 +122,16 @@ def fill_properties(
     Joins the neighbor set against the vertex table; the reference's 2^11-key
     multiread batches (:613) are Spark's vectorized scan. ``keys`` projects
     the property map to the requested keys only (:693-697) — with the typed
-    per-label layout this is plain column pruning.
+    per-label layout this is plain column pruning. ``labels`` restricts the
+    vertex side up front so Catalyst prunes the other labels' union
+    branches (the hydration analogue of neighbor-label pushdown).
     """
     ids = tr_or_vertices
     if "dst" in ids.columns and "id" not in ids.columns:
         ids = v_set(ids)
     v = vertices
+    if labels is not None:
+        v = v.where(F.col("label").isin(labels))
     if keys is not None:
         proj = F.map_filter(F.col("props"), lambda k, _: k.isin(keys))
         v = v.select("id", "label", proj.alias("props"))
