@@ -1,0 +1,96 @@
+"""Physical-plan quality tests — the scale-oriented properties the engine
+relies on, asserted on the actual Catalyst plans (not just output values):
+predicate pushdown reaches parquet scans, union branches constant-fold away
+under label filters, frontier joins broadcast, HOF staging survives
+optimization."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from torcdb_spark.graph import PropertyGraph
+
+
+@pytest.fixture(autouse=True)
+def _fresh_plans(spark):
+    # identical lazy plans are silently swapped for cached InMemoryRelations
+    # by the cache manager — clear so file-scan properties stay observable
+    spark.catalog.clearCache()
+    yield
+from torcdb_spark.plans.explain import explain_str, shuffle_count
+from torcdb_spark.sources.tables import load_table
+from torcdb_spark.traverse import Direction, traverse
+
+
+def test_filter_pushed_to_parquet_scan(spark, sf_dir):
+    df = load_table(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select("c_custkey")
+    plan = explain_str(df, "formatted")
+    assert "PushedFilters" in plan
+    assert "c_mktsegment" in plan.split("PushedFilters")[1][:200]
+
+
+def test_column_pruning_reaches_scan(spark, sf_dir):
+    df = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    plan = explain_str(df, "formatted")
+    # ReadSchema limited to the projected column
+    read = plan.split("ReadSchema")[1][:120]
+    assert "l_orderkey" in read
+    assert "l_extendedprice" not in read
+
+
+def test_label_filter_prunes_union_branches(spark, sf_dir):
+    """edges.where(label='placed') must not scan lineitem (the 3
+    lineitem-derived edge branches constant-fold to empty)."""
+    g = PropertyGraph.from_tables(spark, sf_dir)
+    plan = explain_str(g.edges.where(F.col("label") == "placed"), "simple")
+    assert "orders.parquet" in plan
+    assert "lineitem.parquet" not in plan
+
+
+def test_vertex_label_pruning(spark, sf_dir):
+    g = PropertyGraph.from_tables(spark, sf_dir)
+    plan = explain_str(g.vertices.where(F.col("label") == "customer"), "simple")
+    assert "customer.parquet" in plan
+    assert "lineitem.parquet" not in plan
+    assert "orders.parquet" not in plan
+
+
+def test_traverse_uses_broadcast_join(spark, sf_dir, graph):
+    frontier = graph.vertices.where(F.col("label") == "nation").select("id")
+    tr = traverse(frontier, graph.edges, "fromNation", Direction.IN)
+    assert "BroadcastHashJoin" in explain_str(tr, "simple")
+
+
+def test_traverse_shuffles_frontier_not_edges(spark, sf_dir):
+    """A broadcast-frontier hop may shuffle the (small) frontier for its
+    dedup, but must never shuffle the edge table — exactly one hash
+    exchange (frontier), and the join is broadcast."""
+    g = PropertyGraph.from_tables(spark, sf_dir)
+    frontier = g.vertices.where(F.col("label") == "customer").select("id")
+    tr = traverse(frontier, g.edges, "placed", Direction.OUT)
+    plan = explain_str(tr, "simple")
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_q1_aggregate_is_partial_then_final(spark, sf_dir):
+    from torcdb_spark.queries import queries
+
+    df = queries()["q1_pricing_summary"](spark, sf_dir)
+    plan = explain_str(df, "simple")
+    # two HashAggregates (partial + final) around one exchange
+    assert plan.count("HashAggregate") >= 2
+    assert shuffle_count(df) <= 2  # group-by exchange (+AQE artifacts)
+
+
+def test_fill_properties_label_pruning(spark, sf_dir):
+    # fresh (uncached) graph: pruning is visible only in file-scan plans
+    from torcdb_spark.traverse import fill_properties
+
+    g = PropertyGraph.from_tables(spark, sf_dir)
+    frontier = g.vertices.where(F.col("label") == "customer").select("id")
+    tr = traverse(frontier, g.edges, "placed", Direction.OUT)
+    hyd = fill_properties(tr, g.vertices, labels=["order"])
+    plan = explain_str(hyd, "simple")
+    assert "lineitem.parquet" not in plan

@@ -1,0 +1,70 @@
+"""Five-type property serde round-trips — mirrors the reference's
+ObjectSerializationTest (int/long/string/nested list/map round-trips,
+src/test/java/net/ellitron/torc/ObjectSerializationTest.java:40-96)."""
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from torcdb_spark.serde import decode_value, encode_value
+
+CASES = [
+    0,
+    42,
+    -1,
+    2**31 - 1,
+    -(2**31),
+    2**31,  # promotes to long
+    2**63 - 1,
+    -(2**63),
+    "",
+    "hello",
+    "with:colon|and|bars,commas",
+    "unicode ✓ ümlaut",
+    [],
+    [1, 2, 3],
+    ["a", "b"],
+    [1, "mixed", [2, "nested"]],
+    {},
+    {"k": "v"},
+    {"a": 1, "b": [1, 2], "c": {"d": "e"}},
+    [{"x": [1, {"y": "z"}]}],
+]
+
+
+@pytest.mark.parametrize("v", CASES, ids=[repr(c)[:40] for c in CASES])
+def test_roundtrip(v):
+    assert decode_value(encode_value(v)) == v
+
+
+def test_int_vs_long_tag():
+    assert encode_value(7).startswith("i:")
+    assert encode_value(2**40).startswith("l:")
+
+
+def test_rejects_non_reference_types():
+    with pytest.raises(TypeError):
+        encode_value(3.14)
+    with pytest.raises(TypeError):
+        encode_value(True)
+    with pytest.raises(TypeError):
+        encode_value(b"bytes")
+    with pytest.raises(ValueError):
+        encode_value(2**70)
+
+
+json_scalars = st.integers(min_value=-(2**63), max_value=2**63 - 1) | st.text(
+    max_size=40
+)
+nested = st.recursive(
+    json_scalars,
+    lambda children: st.lists(children, max_size=4)
+    | st.dictionaries(st.text(max_size=8), children, max_size=4),
+    max_leaves=12,
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(nested)
+def test_roundtrip_property(v):
+    assert decode_value(encode_value(v)) == v

@@ -55,20 +55,23 @@ def pagerank(
             .groupBy("dst")
             .agg(F.sum("c").alias("msum"))
         )
-        # dangling vertices contribute their rank uniformly
-        dangling = (
+        # dangling vertices contribute their rank uniformly; computed as a
+        # broadcast 1-row aggregate inside the same plan — a driver-side
+        # .first() here would add an extra action (and a full job) per
+        # superstep
+        dangling = F.broadcast(
             state.join(out_deg, state["id"] == out_deg["src"], "left_anti")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
-            .first()[0]
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dang"))
         )
         state = _checkpointed(
             verts.join(msgs, verts["id"] == msgs["dst"], "left")
+            .crossJoin(dangling)
             .select(
                 "id",
                 (
                     F.lit(1 - damping)
                     + F.lit(damping)
-                    * (F.coalesce(F.col("msum"), F.lit(0.0)) + F.lit(dangling / n))
+                    * (F.coalesce(F.col("msum"), F.lit(0.0)) + F.col("dang") / n)
                 ).alias("rank"),
             )
         )

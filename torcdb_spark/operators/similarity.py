@@ -66,18 +66,35 @@ def cosine_topk_bruteforce(
     )
 
 
+def _hyperplane(table: int, bit: int, dim: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane in [-1, 1)^dim, derived from
+    md5 of (table, bit, dim-index) — computed driver-side in Python so the
+    sketch expression tree stays tiny (a literal array per bit, not
+    dim × num_bits hash sub-expressions; the expression-tree version took
+    Catalyst longer to compile than the job took to run)."""
+    import hashlib
+
+    out = []
+    for d in range(dim):
+        h = hashlib.md5(f"{table}:{bit}:{d}".encode()).digest()
+        v = int.from_bytes(h[:8], "big")
+        out.append((v % 2001 - 1000) / 1000.0)
+    return out
+
+
 def _sketch(vec_col, num_bits: int, table: int, dim: int):
-    """Sign-bit sketch of a vector under deterministic pseudo-random
-    hyperplanes. Hyperplane component (t, b, d) = centered hash in [-1, 1]."""
+    """Sign-bit sketch of a vector under deterministic hyperplanes: bit b =
+    sign(vec · plane_b). Each dot product is one zip_with/aggregate over a
+    literal coefficient array — constant-size expression tree in num_bits."""
     bit_cols = []
     for b in range(num_bits):
-        # Σ_d v[d] * h(t,b,d); h derived from xxhash64 → [-1, 1)
-        acc = F.lit(0.0)
-        for d in range(dim):
-            h = F.xxhash64(F.lit(f"{table}:{b}:{d}"))
-            coef = (h % 2001 - 1000).cast("double") / 1000.0
-            acc = acc + F.element_at(vec_col, d + 1).cast("double") * coef
-        bit_cols.append(F.when(acc >= 0, F.lit(1)).otherwise(F.lit(0)))
+        plane = F.lit(_hyperplane(table, b, dim))
+        dot = F.aggregate(
+            F.zip_with(vec_col, plane, lambda v, c: v.cast("double") * c),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bit_cols.append(F.when(dot >= 0, F.lit(1)).otherwise(F.lit(0)))
     out = F.lit(0).cast("long")
     for i, b in enumerate(bit_cols):
         out = out.bitwiseOR(F.shiftleft(b.cast("long"), i))

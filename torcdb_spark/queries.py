@@ -630,3 +630,191 @@ def queries() -> dict[str, SparkQuery]:
 
 def oracle_sql() -> dict[str, str]:
     return dict(_ORACLES)
+
+
+# ---------------------------------------------------------------------------
+# §2.4 G4 graph analytics (the GraphComputer TorcDB refuses: TorcGraph.java:
+# 315-324) + gremlin fluent surface
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "g_bfs_counts",
+    """WITH o AS (SELECT o_orderkey FROM orders WHERE o_custkey = 1),
+            li AS (SELECT l_partkey, l_suppkey FROM lineitem
+                   WHERE l_orderkey IN (SELECT o_orderkey FROM o))
+       SELECT * FROM (
+         SELECT 'customer' AS label, CAST(0 AS BIGINT) AS distance,
+                CAST(1 AS BIGINT) AS n
+         UNION ALL SELECT 'nation', 1, 1
+         UNION ALL SELECT 'order', 1,
+                (SELECT CAST(count(*) AS BIGINT) FROM o)
+         UNION ALL SELECT 'region', 2, 1
+         UNION ALL SELECT 'lineitem', 2,
+                (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+                 WHERE l_orderkey IN (SELECT o_orderkey FROM o))
+         UNION ALL SELECT 'part', 3,
+                (SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) FROM li)
+         UNION ALL SELECT 'supplier', 3,
+                (SELECT CAST(count(DISTINCT l_suppkey) AS BIGINT) FROM li)
+       ) WHERE n > 0""",
+)
+def g_bfs_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS (analytics.bfs_distances) from customer 1 over the
+    whole edge set, depth ≤ 3, aggregated to (label, distance, n) — the
+    frontier-expansion loop with visited-set anti-joins."""
+    from torcdb_spark.analytics import bfs_distances
+    from torcdb_spark.graph import LABEL_TAGS
+    from torcdb_spark.ids import uint128_pair
+
+    g = _graph(spark, sf_dir)
+    src = spark.createDataFrame(
+        [(uint128_pair(LABEL_TAGS["customer"], 1),)], ["id"]
+    )
+    vis = bfs_distances(g.edges, src, max_depth=3)
+    return (
+        vis.join(g.vertices.select("id", "label"), "id")
+        .groupBy("label", F.col("distance").cast("long").alias("distance"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@_register(
+    "g_connected_components",
+    """SELECT CAST(r_regionkey AS BIGINT) AS component_key,
+              CAST(1 + count(n_nationkey) AS BIGINT) AS size
+       FROM region LEFT JOIN nation ON n_regionkey = r_regionkey
+       GROUP BY r_regionkey""",
+)
+def g_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components (label-propagation Pregel loop) on the
+    nation--inRegion-->region subgraph; component id = min vertex id =
+    the region (region label-tag sorts lowest), so components map exactly
+    to regions."""
+    from torcdb_spark.analytics import connected_components
+
+    g = _graph(spark, sf_dir)
+    cc = connected_components(g.edges.where(F.col("label") == "inRegion"))
+    return cc.groupBy("component").agg(F.count("*").alias("size")).select(
+        id_lower(F.col("component")).alias("component_key"),
+        F.col("size").cast("long").alias("size"),
+    )
+
+
+@_register("g_pagerank")  # iterative float fixpoint: rows-only check
+def g_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (DataFrame-Pregel, 10 supersteps, checkpointed lineage)
+    over the geography subgraph (customer→nation→region + supplier→nation)."""
+    from torcdb_spark.analytics import pagerank
+
+    g = _graph(spark, sf_dir)
+    geo = g.edges.where(
+        F.col("label").isin(["fromNation", "suppFromNation", "inRegion"])
+    )
+    pr = pagerank(geo, num_iter=10)
+    return pr.select(
+        id_lower(F.col("id")).alias("v_key"), F.round(F.col("rank"), 4).alias("rank")
+    )
+
+
+@_register(
+    "g_gremlin_2hop",
+    """SELECT c_custkey AS src_key, CAST(count(*) AS BIGINT) AS n
+       FROM customer
+       JOIN orders ON o_custkey = c_custkey
+       JOIN lineitem ON l_orderkey = o_orderkey
+       WHERE c_mktsegment = 'BUILDING'
+       GROUP BY c_custkey""",
+)
+def g_gremlin_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gremlin fluent surface (§2.4 G1-G3): V().hasLabel(customer)
+    .has(mktsegment, BUILDING).out(placed).out(contains) compiled to one
+    Catalyst plan; per-start path counts."""
+    from torcdb_spark.gremlin import G
+
+    g = _graph(spark, sf_dir)
+    t = (
+        G(g)
+        .V()
+        .has_label("customer")
+        .has("c_mktsegment", "BUILDING")
+        .out("placed")
+        .out("contains")
+        .to_df()
+    )
+    return t.groupBy("start").agg(F.count("*").alias("n")).select(
+        id_lower(F.col("start")).alias("src_key"),
+        F.col("n").cast("long").alias("n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# more §2.5 extension coverage
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "d3_ngram_jaccard",
+    """WITH n AS (SELECT doc_id,
+                         lower(regexp_replace(text, '\\s+', ' ', 'g')) AS t
+                  FROM documents WHERE doc_id <= 30),
+            sh AS (SELECT doc_id,
+                          list_distinct([substring(t, i, 5)
+                            for i in generate_series(1, greatest(len(t)-4, 1))]) AS s
+                   FROM n)
+       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                    / len(list_distinct(list_concat(a.s, b.s))), 4) AS jaccard
+       FROM sh a JOIN sh b ON a.doc_id < b.doc_id""",
+)
+def d3_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact character-5-gram Jaccard over candidate pairs (all pairs of
+    the first 30 docs) — the verification stage of near-dedup, via
+    array_intersect/array_union sizes."""
+    from torcdb_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") <= 30)
+    ids = docs.select(F.col("doc_id"))
+    cand = (
+        ids.withColumnRenamed("doc_id", "id_a")
+        .crossJoin(ids.withColumnRenamed("doc_id", "id_b"))
+        .where(F.col("id_a") < F.col("id_b"))
+    )
+    return ngram_jaccard_pairs(docs, cand)
+
+
+@_register("d4_simhash_groups")  # xxhash64-based: rows-only check
+def d4_simhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash bucketing (64-bit sign-vote hash over shingle hashes)."""
+    from torcdb_spark.operators.dedup import simhash_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_dedup(docs)
+
+
+@_register("e2_cosine_lsh")  # approximate by design: rows-only check
+def e2_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH cosine top-k (bucketed candidate generation +
+    exact re-ranking) — the scale path for similarity search."""
+    from torcdb_spark.operators.similarity import cosine_topk_lsh
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    return cosine_topk_lsh(emb, queries, k=5, num_bits=8, num_tables=4)
+
+
+@_register(
+    "q_distinct_users",
+    """SELECT event_type,
+              CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+              CAST(count(*) AS BIGINT) AS n_events
+       FROM events GROUP BY event_type""",
+)
+def q_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregation (Gremlin dedup+groupCount composed): exact
+    count-distinct per group (two-phase partial aggregation)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_users"),
+        F.count("*").alias("n_events"),
+    )
