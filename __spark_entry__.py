@@ -22,7 +22,7 @@ def entry(spark: SparkSession) -> DataFrame:
     from torcdb_spark import PropertyGraph, traverse, Direction, algebra
     from torcdb_spark.ids import id_lower
 
-    g = PropertyGraph.from_tables(spark, "/root/testdata/sf0.001")
+    g = PropertyGraph.open(spark, "/root/testdata/sf0.001")
     frontier = g.vertices.where(
         (F.col("label") == "customer")
         & (F.col("props")["c_mktsegment"] == "BUILDING")

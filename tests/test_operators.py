@@ -168,3 +168,70 @@ def test_frame_sample_plumbing(spark):
     out = frame_sample(media, every_n=10)
     got = {(r.media_id, r.frame_idx) for r in out.collect()}
     assert got == {(1, 0), (1, 10), (1, 20), (2, 0)}
+
+
+def test_asof_join_backward_ties_and_unmatched(spark):
+    from datetime import datetime
+
+    from torcdb_spark.operators.asof import asof_join
+
+    t = datetime
+    left = spark.createDataFrame(
+        [(1, t(2024, 1, 1, 10, 0), "p1"),
+         (1, t(2024, 1, 1, 12, 0), "p2"),
+         (2, t(2024, 1, 1, 9, 0), "p3")],   # before any right row for key 2
+        "k int, ts timestamp, name string",
+    )
+    right = spark.createDataFrame(
+        [(1, t(2024, 1, 1, 10, 0), 10.0),   # exact tie with p1 → matches
+         (1, t(2024, 1, 1, 11, 0), 11.0),
+         (2, t(2024, 1, 1, 9, 30), 9.5)],
+        "k int, ts timestamp, v double",
+    )
+    out = {r["name"]: r for r in
+           asof_join(left, right, on=["k"], right_cols=["v"]).collect()}
+    assert out["p1"]["asof_v"] == 10.0          # ts >= right ts includes ties
+    assert out["p2"]["asof_v"] == 11.0          # most recent, not first
+    assert out["p3"]["asof_v"] is None          # nothing at-or-before → NULL
+    assert out["p3"]["asof_ts"] is None
+
+
+def test_asof_join_tolerance(spark):
+    from datetime import datetime
+
+    from torcdb_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1, 12, 0), "p")], "k int, ts timestamp, name string"
+    )
+    right = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1, 9, 0), 1.0)], "k int, ts timestamp, v double"
+    )
+    hit = asof_join(left, right, on=["k"], right_cols=["v"],
+                    tolerance=F.expr("INTERVAL 4 HOURS")).collect()[0]
+    assert hit["asof_v"] == 1.0
+    miss = asof_join(left, right, on=["k"], right_cols=["v"],
+                     tolerance=F.expr("INTERVAL 1 HOUR")).collect()[0]
+    assert miss["asof_v"] is None and miss["asof_ts"] is None
+
+
+def test_lang_id_markers_and_tiebreak(spark):
+    from torcdb_spark.operators.text import lang_id
+
+    df = spark.createDataFrame(
+        [(1, "the cat sat on the mat"),        # en markers
+         (2, "el perro y la casa el dia"),     # es markers
+         (3, "der hund und der mann"),         # de markers
+         (4, "le chat et le chien"),           # fr markers
+         (5, "xyzzy plugh"),                   # nothing → und
+         (6, "the el")],                       # ' the ' vs ' el ': no inner
+                                               # spaces → counts depend on pad
+        "doc_id int, text string",
+    )
+    got = {r["doc_id"]: r["p"] for r in
+           df.select("doc_id", lang_id(F.col("text")).alias("p")).collect()}
+    assert got[1] == "en"
+    assert got[2] == "es"
+    assert got[3] == "de"
+    assert got[4] == "fr"
+    assert got[5] == "und"

@@ -70,6 +70,13 @@ LABEL_TAGS = {
 }
 
 
+# Opened-graph handles, keyed by (Spark application, data dir). The reference
+# keeps one TorcGraph handle per (coordinator, graphName) and reuses it across
+# queries (TorcGraph.open caching via config, TorcGraph.java:200-234); the
+# Spark analogue is one persisted vertices/edges pair per dataset.
+_OPEN_GRAPHS: dict[tuple[str, str], "PropertyGraph"] = {}
+
+
 @dataclass(frozen=True)
 class PropertyGraph:
     """An immutable property-graph view over two DataFrames."""
@@ -78,6 +85,36 @@ class PropertyGraph:
     edges: DataFrame
 
     # -- construction -------------------------------------------------------
+
+    @staticmethod
+    def open(spark: SparkSession, sf_dir: str) -> "PropertyGraph":
+        """Open (or reuse) the property-graph view for a dataset.
+
+        The first open materializes the FK→edge derivation once and persists
+        both DataFrames (MEMORY_AND_DISK — spills, never OOMs), so every
+        subsequent query starts from the columnar cache instead of re-running
+        the 9-table union + lineitem surrogate-key window. This is the
+        query-side analogue of the reference's bulk load: the graph is built
+        once, queried many times.
+
+        At 100 TB the same pattern holds with a different medium: run
+        ``from_tables`` once and WRITE the two DataFrames as parquet
+        (edges bucketed by ``src``, vertices by ``id``), then ``open`` reads
+        those back — executor caching of a 100 TB working set is not the
+        plan, the one-time materialization is.
+        """
+        key = (spark.sparkContext.applicationId, sf_dir)
+        g = _OPEN_GRAPHS.get(key)
+        if g is None:
+            from pyspark import StorageLevel
+
+            raw = PropertyGraph.from_tables(spark, sf_dir)
+            g = PropertyGraph(
+                vertices=raw.vertices.persist(StorageLevel.MEMORY_AND_DISK),
+                edges=raw.edges.persist(StorageLevel.MEMORY_AND_DISK),
+            )
+            _OPEN_GRAPHS[key] = g
+        return g
 
     @staticmethod
     def from_tables(

@@ -88,6 +88,47 @@ def shingles(text: Column, n: int = 5, distinct: bool = True) -> Column:
     return F.array_distinct(out) if distinct else out
 
 
+# Marker-word tables for the n-gram/stopword language-ID heuristic. Priority
+# order (dict order) breaks score ties deterministically.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": [" the ", " a "],
+    "es": [" el ", " la "],
+    "de": [" der ", " und "],
+    "fr": [" le ", " et "],
+}
+
+
+def _occurrences(padded: Column, marker: str) -> Column:
+    """Non-overlapping occurrence count of ``marker`` via length delta —
+    pure string built-ins, replicable verbatim in an external SQL oracle."""
+    removed = F.replace(padded, F.lit(marker), F.lit(""))
+    return ((F.length(padded) - F.length(removed)) / len(marker)).cast("long")
+
+
+def lang_id(text: Column, markers: dict[str, list[str]] | None = None) -> Column:
+    """Heuristic language ID: marker-stopword counting with a fixed-priority
+    argmax; 'und' (undetermined) when no marker fires. Deterministic integer
+    arithmetic end-to-end so the declared heuristic — not a model — is the
+    verifiable contract. Zero shuffle: per-row expressions only."""
+    markers = markers or LANG_MARKERS
+    padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+    scores = {
+        lang: sum(
+            (_occurrences(padded, m) for m in ms), start=F.lit(0).cast("long")
+        )
+        for lang, ms in markers.items()
+    }
+    langs = list(scores)
+    pred = F.lit("und")
+    # build the CASE chain back-to-front so earlier langs win ties
+    for i in range(len(langs) - 1, -1, -1):
+        cond = scores[langs[i]] > 0
+        for other in langs[i + 1:]:
+            cond = cond & (scores[langs[i]] >= scores[other])
+        pred = F.when(cond, F.lit(langs[i])).otherwise(pred)
+    return pred
+
+
 def fingerprint(text: Column) -> Column:
     """64-bit document fingerprint: xxhash64 of the whitespace-normalized,
     lowercased, trimmed text — the exact-dup key."""
