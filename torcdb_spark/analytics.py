@@ -34,37 +34,46 @@ def pagerank(
     """PageRank over a directed edge list → (id, rank).
 
     Dangling mass is redistributed uniformly each superstep so ranks sum to
-    |V| (the GraphX convention with normalized start rank 1.0)."""
+    |V| (the GraphX convention with normalized start rank 1.0).
+
+    The state carries ``out_deg`` alongside ``rank``: out-degree never
+    changes, so folding it into the checkpointed state removes two
+    ``state ⋈ out_deg`` joins per superstep (contribution and dangling
+    detection become narrow projections of cached state). Per superstep the
+    plan is then: edges ⋈ contribs (one shuffle) → sum by dst (one shuffle)
+    → left join back to state (one shuffle), plus a 1-row dangling
+    aggregate over the cached state broadcast into the update."""
     e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")).persist()
     verts = (
         e.select(F.col("src").alias("id"))
         .unionByName(e.select(F.col("dst").alias("id")))
         .dropDuplicates(["id"])
-        .persist()
     )
-    n = verts.count()
     out_deg = e.groupBy("src").agg(F.count("*").alias("out_deg"))
-    state = verts.select("id", F.lit(1.0).alias("rank"))
+    state = _checkpointed(
+        verts.join(out_deg, verts["id"] == out_deg["src"], "left")
+        .select("id", F.lit(1.0).alias("rank"), "out_deg")
+    )
+    n = state.count()
     for _ in range(num_iter):
-        contrib = (
-            state.join(out_deg, state["id"] == out_deg["src"], "inner")
-            .select(F.col("id").alias("csrc"), (F.col("rank") / F.col("out_deg")).alias("c"))
+        contrib = state.where(F.col("out_deg").isNotNull()).select(
+            F.col("id").alias("csrc"), (F.col("rank") / F.col("out_deg")).alias("c")
         )
         msgs = (
             e.join(contrib, e["src"] == contrib["csrc"])
             .groupBy("dst")
             .agg(F.sum("c").alias("msum"))
         )
-        # dangling vertices contribute their rank uniformly; computed as a
-        # broadcast 1-row aggregate inside the same plan — a driver-side
-        # .first() here would add an extra action (and a full job) per
+        # dangling vertices contribute their rank uniformly; a 1-row
+        # aggregate over the cached state, broadcast into the update plan —
+        # a driver-side .first() here would serialize an extra action per
         # superstep
         dangling = F.broadcast(
-            state.join(out_deg, state["id"] == out_deg["src"], "left_anti")
+            state.where(F.col("out_deg").isNull())
             .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dang"))
         )
         state = _checkpointed(
-            verts.join(msgs, verts["id"] == msgs["dst"], "left")
+            state.join(msgs, state["id"] == msgs["dst"], "left")
             .crossJoin(dangling)
             .select(
                 "id",
@@ -73,9 +82,14 @@ def pagerank(
                     + F.lit(damping)
                     * (F.coalesce(F.col("msum"), F.lit(0.0)) + F.col("dang") / n)
                 ).alias("rank"),
+                "out_deg",
             )
         )
-    return state
+    # final state is an eager checkpoint — the loop temporaries can be
+    # released so long-lived sessions (bench, notebooks) don't accumulate
+    # cached blocks across calls
+    e.unpersist()
+    return state.select("id", "rank")
 
 
 def connected_components(
@@ -125,6 +139,7 @@ def connected_components(
         state = new_state
         if changed == 0:
             break
+    und.unpersist()
     return state
 
 
@@ -159,6 +174,7 @@ def bfs_distances(
             visited.unionByName(nxt.withColumn("distance", F.lit(depth)))
         )
         frontier = nxt
+    e.unpersist()
     return visited
 
 

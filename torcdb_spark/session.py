@@ -51,7 +51,10 @@ def get_spark(
         # layer converts to timestamp (sources/tables.py TIMESTAMP_COLS)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local[$CPUS] runs every executor thread inside the driver JVM, so
+        # the driver heap is the whole cluster's memory: size it like one.
+        # (On a real cluster this would be spark.executor.memory instead.)
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()
