@@ -108,7 +108,7 @@ class PropertyGraph:
         if g is None:
             from pyspark import StorageLevel
 
-            raw = PropertyGraph.from_tables(spark, sf_dir)
+            raw = PropertyGraph.from_tables(spark, sf_dir, materialize=True)
             g = PropertyGraph(
                 vertices=raw.vertices.persist(StorageLevel.MEMORY_AND_DISK),
                 edges=raw.edges.persist(StorageLevel.MEMORY_AND_DISK),
@@ -118,7 +118,8 @@ class PropertyGraph:
 
     @staticmethod
     def from_tables(
-        spark: SparkSession, sf_dir: str, dedup_edges: bool = False
+        spark: SparkSession, sf_dir: str, dedup_edges: bool = False,
+        materialize: bool = False,
     ) -> "PropertyGraph":
         """Build the FIXTURES.md §4 graph from the relational fixtures.
 
@@ -163,6 +164,15 @@ class PropertyGraph:
             "l_linekey",
             F.col("l_orderkey") * 65536 + F.row_number().over(w),
         )
+        if materialize:
+            # the keyed lineitem feeds FOUR union branches (1 vertex + 3
+            # edge labels); without materialization each branch re-runs the
+            # scan + surrogate-key window shuffle. ``open`` sets this so the
+            # window runs once; the handle owns the cached block lifetime.
+            # (At 100 TB the analogue is writing the keyed table once.)
+            from pyspark import StorageLevel
+
+            lineitem = lineitem.persist(StorageLevel.MEMORY_AND_DISK)
         users = t["events"].select(F.col("user_id")).distinct()
 
         vertices = (

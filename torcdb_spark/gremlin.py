@@ -24,7 +24,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from torcdb_spark.graph import PropertyGraph
-from torcdb_spark.traverse import Direction, traverse
+from torcdb_spark.traverse import Direction
 
 
 class GraphTraversal:
@@ -35,17 +35,38 @@ class GraphTraversal:
     # -- navigation steps ---------------------------------------------------
 
     def _hop(self, direction: Direction, *labels: str) -> "GraphTraversal":
+        """One Gremlin hop = ONE join of the traversal frame against the
+        label-filtered edge table — the frame appears exactly once in the
+        resulting plan, so an n-hop traversal is a linear chain of n joins
+        (the reference's per-step bulk fetch, TorcVertexStep.java:83-166).
+
+        An earlier formulation derived a deduped frontier from the frame,
+        ran ``traverse`` on it, and re-joined the result back to the frame;
+        that references the upstream plan twice per hop, doubling work each
+        step — quadratic-and-worse at depth. Gremlin semantics need no
+        per-hop dedup anyway: one traverser per path, and edges are unique
+        per (src, dst, label) (TorcGraph.java:74-78)."""
         if not labels:
             raise ValueError("edge label required (TorcGraph.java:853-859: "
                              "traversals must specify the edge label)")
-        frontier = self._df.select(F.col("_cur").alias("id"))
-        hops = None
-        for lbl in labels:
-            tr = traverse(frontier, self._g.edges, lbl, direction)
-            hops = tr if hops is None else hops.unionByName(tr)
+        e = self._g.edges.where(F.col("label").isin(list(labels)))
+
+        def orient(src_col: str, dst_col: str) -> DataFrame:
+            return e.select(
+                F.col(src_col).alias("_hop_src"), F.col(dst_col).alias("_nbr")
+            )
+
+        if direction == Direction.OUT:
+            h = orient("src", "dst")
+        elif direction == Direction.IN:
+            h = orient("dst", "src")
+        else:
+            # BOTH: an edge is traversable from either endpoint; per-pair
+            # dedup matches traverse()'s per-call dedup map semantics
+            h = orient("src", "dst").unionByName(orient("dst", "src")) \
+                .dropDuplicates(["_hop_src", "_nbr"])
         joined = self._df.join(
-            hops.withColumnRenamed("src", "_cur_next").withColumnRenamed("dst", "_nbr"),
-            self._df["_cur"] == F.col("_cur_next"),
+            h, self._df["_cur"] == h["_hop_src"]
         ).select(F.col("_start"), F.col("_nbr").alias("_cur"))
         return GraphTraversal(self._g, joined)
 

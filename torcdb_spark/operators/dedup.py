@@ -62,10 +62,6 @@ def minhash_signatures(
     normalization chain per shingle and the hash chain num_perm times per
     row (CollapseProject keeps non-cheap multi-referenced expressions
     split, so the staging sticks)."""
-    # deterministic coefficients derived from the permutation index
-    coeffs = [
-        (F.lit(2 * i + 1), F.lit((i * 0x9E3779B9) % _P)) for i in range(num_perm)
-    ]
     normed = docs.select(
         F.col(id_col), normalize_text(F.col(text_col)).alias("_nt")
     )
@@ -76,13 +72,40 @@ def minhash_signatures(
             lambda s: F.pmod(F.xxhash64(s), F.lit(_P)),
         ).alias("_hs"),
     )
-    sig = F.array(
-        *[
-            F.array_min(F.transform(F.col("_hs"), lambda x: (a * x + b) % _P))
-            for (a, b) in coeffs
-        ]
+    return hashed.select(
+        F.col(id_col), _minhash_pandas_udf(num_perm)(F.col("_hs")).alias("sig")
     )
-    return hashed.select(F.col(id_col), sig.alias("sig"))
+
+
+def _minhash_pandas_udf(num_perm: int):
+    """Arrow-batched numpy minhash: sig[i] = min over shingle hashes x of
+    (a_i·x + b_i) mod p with a_i = 2i+1, b_i = (i·0x9E3779B9) mod p.
+
+    Semantically identical to the per-permutation HOF form
+    (``array_min(transform(hs, x -> (a·x + b) % p))`` × num_perm) but one
+    vectorized (n_shingles × num_perm) pass per row instead of num_perm
+    interpreted array traversals — the HOF lambdas never enter codegen, so
+    at 64 permutations the interpreted form is ~10× slower. No overflow:
+    x < 2^31, a ≤ 2·num_perm, so a·x + b < 2^63 in int64."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    a = np.arange(num_perm, dtype=np.int64) * 2 + 1
+    b = (np.arange(num_perm, dtype=np.int64) * 0x9E3779B9) % _P
+    empty = ((np.zeros(num_perm, dtype=np.int64) + b) % _P).tolist()
+
+    @pandas_udf("array<long>")
+    def sig(hashes: pd.Series) -> pd.Series:
+        out = []
+        for hs in hashes:
+            if hs is None or len(hs) == 0:
+                out.append(empty)
+                continue
+            h = np.asarray(hs, dtype=np.int64)
+            out.append(((h[:, None] * a[None, :] + b[None, :]) % _P).min(axis=0).tolist())
+        return pd.Series(out)
+
+    return sig
 
 
 def minhash_lsh_candidates(

@@ -18,6 +18,7 @@ no RNG state, so results are reproducible across runs and cluster sizes.
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf resolves stringified type hints
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -82,23 +83,38 @@ def _hyperplane(table: int, bit: int, dim: int) -> list[float]:
     return out
 
 
-def _sketch(vec_col, num_bits: int, table: int, dim: int):
-    """Sign-bit sketch of a vector under deterministic hyperplanes: bit b =
-    sign(vec · plane_b). Each dot product is one zip_with/aggregate over a
-    literal coefficient array — constant-size expression tree in num_bits."""
-    bit_cols = []
-    for b in range(num_bits):
-        plane = F.lit(_hyperplane(table, b, dim))
-        dot = F.aggregate(
-            F.zip_with(vec_col, plane, lambda v, c: v.cast("double") * c),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        bit_cols.append(F.when(dot >= 0, F.lit(1)).otherwise(F.lit(0)))
-    out = F.lit(0).cast("long")
-    for i, b in enumerate(bit_cols):
-        out = out.bitwiseOR(F.shiftleft(b.cast("long"), i))
-    return out
+def _sketch_all_tables_udf(num_bits: int, num_tables: int, dim: int):
+    """Arrow-batched numpy sketcher: ONE pass computes every table's
+    sign-bit sketch — a (batch × dim) · (dim × num_tables·num_bits) matmul,
+    then bit-packing. Returns array<long> of length num_tables.
+
+    Replaces the per-(table, bit) zip_with/aggregate expression form: those
+    higher-order-function lambdas are evaluated interpreted (no codegen),
+    so at 4 tables × 8 bits the JVM form did 32 interpreted array folds per
+    row; the numpy form is two vectorized ops per batch."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    planes = np.array(
+        [
+            _hyperplane(t, b, dim)
+            for t in range(num_tables)
+            for b in range(num_bits)
+        ],
+        dtype=np.float64,
+    ).T  # (dim, num_tables*num_bits)
+    shifts = np.arange(num_bits, dtype=np.int64)
+
+    @pandas_udf("array<long>")
+    def sketch(vecs: pd.Series) -> pd.Series:
+        mat = np.asarray(vecs.tolist(), dtype=np.float64)  # (n, dim)
+        bits = (mat @ planes) >= 0  # (n, T*B)
+        packed = (
+            bits.reshape(len(mat), num_tables, num_bits).astype(np.int64) << shifts
+        ).sum(axis=2)  # (n, T)
+        return pd.Series(packed.tolist())
+
+    return sketch
 
 
 def cosine_topk_lsh(
@@ -117,21 +133,22 @@ def cosine_topk_lsh(
     bucket-equi-join (shuffle on the bucket key — uniform by construction),
     then exact cosine re-ranking within candidates. Recall < 1.0 by design;
     increase num_tables for higher recall."""
+    sketcher = _sketch_all_tables_udf(num_bits, num_tables, dim)
+
     def bucketize(df: DataFrame, role: str) -> DataFrame:
-        v = F.col(vec_col)
-        rows = [
-            df.select(
-                F.col(id_col).alias(f"{role}_id"),
-                v.alias(f"_{role}v"),
-                F.lit(t).alias("table"),
-                _sketch(v, num_bits, t, dim).alias("sketch"),
-            )
-            for t in range(num_tables)
-        ]
-        out = rows[0]
-        for r in rows[1:]:
-            out = out.unionByName(r)
-        return out
+        # one scan + one UDF pass; posexplode fans out to (table, sketch)
+        # rows — vs the earlier num_tables-way self-union that re-scanned
+        # and re-sketched the input once per table
+        sk = df.select(
+            F.col(id_col).alias(f"{role}_id"),
+            F.col(vec_col).alias(f"_{role}v"),
+            sketcher(F.col(vec_col)).alias("_sks"),
+        )
+        return sk.select(
+            f"{role}_id",
+            f"_{role}v",
+            F.posexplode(F.col("_sks")).alias("table", "sketch"),
+        )
 
     cq = bucketize(queries, "query")
     cc = bucketize(corpus, "neighbor")

@@ -607,7 +607,12 @@ def d2_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def e1_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k similarity search: broadcast query batch ×
     corpus, JVM-side dot products, per-query window top-k."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    # the sf fixtures are one row group → one scan partition; spread the
+    # O(|Q|·|corpus|) scoring across the cluster (a real 100 TB corpus
+    # arrives in thousands of partitions and needs no such hint)
+    emb = load_table(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     queries = emb.where(F.col("vec_id") < 10)
     out = cosine_topk_bruteforce(emb, queries, k=5)
     return out.select(
@@ -620,7 +625,9 @@ def x_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-duplicate pairs (rows-only check: the xxhash64-based
     permutation family has no DuckDB equivalent). 32 permutations / 8 bands
     — same band width as the 64/16 default at half the signature cost."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     return minhash_lsh_dedup(docs, num_perm=32, bands=8, jaccard_threshold=0.5)
 
 
@@ -788,7 +795,9 @@ def d4_simhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash bucketing (64-bit sign-vote hash over shingle hashes)."""
     from torcdb_spark.operators.dedup import simhash_dedup
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     return simhash_dedup(docs)
 
 
@@ -798,7 +807,9 @@ def e2_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact re-ranking) — the scale path for similarity search."""
     from torcdb_spark.operators.similarity import cosine_topk_lsh
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     queries = emb.where(F.col("vec_id") < 10)
     return cosine_topk_lsh(emb, queries, k=5, num_bits=8, num_tables=4)
 
