@@ -235,3 +235,62 @@ def test_lang_id_markers_and_tiebreak(spark):
     assert got[3] == "de"
     assert got[4] == "fr"
     assert got[5] == "und"
+
+
+def test_cosine_near_dup_pairs(spark):
+    from torcdb_spark.operators.similarity import cosine_near_dup_pairs
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [1.0, 0.01]),    # near-identical direction
+         (3, [0.0, 1.0]),                      # orthogonal to 1 and 2
+         (4, [-1.0, 0.0])],                    # opposite of 1
+        "vec_id int, embedding array<float>",
+    )
+    pairs = {(r["id_a"], r["id_b"]): r["score"]
+             for r in cosine_near_dup_pairs(df, threshold=0.9).collect()}
+    assert set(pairs) == {(1, 2)}
+    assert pairs[(1, 2)] >= 0.99
+    # id_a < id_b canonical orientation, no self-pairs
+    all_pairs = cosine_near_dup_pairs(df, threshold=-1.0).collect()
+    assert all(r["id_a"] < r["id_b"] for r in all_pairs)
+    assert len(all_pairs) == 6  # C(4,2)
+
+
+def test_winnowing_fingerprints(spark):
+    from torcdb_spark.operators.text import winnowing_fingerprints
+
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "the quick brown fox jumps over the lazy dog"),  # identical
+         (3, "a completely different sentence with other words"),
+         (4, "xy")],                                          # shorter than k
+        "doc_id int, text string",
+    )
+    fps = winnowing_fingerprints(df, k=5, window=4)
+    by_doc = {}
+    for r in fps.collect():
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    # identical docs → identical fingerprint sets (determinism + correctness)
+    assert by_doc[1] == by_doc[2]
+    # different doc → different set (overwhelming probability)
+    assert by_doc[1] != by_doc[3]
+    # winnowing density ~2/(w+1): far fewer fps than k-grams
+    n_grams = len("the quick brown fox jumps over the lazy dog") - 4
+    assert 0 < len(by_doc[1]) < n_grams
+    # degenerate short doc still yields exactly one fingerprint
+    assert len(by_doc[4]) == 1
+
+
+def test_approx_distinct_error_bound(spark, sf_dir):
+    from torcdb_spark.queries import queries
+    from torcdb_spark.sources.tables import load_table
+
+    approx = {r["event_type"]: r["approx_users"]
+              for r in queries()["q_approx_distinct"](spark, sf_dir).collect()}
+    ev = load_table(spark, sf_dir, "events")
+    exact = {r["event_type"]: r["n"]
+             for r in ev.groupBy("event_type")
+             .agg(F.count_distinct("user_id").alias("n")).collect()}
+    assert set(approx) == set(exact)
+    for et, n in exact.items():
+        assert abs(approx[et] - n) <= max(1, 0.05 * n), (et, approx[et], n)

@@ -65,3 +65,48 @@ def test_streaming_dedup_append(spark, stream, sf_dir):
     total = load_table(spark, sf_dir, "events").count()
     # event_id is unique in the fixture → dedup is a no-op pass-through
     assert n == total
+
+
+def test_stateful_user_totals_across_batches(spark, sf_dir, tmp_path_factory):
+    """State must accumulate ACROSS micro-batches: split the fixture into
+    two files (two maxFilesPerTrigger=1 batches) and check the final
+    per-user state equals the batch aggregate over the union."""
+    from torcdb_spark.streaming.jobs import stateful_user_totals
+
+    d = tmp_path_factory.mktemp("events_split")
+    ev = load_table(spark, sf_dir, "events")
+    # events_stream expects the fixture's physical layout (ts as nanos
+    # long under the nanosAsLong flag) — write the splits the same way
+    raw = ev.withColumn("ts", F.unix_micros("ts") * 1000)
+    half = raw.where(F.col("event_id") % 2 == 0)
+    other = raw.where(F.col("event_id") % 2 == 1)
+    half.coalesce(1).write.parquet(str(d / "a"))
+    other.coalesce(1).write.parquet(str(d / "b"))
+    import glob
+    import shutil
+
+    files = sorted(glob.glob(str(d / "*" / "part-*.parquet")))
+    stream_dir = tmp_path_factory.mktemp("events_two_files")
+    for i, f in enumerate(files):
+        shutil.copy(f, stream_dir / f"{i}.parquet")
+
+    from torcdb_spark.streaming import events_stream
+
+    stream = events_stream(spark, str(stream_dir))
+    run_to_memory(stateful_user_totals(stream), "sut", output_mode="update")
+    # update mode emits one row per (user, batch); the LAST emission per
+    # user is the final state
+    rows = spark.table("sut").collect()
+    final = {}
+    for r in rows:
+        final[r.user_id] = (r.n_events, r.sum_value)  # later rows overwrite
+    exp = {
+        r.user_id: (r.n, r.s)
+        for r in ev.groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("s"))
+        .collect()
+    }
+    assert set(final) == set(exp)
+    for u in exp:
+        assert final[u][0] == exp[u][0], (u, final[u], exp[u])
+        assert abs(final[u][1] - exp[u][1]) < 0.05

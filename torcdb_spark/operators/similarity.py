@@ -67,6 +67,39 @@ def cosine_topk_bruteforce(
     )
 
 
+def cosine_near_dup_pairs(
+    vectors: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    score_decimals: int = 3,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a, id_b, score) with
+    id_a < id_b and cosine ≥ threshold — the dedup-by-embedding baseline.
+
+    Exact all-pairs form: one broadcast self-join with JVM-side dot
+    products. This is the verification/baseline kernel; at corpus scale the
+    pair generation must be blocked first (LSH sketch buckets as in
+    ``cosine_topk_lsh``, with this exact scoring applied only within
+    buckets) — all-pairs is O(n²) by definition, no partitioning fixes
+    that."""
+    a = vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_av"))
+    b = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_bv"))
+    return (
+        F.broadcast(a)
+        .crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                cosine_similarity(F.col("_av"), F.col("_bv")), score_decimals
+            ).alias("score"),
+        )
+        .where(F.col("score") >= threshold)
+    )
+
+
 def _hyperplane(table: int, bit: int, dim: int) -> list[float]:
     """Deterministic pseudo-random hyperplane in [-1, 1)^dim, derived from
     md5 of (table, bit, dim-index) — computed driver-side in Python so the

@@ -10,6 +10,7 @@ fingerprinting, n-gram shingling (feeds dedup.py's MinHash).
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf resolves stringified type hints
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -133,3 +134,51 @@ def fingerprint(text: Column) -> Column:
     """64-bit document fingerprint: xxhash64 of the whitespace-normalized,
     lowercased, trimmed text — the exact-dup key."""
     return F.xxhash64(normalize_text(F.trim(text)))
+
+
+def winnowing_fingerprints(
+    docs: "DataFrame",
+    k: int = 5,
+    window: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> "DataFrame":
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken):
+    k-gram rolling hashes → per-window minimum → distinct selected
+    fingerprints, exploded to (doc_id, fp) rows.
+
+    Guarantees at least one shared fingerprint for any match of length
+    ≥ window + k - 1, with fingerprint density ~2/(window+1) of the k-gram
+    count — the standard plagiarism/overlap-detection sketch. k-gram
+    hashing stays JVM-side (xxhash64 over the shingle array); the
+    window-min selection is one vectorized sliding-window pass per row.
+    Zero shuffle before the final distinct."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<long>")
+    def select_mins(hashes: pd.Series) -> pd.Series:
+        out = []
+        for hs in hashes:
+            if hs is None or len(hs) == 0:
+                out.append([])
+                continue
+            h = np.asarray(hs, dtype=np.int64)
+            if len(h) <= window:
+                out.append([int(h.min())])
+                continue
+            wins = np.lib.stride_tricks.sliding_window_view(h, window)
+            out.append(np.unique(wins.min(axis=1)).tolist())
+        return pd.Series(out)
+
+    normed = docs.select(F.col(id_col), normalize_text(F.col(text_col)).alias("_nt"))
+    hashed = normed.select(
+        F.col(id_col),
+        F.transform(
+            shingles(F.col("_nt"), k, distinct=False), lambda s: F.xxhash64(s)
+        ).alias("_hs"),
+    )
+    return (
+        hashed.select(F.col(id_col), F.explode(select_mins(F.col("_hs"))).alias("fp"))
+        .dropDuplicates([id_col, "fp"])
+    )

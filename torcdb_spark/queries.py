@@ -1108,3 +1108,141 @@ def m1_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("byte_mean", 3).alias("byte_mean"),
         F.round(F.element_at("feature", 1).cast("double"), 4).alias("f0"),
     )
+
+
+# ---------------------------------------------------------------------------
+# relational breadth: semi/anti subqueries, grouping sets, approx distinct
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q4_priority_semijoin",
+    """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+       FROM orders
+       WHERE EXISTS (SELECT 1 FROM lineitem
+                     WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+       GROUP BY o_orderpriority""",
+)
+def q4_priority_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-shaped EXISTS: orders having at least one returned lineitem,
+    counted per priority — a left-semi join feeding a partial+final agg
+    (the A2 intersect pattern on relational keys)."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_returnflag") == "R"
+    )
+    return (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"], "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+@_register(
+    "q22_no_orders_antijoin",
+    """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers,
+              round(sum(c_acctbal), 2) AS sum_acctbal
+       FROM customer
+       WHERE NOT EXISTS (SELECT 1 FROM orders
+                         WHERE o_custkey = c_custkey
+                           AND o_orderstatus = 'F')
+       GROUP BY c_mktsegment""",
+)
+def q22_no_orders_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-shaped NOT EXISTS: customers with no completed ('F')
+    order, per segment — a left-anti join (the A3 subtract pattern on
+    relational keys)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderstatus") == "F"
+    ).select("o_custkey")
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("sum_acctbal"),
+        )
+    )
+
+
+@_register(
+    "q_grouping_sets",
+    """SELECT o_orderstatus, o_orderpriority,
+              CAST(GROUPING(o_orderstatus)*2
+                   + GROUPING(o_orderpriority) AS BIGINT) AS gid,
+              CAST(count(*) AS BIGINT) AS n,
+              round(sum(o_totalprice), 2) AS total
+       FROM orders
+       GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""",
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the non-cube/rollup shape: two independent
+    dimensions + grand total in one pass)."""
+    o = load_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("_gs_orders")
+    return spark.sql(
+        """SELECT o_orderstatus, o_orderpriority,
+                  CAST(GROUPING(o_orderstatus)*2
+                       + GROUPING(o_orderpriority) AS BIGINT) AS gid,
+                  CAST(count(*) AS BIGINT) AS n,
+                  round(sum(o_totalprice), 2) AS total
+           FROM _gs_orders
+           GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())"""
+    )
+
+
+@_register("q_approx_distinct")  # rows-only: HLL sketches differ per engine
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) per event type — the
+    constant-memory distinct-count path for 100 TB cardinality estimation
+    (exact distinct = full shuffle of the key space; the sketch merges
+    map-side). Tests assert relative error < 5% vs the exact count."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+        )
+        .select("event_type", F.col("approx_users").cast("long").alias("approx_users"))
+    )
+
+
+@_register(
+    "d7_embedding_near_dups",
+    """SELECT * FROM (
+         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                round(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                       CAST(b.embedding AS DOUBLE[]))
+                      / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                               CAST(a.embedding AS DOUBLE[])))
+                         * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
+                                                 CAST(b.embedding AS DOUBLE[])))),
+                      3) AS score
+         FROM embeddings a, embeddings b
+         WHERE a.vec_id < b.vec_id
+       ) WHERE score >= 0.3""",
+)
+def d7_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (dedup by embedding): exact
+    all-pairs baseline; the scale path LSH-blocks candidates first
+    (operators/similarity.py cosine_topk_lsh) and applies this scoring
+    within buckets only."""
+    from torcdb_spark.operators.similarity import cosine_near_dup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return cosine_near_dup_pairs(emb, threshold=0.3)
+
+
+@_register("d8_winnowing")  # rows-only: xxhash64 has no DuckDB equivalent
+def d8_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (rolling k-gram hashes → per-window minima):
+    the overlap-detection sketch; (doc_id, fp) pairs."""
+    from torcdb_spark.operators.text import winnowing_fingerprints
+
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return winnowing_fingerprints(docs)

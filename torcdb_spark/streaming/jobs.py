@@ -121,6 +121,44 @@ def streaming_dedup(
     )
 
 
+def stateful_user_totals(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Custom stateful streaming operator via ``applyInPandasWithState``
+    (SURVEY §2.5 streaming extension): per-user running totals carried in an
+    explicit state store across micro-batches — the escape hatch for
+    operators the built-in windowed aggregations can't express (the
+    streaming analogue of the reference's client-side per-key accumulation
+    in TraversalResult maps).
+
+    State schema is (n long, s double) per user_id; each micro-batch folds
+    its Arrow batches into the state and emits the updated running totals.
+    State size is O(distinct users), independent of throughput; with real
+    session semantics add a GroupStateTimeout to expire idle keys."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = "user_id long, n_events long, sum_value double"
+    state_schema = "n long, s double"
+
+    def update(key, pdfs, state):
+        n, s = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf["value"].sum())
+        state.update((n, s))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "sum_value": [round(s, 2)]}
+        )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update, out_schema, state_schema, "update",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "complete") -> None:
     """Drain a bounded file-source stream into a memory sink (test helper).
     availableNow processes all existing files then stops. Use
