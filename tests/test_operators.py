@@ -294,3 +294,26 @@ def test_approx_distinct_error_bound(spark, sf_dir):
     assert set(approx) == set(exact)
     for et, n in exact.items():
         assert abs(approx[et] - n) <= max(1, 0.05 * n), (et, approx[et], n)
+
+
+def test_ivf_topk_recall(spark, sf_dir):
+    from torcdb_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        ivf_topk,
+    )
+    from torcdb_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 10)
+    approx = ivf_topk(emb, q, k=5, num_centroids=8, nprobe=4)
+    exact = cosine_topk_bruteforce(emb, q, k=5)
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    # every query answered with k candidates, scored exactly
+    assert len(a) == len(e) == 50
+    # nprobe=4 of 8 cells: at least half the exact neighbors found
+    assert len(a & e) / len(e) >= 0.5
+    # determinism: a second run returns the identical pair set
+    a2 = {(r.query_id, r.neighbor_id)
+          for r in ivf_topk(emb, q, k=5, num_centroids=8, nprobe=4).collect()}
+    assert a == a2

@@ -94,3 +94,14 @@ def test_fill_properties_label_pruning(spark, sf_dir):
     hyd = fill_properties(tr, g.vertices, labels=["order"])
     plan = explain_str(hyd, "simple")
     assert "lineitem.parquet" not in plan
+
+
+def test_materialized_graph_label_partition_pruning(spark, sf_dir):
+    """The opened (parquet-materialized) graph is directory-partitioned by
+    label: a label predicate must become a PartitionFilter (files of every
+    other label never open) — the reference's label-keyed edge-list
+    narrowing as partition pruning."""
+    g = PropertyGraph.open(spark, sf_dir)
+    plan = explain_str(g.edges.where(F.col("label") == "placed"), "formatted")
+    pf = plan.split("PartitionFilters")[1][:160]
+    assert "label" in pf and "placed" in pf

@@ -43,7 +43,10 @@ def pagerank(
     plan is then: edges ⋈ contribs (one shuffle) → sum by dst (one shuffle)
     → left join back to state (one shuffle), plus a 1-row dangling
     aggregate over the cached state broadcast into the update."""
-    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")).persist()
+    # no persist: e is a narrow projection of its (columnar) source — a
+    # re-scan per superstep is cheaper than building Spark's in-memory
+    # cache, and at 100 TB caching the edge set is not an option anyway
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
     verts = (
         e.select(F.col("src").alias("id"))
         .unionByName(e.select(F.col("dst").alias("id")))
@@ -85,10 +88,6 @@ def pagerank(
                 "out_deg",
             )
         )
-    # final state is an eager checkpoint — the loop temporaries can be
-    # released so long-lived sessions (bench, notebooks) don't accumulate
-    # cached blocks across calls
-    e.unpersist()
     return state.select("id", "rank")
 
 
@@ -153,16 +152,19 @@ def bfs_distances(
     """Multi-source BFS → (id, distance); frontier-expansion loop with an
     anti-join against the visited set (the iterative form of khop that also
     records depth)."""
-    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")).persist()
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
     id_c = "id" if "id" in sources.columns else sources.columns[0]
     visited = sources.select(F.col(id_c).alias("id")).dropDuplicates(["id"]).withColumn(
         "distance", F.lit(0)
     )
     frontier = visited.select("id")
     for depth in range(1, max_depth + 1):
+        # no broadcast hint: the frontier can be a large fraction of the
+        # graph mid-traversal (depth 2 here reaches every lineitem) — AQE
+        # converts to broadcast at runtime when the checkpointed frontier
+        # is actually small, and shuffles when it isn't
         nxt = (
-            F.broadcast(frontier)
-            .join(e, frontier["id"] == e["src"])
+            frontier.join(e, frontier["id"] == e["src"])
             .select(F.col("dst").alias("id"))
             .dropDuplicates(["id"])
             .join(visited.select("id"), "id", "left_anti")
@@ -170,11 +172,11 @@ def bfs_distances(
         nxt = _checkpointed(nxt)
         if nxt.limit(1).count() == 0:
             break
-        visited = _checkpointed(
-            visited.unionByName(nxt.withColumn("distance", F.lit(depth)))
-        )
+        # visited is a union of already-checkpointed frontiers — no
+        # re-checkpoint: eagerly copying the whole visited set per depth is
+        # O(V·depth) churn; the union plan over cached parents stays flat
+        visited = visited.unionByName(nxt.withColumn("distance", F.lit(depth)))
         frontier = nxt
-    e.unpersist()
     return visited
 
 

@@ -73,30 +73,82 @@ def cosine_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     score_decimals: int = 3,
+    num_blocks: int = 8,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (id_a, id_b, score) with
     id_a < id_b and cosine ≥ threshold — the dedup-by-embedding baseline.
 
-    Exact all-pairs form: one broadcast self-join with JVM-side dot
-    products. This is the verification/baseline kernel; at corpus scale the
-    pair generation must be blocked first (LSH sketch buckets as in
-    ``cosine_topk_lsh``, with this exact scoring applied only within
-    buckets) — all-pairs is O(n²) by definition, no partitioning fixes
-    that."""
-    a = vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_av"))
-    b = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_bv"))
-    return (
-        F.broadcast(a)
-        .crossJoin(b)
-        .where(F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a",
-            "id_b",
-            F.round(
-                cosine_similarity(F.col("_av"), F.col("_bv")), score_decimals
-            ).alias("score"),
+    Exact all-pairs via BLOCKED matrix products: vectors are hashed into
+    ``num_blocks`` blocks, each unordered block pair becomes one task that
+    computes its (nᵃ × nᵇ) similarity submatrix as a single numpy matmul
+    and emits only qualifying pairs. Fully distributed (no driver collect,
+    no broadcast of the corpus); task count = B(B+1)/2, per-task memory =
+    (N/B)² scores. Size num_blocks so a block fits executor memory.
+
+    An earlier expression-tree form (broadcast crossJoin + zip_with/
+    aggregate dot product) evaluated the fold interpreted per pair: 244s
+    for 2M pairs at sf0.1 vs ~2s for this form. All-pairs is still O(N²)
+    by definition — at corpus scale, LSH-block candidates first
+    (``cosine_topk_lsh``) and apply this exact scoring within buckets."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf  # noqa: F401  (doc link)
+
+    packed = (
+        vectors.select(
+            F.col(id_col).alias("_id"),
+            F.col(vec_col).alias("_v"),
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(num_blocks)).alias("_blk"),
         )
-        .where(F.col("score") >= threshold)
+        .groupBy("_blk")
+        .agg(F.collect_list(F.struct("_id", "_v")).alias("_rows"))
+    )
+    a = packed.select(F.col("_blk").alias("blk_a"), F.col("_rows").alias("rows_a"))
+    b = packed.select(F.col("_blk").alias("blk_b"), F.col("_rows").alias("rows_b"))
+    block_pairs = (
+        a.crossJoin(b)
+        .where(F.col("blk_a") <= F.col("blk_b"))
+        .repartition(num_blocks * (num_blocks + 1) // 2, "blk_a", "blk_b")
+    )
+
+    def score_blocks(batches):
+        for pdf in batches:
+            out_a, out_b, out_s = [], [], []
+            for rows_a, rows_b, same in zip(
+                pdf["rows_a"], pdf["rows_b"], pdf["blk_a"] == pdf["blk_b"]
+            ):
+                ids_a = np.array([r["_id"] for r in rows_a], dtype=np.int64)
+                ids_b = np.array([r["_id"] for r in rows_b], dtype=np.int64)
+                ma = np.asarray([r["_v"] for r in rows_a], dtype=np.float64)
+                mb = np.asarray([r["_v"] for r in rows_b], dtype=np.float64)
+                na = np.linalg.norm(ma, axis=1)
+                nb = np.linalg.norm(mb, axis=1)
+                denom = np.outer(na, nb)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    scores = np.where(denom > 0, (ma @ mb.T) / denom, 0.0)
+                scores = np.round(scores, score_decimals)
+                hit = scores >= threshold
+                if same:
+                    # A == B: the matrix holds each unordered pair twice —
+                    # keep the upper triangle only
+                    hit &= ids_a[:, None] < ids_b[None, :]
+                ii, jj = np.nonzero(hit)
+                lo = np.minimum(ids_a[ii], ids_b[jj])
+                hi = np.maximum(ids_a[ii], ids_b[jj])
+                # blocks are disjoint, so each unordered pair appears in
+                # exactly one block-pair task; (lo, hi) canonicalizes it
+                out_a.append(lo)
+                out_b.append(hi)
+                out_s.append(scores[ii, jj])
+            yield pd.DataFrame(
+                {
+                    "id_a": np.concatenate(out_a) if out_a else [],
+                    "id_b": np.concatenate(out_b) if out_b else [],
+                    "score": np.concatenate(out_s) if out_s else [],
+                }
+            )
+
+    return block_pairs.mapInPandas(
+        score_blocks, "id_a long, id_b long, score double"
     )
 
 
@@ -194,6 +246,108 @@ def cosine_topk_lsh(
             F.round(cosine_similarity(F.col("_queryv"), F.col("_neighborv")), 3).alias(
                 "score"
             ),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "score", "rnk")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_centroids: int = 16,
+    nprobe: int = 4,
+    score_decimals: int = 3,
+) -> DataFrame:
+    """Approximate cosine top-k via an IVF (inverted-file) index — the
+    other standard ANN layout besides hyperplane LSH (``cosine_topk_lsh``).
+
+    Build: deterministic centroids = per-bucket mean of a hash partition of
+    the corpus (one groupBy over num_centroids keys — a cheap, seedless
+    stand-in for one k-means iteration; same recall mechanics). Every
+    corpus vector is assigned to its nearest centroid (one Arrow-batched
+    argmax against the centroid matrix). Probe: each query scores only the
+    vectors in its ``nprobe`` nearest centroid cells — the corpus-side scan
+    shrinks by ~num_centroids/nprobe. All shuffles are equi-joins on the
+    centroid id; centroids travel as ONE packed row (no driver collect).
+
+    Recall < 1.0 by design (cell-boundary misses); raise nprobe or
+    num_centroids for higher recall. At 100 TB: num_centroids ~ sqrt(N),
+    the assignment join shuffles on centroid id, and cells are written
+    partitioned by centroid for probe-side partition pruning."""
+    import numpy as np
+
+    # deterministic seed partition → centroid means, packed into one row
+    seeded = corpus.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(num_centroids)).alias("_c"),
+    )
+    def bucket_mean(pdf):
+        m = np.asarray(pdf["_v"].tolist(), dtype=np.float64).mean(axis=0)
+        return pd.DataFrame({"_c": [int(pdf["_c"].iloc[0])], "_mean": [m.tolist()]})
+
+    cents = (
+        seeded.groupBy("_c")
+        .applyInPandas(bucket_mean, "_c long, _mean array<double>")
+        .groupBy()
+        .agg(F.collect_list(F.struct("_c", "_mean")).alias("_cents"))
+    )
+
+    def nearest(df: DataFrame, role: str, n_near: int) -> DataFrame:
+        """(id, vec, centroid) with the n_near best centroids exploded."""
+        packed = df.crossJoin(F.broadcast(cents))
+
+        def assign(batches):
+            for pdf in batches:
+                cen = pdf["_cents"].iloc[0]
+                cids = np.array([c["_c"] for c in cen], dtype=np.int64)
+                cm = np.asarray([c["_mean"] for c in cen], dtype=np.float64)
+                cm = cm / np.maximum(np.linalg.norm(cm, axis=1, keepdims=True), 1e-12)
+                mat = np.asarray(pdf["_v"].tolist(), dtype=np.float64)
+                mat_n = mat / np.maximum(
+                    np.linalg.norm(mat, axis=1, keepdims=True), 1e-12
+                )
+                sims = mat_n @ cm.T  # (n, C)
+                order = np.argsort(-sims, axis=1)[:, :n_near]
+                ids = pdf["_id"].to_numpy()
+                yield pd.DataFrame(
+                    {
+                        "_id": np.repeat(ids, n_near),
+                        "_v": [v for v in pdf["_v"] for _ in range(n_near)],
+                        "_cell": cids[order].ravel(),
+                    }
+                )
+
+        return packed.mapInPandas(assign, "_id long, _v array<float>, _cell long").select(
+            F.col("_id").alias(f"{role}_id"),
+            F.col("_v").alias(f"_{role}v"),
+            "_cell",
+        )
+
+    cells = nearest(seeded.select("_id", "_v"), "neighbor", 1)
+    probes = nearest(
+        queries.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")),
+        "query", nprobe,
+    )
+    cand = (
+        probes.join(cells, "_cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                cosine_similarity(F.col("_queryv"), F.col("_neighborv")),
+                score_decimals,
+            ).alias("score"),
         )
         .dropDuplicates(["query_id", "neighbor_id"])
     )

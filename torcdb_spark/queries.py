@@ -1246,3 +1246,17 @@ def d8_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.sparkContext.defaultParallelism
     )
     return winnowing_fingerprints(docs)
+
+
+@_register("e4_ivf_topk")  # rows-only: IVF recall < 1 has no SQL oracle
+def e4_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) approximate nearest neighbors: hash-seeded
+    centroid cells + nprobe probing — the second ANN layout besides
+    hyperplane LSH (e2). Tests assert recall ≥ 0.5 vs the exact top-k."""
+    from torcdb_spark.operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    queries = emb.where(F.col("vec_id") < 10)
+    return ivf_topk(emb, queries, k=5, num_centroids=16, nprobe=4)
