@@ -79,6 +79,55 @@ class GraphTraversal:
     def both(self, *labels: str) -> "GraphTraversal":
         return self._hop(Direction.BOTH, *labels)
 
+    # -- edge-valued steps (outE/inE … inV/outV, TorcVertexStep's edge mode,
+    # TorcVertexStep.java:59-66 'returnClass Edge') ------------------------
+
+    def _hop_e(self, direction: Direction, *labels: str) -> "GraphTraversal":
+        """outE/inE: move the traverser onto the incident edges — the frame
+        gains the far endpoint (`_edst`) and the edge property map
+        (`_eprops`); `in_v`/`out_v` completes the hop."""
+        if not labels:
+            raise ValueError("edge label required (TorcGraph.java:853-859)")
+        e = self._g.edges.where(F.col("label").isin(list(labels)))
+        near, far = ("src", "dst") if direction == Direction.OUT else ("dst", "src")
+        h = e.select(
+            F.col(near).alias("_hop_src"),
+            F.col(far).alias("_edst"),
+            F.col("props").alias("_eprops"),
+        )
+        joined = self._df.join(h, self._df["_cur"] == h["_hop_src"]).select(
+            F.col("_start"), F.col("_cur"), F.col("_edst"), F.col("_eprops")
+        )
+        return GraphTraversal(self._g, joined)
+
+    def out_e(self, *labels: str) -> "GraphTraversal":
+        return self._hop_e(Direction.OUT, *labels)
+
+    def in_e(self, *labels: str) -> "GraphTraversal":
+        return self._hop_e(Direction.IN, *labels)
+
+    def has_edge(self, key: str, predicate) -> "GraphTraversal":
+        """Filter on an edge property of the current outE/inE frame;
+        ``predicate`` maps the (string) property Column to a boolean Column
+        — the Gremlin ``has`` on edges / removeEdgeIf analogue."""
+        if "_eprops" not in self._df.columns:
+            raise ValueError("has_edge requires a preceding out_e/in_e step")
+        return GraphTraversal(
+            self._g, self._df.where(predicate(F.col("_eprops")[key]))
+        )
+
+    def in_v(self) -> "GraphTraversal":
+        """Move from edges to their far endpoint (inV after outE, outV
+        after inE — the stored frame already holds the far side)."""
+        if "_edst" not in self._df.columns:
+            raise ValueError("in_v/out_v requires a preceding out_e/in_e step")
+        return GraphTraversal(
+            self._g,
+            self._df.select(F.col("_start"), F.col("_edst").alias("_cur")),
+        )
+
+    out_v = in_v  # far endpoint of an in_e frame — same stored column
+
     # -- filter steps -------------------------------------------------------
 
     def has_label(self, *labels: str) -> "GraphTraversal":

@@ -1260,3 +1260,175 @@ def e4_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     queries = emb.where(F.col("vec_id") < 10)
     return ivf_topk(emb, queries, k=5, num_centroids=16, nprobe=4)
+
+
+# ---------------------------------------------------------------------------
+# scalar-function / subquery / set-op breadth (§2.4 library-level surface)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q_json_extract",
+    """SELECT CAST(CAST(json_extract_string(props, '$.k') AS INTEGER) // 10
+                   AS BIGINT) AS k_bucket,
+              CAST(count(*) AS BIGINT) AS n,
+              round(sum(value), 2) AS sum_value
+       FROM events GROUP BY 1""",
+)
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON path extraction over the events.props column (get_json_object —
+    SURVEY §2.4's scalar-function checklist), bucketed aggregation."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return (
+        ev.select(F.floor(k / 10).cast("long").alias("k_bucket"), "value")
+        .groupBy("k_bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+@_register(
+    "q_string_predicates",
+    """SELECT c_mktsegment,
+              CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(CASE WHEN c_name LIKE '%1%' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS with_one,
+              min(upper(substring(c_name, 1, 8))) AS first_prefix
+       FROM customer
+       WHERE starts_with(c_name, 'Customer')
+       GROUP BY c_mktsegment""",
+)
+def q_string_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String scalar functions: prefix predicate, LIKE, substring, case
+    transforms (SURVEY §2.4 checklist: substring/startswith)."""
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.where(F.col("c_name").startswith("Customer"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.when(F.col("c_name").like("%1%"), 1).otherwise(0))
+            .cast("long").alias("with_one"),
+            F.min(F.upper(F.substring("c_name", 1, 8))).alias("first_prefix"),
+        )
+    )
+
+
+@_register(
+    "q_date_parts",
+    """SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS y,
+              CAST(EXTRACT(month FROM o_orderdate) AS INT) AS m,
+              CAST(count(*) AS BIGINT) AS n,
+              round(sum(o_totalprice), 2) AS total
+       FROM orders GROUP BY 1, 2""",
+)
+def q_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-part extraction and calendar aggregation (epoch-millis dates in
+    the reference's LDBC data; real timestamps here, UTC-pinned session)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").alias("y"), F.month("o_orderdate").alias("m")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+
+
+@_register(
+    "q_scalar_subquery",
+    """SELECT o_orderkey, round(o_totalprice, 2) AS totalprice
+       FROM orders o
+       WHERE o_totalprice > 2 * (SELECT avg(o_totalprice) FROM orders
+                                 WHERE o_custkey = o.o_custkey)""",
+)
+def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (orders above 2× their customer's
+    average) — expressed as a window so the whole query is ONE pass with a
+    single shuffle on the correlation key instead of a self-join."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    return (
+        o.withColumn("_avg", F.avg("o_totalprice").over(w))
+        .where(F.col("o_totalprice") > 2 * F.col("_avg"))
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("totalprice"))
+    )
+
+
+@_register(
+    "q_set_ops",
+    """WITH f AS (SELECT DISTINCT o_custkey AS k FROM orders
+                  WHERE o_orderstatus = 'F'),
+            p AS (SELECT DISTINCT o_custkey AS k FROM orders
+                  WHERE o_orderstatus = 'P')
+       SELECT 'both' AS grp, CAST(count(*) AS BIGINT) AS n
+         FROM (SELECT k FROM f INTERSECT SELECT k FROM p)
+       UNION ALL
+       SELECT 'f_only', CAST(count(*) AS BIGINT)
+         FROM (SELECT k FROM f EXCEPT SELECT k FROM p)
+       UNION ALL
+       SELECT 'either', CAST(count(*) AS BIGINT)
+         FROM (SELECT k FROM f UNION SELECT k FROM p)""",
+)
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT / UNION over key sets — the relational face of
+    the A2/A3 set algebra."""
+    o = load_table(spark, sf_dir, "orders")
+    f = o.where(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("k")
+    ).distinct()
+    p = o.where(F.col("o_orderstatus") == "P").select(
+        F.col("o_custkey").alias("k")
+    ).distinct()
+    rows = [
+        ("both", f.intersect(p)),
+        ("f_only", f.exceptAll(p).distinct()),
+        ("either", f.union(p).distinct()),
+    ]
+    out = None
+    for grp, df in rows:
+        one = df.agg(F.count("*").alias("n")).select(
+            F.lit(grp).alias("grp"), F.col("n").cast("long").alias("n")
+        )
+        out = one if out is None else out.unionByName(one)
+    return out
+
+
+@_register(
+    "g_gremlin_edge_filter",
+    """SELECT c_custkey AS src_key, CAST(count(*) AS BIGINT) AS n_big_orders
+       FROM customer
+       JOIN orders ON o_custkey = c_custkey
+       WHERE c_mktsegment = 'MACHINERY' AND o_totalprice > 150000
+       GROUP BY c_custkey""",
+)
+def g_gremlin_edge_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gremlin edge-valued steps (outE → has(edge prop) → inV): MACHINERY
+    customers' placed edges filtered on the totalprice edge property —
+    the removeEdgeIf/θ-filter surface through the fluent layer."""
+    from torcdb_spark.gremlin import G
+
+    g = _graph(spark, sf_dir)
+    t = (
+        G(g)
+        .V()
+        .has_label("customer")
+        .has("c_mktsegment", "MACHINERY")
+        .out_e("placed")
+        .has_edge("totalprice", lambda p: p.cast("double") > 150000)
+        .in_v()
+        .to_df()
+    )
+    return (
+        t.groupBy("start")
+        .agg(F.count("*").alias("n_big_orders"))
+        .select(
+            id_lower(F.col("start")).alias("src_key"),
+            F.col("n_big_orders").cast("long").alias("n_big_orders"),
+        )
+    )
