@@ -110,3 +110,19 @@ def test_stateful_user_totals_across_batches(spark, sf_dir, tmp_path_factory):
     for u in exp:
         assert final[u][0] == exp[u][0], (u, final[u], exp[u])
         assert abs(final[u][1] - exp[u][1]) < 0.05
+
+
+def test_interval_join_stream_equals_batch(spark, sf_dir, stream):
+    """Stream-stream interval join result == the identical batch join."""
+    from torcdb_spark.streaming.jobs import purchase_click_interval_join
+
+    run_to_memory(
+        purchase_click_interval_join(stream), "pcij", output_mode="append"
+    )
+    got = {(r.purchase_id, r.click_id) for r in spark.table("pcij").collect()}
+    ev = load_table(spark, sf_dir, "events")
+    from torcdb_spark.streaming.jobs import purchase_click_interval_join as j
+
+    exp = {(r.purchase_id, r.click_id) for r in j(ev).collect()}
+    assert got == exp
+    assert len(exp) > 0

@@ -1432,3 +1432,26 @@ def g_gremlin_edge_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_big_orders").cast("long").alias("n_big_orders"),
         )
     )
+
+
+@_register(
+    "m2_frame_sample",
+    """SELECT doc_id AS media_id, CAST(UNNEST(generate_series(
+                0, greatest(CAST(n_chars % 100 AS INT) - 1, 0), 10))
+              AS BIGINT) AS frame_idx
+       FROM documents""",
+)
+def m2_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing (operators/multimodal.py frame_sample):
+    every 10th frame index per media item. Frame counts are a deterministic
+    function of the fixture (n_chars % 100) so the explode/generate_series
+    equivalence is oracle-checked."""
+    from torcdb_spark.operators.multimodal import documents_as_media, frame_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = documents_as_media(docs).withColumn(
+        "n_frames", (F.length(F.decode("payload", "utf-8")) % 100).cast("int")
+    )
+    return frame_sample(media, every_n=10).select(
+        "media_id", F.col("frame_idx").cast("long").alias("frame_idx")
+    )

@@ -159,6 +159,50 @@ def stateful_user_totals(events: DataFrame, watermark: str = "1 hour") -> DataFr
     )
 
 
+def purchase_click_interval_join(
+    events: DataFrame,
+    lookback: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream inner join with an event-time interval condition:
+    each purchase joined to the same user's clicks in the preceding
+    ``lookback`` window. Both sides are watermarked so the join state store
+    evicts rows older than watermark + lookback — the bounded-state form of
+    the batch as-of/interval join (operators/asof.py)."""
+    purchases = (
+        events.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    clicks = (
+        events.where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").alias("c_ts"),
+            F.col("value").alias("click_value"),
+        )
+        .withWatermark("c_ts", watermark)
+    )
+    return purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user_id"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {lookback}")),
+        "inner",
+    ).select(
+        "purchase_id", "user_id",
+        F.date_format("p_ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        "click_id",
+        F.date_format("c_ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+        F.round("click_value", 2).alias("click_value"),
+    )
+
+
 def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "complete") -> None:
     """Drain a bounded file-source stream into a memory sink (test helper).
     availableNow processes all existing files then stops. Use
