@@ -1455,3 +1455,118 @@ def m2_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frame_sample(media, every_n=10).select(
         "media_id", F.col("frame_idx").cast("long").alias("frame_idx")
     )
+
+
+@_register(
+    "q2_min_cost_supplier",
+    """SELECT p.p_partkey, s.s_suppkey, s.s_name,
+              round(l.l_extendedprice, 2) AS min_price
+       FROM part p
+       JOIN lineitem l ON l.l_partkey = p.p_partkey
+       JOIN supplier s ON s.s_suppkey = l.l_suppkey
+       WHERE l.l_extendedprice = (SELECT min(l2.l_extendedprice)
+                                  FROM lineitem l2
+                                  WHERE l2.l_partkey = p.p_partkey)
+       GROUP BY 1, 2, 3, 4""",
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2-shaped correlated-min subquery: for each part, the
+    supplier(s) quoting its minimum extended price. The correlated subquery
+    is planned as ONE window min over the correlation key (l_partkey) —
+    a single shuffle instead of a lineitem self-join — then a broadcast
+    join to supplier (small dim)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    p = load_table(spark, sf_dir, "part").select("p_partkey")
+    w = Window.partitionBy("l_partkey")
+    cheapest = (
+        l.withColumn("_min", F.min("l_extendedprice").over(w))
+        .where(F.col("l_extendedprice") == F.col("_min"))
+        .select("l_partkey", "l_suppkey",
+                F.round("l_extendedprice", 2).alias("min_price"))
+    )
+    return (
+        cheapest.join(F.broadcast(p), cheapest.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), cheapest.l_suppkey == s.s_suppkey)
+        .select("p_partkey", "s_suppkey", "s_name", "min_price")
+        .distinct()
+    )
+
+
+@_register(
+    "q_pivot",
+    """SELECT o_orderpriority,
+              CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS st_f,
+              CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS st_o,
+              CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS st_p
+       FROM orders GROUP BY o_orderpriority""",
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT (status columns per priority row). Explicit pivot values keep
+    the plan a single map-side-combinable hash aggregate — no extra pass to
+    discover the value domain, and a stable output schema at any SF."""
+    o = load_table(spark, sf_dir, "orders")
+    piv = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+    )
+    return piv.select(
+        "o_orderpriority",
+        F.coalesce(F.col("F"), F.lit(0)).cast("long").alias("st_f"),
+        F.coalesce(F.col("O"), F.lit(0)).cast("long").alias("st_o"),
+        F.coalesce(F.col("P"), F.lit(0)).cast("long").alias("st_p"),
+    )
+
+
+@_register(
+    "q_percentiles",
+    """SELECT o_orderpriority,
+              round(quantile_cont(o_totalprice, 0.25), 2) AS p25,
+              round(quantile_cont(o_totalprice, 0.50), 2) AS p50,
+              round(quantile_cont(o_totalprice, 0.75), 2) AS p75
+       FROM orders GROUP BY o_orderpriority""",
+)
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact continuous percentiles per group (the OpTester p25/p50/p75
+    latency report shape, OpTester.java:175-226). Spark's `percentile`
+    matches DuckDB's quantile_cont interpolation exactly."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.25)"), 2).alias("p25"),
+        F.round(F.expr("percentile(o_totalprice, 0.50)"), 2).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.75)"), 2).alias("p75"),
+    )
+
+
+@_register(
+    "q_lead_lag",
+    """SELECT o_custkey, o_orderkey,
+              CAST(date_diff('day',
+                   lag(CAST(o_orderdate AS DATE)) OVER w,
+                   CAST(o_orderdate AS DATE)) AS BIGINT) AS gap_days
+       FROM orders
+       WINDOW w AS (PARTITION BY o_custkey
+                    ORDER BY o_orderdate, o_orderkey)
+       QUALIFY gap_days IS NOT NULL""",
+)
+def q_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag() over an event sequence: days between a customer's consecutive
+    orders. One shuffle on the partition key; o_orderkey tie-break makes the
+    frame deterministic."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        o.withColumn(
+            "gap_days",
+            F.datediff(
+                F.col("o_orderdate").cast("date"),
+                F.lag(F.col("o_orderdate").cast("date")).over(w),
+            ).cast("long"),
+        )
+        .where(F.col("gap_days").isNotNull())
+        .select("o_custkey", "o_orderkey", "gap_days")
+    )
