@@ -73,3 +73,58 @@ def test_two_hop_dedup_group_count(graph, ddb):
 def test_missing_edge_label_raises(graph):
     with pytest.raises(ValueError):
         G(graph).V().out()
+
+
+def test_repeat_equals_unrolled(graph):
+    base = G(graph).V().has_label("customer")
+    unrolled = base.out("placed").out("contains").count()
+    repeated = (
+        G(graph).V().has_label("customer")
+        .repeat(lambda t: t, 0)  # identity
+        .out("placed").out("contains")
+        .count()
+    )
+    assert unrolled == repeated
+    # a 2-times repeat of alternating labels is illegal (labels differ), but
+    # both(fromNation) twice is the canonical homogeneous loop
+    two = G(graph).V().has_label("customer").repeat(
+        lambda t: t.both("fromNation"), 2
+    ).count()
+    man = (
+        G(graph).V().has_label("customer")
+        .both("fromNation").both("fromNation").count()
+    )
+    assert two == man
+
+
+def test_union_is_bag_sum(graph, ddb):
+    n = (
+        G(graph).V().has_label("customer")
+        .union(lambda t: t.out("placed"), lambda t: t.out("fromNation"))
+        .count()
+    )
+    orders = ddb.sql("select count(*) from orders").fetchone()[0]
+    custs = ddb.sql("select count(*) from customer").fetchone()[0]
+    assert n == orders + custs  # every customer has exactly one nation edge
+
+
+def test_simple_path_removes_backtracks(graph, ddb):
+    cid = uint128_pair(LABEL_TAGS["customer"], 1)
+    t = G(graph).V(cid).with_path().both("fromNation").both("fromNation")
+    all_n = t.count()
+    simple_n = t.simple_path().count()
+    same_nation = ddb.sql(
+        """select count(*) from customer c2 join customer c1
+             on c1.c_custkey=1 and c2.c_nationkey=c1.c_nationkey"""
+    ).fetchone()[0]
+    assert all_n == same_nation
+    assert simple_n == same_nation - 1  # drops the start-revisit path
+
+
+def test_path_terminal_shape(graph):
+    cid = uint128_pair(LABEL_TAGS["customer"], 1)
+    rows = (
+        G(graph).V(cid).with_path().out("fromNation").path().collect()
+    )
+    assert len(rows) == 1
+    assert len(rows[0].path) == 2  # [start, nation]

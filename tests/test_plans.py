@@ -105,3 +105,26 @@ def test_materialized_graph_label_partition_pruning(spark, sf_dir):
     plan = explain_str(g.edges.where(F.col("label") == "placed"), "formatted")
     pf = plan.split("PartitionFilters")[1][:160]
     assert "label" in pf and "placed" in pf
+
+
+def test_q6_scan_pushdown_and_pruning(spark, sf_dir):
+    """TPC-H Q6 is io-bound at scale: all four predicates must reach the
+    parquet scan and only the 4 referenced columns may be read."""
+    from torcdb_spark.queries import _QUERIES
+
+    df = _QUERIES["q6_forecast_revenue"](spark, sf_dir)
+    plan = explain_str(df, "formatted")
+    pushed = plan.split("PushedFilters")[1][:400]
+    for c in ("l_discount", "l_quantity"):
+        assert c in pushed, pushed
+    read = plan.split("ReadSchema")[1][:300]
+    assert "l_comment" not in read
+    assert "l_orderkey" not in read
+
+
+def test_exists_plans_as_semi_join(spark, sf_dir):
+    from torcdb_spark.queries import _QUERIES
+
+    df = _QUERIES["q_exists_subquery"](spark, sf_dir)
+    plan = explain_str(df, "simple")
+    assert "LeftSemi" in plan

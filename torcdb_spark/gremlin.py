@@ -65,10 +65,13 @@ class GraphTraversal:
             # dedup matches traverse()'s per-call dedup map semantics
             h = orient("src", "dst").unionByName(orient("dst", "src")) \
                 .dropDuplicates(["_hop_src", "_nbr"])
-        joined = self._df.join(
-            h, self._df["_cur"] == h["_hop_src"]
-        ).select(F.col("_start"), F.col("_nbr").alias("_cur"))
-        return GraphTraversal(self._g, joined)
+        joined = self._df.join(h, self._df["_cur"] == h["_hop_src"])
+        cols = [F.col("_start"), F.col("_nbr").alias("_cur")]
+        if "_path" in self._df.columns:
+            cols.append(
+                F.concat(F.col("_path"), F.array(F.col("_nbr"))).alias("_path")
+            )
+        return GraphTraversal(self._g, joined.select(*cols))
 
     def out(self, *labels: str) -> "GraphTraversal":
         return self._hop(Direction.OUT, *labels)
@@ -95,9 +98,10 @@ class GraphTraversal:
             F.col(far).alias("_edst"),
             F.col("props").alias("_eprops"),
         )
-        joined = self._df.join(h, self._df["_cur"] == h["_hop_src"]).select(
-            F.col("_start"), F.col("_cur"), F.col("_edst"), F.col("_eprops")
-        )
+        cols = [F.col("_start"), F.col("_cur"), F.col("_edst"), F.col("_eprops")]
+        if "_path" in self._df.columns:
+            cols.append(F.col("_path"))
+        joined = self._df.join(h, self._df["_cur"] == h["_hop_src"]).select(*cols)
         return GraphTraversal(self._g, joined)
 
     def out_e(self, *labels: str) -> "GraphTraversal":
@@ -121,10 +125,12 @@ class GraphTraversal:
         after inE — the stored frame already holds the far side)."""
         if "_edst" not in self._df.columns:
             raise ValueError("in_v/out_v requires a preceding out_e/in_e step")
-        return GraphTraversal(
-            self._g,
-            self._df.select(F.col("_start"), F.col("_edst").alias("_cur")),
-        )
+        cols = [F.col("_start"), F.col("_edst").alias("_cur")]
+        if "_path" in self._df.columns:
+            cols.append(
+                F.concat(F.col("_path"), F.array(F.col("_edst"))).alias("_path")
+            )
+        return GraphTraversal(self._g, self._df.select(*cols))
 
     out_v = in_v  # far endpoint of an in_e frame — same stored column
 
@@ -144,6 +150,65 @@ class GraphTraversal:
 
     def dedup(self) -> "GraphTraversal":
         return GraphTraversal(self._g, self._df.dropDuplicates(["_start", "_cur"]))
+
+    # -- branch / loop / path steps ----------------------------------------
+
+    def repeat(self, step_fn, times: int) -> "GraphTraversal":
+        """Bounded ``repeat(...).times(n)``: apply ``step_fn`` (a
+        GraphTraversal → GraphTraversal function) n times. Compiles to a
+        LINEAR chain of n hop-joins in one Catalyst plan — no driver-side
+        materialization between iterations, so at cluster scale each
+        iteration is one shuffle stage, not a job barrier. (Unbounded
+        ``until()`` loops are the analytics path: analytics.py's Pregel
+        loop with per-superstep checkpoints.)"""
+        if times < 0:
+            raise ValueError("times must be >= 0")
+        t = self
+        for _ in range(times):
+            t = step_fn(t)
+        return t
+
+    def union(self, *step_fns) -> "GraphTraversal":
+        """Gremlin ``union(a, b, ...)``: run each sub-traversal from the
+        current frame and pool the traversers (bag semantics — duplicates
+        kept, as in TinkerPop; follow with dedup() for set semantics)."""
+        if not step_fns:
+            raise ValueError("union requires at least one sub-traversal")
+        frames = [step_fn(self)._df.select("_start", "_cur") for step_fn in step_fns]
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
+        return GraphTraversal(self._g, out)
+
+    def with_path(self) -> "GraphTraversal":
+        """Enable path tracking: subsequent hops append the visited vertex
+        to a `_path` array column (TinkerPop path()). Array length is
+        bounded by hop count, so the per-traverser state stays O(depth)."""
+        if "_path" in self._df.columns:
+            return self
+        return GraphTraversal(
+            self._g, self._df.withColumn("_path", F.array(F.col("_cur")))
+        )
+
+    def simple_path(self) -> "GraphTraversal":
+        """Keep only traversers whose path has no repeated vertex
+        (Gremlin simplePath()). Requires with_path()."""
+        if "_path" not in self._df.columns:
+            raise ValueError("simple_path requires a preceding with_path()")
+        return GraphTraversal(
+            self._g,
+            self._df.where(
+                F.size(F.array_distinct(F.col("_path"))) == F.size(F.col("_path"))
+            ),
+        )
+
+    def path(self) -> DataFrame:
+        """Terminal path(): the full visited-vertex array per traverser."""
+        if "_path" not in self._df.columns:
+            raise ValueError("path requires a preceding with_path()")
+        return self._df.select(
+            F.col("_start").alias("start"), F.col("_path").alias("path")
+        )
 
     # -- terminal steps -----------------------------------------------------
 

@@ -113,21 +113,33 @@ def lang_id(text: Column, markers: dict[str, list[str]] | None = None) -> Column
     verifiable contract. Zero shuffle: per-row expressions only."""
     markers = markers or LANG_MARKERS
     padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
-    scores = {
-        lang: sum(
+    # Argmax as array_max over (score, priority, lang) structs: structs
+    # compare lexicographically, so doubling real scores and seeding an
+    # "und" entry at score 1 gives exactly the CASE-chain semantics
+    # (earliest lang wins ties; und iff every marker count is 0) while
+    # evaluating each marker-count expression ONCE. A when()-chain
+    # formulation inlines every score subtree into every branch — O(n²)
+    # full-string replace() scans per row.
+    entries = []
+    for i, (lang, ms) in enumerate(markers.items()):
+        score = sum(
             (_occurrences(padded, m) for m in ms), start=F.lit(0).cast("long")
         )
-        for lang, ms in markers.items()
-    }
-    langs = list(scores)
-    pred = F.lit("und")
-    # build the CASE chain back-to-front so earlier langs win ties
-    for i in range(len(langs) - 1, -1, -1):
-        cond = scores[langs[i]] > 0
-        for other in langs[i + 1:]:
-            cond = cond & (scores[langs[i]] >= scores[other])
-        pred = F.when(cond, F.lit(langs[i])).otherwise(pred)
-    return pred
+        entries.append(
+            F.struct(
+                (score * 2).alias("s"),
+                F.lit(-i).cast("long").alias("p"),
+                F.lit(lang).alias("lang"),
+            )
+        )
+    entries.append(
+        F.struct(
+            F.lit(1).cast("long").alias("s"),
+            F.lit(-len(markers)).cast("long").alias("p"),
+            F.lit("und").alias("lang"),
+        )
+    )
+    return F.array_max(F.array(*entries))["lang"]
 
 
 def fingerprint(text: Column) -> Column:

@@ -1570,3 +1570,179 @@ def q_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("gap_days").isNotNull())
         .select("o_custkey", "o_orderkey", "gap_days")
     )
+
+
+@_register(
+    "g_gremlin_repeat",
+    """SELECT c1.c_custkey AS src_key, CAST(count(*) AS BIGINT) AS n
+       FROM customer c1 JOIN customer c2
+         ON c2.c_nationkey = c1.c_nationkey
+       WHERE c1.c_custkey BETWEEN 1 AND 200
+       GROUP BY c1.c_custkey""",
+)
+def g_gremlin_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """repeat(both(fromNation)).times(2): customer → nation → same-nation
+    customers (self included — bag semantics). The bounded repeat unrolls
+    to a linear 2-join chain in one Catalyst plan (TinkerPop RepeatStep,
+    reference executes via TorcVertexStep batching TorcVertexStep.java:83-166)."""
+    from torcdb_spark.gremlin import G
+    from torcdb_spark.graph import LABEL_TAGS
+    from torcdb_spark.ids import uint128_pair
+
+    g = _graph(spark, sf_dir)
+    ids = [uint128_pair(LABEL_TAGS["customer"], k) for k in range(1, 201)]
+    t = (
+        G(g)
+        .V(*ids)
+        .repeat(lambda tr: tr.both("fromNation"), 2)
+        .to_df()
+    )
+    return t.groupBy("start").agg(F.count("*").alias("n")).select(
+        id_lower(F.col("start")).alias("src_key"),
+        F.col("n").cast("long").alias("n"),
+    )
+
+
+@_register(
+    "g_gremlin_union",
+    """SELECT c_custkey AS src_key, CAST(count(*) AS BIGINT) AS n
+       FROM (SELECT o_custkey AS c_custkey FROM orders
+             UNION ALL
+             SELECT c_custkey FROM customer) u
+       WHERE c_custkey BETWEEN 1 AND 500
+       GROUP BY c_custkey""",
+)
+def g_gremlin_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """union(out(placed), out(fromNation)): pooled traversers from two
+    sub-traversals (TinkerPop UnionStep) — per start, orders placed + the
+    one nation edge. Compiles to UNION ALL of two label-pruned hop joins."""
+    from torcdb_spark.gremlin import G
+    from torcdb_spark.graph import LABEL_TAGS
+    from torcdb_spark.ids import uint128_pair
+
+    g = _graph(spark, sf_dir)
+    ids = [uint128_pair(LABEL_TAGS["customer"], k) for k in range(1, 501)]
+    t = (
+        G(g)
+        .V(*ids)
+        .union(
+            lambda tr: tr.out("placed"),
+            lambda tr: tr.out("fromNation"),
+        )
+        .to_df()
+    )
+    return t.groupBy("start").agg(F.count("*").alias("n")).select(
+        id_lower(F.col("start")).alias("src_key"),
+        F.col("n").cast("long").alias("n"),
+    )
+
+
+@_register(
+    "g_gremlin_simple_path",
+    """SELECT c1.c_custkey AS src_key, CAST(count(*) AS BIGINT) AS n
+       FROM customer c1 JOIN customer c2
+         ON c2.c_nationkey = c1.c_nationkey
+        AND c2.c_custkey <> c1.c_custkey
+       WHERE c1.c_custkey BETWEEN 1 AND 200
+       GROUP BY c1.c_custkey""",
+)
+def g_gremlin_simple_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """with_path().both(fromNation).both(fromNation).simple_path(): the
+    2-hop neighborhood minus cycles back through the start — per-traverser
+    path state is an O(depth) array column, shuffled with the frame (no
+    driver state), matching TinkerPop simplePath()."""
+    from torcdb_spark.gremlin import G
+    from torcdb_spark.graph import LABEL_TAGS
+    from torcdb_spark.ids import uint128_pair
+
+    g = _graph(spark, sf_dir)
+    ids = [uint128_pair(LABEL_TAGS["customer"], k) for k in range(1, 201)]
+    t = (
+        G(g)
+        .V(*ids)
+        .with_path()
+        .both("fromNation")
+        .both("fromNation")
+        .simple_path()
+        .to_df()
+    )
+    return t.groupBy("start").agg(F.count("*").alias("n")).select(
+        id_lower(F.col("start")).alias("src_key"),
+        F.col("n").cast("long").alias("n"),
+    )
+
+
+@_register(
+    "q6_forecast_revenue",
+    """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+       FROM lineitem
+       WHERE l_shipdate >= DATE '1994-01-01'
+         AND l_shipdate < DATE '1995-01-01'
+         AND l_discount BETWEEN 0.05 AND 0.07
+         AND l_quantity < 24""",
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: pure scan-filter-aggregate. Every predicate reaches the
+    parquet scan as a pushed filter and only 4 columns are read
+    (plan-asserted in tests/test_plans.py) — at 100 TB this is the
+    io-bound shape where pushdown+pruning dominate."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.where(
+            (F.col("l_shipdate") >= F.lit("1994-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2)
+            .alias("revenue")
+        )
+    )
+
+
+@_register(
+    "q_exists_subquery",
+    """SELECT s_suppkey, s_name
+       FROM supplier s
+       WHERE EXISTS (SELECT 1 FROM lineitem l
+                     WHERE l.l_suppkey = s.s_suppkey
+                       AND l.l_returnflag = 'R'
+                       AND l.l_quantity > 45)""",
+)
+def q_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS: suppliers with at least one high-quantity return.
+    Planned as a LEFT SEMI join (one pass over lineitem, no duplicate
+    explosion, map-side broadcast of the small supplier side is left to
+    AQE since lineitem is the probe)."""
+    s = load_table(spark, sf_dir, "supplier")
+    l = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_returnflag") == "R") & (F.col("l_quantity") > 45)
+    )
+    return (
+        s.join(l, s.s_suppkey == l.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name")
+    )
+
+
+@_register(
+    "q_having",
+    """SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n_items,
+              round(sum(l_extendedprice), 2) AS total
+       FROM lineitem
+       GROUP BY l_suppkey
+       HAVING count(*) > 600""",
+)
+def q_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ... HAVING — post-aggregation predicate; partial (map-side)
+    aggregation still applies, the HAVING filter runs after the final
+    merge so it cannot be pushed below the shuffle."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_suppkey")
+        .agg(
+            F.count("*").cast("long").alias("n_items"),
+            F.round(F.sum("l_extendedprice"), 2).alias("total"),
+        )
+        .where(F.col("n_items") > 600)
+    )
