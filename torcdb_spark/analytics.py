@@ -154,28 +154,43 @@ def bfs_distances(
     records depth)."""
     e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
     id_c = "id" if "id" in sources.columns else sources.columns[0]
-    visited = sources.select(F.col(id_c).alias("id")).dropDuplicates(["id"]).withColumn(
-        "distance", F.lit(0)
+    visited = _checkpointed(
+        sources.select(F.col(id_c).alias("id")).dropDuplicates(["id"]).withColumn(
+            "distance", F.lit(0)
+        )
     )
     frontier = visited.select("id")
+    # Checkpointing gives exact frontier/visited counts for free each depth,
+    # so the expansion join and the visited anti-join get an explicit
+    # broadcast hint while the build side is genuinely small — a
+    # narrow-frontier BFS then never shuffles the edge table at all. Past
+    # the threshold (frontier a large graph fraction), fall back to shuffle
+    # joins and let AQE re-plan from runtime sizes.
+    broadcast_threshold = 500_000
+    n_frontier = n_visited = visited.count()
     for depth in range(1, max_depth + 1):
-        # no broadcast hint: the frontier can be a large fraction of the
-        # graph mid-traversal (depth 2 here reaches every lineitem) — AQE
-        # converts to broadcast at runtime when the checkpointed frontier
-        # is actually small, and shuffles when it isn't
+        f = (
+            F.broadcast(frontier)
+            if n_frontier <= broadcast_threshold
+            else frontier
+        )
         nxt = (
-            frontier.join(e, frontier["id"] == e["src"])
+            f.join(e, f["id"] == e["src"])
             .select(F.col("dst").alias("id"))
             .dropDuplicates(["id"])
-            .join(visited.select("id"), "id", "left_anti")
         )
-        nxt = _checkpointed(nxt)
-        if nxt.limit(1).count() == 0:
+        seen = visited.select("id")
+        if n_visited <= broadcast_threshold:
+            seen = F.broadcast(seen)
+        nxt = _checkpointed(nxt.join(seen, "id", "left_anti"))
+        n_frontier = nxt.count()
+        if n_frontier == 0:
             break
         # visited is a union of already-checkpointed frontiers — no
         # re-checkpoint: eagerly copying the whole visited set per depth is
         # O(V·depth) churn; the union plan over cached parents stays flat
         visited = visited.unionByName(nxt.withColumn("distance", F.lit(depth)))
+        n_visited += n_frontier
         frontier = nxt
     return visited
 
