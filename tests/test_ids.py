@@ -59,6 +59,26 @@ def test_decode_rejects_bad_types():
         uint128(3.14)
     with pytest.raises(ValueError):
         uint128(b"x" * 17)
+    with pytest.raises(TypeError):
+        uint128(True)
+
+
+def test_decode_uuid():
+    # UInt128.decode's UUID branch packs (mostSigBits, leastSigBits)
+    # (UInt128.java:224-227) — identical to the UUID's 128-bit integer form.
+    import uuid
+
+    u = uuid.UUID("0123456789abcdef0123456789abcdef")
+    assert uint128(u) == uint128_pair(0x0123456789ABCDEF, 0x0123456789ABCDEF)
+    assert to_uint128(uint128(u)) == u.int
+
+
+def test_decode_biginteger_and_bytearray():
+    # Python int covers the reference's Byte/Short/Integer/Long/BigInteger
+    # decode branches (UInt128.java:205-222) — spot-check each width.
+    for v in (7, 300, 2**31 - 1, 2**63 - 1, 2**100):
+        assert to_uint128(uint128(v)) == v
+    assert uint128(bytearray(b"\x01\x02")) == uint128(b"\x01\x02")
 
 
 def test_id_col_matches_python(spark):

@@ -75,11 +75,11 @@ def test_stateful_user_totals_across_batches(spark, sf_dir, tmp_path_factory):
 
     d = tmp_path_factory.mktemp("events_split")
     ev = load_table(spark, sf_dir, "events")
-    # events_stream expects the fixture's physical layout (ts as nanos
-    # long under the nanosAsLong flag) — write the splits the same way
-    raw = ev.withColumn("ts", F.unix_micros("ts") * 1000)
-    half = raw.where(F.col("event_id") % 2 == 0)
-    other = raw.where(F.col("event_id") % 2 == 1)
+    # load_table already normalized ts to TIMESTAMP; writing it back out
+    # produces micros parquet that events_stream's TimestampType schema
+    # reads with identical values (session TZ is UTC)
+    half = ev.where(F.col("event_id") % 2 == 0)
+    other = ev.where(F.col("event_id") % 2 == 1)
     half.coalesce(1).write.parquet(str(d / "a"))
     other.coalesce(1).write.parquet(str(d / "b"))
     import glob

@@ -119,24 +119,25 @@ def connected_components(
             .groupBy("b")
             .agg(F.min("component").alias("nbr_component"))
         )
+        # Fold convergence detection into the update itself: the join that
+        # produces the new component already sees the old one, so a
+        # ``changed`` flag costs nothing extra. The eager localCheckpoint is
+        # the superstep's one heavy job; the convergence probe then scans
+        # only the checkpointed blocks (no join recompute — previously this
+        # re-ran a state⋈state join per superstep).
+        new_comp = F.least(
+            F.col("component"),
+            F.coalesce(F.col("nbr_component"), F.col("component")),
+        )
         new_state = _checkpointed(
             state.join(nbr_min, state["id"] == nbr_min["b"], "left").select(
                 "id",
-                F.least(
-                    F.col("component"),
-                    F.coalesce(F.col("nbr_component"), F.col("component")),
-                ).alias("component"),
+                new_comp.alias("component"),
+                (new_comp != F.col("component")).alias("_changed"),
             )
         )
-        changed = (
-            new_state.alias("n")
-            .join(state.alias("o"), "id")
-            .where(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
-        state = new_state
-        if changed == 0:
+        state = new_state.select("id", "component")
+        if new_state.where(F.col("_changed")).limit(1).count() == 0:
             break
     und.unpersist()
     return state

@@ -23,12 +23,24 @@ _MASK64 = (1 << 64) - 1
 _MASK128 = (1 << 128) - 1
 
 
-def uint128(value: int | str | bytes) -> bytes:
-    """Decode a value into a 16-byte big-endian id (UInt128.java:203-231)."""
-    if isinstance(value, bytes):
+def uint128(value) -> bytes:
+    """Decode a value into a 16-byte big-endian id (UInt128.java:203-231).
+
+    Accepts every form the reference's decode does: any-width integer
+    (Byte/Short/Integer/Long/BigInteger are all Python ``int``), decimal or
+    ``0x`` hex string, ``uuid.UUID`` (most-significant bits → upper long,
+    UInt128.java:224-227), and raw bytes (≤16, left-padded like the
+    reference's byte[] branch)."""
+    import uuid
+
+    if isinstance(value, bool):
+        raise TypeError("cannot decode bool as UInt128")
+    if isinstance(value, uuid.UUID):
+        return value.int.to_bytes(16, "big")
+    if isinstance(value, (bytes, bytearray)):
         if len(value) > 16:
             raise ValueError(f"byte id longer than 16 bytes: {len(value)}")
-        return value.rjust(16, b"\x00")
+        return bytes(value).rjust(16, b"\x00")
     if isinstance(value, str):
         v = int(value, 16) if value.lower().startswith("0x") else int(value)
         return (v & _MASK128).to_bytes(16, "big")

@@ -531,10 +531,7 @@ def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     invariant to tie-ordering of equal timestamps."""
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts")
-    # events.ts is TIMESTAMP_NTZ in the parquet fixtures; unix_millis only
-    # accepts TIMESTAMP. Session tz is pinned UTC (session.py) so the cast
-    # is an exact epoch interpretation.
-    ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    ms = F.unix_millis("ts")  # ts normalized to TIMESTAMP by load_table
     lag_ms = F.lag(ms).over(w)
     is_new = F.when(lag_ms.isNull() | (ms - lag_ms > 1800000), 1).otherwise(0)
     return (

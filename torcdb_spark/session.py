@@ -47,9 +47,6 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # fixture parquet carries TIMESTAMP(NANOS); read as long, the source
-        # layer converts to timestamp (sources/tables.py TIMESTAMP_COLS)
-        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # local[$CPUS] runs every executor thread inside the driver JVM, so
         # the driver heap is the whole cluster's memory: size it like one.

@@ -33,9 +33,11 @@ TABLE_NAMES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-# The fixtures store TIMESTAMP(NANOS), which Spark's vectorized reader only
-# accepts as long (spark.sql.legacy.parquet.nanosAsLong, set in session.py).
-# Convert nanos→timestamp here so the rest of the engine sees real timestamps.
+# The fixtures store TIMESTAMP(isAdjustedToUTC=false, MICROS), which Spark
+# reads as TIMESTAMP_NTZ. The session timezone is pinned to UTC
+# (session.py), so casting NTZ→TIMESTAMP is value-preserving; doing it once
+# here means every downstream consumer (unix_millis, window(), watermarks,
+# the DuckDB oracle comparison) sees ordinary TIMESTAMP semantics.
 TIMESTAMP_COLS = {
     "orders": ("o_orderdate",),
     "lineitem": ("l_shipdate",),
@@ -50,10 +52,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}; known: {TABLE_NAMES}")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for c in TIMESTAMP_COLS.get(name, ()):
-        if dict(df.dtypes).get(c) == "bigint":
-            df = df.withColumn(
-                c, F.timestamp_micros((F.col(c) / 1000).cast("long"))
-            )
+        if dict(df.dtypes).get(c) == "timestamp_ntz":
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 

@@ -38,18 +38,15 @@ def events_stream(spark: SparkSession, path: str) -> DataFrame:
 
     ``path`` must be a DIRECTORY (the file source lists it for new files —
     symlink a single fixture file into a temp dir for tests).
-    The fixture stores ts as TIMESTAMP(NANOS) which arrives as long under
-    the nanosAsLong flag — normalize to a real timestamp, exactly like the
-    batch source layer."""
-    raw_schema = T.StructType(
-        [f if f.name != "ts" else T.StructField("ts", T.LongType()) for f in EVENT_SCHEMA]
-    )
-    df = (
-        spark.readStream.schema(raw_schema)
+    The fixture stores ts as TIMESTAMP(isAdjustedToUTC=false, MICROS); with
+    the session timezone pinned to UTC, an explicit TimestampType schema
+    reads it with identical values — the streaming analogue of the batch
+    source layer's NTZ→TIMESTAMP normalization (sources/tables.py)."""
+    return (
+        spark.readStream.schema(EVENT_SCHEMA)
         .option("maxFilesPerTrigger", 1)
         .parquet(path)
     )
-    return df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
 
 
 def windowed_counts(

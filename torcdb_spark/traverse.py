@@ -91,10 +91,21 @@ def traverse(
         return hop("dst", "src", "src_label")
     # BOTH: union of both orientations; dedup mirrors the global per-call
     # neighbor dedup (a (src,dst) pair could appear via both orientations
-    # only if the graph holds both directions explicitly).
-    both = hop("src", "dst", "dst_label").unionByName(hop("dst", "src", "src_label"))
-    subset = ["src", "dst"] if not fill_edge else ["src", "dst"]
-    return both.dropDuplicates(subset)
+    # only if the graph holds both directed edges explicitly).
+    out_hop = hop("src", "dst", "dst_label")
+    in_hop = hop("dst", "src", "src_label")
+    if not fill_edge:
+        return out_hop.unionByName(in_hop).dropDuplicates(["src", "dst"])
+    # With edge props the pick must be deterministic: when both directed
+    # edges exist with different props, keep the OUT-orientation row
+    # (min_by on an orientation rank — same single shuffle as
+    # dropDuplicates, but a defined winner instead of an arbitrary one).
+    both = out_hop.withColumn("_orient", F.lit(0)).unionByName(
+        in_hop.withColumn("_orient", F.lit(1))
+    )
+    return both.groupBy("src", "dst").agg(
+        F.min_by("props", "_orient").alias("props")
+    )
 
 
 def v_set(tr: DataFrame) -> DataFrame:
