@@ -182,3 +182,114 @@ def test_v_map_groups(graph, spark):
     assert len(vm) <= 2
     total = sum(len(r.neighbors) for r in vm)
     assert total == tr.count()
+
+
+# ---------------------------------------------------------------------------
+# S6/T8 element APIs: edges_by_key + set_vertex_property cardinalities
+# ---------------------------------------------------------------------------
+
+
+def _mini_graph(spark):
+    from torcdb_spark.graph import PropertyGraph
+    import pyspark.sql.functions as F
+    from torcdb_spark.ids import uint128_pair
+
+    v = spark.createDataFrame(
+        [(uint128_pair(1, i), "person", {"name": f"p{i}"}) for i in range(3)],
+        "id binary, label string, props map<string,string>",
+    )
+    e = spark.createDataFrame(
+        [
+            (uint128_pair(1, 0), "person", uint128_pair(1, 1), "person",
+             "knows", {"w": "1"}),
+            (uint128_pair(1, 1), "person", uint128_pair(1, 2), "person",
+             "knows", {"w": "2"}),
+        ],
+        "src binary, src_label string, dst binary, dst_label string, "
+        "label string, props map<string,string>",
+    )
+    return PropertyGraph(vertices=v, edges=e)
+
+
+def test_edges_by_key_literal_triples(spark):
+    from torcdb_spark.ids import uint128_pair
+
+    g = _mini_graph(spark)
+    rows = g.edges_by_key(
+        [(uint128_pair(1, 0), uint128_pair(1, 1), "knows")]
+    ).collect()
+    assert len(rows) == 1
+    assert rows[0].props["w"] == "1"
+    # wrong label -> no hit; empty key list refuses like the reference
+    assert g.edges_by_key(
+        [(uint128_pair(1, 0), uint128_pair(1, 1), "likes")]
+    ).count() == 0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        g.edges_by_key([])
+
+
+def test_set_vertex_property_single_overwrites(spark):
+    import pyspark.sql.functions as F
+    from torcdb_spark.graph import Cardinality
+    from torcdb_spark.ids import uint128_pair
+    from torcdb_spark import serde
+
+    g = _mini_graph(spark)
+    upd = spark.createDataFrame(
+        [(uint128_pair(1, 0), 41), (uint128_pair(1, 0), 42)],
+        "id binary, value long",
+    )
+    g2 = g.set_vertex_property(upd, "age", Cardinality.SINGLE)
+    row = g2.vertices.where(F.col("id") == uint128_pair(1, 0)).collect()[0]
+    assert serde.decode_value(row.props["age"]) == 42  # last (sorted) wins
+    assert row.props["name"] == "p0"  # untouched keys survive
+    # untouched vertices keep their props
+    other = g2.vertices.where(F.col("id") == uint128_pair(1, 1)).collect()[0]
+    assert "age" not in other.props
+
+
+def test_set_vertex_property_list_appends_and_promotes(spark):
+    import pyspark.sql.functions as F
+    from torcdb_spark.graph import Cardinality
+    from torcdb_spark.ids import uint128_pair
+    from torcdb_spark import serde
+
+    g = _mini_graph(spark)
+    one = spark.createDataFrame(
+        [(uint128_pair(1, 0), 7)], "id binary, value long"
+    )
+    g2 = g.set_vertex_property(one, "score", Cardinality.SINGLE)
+    more = spark.createDataFrame(
+        [(uint128_pair(1, 0), 8), (uint128_pair(1, 0), 9)],
+        "id binary, value long",
+    )
+    # LIST over an existing scalar promotes it (TorcGraph.java:264-283)
+    g3 = g2.set_vertex_property(more, "score", Cardinality.LIST)
+    row = g3.vertices.where(F.col("id") == uint128_pair(1, 0)).collect()[0]
+    assert serde.decode_value(row.props["score"]) == [7, 8, 9]
+
+
+def test_set_vertex_property_set_dedups(spark):
+    import pyspark.sql.functions as F
+    from torcdb_spark.graph import Cardinality
+    from torcdb_spark.ids import uint128_pair
+    from torcdb_spark import serde
+
+    g = _mini_graph(spark)
+    upd = spark.createDataFrame(
+        [(uint128_pair(1, 0), "a"), (uint128_pair(1, 0), "b"),
+         (uint128_pair(1, 0), "a")],
+        "id binary, value string",
+    )
+    g2 = g.set_vertex_property(upd, "tags", Cardinality.SET)
+    row = g2.vertices.where(F.col("id") == uint128_pair(1, 0)).collect()[0]
+    assert serde.decode_value(row.props["tags"]) == ["a", "b"]
+    # SET again with an already-present value -> no-op
+    again = spark.createDataFrame(
+        [(uint128_pair(1, 0), "b")], "id binary, value string"
+    )
+    g3 = g2.set_vertex_property(again, "tags", Cardinality.SET)
+    row = g3.vertices.where(F.col("id") == uint128_pair(1, 0)).collect()[0]
+    assert serde.decode_value(row.props["tags"]) == ["a", "b"]

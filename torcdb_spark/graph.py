@@ -27,6 +27,7 @@ Reference invariants enforced on construction (TorcGraph.java:74-81):
 
 from __future__ import annotations
 
+import enum
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -35,6 +36,16 @@ from pyspark.sql import types as T
 
 from torcdb_spark.ids import id_col
 from torcdb_spark.sources.tables import load_table
+
+
+class Cardinality(enum.Enum):
+    """TinkerPop VertexProperty.Cardinality as honored by the reference's
+    setProperty (TorcGraph.java:1468-1526) and addVertex's repeated-key
+    promotion (TorcGraph.java:264-283)."""
+
+    SINGLE = "single"
+    LIST = "list"
+    SET = "set"
 
 VERTEX_SCHEMA = T.StructType(
     [
@@ -303,6 +314,95 @@ class PropertyGraph:
         if not ids:
             return v
         return v.where(F.col("id").isin([bytes(i) for i in ids]))
+
+    def edges_by_key(self, keys, label: str | None = None) -> DataFrame:
+        """Edge point lookup by (src, dst, label) key — TorcGraph.edges
+        (TorcGraph.java:376-402), which refuses scans and fetches exactly
+        the keyed edge blobs.
+
+        ``keys`` is either a list of ``(src_bytes, dst_bytes, label)``
+        triples (literal point lookups — becomes an OR-of-conjunctions
+        predicate pushed into the edge scan) or a DataFrame with columns
+        ``(src, dst, label)`` (bulk lookup — a broadcast semi-side join,
+        the set-at-a-time form the reference's multiread batching serves).
+        """
+        e = self.edges
+        if label is not None:
+            e = e.where(F.col("label") == label)
+        if isinstance(keys, DataFrame):
+            k = keys.select("src", "dst", "label").dropDuplicates()
+            return e.join(F.broadcast(k), ["src", "dst", "label"], "inner")
+        if not keys:
+            raise ValueError(
+                "edges_by_key requires keys; the reference refuses edge "
+                "scans (TorcGraph.java:400)"
+            )
+        cond = None
+        for s, d, lbl in keys:
+            c = (
+                (F.col("src") == bytes(s))
+                & (F.col("dst") == bytes(d))
+                & (F.col("label") == lbl)
+            )
+            cond = c if cond is None else (cond | c)
+        return e.where(cond)
+
+    def set_vertex_property(
+        self,
+        updates: DataFrame,
+        key: str,
+        cardinality: Cardinality = Cardinality.SINGLE,
+    ) -> "PropertyGraph":
+        """Batch setProperty with cardinality semantics
+        (TorcGraph.java:1468-1526; LIST promotion of a pre-existing scalar
+        mirrors addVertex's repeated-key handling, TorcGraph.java:264-283).
+
+        ``updates`` has columns ``(id, value)``; value may be any of the
+        five reference types (int/long/string, array, map — serialized
+        through the tagged serde codec, TorcHelper.java:92-215). Multiple
+        rows per id are folded in sorted-value order (a batch API has no
+        call order; sorting makes the fold deterministic).
+
+        Plan shape: one groupBy of the updates (small side), one left join
+        against the vertex set, and the serde merge as an Arrow-batched UDF
+        evaluated only on matched rows — the vertex scan itself stays
+        JVM-side.
+        """
+        from torcdb_spark import serde
+
+        vals = F.collect_list("value")
+        if not dict(updates.dtypes)["value"].startswith("map"):
+            # maps aren't orderable in Spark — map-valued batches keep
+            # arrival order (callers should supply one map per id)
+            vals = F.sort_array(vals)
+        upd = (
+            updates.select("id", "value")
+            .groupBy("id")
+            .agg(vals.alias("_new_vals"))
+        )
+        v = self.vertices.join(upd, "id", "left")
+        merged = serde.merge_prop_col(
+            F.col("props").getItem(key), F.col("_new_vals"),
+            cardinality.value,
+        )
+        new_props = F.when(
+            F.col("_new_vals").isNull(), F.col("props")
+        ).otherwise(
+            F.map_concat(
+                F.map_filter(
+                    F.coalesce(
+                        F.col("props"),
+                        F.create_map().cast("map<string,string>"),
+                    ),
+                    lambda k, _: k != F.lit(key),
+                ),
+                F.create_map(F.lit(key), merged),
+            )
+        )
+        return PropertyGraph(
+            vertices=v.select("id", "label", new_props.alias("props")),
+            edges=self.edges,
+        )
 
     def add_vertices(self, new: DataFrame) -> "PropertyGraph":
         """Batch addVertex (TorcGraph.java:242-313) as an append."""

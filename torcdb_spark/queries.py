@@ -1746,3 +1746,121 @@ def q_having(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n_items") > 600)
     )
+
+
+# ---------------------------------------------------------------------------
+# S6 / T8 element APIs: edge point-lookup, setProperty with cardinality,
+# five-type serde round-trip (TorcGraph.java:376-402, 1468-1526;
+# TorcHelper.java:92-215)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "s6_edges_by_key",
+    """SELECT o_custkey AS c_custkey, o_orderkey, round(o_totalprice, 2) AS totalprice
+       FROM orders WHERE o_orderkey <= 100""",
+)
+def s6_edges_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bulk edge point-lookup (TorcGraph.edges, TorcGraph.java:376-402):
+    fetch exactly the keyed (customer)-[placed]->(order) edges and read an
+    edge property back. The key set travels as a broadcast join against the
+    label-pruned edge scan — the set-at-a-time form of the reference's
+    multiread edge fetch."""
+    from torcdb_spark.graph import LABEL_TAGS
+    from torcdb_spark.ids import id_col
+
+    g = _graph(spark, sf_dir)
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") <= 100)
+    keys = o.select(
+        id_col(LABEL_TAGS["customer"], F.col("o_custkey")).alias("src"),
+        id_col(LABEL_TAGS["order"], F.col("o_orderkey")).alias("dst"),
+        F.lit("placed").alias("label"),
+    )
+    return g.edges_by_key(keys).select(
+        id_lower(F.col("src")).alias("c_custkey"),
+        id_lower(F.col("dst")).alias("o_orderkey"),
+        F.round(F.col("props")["totalprice"].cast("double"), 2).alias("totalprice"),
+    )
+
+
+@_register(
+    "t9_props_list_roundtrip",
+    """SELECT o_custkey AS c_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+              CAST(min(o_orderkey) AS BIGINT) AS min_ok,
+              CAST(max(o_orderkey) AS BIGINT) AS max_ok
+       FROM orders GROUP BY o_custkey""",
+)
+def t9_props_list_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIST-cardinality setProperty round-trip through the five-type serde
+    (TorcGraph.java:1468-1526; TorcHelper LIST codec, TorcHelper.java:166-181):
+    append every order key to its customer's ``order_keys`` LIST property,
+    then hydrate via fill_properties and decode — the aggregate of the
+    decoded lists must equal the aggregate of the source table, proving the
+    values survived encode → merge → store → decode exactly."""
+    from torcdb_spark import serde
+    from torcdb_spark.graph import Cardinality, LABEL_TAGS
+    from torcdb_spark.ids import id_col
+
+    g = _graph(spark, sf_dir)
+    o = load_table(spark, sf_dir, "orders")
+    upd = o.select(
+        id_col(LABEL_TAGS["customer"], F.col("o_custkey")).alias("id"),
+        F.col("o_orderkey").alias("value"),
+    )
+    g2 = g.set_vertex_property(upd, "order_keys", Cardinality.LIST)
+    hydrated = fill_properties(
+        upd.select("id").dropDuplicates(["id"]), g2.vertices,
+        keys=["order_keys"], labels=["customer"],
+    )
+    ok = F.explode(
+        serde.prop_list_col(F.col("props")["order_keys"])
+    ).alias("ok")
+    return (
+        hydrated.select(id_lower(F.col("id")).alias("c_custkey"), ok)
+        .select("c_custkey", F.col("ok").cast("long").alias("ok"))
+        .groupBy("c_custkey")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.min("ok").alias("min_ok"),
+            F.max("ok").alias("max_ok"),
+        )
+    )
+
+
+@_register(
+    "t10_props_map_roundtrip",
+    """SELECT o_custkey AS c_custkey, o_orderstatus, CAST(count(*) AS BIGINT) AS n
+       FROM orders GROUP BY o_custkey, o_orderstatus""",
+)
+def t10_props_map_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAP-valued property round-trip (TorcHelper MAP codec,
+    TorcHelper.java:183-215): store each customer's per-status order counts
+    as one MAP property, hydrate, decode, explode back to rows — must equal
+    the relational GROUP BY it was built from."""
+    from torcdb_spark import serde
+    from torcdb_spark.graph import Cardinality, LABEL_TAGS
+    from torcdb_spark.ids import id_col
+
+    g = _graph(spark, sf_dir)
+    o = load_table(spark, sf_dir, "orders")
+    per = o.groupBy("o_custkey", "o_orderstatus").agg(F.count("*").alias("cnt"))
+    upd = (
+        per.groupBy("o_custkey")
+        .agg(
+            F.map_from_entries(
+                F.sort_array(F.collect_list(F.struct("o_orderstatus", "cnt")))
+            ).alias("value")
+        )
+        .select(
+            id_col(LABEL_TAGS["customer"], F.col("o_custkey")).alias("id"),
+            "value",
+        )
+    )
+    g2 = g.set_vertex_property(upd, "status_counts", Cardinality.SINGLE)
+    hydrated = fill_properties(
+        upd.select("id"), g2.vertices, keys=["status_counts"], labels=["customer"]
+    )
+    kv = F.explode(serde.prop_map_col(F.col("props")["status_counts"]))
+    return hydrated.select(
+        id_lower(F.col("id")).alias("c_custkey"), kv.alias("o_orderstatus", "n")
+    ).select("c_custkey", "o_orderstatus", F.col("n").cast("long").alias("n"))

@@ -21,6 +21,8 @@ delimiters round-trip exactly.
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf resolves stringified type hints
+
 INT_MIN, INT_MAX = -(1 << 31), (1 << 31) - 1
 LONG_MIN, LONG_MAX = -(1 << 63), (1 << 63) - 1
 
@@ -70,6 +72,137 @@ def encode_long_as_int_preference(v: int) -> str:
 
 def _prefixed(payload: str) -> str:
     return f"{len(payload)}|{payload}"
+
+
+# ---------------------------------------------------------------------------
+# Column-side codec (Arrow-batched pandas UDFs)
+#
+# The tagged format is not JVM-expressible without a custom Catalyst
+# expression, so the column forms are vectorized pandas UDFs. They run only
+# on the property-update path (the updates side of set_vertex_property — a
+# small fraction of the vertex set) and on explicit decode projections of
+# query results, never inside a scan/join hot path.
+# ---------------------------------------------------------------------------
+
+
+def normalize_py(v):
+    """Coerce Arrow/pandas representations to the five reference types:
+    numpy ints → int, numpy str → str, ndarray/list → list, MapType rows
+    (list of (k, v) tuples) and dicts → dict."""
+    import numpy as np
+
+    if v is None:
+        return None
+    if isinstance(v, (bool,)):
+        raise TypeError("boolean is not a reference property type")
+    if isinstance(v, np.integer):
+        return int(v)
+    if isinstance(v, np.str_):
+        return str(v)
+    if isinstance(v, dict):
+        return {normalize_py(k): normalize_py(x) for k, x in v.items()}
+    if isinstance(v, np.ndarray):
+        v = v.tolist()
+    if isinstance(v, (list, tuple)):
+        # Arrow renders MAP columns as a list of (key, value) 2-tuples
+        if v and all(isinstance(e, tuple) and len(e) == 2 for e in v):
+            return {normalize_py(k): normalize_py(x) for k, x in v}
+        return [normalize_py(e) for e in v]
+    return v
+
+
+def as_value(s: str):
+    """Interpret a stored props-map entry: tagged strings decode through the
+    codec; untagged strings (the raw values `from_tables` writes) are plain
+    STRINGs. A raw string that happens to look tagged (e.g. user data
+    ``"i:5"``) would mis-decode — set_vertex_property-managed keys must not
+    alias raw-cast keys (documented contract, enforced nowhere cheaper)."""
+    if len(s) >= 2 and s[1] == ":" and s[0] in "ilsLM":
+        return decode_value(s)
+    return s
+
+
+def _stringify(v) -> str:
+    return v if isinstance(v, str) else str(v)
+
+
+def prop_list_col(c):
+    """Decode a tagged LIST property column → array<string> (elements
+    stringified). Untagged/scalar values become 1-element arrays; NULL stays
+    NULL."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<string>")
+    def _dec(s: pd.Series) -> pd.Series:
+        def one(x):
+            if x is None:
+                return None
+            v = as_value(x)
+            return [_stringify(e) for e in v] if isinstance(v, list) else [_stringify(v)]
+
+        return s.map(one)
+
+    return _dec(c)
+
+
+def prop_map_col(c):
+    """Decode a tagged MAP property column → map<string,string>."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("map<string,string>")
+    def _dec(s: pd.Series) -> pd.Series:
+        def one(x):
+            if x is None:
+                return None
+            v = as_value(x)
+            if not isinstance(v, dict):
+                raise ValueError(f"not a MAP property: {x[:32]!r}")
+            return {_stringify(k): _stringify(val) for k, val in v.items()}
+
+        return s.map(one)
+
+    return _dec(c)
+
+
+def merge_prop_col(existing, new_values, cardinality: str):
+    """Fold a batch of new values into an existing tagged property value
+    under TinkerPop cardinality semantics (TorcGraph.java:1468-1526;
+    repeated-key-to-list in addVertex, TorcGraph.java:264-283):
+
+    - single: last value wins (batch folds left-to-right over the sorted
+      values, so the max sorts last — deterministic);
+    - list: append each value; a pre-existing scalar is promoted to a
+      1-element list first (the reference's repeated-key promotion);
+    - set: append only values not already present.
+
+    ``existing`` is the current tagged-or-raw value (NULL if unset);
+    ``new_values`` an array column of this batch's values for the key.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    if cardinality not in ("single", "list", "set"):
+        raise ValueError(f"unknown cardinality {cardinality!r}")
+
+    @pandas_udf("string")
+    def _merge(ex: pd.Series, nv: pd.Series) -> pd.Series:
+        def one(x, vals):
+            vals = [normalize_py(v) for v in (vals if vals is not None else [])]
+            if not vals:
+                return x
+            if cardinality == "single":
+                return encode_value(vals[-1])
+            cur = [] if x is None else (
+                v if isinstance(v := as_value(x), list) else [v]
+            )
+            for v in vals:
+                if cardinality == "set" and v in cur:
+                    continue
+                cur.append(v)
+            return encode_value(cur)
+
+        return pd.Series([one(x, v) for x, v in zip(ex, nv)])
+
+    return _merge(existing, new_values)
 
 
 def _take_prefixed(s: str) -> tuple[str, str]:
