@@ -128,3 +128,95 @@ def test_path_terminal_shape(graph):
     )
     assert len(rows) == 1
     assert len(rows[0].path) == 2  # [start, nation]
+
+
+# ---------------------------------------------------------------------------
+# Round-2 step completeness: bothE, where/and/or/not, as/select,
+# order().by(property), path across union
+# ---------------------------------------------------------------------------
+
+
+def test_both_e_sees_both_orientations(spark, graph):
+    from torcdb_spark.gremlin import G
+
+    n_nation = graph.vertices.where("label='nation'").count()
+    t = G(graph).V().has_label("nation", "region").both_e("inRegion")
+    # each nation contributes 1 (src side), each region its member nations
+    assert t.count() == 2 * n_nation
+
+
+def test_where_and_or_not(spark, graph):
+    import pyspark.sql.functions as F
+    from torcdb_spark.gremlin import G
+
+    base = G(graph).V().has_label("customer")
+    n_total = base.count()
+    with_orders = base.where_(lambda t: t.out("placed")).count()
+    without = base.not_(lambda t: t.out("placed")).count()
+    assert with_orders + without == n_total
+    # and_ of the same predicate twice == where_ once
+    assert base.and_(
+        lambda t: t.out("placed"), lambda t: t.out("placed")
+    ).count() == with_orders
+    # or_ of (has orders, has no orders) == everything
+    assert base.or_(
+        lambda t: t.out("placed"),
+        lambda t: t.not_(lambda u: u.out("placed")),
+    ).count() == n_total
+
+
+def test_as_select_roundtrip(spark, graph):
+    from torcdb_spark.gremlin import G
+    import pyspark.sql.functions as F
+
+    sel = (
+        G(graph).V().has_label("nation").as_("n")
+        .out("inRegion").as_("r")
+        .select("n", "r")
+    )
+    rows = sel.count()
+    assert rows == graph.vertices.where("label='nation'").count()
+    # select_ jumps the traverser back: n -> r -> back to n
+    t = (
+        G(graph).V().has_label("nation").as_("n")
+        .out("inRegion").select_("n")
+    )
+    got = t.to_df().select("current").dropDuplicates().count()
+    assert got == rows
+
+
+def test_order_by_values_with_tiebreak(spark, graph):
+    from torcdb_spark.gremlin import G
+    from torcdb_spark.ids import id_lower
+    import pyspark.sql.functions as F
+
+    t = (
+        G(graph).V().has_label("customer")
+        .order_by_values("c_acctbal", ascending=False, cast="double")
+        .limit(5)
+    )
+    got = {r.k for r in t._df.select(id_lower(F.col("_cur")).alias("k")).collect()}
+    exp_df = (
+        graph.vertices.where("label='customer'")
+        .select(
+            id_lower(F.col("id")).alias("k"),
+            F.col("props")["c_acctbal"].cast("double").alias("b"),
+        )
+        .orderBy(F.desc("b"), F.asc("k"))
+        .limit(5)
+    )
+    assert got == {r.k for r in exp_df.collect()}
+
+
+def test_path_survives_union_and_as_labels(spark, graph):
+    from torcdb_spark.gremlin import G
+
+    t = (
+        G(graph).V().has_label("nation").with_path().as_("n")
+        .union(lambda x: x.in_("fromNation"), lambda x: x.in_("suppFromNation"))
+    )
+    df = t._df
+    assert "_path" in df.columns and "_as_n" in df.columns
+    p = t.path()
+    sizes = {r[0] for r in p.select(__import__("pyspark.sql.functions", fromlist=["size"]).size("path")).distinct().collect()}
+    assert sizes == {2}

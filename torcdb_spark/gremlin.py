@@ -66,12 +66,16 @@ class GraphTraversal:
             h = orient("src", "dst").unionByName(orient("dst", "src")) \
                 .dropDuplicates(["_hop_src", "_nbr"])
         joined = self._df.join(h, self._df["_cur"] == h["_hop_src"])
-        cols = [F.col("_start"), F.col("_nbr").alias("_cur")]
+        cols = [F.col("_start"), F.col("_nbr").alias("_cur"), *self._carry()]
         if "_path" in self._df.columns:
             cols.append(
                 F.concat(F.col("_path"), F.array(F.col("_nbr"))).alias("_path")
             )
         return GraphTraversal(self._g, joined.select(*cols))
+
+    def _carry(self) -> list[Column]:
+        """Frame columns that ride along through hops: as_() step labels."""
+        return [F.col(c) for c in self._df.columns if c.startswith("_as_")]
 
     def out(self, *labels: str) -> "GraphTraversal":
         return self._hop(Direction.OUT, *labels)
@@ -98,7 +102,8 @@ class GraphTraversal:
             F.col(far).alias("_edst"),
             F.col("props").alias("_eprops"),
         )
-        cols = [F.col("_start"), F.col("_cur"), F.col("_edst"), F.col("_eprops")]
+        cols = [F.col("_start"), F.col("_cur"), F.col("_edst"),
+                F.col("_eprops"), *self._carry()]
         if "_path" in self._df.columns:
             cols.append(F.col("_path"))
         joined = self._df.join(h, self._df["_cur"] == h["_hop_src"]).select(*cols)
@@ -109,6 +114,31 @@ class GraphTraversal:
 
     def in_e(self, *labels: str) -> "GraphTraversal":
         return self._hop_e(Direction.IN, *labels)
+
+    def both_e(self, *labels: str) -> "GraphTraversal":
+        """bothE: incident edges regardless of direction — TorcVertexStep's
+        BOTH edge mode (TorcVertexStep.java:59-66). The two orientations are
+        unioned; an edge between two frontier vertices yields one traverser
+        per endpoint, matching TinkerPop (no per-pair dedup here — the edge
+        is incident to each endpoint separately)."""
+        if not labels:
+            raise ValueError("edge label required (TorcGraph.java:853-859)")
+        e = self._g.edges.where(F.col("label").isin(list(labels)))
+
+        def orient(near: str, far: str) -> DataFrame:
+            return e.select(
+                F.col(near).alias("_hop_src"),
+                F.col(far).alias("_edst"),
+                F.col("props").alias("_eprops"),
+            )
+
+        h = orient("src", "dst").unionByName(orient("dst", "src"))
+        cols = [F.col("_start"), F.col("_cur"), F.col("_edst"),
+                F.col("_eprops"), *self._carry()]
+        if "_path" in self._df.columns:
+            cols.append(F.col("_path"))
+        joined = self._df.join(h, self._df["_cur"] == h["_hop_src"]).select(*cols)
+        return GraphTraversal(self._g, joined)
 
     def has_edge(self, key: str, predicate) -> "GraphTraversal":
         """Filter on an edge property of the current outE/inE frame;
@@ -125,7 +155,7 @@ class GraphTraversal:
         after inE — the stored frame already holds the far side)."""
         if "_edst" not in self._df.columns:
             raise ValueError("in_v/out_v requires a preceding out_e/in_e step")
-        cols = [F.col("_start"), F.col("_edst").alias("_cur")]
+        cols = [F.col("_start"), F.col("_edst").alias("_cur"), *self._carry()]
         if "_path" in self._df.columns:
             cols.append(
                 F.concat(F.col("_path"), F.array(F.col("_edst"))).alias("_path")
@@ -151,6 +181,89 @@ class GraphTraversal:
     def dedup(self) -> "GraphTraversal":
         return GraphTraversal(self._g, self._df.dropDuplicates(["_start", "_cur"]))
 
+    # -- traversal-filter composition (where/and/or/not) --------------------
+
+    def _match_set(self, step_fn) -> DataFrame:
+        """Distinct current vertices from which ``step_fn``'s sub-traversal
+        yields at least one traverser. The sub-traversal outcome depends
+        only on the element it starts from, so it runs ONCE over the
+        distinct ``_cur`` set (not per traverser) and the result drives a
+        semi/anti join — set-at-a-time, like every other operator here."""
+        seeds = self._df.select(F.col("_cur").alias("id")).dropDuplicates(["id"])
+        sub = step_fn(GraphTraversal(
+            self._g,
+            seeds.select(F.col("id").alias("_start"), F.col("id").alias("_cur")),
+        ))
+        return sub._df.select(F.col("_start").alias("_m")).dropDuplicates(["_m"])
+
+    def where_(self, step_fn) -> "GraphTraversal":
+        """Gremlin ``where(traversal)``: keep traversers whose sub-traversal
+        produces at least one result (TinkerPop filter semantics)."""
+        m = self._match_set(step_fn)
+        return GraphTraversal(
+            self._g, self._df.join(m, self._df["_cur"] == m["_m"], "left_semi")
+        )
+
+    def not_(self, step_fn) -> "GraphTraversal":
+        """Gremlin ``not(traversal)``: keep traversers whose sub-traversal
+        is empty — compiles to a LEFT ANTI join."""
+        m = self._match_set(step_fn)
+        return GraphTraversal(
+            self._g, self._df.join(m, self._df["_cur"] == m["_m"], "left_anti")
+        )
+
+    def and_(self, *step_fns) -> "GraphTraversal":
+        """Gremlin ``and(a, b, …)``: every sub-traversal must match —
+        a chain of semi-joins."""
+        if not step_fns:
+            raise ValueError("and_ requires at least one sub-traversal")
+        t = self
+        for fn in step_fns:
+            t = t.where_(fn)
+        return t
+
+    def or_(self, *step_fns) -> "GraphTraversal":
+        """Gremlin ``or(a, b, …)``: at least one sub-traversal matches —
+        the union of the match sets drives one semi-join."""
+        if not step_fns:
+            raise ValueError("or_ requires at least one sub-traversal")
+        m = self._match_set(step_fns[0])
+        for fn in step_fns[1:]:
+            m = m.unionByName(self._match_set(fn)).dropDuplicates(["_m"])
+        return GraphTraversal(
+            self._g, self._df.join(m, self._df["_cur"] == m["_m"], "left_semi")
+        )
+
+    # -- as()/select() step labels ------------------------------------------
+
+    def as_(self, name: str) -> "GraphTraversal":
+        """Label the current element (TinkerPop ``as('x')``) — materialized
+        as an extra frame column, O(1) per traverser."""
+        return GraphTraversal(
+            self._g, self._df.withColumn(f"_as_{name}", F.col("_cur"))
+        )
+
+    def select_(self, name: str) -> "GraphTraversal":
+        """``select('x')`` as a traversal step: jump the traverser back to
+        the element labeled ``name`` (TinkerPop select-one semantics)."""
+        col = f"_as_{name}"
+        if col not in self._df.columns:
+            raise ValueError(f"no as_({name!r}) label on this traversal")
+        cols = [F.col(c) for c in self._df.columns if c != "_cur"]
+        return GraphTraversal(
+            self._g, self._df.select(*cols, F.col(col).alias("_cur"))
+        )
+
+    def select(self, *names: str) -> DataFrame:
+        """Terminal multi-select: one column per label (TinkerPop
+        ``select('a', 'b')`` projection of the path bindings)."""
+        missing = [n for n in names if f"_as_{n}" not in self._df.columns]
+        if missing:
+            raise ValueError(f"no as_() label(s): {missing}")
+        return self._df.select(
+            *[F.col(f"_as_{n}").alias(n) for n in names]
+        )
+
     # -- branch / loop / path steps ----------------------------------------
 
     def repeat(self, step_fn, times: int) -> "GraphTraversal":
@@ -171,10 +284,17 @@ class GraphTraversal:
     def union(self, *step_fns) -> "GraphTraversal":
         """Gremlin ``union(a, b, ...)``: run each sub-traversal from the
         current frame and pool the traversers (bag semantics — duplicates
-        kept, as in TinkerPop; follow with dedup() for set semantics)."""
+        kept, as in TinkerPop; follow with dedup() for set semantics).
+        Path tracking (`_path`) and step labels (`_as_*`) present on the
+        incoming frame survive the union — every step preserves them, so
+        each branch frame still carries them."""
         if not step_fns:
             raise ValueError("union requires at least one sub-traversal")
-        frames = [step_fn(self)._df.select("_start", "_cur") for step_fn in step_fns]
+        keep = ["_start", "_cur"] + [
+            c for c in self._df.columns
+            if c == "_path" or c.startswith("_as_")
+        ]
+        frames = [step_fn(self)._df.select(*keep) for step_fn in step_fns]
         out = frames[0]
         for f in frames[1:]:
             out = out.unionByName(f)
@@ -239,6 +359,22 @@ class GraphTraversal:
 
     def order_by(self, col: Column | str, ascending: bool = True) -> "GraphTraversal":
         df = self._df.orderBy(F.asc(col) if ascending else F.desc(col))
+        return GraphTraversal(self._g, df)
+
+    def order_by_values(
+        self, key: str, ascending: bool = True, cast: str | None = None
+    ) -> "GraphTraversal":
+        """``order().by('prop')`` — order traversers by a property of the
+        current vertex (TinkerPop by(key) modulator). One hydration join,
+        then a sort; ties broken by the element id so the order is total
+        and deterministic. ``cast`` coerces the stored string value
+        (e.g. 'double' for numeric sorts)."""
+        v = self._g.vertices.select("id", F.col("props")[key].alias("_ord"))
+        val = F.col("_ord").cast(cast) if cast else F.col("_ord")
+        joined = self._df.join(v, self._df["_cur"] == v["id"])
+        df = joined.orderBy(
+            val.asc() if ascending else val.desc(), F.col("_cur").asc()
+        ).select(*[F.col(c) for c in self._df.columns])
         return GraphTraversal(self._g, df)
 
     def limit(self, n: int) -> "GraphTraversal":

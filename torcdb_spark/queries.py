@@ -1864,3 +1864,137 @@ def t10_props_map_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hydrated.select(
         id_lower(F.col("id")).alias("c_custkey"), kv.alias("o_orderstatus", "n")
     ).select("c_custkey", "o_orderstatus", F.col("n").cast("long").alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# Gremlin step completeness: bothE, where/not, as/select, order().by(prop),
+# path() across union (TorcVertexStep.java:59-66; TinkerPop filter/select
+# semantics)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "g_gremlin_both_e",
+    """SELECT n_nationkey AS start_key, n_regionkey AS far_key FROM nation
+       UNION ALL
+       SELECT n_regionkey AS start_key, n_nationkey AS far_key FROM nation""",
+)
+def g_gremlin_both_e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bothE from the nation ∪ region vertex set over inRegion edges: every
+    nation sees its edge from the src side, every region from the dst side
+    (TorcVertexStep BOTH edge mode, TorcVertexStep.java:59-66)."""
+    from torcdb_spark.gremlin import G
+
+    g = _graph(spark, sf_dir)
+    t = G(g).V().has_label("nation", "region").both_e("inRegion")
+    return t._df.select(
+        id_lower(F.col("_cur")).alias("start_key"),
+        id_lower(F.col("_edst")).alias("far_key"),
+    )
+
+
+@_register(
+    "g_gremlin_where_not",
+    """SELECT c.c_custkey, CASE WHEN EXISTS
+         (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+         THEN 'has_orders' ELSE 'no_orders' END AS bucket
+       FROM customer c""",
+)
+def g_gremlin_where_not(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """where(out('placed')) and not(out('placed')) partition the customer
+    set — the traversal-filter composition TinkerPop's WhereTraversalStep
+    provides; compiled to one LEFT SEMI and one LEFT ANTI join against the
+    same distinct-seed sub-traversal."""
+    from torcdb_spark.gremlin import G
+
+    g = _graph(spark, sf_dir)
+    base = G(g).V().has_label("customer")
+    with_orders = base.where_(lambda t: t.out("placed")).to_df().select(
+        id_lower(F.col("current")).alias("c_custkey"),
+        F.lit("has_orders").alias("bucket"),
+    )
+    without = base.not_(lambda t: t.out("placed")).to_df().select(
+        id_lower(F.col("current")).alias("c_custkey"),
+        F.lit("no_orders").alias("bucket"),
+    )
+    return with_orders.unionByName(without)
+
+
+@_register(
+    "g_gremlin_select",
+    """SELECT o_custkey AS c_custkey, o_orderkey FROM orders""",
+)
+def g_gremlin_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """as('c').out('placed').as('o').select('c','o') — step labels survive
+    the hop as frame columns; the terminal select projects the bindings
+    (TinkerPop SelectStep)."""
+    from torcdb_spark.gremlin import G
+
+    g = _graph(spark, sf_dir)
+    sel = (
+        G(g).V().has_label("customer").as_("c")
+        .out("placed").as_("o")
+        .select("c", "o")
+    )
+    return sel.select(
+        id_lower(F.col("c")).alias("c_custkey"),
+        id_lower(F.col("o")).alias("o_orderkey"),
+    )
+
+
+@_register(
+    "g_gremlin_order_by_prop",
+    """SELECT c_custkey, round(CAST(c_acctbal AS DOUBLE), 2) AS acctbal
+       FROM customer
+       ORDER BY CAST(c_acctbal AS DOUBLE) DESC, c_custkey ASC LIMIT 10""",
+)
+def g_gremlin_order_by_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """order().by('c_acctbal', desc).limit(10) — property-valued ordering
+    with an id tiebreak so the selected top-k set is deterministic."""
+    from torcdb_spark.gremlin import G
+
+    g = _graph(spark, sf_dir)
+    t = (
+        G(g).V().has_label("customer")
+        .order_by_values("c_acctbal", ascending=False, cast="double")
+        .limit(10)
+    )
+    hydrated = fill_properties(
+        t._df.select(F.col("_cur").alias("id")), g.vertices,
+        keys=["c_acctbal"], labels=["customer"],
+    )
+    return hydrated.select(
+        id_lower(F.col("id")).alias("c_custkey"),
+        F.round(F.col("props")["c_acctbal"].cast("double"), 2).alias("acctbal"),
+    )
+
+
+@_register(
+    "g_gremlin_union_path",
+    """SELECT c_nationkey AS n_nationkey, c_custkey AS member_key,
+              CAST(2 AS BIGINT) AS path_len
+       FROM customer
+       UNION ALL
+       SELECT s_nationkey, s_suppkey, CAST(2 AS BIGINT) FROM supplier""",
+)
+def g_gremlin_union_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """path() AFTER union(): path tracking must survive the branch pooling
+    (the round-1 implementation dropped `_path` across union). Each nation
+    fans out to its customers and its suppliers; every traverser's path is
+    (nation, member)."""
+    from torcdb_spark.gremlin import G
+
+    g = _graph(spark, sf_dir)
+    t = (
+        G(g).V().has_label("nation").with_path()
+        .union(
+            lambda x: x.in_("fromNation"),
+            lambda x: x.in_("suppFromNation"),
+        )
+    )
+    p = t.path()
+    return p.select(
+        id_lower(F.col("path")[0]).alias("n_nationkey"),
+        id_lower(F.col("path")[1]).alias("member_key"),
+        F.size(F.col("path")).cast("long").alias("path_len"),
+    )
