@@ -317,3 +317,112 @@ def test_ivf_topk_recall(spark, sf_dir):
     a2 = {(r.query_id, r.neighbor_id)
           for r in ivf_topk(emb, q, k=5, num_centroids=8, nprobe=4).collect()}
     assert a == a2
+
+
+# ---------------------------------------------------------------------------
+# Real image decode kernels (PPM/BMP, pure numpy) — contract tests
+# ---------------------------------------------------------------------------
+
+
+def _ppm_bytes(pixels):
+    """Build a P6 PPM from an (h, w, 3) uint8 array."""
+    import numpy as np
+
+    arr = np.asarray(pixels, dtype=np.uint8)
+    h, w, _ = arr.shape
+    return b"P6\n# test\n%d %d\n255\n" % (w, h) + arr.tobytes()
+
+
+def _bmp_bytes(pixels):
+    """Build an uncompressed 24-bit bottom-up BMP from (h, w, 3) RGB."""
+    import numpy as np
+
+    arr = np.asarray(pixels, dtype=np.uint8)
+    h, w, _ = arr.shape
+    stride = (w * 3 + 3) & ~3
+    body = b""
+    for r in range(h - 1, -1, -1):  # bottom-up
+        row = arr[r][:, [2, 1, 0]].tobytes()  # RGB->BGR
+        body += row + b"\x00" * (stride - len(row))
+    off = 14 + 40
+    size = off + len(body)
+    hdr = (b"BM" + size.to_bytes(4, "little") + b"\x00" * 4
+           + off.to_bytes(4, "little")
+           + (40).to_bytes(4, "little")
+           + w.to_bytes(4, "little", signed=True)
+           + h.to_bytes(4, "little", signed=True)
+           + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+           + (0).to_bytes(4, "little") + len(body).to_bytes(4, "little")
+           + b"\x00" * 16)
+    return hdr + body
+
+
+def _test_pixels():
+    import numpy as np
+
+    return np.array(
+        [[[255, 0, 0], [0, 255, 0], [0, 0, 255]],
+         [[10, 20, 30], [40, 50, 60], [70, 80, 90]]],
+        dtype=np.uint8,
+    )
+
+
+def test_decode_image_ppm_and_bmp_exact():
+    import numpy as np
+    from torcdb_spark.operators.multimodal import decode_image
+
+    px = _test_pixels()
+    np.testing.assert_array_equal(decode_image(_ppm_bytes(px)), px)
+    np.testing.assert_array_equal(decode_image(_bmp_bytes(px)), px)
+
+
+def test_decode_image_rejects_unknown_format():
+    import pytest
+    from torcdb_spark.operators.multimodal import decode_image
+
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG\r\n\x1a\n....")
+    with pytest.raises(ValueError):
+        decode_image(_ppm_bytes(_test_pixels())[:-3])  # truncated body
+
+
+def test_resize_nearest_shapes_and_values():
+    import numpy as np
+    from torcdb_spark.operators.multimodal import resize_nearest
+
+    px = _test_pixels()
+    up = resize_nearest(px, 4, 6)
+    assert up.shape == (4, 6, 3)
+    # 2x upscale replicates each source pixel
+    np.testing.assert_array_equal(up[0, 0], px[0, 0])
+    np.testing.assert_array_equal(up[3, 5], px[1, 2])
+    down = resize_nearest(up, 2, 3)
+    np.testing.assert_array_equal(down, px)
+
+
+def test_decode_and_featurize_spark_path(spark):
+    """End-to-end through mapInPandas: real decode of PPM + BMP payloads,
+    NULL-features row for an undecodable payload (batch must not fail)."""
+    import numpy as np
+    from torcdb_spark.operators.multimodal import MEDIA_SCHEMA, decode_and_featurize
+
+    px = _test_pixels()
+    rows = [
+        (1, bytearray(_ppm_bytes(px)), "image/x-portable-pixmap", None, None, None),
+        (2, bytearray(_bmp_bytes(px)), "image/bmp", None, None, None),
+        (3, bytearray(b"GIF89a not supported"), "image/gif", None, None, None),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r.media_id: r for r in decode_and_featurize(media).collect()}
+    exp_mean = {c: round(float(px[:, :, i].astype(np.float64).mean()), 4)
+                for i, c in enumerate(("mean_r", "mean_g", "mean_b"))}
+    for mid in (1, 2):
+        r = out[mid]
+        assert (r.width, r.height, r.channels) == (3, 2, 3)
+        assert r.mean_r == exp_mean["mean_r"]
+        assert r.mean_g == exp_mean["mean_g"]
+        assert r.mean_b == exp_mean["mean_b"]
+        assert abs(sum(r.luma_hist) - 1.0) < 1e-6
+        assert r.decode_err is None
+    assert out[3].decode_err == "NotImplementedError"
+    assert out[3].width is None

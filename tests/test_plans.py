@@ -128,3 +128,36 @@ def test_exists_plans_as_semi_join(spark, sf_dir):
     df = _QUERIES["q_exists_subquery"](spark, sf_dir)
     plan = explain_str(df, "simple")
     assert "LeftSemi" in plan
+
+
+def test_bucketed_traverse_is_exchange_free(spark, sf_dir, tmp_path):
+    """The bucketed layout (write_graph_bucketed) pre-pays the edge shuffle
+    at write time: a frontier drawn from the id-bucketed vertex table
+    joined against the src-bucketed edge table must plan with ZERO
+    exchanges — the 100 TB hot path (SURVEY §7.2 M8). Broadcast is
+    disabled so the assertion exercises the big⋈big case where bucketing
+    is the only thing standing between the query and an all-to-all."""
+    from torcdb_spark.sources.io import read_graph_bucketed, write_graph_bucketed
+    from torcdb_spark.traverse import traverse
+    from torcdb_spark.plans.explain import explain_str, shuffle_count
+
+    g = PropertyGraph.from_tables(spark, sf_dir)
+    write_graph_bucketed(g, "tp_bkt", buckets=4)
+    try:
+        bg = read_graph_bucketed(spark, "tp_bkt")
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            frontier = bg.vertices.where(
+                F.col("label") == "customer"
+            ).select("id")
+            tr = traverse(frontier, bg.edges, "placed", Direction.OUT,
+                          broadcast_frontier=False)
+            assert shuffle_count(tr) == 0, explain_str(tr, "simple")
+            # and it still computes the right thing
+            assert tr.count() == load_table(spark, sf_dir, "orders").count()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS tp_bkt_vertices")
+        spark.sql("DROP TABLE IF EXISTS tp_bkt_edges")

@@ -98,3 +98,8 @@ def id_hex(c: Column) -> Column:
 def id_lower(c: Column) -> Column:
     """Extract the lower long of a BINARY(16) id as bigint (business key)."""
     return F.conv(F.hex(F.substring(c, 9, 8)), 16, 10).cast("long")
+
+
+def id_upper(c: Column) -> Column:
+    """Extract the upper long of a BINARY(16) id as bigint (label tag)."""
+    return F.conv(F.hex(F.substring(c, 1, 8)), 16, 10).cast("long")

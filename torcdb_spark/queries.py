@@ -1998,3 +1998,90 @@ def g_gremlin_union_path(spark: SparkSession, sf_dir: str) -> DataFrame:
         id_lower(F.col("path")[1]).alias("member_key"),
         F.size(F.col("path")).cast("long").alias("path_len"),
     )
+
+
+@_register(
+    "g_pagerank_exact",
+    """WITH RECURSIVE
+       it(iter, n, a, bs) AS (
+         SELECT 0,
+                (SELECT CAST(count(*) AS DOUBLE) FROM nation)
+                  + (SELECT count(*) FROM region),
+                CAST(1.0 AS DOUBLE),
+                (SELECT list(struct_pack(rkey := rkey, cnt := cnt,
+                                         b := CAST(1.0 AS DOUBLE))
+                             ORDER BY rkey)
+                 FROM (SELECT n_regionkey AS rkey,
+                              CAST(count(*) AS DOUBLE) AS cnt
+                       FROM nation GROUP BY 1))
+         UNION ALL
+         SELECT iter + 1, n,
+                0.15 + 0.85 * (t.D / n),
+                list_transform(bs, x -> struct_pack(
+                    rkey := x.rkey, cnt := x.cnt,
+                    b := 0.15 + 0.85 * (x.cnt * it.a + t.D / it.n)))
+         FROM it, LATERAL (SELECT list_sum(list_transform(bs, y -> y.b)) AS D) t
+         WHERE iter < 10
+       )
+       SELECT CAST(2 AS BIGINT) AS tag, CAST(n_nationkey AS BIGINT) AS key,
+              round((SELECT a FROM it WHERE iter = 10), 4) AS rank
+       FROM nation
+       UNION ALL
+       SELECT 1, u.rkey, round(u.b, 4)
+       FROM (SELECT unnest(bs, recursive := true)
+             FROM it WHERE iter = 10) u""",
+)
+def g_pagerank_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank, HASH-matched against a closed-form oracle.
+
+    The inRegion subgraph (nation → region) has out-degree 1 for every
+    nation and 0 for every region, so the power iteration collapses to a
+    scalar recurrence — all nations share one rank a(t), each region's rank
+    is b_j(t+1) = 0.15 + 0.85·(c_j·a(t) + D(t)/n) with D the dangling
+    (region) mass. The oracle runs that exact recurrence as a DuckDB
+    recursive CTE over the same base tables, proving the general Pregel
+    implementation (analytics.pagerank — joins, dangling redistribution,
+    damping) computes the mathematically-correct fixpoint iterates, not
+    merely 'some converging numbers'. Ranks rounded to 4dp on both sides
+    (float association order differs between engines at ~1e-15)."""
+    from torcdb_spark.analytics import pagerank
+    from torcdb_spark.ids import id_upper
+
+    g = _graph(spark, sf_dir)
+    e = g.edges.where(F.col("label") == "inRegion")
+    pr = pagerank(e, num_iter=10)
+    return pr.select(
+        id_upper(F.col("id")).alias("tag"),
+        id_lower(F.col("id")).alias("key"),
+        F.round(F.col("rank"), 4).alias("rank"),
+    )
+
+
+@_register("m3_image_decode")  # rows-only: byte-level PPM decode has no SQL analogue
+def m3_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode through the multimodal path: each document's text
+    bytes are framed as a 16×8 P6 PPM payload (deterministic, JVM-side
+    construction), decoded by the pure-numpy PPM kernel inside
+    mapInPandas, and reduced to per-image dimension/channel statistics.
+    Exercises decode_image end-to-end on fixture-derived binary payloads —
+    the decode itself is exact-tested in tests/test_operators.py against
+    known pixel arrays."""
+    from torcdb_spark.operators.multimodal import decode_and_featurize
+
+    docs = load_table(spark, sf_dir, "documents")
+    w, h = 16, 8
+    header = F.encode(F.lit(f"P6\n{w} {h}\n255\n"), "utf-8")
+    body = F.encode(F.rpad(F.col("text"), w * h * 3, " "), "utf-8")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.concat(header, body).alias("payload"),
+        F.lit("image/x-portable-pixmap").alias("mime"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("int").alias("n_frames"),
+    )
+    feats = decode_and_featurize(media)
+    return feats.select(
+        "media_id", "width", "height", "channels",
+        "mean_r", "mean_g", "mean_b", "decode_err",
+    )
