@@ -426,3 +426,52 @@ def test_decode_and_featurize_spark_path(spark):
         assert r.decode_err is None
     assert out[3].decode_err == "NotImplementedError"
     assert out[3].width is None
+
+
+def test_salted_join_equals_plain_join(spark):
+    import pyspark.sql.functions as F
+    from torcdb_spark.operators.skew import salted_join
+
+    # skewed: one hot key with 500 rows, others with 1
+    big = spark.createDataFrame(
+        [(1, i) for i in range(500)] + [(k, 0) for k in range(2, 50)],
+        "k long, payload long",
+    )
+    small = spark.createDataFrame(
+        [(k, f"v{k}") for k in range(0, 50)], "k long, val string"
+    )
+    got = salted_join(big, small, on="k", salt_buckets=4)
+    exp = big.join(small, "k")
+    assert got.count() == exp.count()
+    ga = got.groupBy("k").agg(F.count("*").alias("n")).collect()
+    ea = exp.groupBy("k").agg(F.count("*").alias("n")).collect()
+    assert {(r.k, r.n) for r in ga} == {(r.k, r.n) for r in ea}
+    # left join keeps unmatched big rows exactly once
+    lg = salted_join(big, small.where("k >= 10"), on="k",
+                     salt_buckets=4, how="left")
+    le = big.join(small.where("k >= 10"), "k", "left")
+    assert lg.count() == le.count()
+
+
+def test_tfidf_hand_computed(spark):
+    import math
+    from torcdb_spark.operators.text import tfidf
+
+    docs = spark.createDataFrame(
+        [(1, "apple banana apple"), (2, "banana cherry"), (3, "cherry cherry date")],
+        "doc_id long, text string",
+    )
+    rows = {(r.doc_id, r.term): (r.tf, r.tfidf) for r in tfidf(docs).collect()}
+    n = 3
+    # apple: df=1, doc1 tf=2 ; banana df=2 ; date df=1
+    assert rows[(1, "apple")] == (2, round(2 * math.log(n / 1), 4))
+    assert rows[(1, "banana")] == (1, round(1 * math.log(n / 2), 4))
+    assert rows[(3, "date")] == (1, round(1 * math.log(n / 1), 4))
+    assert rows[(3, "cherry")][0] == 2
+    # top_terms bounds and orders deterministically
+    top1 = tfidf(docs, top_terms=1).collect()
+    assert len(top1) == 3
+    # doc2: banana/cherry tie at ln(3/2) -> term-asc tiebreak picks banana;
+    # doc3: date 1*ln(3) = 1.0986 beats cherry 2*ln(3/2) = 0.8109
+    assert {(r.doc_id, r.term) for r in top1} == {
+        (1, "apple"), (2, "banana"), (3, "date")}

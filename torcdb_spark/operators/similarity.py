@@ -266,23 +266,27 @@ def ivf_topk(
     num_centroids: int = 16,
     nprobe: int = 4,
     score_decimals: int = 3,
+    kmeans_iters: int = 2,
 ) -> DataFrame:
     """Approximate cosine top-k via an IVF (inverted-file) index — the
     other standard ANN layout besides hyperplane LSH (``cosine_topk_lsh``).
 
-    Build: deterministic centroids = per-bucket mean of a hash partition of
-    the corpus (one groupBy over num_centroids keys — a cheap, seedless
-    stand-in for one k-means iteration; same recall mechanics). Every
-    corpus vector is assigned to its nearest centroid (one Arrow-batched
-    argmax against the centroid matrix). Probe: each query scores only the
-    vectors in its ``nprobe`` nearest centroid cells — the corpus-side scan
-    shrinks by ~num_centroids/nprobe. All shuffles are equi-joins on the
-    centroid id; centroids travel as ONE packed row (no driver collect).
+    Build: deterministic seeding (per-hash-bucket means) refined by
+    ``kmeans_iters`` Lloyd iterations — each iteration is one Arrow-batched
+    nearest-centroid assignment plus one groupBy-mean over at most
+    num_centroids keys, fully distributed and deterministic (no random
+    init, so runs are reproducible across partitionings). Every corpus
+    vector is then assigned to its nearest centroid. Probe: each query
+    scores only the vectors in its ``nprobe`` nearest centroid cells — the
+    corpus-side scan shrinks by ~num_centroids/nprobe. All shuffles are
+    equi-joins on the centroid id; centroids travel as ONE packed row (no
+    driver collect).
 
     Recall < 1.0 by design (cell-boundary misses); raise nprobe or
     num_centroids for higher recall. At 100 TB: num_centroids ~ sqrt(N),
-    the assignment join shuffles on centroid id, and cells are written
-    partitioned by centroid for probe-side partition pruning."""
+    Lloyd iterations cost one corpus pass each (run them on a sample for
+    build speed), the assignment join shuffles on centroid id, and cells
+    are written partitioned by centroid for probe-side partition pruning."""
     import numpy as np
 
     # deterministic seed partition → centroid means, packed into one row
@@ -295,12 +299,16 @@ def ivf_topk(
         m = np.asarray(pdf["_v"].tolist(), dtype=np.float64).mean(axis=0)
         return pd.DataFrame({"_c": [int(pdf["_c"].iloc[0])], "_mean": [m.tolist()]})
 
-    cents = (
-        seeded.groupBy("_c")
-        .applyInPandas(bucket_mean, "_c long, _mean array<double>")
-        .groupBy()
-        .agg(F.collect_list(F.struct("_c", "_mean")).alias("_cents"))
-    )
+    def pack(assigned: DataFrame) -> DataFrame:
+        """(_id, _v, _c) → one packed centroid row (cell means)."""
+        return (
+            assigned.groupBy("_c")
+            .applyInPandas(bucket_mean, "_c long, _mean array<double>")
+            .groupBy()
+            .agg(F.collect_list(F.struct("_c", "_mean")).alias("_cents"))
+        )
+
+    cents = pack(seeded)
 
     def nearest(df: DataFrame, role: str, n_near: int) -> DataFrame:
         """(id, vec, centroid) with the n_near best centroids exploded."""
@@ -332,6 +340,16 @@ def ivf_topk(
             F.col("_v").alias(f"_{role}v"),
             "_cell",
         )
+
+    # Lloyd refinement: reassign → remean; the packed row is tiny, so the
+    # eager localCheckpoint per iteration just truncates plan lineage
+    for _ in range(kmeans_iters):
+        assigned = nearest(seeded.select("_id", "_v"), "x", 1).select(
+            F.col("x_id").alias("_id"),
+            F.col("_xv").alias("_v"),
+            F.col("_cell").alias("_c"),
+        )
+        cents = pack(assigned).localCheckpoint(eager=True)
 
     cells = nearest(seeded.select("_id", "_v"), "neighbor", 1)
     probes = nearest(

@@ -1,0 +1,49 @@
+"""Skew-handling join: salted replication for hot keys.
+
+At 100 TB a shuffle join on a key with heavy hitters (one customer with
+10^8 orders, one document duplicated everywhere) stalls on a single
+reducer. AQE's skew-join splitting (enabled in session.py) handles most
+cases at runtime; this operator is the explicit form for when the skew is
+known ahead of time or the join sits under an aggregation AQE can't split.
+
+Mechanics: the big (skewed) side gets a deterministic salt in [0, S);
+the small side is replicated S times via an inline explode. The join key
+becomes (key, salt), spreading each hot key over S reducers. Join output
+is IDENTICAL to the unsalted join — salting only changes partitioning —
+which is exactly what the oracle-checked query asserts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str,
+    salt_buckets: int = 8,
+    how: str = "inner",
+    salt_source: Column | None = None,
+) -> DataFrame:
+    """Join ``big ⋈ small`` on column ``on`` with the big side salted over
+    ``salt_buckets`` partitions-per-key and the small side replicated.
+
+    ``salt_source`` (default: a deterministic hash of the whole big row's
+    key column + monotonically varying bits) controls salt assignment; pass
+    a column for reproducible tests. The small side is replicated with
+    ``explode(sequence(...))`` — S× its size, so keep it the genuinely
+    smaller side (the same constraint a broadcast join has, relaxed by S
+    being small)."""
+    if salt_source is None:
+        # spread rows of the same key: hash the partition-local row id so
+        # the salt is cheap, deterministic per task layout, and needs no
+        # extra column from the caller
+        salt_source = F.monotonically_increasing_id()
+    b = big.withColumn("_salt", F.pmod(F.xxhash64(salt_source), F.lit(salt_buckets)))
+    s = small.withColumn(
+        "_salt",
+        F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)).cast("array<bigint>")),
+    )
+    return b.join(s, [on, "_salt"], how).drop("_salt")

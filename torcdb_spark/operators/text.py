@@ -194,3 +194,63 @@ def winnowing_fingerprints(
         hashed.select(F.col(id_col), F.explode(select_mins(F.col("_hs"))).alias("fp"))
         .dropDuplicates([id_col, "fp"])
     )
+
+
+def tfidf(
+    docs: "DataFrame",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_terms: int | None = None,
+) -> "DataFrame":
+    """TF-IDF scores per (document, term) → (id, term, tf, tfidf).
+
+    tf = raw term count in the document; idf = ln(N / df) with N the corpus
+    document count and df the term's document frequency. Tokenization is
+    whitespace splitting of the lowercased, trimmed text (the same
+    convention as the other text operators).
+
+    Plan shape — three shuffles, all on bounded key spaces:
+    explode→groupBy(doc, term) for tf (map-side combined), groupBy(term)
+    for df, then a term-keyed join of tf against the (much smaller) df
+    side; N arrives as a broadcast scalar via a 1-row cross join, never a
+    driver collect. At 100 TB the df table is vocabulary-sized (millions of
+    rows, not corpus-sized) so the final join broadcasts.
+
+    ``top_terms`` keeps only the k highest-scoring terms per document
+    (ties broken by term for determinism) — the usual bound on output
+    size for downstream keyword extraction."""
+    from pyspark.sql import Window
+
+    toks = docs.where(F.trim(F.col(text_col)) != "").select(
+        F.col(id_col),
+        F.explode(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+        ).alias("term"),
+    )
+    tf = toks.groupBy(id_col, "term").agg(
+        F.count("*").cast("long").alias("tf")
+    )
+    df_tbl = tf.groupBy("term").agg(
+        F.count("*").cast("long").alias("df")
+    )
+    n_docs = docs.groupBy().agg(F.count("*").alias("_n"))
+    scored = (
+        tf.join(df_tbl, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col(id_col),
+            "term",
+            "tf",
+            (F.col("tf") * F.log(F.col("_n") / F.col("df"))).alias("_score"),
+        )
+    )
+    if top_terms is not None:
+        w = Window.partitionBy(id_col).orderBy(
+            F.desc("_score"), F.asc("term")
+        )
+        scored = scored.withColumn(
+            "_rk", F.row_number().over(w)
+        ).where(F.col("_rk") <= top_terms).drop("_rk")
+    return scored.select(
+        id_col, "term", "tf", F.round("_score", 4).alias("tfidf")
+    )

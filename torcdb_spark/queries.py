@@ -2085,3 +2085,70 @@ def m3_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id", "width", "height", "channels",
         "mean_r", "mean_g", "mean_b", "decode_err",
     )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis: TF-IDF (SURVEY §2.5 north-star text operator)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "d9_tfidf",
+    """WITH toks AS (
+         SELECT doc_id,
+                unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term
+         FROM documents WHERE trim(text) <> ''
+       ),
+       tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+              FROM toks GROUP BY 1, 2),
+       dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       n AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM documents)
+       SELECT doc_id, term, tf,
+              round(tf * ln((SELECT nd FROM n) / df), 4) AS tfidf
+       FROM (SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+                    row_number() OVER (PARTITION BY tf.doc_id
+                        ORDER BY tf.tf * ln((SELECT nd FROM n) / dfreq.df) DESC,
+                                 tf.term ASC) AS rk
+             FROM tf JOIN dfreq USING (term))
+       WHERE rk <= 5""",
+)
+def d9_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 TF-IDF terms per document (operators/text.tfidf): tf from one
+    explode+groupBy, df over the vocabulary-sized term table, N as a
+    broadcast scalar — three bounded-key shuffles, no driver collect."""
+    from torcdb_spark.operators.text import tfidf
+
+    docs = load_table(spark, sf_dir, "documents")
+    return tfidf(docs, top_terms=5)
+
+
+# ---------------------------------------------------------------------------
+# Skew-handling salted join (SURVEY §7.2 M8 scale lever)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q_salted_join",
+    """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,
+              round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       GROUP BY o_orderpriority""",
+)
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem ⋈ orders through the salt-replicated join (operators/skew):
+    the hot-key-proof formulation whose output must be IDENTICAL to the
+    plain join — which is exactly what the oracle asserts. Aggregation runs
+    after de-salting, so revenue per priority matches to the cent."""
+    from torcdb_spark.operators.skew import salted_join
+
+    l = load_table(spark, sf_dir, "lineitem").withColumnRenamed(
+        "l_orderkey", "okey"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("okey"), "o_orderpriority"
+    )
+    joined = salted_join(l, o, on="okey", salt_buckets=8)
+    return joined.groupBy("o_orderpriority").agg(
+        F.count("*").cast("long").alias("n_items"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+    )
