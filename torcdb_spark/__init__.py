@@ -21,13 +21,14 @@ This package re-expresses that surface Spark-first:
 """
 
 from torcdb_spark.session import get_spark
-from torcdb_spark.graph import PropertyGraph
+from torcdb_spark.graph import Cardinality, PropertyGraph
 from torcdb_spark.traverse import traverse, fill_properties, Direction
 from torcdb_spark import algebra
 
 __all__ = [
     "get_spark",
     "PropertyGraph",
+    "Cardinality",
     "traverse",
     "fill_properties",
     "Direction",

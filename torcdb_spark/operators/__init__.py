@@ -5,8 +5,13 @@ shuffle-partitionable, with no driver-side collects — designed for 100 TB.
 """
 
 from torcdb_spark.operators.dedup import exact_dedup, minhash_lsh_dedup, simhash_dedup
-from torcdb_spark.operators.similarity import cosine_topk_bruteforce, cosine_topk_lsh
-from torcdb_spark.operators.text import text_stats, quality_score, token_count
+from torcdb_spark.operators.similarity import (
+    cosine_topk_bruteforce,
+    cosine_topk_lsh,
+    ivf_topk,
+)
+from torcdb_spark.operators.skew import salted_join
+from torcdb_spark.operators.text import text_stats, quality_score, tfidf, token_count
 from torcdb_spark.operators.topk import topk_per_group
 
 __all__ = [
@@ -15,8 +20,11 @@ __all__ = [
     "simhash_dedup",
     "cosine_topk_bruteforce",
     "cosine_topk_lsh",
+    "ivf_topk",
+    "salted_join",
     "text_stats",
     "quality_score",
+    "tfidf",
     "token_count",
     "topk_per_group",
 ]

@@ -2130,7 +2130,9 @@ def d9_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "q_salted_join",
     """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,
-              round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+              round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                             * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE),
+                    2) AS revenue
        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
        GROUP BY o_orderpriority""",
 )
@@ -2150,5 +2152,171 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = salted_join(l, o, on="okey", salt_buckets=8)
     return joined.groupBy("o_orderpriority").agg(
         F.count("*").cast("long").alias("n_items"),
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        F.round(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,4)")
+                * (F.lit(1) - F.col("l_discount").cast("decimal(18,4)"))
+            ).cast("double"),
+            2,
+        ).alias("revenue"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H adaptations q9/q10/q18 (profit rollup, returned-item revenue,
+# large-volume customers) — fitted to the fixture schema
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q9_profit_by_nation_year",
+    """SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+              round(CAST(sum(l_rev) AS DOUBLE), 2) AS profit
+       FROM (SELECT l_orderkey, l_suppkey,
+                    CAST(l_extendedprice AS DECIMAL(18,4))
+                      * (1 - CAST(l_discount AS DECIMAL(18,4))) AS l_rev
+             FROM lineitem) li
+       JOIN orders ON o_orderkey = l_orderkey
+       JOIN supplier ON s_suppkey = l_suppkey
+       JOIN nation ON n_nationkey = s_nationkey
+       GROUP BY n_name, year(o_orderdate)""",
+)
+def q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit measure): revenue attributed to
+    the supplier's nation per order year. lineitem is the probe side; the
+    supplier→nation dimension chain broadcasts (both under the 64 MB
+    threshold at any SF — nation is constant-sized, supplier ~SF·10k)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name", F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(18,4)")
+                    * (F.lit(1) - F.col("l_discount").cast("decimal(18,4)"))
+                ).cast("double"),
+                2,
+            ).alias("profit")
+        )
+    )
+
+
+@_register(
+    "q10_returned_revenue",
+    """SELECT c_custkey, c_name,
+              round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                             * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE),
+                    2) AS revenue
+       FROM customer
+       JOIN orders ON o_custkey = c_custkey
+       JOIN lineitem ON l_orderkey = o_orderkey
+       WHERE l_returnflag = 'R'
+       GROUP BY c_custkey, c_name
+       ORDER BY revenue DESC, c_custkey ASC LIMIT 20""",
+)
+def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by revenue lost to returns. The
+    returnflag filter is pushed into the lineitem scan; custkey tiebreak
+    makes the top-20 set deterministic."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_returnflag") == "R"
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(18,4)")
+                    * (F.lit(1) - F.col("l_discount").cast("decimal(18,4)"))
+                ).cast("double"),
+                2,
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@_register(
+    "q18_large_volume_customers",
+    """SELECT c_custkey, o_orderkey,
+              round(o_totalprice, 2) AS totalprice,
+              CAST(sum(l_quantity) AS BIGINT) AS total_qty
+       FROM customer
+       JOIN orders ON o_custkey = c_custkey
+       JOIN lineitem ON l_orderkey = o_orderkey
+       GROUP BY c_custkey, o_orderkey, o_totalprice
+       HAVING sum(l_quantity) > 270""",
+)
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume orders): the HAVING over a grouped
+    scalar subquery plans as one aggregation over the joined fact — the
+    per-order quantity sum is map-side combined before the group shuffle."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "o_orderkey", "o_totalprice")
+        .agg(F.sum("l_quantity").cast("long").alias("total_qty"))
+        .where(F.col("total_qty") > 270)
+        .select(
+            "c_custkey", "o_orderkey",
+            F.round("o_totalprice", 2).alias("totalprice"),
+            "total_qty",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming path, oracle-checked: the declared query runs the ACTUAL
+# Structured Streaming pipeline (file source → watermark → windowed agg →
+# memory sink) and its result must hash-match the batch SQL oracle —
+# stream/batch equivalence as a correctness-gate entry, not just a pytest.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "st_events_tumbling_stream",
+    """SELECT strftime(time_bucket(INTERVAL '15 minutes', ts),
+                       '%Y-%m-%d %H:%M:%S') AS window_start,
+              event_type,
+              CAST(count(*) AS BIGINT) AS n_events,
+              round(sum(value), 2) AS sum_value
+       FROM events GROUP BY 1, 2""",
+)
+def st_events_tumbling_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window counts computed BY THE STREAMING ENGINE: readStream
+    over the fixture file, 1-hour watermark, incremental state-store
+    aggregation, availableNow drain to a memory sink. Hash-matching the
+    batch oracle proves the watermark/window/state machinery produces
+    byte-identical aggregates to the batch plan (Structured Streaming's
+    core contract)."""
+    import os
+    import tempfile
+
+    from torcdb_spark.streaming import events_stream, windowed_counts
+    from torcdb_spark.streaming.jobs import run_to_memory
+
+    slug = sf_dir.strip("/").replace("/", "_")
+    d = os.path.join(tempfile.gettempdir(), f"torcdb_stream_src_{slug}")
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(f"{sf_dir}/events.parquet", link)
+    stream = events_stream(spark, d)
+    run_to_memory(windowed_counts(stream), "st_wc", output_mode="complete")
+    return spark.table("st_wc")
