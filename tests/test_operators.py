@@ -475,3 +475,18 @@ def test_tfidf_hand_computed(spark):
     # doc3: date 1*ln(3) = 1.0986 beats cherry 2*ln(3/2) = 0.8109
     assert {(r.doc_id, r.term) for r in top1} == {
         (1, "apple"), (2, "banana"), (3, "date")}
+
+
+def test_vector_mean_grouped_agg(spark):
+    import numpy as np
+    import pyspark.sql.functions as F
+    from torcdb_spark.functions import vector_mean
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (1, [3.0, 4.0]), (2, [10.0, 20.0])],
+        "g long, v array<float>",
+    )
+    got = {r.g: r.c for r in
+           df.groupBy("g").agg(vector_mean()(F.col("v")).alias("c")).collect()}
+    np.testing.assert_allclose(got[1], [2.0, 3.0])
+    np.testing.assert_allclose(got[2], [10.0, 20.0])

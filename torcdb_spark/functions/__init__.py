@@ -1,3 +1,8 @@
-from torcdb_spark.functions.vector import cosine_similarity, dot, l2_norm
+from torcdb_spark.functions.vector import (
+    cosine_similarity,
+    dot,
+    l2_norm,
+    vector_mean,
+)
 
-__all__ = ["cosine_similarity", "dot", "l2_norm"]
+__all__ = ["cosine_similarity", "dot", "l2_norm", "vector_mean"]

@@ -2320,3 +2320,43 @@ def st_events_tumbling_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = events_stream(spark, d)
     run_to_memory(windowed_counts(stream), "st_wc", output_mode="complete")
     return spark.table("st_wc")
+
+
+@_register(
+    "e5_label_centroids",
+    """WITH dims AS (
+         SELECT label, t.i AS dim, avg(CAST(embedding[t.i] AS DOUBLE)) AS m
+         FROM embeddings,
+              (SELECT unnest(range(1,
+                 (SELECT max(len(embedding)) FROM embeddings) + 1)) AS i) t
+         GROUP BY label, t.i
+       ),
+       cnt AS (SELECT label, CAST(count(*) AS BIGINT) AS n_vecs
+               FROM embeddings GROUP BY label)
+       SELECT label, n_vecs, round(sqrt(sum(m * m)), 4) AS centroid_norm
+       FROM dims JOIN cnt USING (label)
+       GROUP BY label, n_vecs""",
+)
+def e5_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids via the grouped-aggregate Pandas UDF
+    (functions.vector_mean — the engine's UDAF surface): one shuffle on
+    label, Arrow-batched numpy mean per group, then a JVM-side norm
+    reduction over the centroid array. The oracle recomputes the same
+    centroid dimension-wise via 1-indexed list extraction over a
+    generated dimension range."""
+    from torcdb_spark.functions import vector_mean
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    # grouped-agg pandas UDFs cannot share an agg() with JVM aggregates
+    # (INVALID_PANDAS_UDF_PLACEMENT) — count rides in a second aggregate
+    # joined on the 5-row label key
+    cents = emb.groupBy("label").agg(
+        vector_mean()(F.col("embedding")).alias("_c")
+    )
+    counts = emb.groupBy("label").agg(F.count("*").cast("long").alias("n_vecs"))
+    norm = F.sqrt(
+        F.aggregate(F.col("_c"), F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    return cents.join(counts, "label").select(
+        "label", "n_vecs", F.round(norm, 4).alias("centroid_norm")
+    )
