@@ -161,3 +161,41 @@ def test_bucketed_traverse_is_exchange_free(spark, sf_dir, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS tp_bkt_vertices")
         spark.sql("DROP TABLE IF EXISTS tp_bkt_edges")
+
+
+def test_p1_pipeline_pushes_lang_filter_to_scan(spark, sf_dir):
+    """The composed cleaning pipeline must still push the lang predicate
+    into the documents scan — composition through 4 operators cannot cost
+    the pushdown."""
+    from torcdb_spark.queries import _QUERIES
+
+    df = _QUERIES["p1_clean_corpus"](spark, sf_dir)
+    plan = explain_str(df, "formatted")
+    assert "PushedFilters" in plan
+    assert "lang" in plan.split("PushedFilters")[1][:400]
+
+
+def test_q9_dimensions_broadcast(spark, sf_dir):
+    """Q9's supplier→nation chain must broadcast; lineitem is the probe
+    side and must never be exchanged for those dimension joins."""
+    from torcdb_spark.queries import _QUERIES
+
+    df = _QUERIES["q9_profit_by_nation_year"](spark, sf_dir)
+    plan = explain_str(df, "simple")
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_tfidf_reuses_tf_and_broadcasts_df(spark, sf_dir):
+    """tf feeds both the score and the df aggregation: the persisted
+    intermediate must appear as an InMemoryTableScan in the executed plan
+    (corpus tokenized ONCE, not twice — Spark does not canonicalize the
+    duplicated subtrees itself), and the vocabulary-sized df side must
+    broadcast into the final join."""
+    from torcdb_spark.operators.text import tfidf
+    from torcdb_spark.sources.tables import load_table
+
+    out = tfidf(load_table(spark, sf_dir, "documents"), top_terms=5)
+    out.write.format("noop").mode("overwrite").save()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in plan
+    assert "BroadcastHashJoin" in plan

@@ -227,9 +227,14 @@ def tfidf(
             F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
         ).alias("term"),
     )
+    # tf feeds BOTH the score and the df aggregation; Spark does not
+    # canonicalize the two subtrees to one exchange (verified on the
+    # executed plan), so without a persist the corpus is tokenized and
+    # shuffled twice — the dominant cost at scale. Persisting the compact
+    # (id, term, tf) intermediate is the classic two-pass TF-IDF layout.
     tf = toks.groupBy(id_col, "term").agg(
         F.count("*").cast("long").alias("tf")
-    )
+    ).persist()
     df_tbl = tf.groupBy("term").agg(
         F.count("*").cast("long").alias("df")
     )

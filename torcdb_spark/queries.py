@@ -2360,3 +2360,75 @@ def e5_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cents.join(counts, "label").select(
         "label", "n_vecs", F.round(norm, 4).alias("centroid_norm")
     )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end training-data pipeline composition: quality filter → language
+# filter → exact dedup → surviving-doc stats. One lazy Catalyst plan across
+# four operators — the composition story the LLM-pipeline operators exist
+# for.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "p1_clean_corpus",
+    """WITH q AS (
+         SELECT doc_id,
+                round((CASE WHEN length(text) BETWEEN 100 AND 20000
+                            THEN 0.4 ELSE 0.0 END)
+                    + (CASE WHEN n_tokens > 0
+                                 AND length(text)/n_tokens >= 3.0
+                                 AND length(text)/n_tokens <= 12.0
+                            THEN 0.3 ELSE 0.0 END)
+                    + (CASE WHEN length(text) > 0
+                            THEN CAST(length(regexp_replace(text,
+                                      '[^A-Za-z]', '', 'g')) AS DOUBLE)
+                                 / length(text)
+                            ELSE 0.0 END) * 0.3, 4) AS quality,
+                n_tokens
+         FROM (SELECT doc_id, text,
+                      CASE WHEN length(trim(text)) = 0 THEN 0
+                           ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                           END AS n_tokens
+               FROM documents)
+       ),
+       filt AS (
+         SELECT d.doc_id, d.text
+         FROM documents d JOIN q USING (doc_id)
+         WHERE q.quality >= 0.4 AND d.lang = 'en'
+       ),
+       ded AS (
+         SELECT min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS group_size
+         FROM filt
+         GROUP BY lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))
+       )
+       SELECT ded.doc_id, ded.group_size,
+              CAST(q.n_tokens AS BIGINT) AS n_tokens, q.quality
+       FROM ded JOIN q USING (doc_id)""",
+)
+def p1_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus cleaning as one composed lazy plan: quality_score ≥ 0.4 AND
+    lang='en' → exact_dedup (lowest-id survivor per normalized text) →
+    per-survivor token counts. Catalyst pushes the lang filter into the
+    scan and fuses the quality projection with it; the only shuffles are
+    the dedup groupBy and the final survivor joins. This is the shape of a
+    real pretraining-data prep job at 100 TB — every stage is one of the
+    declared operators, none of them driver-side."""
+    from torcdb_spark.operators.dedup import exact_dedup
+    from torcdb_spark.operators.text import quality_score, text_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = quality_score(docs)
+    filt = (
+        docs.join(q, "doc_id")
+        .where((F.col("quality") >= 0.4) & (F.col("lang") == "en"))
+    )
+    ded = exact_dedup(filt.select("doc_id", "text"))
+    stats = text_stats(docs).select(
+        "doc_id", F.col("n_tokens").cast("long").alias("n_tokens")
+    )
+    return (
+        ded.join(stats, "doc_id")
+        .join(q, "doc_id")
+        .select("doc_id", "group_size", "n_tokens", "quality")
+    )
