@@ -68,3 +68,59 @@ nested = st.recursive(
 @given(nested)
 def test_roundtrip_property(v):
     assert decode_value(encode_value(v)) == v
+
+
+# ---------------------------------------------------------------------------
+# Property-based round-trip coverage (hypothesis): arbitrary nested values
+# through the tagged codec — the serde analogue of the reference's
+# exhaustive UInt128Test decode cases.
+# ---------------------------------------------------------------------------
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _HAS_HYPOTHESIS = True
+except ImportError:  # pragma: no cover
+    _HAS_HYPOTHESIS = False
+
+if _HAS_HYPOTHESIS:
+    _scalar = st.one_of(
+        st.integers(min_value=-(1 << 63), max_value=(1 << 63) - 1),
+        st.text(max_size=40),
+    )
+    _value = st.recursive(
+        _scalar,
+        lambda children: st.one_of(
+            st.lists(children, max_size=5),
+            st.dictionaries(st.text(max_size=10), children, max_size=5),
+        ),
+        max_leaves=12,
+    )
+
+    @given(_value)
+    @settings(max_examples=300, deadline=None)
+    def test_serde_roundtrip_arbitrary_nested(v):
+        from torcdb_spark.serde import decode_value, encode_value
+
+        got = decode_value(encode_value(v))
+        # tuples normalize to lists through the codec; compare structurally
+        def norm(x):
+            if isinstance(x, tuple):
+                return [norm(e) for e in x]
+            if isinstance(x, list):
+                return [norm(e) for e in x]
+            if isinstance(x, dict):
+                return {norm(k): norm(val) for k, val in x.items()}
+            return x
+
+        assert got == norm(v)
+
+    @given(st.integers(min_value=0, max_value=(1 << 128) - 1))
+    @settings(max_examples=300, deadline=None)
+    def test_uint128_roundtrip_any_width(v):
+        from torcdb_spark.ids import to_uint128, uint128, uint128_hex
+
+        assert to_uint128(uint128(v)) == v
+        assert uint128(uint128_hex(uint128(v))) == uint128(v)
+        assert uint128(str(v)) == uint128(v)

@@ -48,6 +48,10 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # 128 MB splits: at 100 TB this bounds per-task input so a scan
+        # task's columnar batches + shuffle write buffers fit executor
+        # memory; AQE coalesces the small-file tail at runtime.
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         # local[$CPUS] runs every executor thread inside the driver JVM, so
         # the driver heap is the whole cluster's memory: size it like one.
         # (On a real cluster this would be spark.executor.memory instead.)
