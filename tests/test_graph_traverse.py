@@ -293,3 +293,52 @@ def test_set_vertex_property_set_dedups(spark):
     g3 = g2.set_vertex_property(again, "tags", Cardinality.SET)
     row = g3.vertices.where(F.col("id") == uint128_pair(1, 0)).collect()[0]
     assert serde.decode_value(row.props["tags"]) == ["a", "b"]
+
+
+def test_add_edges_invariant_at_scale(spark):
+    """Storage-invariant analogue of the reference's TorcEdgeListTest
+    (prepend 2^16 then read back, asserting order discipline and property
+    fidelity, TorcEdgeListTest.java:105-155): append 2^16 edges containing
+    duplicates of every (src, dst, label) key, assert the one-edge-per-key
+    invariant holds and the LATEST write's properties survive (the
+    reference's overwrite-the-blob semantics)."""
+    import pyspark.sql.functions as F
+    from torcdb_spark.graph import PropertyGraph
+    from torcdb_spark.ids import uint128_pair
+
+    n = 1 << 16
+    base = spark.range(n).select(
+        F.col("id").alias("k"),
+        F.pmod(F.col("id"), F.lit(1 << 16)).alias("pair"),
+    )
+    from torcdb_spark.ids import id_col
+
+    def edges_df(tag_props):
+        return base.select(
+            id_col(1, F.col("pair")).alias("src"),
+            F.lit("person").alias("src_label"),
+            id_col(2, F.col("pair")).alias("dst"),
+            F.lit("person").alias("dst_label"),
+            F.lit("knows").alias("label"),
+            F.create_map(
+                F.lit("gen"), F.lit(tag_props).cast("string")
+            ).alias("props"),
+        )
+
+    g = PropertyGraph(
+        vertices=spark.createDataFrame(
+            [], "id binary, label string, props map<string,string>"
+        ),
+        edges=spark.createDataFrame(
+            [],
+            "src binary, src_label string, dst binary, dst_label string, "
+            "label string, props map<string,string>",
+        ),
+    )
+    g = g.add_edges(edges_df("old"))
+    g = g.add_edges(edges_df("new"))  # same keys — must overwrite, not dup
+    total = g.edges.count()
+    distinct = g.edges.select("src", "dst", "label").dropDuplicates().count()
+    assert total == distinct == n
+    gens = g.edges.select(F.col("props")["gen"].alias("g")).dropDuplicates().collect()
+    assert {r.g for r in gens} == {"new"}  # latest write won everywhere
