@@ -2432,3 +2432,66 @@ def p1_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(q, "doc_id")
         .select("doc_id", "group_size", "n_tokens", "quality")
     )
+
+
+@_register(
+    "q_range_frame_trailing",
+    """SELECT o_custkey AS c_custkey, o_orderkey,
+              round(sum(o_totalprice) OVER (
+                  PARTITION BY o_custkey ORDER BY epoch_ms(o_orderdate)
+                  RANGE BETWEEN 2592000000 PRECEDING AND CURRENT ROW), 2)
+                AS trailing_30d
+       FROM orders""",
+)
+def q_range_frame_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window: per-customer trailing-30-day order revenue —
+    a VALUE-range frame (all orders within 30 days of the current row's
+    date), not a row-count frame. The frame is expressed over epoch
+    millis on both engines; ties on the sort key share a frame, so the
+    result is deterministic regardless of physical row order."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_millis(F.col("o_orderdate")))
+        .rangeBetween(-2592000000, Window.currentRow)
+    )
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        F.col("o_custkey").alias("c_custkey"),
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("trailing_30d"),
+    )
+
+
+@_register(
+    "q_udtf_top_terms",
+    """WITH toks AS (
+         SELECT doc_id,
+                unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term
+         FROM documents WHERE trim(text) <> ''
+       ),
+       tf AS (SELECT doc_id, term, CAST(count(*) AS INTEGER) AS n
+              FROM toks GROUP BY 1, 2)
+       SELECT doc_id, term, n
+       FROM (SELECT doc_id, term, n,
+                    row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY n DESC, term ASC) AS rk
+             FROM tf)
+       WHERE rk <= 3""",
+)
+def q_udtf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF via LATERAL join (the table-function extension surface):
+    top-3 terms per document. Oracle recomputes the same top-3 with
+    window functions — semantic parity of the lateral fan-out, documented
+    as the slow path (row-at-a-time Python) next to the vectorized
+    equivalents."""
+    from torcdb_spark.functions.udtf import register_udtfs
+
+    register_udtfs(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    docs.where(F.trim(F.col("text")) != "").createOrReplaceTempView(
+        "_udtf_docs"
+    )
+    return spark.sql(
+        "SELECT d.doc_id, s.term, s.n "
+        "FROM _udtf_docs d, LATERAL top_terms(d.text, 3) s"
+    )
