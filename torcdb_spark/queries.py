@@ -2495,3 +2495,87 @@ def q_udtf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT d.doc_id, s.term, s.n "
         "FROM _udtf_docs d, LATERAL top_terms(d.text, 3) s"
     )
+
+
+# ---------------------------------------------------------------------------
+# LDBC-SNB-interactive-style graph queries (the reference's target
+# workload, README "Running LDBC SNB Validation"): seeded multi-hop
+# expansion + aggregation + composite-key ordering + top-k.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "ldbc_ic_like_top_parts",
+    """SELECT l_partkey AS part_key, CAST(count(*) AS BIGINT) AS n_lines
+       FROM lineitem
+       JOIN orders ON o_orderkey = l_orderkey
+       WHERE o_custkey BETWEEN 1 AND 50
+       GROUP BY l_partkey
+       ORDER BY n_lines DESC, part_key ASC LIMIT 20""",
+)
+def ldbc_ic_like_top_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IC5-shaped: from a seed set of 50 customers, expand
+    customer→orders→lineitems→parts through the PROPERTY GRAPH (three
+    traverse hops over the materialized edge store, frontier broadcast at
+    each hop), then rank parts by incidence with a composite
+    (count desc, key asc) order and top-20 cut — the LDBC interactive
+    pattern of seeded expansion + ordered aggregation."""
+    from torcdb_spark.graph import LABEL_TAGS
+    from torcdb_spark.ids import uint128_pair
+
+    g = _graph(spark, sf_dir)
+    seeds = [uint128_pair(LABEL_TAGS["customer"], k) for k in range(1, 51)]
+    cust = g.vertices_by_id(seeds, label="customer")
+    h1 = traverse(cust, g.edges, "placed", Direction.OUT)
+    h2 = traverse(h1.select(F.col("dst").alias("id")).dropDuplicates(["id"]),
+                  g.edges, "contains", Direction.OUT)
+    h3 = traverse(h2.select(F.col("dst").alias("id")).dropDuplicates(["id"]),
+                  g.edges, "ofPart", Direction.OUT)
+    return (
+        h3.groupBy(F.col("dst"))
+        .agg(F.count("*").cast("long").alias("n_lines"))
+        .select(id_lower(F.col("dst")).alias("part_key"), "n_lines")
+        .orderBy(F.desc("n_lines"), F.asc("part_key"))
+        .limit(20)
+    )
+
+
+@_register(
+    "ldbc_ic_like_recent_orders",
+    """SELECT o_custkey AS c_custkey, o_orderkey,
+              strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+              round(o_totalprice, 2) AS totalprice
+       FROM orders
+       WHERE o_custkey BETWEEN 1 AND 20
+         AND o_orderdate >= TIMESTAMP '2000-01-01'
+       ORDER BY o_orderdate DESC, o_orderkey ASC LIMIT 30""",
+)
+def ldbc_ic_like_recent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IC2-shaped: seed vertices' recent activity — date-range predicate on
+    the traversal's EDGE property (orderdate rides on the placed edge),
+    ordered newest-first with key tiebreak, top-30. The date filter is
+    applied to the edge frame via remove_edge_if's θ-filter form."""
+    from torcdb_spark.graph import LABEL_TAGS
+    from torcdb_spark.ids import uint128_pair
+
+    g = _graph(spark, sf_dir)
+    seeds = [uint128_pair(LABEL_TAGS["customer"], k) for k in range(1, 21)]
+    cust = g.vertices_by_id(seeds, label="customer")
+    tr = traverse(cust, g.edges, "placed", Direction.OUT, fill_edge=True)
+    recent = remove_edge_if(
+        tr, lambda dst, props: props["orderdate"] < "2000-01-01"
+    )
+    return (
+        recent.select(
+            id_lower(F.col("src")).alias("c_custkey"),
+            id_lower(F.col("dst")).alias("o_orderkey"),
+            F.date_format(
+                F.col("props")["orderdate"].cast("timestamp"), "yyyy-MM-dd"
+            ).alias("orderdate"),
+            F.round(F.col("props")["totalprice"].cast("double"), 2).alias(
+                "totalprice"
+            ),
+        )
+        .orderBy(F.desc("orderdate"), F.asc("o_orderkey"))
+        .limit(30)
+    )
