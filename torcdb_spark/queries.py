@@ -2579,3 +2579,51 @@ def ldbc_ic_like_recent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("orderdate"), F.asc("o_orderkey"))
         .limit(30)
     )
+
+
+@_register(
+    "st_events_sessions_stream",
+    """WITH marked AS (
+         SELECT user_id, ts, value,
+                CASE WHEN lag(ts) OVER w IS NULL
+                          OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
+                     THEN 1 ELSE 0 END AS is_new
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+       ),
+       sess AS (
+         SELECT user_id, ts, value,
+                sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS UNBOUNDED PRECEDING) AS sid
+         FROM marked
+       )
+       SELECT user_id,
+              strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+              strftime(max(ts) + INTERVAL 30 MINUTE,
+                       '%Y-%m-%d %H:%M:%S') AS session_end,
+              CAST(count(*) AS BIGINT) AS n_events,
+              round(sum(value), 2) AS sum_value
+       FROM sess GROUP BY user_id, sid""",
+)
+def st_events_sessions_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows computed BY THE STREAMING ENGINE
+    (session_window + watermark state store, availableNow drain): each
+    per-user session's [start, last_event + gap) boundaries, count, and
+    value sum must hash-match the batch lag/cumsum sessionization the
+    oracle runs — the strongest equivalence statement for the dynamic-gap
+    session operator."""
+    import os
+    import tempfile
+
+    from torcdb_spark.streaming import events_stream, sessionized_stream
+    from torcdb_spark.streaming.jobs import run_to_memory
+
+    slug = sf_dir.strip("/").replace("/", "_")
+    d = os.path.join(tempfile.gettempdir(), f"torcdb_stream_src_{slug}")
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(f"{sf_dir}/events.parquet", link)
+    stream = events_stream(spark, d)
+    run_to_memory(sessionized_stream(stream), "st_sess", output_mode="complete")
+    return spark.table("st_sess")
