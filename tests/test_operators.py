@@ -490,3 +490,56 @@ def test_vector_mean_grouped_agg(spark):
            df.groupBy("g").agg(vector_mean()(F.col("v")).alias("c")).collect()}
     np.testing.assert_allclose(got[1], [2.0, 3.0])
     np.testing.assert_allclose(got[2], [10.0, 20.0])
+
+
+def test_chunk_documents_boundaries(spark):
+    from torcdb_spark.operators.text import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, "abcdefghij"), (2, "x"), (3, "")], "doc_id long, text string"
+    )
+    out = {(r.doc_id, r.chunk_idx): r.chunk
+           for r in chunk_documents(docs, chunk_chars=4, overlap=1).collect()}
+    # stride 3: starts 1,4,7 for len 10 (greatest(10-1,1)=9 -> 1,4,7)
+    assert out[(1, 0)] == "abcd"
+    assert out[(1, 1)] == "defg"
+    assert out[(1, 2)] == "ghij"
+    assert out[(2, 0)] == "x"          # short doc -> one short chunk
+    assert not any(k[0] == 3 for k in out)  # empty doc -> no chunks
+    # overlap property: consecutive chunks share `overlap` chars
+    assert out[(1, 0)][-1] == out[(1, 1)][0]
+
+
+def test_redact_pii_counts(spark):
+    from torcdb_spark.operators.text import redact_pii
+
+    docs = spark.createDataFrame(
+        [(1, "mail me at a.b@example.com or call 12345678 now"),
+         (2, "no pii here, just 123"),
+         (3, "two mails x@y.io z@w.co and 99999999999")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in redact_pii(docs).collect()}
+    assert out[1].clean_text == "mail me at <EMAIL> or call <NUMBER> now"
+    assert out[1].n_redactions == 2
+    assert out[2].clean_text == "no pii here, just 123"  # short digits kept
+    assert out[2].n_redactions == 0
+    assert out[3].n_redactions == 3
+
+
+def test_hash_sample_deterministic_and_stratified(spark, sf_dir):
+    import pyspark.sql.functions as F
+    from torcdb_spark.operators.text import hash_sample
+    from torcdb_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = {r.doc_id for r in hash_sample(docs, 10, strata_col="lang").collect()}
+    b = {r.doc_id for r in
+         hash_sample(docs.repartition(7), 10, strata_col="lang").collect()}
+    assert a == b  # invariant to physical layout
+    # rate in the right ballpark overall (10% ± binomial slack)
+    n = docs.count()
+    assert 0.03 * n <= len(a) <= 0.2 * n
+    # nested rates: 5% sample is a subset of the 10% sample per strata hash
+    c = {r.doc_id for r in hash_sample(docs, 5, strata_col="lang").collect()}
+    assert c <= a

@@ -259,3 +259,89 @@ def tfidf(
     return scored.select(
         id_col, "term", "tf", F.round("_score", 4).alias("tfidf")
     )
+
+
+def chunk_documents(
+    docs: "DataFrame",
+    chunk_chars: int = 512,
+    overlap: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> "DataFrame":
+    """Split documents into fixed-width overlapping character chunks →
+    (id, chunk_idx, chunk) — the standard pre-embedding segmentation of a
+    training/RAG corpus.
+
+    Pure JVM: a ``sequence`` of chunk starts exploded per document, then a
+    ``substring`` per chunk — no UDF, so chunking stays inside codegen and
+    scales linearly. Stride = chunk_chars - overlap; the last chunk may be
+    short; empty documents produce no chunks."""
+    if overlap >= chunk_chars:
+        raise ValueError("overlap must be < chunk_chars")
+    stride = chunk_chars - overlap
+    n = F.length(F.col(text_col))
+    starts = F.sequence(
+        F.lit(1),
+        F.greatest(n - F.lit(overlap), F.lit(1)),
+        F.lit(stride),
+    )
+    return (
+        docs.where(n > 0)
+        .select(
+            F.col(id_col),
+            F.posexplode(starts).alias("chunk_idx", "_start"),
+            F.col(text_col),
+        )
+        .select(
+            id_col,
+            "chunk_idx",
+            F.substring(F.col(text_col), F.col("_start"), chunk_chars).alias(
+                "chunk"
+            ),
+        )
+    )
+
+
+def redact_pii(
+    docs: "DataFrame",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> "DataFrame":
+    """Regex-scrub common PII shapes from text → (id, clean_text,
+    n_redactions): email addresses and long digit runs (phone/account
+    numbers) are replaced with typed placeholder tokens — the cheap
+    deterministic scrub stage of a corpus pipeline (a production deployment
+    layers an NER model behind the same column contract).
+
+    JVM regexp_replace only; the redaction count is computed from the
+    pre/post length delta of the matches, not a second scan."""
+    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    digits = r"\d{7,}"
+    step1 = F.regexp_replace(F.col(text_col), email, "<EMAIL>")
+    clean = F.regexp_replace(step1, digits, "<NUMBER>")
+    n_red = (
+        F.size(F.split(F.col(text_col), email)) - 1
+        + F.size(F.split(step1, digits)) - 1
+    )
+    return docs.select(
+        F.col(id_col),
+        clean.alias("clean_text"),
+        n_red.cast("long").alias("n_redactions"),
+    )
+
+
+def hash_sample(
+    docs: "DataFrame",
+    rate_pct: int = 10,
+    id_col: str = "doc_id",
+    strata_col: str | None = None,
+) -> "DataFrame":
+    """Deterministic hash-mod sampling: keep rows whose xxhash64(id) mod
+    100 falls under ``rate_pct`` — reproducible across runs, partitionings
+    and cluster sizes (unlike ``sample()``, whose output depends on
+    physical partition layout). With ``strata_col``, the hash keys on
+    (stratum, id) so each stratum is sampled at the same rate
+    independently — stratified sampling without a shuffle."""
+    cols = [F.col(strata_col), F.col(id_col)] if strata_col else [F.col(id_col)]
+    bucket = F.pmod(F.xxhash64(*cols), F.lit(100))
+    return docs.where(bucket < rate_pct)

@@ -2627,3 +2627,71 @@ def st_events_sessions_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = events_stream(spark, d)
     run_to_memory(sessionized_stream(stream), "st_sess", output_mode="complete")
     return spark.table("st_sess")
+
+
+# ---------------------------------------------------------------------------
+# Corpus-prep operators: chunking, PII scrubbing, deterministic sampling
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "d10_chunking",
+    """WITH s AS (
+         SELECT doc_id, text,
+                unnest(range(1, greatest(length(text) - 64, 1) + 1, 448))
+                  AS start
+         FROM documents WHERE length(text) > 0
+       )
+       SELECT doc_id,
+              CAST((start - 1) / 448 AS INTEGER) AS chunk_idx,
+              substr(text, CAST(start AS INTEGER), 512) AS chunk
+       FROM s""",
+)
+def d10_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width overlapping chunking (512 chars, 64 overlap) — pure JVM
+    sequence+posexplode+substring, the pre-embedding segmentation stage.
+    The oracle regenerates identical chunk starts with range()."""
+    from torcdb_spark.operators.text import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_documents(docs, chunk_chars=512, overlap=64)
+
+
+@_register(
+    "d11_redact_pii",
+    """SELECT doc_id,
+              regexp_replace(
+                regexp_replace(text,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                  '<EMAIL>', 'g'),
+                '\\d{7,}', '<NUMBER>', 'g') AS clean_text,
+              CAST(len(regexp_split_to_array(text,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) - 1
+                 + len(regexp_split_to_array(
+                     regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g'),
+                     '\\d{7,}')) - 1 AS BIGINT) AS n_redactions
+       FROM documents""",
+)
+def d11_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic PII scrub (emails + long digit runs → typed
+    placeholders) with per-document redaction counts — both engines run
+    the identical regex pipeline."""
+    from torcdb_spark.operators.text import redact_pii
+
+    docs = load_table(spark, sf_dir, "documents")
+    return redact_pii(docs)
+
+
+@_register("d12_hash_sample")  # rows-only: xxhash64 has no DuckDB analogue
+def d12_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sampling: 10% per language via
+    xxhash64(lang, doc_id) mod 100 — reproducible across runs and
+    partitionings (unlike sample()); determinism and per-stratum rate
+    bounds are pytest-asserted."""
+    from torcdb_spark.operators.text import hash_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = hash_sample(docs, rate_pct=10, strata_col="lang")
+    return out.select("doc_id", "lang")
