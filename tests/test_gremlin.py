@@ -220,3 +220,40 @@ def test_path_survives_union_and_as_labels(spark, graph):
     p = t.path()
     sizes = {r[0] for r in p.select(__import__("pyspark.sql.functions", fromlist=["size"]).size("path")).distinct().collect()}
     assert sizes == {2}
+
+
+def test_optional_moves_matched_keeps_rest(spark, graph):
+    from torcdb_spark.gremlin import G
+
+    base = G(graph).V().has_label("customer")
+    n_total = base.count()
+    n_with = base.where_(lambda t: t.out("placed")).count()
+    opt = base.optional(lambda t: t.out("placed"))
+    # movers produce one traverser per order; non-movers pass through
+    n_orders_of_with = base.where_(lambda t: t.out("placed")).out("placed").count()
+    assert opt.count() == n_orders_of_with + (n_total - n_with)
+
+
+def test_coalesce_branch_priority(spark, graph):
+    import pyspark.sql.functions as F
+    from torcdb_spark.gremlin import G
+    from torcdb_spark.ids import id_lower
+
+    base = G(graph).V().has_label("customer")
+    n_total = base.count()
+    n_with = base.where_(lambda t: t.out("placed")).count()
+    # first branch: orders; fallback: stay via nation hop (every customer
+    # has a fromNation edge) — result = orders for buyers, nations for rest
+    co = base.coalesce_(
+        lambda t: t.out("placed"),
+        lambda t: t.out("fromNation"),
+    )
+    n_orders_of_with = base.where_(lambda t: t.out("placed")).out("placed").count()
+    assert co.count() == n_orders_of_with + (n_total - n_with)
+    # fallback rows end on nation vertices
+    ends = co.to_df().select("current")
+    nation_ids = graph.vertices.where("label='nation'").select(
+        F.col("id").alias("current")
+    )
+    n_nation_ends = ends.join(nation_ids, "current", "left_semi").count()
+    assert n_nation_ends == n_total - n_with

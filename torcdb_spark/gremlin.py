@@ -300,6 +300,46 @@ class GraphTraversal:
             out = out.unionByName(f)
         return GraphTraversal(self._g, out)
 
+    def optional(self, step_fn) -> "GraphTraversal":
+        """Gremlin ``optional(sub)``: traversers whose sub-traversal
+        produces results follow it; the rest pass through unchanged.
+        Compiled as sub-result ∪ (frame ⋉̸ matched-seeds) — two joins, no
+        per-traverser execution."""
+        m = self._match_set(step_fn)
+        moved = step_fn(self.where_(step_fn))
+        kept = GraphTraversal(
+            self._g, self._df.join(m, self._df["_cur"] == m["_m"], "left_anti")
+        )
+        keep = [c for c in moved._df.columns if c in kept._df.columns]
+        return GraphTraversal(
+            self._g,
+            moved._df.select(*keep).unionByName(kept._df.select(*keep)),
+        )
+
+    def coalesce_(self, *step_fns) -> "GraphTraversal":
+        """Gremlin ``coalesce(a, b, …)``: each traverser follows the FIRST
+        sub-traversal that yields results for it. Later branches run only
+        over the seeds every earlier branch missed (anti-join cascade), so
+        branch priority costs one extra join per branch, not a re-execution
+        of the frame."""
+        if not step_fns:
+            raise ValueError("coalesce requires at least one sub-traversal")
+        remaining = self
+        outs = []
+        for fn in step_fns[:-1]:
+            outs.append(fn(remaining.where_(fn)))
+            remaining = remaining.not_(fn)
+        outs.append(step_fns[-1](remaining))
+        keep = None
+        for t in outs:
+            cols = set(t._df.columns)
+            keep = cols if keep is None else (keep & cols)
+        keep = sorted(keep)
+        out = outs[0]._df.select(*keep)
+        for t in outs[1:]:
+            out = out.unionByName(t._df.select(*keep))
+        return GraphTraversal(self._g, out)
+
     def with_path(self) -> "GraphTraversal":
         """Enable path tracking: subsequent hops append the visited vertex
         to a `_path` array column (TinkerPop path()). Array length is
