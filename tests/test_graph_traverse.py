@@ -342,3 +342,37 @@ def test_add_edges_invariant_at_scale(spark):
     assert total == distinct == n
     gens = g.edges.select(F.col("props")["gen"].alias("g")).dropDuplicates().collect()
     assert {r.g for r in gens} == {"new"}  # latest write won everywhere
+
+
+def test_set_edge_property_single_and_list(spark):
+    import pyspark.sql.functions as F
+    from torcdb_spark.graph import Cardinality
+    from torcdb_spark.ids import uint128_pair
+    from torcdb_spark import serde
+
+    g = _mini_graph(spark)
+    upd = spark.createDataFrame(
+        [(uint128_pair(1, 0), uint128_pair(1, 1), "knows", 5)],
+        "src binary, dst binary, label string, value long",
+    )
+    g2 = g.set_edge_property(upd, "since", Cardinality.SINGLE)
+    row = g2.edges_by_key(
+        [(uint128_pair(1, 0), uint128_pair(1, 1), "knows")]
+    ).collect()[0]
+    assert serde.decode_value(row.props["since"]) == 5
+    assert row.props["w"] == "1"  # untouched key survives
+    # untouched edge unchanged
+    other = g2.edges_by_key(
+        [(uint128_pair(1, 1), uint128_pair(1, 2), "knows")]
+    ).collect()[0]
+    assert "since" not in other.props
+    # LIST append over the scalar promotes
+    more = spark.createDataFrame(
+        [(uint128_pair(1, 0), uint128_pair(1, 1), "knows", 6)],
+        "src binary, dst binary, label string, value long",
+    )
+    g3 = g2.set_edge_property(more, "since", Cardinality.LIST)
+    row = g3.edges_by_key(
+        [(uint128_pair(1, 0), uint128_pair(1, 1), "knows")]
+    ).collect()[0]
+    assert serde.decode_value(row.props["since"]) == [5, 6]

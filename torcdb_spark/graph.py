@@ -404,6 +404,58 @@ class PropertyGraph:
             edges=self.edges,
         )
 
+    def set_edge_property(
+        self,
+        updates: DataFrame,
+        key: str,
+        cardinality: Cardinality = Cardinality.SINGLE,
+    ) -> "PropertyGraph":
+        """Batch edge-property setProperty — the edge-side counterpart of
+        :meth:`set_vertex_property` (the reference stores edge props as one
+        serialized map per edge and overwrites the blob on write,
+        TorcGraph.java:1202-1279, getEdgeProperties :1581-1601).
+
+        ``updates`` has columns ``(src, dst, label, value)``; merge
+        semantics and serde are identical to the vertex form. One groupBy
+        of the updates and one left join against the edge set on the full
+        edge key."""
+        from torcdb_spark import serde
+
+        vals = F.collect_list("value")
+        if not dict(updates.dtypes)["value"].startswith("map"):
+            vals = F.sort_array(vals)
+        upd = (
+            updates.select("src", "dst", "label", "value")
+            .groupBy("src", "dst", "label")
+            .agg(vals.alias("_new_vals"))
+        )
+        e = self.edges.join(upd, ["src", "dst", "label"], "left")
+        merged = serde.merge_prop_col(
+            F.col("props").getItem(key), F.col("_new_vals"),
+            cardinality.value,
+        )
+        new_props = F.when(
+            F.col("_new_vals").isNull(), F.col("props")
+        ).otherwise(
+            F.map_concat(
+                F.map_filter(
+                    F.coalesce(
+                        F.col("props"),
+                        F.create_map().cast("map<string,string>"),
+                    ),
+                    lambda k, _: k != F.lit(key),
+                ),
+                F.create_map(F.lit(key), merged),
+            )
+        )
+        return PropertyGraph(
+            vertices=self.vertices,
+            edges=e.select(
+                "src", "src_label", "dst", "dst_label", "label",
+                new_props.alias("props"),
+            ),
+        )
+
     def add_vertices(self, new: DataFrame) -> "PropertyGraph":
         """Batch addVertex (TorcGraph.java:242-313) as an append."""
         return PropertyGraph(
