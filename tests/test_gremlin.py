@@ -257,3 +257,24 @@ def test_coalesce_branch_priority(spark, graph):
     )
     n_nation_ends = ends.join(nation_ids, "current", "left_semi").count()
     assert n_nation_ends == n_total - n_with
+
+
+def test_repeat_emit_pools_levels(spark, graph):
+    from torcdb_spark.gremlin import G
+
+    base = G(graph).V().has_label("nation")
+    l1 = base.in_("fromNation").count()            # customers (level 1)
+    l2 = base.in_("fromNation").out("placed").count()  # their orders (2)
+    # heterogeneous chain via a stateful step fn: level 1 hops fromNation,
+    # level 2 hops placed
+    calls = {"n": 0}
+
+    def step(t):
+        calls["n"] += 1
+        return t.in_("fromNation") if calls["n"] == 1 else t.out("placed")
+
+    emitted = base.repeat(step, 2, emit=True)
+    assert emitted.count() == l1 + l2
+    # emit=False returns only the final level
+    calls["n"] = 0
+    assert base.repeat(step, 2).count() == l2

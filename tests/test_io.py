@@ -78,3 +78,16 @@ def test_bucketed_join_has_no_edge_exchange(graph, spark):
     finally:
         spark.sql("DROP TABLE IF EXISTS t_img_vertices")
         spark.sql("DROP TABLE IF EXISTS t_img_edges")
+
+
+def test_orc_roundtrip(spark, graph, tmp_path):
+    from torcdb_spark.sources.io import read_graph, write_graph
+
+    p = str(tmp_path / "orc_img")
+    write_graph(graph, p, fmt="orc")
+    back = read_graph(spark, p, fmt="orc")
+    assert back.vertices.count() == graph.vertices.count()
+    assert back.edges.count() == graph.edges.count()
+    # ORC reader differs from the in-memory frame only in nullability flags
+    assert [(f.name, f.dataType) for f in back.vertices.schema] == [
+        (f.name, f.dataType) for f in graph.vertices.schema]

@@ -266,20 +266,37 @@ class GraphTraversal:
 
     # -- branch / loop / path steps ----------------------------------------
 
-    def repeat(self, step_fn, times: int) -> "GraphTraversal":
+    def repeat(self, step_fn, times: int, emit: bool = False) -> "GraphTraversal":
         """Bounded ``repeat(...).times(n)``: apply ``step_fn`` (a
         GraphTraversal → GraphTraversal function) n times. Compiles to a
         LINEAR chain of n hop-joins in one Catalyst plan — no driver-side
         materialization between iterations, so at cluster scale each
         iteration is one shuffle stage, not a job barrier. (Unbounded
         ``until()`` loops are the analytics path: analytics.py's Pregel
-        loop with per-superstep checkpoints.)"""
+        loop with per-superstep checkpoints.)
+
+        ``emit=True`` pools every intermediate frontier into the result
+        (TinkerPop ``repeat(..).emit()`` with emit-after semantics: levels
+        1..n), still one lazy plan — a union of the n chain prefixes, each
+        prefix shared structurally with the next."""
         if times < 0:
             raise ValueError("times must be >= 0")
         t = self
+        levels = []
         for _ in range(times):
             t = step_fn(t)
-        return t
+            if emit:
+                levels.append(t)
+        if not emit:
+            return t
+        keep = ["_start", "_cur"] + [
+            c for c in self._df.columns
+            if c == "_path" or c.startswith("_as_")
+        ]
+        out = levels[0]._df.select(*keep)
+        for lv in levels[1:]:
+            out = out.unionByName(lv._df.select(*keep))
+        return GraphTraversal(self._g, out)
 
     def union(self, *step_fns) -> "GraphTraversal":
         """Gremlin ``union(a, b, ...)``: run each sub-traversal from the

@@ -2695,3 +2695,59 @@ def d12_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     out = hash_sample(docs, rate_pct=10, strata_col="lang")
     return out.select("doc_id", "lang")
+
+
+@_register(
+    "q7_volume_shipping",
+    """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+              CAST(year(o_orderdate) AS BIGINT) AS o_year,
+              round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                             * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE),
+                    2) AS volume
+       FROM lineitem
+       JOIN orders   ON o_orderkey = l_orderkey
+       JOIN supplier ON s_suppkey = l_suppkey
+       JOIN customer ON c_custkey = o_custkey
+       JOIN nation sn ON sn.n_nationkey = s_nationkey
+       JOIN nation cn ON cn.n_nationkey = c_nationkey
+       WHERE sn.n_nationkey < 3 AND cn.n_nationkey < 3
+         AND sn.n_nationkey <> cn.n_nationkey
+       GROUP BY sn.n_name, cn.n_name, year(o_orderdate)""",
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: cross-border trade volume between nation pairs per
+    year. Two broadcast dimension joins against the same nation table
+    under different aliases; the nationkey predicates push into the
+    supplier/customer scans before the fact joins. Revenue through
+    DECIMAL(18,4) for cent-exact parity."""
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    sn = n.where(F.col("n_nationkey") < 3).select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    cn = n.where(F.col("n_nationkey") < 3).select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    rev = F.col("l_extendedprice").cast("decimal(18,4)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,4)")
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .where(F.col("sn_key") != F.col("cn_key"))
+        .groupBy(
+            "supp_nation", "cust_nation",
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(F.round(F.sum(rev).cast("double"), 2).alias("volume"))
+    )

@@ -7,8 +7,8 @@ property passes (README.md "Running LDBC SNB Validation": `GraphLoader
 equivalents here are DataFrame writers/readers over three interchange
 formats:
 
-- **parquet** (canonical): columnar, partitioned by ``label`` so label
-  predicates become partition pruning; binary ids kept native.
+- **parquet** (canonical) / **orc**: columnar, partitioned by ``label`` so
+  label predicates become partition pruning; binary ids kept native.
 - **csv** (LDBC-interchange-shaped): one vertices file-tree + one edges
   file-tree; 128-bit ids rendered as hex strings and property maps as JSON
   (CSV has no nested types). Matches the reference's "graph as two flat
@@ -58,6 +58,12 @@ def write_graph(graph, path: str, fmt: str = "parquet", mode: str = "overwrite")
         v.write.mode(mode).partitionBy("label").parquet(f"{path}/vertices")
         e.write.mode(mode).partitionBy("label").parquet(f"{path}/edges")
         return
+    if fmt == "orc":
+        # same columnar/native-type layout as parquet via Spark's built-in
+        # ORC writer — the second lakehouse interchange format
+        v.write.mode(mode).partitionBy("label").orc(f"{path}/vertices")
+        e.write.mode(mode).partitionBy("label").orc(f"{path}/edges")
+        return
     if fmt == "csv":
         ev = _encode_flat(v, ["id"])
         ee = _encode_flat(e, ["src", "dst"])
@@ -80,6 +86,9 @@ def read_graph(spark: SparkSession, path: str, fmt: str = "parquet"):
     if fmt == "parquet":
         v = spark.read.parquet(f"{path}/vertices")
         e = spark.read.parquet(f"{path}/edges")
+    elif fmt == "orc":
+        v = spark.read.orc(f"{path}/vertices")
+        e = spark.read.orc(f"{path}/edges")
     elif fmt == "csv":
         v = _decode_flat(
             spark.read.option("header", True).csv(f"{path}/vertices"), ["id"]
