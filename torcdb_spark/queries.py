@@ -2751,3 +2751,74 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.round(F.sum(rev).cast("double"), 2).alias("volume"))
     )
+
+
+@_register(
+    "g_triangle_count",
+    """WITH und AS (
+         SELECT a, b FROM (
+           SELECT o_custkey AS a, 1000000 + o_orderkey AS b FROM orders
+           UNION ALL
+           SELECT 1000000 + o_orderkey AS a, o_custkey AS b FROM orders
+           UNION ALL
+           SELECT o_custkey AS a, 2000000 + o_orderpriority_rank AS b
+           FROM (SELECT o_custkey,
+                        CAST(dense_rank() OVER (ORDER BY o_orderpriority)
+                             AS BIGINT) AS o_orderpriority_rank
+                 FROM orders)
+           UNION ALL
+           SELECT 2000000 + o_orderpriority_rank AS a, o_custkey AS b
+           FROM (SELECT o_custkey,
+                        CAST(dense_rank() OVER (ORDER BY o_orderpriority)
+                             AS BIGINT) AS o_orderpriority_rank
+                 FROM orders)
+           UNION ALL
+           SELECT 1000000 + o_orderkey AS a,
+                  2000000 + o_orderpriority_rank AS b
+           FROM (SELECT o_orderkey,
+                        CAST(dense_rank() OVER (ORDER BY o_orderpriority)
+                             AS BIGINT) AS o_orderpriority_rank
+                 FROM orders)
+           UNION ALL
+           SELECT 2000000 + o_orderpriority_rank AS a,
+                  1000000 + o_orderkey AS b
+           FROM (SELECT o_orderkey,
+                        CAST(dense_rank() OVER (ORDER BY o_orderpriority)
+                             AS BIGINT) AS o_orderpriority_rank
+                 FROM orders)
+         ) GROUP BY a, b
+       ),
+       canon AS (SELECT a, b FROM und WHERE a < b),
+       tri AS (
+         SELECT ab.a AS x, ab.b AS y, bc.b AS z
+         FROM canon ab
+         JOIN canon bc ON bc.a = ab.b
+         JOIN canon ac ON ac.a = ab.a AND ac.b = bc.b
+       )
+       SELECT id, CAST(count(*) AS BIGINT) AS triangles
+       FROM (SELECT x AS id FROM tri
+             UNION ALL SELECT y FROM tri
+             UNION ALL SELECT z FROM tri)
+       GROUP BY id""",
+)
+def g_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vertex triangle counts (analytics.triangle_count: canonical
+    orientation + two joins) on a deliberately triangle-rich synthetic
+    tripartite graph — customer / order / priority-class vertices with
+    edges customer↔order, customer↔priority, order↔priority, so every
+    order closes a triangle. The oracle recomputes the same wedges-then-
+    close join in SQL. Vertex ids are namespaced longs (the oracle's
+    1e6/2e6 offsets mirror the engine's label-tagged id packing)."""
+    from torcdb_spark.analytics import triangle_count
+    from pyspark.sql.window import Window as W
+
+    o = load_table(spark, sf_dir, "orders")
+    ranked = o.withColumn(
+        "prio",
+        F.dense_rank().over(W.orderBy("o_orderpriority")).cast("long") + 2000000,
+    ).withColumn("okey", F.col("o_orderkey") + 1000000)
+    e1 = ranked.select(F.col("o_custkey").alias("src"), F.col("okey").alias("dst"))
+    e2 = ranked.select(F.col("o_custkey").alias("src"), F.col("prio").alias("dst"))
+    e3 = ranked.select(F.col("okey").alias("src"), F.col("prio").alias("dst"))
+    edges = e1.unionByName(e2).unionByName(e3)
+    return triangle_count(edges).select("id", "triangles")
