@@ -2822,3 +2822,57 @@ def g_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     e3 = ranked.select(F.col("okey").alias("src"), F.col("prio").alias("dst"))
     edges = e1.unionByName(e2).unionByName(e3)
     return triangle_count(edges).select("id", "triangles")
+
+
+@_register(
+    "q8_market_share",
+    """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+              round(CAST(sum(CASE WHEN sn.n_name = 'NATION_3'
+                                  THEN CAST(l_extendedprice AS DECIMAL(18,4))
+                                       * (1 - CAST(l_discount AS DECIMAL(18,4)))
+                                  ELSE 0 END)
+                         / sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                               * (1 - CAST(l_discount AS DECIMAL(18,4))))
+                         AS DOUBLE), 4) AS mkt_share
+       FROM lineitem
+       JOIN orders   ON o_orderkey = l_orderkey
+       JOIN supplier ON s_suppkey = l_suppkey
+       JOIN nation sn ON sn.n_nationkey = s_nationkey
+       JOIN part     ON p_partkey = l_partkey
+       WHERE p_type = 'STANDARD'
+       GROUP BY year(o_orderdate)""",
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of revenue in a part-type
+    market per year — ratio of a conditional sum to the total in ONE
+    aggregation pass (no self-join, no second scan). The p_type
+    filter pushes into the part scan; part and the supplier→nation chain
+    broadcast. Decimal sums keep the ratio exact before the final
+    4dp round."""
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_partkey", "l_extendedprice", "l_discount"
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    p = load_table(spark, sf_dir, "part").where(
+        F.col("p_type") == "STANDARD"
+    ).select("p_partkey")
+    rev = F.col("l_extendedprice").cast("decimal(18,4)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,4)")
+    )
+    nat_rev = F.when(F.col("n_name") == "NATION_3", rev).otherwise(
+        F.lit(0).cast("decimal(18,4)")
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.round(
+                (F.sum(nat_rev) / F.sum(rev)).cast("double"), 4
+            ).alias("mkt_share")
+        )
+    )
