@@ -52,3 +52,23 @@ def test_triangle_count(spark):
     )
     t = {r.id: r.triangles for r in triangle_count(edges).collect()}
     assert t == {0: 1, 1: 1, 2: 1}
+
+
+def test_shortest_paths_relaxation(spark):
+    """Min-plus SSSP on a hand graph with a longer-but-lighter path:
+    the relaxation must prefer total weight over hop count."""
+    import pyspark.sql.functions as F
+    from torcdb_spark.analytics import shortest_paths
+
+    edges = spark.createDataFrame(
+        [("s", "a", 10.0), ("s", "b", 1.0), ("b", "c", 1.0),
+         ("c", "a", 1.0), ("a", "t", 1.0)],
+        "src string, dst string, weight double",
+    )
+    seeds = spark.createDataFrame([("s",)], "id string")
+    got = {r.id: r.dist for r in shortest_paths(edges, seeds).collect()}
+    # s->b->c->a (3) beats s->a (10)
+    assert got["a"] == 3.0
+    assert got["t"] == 4.0
+    assert got["s"] == 0.0
+    assert got["b"] == 1.0

@@ -231,3 +231,57 @@ def triangle_count(edges: DataFrame, src_col: str = "src", dst_col: str = "dst")
         .agg(F.count("*").cast("long").alias("triangles"))
     )
     return per_vertex
+
+
+def shortest_paths(
+    edges: DataFrame,
+    sources: DataFrame,
+    weight_col: str = "weight",
+    max_iter: int = 20,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Weighted single-source(-set) shortest paths → (id, dist): Pregel
+    min-plus relaxation (the distributed Bellman-Ford). Each superstep is
+    one edges⋈state join + a min-aggregate per destination + a min-merge
+    into the state; convergence is detected from a ``_changed`` flag
+    computed inside the merge (same one-heavy-job discipline as
+    connected_components). Non-negative weights assumed (no negative-cycle
+    detection). Converges in O(longest shortest path hops) supersteps."""
+    e = edges.select(
+        F.col(src_col).alias("esrc"),
+        F.col(dst_col).alias("edst"),
+        F.col(weight_col).cast("double").alias("w"),
+    )
+    id_c = "id" if "id" in sources.columns else sources.columns[0]
+    state = _checkpointed(
+        sources.select(F.col(id_c).alias("id"))
+        .dropDuplicates(["id"])
+        .withColumn("dist", F.lit(0.0))
+    )
+    for _ in range(max_iter):
+        msgs = (
+            state.join(e, state["id"] == e["esrc"])
+            .groupBy(F.col("edst").alias("mid"))
+            .agg(F.min(F.col("dist") + F.col("w")).alias("mdist"))
+        )
+        merged = state.join(msgs, state["id"] == msgs["mid"], "full_outer")
+        new_id = F.coalesce(F.col("id"), F.col("mid"))
+        new_dist = F.least(
+            F.coalesce(F.col("dist"), F.lit(float("inf"))),
+            F.coalesce(F.col("mdist"), F.lit(float("inf"))),
+        )
+        improved = F.col("id").isNull() | (
+            F.col("mdist").isNotNull() & (F.col("mdist") < F.col("dist"))
+        )
+        new_state = _checkpointed(
+            merged.select(
+                new_id.alias("id"),
+                new_dist.alias("dist"),
+                improved.alias("_changed"),
+            )
+        )
+        state = new_state.select("id", "dist")
+        if new_state.where(F.col("_changed")).limit(1).count() == 0:
+            break
+    return state

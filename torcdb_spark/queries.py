@@ -2876,3 +2876,42 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mkt_share")
         )
     )
+
+
+@_register(
+    "g_shortest_paths",
+    """SELECT l_partkey AS part_key,
+              CAST(min(2 + l_linenumber) AS DOUBLE) AS dist
+       FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+       WHERE o_custkey BETWEEN 1 AND 10
+       GROUP BY l_partkey""",
+)
+def g_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted SSSP (analytics.shortest_paths, Pregel min-plus) from a
+    10-customer seed set over the layered customer→order→lineitem→part
+    graph with weights (placed=1, contains=linenumber, ofPart=1). On this
+    DAG the fixpoint is min(2 + linenumber) per reachable part, which the
+    oracle computes directly — proving the general relaxation loop finds
+    exact minimal path weights, not just connectivity."""
+    from torcdb_spark.analytics import shortest_paths
+    from torcdb_spark.graph import LABEL_TAGS
+    from torcdb_spark.ids import uint128_pair
+
+    g = _graph(spark, sf_dir)
+    w = (
+        F.when(F.col("label") == "contains",
+               F.col("props")["linenumber"].cast("double"))
+        .otherwise(F.lit(1.0))
+    )
+    e = g.edges.where(
+        F.col("label").isin(["placed", "contains", "ofPart"])
+    ).select("src", "dst", w.alias("weight"))
+    seeds = spark.createDataFrame(
+        [(uint128_pair(LABEL_TAGS["customer"], k),) for k in range(1, 11)],
+        "id binary",
+    )
+    dist = shortest_paths(e, seeds, max_iter=6)
+    parts = g.vertices.where(F.col("label") == "part").select("id")
+    return dist.join(parts, "id", "left_semi").select(
+        id_lower(F.col("id")).alias("part_key"), "dist"
+    )
