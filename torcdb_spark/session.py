@@ -57,5 +57,8 @@ def get_spark(
         # (On a real cluster this would be spark.executor.memory instead.)
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
+        # stdout hygiene: the driver harness parses bench.py's final stdout
+        # line as JSON — progress bars would interleave with it.
+        .config("spark.ui.showConsoleProgress", "false")
     )
     return builder.getOrCreate()
