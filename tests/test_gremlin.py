@@ -278,3 +278,7 @@ def test_repeat_emit_pools_levels(spark, graph):
     # emit=False returns only the final level
     calls["n"] = 0
     assert base.repeat(step, 2).count() == l2
+    # emit-after with 0 iterations yields no traversers (TinkerPop); with
+    # emit=False it is the identity traversal
+    assert base.repeat(step, 0, emit=True).count() == 0
+    assert base.repeat(step, 0).count() == base.count()

@@ -453,6 +453,18 @@ def test_salted_join_equals_plain_join(spark):
     assert lg.count() == le.count()
 
 
+def test_salted_join_rejects_outer(spark):
+    import pytest
+    from torcdb_spark.operators.skew import salted_join
+
+    big = spark.createDataFrame([(1, 1)], "k long, payload long")
+    small = spark.createDataFrame([(1, "v")], "k long, val string")
+    # right/full outer would replicate unmatched small-side rows per bucket
+    for how in ("right", "full", "full_outer", "outer"):
+        with pytest.raises(ValueError, match="salted_join supports"):
+            salted_join(big, small, on="k", salt_buckets=4, how=how)
+
+
 def test_tfidf_hand_computed(spark):
     import math
     from torcdb_spark.operators.text import tfidf

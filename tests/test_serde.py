@@ -42,6 +42,16 @@ def test_int_vs_long_tag():
     assert encode_value(2**40).startswith("l:")
 
 
+def test_as_value_unparseable_tagged_string_falls_back_raw():
+    from torcdb_spark.serde import as_value
+
+    # raw user data that LOOKS tagged but does not parse must not fail the
+    # Arrow batch — it stays a plain string
+    assert as_value("i:hello") == "i:hello"
+    assert as_value("i:5") == 5
+    assert as_value("plain") == "plain"
+
+
 def test_rejects_non_reference_types():
     with pytest.raises(TypeError):
         encode_value(3.14)

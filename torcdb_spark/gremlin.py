@@ -293,6 +293,9 @@ class GraphTraversal:
             c for c in self._df.columns
             if c == "_path" or c.startswith("_as_")
         ]
+        if not levels:
+            # emit-after with 0 iterations yields no traversers (TinkerPop)
+            return GraphTraversal(self._g, self._df.select(*keep).limit(0))
         out = levels[0]._df.select(*keep)
         for lv in levels[1:]:
             out = out.unionByName(lv._df.select(*keep))

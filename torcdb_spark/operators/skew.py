@@ -35,7 +35,20 @@ def salted_join(
     a column for reproducible tests. The small side is replicated with
     ``explode(sequence(...))`` — S× its size, so keep it the genuinely
     smaller side (the same constraint a broadcast join has, relaxed by S
-    being small)."""
+    being small).
+
+    Only ``inner``/``left``/``left_semi``/``left_anti`` are supported: for
+    right/full outer joins a small-side key with no big-side match would
+    surface once per salt bucket (its replicas all fail to match), breaking
+    the output-identical-to-unsalted contract."""
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi",
+               "leftsemi", "left_anti", "leftanti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join supports inner/left/left_semi/left_anti, got {how!r}: "
+            "right/full outer would emit unmatched small-side rows once per "
+            "salt bucket"
+        )
     if salt_source is None:
         # spread rows of the same key: hash the partition-local row id so
         # the salt is cheap, deterministic per task layout, and needs no

@@ -116,9 +116,14 @@ def as_value(s: str):
     codec; untagged strings (the raw values `from_tables` writes) are plain
     STRINGs. A raw string that happens to look tagged (e.g. user data
     ``"i:5"``) would mis-decode — set_vertex_property-managed keys must not
-    alias raw-cast keys (documented contract, enforced nowhere cheaper)."""
+    alias raw-cast keys (documented contract, enforced nowhere cheaper).
+    A tagged-looking string whose payload does NOT parse (``"i:hello"``)
+    falls back to the raw string rather than failing the Arrow batch."""
     if len(s) >= 2 and s[1] == ":" and s[0] in "ilsLM":
-        return decode_value(s)
+        try:
+            return decode_value(s)
+        except ValueError:
+            return s
     return s
 
 
