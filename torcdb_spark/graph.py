@@ -300,6 +300,35 @@ class PropertyGraph:
 
     # -- element API (reference §2.1) --------------------------------------
 
+    def both_edges(self, labels: tuple[str, ...]) -> DataFrame:
+        """The deduped bidirectional orientation of the edges carrying
+        ``labels``: columns ``(near, far)``, one row per traversable
+        (vertex, neighbor) pair (TorcGraph.java:538-571's per-call dedup
+        map, computed once for the whole relation).
+
+        Built lazily and persisted per (graph, label-set): a BOTH hop's
+        union+dedup costs a shuffle of the edge set, and a multi-hop
+        traversal (or a bench re-run) would otherwise pay it once per hop —
+        Spark does not canonicalize the duplicated subtrees to one
+        exchange. On a cluster the same reuse is a bucketed materialized
+        table; ``persist`` (memory-and-disk) is the local analogue and
+        spills rather than OOMs at scale.
+        """
+        cache = self.__dict__.setdefault("_both_cache", {})
+        key = tuple(sorted(labels))
+        df = cache.get(key)
+        if df is None:
+            e = self.edges.where(F.col("label").isin(list(labels)))
+            fwd = e.select(F.col("src").alias("near"), F.col("dst").alias("far"))
+            rev = e.select(F.col("dst").alias("near"), F.col("src").alias("far"))
+            df = (
+                fwd.unionByName(rev)
+                .dropDuplicates(["near", "far"])
+                .persist()
+            )
+            cache[key] = df
+        return df
+
     def vertices_by_id(self, ids: list[bytes], label: str | None = None) -> DataFrame:
         """Point lookups (TorcGraph.vertices, TorcGraph.java:327-373).
 

@@ -62,9 +62,13 @@ class GraphTraversal:
             h = orient("dst", "src")
         else:
             # BOTH: an edge is traversable from either endpoint; per-pair
-            # dedup matches traverse()'s per-call dedup map semantics
-            h = orient("src", "dst").unionByName(orient("dst", "src")) \
-                .dropDuplicates(["_hop_src", "_nbr"])
+            # dedup matches traverse()'s per-call dedup map semantics.
+            # The deduped bidirectional set comes from the graph-level
+            # cache so consecutive both() hops share one persisted copy
+            # instead of re-shuffling the edge set per hop.
+            h = self._g.both_edges(labels).select(
+                F.col("near").alias("_hop_src"), F.col("far").alias("_nbr")
+            )
         joined = self._df.join(h, self._df["_cur"] == h["_hop_src"])
         cols = [F.col("_start"), F.col("_nbr").alias("_cur"), *self._carry()]
         if "_path" in self._df.columns:
