@@ -54,6 +54,38 @@ def test_triangle_count(spark):
     assert t == {0: 1, 1: 1, 2: 1}
 
 
+def test_triangle_count_skewed_hub_and_orientation(spark):
+    """A hub with the LOWEST id and highest degree: raw-id orientation
+    would open every wedge at the hub (O(deg^2) fan-out); degree-ordered
+    orientation opens wedges at the low-degree endpoints instead. Counts
+    must be identical either way — verified against hand-enumeration."""
+    # hub 0 connected to 1..20; ring edges (1,2),(3,4),...,(19,20) close
+    # 10 triangles through the hub
+    hub = [(0, i) for i in range(1, 21)]
+    ring = [(i, i + 1) for i in range(1, 20, 2)]
+    edges = spark.createDataFrame(hub + ring, ["src", "dst"])
+    t = {r.id: r.triangles for r in triangle_count(edges).collect()}
+    assert t[0] == 10  # hub is in every triangle
+    assert all(t[i] == 1 for i in range(1, 21))
+    # orientation is by (degree, id): the analyzed plan must rank on a
+    # degree aggregate, not compare raw ids
+    plan = triangle_count(edges)._jdf.queryExecution().analyzed().toString()
+    assert "_ra" in plan and "_deg" in plan
+
+
+def test_shortest_paths_rejects_negative_weights(spark):
+    import pytest
+    from torcdb_spark.analytics import shortest_paths
+
+    edges = spark.createDataFrame(
+        [("s", "a", 1.0), ("a", "b", -2.0)],
+        "src string, dst string, weight double",
+    )
+    seeds = spark.createDataFrame([("s",)], "id string")
+    with pytest.raises(ValueError, match="non-negative"):
+        shortest_paths(edges, seeds)
+
+
 def test_shortest_paths_relaxation(spark):
     """Min-plus SSSP on a hand graph with a longer-but-lighter path:
     the relaxation must prefer total weight over hop count."""

@@ -206,22 +206,47 @@ def bfs_distances(
 
 
 def triangle_count(edges: DataFrame, src_col: str = "src", dst_col: str = "dst") -> DataFrame:
-    """Per-vertex triangle counts on the undirected graph: canonical-orient
-    edges (a<b), join twice, count closures. Two shuffle joins, the standard
-    distributed formulation."""
+    """Per-vertex triangle counts on the undirected graph, oriented by
+    DEGREE rank: each undirected edge {u,v} is kept as (a,b) where
+    rank(a)=(degree(a), a) < rank(b), wedges are enumerated at the
+    lowest-rank vertex, and a closure join confirms the third edge. Two
+    shuffle joins — the standard distributed formulation — but the
+    degree-ordered orientation bounds every vertex's oriented out-degree
+    by O(sqrt(m)), so wedge fan-out stays bounded on skewed graphs (a
+    109-degree hub ordered by raw id could otherwise own ~10^18 wedges at
+    100 TB; ordered by degree it owns none)."""
     und = (
         edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
         .unionByName(edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b")))
         .where(F.col("a") != F.col("b"))
         .dropDuplicates(["a", "b"])
     )
-    canon = und.where(F.col("a") < F.col("b")).persist()
-    # wedges: (a<b), (b<c) → candidate (a,c); close with (a<c)
-    ab = canon.select(F.col("a").alias("x"), F.col("b").alias("y"))
-    bc = canon.select(F.col("a").alias("y"), F.col("b").alias("z"))
-    wedges = ab.join(bc, "y")
+    deg = und.groupBy("a").agg(F.count("*").alias("_deg"))
+    ranked = (
+        und.join(deg, "a")
+        .withColumn("_ra", F.struct(F.col("_deg"), F.col("a")))
+        .select("a", "b", "_ra")
+        .join(
+            deg.select(F.col("a").alias("b"), F.col("_deg").alias("_degb")),
+            "b",
+        )
+        .withColumn("_rb", F.struct(F.col("_degb"), F.col("b")))
+    )
+    # keep each undirected edge once, oriented low-rank → high-rank
+    # (struct comparison is lexicographic: degree first, id tie-break)
+    canon = ranked.where(F.col("_ra") < F.col("_rb")).select(
+        "a", "b", "_ra", "_rb"
+    ).persist()
+    # wedges open at the lowest-rank vertex: pairs of out-neighbors of x
+    # with rank(y) < rank(z); the closing edge (y,z) is then exactly in
+    # canon's orientation, so the closure is a plain equi-join
+    xy = canon.select(F.col("a").alias("x"), F.col("b").alias("y"),
+                      F.col("_rb").alias("_ry"))
+    xz = canon.select(F.col("a").alias("x"), F.col("b").alias("z"),
+                      F.col("_rb").alias("_rz"))
+    wedges = xy.join(xz, "x").where(F.col("_ry") < F.col("_rz"))
     tri = wedges.join(
-        canon.select(F.col("a").alias("x"), F.col("b").alias("z")), ["x", "z"]
+        canon.select(F.col("a").alias("y"), F.col("b").alias("z")), ["y", "z"]
     )
     per_vertex = (
         tri.select(F.col("x").alias("id"))
@@ -246,13 +271,24 @@ def shortest_paths(
     one edges⋈state join + a min-aggregate per destination + a min-merge
     into the state; convergence is detected from a ``_changed`` flag
     computed inside the merge (same one-heavy-job discipline as
-    connected_components). Non-negative weights assumed (no negative-cycle
-    detection). Converges in O(longest shortest path hops) supersteps."""
+    connected_components). Non-negative weights REQUIRED (min-plus
+    relaxation with a bounded iteration count silently under-relaxes
+    around negative cycles) — enforced with one filter-pushdown probe job
+    before iterating. Converges in O(longest shortest path hops)
+    supersteps."""
     e = edges.select(
         F.col(src_col).alias("esrc"),
         F.col(dst_col).alias("edst"),
         F.col(weight_col).cast("double").alias("w"),
     )
+    # One cheap guard job: the predicate pushes to the scan, and limit(1)
+    # stops at the first offender — O(scan) worst case, O(1) typical.
+    bad = e.where(F.col("w") < 0).limit(1).collect()
+    if bad:
+        raise ValueError(
+            f"shortest_paths requires non-negative weights; found w={bad[0].w} "
+            f"on edge ({bad[0].esrc!r} -> {bad[0].edst!r})"
+        )
     id_c = "id" if "id" in sources.columns else sources.columns[0]
     state = _checkpointed(
         sources.select(F.col(id_c).alias("id"))
