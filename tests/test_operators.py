@@ -381,9 +381,82 @@ def test_decode_image_rejects_unknown_format():
     from torcdb_spark.operators.multimodal import decode_image
 
     with pytest.raises(NotImplementedError):
-        decode_image(b"\x89PNG\r\n\x1a\n....")
+        decode_image(b"GIF89a not supported")
+    with pytest.raises(ValueError):
+        decode_image(b"\x89PNG\r\n\x1a\n....")  # PNG magic, no chunks
     with pytest.raises(ValueError):
         decode_image(_ppm_bytes(_test_pixels())[:-3])  # truncated body
+
+
+def test_decode_png_roundtrip_all_encoder_filters():
+    """encode_png(filter 0/1/2) → _decode_png is the identity on seeded
+    random gray/RGB/RGBA images (exercises None/Sub/Up unfiltering and
+    every supported channel count)."""
+    import numpy as np
+    from torcdb_spark.operators.multimodal import decode_image, encode_png
+
+    rng = np.random.default_rng(42)
+    for nch in (1, 3, 4):
+        px = rng.integers(0, 256, size=(5, 7, nch), dtype=np.uint8)
+        for ft in (0, 1, 2):
+            got = decode_image(encode_png(px, filter_type=ft))
+            np.testing.assert_array_equal(got, px.reshape(5, 7, nch))
+
+
+def test_decode_png_average_and_paeth_hand_computed():
+    """Average/Paeth scanlines hand-built + hand-unfiltered (RFC 2083
+    filter definitions) — the decoder must reproduce the manual recon."""
+    import struct
+    import zlib
+
+    import numpy as np
+    from torcdb_spark.operators.multimodal import decode_image
+
+    # 3x2 gray: row0 Average(3) on [10,20,30], row1 Paeth(4) on [5,5,5]
+    raw = bytes([3, 10, 20, 30]) + bytes([4, 5, 5, 5])
+
+    def chunk(ctype, data):
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data)))
+
+    png = (b"\x89PNG\r\n\x1a\n"
+           + chunk(b"IHDR", struct.pack(">IIBBBBB", 3, 2, 8, 0, 0, 0, 0))
+           + chunk(b"IDAT", zlib.compress(raw))
+           + chunk(b"IEND", b""))
+    got = decode_image(png)
+    # row0: a-only averages: 10, 20+10//2=25, 30+25//2=42
+    # row1: Paeth preds from prev row [10,25,42]: 15, 30, 47
+    np.testing.assert_array_equal(
+        got, np.array([[10, 25, 42], [15, 30, 47]], dtype=np.uint8)[:, :, None]
+    )
+
+
+def test_decode_png_rejects_unsupported_variants():
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest
+    from torcdb_spark.operators.multimodal import decode_image, encode_png
+
+    def chunk(ctype, data):
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data)))
+
+    # palette color type (3)
+    png = (b"\x89PNG\r\n\x1a\n"
+           + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 3, 0, 0, 0))
+           + chunk(b"IDAT", zlib.compress(b"\x00\x00"))
+           + chunk(b"IEND", b""))
+    with pytest.raises(NotImplementedError):
+        decode_image(png)
+    # truncated pixel stream: IDAT inflates to fewer bytes than h*(stride+1)
+    ok = encode_png(np.zeros((4, 4, 3), dtype=np.uint8))
+    full_raw = bytes(4 * (4 * 3 + 1))  # 4 filter-0 scanlines of zeros
+    truncated = ok.replace(zlib.compress(full_raw), zlib.compress(full_raw[:5]))
+    assert truncated != ok  # the substitution must have matched
+    with pytest.raises(ValueError):
+        decode_image(truncated)
 
 
 def test_resize_nearest_shapes_and_values():
@@ -406,17 +479,21 @@ def test_decode_and_featurize_spark_path(spark):
     import numpy as np
     from torcdb_spark.operators.multimodal import MEDIA_SCHEMA, decode_and_featurize
 
+    from torcdb_spark.operators.multimodal import encode_png
+
     px = _test_pixels()
     rows = [
         (1, bytearray(_ppm_bytes(px)), "image/x-portable-pixmap", None, None, None),
         (2, bytearray(_bmp_bytes(px)), "image/bmp", None, None, None),
         (3, bytearray(b"GIF89a not supported"), "image/gif", None, None, None),
+        (4, bytearray(encode_png(px, filter_type=2)), "image/png",
+         None, None, None),
     ]
     media = spark.createDataFrame(rows, MEDIA_SCHEMA)
     out = {r.media_id: r for r in decode_and_featurize(media).collect()}
     exp_mean = {c: round(float(px[:, :, i].astype(np.float64).mean()), 4)
                 for i, c in enumerate(("mean_r", "mean_g", "mean_b"))}
-    for mid in (1, 2):
+    for mid in (1, 2, 4):
         r = out[mid]
         assert (r.width, r.height, r.channels) == (3, 2, 3)
         assert r.mean_r == exp_mean["mean_r"]

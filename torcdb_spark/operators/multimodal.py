@@ -123,10 +123,133 @@ def decode_image(payload: bytes):
                         .reshape(w, nch))
         img = np.stack(rows[::-1] if flip else rows)
         return img[:, :, [2, 1, 0] if nch == 3 else [2, 1, 0, 3]]  # BGR(A)→RGB(A)
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return _decode_png(payload)
     raise NotImplementedError(
-        "only PPM(P6) and uncompressed 24/32-bit BMP decode without codec "
-        "libraries; install pillow/opencv for JPEG/PNG and extend dispatch"
+        "only PPM(P6), uncompressed 24/32-bit BMP, and non-interlaced 8-bit "
+        "gray/RGB/RGBA PNG decode without codec libraries; install "
+        "pillow/opencv for JPEG/WebP and extend dispatch"
     )
+
+
+def _decode_png(payload: bytes):
+    """Pure-stdlib PNG decode (zlib inflate + numpy unfilter) →
+    (h, w, channels) uint8 array.
+
+    Supports the common crawl-image subset: 8-bit depth, color types
+    0 (gray), 2 (RGB), 6 (RGBA), non-interlaced, all five scanline filter
+    types (None/Sub/Up/Average/Paeth). Sub is a per-channel-lane cumsum and
+    Up a vectorized add; Average/Paeth have an inherent left-neighbor
+    dependency, so those rows fall back to a per-pixel loop (fine for the
+    framed fixture images; a deployment swaps in a codec lib for bulk
+    decode). Palette/16-bit/interlaced raise NotImplementedError.
+    """
+    import zlib
+
+    import numpy as np
+
+    pos, ihdr, idat = 8, None, []
+    while pos + 8 <= len(payload):
+        length = int.from_bytes(payload[pos : pos + 4], "big")
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        if ctype == b"IHDR":
+            ihdr = data
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # length + type + data + crc
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w = int.from_bytes(ihdr[0:4], "big")
+    h = int.from_bytes(ihdr[4:8], "big")
+    bit_depth, color_type, _comp, _filt, interlace = ihdr[8:13]
+    nch = {0: 1, 2: 3, 6: 4}.get(color_type)
+    if bit_depth != 8 or nch is None or interlace != 0:
+        raise NotImplementedError(
+            f"PNG bit_depth={bit_depth} color_type={color_type} "
+            f"interlace={interlace} (8-bit gray/RGB/RGBA non-interlaced only)"
+        )
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * nch
+    if len(raw) < h * (stride + 1):
+        raise ValueError("truncated PNG pixel data")
+    img = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for r in range(h):
+        base = r * (stride + 1)
+        ft = raw[base]
+        line = np.frombuffer(
+            raw[base + 1 : base + 1 + stride], dtype=np.uint8
+        ).astype(np.int32)
+        if ft == 0:  # None
+            cur = line
+        elif ft == 1:  # Sub: recon[x] = line[x] + recon[x-bpp] → lane cumsum
+            cur = np.cumsum(line.reshape(w, nch), axis=0).reshape(stride) % 256
+        elif ft == 2:  # Up
+            cur = (line + prev) % 256
+        elif ft in (3, 4):  # Average / Paeth: left-neighbor dependency
+            cur = np.zeros(stride, dtype=np.int32)
+            for x in range(stride):
+                a = cur[x - nch] if x >= nch else 0  # left
+                b = prev[x]                          # up
+                if ft == 3:
+                    cur[x] = (line[x] + (a + b) // 2) % 256
+                else:
+                    c = prev[x - nch] if x >= nch else 0  # upper-left
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    cur[x] = (line[x] + pred) % 256
+        else:
+            raise ValueError(f"bad PNG filter type {ft}")
+        img[r] = cur.astype(np.uint8)
+        prev = cur
+    return img.reshape(h, w, nch)
+
+
+def encode_png(img, filter_type: int = 0) -> bytes:
+    """Minimal PNG encoder (test support + payload framing): 8-bit
+    gray/RGB/RGBA, non-interlaced, one filter type for every scanline
+    (0=None default; 1/2 exercised by the decoder tests — Sub/Up are
+    invertible from the recon rows directly)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    a = np.asarray(img, dtype=np.uint8)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    h, w, nch = a.shape
+    color_type = {1: 0, 3: 2, 4: 6}[nch]
+    flat = a.reshape(h, w * nch).astype(np.int32)
+    lines = []
+    for r in range(h):
+        recon = flat[r]
+        if filter_type == 0:
+            filt = recon
+        elif filter_type == 1:  # Sub
+            left = np.concatenate([np.zeros(nch, dtype=np.int32),
+                                   recon[:-nch]])
+            filt = (recon - left) % 256
+        elif filter_type == 2:  # Up
+            up = flat[r - 1] if r > 0 else np.zeros_like(recon)
+            filt = (recon - up) % 256
+        else:
+            raise NotImplementedError("encoder emits filter 0/1/2 only")
+        lines.append(bytes([filter_type]) + filt.astype(np.uint8).tobytes())
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data)))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(b"".join(lines)))
+            + chunk(b"IEND", b""))
 
 
 def resize_nearest(img, out_h: int, out_w: int):
