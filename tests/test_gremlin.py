@@ -282,3 +282,50 @@ def test_repeat_emit_pools_levels(spark, graph):
     # emit=False it is the identity traversal
     assert base.repeat(step, 0, emit=True).count() == 0
     assert base.repeat(step, 0).count() == base.count()
+
+
+def test_group_fold_members_sorted(graph, ddb):
+    """group().by(prop).by(fold()): member arrays are the sorted element
+    ids — cross-checked against SQL string_agg per group."""
+    from torcdb_spark.ids import id_lower
+    import pyspark.sql.functions as F
+
+    ids = [uint128_pair(LABEL_TAGS["customer"], k) for k in range(1, 21)]
+    got = (
+        G(graph).V(*ids).out("placed")
+        .group_by_values("o_orderstatus", agg="fold")
+    )
+    rows = {
+        r.group_key: [int.from_bytes(m[8:], "big") for m in r.members]
+        for r in got.collect()
+    }
+    exp = ddb.sql(
+        """SELECT o_orderstatus, list(o_orderkey ORDER BY o_orderkey)
+           FROM orders WHERE o_custkey BETWEEN 1 AND 20 GROUP BY 1"""
+    ).fetchall()
+    assert rows == {k: list(v) for k, v in exp}
+
+
+def test_range_and_skip_slices(graph, ddb):
+    ids = [uint128_pair(LABEL_TAGS["customer"], k) for k in range(1, 21)]
+    base = (
+        G(graph).V(*ids).out("placed")
+        .order_by_values("o_totalprice", ascending=False, cast="double")
+    )
+    exp = [
+        r[0] for r in ddb.sql(
+            """SELECT o_orderkey FROM orders WHERE o_custkey BETWEEN 1 AND 20
+               ORDER BY CAST(o_totalprice AS DOUBLE) DESC, o_orderkey"""
+        ).fetchall()
+    ]
+    got = [
+        int.from_bytes(r._cur[8:], "big")
+        for r in base.range_(3, 8)._df.collect()
+    ]
+    assert sorted(got) == sorted(exp[3:8])
+    # skip(n) == range(n, None): everything after the first n
+    got_skip = {
+        int.from_bytes(r._cur[8:], "big")
+        for r in base.skip(5)._df.collect()
+    }
+    assert got_skip == set(exp[5:])

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from torcdb_spark.graph import PropertyGraph
 from torcdb_spark.traverse import Direction
@@ -421,6 +422,75 @@ class GraphTraversal:
             .agg(F.count("*").cast("long").alias("count"))
         )
 
+    def group_by_values(
+        self, key: str, agg: str = "count", cast: str | None = None
+    ) -> DataFrame:
+        """``group().by('prop')`` with a value modulator: group traversers
+        by a property of the current vertex. ``agg='count'`` is
+        ``.by(count())`` → (group_key, n); ``agg='fold'`` is the default
+        ``.by(fold())`` → (group_key, sorted array of element ids) —
+        sorted so the grouped value is deterministic (TinkerPop's list
+        order is stream order, which a distributed shuffle does not have).
+        One hydration join + one shuffle on the group key."""
+        v = self._g.vertices.select("id", F.col("props")[key].alias("_grp"))
+        gcol = F.col("_grp").cast(cast) if cast else F.col("_grp")
+        joined = self._df.join(v, self._df["_cur"] == v["id"])
+        grouped = joined.groupBy(gcol.alias("group_key"))
+        if agg == "count":
+            return grouped.agg(F.count("*").cast("long").alias("n"))
+        if agg == "fold":
+            return grouped.agg(
+                F.array_sort(F.collect_list(F.col("_cur"))).alias("members")
+            )
+        raise ValueError(f"unsupported group modulator {agg!r}")
+
+    def values_stats(self, key: str, cast: str = "double") -> DataFrame:
+        """The numeric terminals ``sum()/min()/max()/mean()`` over a
+        property of the current vertices, as one single-row frame
+        (sum_v, min_v, max_v, mean_v) — one hydration join + one global
+        aggregate (map-side partials, no shuffle wider than one row)."""
+        v = self._g.vertices.select("id", F.col("props")[key].alias("_val"))
+        val = F.col("_val").cast(cast)
+        joined = self._df.join(v, self._df["_cur"] == v["id"])
+        return joined.agg(
+            F.sum(val).alias("sum_v"),
+            F.min(val).alias("min_v"),
+            F.max(val).alias("max_v"),
+            F.avg(val).alias("mean_v"),
+        )
+
+    def range_(self, low: int, high: int) -> "GraphTraversal":
+        """``range(low, high)``: traversers [low, high) of the current
+        order. TinkerPop's range is stream-ordered; the distributed frame
+        has no stream, so the order is the preceding ``order_by_values``
+        sort key (tracked on the frame) with the element id as tie-break —
+        a total, deterministic order. Scale shape: a distributed top-high
+        (TakeOrderedAndProject via orderBy+limit), then a row_number window
+        over only those ``high`` rows — the full frame never collapses to
+        one partition when ``high`` is bounded. ``skip(n)`` (``high=None``)
+        has no such bound and pays a global window — inherent to unbounded
+        offset semantics, bound ``high`` where scale matters."""
+        order_cols = self.__dict__.get("_order_cols") or [
+            F.col("_cur").asc(), F.col("_start").asc()
+        ]
+        if high is not None:
+            bounded = self._df.orderBy(*order_cols).limit(int(high))
+        else:
+            bounded = self._df
+        if low <= 0 and high is None:
+            return GraphTraversal(self._g, bounded)
+        w = Window.orderBy(*order_cols)
+        df = (
+            bounded.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") > int(low))
+            .drop("_rn")
+        )
+        return GraphTraversal(self._g, df)
+
+    def skip(self, n: int) -> "GraphTraversal":
+        """``skip(n)`` — TinkerPop alias for range(n, -1)."""
+        return self.range_(n, None)
+
     def order_by(self, col: Column | str, ascending: bool = True) -> "GraphTraversal":
         df = self._df.orderBy(F.asc(col) if ascending else F.desc(col))
         return GraphTraversal(self._g, df)
@@ -438,8 +508,14 @@ class GraphTraversal:
         joined = self._df.join(v, self._df["_cur"] == v["id"])
         df = joined.orderBy(
             val.asc() if ascending else val.desc(), F.col("_cur").asc()
-        ).select(*[F.col(c) for c in self._df.columns])
-        return GraphTraversal(self._g, df)
+        ).select(*[F.col(c) for c in self._df.columns], val.alias("_ordval"))
+        t = GraphTraversal(self._g, df)
+        # remember the sort key so a following range_()/skip() slices by it
+        t._order_cols = [
+            F.col("_ordval").asc() if ascending else F.col("_ordval").desc(),
+            F.col("_cur").asc(),
+        ]
+        return t
 
     def limit(self, n: int) -> "GraphTraversal":
         return GraphTraversal(self._g, self._df.limit(n))

@@ -670,7 +670,7 @@ DRIVER_PRIORITY: list[str] = [
     "g_gremlin_simple_path",
     "g_gremlin_repeat",
     "g_gremlin_union",
-    "g_gremlin_union_path",
+    "g_gremlin_group",
     # §2.4 G4 analytics (exact-oracle variants preferred)
     "g_pagerank_exact",
     "g_triangle_count",
@@ -2046,6 +2046,87 @@ def g_gremlin_order_by_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hydrated.select(
         id_lower(F.col("id")).alias("c_custkey"),
         F.round(F.col("props")["c_acctbal"].cast("double"), 2).alias("acctbal"),
+    )
+
+
+@_register(
+    "g_gremlin_group",
+    """SELECT o_orderstatus AS group_key, CAST(count(*) AS BIGINT) AS n
+       FROM orders WHERE o_custkey BETWEEN 1 AND 100
+       GROUP BY o_orderstatus""",
+)
+def g_gremlin_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """group().by('o_orderstatus').by(count()) composed over an out() hop —
+    the TinkerPop group step as one hydration join + one shuffle on the
+    group key (gremlin.py group_by_values)."""
+    from torcdb_spark.gremlin import G
+    from torcdb_spark.graph import LABEL_TAGS
+    from torcdb_spark.ids import uint128_pair
+
+    g = _graph(spark, sf_dir)
+    ids = [uint128_pair(LABEL_TAGS["customer"], k) for k in range(1, 101)]
+    return G(g).V(*ids).out("placed").group_by_values("o_orderstatus")
+
+
+@_register(
+    "g_gremlin_value_stats",
+    """SELECT round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                    AS DOUBLE), 2) AS sum_v,
+              round(CAST(min(CAST(o_totalprice AS DECIMAL(18,2)))
+                    AS DOUBLE), 2) AS min_v,
+              round(CAST(max(CAST(o_totalprice AS DECIMAL(18,2)))
+                    AS DOUBLE), 2) AS max_v,
+              round(CAST(avg(CAST(o_totalprice AS DECIMAL(18,2)))
+                    AS DOUBLE), 4) AS mean_v
+       FROM orders WHERE o_custkey BETWEEN 1 AND 100""",
+)
+def g_gremlin_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sum()/min()/max()/mean() terminals over a hop's property values —
+    one global aggregate with map-side partials; DECIMAL accumulation so
+    the sum is association-order-independent (oracle-hashable)."""
+    from torcdb_spark.gremlin import G
+    from torcdb_spark.graph import LABEL_TAGS
+    from torcdb_spark.ids import uint128_pair
+
+    g = _graph(spark, sf_dir)
+    ids = [uint128_pair(LABEL_TAGS["customer"], k) for k in range(1, 101)]
+    stats = (
+        G(g).V(*ids).out("placed")
+        .values_stats("o_totalprice", cast="decimal(18,2)")
+    )
+    return stats.select(
+        F.round(F.col("sum_v").cast("double"), 2).alias("sum_v"),
+        F.round(F.col("min_v").cast("double"), 2).alias("min_v"),
+        F.round(F.col("max_v").cast("double"), 2).alias("max_v"),
+        F.round(F.col("mean_v").cast("double"), 4).alias("mean_v"),
+    )
+
+
+@_register(
+    "g_gremlin_range",
+    """SELECT o_orderkey, round(CAST(o_totalprice AS DOUBLE), 2) AS totalprice
+       FROM orders WHERE o_custkey BETWEEN 1 AND 100
+       ORDER BY CAST(o_totalprice AS DOUBLE) DESC, o_orderkey ASC
+       LIMIT 15 OFFSET 10""",
+)
+def g_gremlin_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """order().by('o_totalprice', desc).range(10, 25): deterministic slice
+    of the ordered traversal — distributed top-25 then a 25-row window,
+    never a full single-partition sort (gremlin.py range_)."""
+    from torcdb_spark.gremlin import G
+    from torcdb_spark.graph import LABEL_TAGS
+    from torcdb_spark.ids import uint128_pair
+
+    g = _graph(spark, sf_dir)
+    ids = [uint128_pair(LABEL_TAGS["customer"], k) for k in range(1, 101)]
+    t = (
+        G(g).V(*ids).out("placed")
+        .order_by_values("o_totalprice", ascending=False, cast="double")
+        .range_(10, 25)
+    )
+    return t._df.select(
+        id_lower(F.col("_cur")).alias("o_orderkey"),
+        F.round(F.col("_ordval"), 2).alias("totalprice"),
     )
 
 
