@@ -199,3 +199,41 @@ def test_tfidf_reuses_tf_and_broadcasts_df(spark, sf_dir):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "InMemoryTableScan" in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """AQE's runtime skew split fires on a hot-key sort-merge join when
+    salting is off — evidencing both halves of the skew strategy: AQE
+    handles moderate skew transparently (operators/skew.py documents when
+    explicit salting is still needed: the split is per-partition, so a
+    SINGLE key hotter than one whole partition still bottlenecks and wants
+    salted_join). Thresholds are lowered so sf-test data exhibits 'skew'."""
+    overrides = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+    }
+    old = {k: spark.conf.get(k) for k in overrides}
+    for k, v in overrides.items():
+        spark.conf.set(k, v)
+    try:
+        # 90% of the big side lands on key 0 -> one partition far above the
+        # (lowered) threshold
+        big = spark.range(0, 50_000).select(
+            F.when(F.col("id") % 10 < 9, F.lit(0))
+            .otherwise(F.col("id")).alias("k"),
+            F.concat(F.lit("x" * 64), F.col("id").cast("string"))
+            .alias("payload"),
+        )
+        small = spark.range(0, 1_000).select(
+            F.col("id").alias("k"), F.lit("v").alias("val")
+        )
+        j = big.join(small, "k")
+        assert len(j.collect()) == 45_100
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
