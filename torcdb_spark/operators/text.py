@@ -232,13 +232,13 @@ def tfidf(
     # executed plan), so without a persist the corpus is tokenized and
     # shuffled twice — the dominant cost at scale. Persisting the compact
     # (id, term, tf) intermediate is the classic two-pass TF-IDF layout.
-    tf = toks.groupBy(id_col, "term").agg(
-        F.count("*").cast("long").alias("tf")
-    ).persist()
     # The returned DataFrame is lazy, so the cache cannot be dropped here
     # without recomputing the double-exchange; instead evict the PREVIOUS
     # call's cache so repeated invocations (bench re-runs a query n times)
-    # hold at most one tf intermediate. Callers wanting zero residue can
+    # hold at most one tf intermediate. Evict BEFORE persisting the new
+    # frame: CacheManager keys entries by logical plan, so when two calls
+    # build identical plans, unpersisting the old one afterwards would
+    # drop the new call's entry too. Callers wanting zero residue can
     # unpersist via tfidf.last_cached after their action completes.
     prev = getattr(tfidf, "last_cached", None)
     if prev is not None:
@@ -246,6 +246,9 @@ def tfidf(
             prev.unpersist()
         except Exception:
             pass  # session of the old cache may already be stopped
+    tf = toks.groupBy(id_col, "term").agg(
+        F.count("*").cast("long").alias("tf")
+    ).persist()
     tfidf.last_cached = tf
     df_tbl = tf.groupBy("term").agg(
         F.count("*").cast("long").alias("df")
