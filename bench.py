@@ -67,7 +67,7 @@ def main() -> None:
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
 
     timings: dict[str, float] = {}
-    for name, fn in sorted(queries().items()):
+    for qi, (name, fn) in enumerate(sorted(queries().items())):
         best = None
         for _ in range(n_runs):
             t0 = time.perf_counter()
@@ -82,6 +82,19 @@ def main() -> None:
                 break
         timings[name] = round(best, 3)
         print(f"bench: {name} {timings[name]}s", file=sys.stderr)
+        # Session hygiene between queries: operator-level persists
+        # (both_edges, triangle orientation, q11/q15 self-joins, tfidf)
+        # and iterative localCheckpoint blocks otherwise accumulate across
+        # 100+ queries x n runs and degrade the tail of the run by 3-10x
+        # (measured: t8_degree_out 0.33s fresh vs 2.8s at position ~100).
+        # Within one query's n runs the caches still warm normally; the
+        # reported min is the steady per-query cost.
+        import gc
+
+        spark.catalog.clearCache()
+        gc.collect()  # drop py4j refs so ContextCleaner can release blocks
+        if qi % 15 == 14:
+            spark.sparkContext._jvm.java.lang.System.gc()
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     full = {

@@ -686,17 +686,17 @@ DRIVER_PRIORITY: list[str] = [
     "q9_profit_by_nation_year",
     "q10_returned_revenue",
     "q18_large_volume_customers",
-    # §2.5 streaming (batch windowing + real readStream pipelines)
-    "q_events_tumbling",
+    # §2.5 streaming (real readStream pipelines: windows + interval join)
     "st_events_tumbling_stream",
     "st_events_sessions_stream",
+    "st_interval_join_stream",
     # LLM-pipeline extension operators
     "d1_dedup_exact",
     "d2_text_stats",
     "d9_tfidf",
     "d10_chunking",
     "d11_redact_pii",
-    "d12_hash_sample",
+    "d13_dedup_clusters",
     "e1_cosine_topk",
     "e5_label_centroids",
     "x_minhash_near_dups",
@@ -3487,4 +3487,139 @@ def q21_last_shipper_wait(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.count("*").cast("long").alias("numwait"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming surface completion: watermark-bounded dedup and stream-stream
+# interval join, each hash-matched against the batch-semantics oracle.
+# ---------------------------------------------------------------------------
+
+
+def _stream_src(sf_dir: str) -> str:
+    """Stable single-file stream source dir for the fixture events table
+    (one file → one availableNow micro-batch, so streaming results are
+    batch-deterministic — the same contract st_events_tumbling_stream
+    relies on)."""
+    import os
+    import tempfile
+
+    slug = sf_dir.strip("/").replace("/", "_")
+    d = os.path.join(tempfile.gettempdir(), f"torcdb_stream_src_{slug}")
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(f"{sf_dir}/events.parquet", link)
+    return d
+
+
+@_register(
+    "st_events_dedup_stream",
+    """SELECT DISTINCT user_id, event_type FROM events""",
+)
+def st_events_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-bounded streaming dedup (dropDuplicatesWithinWatermark)
+    on (user_id, event_type), drained with availableNow: state is bounded
+    by the watermark horizon instead of growing forever. The fixture
+    arrives as one micro-batch, so every duplicate falls inside the
+    horizon and the stream's output hash-matches batch DISTINCT — the
+    deterministic contract being verified."""
+    from torcdb_spark.streaming import events_stream
+    from torcdb_spark.streaming.jobs import run_to_memory, streaming_dedup
+
+    stream = events_stream(spark, _stream_src(sf_dir))
+    deduped = streaming_dedup(
+        stream, keys=["user_id", "event_type"]
+    ).select("user_id", "event_type")
+    run_to_memory(deduped, "st_dd", output_mode="append")
+    return spark.table("st_dd")
+
+
+@_register(
+    "st_interval_join_stream",
+    """SELECT p.event_id AS purchase_id, p.user_id,
+              strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+              c.event_id AS click_id,
+              strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+              round(c.value, 2) AS click_value
+       FROM events p JOIN events c
+         ON c.user_id = p.user_id
+        AND p.event_type = 'purchase' AND c.event_type = 'click'
+        AND c.ts <= p.ts
+        AND c.ts >= p.ts - INTERVAL '30 minutes'""",
+)
+def st_interval_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL stream-stream interval join (purchase ⋈ preceding clicks) run
+    by the streaming engine with watermarks on both sides — the join state
+    store evicts rows older than watermark + lookback. Inner-join matches
+    emit immediately, so the availableNow drain hash-matches the batch
+    interval-join oracle."""
+    from torcdb_spark.streaming import events_stream
+    from torcdb_spark.streaming.jobs import (
+        purchase_click_interval_join,
+        run_to_memory,
+    )
+
+    stream = events_stream(spark, _stream_src(sf_dir))
+    joined = purchase_click_interval_join(stream)
+    run_to_memory(joined, "st_ij", output_mode="append")
+    return spark.table("st_ij")
+
+
+@_register(
+    "d13_dedup_clusters",
+    """WITH RECURSIVE
+       n AS (SELECT doc_id,
+                    lower(regexp_replace(text, '\\s+', ' ', 'g')) AS t
+             FROM documents WHERE doc_id <= 30),
+       sh AS (SELECT doc_id,
+                     list_distinct([substring(t, i, 5)
+                       for i in generate_series(1, greatest(len(t)-4, 1))]) AS s
+              FROM n),
+       pairs AS (
+         SELECT a.doc_id AS pa, b.doc_id AS pb
+         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+               / len(list_distinct(list_concat(a.s, b.s))) >= 0.2),
+       edges AS (
+         SELECT pa AS a, pb AS b FROM pairs
+         UNION SELECT pb, pa FROM pairs
+         UNION SELECT doc_id, doc_id FROM n),
+       reach(s, t) AS (
+         SELECT a, b FROM edges
+         UNION
+         SELECT r.s, e.b FROM reach r JOIN edges e ON r.t = e.a)
+       SELECT s AS doc_id, CAST(min(t) AS BIGINT) AS cluster_id
+       FROM reach GROUP BY s""",
+)
+def d13_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERING — the end deliverable of dedup: exact 5-gram
+    Jaccard pairs (bounded candidate set, threshold 0.2) become an edge
+    list, connected_components assigns each doc its min-doc-id cluster
+    representative. At 100 TB the candidate stage is the LSH bucket join
+    (x_minhash_near_dups) and the CC stage is the same Pregel operator —
+    this query verifies the composition exactly against a recursive-CTE
+    transitive closure."""
+    from torcdb_spark.analytics import connected_components
+    from torcdb_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") <= 30)
+    ids = docs.select("doc_id")
+    cand = (
+        ids.withColumnRenamed("doc_id", "id_a")
+        .crossJoin(ids.withColumnRenamed("doc_id", "id_b"))
+        .where(F.col("id_a") < F.col("id_b"))
+    )
+    edges = (
+        ngram_jaccard_pairs(docs, cand)
+        .where(F.col("jaccard") >= 0.2)
+        .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    )
+    singletons = ids.select(
+        F.col("doc_id").alias("src"), F.col("doc_id").alias("dst")
+    )
+    cc = connected_components(edges.unionByName(singletons))
+    return cc.select(
+        F.col("id").cast("long").alias("doc_id"),
+        F.col("component").cast("long").alias("cluster_id"),
     )
