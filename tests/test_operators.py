@@ -632,3 +632,134 @@ def test_hash_sample_deterministic_and_stratified(spark, sf_dir):
     # nested rates: 5% sample is a subset of the 10% sample per strata hash
     c = {r.doc_id for r in hash_sample(docs, 5, strata_col="lang").collect()}
     assert c <= a
+
+
+# --- range_join (bin-bucketed interval join) -------------------------------
+
+
+def test_range_join_keyed_matches_naive(spark):
+    """Binned equi-join result == naive BETWEEN join, including a window
+    spanning multiple bins and an exact-boundary point."""
+    from torcdb_spark.operators.range_join import range_join
+
+    pts = spark.createDataFrame(
+        [(1, 0.0), (1, 5.0), (1, 10.0), (1, 25.0), (2, 5.0), (3, 7.0)],
+        "k int, x double",
+    )
+    iv = spark.createDataFrame(
+        [(1, 0.0, 10.0, "a"), (1, 24.0, 26.0, "b"), (2, 6.0, 9.0, "c")],
+        "k int, lo double, hi double, tag string",
+    )
+    got = range_join(
+        pts, iv, point_col="x", start_col="lo", end_col="hi", bin_width=4.0,
+        on=["k"],
+    )
+    rows = {(r.k, r.x, r.tag) for r in got.collect()}
+    # naive: k-equal and lo <= x <= hi
+    assert rows == {(1, 0.0, "a"), (1, 5.0, "a"), (1, 10.0, "a"), (1, 25.0, "b")}
+    # each qualifying pair exactly once despite interval 'a' spanning 3 bins
+    assert got.count() == 4
+
+
+def test_range_join_keyless_and_bounds(spark):
+    from torcdb_spark.operators.range_join import range_join
+
+    pts = spark.createDataFrame([(1, 2.0), (2, 3.0), (3, 9.0)], "pid int, x double")
+    iv = spark.createDataFrame(
+        [(10, 2.0, 3.0), (11, 8.0, 7.0)], "iid int, lo double, hi double"
+    )  # second interval is inverted → dropped
+    inner = range_join(pts, iv, "x", "lo", "hi", bin_width=2.0)
+    assert {(r.pid, r.iid) for r in inner.collect()} == {(1, 10), (2, 10)}
+    # exclusive end drops the x == hi match
+    excl = range_join(pts, iv, "x", "lo", "hi", bin_width=2.0, include_end=False)
+    assert {(r.pid, r.iid) for r in excl.collect()} == {(1, 10)}
+    # left join keeps unmatched points with null interval side
+    left = range_join(pts, iv, "x", "lo", "hi", bin_width=2.0, how="left")
+    assert left.count() == 3
+    assert left.where(F.col("iid").isNull()).count() == 1
+
+
+def test_range_join_timestamps_exact_micros(spark):
+    from torcdb_spark.operators.range_join import range_join
+
+    pts = spark.createDataFrame(
+        [("2024-01-01 00:59:59.999999",), ("2024-01-01 01:00:00",)], "ts string"
+    ).select(F.col("ts").cast("timestamp").alias("ts"))
+    iv = spark.createDataFrame(
+        [("2024-01-01 00:00:00", "2024-01-01 00:59:59.999999")], "lo string, hi string"
+    ).select(
+        F.col("lo").cast("timestamp").alias("lo"),
+        F.col("hi").cast("timestamp").alias("hi"),
+    )
+    got = range_join(pts, iv, "ts", "lo", "hi", bin_width=3600)
+    assert got.count() == 1  # sub-second boundary resolved exactly
+
+
+def test_range_join_plan_is_equi_join(spark):
+    """The point of the operator: the physical plan must be a hash/merge
+    equi-join, NOT BroadcastNestedLoopJoin/CartesianProduct."""
+    from torcdb_spark.operators.range_join import range_join
+
+    pts = spark.range(100).select(F.col("id").cast("double").alias("x"))
+    iv = spark.range(10).select(
+        (F.col("id") * 10.0).alias("lo"), (F.col("id") * 10.0 + 5.0).alias("hi")
+    )
+    plan = range_join(pts, iv, "x", "lo", "hi", bin_width=10.0)._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+# --- timeseries rollup / gap_fill ------------------------------------------
+
+
+def test_time_bucket_and_rollup(spark):
+    from torcdb_spark.operators.timeseries import rollup
+
+    df = spark.createDataFrame(
+        [("2024-01-01 00:10:00", "a", 1.0),
+         ("2024-01-01 00:50:00", "a", 2.0),
+         ("2024-01-01 02:10:00", "a", 4.0)],
+        "ts string, k string, v double",
+    ).select(F.col("ts").cast("timestamp").alias("ts"), "k", "v")
+    got = {
+        (str(r.bucket), r.k): r.s
+        for r in rollup(df, "ts", 3600, ["k"], [F.sum("v").alias("s")]).collect()
+    }
+    assert got == {
+        ("2024-01-01 00:00:00", "a"): 3.0,
+        ("2024-01-01 02:00:00", "a"): 4.0,
+    }
+
+
+def test_gap_fill_locf_and_null(spark):
+    from torcdb_spark.operators.timeseries import gap_fill, rollup
+
+    df = spark.createDataFrame(
+        [("2024-01-01 00:00:00", "a", 1.0),
+         ("2024-01-01 03:00:00", "a", 8.0),
+         ("2024-01-01 01:00:00", "b", 5.0)],
+        "ts string, k string, v double",
+    ).select(F.col("ts").cast("timestamp").alias("ts"), "k", "v")
+    rolled = rollup(df, "ts", 3600, ["k"], [F.sum("v").alias("v")])
+
+    dense_null = gap_fill(rolled, "bucket", 3600, ["k"], ["v"], method="null")
+    a = sorted(
+        (str(r.bucket), r.v) for r in dense_null.where(F.col("k") == "a").collect()
+    )
+    assert a == [
+        ("2024-01-01 00:00:00", 1.0),
+        ("2024-01-01 01:00:00", None),
+        ("2024-01-01 02:00:00", None),
+        ("2024-01-01 03:00:00", 8.0),
+    ]
+
+    dense = gap_fill(rolled, "bucket", 3600, ["k"], ["v"], method="locf")
+    a = sorted((str(r.bucket), r.v) for r in dense.where(F.col("k") == "a").collect())
+    assert a == [
+        ("2024-01-01 00:00:00", 1.0),
+        ("2024-01-01 01:00:00", 1.0),
+        ("2024-01-01 02:00:00", 1.0),
+        ("2024-01-01 03:00:00", 8.0),
+    ]
+    # single-bucket key: spine is that one bucket, nothing invented
+    b = [(str(r.bucket), r.v) for r in dense.where(F.col("k") == "b").collect()]
+    assert b == [("2024-01-01 01:00:00", 5.0)]

@@ -162,7 +162,13 @@ def bfs_distances(
     """Multi-source BFS → (id, distance); frontier-expansion loop with an
     anti-join against the visited set (the iterative form of khop that also
     records depth)."""
-    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    # One materialization of the 2-column edge projection: every depth
+    # re-joins against it, and without the persist each superstep re-scans
+    # (and re-decodes) the full edge parquet — at depth d that is d full
+    # scans of the largest table in the graph.
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).persist()
     id_c = "id" if "id" in sources.columns else sources.columns[0]
     visited = _checkpointed(
         sources.select(F.col(id_c).alias("id")).dropDuplicates(["id"]).withColumn(
@@ -202,6 +208,10 @@ def bfs_distances(
         visited = visited.unionByName(nxt.withColumn("distance", F.lit(depth)))
         n_visited += n_frontier
         frontier = nxt
+    # Every per-depth frontier is already an eager localCheckpoint, so the
+    # returned union plan no longer references the edge cache — safe to
+    # release here rather than leaking blocks into the caller's session.
+    e.unpersist()
     return visited
 
 

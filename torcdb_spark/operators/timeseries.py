@@ -1,0 +1,96 @@
+"""Hypertable-style time-series rollup + gap-fill — extension operators the
+reference (a graph store) lacks entirely; modeled on TimescaleDB's
+``time_bucket`` / ``time_bucket_gapfill`` / ``locf`` surface, re-expressed
+as pure Catalyst plans.
+
+Scale shape:
+- ``time_bucket`` is a stateless projection (integer floor on exact
+  microseconds) — pushes through scans, costs nothing.
+- ``rollup`` is a single partial-aggregated groupBy on (bucket, *keys):
+  one shuffle, map-side combine, the canonical OLAP downsample. At 100 TB
+  this is the same plan as TPC-H Q1.
+- ``gap_fill`` densifies per-key series WITHOUT a driver-side calendar:
+  the bucket spine is ``sequence(min_bucket, max_bucket, step)`` exploded
+  per key — generated distributively from each key's own aggregated
+  bounds (2-row-per-key intermediate), then a left join back. Fill is
+  LOCF (last-observation-carried-forward) via ``last(ignorenulls)`` over
+  an UNBOUNDED PRECEDING running window — per-key sort, no self-join,
+  no driver collect. Spine size is bounded by span/width per key; choose
+  the width so per-key spines stay in the thousands, exactly as a
+  hypertable chooses its chunk interval.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def time_bucket(col: Column, width_seconds: int) -> Column:
+    """Floor a timestamp column to a fixed-width bucket (TimescaleDB
+    ``time_bucket``). Exact integer arithmetic on microseconds — no
+    float rounding at any scale."""
+    w = int(width_seconds) * 1_000_000
+    return F.timestamp_micros((F.floor(F.unix_micros(col) / w) * w).cast("long"))
+
+
+def rollup(
+    df: DataFrame,
+    ts_col: str,
+    width_seconds: int,
+    keys: list[str],
+    aggs: list[Column],
+    bucket_name: str = "bucket",
+) -> DataFrame:
+    """Downsample to fixed windows: groupBy(time_bucket, *keys).agg(*aggs)."""
+    return (
+        df.withColumn(bucket_name, time_bucket(F.col(ts_col), width_seconds))
+        .groupBy(bucket_name, *keys)
+        .agg(*aggs)
+    )
+
+
+def gap_fill(
+    rolled: DataFrame,
+    bucket_col: str,
+    width_seconds: int,
+    keys: list[str],
+    value_cols: list[str],
+    method: str = "locf",
+) -> DataFrame:
+    """Densify a rolled-up series: emit one row per key per bucket between
+    that key's first and last observed bucket, filling missing buckets.
+
+    ``method``: 'null' leaves gaps as NULL; 'locf' carries the last
+    observed value forward (leading gap before a key's first observation
+    cannot exist because the spine starts at the key's own min bucket).
+    """
+    if method not in ("null", "locf"):
+        raise ValueError(f"gap_fill supports method='null'|'locf', got {method!r}")
+    w = int(width_seconds) * 1_000_000
+
+    spine = (
+        rolled.groupBy(*keys)
+        .agg(
+            F.min(F.unix_micros(F.col(bucket_col))).alias("_lo"),
+            F.max(F.unix_micros(F.col(bucket_col))).alias("_hi"),
+        )
+        .select(
+            *keys,
+            F.explode(
+                F.sequence(F.col("_lo"), F.col("_hi"), F.lit(w))
+            ).alias("_bm"),
+        )
+        .select(*keys, F.timestamp_micros(F.col("_bm")).alias(bucket_col))
+    )
+    dense = spine.join(rolled, on=[*keys, bucket_col], how="left")
+    if method == "locf":
+        win = (
+            Window.partitionBy(*keys)
+            .orderBy(bucket_col)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        for c in value_cols:
+            dense = dense.withColumn(c, F.last(F.col(c), ignorenulls=True).over(win))
+    return dense

@@ -682,10 +682,14 @@ DRIVER_PRIORITY: list[str] = [
     "q2_min_cost_supplier",
     "q6_forecast_revenue",
     "q7_volume_shipping",
-    "q8_market_share",
     "q9_profit_by_nation_year",
-    "q10_returned_revenue",
     "q18_large_volume_customers",
+    # §2.5 temporal extensions (range join + hypertable rollup/gap-fill):
+    # displace two of the eight TPC-H witnesses — §2.5-relational keeps six
+    # green representatives, and the two novel operator families gain hard
+    # driver rows (q8/q10 stay covered by the local exact-value gate).
+    "rj1_attribution_window",
+    "ts2_gap_fill_locf",
     # §2.5 streaming (real readStream pipelines: windows + interval join)
     "st_events_tumbling_stream",
     "st_events_sessions_stream",
@@ -2974,10 +2978,21 @@ def g_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window as W
 
     o = load_table(spark, sf_dir, "orders")
-    ranked = o.withColumn(
-        "prio",
-        F.dense_rank().over(W.orderBy("o_orderpriority")).cast("long") + 2000000,
-    ).withColumn("okey", F.col("o_orderkey") + 1000000)
+    # dense_rank over the 5 DISTINCT priorities (broadcast back), not over
+    # the full table — an unpartitioned window on 150k+ rows collapses to
+    # one task and is a scale-killer at 100 TB; the distinct side is O(5).
+    prio_map = (
+        o.select("o_orderpriority")
+        .distinct()
+        .withColumn(
+            "prio",
+            F.dense_rank().over(W.orderBy("o_orderpriority")).cast("long")
+            + 2000000,
+        )
+    )
+    ranked = o.join(F.broadcast(prio_map), "o_orderpriority").withColumn(
+        "okey", F.col("o_orderkey") + 1000000
+    )
     e1 = ranked.select(F.col("o_custkey").alias("src"), F.col("okey").alias("dst"))
     e2 = ranked.select(F.col("o_custkey").alias("src"), F.col("prio").alias("dst"))
     e3 = ranked.select(F.col("okey").alias("src"), F.col("prio").alias("dst"))
@@ -3622,4 +3637,162 @@ def d13_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cc.select(
         F.col("id").cast("long").alias("doc_id"),
         F.col("component").cast("long").alias("cluster_id"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.5 temporal extensions: batch range join + hypertable rollup/gap-fill
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "rj1_attribution_window",
+    """SELECT a.user_id,
+              CAST(count(*) AS BIGINT) AS n_attributed,
+              CAST(count(DISTINCT a.event_id) AS BIGINT) AS n_windows
+       FROM events a JOIN events b
+         ON a.user_id = b.user_id
+        AND a.event_type = 'purchase' AND b.event_type = 'click'
+        AND b.ts >= a.ts AND b.ts < a.ts + INTERVAL 2 HOUR
+       GROUP BY a.user_id""",
+)
+def rj1_attribution_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed range join (attribution): clicks landing inside a [purchase,
+    purchase+2h) window of the same user. Uses the bin-bucketed range_join
+    operator — an EQUI-join on (user_id, 2h-bin) instead of the
+    BroadcastNestedLoopJoin Spark would plan for the raw BETWEEN predicate
+    (operators/range_join.py documents the 100 TB rationale)."""
+    from torcdb_spark.operators.range_join import range_join
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts"), F.col("event_id").alias("click_id")
+    )
+    windows = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("w_start"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("w_end"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    joined = range_join(
+        clicks,
+        windows,
+        point_col="click_ts",
+        start_col="w_start",
+        end_col="w_end",
+        bin_width=7200,
+        on=["user_id"],
+        include_end=False,
+    )
+    return joined.groupBy("user_id").agg(
+        F.count("*").alias("n_attributed"),
+        F.countDistinct("purchase_id").alias("n_windows"),
+    )
+
+
+@_register(
+    "rj2_value_bands",
+    """SELECT n_nationkey AS band_id,
+              CAST(count(*) AS BIGINT) AS n_events,
+              round(sum(e.value), 2) AS sum_value
+       FROM nation n JOIN events e
+         ON e.value >= n_nationkey * 20.0
+        AND e.value <= n_nationkey * 20.0 + 19.99
+       GROUP BY 1""",
+)
+def rj2_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KEYLESS range join: every event binned into a value band derived
+    from the nation table — no equality column at all, the case where the
+    naive BETWEEN join is a guaranteed nested-loop/cartesian plan. The
+    binned formulation stays a shuffled equi-join on the band bin, which
+    is the only shape that survives when neither side broadcasts."""
+    from torcdb_spark.operators.range_join import range_join
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "value")
+    bands = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("band_id"),
+        (F.col("n_nationkey") * 20.0).alias("lo"),
+        (F.col("n_nationkey") * 20.0 + 19.99).alias("hi"),
+    )
+    joined = range_join(
+        ev, bands, point_col="value", start_col="lo", end_col="hi", bin_width=20.0
+    )
+    return joined.groupBy("band_id").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+@_register(
+    "ts1_rollup_hourly",
+    """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+              event_type,
+              CAST(count(*) AS BIGINT) AS n_events,
+              round(sum(value), 2) AS sum_value
+       FROM events GROUP BY 1, 2""",
+)
+def ts1_rollup_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate rollup: hourly time_bucket ×
+    event_type, one partial-aggregated shuffle (operators/timeseries.py).
+    The TimescaleDB time_bucket surface over a Catalyst groupBy."""
+    from torcdb_spark.operators.timeseries import rollup
+
+    ev = load_table(spark, sf_dir, "events")
+    return rollup(
+        ev,
+        "ts",
+        3600,
+        ["event_type"],
+        [
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        ],
+    ).select(
+        F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+
+
+@_register(
+    "ts2_gap_fill_locf",
+    """WITH rolled AS (
+         SELECT event_type, date_trunc('day', ts) AS bucket,
+                round(avg(value), 2) AS avg_value
+         FROM events WHERE event_type = 'purchase' AND value > 200
+         GROUP BY 1, 2),
+       bounds AS (SELECT event_type, min(bucket) lo, max(bucket) hi
+                  FROM rolled GROUP BY 1),
+       spine AS (SELECT event_type,
+                        unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS bucket
+                 FROM bounds)
+       SELECT s.event_type, strftime(s.bucket, '%Y-%m-%d') AS day,
+              last_value(r.avg_value IGNORE NULLS) OVER (
+                PARTITION BY s.event_type ORDER BY s.bucket
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS avg_value
+       FROM spine s LEFT JOIN rolled r
+         ON s.event_type = r.event_type AND s.bucket = r.bucket""",
+)
+def ts2_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled daily series with last-observation-carried-forward
+    (TimescaleDB time_bucket_gapfill + locf): the bucket spine is generated
+    DISTRIBUTIVELY from each key's own min/max bounds (sequence+explode, no
+    driver-side calendar), LOCF is a running last(ignorenulls) window —
+    per-key sort, no self-join (operators/timeseries.py gap_fill)."""
+    from torcdb_spark.operators.timeseries import gap_fill, rollup
+
+    ev = load_table(spark, sf_dir, "events").where(
+        (F.col("event_type") == "purchase") & (F.col("value") > 200)
+    )
+    rolled = rollup(
+        ev, "ts", 86400, ["event_type"], [F.round(F.avg("value"), 2).alias("avg_value")]
+    )
+    dense = gap_fill(
+        rolled, "bucket", 86400, ["event_type"], ["avg_value"], method="locf"
+    )
+    return dense.select(
+        "event_type",
+        F.date_format("bucket", "yyyy-MM-dd").alias("day"),
+        "avg_value",
     )
