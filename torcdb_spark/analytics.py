@@ -286,13 +286,18 @@ def shortest_paths(
     around negative cycles) — enforced with one filter-pushdown probe job
     before iterating. Converges in O(longest shortest path hops)
     supersteps."""
+    # Persist the weighted projection: unlike pagerank's 2-column case the
+    # weight is often a computed expression over wide source columns (e.g.
+    # a property-map lookup), so each superstep would otherwise re-scan the
+    # full edge source AND re-evaluate the extraction — the guard probe
+    # below doubles as the materialization job.
     e = edges.select(
         F.col(src_col).alias("esrc"),
         F.col(dst_col).alias("edst"),
         F.col(weight_col).cast("double").alias("w"),
-    )
-    # One cheap guard job: the predicate pushes to the scan, and limit(1)
-    # stops at the first offender — O(scan) worst case, O(1) typical.
+    ).persist()
+    # One cheap guard job: scans the (now cached) projection once; limit(1)
+    # stops at the first offender.
     bad = e.where(F.col("w") < 0).limit(1).collect()
     if bad:
         raise ValueError(
@@ -305,9 +310,18 @@ def shortest_paths(
         .dropDuplicates(["id"])
         .withColumn("dist", F.lit(0.0))
     )
+    # Same conditional-broadcast discipline as bfs_distances: while the
+    # reached set is small (seeded SSSP stays small for many supersteps),
+    # broadcasting the state keeps the relaxation join MAP-SIDE — the full
+    # edge set is never shuffled. Past the threshold, fall back to shuffle
+    # joins and let AQE re-plan. The state count is a cheap scan of the
+    # just-checkpointed blocks.
+    broadcast_threshold = 500_000
+    n_state = state.count()
     for _ in range(max_iter):
+        s = F.broadcast(state) if n_state <= broadcast_threshold else state
         msgs = (
-            state.join(e, state["id"] == e["esrc"])
+            s.join(e, s["id"] == e["esrc"])
             .groupBy(F.col("edst").alias("mid"))
             .agg(F.min(F.col("dist") + F.col("w")).alias("mdist"))
         )
@@ -328,6 +342,9 @@ def shortest_paths(
             )
         )
         state = new_state.select("id", "dist")
+        n_state = new_state.count()
         if new_state.where(F.col("_changed")).limit(1).count() == 0:
             break
+    # state is an eager localCheckpoint — it no longer references e's cache
+    e.unpersist()
     return state
