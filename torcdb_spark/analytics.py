@@ -122,12 +122,23 @@ def connected_components(
         .dropDuplicates(["id"])
         .withColumn("component", F.col("id"))
     )
+    # |state| = |V| on every superstep (labels change, membership doesn't),
+    # so one up-front count decides the join strategy for the whole run:
+    # below the threshold the label table broadcasts and each superstep is
+    # a map-side pass over the cached edge set — no edge shuffle at all.
+    # Components of a 100 TB graph exceed the threshold and take the
+    # ordinary shuffle path, re-planned by AQE.
+    broadcast_threshold = 500_000
+    small = state.count() <= broadcast_threshold
     for _ in range(max_iter):
+        s = F.broadcast(state) if small else state
         nbr_min = (
-            und.join(state, und["a"] == state["id"])
+            und.join(s, und["a"] == s["id"])
             .groupBy("b")
             .agg(F.min("component").alias("nbr_component"))
         )
+        if small:
+            nbr_min = F.broadcast(nbr_min)
         # Fold convergence detection into the update itself: the join that
         # produces the new component already sees the old one, so a
         # ``changed`` flag costs nothing extra. The eager localCheckpoint is
