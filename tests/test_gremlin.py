@@ -329,3 +329,49 @@ def test_range_and_skip_slices(graph, ddb):
         for r in base.skip(5)._df.collect()
     }
     assert got_skip == set(exp[5:])
+
+
+def test_choose_branches_cover_frame(spark, sf_dir):
+    """choose(pred, t, f): every traverser follows exactly one branch."""
+    from torcdb_spark.gremlin import G
+    from torcdb_spark.graph import PropertyGraph, LABEL_TAGS
+    from torcdb_spark.ids import uint128_pair
+    import pyspark.sql.functions as F
+
+    g = PropertyGraph.open(spark, sf_dir)
+    ids = [uint128_pair(LABEL_TAGS["customer"], k) for k in range(1, 21)]
+    base = G(g).V(*ids)
+    pred = lambda s: s.out("placed").has("o_orderstatus", "F")
+    chosen = base.choose_(pred, lambda s: s.out("placed"), lambda s: s)
+    n_true_seeds = base.where_(pred).count()
+    n_false_seeds = base.not_(pred).count()
+    assert n_true_seeds + n_false_seeds == 20
+    n_true_out = base.where_(pred).out("placed").count()
+    assert chosen.count() == n_true_out + n_false_seeds
+
+
+def test_tail_is_reverse_of_limit(spark, sf_dir):
+    from torcdb_spark.gremlin import G
+    from torcdb_spark.graph import PropertyGraph
+
+    g = PropertyGraph.open(spark, sf_dir)
+    asc = (
+        G(g).V().has_label("region")
+        .order_by_values("r_name", ascending=True, cast=None)
+    )
+    all_rows = [r.current for r in asc.to_df().collect()]
+    tail2 = {r.current for r in asc.tail_(2).to_df().collect()}
+    # last 2 of the ascending order (order_by_values ties broken by id)
+    assert tail2 == set(all_rows[-2:])
+
+
+def test_sample_deterministic_subset(spark, sf_dir):
+    from torcdb_spark.gremlin import G
+    from torcdb_spark.graph import PropertyGraph
+
+    g = PropertyGraph.open(spark, sf_dir)
+    s1 = {r.current for r in G(g).V().has_label("customer").sample_(5).to_df().collect()}
+    s2 = {r.current for r in G(g).V().has_label("customer").sample_(5).to_df().collect()}
+    assert s1 == s2 and len(s1) == 5
+    allc = {r.current for r in G(g).V().has_label("customer").to_df().collect()}
+    assert s1 <= allc

@@ -24,6 +24,7 @@ from torcdb_spark.session import get_spark
 from torcdb_spark.graph import Cardinality, PropertyGraph
 from torcdb_spark.traverse import traverse, fill_properties, Direction
 from torcdb_spark import algebra
+from torcdb_spark.sql import register_views, sql
 
 __all__ = [
     "get_spark",
@@ -33,6 +34,8 @@ __all__ = [
     "fill_properties",
     "Direction",
     "algebra",
+    "register_views",
+    "sql",
 ]
 
 __version__ = "0.1.0"

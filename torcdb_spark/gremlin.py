@@ -365,6 +365,47 @@ class GraphTraversal:
             out = out.unionByName(t._df.select(*keep))
         return GraphTraversal(self._g, out)
 
+    def choose_(self, pred_fn, true_fn, false_fn) -> "GraphTraversal":
+        """Gremlin ``choose(predicate, trueTraversal, falseTraversal)``:
+        traversers whose ``pred_fn`` sub-traversal yields results follow
+        ``true_fn``; the rest follow ``false_fn``. Compiled exactly like
+        ``optional``: one semi/anti join pair splits the frame, each branch
+        runs ONCE over its whole cohort (set-at-a-time, never
+        per-traverser), results union on the common columns."""
+        t_out = true_fn(self.where_(pred_fn))
+        f_out = false_fn(self.not_(pred_fn))
+        keep = sorted(set(t_out._df.columns) & set(f_out._df.columns))
+        return GraphTraversal(
+            self._g,
+            t_out._df.select(*keep).unionByName(f_out._df.select(*keep)),
+        )
+
+    def tail_(self, n: int) -> "GraphTraversal":
+        """``tail(n)``: the LAST n traversers of the current order — the
+        mirror of ``limit``. Executes as a distributed top-n on the
+        REVERSED sort key (TakeOrderedAndProject — the frame never
+        collapses to one partition), so tail is as scale-safe as limit."""
+        spec = self.__dict__.get("_order_spec") or [("_cur", True), ("_start", True)]
+        rev = [F.col(c).desc() if asc else F.col(c).asc() for c, asc in spec]
+        out = GraphTraversal(self._g, self._df.orderBy(*rev).limit(int(n)))
+        out.__dict__["_order_cols"] = self.__dict__.get("_order_cols")
+        out.__dict__["_order_spec"] = spec
+        return out
+
+    def sample_(self, n: int) -> "GraphTraversal":
+        """``sample(n)``: n pseudo-random traversers. DELIBERATE deviation
+        from TinkerPop: the sample is DETERMINISTIC (ordered by xxhash64 of
+        the element id) so distributed re-execution — retries, speculative
+        tasks, oracle comparison — sees the same rows; a seeded true-random
+        sample cannot offer that across partition re-splits. Executes as a
+        distributed top-n on the hash."""
+        return GraphTraversal(
+            self._g,
+            self._df.orderBy(
+                F.xxhash64(F.col("_cur")).asc(), F.col("_cur").asc()
+            ).limit(int(n)),
+        )
+
     def with_path(self) -> "GraphTraversal":
         """Enable path tracking: subsequent hops append the visited vertex
         to a `_path` array column (TinkerPop path()). Array length is
@@ -515,6 +556,7 @@ class GraphTraversal:
             F.col("_ordval").asc() if ascending else F.col("_ordval").desc(),
             F.col("_cur").asc(),
         ]
+        t._order_spec = [("_ordval", ascending), ("_cur", True)]
         return t
 
     def limit(self, n: int) -> "GraphTraversal":

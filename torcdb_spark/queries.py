@@ -3796,3 +3796,150 @@ def ts2_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("bucket", "yyyy-MM-dd").alias("day"),
         "avg_value",
     )
+
+
+# ---------------------------------------------------------------------------
+# SQL entry point + stream-static enrichment
+# ---------------------------------------------------------------------------
+
+
+_SQL1 = """SELECT c_mktsegment,
+              round(sum(o_totalprice), 2) AS revenue,
+              CAST(count(*) AS BIGINT) AS n_orders
+       FROM customer JOIN orders ON o_custkey = c_custkey
+       GROUP BY c_mktsegment"""
+
+
+@_register("sql1_adhoc_views", _SQL1)
+def sql1_adhoc_views(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The raw-SQL entry point (torcdb_spark/sql.py): register the fixture
+    tables + graph projections as temp views and run a SQL string through
+    ``spark.sql``. The SPARK QUERY AND THE ORACLE ARE THE SAME STRING —
+    demonstrating that the engine's SQL surface is ANSI-portable and that
+    Catalyst applies the same pushdown/broadcast plan as the DataFrame
+    API (the reference has no SQL surface at all; this is the switch path
+    for relational users)."""
+    from torcdb_spark.sql import sql
+
+    return sql(spark, _SQL1, sf_dir)
+
+
+@_register(
+    "st_stream_static_join",
+    """SELECT c_mktsegment,
+              CAST(count(*) AS BIGINT) AS n_events,
+              round(sum(value), 2) AS sum_value
+       FROM events e JOIN customer c ON e.user_id = c.c_custkey
+       GROUP BY c_mktsegment""",
+)
+def st_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL stream-static join run by the streaming engine: the event
+    stream enriched per micro-batch against the static customer dimension
+    (auto-broadcast, NO state store — streaming/jobs.py enrich_with_dim),
+    then aggregated by market segment. Hash-matches the equivalent batch
+    join oracle."""
+    from torcdb_spark.streaming import events_stream
+    from torcdb_spark.streaming.jobs import enrich_with_dim, run_to_memory
+
+    stream = events_stream(spark, _stream_src(sf_dir))
+    dim = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    enriched = enrich_with_dim(stream, dim, "user_id", "c_custkey")
+    agg = enriched.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+    run_to_memory(agg, "st_ssj", output_mode="complete")
+    return spark.table("st_ssj")
+
+
+@_register(
+    "g_gremlin_choose",
+    """WITH seeds AS (SELECT c_custkey FROM customer
+                      WHERE c_custkey BETWEEN 1 AND 200),
+       f AS (SELECT DISTINCT o_custkey FROM orders
+             WHERE o_orderstatus = 'F' AND o_custkey BETWEEN 1 AND 200)
+       SELECT label, n FROM (
+         SELECT 'order' AS label, CAST(count(*) AS BIGINT) AS n FROM orders
+         WHERE o_custkey IN (SELECT c_custkey FROM seeds
+                             WHERE c_custkey IN (SELECT o_custkey FROM f))
+         UNION ALL
+         SELECT 'customer' AS label, CAST(count(*) AS BIGINT) AS n FROM seeds
+         WHERE c_custkey NOT IN (SELECT o_custkey FROM f)
+       ) WHERE n > 0""",
+)
+def g_gremlin_choose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """choose(out('placed').has('o_orderstatus','F'), out('placed'),
+    identity) over customers 1-200: traversers with a finished order expand
+    to ALL their orders, the rest stay put — the TinkerPop if/else branch
+    step as one semi/anti join split with each branch run set-at-a-time
+    (gremlin.py choose_), aggregated to per-label counts."""
+    from torcdb_spark.gremlin import G
+    from torcdb_spark.graph import LABEL_TAGS
+    from torcdb_spark.ids import uint128_pair
+
+    g = _graph(spark, sf_dir)
+    ids = [uint128_pair(LABEL_TAGS["customer"], k) for k in range(1, 201)]
+    t = G(g).V(*ids).choose_(
+        lambda s: s.out("placed").has("o_orderstatus", "F"),
+        lambda s: s.out("placed"),
+        lambda s: s,
+    )
+    cur = t.to_df().select(F.col("current").alias("id"))
+    return (
+        cur.join(g.vertices.select("id", "label"), "id")
+        .groupBy("label")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@_register(
+    "g_gremlin_tail",
+    """SELECT c_custkey, round(CAST(c_acctbal AS DOUBLE), 2) AS acctbal
+       FROM customer
+       ORDER BY CAST(c_acctbal AS DOUBLE) DESC, c_custkey DESC LIMIT 10""",
+)
+def g_gremlin_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """order().by('c_acctbal', asc).tail(10) — the last 10 of the
+    ascending order, executed as a distributed top-n on the REVERSED key
+    (gremlin.py tail_), never a single-partition pass. Mirror of
+    g_gremlin_order_by_prop's limit()."""
+    from torcdb_spark.gremlin import G
+
+    g = _graph(spark, sf_dir)
+    t = (
+        G(g).V().has_label("customer")
+        .order_by_values("c_acctbal", ascending=True, cast="double")
+        .tail_(10)
+    )
+    hydrated = fill_properties(
+        t._df.select(F.col("_cur").alias("id")), g.vertices,
+        keys=["c_acctbal"], labels=["customer"],
+    )
+    return hydrated.select(
+        id_lower(F.col("id")).alias("c_custkey"),
+        F.round(F.col("props")["c_acctbal"].cast("double"), 2).alias("acctbal"),
+    )
+
+
+@_register(
+    "st_stateful_totals",
+    """SELECT user_id,
+              CAST(count(*) AS BIGINT) AS n_events,
+              round(sum(value), 2) AS sum_value
+       FROM events GROUP BY user_id""",
+)
+def st_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL custom stateful streaming operator (applyInPandasWithState):
+    per-user running totals carried in an explicit per-key state store
+    across micro-batches (streaming/jobs.py stateful_user_totals). The
+    bounded drain's final update per user hash-matches the batch groupBy
+    oracle — verifying the state fold, not just the plumbing."""
+    from torcdb_spark.streaming import events_stream
+    from torcdb_spark.streaming.jobs import run_to_memory, stateful_user_totals
+
+    stream = events_stream(spark, _stream_src(sf_dir))
+    totals = stateful_user_totals(stream)
+    run_to_memory(totals, "st_totals", output_mode="update")
+    return spark.table("st_totals")

@@ -200,6 +200,24 @@ def purchase_click_interval_join(
     )
 
 
+def enrich_with_dim(
+    stream: DataFrame,
+    dim: DataFrame,
+    stream_key: str,
+    dim_key: str,
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-static join: enrich a stream with a batch dimension table.
+
+    The static side is planned per micro-batch, so Spark auto-broadcasts
+    it whenever it is under the broadcast threshold — the streaming
+    analogue of a star-schema lookup, with NO state store at all (unlike
+    stream-stream joins, the static side needs no watermark/eviction).
+    At 100 TB of stream the dim table is the small side by construction;
+    an oversized dim should be pre-bucketed instead."""
+    return stream.join(dim, stream[stream_key] == dim[dim_key], how)
+
+
 def run_to_memory(
     stream_df: DataFrame,
     name: str,
