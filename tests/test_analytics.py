@@ -104,3 +104,23 @@ def test_shortest_paths_relaxation(spark):
     assert got["t"] == 4.0
     assert got["s"] == 0.0
     assert got["b"] == 1.0
+
+
+def test_k_core_peels_tails_and_keeps_cycles(spark):
+    from torcdb_spark.analytics import k_core
+
+    # triangle a-b-c with a tail c-d-e: 2-core = the triangle only
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d"), ("d", "e")],
+        "src string, dst string",
+    )
+    got = {(r.id, r.degree) for r in k_core(edges, 2).collect()}
+    assert got == {("a", 2), ("b", 2), ("c", 2)}
+    # k=3 empties it (no vertex has 3 in-core neighbors)
+    assert k_core(edges, 3).count() == 0
+    # k=1 keeps everything with its full degree
+    got1 = {(r.id, r.degree) for r in k_core(edges, 1).collect()}
+    assert got1 == {("a", 2), ("b", 2), ("c", 3), ("d", 2), ("e", 1)}
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        k_core(edges, 0)

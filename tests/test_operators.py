@@ -763,3 +763,62 @@ def test_gap_fill_locf_and_null(spark):
     # single-bucket key: spine is that one bucket, nothing invented
     b = [(str(r.bucket), r.v) for r in dense.where(F.col("k") == "b").collect()]
     assert b == [("2024-01-01 01:00:00", 5.0)]
+
+
+def test_simhash_near_dup_pairs_finds_small_hamming(spark):
+    from torcdb_spark.operators.dedup import simhash_near_dup_pairs
+    import pytest as _pytest
+
+    base = ("the quick brown fox jumps over the lazy dog and then runs far "
+            "away into the deep green forest while the moon rises slowly")
+    near = base.replace("slowly", "quickly")  # small perturbation
+    far = ("completely different content about database engines shuffling "
+           "partitions across executors with adaptive query execution on")
+    docs = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], "doc_id long, text string"
+    )
+    pairs = {(r.id_a, r.id_b): r.hamming
+             for r in simhash_near_dup_pairs(docs, max_hamming=10, bands=16).collect()}
+    assert (1, 2) in pairs          # near-dup found
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+    # identical docs -> hamming 0
+    dup = spark.createDataFrame([(1, base), (2, base)], "doc_id long, text string")
+    got = simhash_near_dup_pairs(dup, max_hamming=0, bands=4).collect()
+    assert [(r.id_a, r.id_b, r.hamming) for r in got] == [(1, 2, 0)]
+    with _pytest.raises(ValueError):
+        simhash_near_dup_pairs(dup, max_hamming=4, bands=4)
+    with _pytest.raises(ValueError):
+        simhash_near_dup_pairs(dup, max_hamming=2, bands=5)
+
+
+def test_quantized_topk_recall_vs_exact(spark, sf_dir):
+    from torcdb_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        cosine_topk_quantized,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 10)
+    exact = cosine_topk_bruteforce(emb, q, k=5)
+    quant = cosine_topk_quantized(emb, q, k=5)
+    ex = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    qz = {(r.query_id, r.neighbor_id) for r in quant.collect()}
+    recall = len(ex & qz) / len(ex)
+    assert recall >= 0.9, f"int8 recall {recall}"
+    # scores approximate cosine closely on unit vectors
+    sc = {(r.query_id, r.neighbor_id): r.score for r in quant.collect()}
+    se = {(r.query_id, r.neighbor_id): r.score for r in exact.collect()}
+    common = ex & qz
+    err = max(abs(sc[p] - se[p]) for p in common)
+    assert err < 0.02, f"max |quantized - exact| = {err}"
+
+
+def test_quantize_unit_vectors_zero_safe(spark):
+    from torcdb_spark.operators.similarity import quantize_unit_vectors
+
+    df = spark.createDataFrame(
+        [(1, [3.0, 4.0]), (2, [0.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    rows = {r.vec_id: r.qvec for r in quantize_unit_vectors(df).collect()}
+    assert rows[1] == [round(0.6 * 127), round(0.8 * 127)]
+    assert rows[2] == [0, 0]  # zero vector does not divide by zero

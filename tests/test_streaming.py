@@ -126,3 +126,52 @@ def test_interval_join_stream_equals_batch(spark, sf_dir, stream):
     exp = {(r.purchase_id, r.click_id) for r in j(ev).collect()}
     assert got == exp
     assert len(exp) > 0
+
+
+def test_maintain_rollup_matches_batch_and_is_idempotent(spark, tmp_path):
+    """Continuous-aggregate maintenance: two micro-batches refresh the
+    daily rollup partitions; the final table equals the batch rollup, and
+    a re-drain over the same checkpoint changes nothing."""
+    import pyspark.sql.functions as F
+    from torcdb_spark.operators.timeseries import rollup
+    from torcdb_spark.sources.tables import load_table
+    from torcdb_spark.streaming.jobs import EVENT_SCHEMA, maintain_rollup
+
+    sf_dir = "/root/testdata/sf0.001"
+    ev = load_table(spark, sf_dir, "events")
+    src = str(tmp_path / "src")
+    # two files -> two micro-batches with maxFilesPerTrigger=1
+    ev.where(F.col("event_id") % 2 == 0).write.parquet(src)
+    ev.where(F.col("event_id") % 2 == 1).write.mode("append").parquet(src)
+
+    out = str(tmp_path / "rollup")
+    ckpt = str(tmp_path / "ckpt")
+    q = maintain_rollup(
+        spark, src, EVENT_SCHEMA, out, ckpt,
+        width_seconds=86400, keys=["event_type"],
+    )
+    q.awaitTermination()
+
+    got = {
+        (str(r.bucket), r.event_type): (r.n, r.s)
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        (str(r.bucket), r.event_type): (r.n, r.s)
+        for r in rollup(
+            ev, "ts", 86400, ["event_type"],
+            [F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("s")],
+        ).collect()
+    }
+    assert got == want
+    # idempotent restart: same checkpoint, no new files -> no change
+    q2 = maintain_rollup(
+        spark, src, EVENT_SCHEMA, out, ckpt,
+        width_seconds=86400, keys=["event_type"],
+    )
+    q2.awaitTermination()
+    got2 = {
+        (str(r.bucket), r.event_type): (r.n, r.s)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got2 == want

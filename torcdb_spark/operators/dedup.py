@@ -283,3 +283,75 @@ def ngram_jaccard_pairs(
         .join(b, "id_b")
         .select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
     )
+
+
+def simhash_near_dup_pairs(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    bands: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """SimHash NEAR-dup pairs (id_a, id_b, hamming): documents whose 64-bit
+    simhashes differ in at most ``max_hamming`` bits.
+
+    Banded by pigeonhole: any pair with hamming <= bands-1 shares at least
+    one of ``bands`` equal-width bit-bands, so candidate generation is an
+    EQUI-join on (band_index, band_bits) — never an all-pairs comparison —
+    and verification is one JVM expression, bit_count(xor) <= max_hamming.
+    Requires max_hamming <= bands - 1 for zero false negatives (the
+    standard Charikar/Manku-Jain-Sarma web-dedup layout; at 100 TB use
+    bands = max_hamming + 1 tables exactly as published). The only Python
+    is the Arrow-batched sign-vote shared with simhash_dedup."""
+    if max_hamming > bands - 1:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs bands >= {max_hamming + 1} "
+            "for exact recall (pigeonhole)"
+        )
+    if 64 % bands != 0:
+        raise ValueError(f"bands must divide 64, got {bands}")
+    width = 64 // bands
+    mask = (1 << width) - 1
+
+    normed = docs.select(F.col(id_col), normalize_text(F.col(text_col)).alias("_nt"))
+    hashed = normed.select(
+        F.col(id_col),
+        F.transform(
+            shingles(F.col("_nt"), distinct=False), lambda s: F.xxhash64(s)
+        ).alias("_hs"),
+    )
+    vote = _simhash_pandas_udf()
+    sh = hashed.select(F.col(id_col), vote(F.col("_hs")).alias("_sh"))
+
+    banded = sh.select(
+        id_col,
+        "_sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftrightunsigned(F.col("_sh"), i * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("bits"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("_b"),
+    ).select(id_col, "_sh", F.col("_b.band").alias("_band"), F.col("_b.bits").alias("_bits"))
+
+    a = banded.select(
+        F.col(id_col).alias("id_a"), F.col("_sh").alias("_sha"), "_band", "_bits"
+    )
+    b = banded.select(
+        F.col(id_col).alias("id_b"), F.col("_sh").alias("_shb"), "_band", "_bits"
+    )
+    ham = F.bit_count(F.col("_sha").bitwiseXOR(F.col("_shb")))
+    return (
+        a.join(b, ["_band", "_bits"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(ham <= max_hamming)
+        .select("id_a", "id_b", ham.cast("long").alias("hamming"))
+        .dropDuplicates(["id_a", "id_b"])
+    )

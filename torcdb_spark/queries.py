@@ -3943,3 +3943,82 @@ def st_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     totals = stateful_user_totals(stream)
     run_to_memory(totals, "st_totals", output_mode="update")
     return spark.table("st_totals")
+
+
+@_register(
+    "g_kcore",
+    """WITH cp AS (SELECT DISTINCT o_custkey, o_orderpriority FROM orders),
+       kept AS (SELECT o_custkey FROM cp
+                GROUP BY o_custkey HAVING count(*) >= 3),
+       core AS (SELECT c.o_custkey, c.o_orderpriority
+                FROM cp c JOIN kept k ON c.o_custkey = k.o_custkey),
+       prio AS (SELECT o_orderpriority,
+                       2000000 + dense_rank() OVER (ORDER BY o_orderpriority)
+                         AS pid
+                FROM (SELECT DISTINCT o_orderpriority FROM orders))
+       SELECT o_custkey AS id, CAST(count(*) AS BIGINT) AS degree
+       FROM core GROUP BY o_custkey
+       UNION ALL
+       SELECT CAST(p.pid AS BIGINT) AS id, CAST(count(*) AS BIGINT) AS degree
+       FROM core c JOIN prio p ON c.o_orderpriority = p.o_orderpriority
+       GROUP BY p.pid""",
+)
+def g_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core decomposition (analytics.k_core: simultaneous iterative
+    peeling) on the same tripartite customer/order/priority graph as
+    g_triangle_count. The oracle exploits that graph's CLOSED-FORM core:
+    order vertices have degree exactly 2 so they always peel, leaving
+    {customers with >= 3 distinct priorities} ∪ {priorities} — k-core is
+    order-independent (unique maximal subgraph), so the general peeling
+    loop must land exactly on that fixpoint, with in-core degrees."""
+    from torcdb_spark.analytics import k_core
+    from pyspark.sql.window import Window as W
+
+    o = load_table(spark, sf_dir, "orders")
+    prio_map = (
+        o.select("o_orderpriority")
+        .distinct()
+        .withColumn(
+            "prio",
+            F.dense_rank().over(W.orderBy("o_orderpriority")).cast("long")
+            + 2000000,
+        )
+    )
+    ranked = o.join(F.broadcast(prio_map), "o_orderpriority").withColumn(
+        "okey", F.col("o_orderkey") + 1000000
+    )
+    e1 = ranked.select(F.col("o_custkey").alias("src"), F.col("okey").alias("dst"))
+    e2 = ranked.select(F.col("o_custkey").alias("src"), F.col("prio").alias("dst"))
+    e3 = ranked.select(F.col("okey").alias("src"), F.col("prio").alias("dst"))
+    edges = e1.unionByName(e2).unionByName(e3)
+    return k_core(edges, k=3).select(F.col("id").cast("long").alias("id"), "degree")
+
+
+@_register("d14_simhash_near_dups")  # rows-only: simhash (xxhash64 shingle
+# votes) has no DuckDB equivalent; exactness is pytest-verified on
+# constructed near-dup pairs (tests/test_operators.py)
+def d14_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup PAIRS at hamming <= 3 via 4-band pigeonhole
+    blocking (operators/dedup.py simhash_near_dup_pairs) — candidate
+    generation is an equi-join on (band, bits), verification one
+    bit_count(xor) expression; complements d4's exact-hash grouping with
+    the Manku-Jain-Sarma web-scale layout."""
+    from torcdb_spark.operators.dedup import simhash_near_dup_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_near_dup_pairs(docs, max_hamming=3, bands=4)
+
+
+@_register("e6_quantized_topk")  # rows-only: int8 rounding is exactly
+# reproducible in principle, but float assoc order in the norm makes a SQL
+# oracle brittle; recall vs the exact operator is pytest-asserted instead
+def e6_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantized (int8) cosine top-k over the embeddings table
+    (operators/similarity.py cosine_topk_quantized): the 4×-smaller
+    integer scan path for 100 TB vector corpora, same broadcast×corpus
+    plan as e1 with recall pytest-asserted >= 0.9 against it."""
+    from torcdb_spark.operators.similarity import cosine_topk_quantized
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_side = emb.where(F.col("vec_id") < 10)
+    return cosine_topk_quantized(emb, queries_side, k=5)

@@ -139,3 +139,49 @@ def read_graph_bucketed(spark: SparkSession, table_prefix: str):
         vertices=spark.table(f"{table_prefix}_vertices"),
         edges=spark.table(f"{table_prefix}_edges"),
     )
+
+
+def write_table_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    mode: str = "overwrite",
+    fmt: str = "parquet",
+) -> None:
+    """Directory-partitioned table write — the lakehouse layout for big
+    fact tables (e.g. events by day): queries filtering on the partition
+    columns read ONLY the matching directories (partition pruning, visible
+    as PartitionFilters in the scan), which at 100 TB is the difference
+    between scanning a day and scanning three years. Keep partition
+    cardinality moderate (days, not user ids): each distinct value is a
+    directory, and a high-cardinality partition key shatters the table
+    into small files."""
+    df.write.partitionBy(*partition_cols).format(fmt).mode(mode).save(path)
+
+
+def stream_to_table(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint: str,
+    partition_cols: list[str] | None = None,
+    fmt: str = "parquet",
+    available_now: bool = True,
+):
+    """Streaming sink to a (optionally partitioned) table directory with
+    exactly-once file commits via the checkpoint's write-ahead log — the
+    production landing path (memory sinks are test-only). Returns the
+    StreamingQuery; with ``available_now`` the caller can
+    ``awaitTermination()`` for a bounded drain, without it the query runs
+    continuously. The checkpoint directory carries source offsets + sink
+    commit log, so a restarted query resumes without duplicating files."""
+    w = (
+        stream_df.writeStream.format(fmt)
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if partition_cols:
+        w = w.partitionBy(*partition_cols)
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
