@@ -375,3 +375,42 @@ def test_sample_deterministic_subset(spark, sf_dir):
     assert s1 == s2 and len(s1) == 5
     allc = {r.current for r in G(g).V().has_label("customer").to_df().collect()}
     assert s1 <= allc
+
+
+def test_has_p_predicates(spark, sf_dir):
+    from torcdb_spark.gremlin import G
+    from torcdb_spark.graph import PropertyGraph
+    import pytest as _pytest
+
+    g = PropertyGraph.open(spark, sf_dir)
+    cust = G(g).V().has_label("customer")
+    n_cust = cust.count()
+    gt = cust.has_p("c_acctbal", "gt", 5000, cast="double").count()
+    lte = cust.has_p("c_acctbal", "lte", 5000, cast="double").count()
+    assert gt + lte == n_cust and 0 < gt < n_cust
+    base = G(g).V().has_label("nation")
+    n_all = base.count()
+    within = base.has_p("n_name", "within", ["NATION_0", "NATION_7"]).count()
+    assert within == 2
+    without = base.has_p("n_name", "without", ["NATION_0", "NATION_7"]).count()
+    assert without == n_all - 2
+    with _pytest.raises(ValueError):
+        base.has_p("n_name", "like", "x")
+
+
+def test_project_props_and_subtraversal_counts(spark, sf_dir):
+    from torcdb_spark.gremlin import G
+    from torcdb_spark.graph import PropertyGraph, LABEL_TAGS
+    from torcdb_spark.ids import uint128_pair
+
+    g = PropertyGraph.open(spark, sf_dir)
+    ids = [uint128_pair(LABEL_TAGS["customer"], k) for k in range(1, 6)]
+    rows = G(g).V(*ids).project_(
+        seg="c_mktsegment", n_orders=lambda s: s.out("placed")
+    ).collect()
+    assert len(rows) == 5
+    assert all(r.seg is not None for r in rows)
+    # counts match a direct traversal per seed
+    for r in rows:
+        k = G(g).V(bytes(r.current)).out("placed").count()
+        assert r.n_orders == k

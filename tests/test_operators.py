@@ -822,3 +822,42 @@ def test_quantize_unit_vectors_zero_safe(spark):
     rows = {r.vec_id: r.qvec for r in quantize_unit_vectors(df).collect()}
     assert rows[1] == [round(0.6 * 127), round(0.8 * 127)]
     assert rows[2] == [0, 0]  # zero vector does not divide by zero
+
+
+def test_wav_roundtrip_and_features_hand_computed():
+    import numpy as np
+    from torcdb_spark.operators.multimodal import decode_wav, encode_wav_pcm
+
+    # 8-bit: alternating max/min around the 128 midpoint -> zcr = 1.0
+    payload = encode_wav_pcm(bytes([255, 0, 255, 0]), sample_rate=4, bits=8)
+    rate, x = decode_wav(payload)
+    assert rate == 4 and len(x) == 4
+    np.testing.assert_allclose(x, [127 / 128, -1.0, 127 / 128, -1.0])
+    # 16-bit stereo mixes to mono
+    st = np.array([[1000, 3000], [-2000, -4000]], dtype=np.int16).ravel()
+    rate2, x2 = decode_wav(encode_wav_pcm(st, sample_rate=8000, bits=16, channels=2))
+    np.testing.assert_allclose(x2, [2000 / 32768, -3000 / 32768])
+    # chunk walking skips unknown chunks (inject a LIST before data)
+    import struct
+    raw = encode_wav_pcm(bytes([1, 2, 3]), 8000, 8)
+    fmt_end = raw.index(b"data")
+    junk = b"LIST" + struct.pack("<I", 4) + b"INFO"
+    patched = raw[:fmt_end] + junk + raw[fmt_end:]
+    patched = patched[:4] + struct.pack("<I", len(patched) - 8) + patched[8:]
+    rate3, x3 = decode_wav(patched)
+    assert len(x3) == 3
+
+
+def test_decode_wav_rejects_non_pcm_and_garbage():
+    import struct
+    import pytest as _pytest
+    from torcdb_spark.operators.multimodal import decode_wav, encode_wav_pcm
+
+    with _pytest.raises(ValueError):
+        decode_wav(b"not a wave file at all")
+    # format tag 2 (ADPCM) -> documented NotImplementedError
+    raw = bytearray(encode_wav_pcm(bytes([1, 2]), 8000, 8))
+    fmt_at = raw.index(b"fmt ") + 8
+    raw[fmt_at : fmt_at + 2] = struct.pack("<H", 2)
+    with _pytest.raises(NotImplementedError):
+        decode_wav(bytes(raw))

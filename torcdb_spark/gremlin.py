@@ -183,6 +183,35 @@ class GraphTraversal:
         out = self._df.join(v, self._df["_cur"] == v["id"], "left_semi")
         return GraphTraversal(self._g, out)
 
+    _P_OPS = {
+        "eq": lambda c, v: c == v,
+        "neq": lambda c, v: c != v,
+        "gt": lambda c, v: c > v,
+        "gte": lambda c, v: c >= v,
+        "lt": lambda c, v: c < v,
+        "lte": lambda c, v: c <= v,
+        "within": lambda c, v: c.isin(list(v)),
+        "without": lambda c, v: ~c.isin(list(v)),
+    }
+
+    def has_p(
+        self, key: str, op: str, value, cast: str | None = None
+    ) -> "GraphTraversal":
+        """``has(key, P.op(value))`` — TinkerPop's predicate-valued has:
+        op ∈ {eq, neq, gt, gte, lt, lte, within, without}. ``cast`` coerces
+        the stored string property before comparing (e.g. 'double' for
+        numeric predicates — without it '9' > '100' lexically). Same
+        semi-join shape as has(); the predicate pushes into the vertex
+        scan."""
+        if op not in self._P_OPS:
+            raise ValueError(f"unknown predicate {op!r}; one of {sorted(self._P_OPS)}")
+        col = F.col("props")[key]
+        if cast:
+            col = col.cast(cast)
+        v = self._g.vertices.where(self._P_OPS[op](col, value)).select("id")
+        out = self._df.join(v, self._df["_cur"] == v["id"], "left_semi")
+        return GraphTraversal(self._g, out)
+
     def dedup(self) -> "GraphTraversal":
         return GraphTraversal(self._g, self._df.dropDuplicates(["_start", "_cur"]))
 
@@ -484,6 +513,51 @@ class GraphTraversal:
                 F.array_sort(F.collect_list(F.col("_cur"))).alias("members")
             )
         raise ValueError(f"unsupported group modulator {agg!r}")
+
+    def project_(self, **clauses) -> DataFrame:
+        """TinkerPop ``project('a','b').by(...)``: one output row per
+        traverser with one column per clause. Each clause value is either
+
+        - a property key string (optionally ``'key:cast'``) → hydrated from
+          the current vertex in ONE shared join across all property
+          clauses, or
+        - a sub-traversal callable → ``by(sub.count())``: the sub-traversal
+          runs ONCE over the distinct current-vertex set (set-at-a-time,
+          like where_/optional), aggregated to a per-seed count and left-
+          joined back (missing → 0).
+
+        Columns: (start, current, *clauses)."""
+        out = self._df.select(
+            F.col("_start").alias("start"), F.col("_cur").alias("current")
+        )
+        prop_clauses = {
+            n: v for n, v in clauses.items() if isinstance(v, str)
+        }
+        if prop_clauses:
+            sel = [F.col("id").alias("_pid")]
+            for name, spec in prop_clauses.items():
+                key, _, cast = spec.partition(":")
+                col = F.col("props")[key]
+                sel.append((col.cast(cast) if cast else col).alias(name))
+            v = self._g.vertices.select(*sel)
+            out = out.join(v, out["current"] == v["_pid"], "left").drop("_pid")
+        for name, fn in clauses.items():
+            if isinstance(fn, str):
+                continue
+            seeds = self._df.select(F.col("_cur").alias("id")).dropDuplicates(["id"])
+            sub = fn(GraphTraversal(
+                self._g,
+                seeds.select(F.col("id").alias("_start"), F.col("id").alias("_cur")),
+            ))
+            cnt = sub._df.groupBy(F.col("_start").alias("_sid")).agg(
+                F.count("*").cast("long").alias(name)
+            )
+            out = (
+                out.join(cnt, out["current"] == cnt["_sid"], "left")
+                .drop("_sid")
+                .withColumn(name, F.coalesce(F.col(name), F.lit(0).cast("long")))
+            )
+        return out
 
     def values_stats(self, key: str, cast: str = "double") -> DataFrame:
         """The numeric terminals ``sum()/min()/max()/mean()`` over a

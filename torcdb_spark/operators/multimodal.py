@@ -368,3 +368,140 @@ def frame_sample(media: DataFrame, every_n: int = 10) -> DataFrame:
         F.explode(idx).alias("frame_idx"),
         F.col("mime"),
     )
+
+
+def encode_wav_pcm(
+    samples, sample_rate: int = 8000, bits: int = 8, channels: int = 1
+) -> bytes:
+    """Minimal canonical RIFF/WAVE writer (PCM; interleaved if stereo) —
+    the fixture/test encoder paired with :func:`decode_wav`. ``samples``
+    is a bytes-like of unsigned 8-bit samples (bits=8) or an int16 numpy
+    array (bits=16)."""
+    import struct
+
+    import numpy as np
+
+    if bits == 8:
+        data = bytes(samples)
+        sample_bytes, bps = 1, 8
+    elif bits == 16:
+        data = np.asarray(samples, dtype="<i2").tobytes()
+        sample_bytes, bps = 2, 16
+    else:
+        raise ValueError(f"bits must be 8 or 16, got {bits}")
+    block_align = sample_bytes * channels
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, sample_rate,
+        sample_rate * block_align, block_align, bps,
+    )
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(payload: bytes):
+    """REAL RIFF/WAVE parser → (sample_rate, samples float64 ndarray in
+    [-1, 1], mono-mixed). Walks the chunk list properly (skips LIST/fact/
+    any unknown chunk, honors word alignment), supports uncompressed PCM
+    (format tag 1) at 8-bit unsigned and 16-bit signed, mono or stereo
+    (stereo averaged to mono). Compressed codecs (MP3/AAC/ADPCM/float)
+    raise NotImplementedError by documented design — no codec libraries in
+    this container; the contract mirrors decode_image's PPM/BMP/PNG split."""
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, end = 12, min(len(payload), 8 + struct.unpack("<I", payload[4:8])[0])
+    fmt = None
+    data = None
+    while pos + 8 <= end:
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAVE missing fmt or data chunk")
+    tag, channels, rate, _, _, bps = fmt
+    if tag != 1:
+        raise NotImplementedError(
+            f"compressed WAVE (format tag {tag}) not supported: no codec "
+            "libraries in this container; PCM (tag 1) is fully decoded"
+        )
+    if bps == 8:
+        x = (np.frombuffer(data, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    elif bps == 16:
+        n = len(data) // 2 * 2
+        x = np.frombuffer(data[:n], dtype="<i2").astype(np.float64) / 32768.0
+    else:
+        raise NotImplementedError(f"{bps}-bit PCM not supported (8/16 only)")
+    if channels > 1:
+        n = len(x) // channels * channels
+        x = x[:n].reshape(-1, channels).mean(axis=1)
+    return rate, x
+
+
+AUDIO_FEATURE_SCHEMA = (
+    "media_id long, sample_rate int, n_samples long, duration_ms long, "
+    "rms double, zcr double"
+)
+
+
+def audio_features(media: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Arrow-batched audio feature extraction over opaque WAV payloads:
+    (sample_rate, n_samples, duration_ms, rms, zero-crossing rate) per
+    item via mapInPandas — one decode per row inside a columnar batch, the
+    same partition-parallel shape as the image kernels. Undecodable rows
+    are dropped (same skip-malformed contract as media_features)."""
+    import pandas as pd  # noqa: F401 (type hints at runtime)
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = {
+                "media_id": [], "sample_rate": [], "n_samples": [],
+                "duration_ms": [], "rms": [], "zcr": [],
+            }
+            for mid, payload in zip(pdf["media_id"], pdf[payload_col]):
+                try:
+                    rate, x = decode_wav(bytes(payload))
+                except (ValueError, NotImplementedError):
+                    continue
+                n = len(x)
+                out["media_id"].append(mid)
+                out["sample_rate"].append(rate)
+                out["n_samples"].append(n)
+                # floor division: exact integer semantics both here and in
+                # any SQL oracle (round() would hit half-even vs half-up)
+                out["duration_ms"].append(int(n * 1000 // rate))
+                out["rms"].append(
+                    round(float(np.sqrt(np.mean(x * x))), 4) if n else 0.0
+                )
+                out["zcr"].append(
+                    round(float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1]))), 4)
+                    if n > 1 else 0.0
+                )
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(kernel, schema=AUDIO_FEATURE_SCHEMA)
+
+
+def wav_wrap_udf(sample_rate: int = 8000, bits: int = 8):
+    """pandas_udf wrapping a binary column of raw PCM bytes into canonical
+    WAV payloads via :func:`encode_wav_pcm` — the fixture-synthesis step
+    for the audio pipeline (defined here so the stringified type hints
+    resolve against this module's pandas import)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def wrap(payload: pd.Series) -> pd.Series:
+        return payload.map(lambda b: encode_wav_pcm(bytes(b), sample_rate, bits))
+
+    return wrap

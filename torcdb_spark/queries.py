@@ -704,7 +704,10 @@ DRIVER_PRIORITY: list[str] = [
     "e1_cosine_topk",
     "e5_label_centroids",
     "x_minhash_near_dups",
-    "m3_image_decode",
+    # m4 displaces m3 in the gate: same multimodal decode path but m4's
+    # structural fields are hash-checked against an oracle while m3 is
+    # rows-only (m3 stays exact-tested in pytest).
+    "m4_audio_features",
 ]
 
 
@@ -4022,3 +4025,66 @@ def e6_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries_side = emb.where(F.col("vec_id") < 10)
     return cosine_topk_quantized(emb, queries_side, k=5)
+
+
+@_register(
+    "m4_audio_features",
+    """SELECT doc_id AS media_id,
+              8000 AS sample_rate,
+              CAST(octet_length(encode(text)) AS BIGINT) AS n_samples,
+              CAST((octet_length(encode(text)) * 1000) // 8000 AS BIGINT)
+                AS duration_ms
+       FROM documents""",
+)
+def m4_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio column plumbing with a REAL RIFF/WAVE PCM parser
+    (operators/multimodal.py decode_wav — proper chunk walking, 8/16-bit,
+    mono/stereo; compressed codecs raise by documented design): fixture
+    text bytes are wrapped as 8-bit PCM WAV (synthesis UDF), decoded by
+    the real parser, and the STRUCTURAL outputs (sample_rate, n_samples,
+    duration_ms) are oracle-checked byte-for-byte against the documents
+    table; the signal features (rms, zcr) are exact-tested in pytest on
+    hand-computed waveforms."""
+    from torcdb_spark.operators.multimodal import audio_features, wav_wrap_udf
+
+    wav_wrap = wav_wrap_udf(8000, 8)
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        wav_wrap(F.encode("text", "utf-8")).alias("payload"),
+    )
+    return audio_features(media).select(
+        "media_id", "sample_rate", "n_samples", "duration_ms"
+    )
+
+
+@_register(
+    "g_gremlin_project",
+    """SELECT c.c_custkey, round(CAST(c.c_acctbal AS DOUBLE), 2) AS acctbal,
+              CAST(count(o.o_orderkey) AS BIGINT) AS n_orders
+       FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+       WHERE CAST(c.c_acctbal AS DOUBLE) > 9000
+       GROUP BY c.c_custkey, c.c_acctbal""",
+)
+def g_gremlin_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """has('c_acctbal', P.gt(9000)).project('acctbal', 'n_orders')
+    .by('c_acctbal').by(out('placed').count()) — the predicate-valued has
+    (gremlin.py has_p) composed with the project step (gremlin.py
+    project_): property clauses share one hydration join, the count clause
+    runs its sub-traversal once over the distinct seed set."""
+    from torcdb_spark.gremlin import G
+
+    g = _graph(spark, sf_dir)
+    proj = (
+        G(g).V().has_label("customer")
+        .has_p("c_acctbal", "gt", 9000, cast="double")
+        .project_(
+            acctbal="c_acctbal:double",
+            n_orders=lambda s: s.out("placed"),
+        )
+    )
+    return proj.select(
+        id_lower(F.col("current")).alias("c_custkey"),
+        F.round(F.col("acctbal"), 2).alias("acctbal"),
+        "n_orders",
+    )
