@@ -237,3 +237,36 @@ def test_aqe_skew_join_splits_hot_partition(spark):
     finally:
         for k, v in old.items():
             spark.conf.set(k, v)
+
+
+def test_rollup_partial_aggregation_before_shuffle(spark, sf_dir):
+    """time_bucket rollup must map-side combine: a partial HashAggregate
+    below the exchange, final above — one shuffle total."""
+    from torcdb_spark.operators.timeseries import rollup
+
+    ev = load_table(spark, sf_dir, "events")
+    df = rollup(ev, "ts", 3600, ["event_type"], [F.count("*").alias("n")])
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("HashAggregate") >= 2  # partial + final
+    assert shuffle_count(df) == 1
+
+
+def test_range_join_query_plan_is_equi_join(spark, sf_dir):
+    """The registered keyless range-join query must NOT plan a nested
+    loop / cartesian product — the whole point of the binned operator."""
+    from torcdb_spark.queries import queries
+
+    df = queries()["rj2_value_bands"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_hll_sketch_reaggregates_without_raw_rescan(spark, sf_dir):
+    """The TOTAL row merges per-day sketches; its plan must aggregate over
+    the (cached) sketch relation, not re-scan the events parquet twice in
+    the same subtree."""
+    from torcdb_spark.queries import queries
+
+    df = queries()["q_hll_mergeable_sketch"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "hll_union_agg" in plan.lower() or "InMemory" in plan

@@ -4088,3 +4088,37 @@ def g_gremlin_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("acctbal"), 2).alias("acctbal"),
         "n_orders",
     )
+
+
+@_register(
+    "q_hll_mergeable_sketch",
+    """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+              CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+       FROM events GROUP BY 1
+       UNION ALL
+       SELECT 'TOTAL' AS day, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+       FROM events""",
+)
+def q_hll_mergeable_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RE-AGGREGATABLE distinct counting via Datasketches HLL: per-day
+    sketches (hll_sketch_agg) are UNION-merged (hll_union_agg) into the
+    grand total WITHOUT re-touching the raw data — the pattern that makes
+    100 TB rollups maintainable (store a sketch column per partition,
+    merge on demand; exact count(DISTINCT) cannot re-aggregate). The
+    oracle is the exact count: Datasketches HLL keeps an exact coupon
+    list below promotion (~512 items/lgK=12), so at fixture cardinality
+    (150 users) the estimates ARE exact — the query verifies the
+    sketch path end-to-end, not a tolerance."""
+    ev = load_table(spark, sf_dir, "events")
+    daily_sk = (
+        ev.groupBy(F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"))
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+        .persist()
+    )
+    per_day = daily_sk.select(
+        "day", F.hll_sketch_estimate("sk").cast("long").alias("n_users")
+    )
+    total = daily_sk.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).cast("long").alias("n_users")
+    ).select(F.lit("TOTAL").alias("day"), "n_users")
+    return per_day.unionByName(total)
