@@ -861,3 +861,58 @@ def test_decode_wav_rejects_non_pcm_and_garbage():
     raw[fmt_at : fmt_at + 2] = struct.pack("<H", 2)
     with _pytest.raises(NotImplementedError):
         decode_wav(bytes(raw))
+
+
+def test_range_join_equals_naive_join_property(spark):
+    """Property test: the bin-bucketed range join produces EXACTLY the
+    rows of the naive BETWEEN join for randomized points/intervals across
+    several bin widths (including widths smaller and larger than every
+    interval)."""
+    from hypothesis import given, settings, strategies as st
+
+    from torcdb_spark.operators.range_join import range_join
+
+    @settings(max_examples=12, deadline=None)
+    @given(
+        pts=st.lists(
+            st.tuples(st.integers(0, 3), st.floats(0, 100, width=16)),
+            min_size=1, max_size=20,
+        ),
+        ivs=st.lists(
+            st.tuples(
+                st.integers(0, 3),
+                st.floats(0, 100, width=16),
+                st.floats(0, 30, width=16),
+            ),
+            min_size=1, max_size=10,
+        ),
+        width=st.sampled_from([3.0, 17.0, 250.0]),
+        keyed=st.booleans(),
+    )
+    def check(pts, ivs, width, keyed):
+        p = spark.createDataFrame(
+            [(i, k, float(x)) for i, (k, x) in enumerate(pts)],
+            "pid int, k int, x double",
+        )
+        iv = spark.createDataFrame(
+            [(j, k, float(lo), float(lo + ln)) for j, (k, lo, ln) in enumerate(ivs)],
+            "iid int, ik int, lo double, hi double",
+        )
+        on = ["k"] if keyed else None
+        if keyed:
+            iv2 = iv.withColumnRenamed("ik", "k")
+        else:
+            iv2 = iv.drop("ik")
+        got = {
+            (r.pid, r.iid)
+            for r in range_join(p, iv2, "x", "lo", "hi", bin_width=width, on=on)
+            .select("pid", "iid").collect()
+        }
+        want = set()
+        for i, (pk, x) in enumerate(pts):
+            for j, (ik, lo, ln) in enumerate(ivs):
+                if (not keyed or pk == ik) and lo <= x <= lo + ln:
+                    want.add((i, j))
+        assert got == want
+
+    check()

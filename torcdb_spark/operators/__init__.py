@@ -4,10 +4,19 @@ relational helpers (per-group top-k). Every operator is DataFrame→DataFrame,
 shuffle-partitionable, with no driver-side collects — designed for 100 TB.
 """
 
-from torcdb_spark.operators.dedup import exact_dedup, minhash_lsh_dedup, simhash_dedup
+from torcdb_spark.operators.asof import asof_join
+from torcdb_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_dedup,
+    simhash_dedup,
+    simhash_near_dup_pairs,
+)
+from torcdb_spark.operators.range_join import range_join
+from torcdb_spark.operators.timeseries import gap_fill, rollup, time_bucket
 from torcdb_spark.operators.similarity import (
     cosine_topk_bruteforce,
     cosine_topk_lsh,
+    cosine_topk_quantized,
     ivf_topk,
 )
 from torcdb_spark.operators.skew import salted_join
@@ -15,6 +24,13 @@ from torcdb_spark.operators.text import text_stats, quality_score, tfidf, token_
 from torcdb_spark.operators.topk import topk_per_group
 
 __all__ = [
+    "asof_join",
+    "range_join",
+    "rollup",
+    "gap_fill",
+    "time_bucket",
+    "simhash_near_dup_pairs",
+    "cosine_topk_quantized",
     "exact_dedup",
     "minhash_lsh_dedup",
     "simhash_dedup",
