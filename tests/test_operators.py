@@ -916,3 +916,21 @@ def test_range_join_equals_naive_join_property(spark):
         assert got == want
 
     check()
+
+
+def test_bm25_hand_computed(spark):
+    import math
+    from torcdb_spark.operators.text import bm25_rank
+    import pytest as _pytest
+
+    docs = spark.createDataFrame(
+        [(1, "cat dog cat"), (2, "dog dog dog bird"), (3, "fish bird")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.bm25 for r in bm25_rank(docs, ["cat"], top_k=3).collect()}
+    # only doc 1 contains 'cat': tf=2, df=1, N=3, dl=3, avgdl=3
+    idf = math.log((3 - 1 + 0.5) / (1 + 0.5) + 1)
+    expect = idf * (2 * 2.2) / (2 + 1.2 * (1 - 0.75 + 0.75 * 3 / 3))
+    assert got == {1: round(expect, 4)}
+    with _pytest.raises(ValueError):
+        bm25_rank(docs, [])

@@ -360,3 +360,72 @@ def hash_sample(
     cols = [F.col(strata_col), F.col(id_col)] if strata_col else [F.col(id_col)]
     bucket = F.pmod(F.xxhash64(*cols), F.lit(100))
     return docs.where(bucket < rate_pct)
+
+
+def bm25_rank(
+    docs: "DataFrame",
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> "DataFrame":
+    """BM25 ranked retrieval → (id, bm25, rnk): the standard IR scoring
+    the reference has no analogue for, completing the text family beyond
+    raw TF-IDF.
+
+    score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)),
+    idf(t) = ln((N − df + 0.5)/(df + 0.5) + 1)  (the Robertson/Lucene
+    non-negative form). Tokenization matches tfidf (lowercased
+    whitespace split).
+
+    Plan shape: the term filter pushes into the exploded token stream so
+    tf is aggregated over QUERY terms only (a |terms|-bounded frame, not
+    the vocabulary); dl is one groupBy over the token stream; N/avgdl
+    arrive as a broadcast 1-row aggregate — no driver collect. Scoring is
+    then a broadcast join of per-term df onto the tiny tf frame; the only
+    corpus-sized shuffles are the two token aggregations. Top-k is a
+    window over per-doc sums with id tie-break for determinism."""
+    from pyspark.sql import Window
+
+    if not query_terms:
+        raise ValueError("bm25_rank requires at least one query term")
+    toks = docs.where(F.trim(F.col(text_col)) != "").select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("term"),
+    )
+    # doc length + corpus stats from the SAME pass shape as tfidf
+    dl = toks.groupBy(id_col).agg(F.count("*").cast("double").alias("dl"))
+    stats = F.broadcast(
+        dl.agg(
+            F.count("*").cast("double").alias("n_docs"),
+            F.avg("dl").alias("avgdl"),
+        )
+    )
+    tf = (
+        toks.where(F.col("term").isin(list(query_terms)))
+        .groupBy(id_col, "term")
+        .agg(F.count("*").cast("double").alias("tf"))
+    )
+    df_t = F.broadcast(
+        tf.groupBy("term").agg(F.count("*").cast("double").alias("df"))
+    )
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    denom = F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+    contrib = idf * (F.col("tf") * (k1 + 1.0)) / denom
+    scored = (
+        tf.join(df_t, "term")
+        .join(dl, id_col)
+        .crossJoin(stats)
+        .groupBy(id_col)
+        .agg(F.round(F.sum(contrib), 4).alias("bm25"))
+    )
+    w = Window.orderBy(F.desc("bm25"), F.asc(id_col))
+    return (
+        scored.orderBy(F.desc("bm25"), F.asc(id_col))
+        .limit(int(top_k))
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+    )

@@ -4122,3 +4122,41 @@ def q_hll_mergeable_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_estimate(F.hll_union_agg("sk")).cast("long").alias("n_users")
     ).select(F.lit("TOTAL").alias("day"), "n_users")
     return per_day.unionByName(total)
+
+
+@_register(
+    "d15_bm25_rank",
+    """WITH toks AS (SELECT doc_id,
+                unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term
+              FROM documents WHERE trim(text) <> ''),
+       dl AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl
+              FROM toks GROUP BY 1),
+       stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl
+                 FROM dl),
+       tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf FROM toks
+              WHERE term IN ('hash', 'join', 'stream') GROUP BY 1, 2),
+       dft AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+       scored AS (
+         SELECT t.doc_id,
+                round(sum(ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+                      * (t.tf * 2.2)
+                      / (t.tf + 1.2 * (1 - 0.75 + 0.75 * l.dl / s.avgdl))),
+                      4) AS bm25
+         FROM tf t JOIN dft d USING (term) JOIN dl l USING (doc_id)
+         CROSS JOIN stats s
+         GROUP BY t.doc_id)
+       SELECT doc_id, bm25,
+              CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT)
+                AS rnk
+       FROM scored ORDER BY bm25 DESC, doc_id LIMIT 10""",
+)
+def d15_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval for the query {hash, join, stream} over the
+    documents corpus (operators/text.py bm25_rank — Robertson/Lucene idf,
+    k1=1.2, b=0.75): the tf frame is bounded by the query terms, df/stats
+    broadcast, top-10 by score with doc-id tie-break. Oracle recomputes
+    the identical formula in SQL."""
+    from torcdb_spark.operators.text import bm25_rank
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_rank(docs, ["hash", "join", "stream"], top_k=10)
