@@ -38,6 +38,7 @@ from torcdb_spark.traverse import (
     remove_edge_if,
     traverse,
     v_map,
+    v_set,
 )
 
 SparkQuery = Callable[[SparkSession, str], DataFrame]
@@ -2746,6 +2747,180 @@ def ldbc_ic_like_recent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("orderdate"), F.asc("o_orderkey"))
         .limit(30)
+    )
+
+
+@_register(
+    "ldbc_ic_like_foaf_copurchase",
+    """WITH seed_parts AS (
+         SELECT DISTINCT l_partkey
+         FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+         WHERE o_custkey BETWEEN 1 AND 10
+       )
+       SELECT o_custkey AS c_custkey,
+              CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_shared_parts
+       FROM lineitem
+       JOIN orders ON o_orderkey = l_orderkey
+       JOIN seed_parts USING (l_partkey)
+       WHERE o_custkey NOT BETWEEN 1 AND 10
+       GROUP BY o_custkey
+       ORDER BY n_shared_parts DESC, c_custkey ASC
+       LIMIT 20""",
+)
+def ldbc_ic_like_foaf_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IC1/IC9-shaped friend-of-friend expansion, on the co-purchase
+    relation: from 10 seed customers walk OUT three hops to their purchased
+    parts, then BACK three IN hops (part→lineitem→order→customer) to find
+    the other customers sharing those parts — the reference's batched
+    traverse + fuse + subtract composition (TorcGraph.java:479-585,
+    TorcHelper.java:407-592) over a 6-hop path. The backward frames are
+    fused with dedup so the final count is exactly |distinct shared parts|
+    per co-purchaser, and the seed set is removed with subtract (anti-join)
+    just as LDBC IC1 excludes the start person. At 100 TB every hop is an
+    equi-join on the 16-byte id with the frontier broadcast while small and
+    dedup'd between hops, so the plan never carries path multiplicity."""
+    from torcdb_spark.graph import LABEL_TAGS
+    from torcdb_spark.ids import uint128_pair
+
+    g = _graph(spark, sf_dir)
+    seeds = [uint128_pair(LABEL_TAGS["customer"], k) for k in range(1, 11)]
+    cust = g.vertices_by_id(seeds, label="customer")
+    h1 = traverse(cust, g.edges, "placed", Direction.OUT)
+    h2 = traverse(v_set(h1), g.edges, "contains", Direction.OUT)
+    h3 = traverse(v_set(h2), g.edges, "ofPart", Direction.OUT)
+    parts = v_set(h3)
+    b1 = traverse(parts, g.edges, "ofPart", Direction.IN,
+                  broadcast_frontier=False)
+    b2 = traverse(v_set(b1), g.edges, "contains", Direction.IN,
+                  broadcast_frontier=False)
+    b3 = traverse(v_set(b2), g.edges, "placed", Direction.IN,
+                  broadcast_frontier=False)
+    part_cust = algebra.fuse(algebra.fuse(b1, b2, dedup=True), b3, dedup=True)
+    others = algebra.subtract(part_cust, cust.select("id"))
+    return (
+        others.groupBy("dst")
+        .agg(F.count("*").cast("long").alias("n_shared_parts"))
+        .select(id_lower(F.col("dst")).alias("c_custkey"), "n_shared_parts")
+        .orderBy(F.desc("n_shared_parts"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@_register(
+    "ldbc_ic_like_region_suppliers",
+    """SELECT s_suppkey, s_name, n_name,
+              CAST(COUNT(*) AS BIGINT) AS n_lines
+       FROM lineitem
+       JOIN orders ON o_orderkey = l_orderkey
+       JOIN supplier ON s_suppkey = l_suppkey
+       JOIN nation ON n_nationkey = s_nationkey
+       JOIN region ON r_regionkey = n_regionkey
+       WHERE o_custkey BETWEEN 1 AND 30 AND r_name = 'ASIA'
+       GROUP BY s_suppkey, s_name, n_name
+       ORDER BY n_lines DESC, s_suppkey ASC
+       LIMIT 25""",
+)
+def ldbc_ic_like_region_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IC3/IC11-shaped 'located-in' filter: suppliers serving 30 seed
+    customers, restricted to a region by walking the supplier→nation→region
+    location chain and intersecting (left-semi) back — the reference's
+    intersect/keylist composition (TorcHelper.java:458-539, 640-646)
+    instead of a relational 5-way join. Hops from the supplier side run on
+    frontiers of ≤ |suppliers| ids (broadcast); the region predicate is a
+    partition-pruned vertex scan on the label-partitioned store."""
+    from torcdb_spark.graph import LABEL_TAGS
+    from torcdb_spark.ids import uint128_pair
+
+    g = _graph(spark, sf_dir)
+    seeds = [uint128_pair(LABEL_TAGS["customer"], k) for k in range(1, 31)]
+    cust = g.vertices_by_id(seeds, label="customer")
+    h1 = traverse(cust, g.edges, "placed", Direction.OUT)
+    h2 = traverse(v_set(h1), g.edges, "contains", Direction.OUT)
+    h3 = traverse(v_set(h2), g.edges, "suppliedBy", Direction.OUT)
+    sn = traverse(v_set(h3), g.edges, "suppFromNation", Direction.OUT)
+    nr = traverse(v_set(sn), g.edges, "inRegion", Direction.OUT)
+    asia = g.vertices.where(
+        (F.col("label") == "region") & (F.col("props")["r_name"] == "ASIA")
+    ).select("id")
+    asia_nations = algebra.keylist(algebra.intersect(nr, asia))
+    sn_asia = algebra.intersect(sn, asia_nations)
+    h3_asia = algebra.intersect(h3, algebra.keylist(sn_asia))
+    counts = h3_asia.groupBy(F.col("dst").alias("s_id")).agg(
+        F.count("*").cast("long").alias("n_lines")
+    )
+    sv = g.vertices.where(F.col("label") == "supplier").select(
+        F.col("id").alias("s_id"), F.col("props")["s_name"].alias("s_name")
+    )
+    nv = g.vertices.where(F.col("label") == "nation").select(
+        F.col("id").alias("n_id"), F.col("props")["n_name"].alias("n_name")
+    )
+    s_nation = sn_asia.select(
+        F.col("src").alias("s_id"), F.col("dst").alias("n_id")
+    )
+    return (
+        counts.join(s_nation, "s_id")
+        .join(F.broadcast(sv), "s_id")
+        .join(F.broadcast(nv), "n_id")
+        .select(
+            id_lower(F.col("s_id")).alias("s_suppkey"),
+            "s_name", "n_name", "n_lines",
+        )
+        .orderBy(F.desc("n_lines"), F.asc("s_suppkey"))
+        .limit(25)
+    )
+
+
+@_register(
+    "ldbc_ic_like_brand_cooccur",
+    """WITH ob AS (
+         SELECT DISTINCT l_orderkey AS okey, p_brand AS brand
+         FROM lineitem
+         JOIN part ON p_partkey = l_partkey
+         JOIN orders ON o_orderkey = l_orderkey
+         WHERE o_custkey BETWEEN 1 AND 40
+       )
+       SELECT a.brand AS brand_a, b.brand AS brand_b,
+              CAST(COUNT(*) AS BIGINT) AS n_orders
+       FROM ob a JOIN ob b ON a.okey = b.okey AND a.brand < b.brand
+       GROUP BY a.brand, b.brand
+       ORDER BY n_orders DESC, brand_a ASC, brand_b ASC
+       LIMIT 15""",
+)
+def ldbc_ic_like_brand_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IC6-shaped tag co-occurrence: for 40 seed customers' orders, count
+    order-level co-occurrence of part brands (the 'tags' of this schema) —
+    traverse to (order, part), hydrate the brand property via v_map-style
+    broadcast join, distinct-ify, then a bounded self-join keyed on the
+    order id (each order holds ≤ a handful of brands, so the per-key
+    fan-out is tiny and the join is shuffle-partitioned on okey — no
+    crossJoin). LDBC IC6 is exactly this shape over Post→Tag."""
+    from torcdb_spark.graph import LABEL_TAGS
+    from torcdb_spark.ids import uint128_pair
+
+    g = _graph(spark, sf_dir)
+    seeds = [uint128_pair(LABEL_TAGS["customer"], k) for k in range(1, 41)]
+    cust = g.vertices_by_id(seeds, label="customer")
+    h1 = traverse(cust, g.edges, "placed", Direction.OUT)
+    h2 = traverse(v_set(h1), g.edges, "contains", Direction.OUT)
+    h3 = traverse(v_set(h2), g.edges, "ofPart", Direction.OUT)
+    order_part = algebra.fuse(h2, h3, dedup=True)
+    pv = g.vertices.where(F.col("label") == "part").select(
+        F.col("id").alias("dst"), F.col("props")["p_brand"].alias("brand")
+    )
+    ob = (
+        order_part.join(F.broadcast(pv), "dst")
+        .select(F.col("src").alias("okey"), "brand")
+        .dropDuplicates(["okey", "brand"])
+    )
+    a = ob.select("okey", F.col("brand").alias("brand_a"))
+    b = ob.select("okey", F.col("brand").alias("brand_b"))
+    return (
+        a.join(b, "okey")
+        .where(F.col("brand_a") < F.col("brand_b"))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count("*").cast("long").alias("n_orders"))
+        .orderBy(F.desc("n_orders"), F.asc("brand_a"), F.asc("brand_b"))
+        .limit(15)
     )
 
 
