@@ -1,0 +1,79 @@
+"""Compaction rewrites a fragmented table to target-sized files with
+identical data; multi-format ingestion round-trips the documents corpus
+through JSONL and CSV byte-for-byte."""
+
+import pyspark.sql.functions as F
+
+from torcdb_spark.sources.ingest import ingest_documents, read_any
+from torcdb_spark.sources.maintenance import compact_files, table_file_stats
+
+
+def test_compact_small_files(spark, tmp_path, sf_dir):
+    path = str(tmp_path / "frag")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li.repartition(64).write.parquet(path)  # simulate a streaming sink's spray
+    assert table_file_stats(path)["n_files"] == 64
+
+    stats = compact_files(spark, path, target_file_bytes=4 * 1024 * 1024)
+    assert stats["after"]["n_files"] < 64
+    assert stats["after"]["n_files"] == stats["target_files"]
+    # data unchanged
+    a = li.groupBy().agg(
+        F.count("*").alias("n"), F.sum("l_quantity").alias("s")
+    ).first()
+    b = spark.read.parquet(path).groupBy().agg(
+        F.count("*").alias("n"), F.sum("l_quantity").alias("s")
+    ).first()
+    assert (a["n"], a["s"]) == (b["n"], b["s"])
+
+
+def test_compact_preserves_sort_layout(spark, tmp_path, sf_dir):
+    path = str(tmp_path / "sorted")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li.repartition(32).write.parquet(path)
+    compact_files(
+        spark, path, target_file_bytes=8 * 1024 * 1024, sort_by=["l_partkey"]
+    )
+    import glob
+
+    import pyarrow.parquet as pq
+
+    for f in glob.glob(f"{path}/*.parquet"):
+        t = pq.read_table(f, columns=["l_partkey"])
+        vals = t.column("l_partkey").to_pylist()
+        assert vals == sorted(vals)
+
+
+def test_ingest_documents_jsonl_and_csv(spark, tmp_path, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source", "lang", "n_chars", "text"
+    )
+    jdir = str(tmp_path / "docs_jsonl")
+    cdir = str(tmp_path / "docs_csv")
+    docs.write.json(jdir)
+    docs.write.option("header", "true").option("escape", '"').csv(cdir)
+
+    back_j = ingest_documents(spark, jdir, fmt="json")
+    back_c = ingest_documents(spark, cdir, fmt="csv")
+    for back in (back_j, back_c):
+        assert back.schema.fieldNames() == docs.schema.fieldNames()
+        assert back.count() == docs.count()
+        diff = docs.exceptAll(back)
+        assert diff.isEmpty(), diff.limit(3).collect()
+
+
+def test_ingest_recomputes_missing_n_chars(spark, tmp_path):
+    jdir = str(tmp_path / "nochars")
+    spark.createDataFrame(
+        [(1, "s", "en", None, "hello world")],
+        "doc_id long, source string, lang string, n_chars long, text string",
+    ).write.json(jdir)
+    out = ingest_documents(spark, jdir, fmt="json").first()
+    assert out["n_chars"] == len("hello world")
+
+
+def test_read_any_rejects_unknown_format(spark):
+    import pytest
+
+    with pytest.raises(ValueError):
+        read_any(spark, "/nonexistent", fmt="avro")

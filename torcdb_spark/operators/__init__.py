@@ -22,9 +22,17 @@ from torcdb_spark.operators.similarity import (
 from torcdb_spark.operators.skew import salted_join
 from torcdb_spark.operators.text import text_stats, quality_score, tfidf, token_count
 from torcdb_spark.operators.topk import topk_per_group
+from torcdb_spark.operators.zorder import (
+    zorder_cell_stats,
+    zorder_code,
+    zorder_write,
+)
 
 __all__ = [
     "asof_join",
+    "zorder_cell_stats",
+    "zorder_code",
+    "zorder_write",
     "range_join",
     "rollup",
     "gap_fill",

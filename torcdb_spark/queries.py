@@ -4335,3 +4335,23 @@ def d15_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return bm25_rank(docs, ["hash", "join", "stream"], top_k=10)
+
+
+@_register(
+    "zo1_zorder_cells",
+    # oracle generated by the SAME formula spelled in SQL bit-ops — built
+    # at import time so operator and oracle can't drift
+    __import__("torcdb_spark.operators.zorder", fromlist=["zorder_oracle_sql"])
+    .zorder_oracle_sql("lineitem", ["l_partkey", "l_suppkey"], bits=8),
+)
+def zo1_zorder_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering cells over (l_partkey, l_suppkey)
+    (operators/zorder.py): integer min-max scale to 8 bits, bit-interleave
+    JVM-side, truncate to cells, and report per-cell count + per-dimension
+    min/max — the inspectable form of the multi-dim data-skipping layout
+    that zorder_write bakes into parquet footers. One scan + one 1-row
+    broadcast bounds aggregate + one groupBy; no UDF."""
+    from torcdb_spark.operators.zorder import zorder_cell_stats
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return zorder_cell_stats(li, ["l_partkey", "l_suppkey"], bits=8)

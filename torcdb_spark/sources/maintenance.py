@@ -1,0 +1,70 @@
+"""Table-maintenance operators: small-file compaction and layout stats.
+
+The reference's storage engine compacts implicitly (RAMCloud log cleaning;
+edge lists re-segment on append, TorcEdgeList.java). A parquet lakehouse
+instead accretes small files from streaming sinks and incremental jobs, and
+at 100 TB an uncompacted table turns every scan into a metadata storm (one
+task + one footer read per tiny file). ``compact_files`` is the explicit
+OPTIMIZE job: rewrite a directory to ~target-sized files, atomically.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def table_file_stats(path: str, suffix: str = ".parquet") -> dict:
+    """File count / total bytes / mean bytes for a table directory —
+    the signal a maintenance scheduler triggers compaction on."""
+    files = [
+        os.path.join(path, f)
+        for f in os.listdir(path)
+        if f.endswith(suffix)
+    ]
+    sizes = [os.path.getsize(f) for f in files]
+    total = sum(sizes)
+    return {
+        "n_files": len(files),
+        "total_bytes": total,
+        "mean_bytes": (total / len(files)) if files else 0.0,
+    }
+
+
+def compact_files(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    fmt: str = "parquet",
+    sort_by: list[str] | None = None,
+) -> dict:
+    """Rewrite ``path`` into ceil(total_bytes / target) files, optionally
+    re-sorted (preserving a z-order/cluster layout through compaction).
+
+    Writes to a sibling temp dir and swaps via rename — atomic on a real
+    filesystem; on object stores the swap step would be a metastore/manifest
+    pointer flip instead (the rewrite itself is identical). Returns
+    before/after stats. Uses coalesce when shrinking (no shuffle: the
+    common compaction case merges splits map-side) and repartition only
+    when growing file count.
+    """
+    before = table_file_stats(path)
+    n_files = max(1, math.ceil(before["total_bytes"] / target_file_bytes))
+    df = spark.read.format(fmt).load(path)
+    out = df.coalesce(n_files) if n_files <= max(1, before["n_files"]) else (
+        df.repartition(n_files)
+    )
+    if sort_by:
+        out = out.sortWithinPartitions(*sort_by)
+    tmp = f"{path}.compact.{os.getpid()}"
+    out.write.format(fmt).mode("overwrite").save(tmp)
+    old = f"{path}.old.{os.getpid()}"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    import shutil
+
+    shutil.rmtree(old)
+    after = table_file_stats(path)
+    return {"before": before, "after": after, "target_files": n_files}
