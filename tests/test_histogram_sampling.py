@@ -1,0 +1,139 @@
+"""Histogram sketch: exact bin counts, mergeability (sum of partial
+sketches == sketch of the union), and quantile error bounded by one bin
+width. Sampling: deterministic md5 selection verified against a
+hand-computed pick on a constructed graph, and reproducibility/seed
+sensitivity on the fixture graph."""
+
+import hashlib
+
+import pyspark.sql.functions as F
+import pytest
+
+from torcdb_spark.operators.histogram import (
+    histogram_sketch,
+    merge_histograms,
+    quantiles_from_histogram,
+)
+from torcdb_spark.operators.sampling import neighbor_sample, random_walks
+
+
+def test_histogram_exact_bins(spark):
+    df = spark.createDataFrame([(float(v),) for v in range(100)], ["x"])
+    hist = histogram_sketch(df, "x", lo=0.0, hi=100.0, n_bins=10)
+    rows = {r["bin"]: r["n"] for r in hist.collect()}
+    assert rows == {b: 10 for b in range(10)}
+
+
+def test_histogram_clamps_out_of_range(spark):
+    df = spark.createDataFrame([(-5.0,), (500.0,), (50.0,)], ["x"])
+    hist = histogram_sketch(df, "x", lo=0.0, hi=100.0, n_bins=10)
+    rows = {r["bin"]: r["n"] for r in hist.collect()}
+    assert rows == {0: 1, 9: 1, 5: 1}
+
+
+def test_histogram_merge_equals_union(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    a = li.where(F.col("l_orderkey") % 2 == 0)
+    b = li.where(F.col("l_orderkey") % 2 == 1)
+    ha = histogram_sketch(a, "l_extendedprice", 0.0, 100000.0, 32)
+    hb = histogram_sketch(b, "l_extendedprice", 0.0, 100000.0, 32)
+    merged = merge_histograms(ha.unionByName(hb))
+    full = histogram_sketch(li, "l_extendedprice", 0.0, 100000.0, 32)
+    m = {r["bin"]: r["n"] for r in merged.collect()}
+    f = {r["bin"]: r["n"] for r in full.collect()}
+    assert m == f
+
+
+def test_histogram_quantile_within_bin_width(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    lo, hi, n_bins = 0.0, 110000.0, 256
+    width = (hi - lo) / n_bins
+    hist = histogram_sketch(li, "l_extendedprice", lo, hi, n_bins)
+    est = quantiles_from_histogram(hist, [0.5, 0.95], lo, hi, n_bins).first()
+    exact = li.agg(
+        F.expr("percentile(l_extendedprice, 0.5)").alias("p50"),
+        F.expr("percentile(l_extendedprice, 0.95)").alias("p95"),
+    ).first()
+    assert abs(est["q50"] - exact["p50"]) <= width
+    assert abs(est["q95"] - exact["p95"]) <= width
+
+
+def _mk_edges(spark, triples):
+    return spark.createDataFrame(
+        [(bytes([0] * 15 + [s]), bytes([0] * 15 + [d]), lab)
+         for s, d, lab in triples],
+        "src binary, dst binary, label string",
+    )
+
+
+def test_neighbor_sample_matches_hand_md5(spark):
+    # vertex 1 has neighbors 2,3,4; fanout 2 must keep the two smallest
+    # md5(srchex:dsthex:seed) scores — recompute the ranking in Python
+    edges = _mk_edges(spark, [(1, 2, "e"), (1, 3, "e"), (1, 4, "e")])
+    frontier = spark.createDataFrame([(bytes([0] * 15 + [1]),)], ["id"])
+    out = neighbor_sample(frontier, edges, "e", fanout=2, seed=7).collect()
+
+    def score(s, d):
+        sh = bytes([0] * 15 + [s]).hex().upper()
+        dh = bytes([0] * 15 + [d]).hex().upper()
+        return hashlib.md5(f"{sh}:{dh}:7".encode()).hexdigest()
+
+    expect = sorted([2, 3, 4], key=lambda d: (score(1, d)))[:2]
+    got = sorted((r["dst"][-1], r["rk"]) for r in out)
+    assert sorted(d for d, _ in got) == sorted(expect)
+    assert {r["rk"] for r in out} == {1, 2}
+
+
+def test_neighbor_sample_bounds_fanout_and_reproduces(spark, sf_dir):
+    from torcdb_spark.graph import PropertyGraph
+
+    g = PropertyGraph.open(spark, sf_dir)
+    cust = g.vertices.where("label = 'customer'").select("id").limit(200)
+    s1 = neighbor_sample(cust, g.edges, "placed", fanout=3, seed=42)
+    per_src = s1.groupBy("src").count().agg(F.max("count")).first()[0]
+    assert per_src <= 3
+    # same seed → identical sample; different seed → different sample
+    s1b = neighbor_sample(cust, g.edges, "placed", fanout=3, seed=42)
+    assert s1.exceptAll(s1b).isEmpty()
+    s2 = neighbor_sample(cust, g.edges, "placed", fanout=3, seed=43)
+    assert not s1.exceptAll(s2).isEmpty()
+
+
+def test_random_walks_deterministic_and_stops_at_sink(spark):
+    # 1 -> {2,3}; 2 -> {4}; 3 -> {}; walk from 1, len 3: step1 picks
+    # argmin-md5 of {2,3}; a walk reaching 3 stops (sink), via 2 reaches 4
+    edges = _mk_edges(
+        spark, [(1, 2, "e"), (1, 3, "e"), (2, 4, "e")]
+    )
+    starts = spark.createDataFrame([(bytes([0] * 15 + [1]),)], ["id"])
+    out = random_walks(starts, edges, "e", walk_len=3, seed=5)
+    rows = sorted(
+        (r["step"], r["vertex"][-1]) for r in out.collect()
+    )
+    assert rows[0] == (0, 1)
+
+    def score(s, d, step):
+        sh = bytes([0] * 15 + [s]).hex().upper()
+        dh = bytes([0] * 15 + [d]).hex().upper()
+        return hashlib.md5(f"{sh}:{dh}:{5 * 1000 + step}".encode()).hexdigest()
+
+    pick1 = min([2, 3], key=lambda d: score(1, d, 1))
+    if pick1 == 3:
+        assert rows == [(0, 1), (1, 3)]  # sink: walk ends
+    else:
+        assert rows == [(0, 1), (1, 2), (2, 4)]
+
+
+def test_random_walks_multi_label(spark, sf_dir):
+    from torcdb_spark.graph import PropertyGraph
+
+    g = PropertyGraph.open(spark, sf_dir)
+    cust = g.vertices.where("label = 'customer'").select("id").limit(50)
+    walks = random_walks(
+        cust, g.edges, ["fromNation", "inRegion"], walk_len=3, seed=1
+    )
+    per_step = {r["step"]: r["count"] for r in
+                walks.groupBy("step").count().collect()}
+    # every customer has a nation, every nation a region, regions are sinks
+    assert per_step[0] == 50 and per_step[1] == 50 and per_step[2] == 50
+    assert 3 not in per_step

@@ -934,3 +934,58 @@ def test_bm25_hand_computed(spark):
     assert got == {1: round(expect, 4)}
     with _pytest.raises(ValueError):
         bm25_rank(docs, [])
+
+
+def test_pq_topk_recall_and_determinism(spark, sf_dir):
+    """PQ ADC + re-rank: deterministic build (no random init) and recall
+    >= 0.75 vs exact cosine on the fixture embeddings (near-random
+    synthetic vectors — the hard case for PQ; clustered real embeddings
+    fare better). Returned scores are exact (re-ranked) so every returned
+    pair's score equals the brute-force score."""
+    import pyspark.sql.functions as F
+
+    from torcdb_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        pq_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qs = emb.where(F.col("vec_id") < 10)
+    approx = pq_topk(emb, qs, k=5, m_subspaces=4, k_sub=64, rerank_factor=20)
+    exact = cosine_topk_bruteforce(emb, qs, k=5)
+    a = {(r["query_id"], r["neighbor_id"]): r["score"] for r in approx.collect()}
+    e = {(r["query_id"], r["neighbor_id"]): r["score"] for r in exact.collect()}
+    recall = len(a.keys() & e.keys()) / len(e)
+    assert recall >= 0.75, f"pq recall {recall}"
+    for pair in a.keys() & e.keys():
+        assert abs(a[pair] - e[pair]) < 1e-9  # re-ranked scores are exact
+    a2 = {(r["query_id"], r["neighbor_id"]) for r in pq_topk(
+        emb, qs, k=5, m_subspaces=4, k_sub=64, rerank_factor=20
+    ).collect()}
+    assert set(a.keys()) == a2
+
+
+def test_table_diff_classifies_all_cases(spark):
+    from torcdb_spark.operators.diff import diff_summary, table_diff
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], ["k", "v"]
+    )
+    new = spark.createDataFrame(
+        [(2, "b"), (3, "CHANGED"), (4, "d")], ["k", "v"]
+    )
+    d = {r["k"]: r["change"] for r in table_diff(old, new, ["k"]).collect()}
+    assert d == {1: "deleted", 3: "updated", 4: "inserted"}
+    s = {r["change"]: r["n"] for r in diff_summary(old, new, ["k"]).collect()}
+    assert s == {"deleted": 1, "updated": 1, "inserted": 1, "unchanged": 1}
+
+
+def test_table_diff_null_safe_compare(spark):
+    """NULL→value and value→NULL must both classify as updated (xxhash64
+    folds NULL deterministically, not to SQL-null)."""
+    from torcdb_spark.operators.diff import table_diff
+
+    old = spark.createDataFrame([(1, None), (2, "x")], "k int, v string")
+    new = spark.createDataFrame([(1, "y"), (2, None)], "k int, v string")
+    d = {r["k"]: r["change"] for r in table_diff(old, new, ["k"]).collect()}
+    assert d == {1: "updated", 2: "updated"}

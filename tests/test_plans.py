@@ -270,3 +270,88 @@ def test_hll_sketch_reaggregates_without_raw_rescan(spark, sf_dir):
     df = queries()["q_hll_mergeable_sketch"](spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "hll_union_agg" in plan.lower() or "InMemory" in plan
+
+
+def test_histogram_sketch_single_shuffle_no_udf(spark, sf_dir):
+    """The histogram sketch must be one partial-aggregated shuffle of
+    expression-computed bins: no Python evaluation node, exactly one
+    exchange (plus AQE artifacts), pushdown-prunable scan."""
+    from torcdb_spark.operators.histogram import histogram_sketch
+
+    li = load_table(spark, sf_dir, "lineitem")
+    hist = histogram_sketch(li, "l_extendedprice", 0.0, 110000.0, 64)
+    plan = explain_str(hist, "formatted")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert shuffle_count(hist) == 1
+    # partial aggregation (map-side combine) before the exchange
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_zorder_code_no_extra_shuffle(spark, sf_dir):
+    """Morton coding adds a broadcast 1-row bounds aggregate to the scan —
+    the data path itself must not shuffle (codes are computed in the same
+    stage as the scan)."""
+    from torcdb_spark.operators.zorder import zorder_code
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey"
+    )
+    coded = zorder_code(li, ["l_partkey", "l_suppkey"], bits=8)
+    plan = explain_str(coded, "formatted")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    # the bounds aggregate contributes its own tiny single-partition
+    # exchange + the broadcast; the ROW stream itself must not shuffle —
+    # so at most 2 exchanges total and the main scan feeds the join
+    # directly (no Exchange between Scan and the broadcast join)
+    assert shuffle_count(coded) <= 2
+    tree = plan.split("(1) Scan")[0]
+    scan_branch = tree.split("BroadcastNestedLoopJoin")[1].splitlines()
+    main_side = [l for l in scan_branch if "Exchange" not in l]
+    assert any("Scan parquet" in l for l in main_side)
+
+
+def test_table_diff_shuffles_fingerprints_not_payload(spark, sf_dir):
+    """The diff join's exchanged schema must be (key, fingerprint) — the
+    wide compare columns are folded into xxhash64 BEFORE the shuffle."""
+    from torcdb_spark.operators.diff import table_diff
+
+    orders = load_table(spark, sf_dir, "orders")
+    old_v = orders.where(F.col("o_orderkey") % 2 == 0)
+    new_v = orders.where(F.col("o_orderkey") % 3 == 0)
+    d = table_diff(old_v, new_v, ["o_orderkey"])
+    plan = explain_str(d, "formatted")
+    import re
+
+    # every hash-exchange's Input must be the (key, fingerprint) pair —
+    # never the wide payload columns
+    sections = re.split(r"\(\d+\) ", plan)
+    exch_inputs = [
+        s for s in sections if s.startswith("Exchange") and "hashpartitioning" in s
+    ]
+    assert exch_inputs
+    for s in exch_inputs:
+        inp = s.split("Input")[1][:200] if "Input" in s else s
+        assert "_fp" in inp
+        assert "o_orderpriority" not in inp and "o_orderstatus" not in inp
+    assert "xxhash64" in plan
+
+
+def test_neighbor_sample_bounds_window_partition(spark, sf_dir):
+    """Sampling plan: hop join then ONE window partitioned by src — rank
+    filter applies before any downstream consumer, so hub fan-out never
+    leaves the stage."""
+    from torcdb_spark.operators.sampling import neighbor_sample
+
+    g = PropertyGraph.open(spark, sf_dir)
+    cust = g.vertices.where("label = 'customer'").select("id").limit(50)
+    s = neighbor_sample(cust, g.edges, "placed", fanout=3, seed=1)
+    plan = explain_str(s, "formatted")
+    import re
+
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 1
+    # rank-limit pushdown: Spark inserts WindowGroupLimit so each task
+    # truncates a hub's candidate list to fanout BEFORE the final sort —
+    # the in-stage bound on hub fan-out
+    assert "WindowGroupLimit" in plan
+    assert "BatchEvalPython" not in plan

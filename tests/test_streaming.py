@@ -175,3 +175,49 @@ def test_maintain_rollup_matches_batch_and_is_idempotent(spark, tmp_path):
         for r in spark.read.parquet(out).collect()
     }
     assert got2 == want
+
+
+def test_kafka_decode_json_events(spark):
+    """The kafka decode transform on a static wire-schema frame: JSON
+    values become typed columns, corrupt rows drop, metadata rides along."""
+    import json
+
+    from pyspark.sql import Row, types as T
+
+    from torcdb_spark.streaming.connectors import (
+        KAFKA_WIRE_SCHEMA,
+        decode_json_events,
+        dedup_by_offset,
+    )
+    import datetime
+
+    def wire(key, value, offset):
+        return Row(
+            key=key.encode(), value=value.encode(), topic="events",
+            partition=0, offset=offset,
+            timestamp=datetime.datetime(2024, 1, 1, 0, 0, offset % 60),
+            timestampType=0,
+        )
+
+    rows = [
+        wire("u1", json.dumps({"user_id": 1, "value": 10.0}), 0),
+        wire("u1", json.dumps({"user_id": 1, "value": 10.0}), 1),  # replay
+        wire("u2", json.dumps({"user_id": 2, "value": 5.0}), 2),
+        wire("u3", "NOT JSON {", 3),  # poison pill
+    ]
+    df = spark.createDataFrame(rows, KAFKA_WIRE_SCHEMA)
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    decoded = decode_json_events(df, schema)
+    got = decoded.orderBy("_offset").collect()
+    assert [r["user_id"] for r in got] == [1, 1, 2]  # corrupt row dropped
+    assert got[0]["_topic"] == "events" and got[0]["_offset"] == 0
+
+    once = dedup_by_offset(decoded, ["user_id"])
+    assert once.count() == 2
+    u1 = once.where("user_id = 1").first()
+    assert u1["_offset"] == 0  # first delivery wins

@@ -18,9 +18,17 @@ from torcdb_spark.operators.similarity import (
     cosine_topk_lsh,
     cosine_topk_quantized,
     ivf_topk,
+    pq_topk,
 )
 from torcdb_spark.operators.skew import salted_join
 from torcdb_spark.operators.text import text_stats, quality_score, tfidf, token_count
+from torcdb_spark.operators.diff import diff_summary, table_diff
+from torcdb_spark.operators.histogram import (
+    histogram_sketch,
+    merge_histograms,
+    quantiles_from_histogram,
+)
+from torcdb_spark.operators.sampling import neighbor_sample, random_walks
 from torcdb_spark.operators.topk import topk_per_group
 from torcdb_spark.operators.zorder import (
     zorder_cell_stats,
@@ -30,6 +38,11 @@ from torcdb_spark.operators.zorder import (
 
 __all__ = [
     "asof_join",
+    "histogram_sketch",
+    "merge_histograms",
+    "quantiles_from_histogram",
+    "neighbor_sample",
+    "random_walks",
     "zorder_cell_stats",
     "zorder_code",
     "zorder_write",
@@ -39,6 +52,9 @@ __all__ = [
     "time_bucket",
     "simhash_near_dup_pairs",
     "cosine_topk_quantized",
+    "diff_summary",
+    "table_diff",
+    "pq_topk",
     "exact_dedup",
     "minhash_lsh_dedup",
     "simhash_dedup",

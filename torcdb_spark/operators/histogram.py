@@ -1,0 +1,125 @@
+"""Mergeable equi-width histogram sketch + quantile estimation.
+
+Complements the HLL distinct-count sketch (functions/ hll rollup): the
+histogram is the mergeable SUMMARY for numeric distributions. Bin counts
+add across partitions, days, or tenants (one groupBy-sum merges any number
+of sketches), so a 100 TB pipeline can maintain per-partition histograms
+incrementally and answer quantile/threshold questions without rescanning —
+the same pre-aggregation contract the reference gets from its per-segment
+edge-list statistics (TorcEdgeList.java header counts).
+
+Everything is JVM expression-level: bin assignment is one floor-divide,
+merging is a sum, quantiles are a tiny sorted-struct fold over ≤ n_bins
+rows. No UDF anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def bin_index(col: Column, lo: float, hi: float, n_bins: int) -> Column:
+    """Clamped equi-width bin index in [0, n_bins-1]. Values at/above
+    ``hi`` land in the last bin; below ``lo`` in bin 0 — a sketch must
+    total-count, never drop."""
+    width = (hi - lo) / n_bins
+    raw = F.floor((col - F.lit(lo)) / F.lit(width)).cast("long")
+    return F.least(F.greatest(raw, F.lit(0)), F.lit(n_bins - 1))
+
+
+def histogram_sketch(
+    df: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 64,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Per-group equi-width histogram: (group_cols..., bin, n). One scan,
+    one partial-aggregated shuffle keyed on (group, bin) — ≤ n_bins rows
+    per group regardless of input size."""
+    keys = list(group_cols or [])
+    return (
+        df.select(
+            *keys, bin_index(F.col(value_col), lo, hi, n_bins).alias("bin")
+        )
+        .groupBy(*keys, "bin")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+
+
+def merge_histograms(hists: DataFrame, group_cols: list[str] | None = None) -> DataFrame:
+    """Merge any union of histogram sketches: counts add per (group, bin).
+    This IS the mergeability claim — sum is associative/commutative, so
+    partial sketches combine in any order (map-side partials included)."""
+    keys = list(group_cols or [])
+    return hists.groupBy(*keys, "bin").agg(F.sum("n").cast("long").alias("n"))
+
+
+def quantiles_from_histogram(
+    hist: DataFrame,
+    qs: list[float],
+    lo: float,
+    hi: float,
+    n_bins: int,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Estimate quantiles from a histogram sketch by linear interpolation
+    within the containing bin (error ≤ one bin width). Runs as a fold over
+    the ≤ n_bins (bin, n) rows collected per group into a sorted array —
+    a per-group expression, not a second scan of the data."""
+    keys = list(group_cols or [])
+    width = (hi - lo) / n_bins
+    packed = hist.groupBy(*keys).agg(
+        F.sort_array(F.collect_list(F.struct("bin", "n"))).alias("bins"),
+        F.sum("n").alias("total"),
+    )
+    cum = F.expr(
+        """
+        aggregate(
+          bins,
+          named_struct(
+            'acc', cast(array() as array<struct<bin: bigint, cum: bigint>>),
+            'run', cast(0 as bigint)),
+          (s, b) -> named_struct(
+            'acc', array_append(s.acc, named_struct('bin', b.bin,
+                                                    'cum', s.run + b.n)),
+            'run', s.run + b.n),
+          s -> s.acc)
+        """
+    )
+    withcum = packed.withColumn("cumbins", cum)
+    out_cols = list(keys)
+    for q in qs:
+        target = F.col("total").cast("double") * F.lit(q)
+        hit = F.element_at(
+            F.filter(F.col("cumbins"), lambda s: s["cum"] >= target), 1
+        )
+        prior = F.filter(F.col("cumbins"), lambda s: s["bin"] < hit["bin"])
+        cum_before = F.coalesce(
+            F.element_at(prior, F.size(prior))["cum"].cast("double"),
+            F.lit(0.0),
+        )
+        in_bin = hit["cum"].cast("double") - cum_before
+        frac = F.when(in_bin > 0, (target - cum_before) / in_bin).otherwise(
+            F.lit(0.0)
+        )
+        bin_start = F.lit(lo) + hit["bin"].cast("double") * F.lit(width)
+        est = bin_start + F.least(
+            F.greatest(frac, F.lit(0.0)), F.lit(1.0)
+        ) * F.lit(width)
+        out_cols.append(F.round(est, 6).alias(f"q{int(q * 100)}"))
+    return withcum.select(*out_cols)
+
+
+def histogram_oracle_sql(
+    table: str, value_col: str, lo: float, hi: float, n_bins: int
+) -> str:
+    """DuckDB-equivalent SQL for ``histogram_sketch`` (ungrouped form)."""
+    width = (hi - lo) / n_bins
+    return f"""SELECT LEAST(GREATEST(CAST(FLOOR(({value_col} - {lo}) / {width}) AS BIGINT),
+                             0), {n_bins - 1}) AS bin,
+              CAST(COUNT(*) AS BIGINT) AS n
+       FROM {table}
+       GROUP BY 1"""

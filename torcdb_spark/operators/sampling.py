@@ -1,0 +1,133 @@
+"""Deterministic graph sampling: bounded neighbor fan-out and random walks.
+
+Training pipelines over graphs (GraphSAGE/node2vec-style) need per-vertex
+NEIGHBOR SAMPLES and WALKS, not full expansions — at 100 TB a hub vertex's
+full neighbor list is itself a skew bomb. Sampling here is deterministic:
+each candidate edge is scored by md5(src || dst || seed) and the top-k
+smallest scores win. That makes runs reproducible (same seed → same sample,
+the property a training pipeline needs for data lineage), makes resampling
+a seed change, and — because md5 is identical everywhere — makes the
+operator exactly verifiable against a SQL oracle, unlike rand()-based
+sampling.
+
+The reference's traverse() returns FULL neighbor lists (TorcGraph.java:
+479-585); this is the scale-bounded variant of the same hop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _score(seed: int):
+    return F.md5(
+        F.concat(
+            F.hex(F.col("src")), F.lit(":"), F.hex(F.col("dst")),
+            F.lit(":"), F.lit(str(seed)),
+        )
+    )
+
+
+def neighbor_sample(
+    frontier: DataFrame,
+    edges: DataFrame,
+    edge_label: str,
+    fanout: int,
+    seed: int = 0,
+) -> DataFrame:
+    """≤ ``fanout`` OUT-neighbors per frontier vertex, chosen as the
+    ``fanout`` smallest md5 scores — one hop join + one per-src window.
+    The window's partition key is src, so skew is bounded by the sample
+    itself: a hub emits at most ``fanout`` rows past the rank filter."""
+    ids = frontier.select(F.col(frontier.columns[0]).alias("id")).dropDuplicates(["id"])
+    e = edges.where(F.col("label") == edge_label).select("src", "dst")
+    hop = ids.join(e, ids["id"] == e["src"], "inner").select("src", "dst")
+    w = Window.partitionBy("src").orderBy(_score(seed), F.col("dst"))
+    return (
+        hop.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= fanout)
+        .select("src", "dst", F.col("_rk").cast("long").alias("rk"))
+    )
+
+
+def random_walks(
+    starts: DataFrame,
+    edges: DataFrame,
+    edge_labels: str | list[str],
+    walk_len: int,
+    seed: int = 0,
+) -> DataFrame:
+    """One deterministic walk per start vertex: at each step move to the
+    argmin-md5 OUT-neighbor (seed varies per step, so walks don't collapse
+    onto a single spanning path). Returns (walk_id=start, step, vertex);
+    walks that hit a sink stop early.
+
+    Per step: one equi-join frontier⋈edges + one min_by per vertex — the
+    iterative-algorithm shape shared with bfs/pagerank (analytics.py), with
+    the frontier never exceeding |starts|."""
+    labels = [edge_labels] if isinstance(edge_labels, str) else list(edge_labels)
+    e = edges.where(F.col("label").isin(labels)).select("src", "dst")
+    state = starts.select(
+        F.col(starts.columns[0]).alias("walk_id"),
+    ).withColumn("vertex", F.col("walk_id")).withColumn("step", F.lit(0))
+    out = [state]
+    cur = state
+    for step in range(1, walk_len + 1):
+        hop = (
+            cur.join(e, cur["vertex"] == e["src"], "inner")
+            .select("walk_id", "src", "dst")
+        )
+        nxt = (
+            hop.groupBy("walk_id")
+            .agg(F.min_by("dst", _score(seed * 1000 + step)).alias("vertex"))
+            .withColumn("step", F.lit(step))
+        )
+        cur = nxt
+        out.append(nxt.select("walk_id", "vertex", "step"))
+    res = out[0].select("walk_id", "vertex", "step")
+    for part in out[1:]:
+        res = res.unionByName(part)
+    return res.select(
+        "walk_id", F.col("step").cast("long").alias("step"), "vertex"
+    )
+
+
+def neighbor_sample_oracle_sql(
+    fanout: int,
+    seed: int,
+    label_tag_src: int,
+    label_tag_dst: int,
+    src_table_key: str,
+    edge_sql: str,
+    frontier_pred: str,
+) -> str:
+    """Build the DuckDB oracle for ``neighbor_sample`` on the fixture
+    graph: the edge relation is reconstructed from the FK tables
+    (``edge_sql`` must yield columns src_key, dst_key), ids are re-encoded
+    to the same 16-byte layout (ids.py: 8-byte BE label tag ++ 8-byte BE
+    key), and the SAME md5 ordering is applied."""
+    # 16-byte id hex = 16 hex digits of tag + 16 hex digits of key
+    def hexid(tag: int, key: str) -> str:
+        return (
+            f"UPPER(LPAD(TO_HEX({tag}), 16, '0') || "
+            f"LPAD(TO_HEX(CAST({key} AS BIGINT)), 16, '0'))"
+        )
+
+    src_hex = hexid(label_tag_src, "src_key")
+    dst_hex = hexid(label_tag_dst, "dst_key")
+    return f"""WITH hop AS ({edge_sql}),
+       scored AS (
+         SELECT src_key, dst_key,
+                md5({src_hex} || ':' || {dst_hex} || ':' || '{seed}') AS sc,
+                {dst_hex} AS dst_hex
+         FROM hop WHERE {frontier_pred}
+       ),
+       ranked AS (
+         SELECT src_key, dst_key,
+                row_number() OVER (PARTITION BY src_key
+                                   ORDER BY sc, dst_hex) AS rk
+         FROM scored
+       )
+       SELECT src_key, dst_key, CAST(rk AS BIGINT) AS rk
+       FROM ranked WHERE rk <= {fanout}"""

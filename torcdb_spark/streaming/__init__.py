@@ -1,3 +1,9 @@
+from torcdb_spark.streaming.connectors import (
+    KAFKA_WIRE_SCHEMA,
+    decode_json_events,
+    dedup_by_offset,
+    kafka_source,
+)
 from torcdb_spark.streaming.jobs import (
     events_stream,
     sessionized_stream,
@@ -10,4 +16,8 @@ __all__ = [
     "windowed_counts",
     "sessionized_stream",
     "streaming_dedup",
+    "KAFKA_WIRE_SCHEMA",
+    "decode_json_events",
+    "dedup_by_offset",
+    "kafka_source",
 ]
