@@ -376,3 +376,37 @@ def test_set_edge_property_single_and_list(spark):
         [(uint128_pair(1, 0), uint128_pair(1, 1), "knows")]
     ).collect()[0]
     assert serde.decode_value(row.props["since"]) == [5, 6]
+
+
+def test_edge_induced_subgraph(spark, sf_dir):
+    """subgraph() TinkerPop semantics: kept edges + exactly their incident
+    vertices."""
+    import pyspark.sql.functions as F
+
+    from torcdb_spark.graph import PropertyGraph
+
+    g = PropertyGraph.open(spark, sf_dir)
+    sub = g.edge_induced_subgraph(F.col("label") == "inRegion")
+    assert sub.edges.select("label").distinct().count() == 1
+    n_nations = g.vertices.where("label='nation'").count()
+    n_regions = g.vertices.where("label='region'").count()
+    assert sub.vertices.count() == n_nations + n_regions
+    labels = {r["label"] for r in sub.vertices.select("label").distinct().collect()}
+    assert labels == {"nation", "region"}
+
+
+def test_vertex_induced_subgraph_closure(spark, sf_dir):
+    """Closure: every edge in the induced subgraph has both endpoints in
+    the surviving vertex set; no dangling edges."""
+    import pyspark.sql.functions as F
+
+    from torcdb_spark.graph import PropertyGraph
+
+    g = PropertyGraph.open(spark, sf_dir)
+    sub = g.vertex_induced_subgraph(F.col("label").isin("customer", "nation"))
+    ids = {r["id"] for r in sub.vertices.select("id").collect()}
+    for r in sub.edges.select("src", "dst").collect():
+        assert r["src"] in ids and r["dst"] in ids
+    # only customer→nation edges can survive
+    labels = {r["label"] for r in sub.edges.select("label").distinct().collect()}
+    assert labels == {"fromNation"}

@@ -137,3 +137,111 @@ def test_random_walks_multi_label(spark, sf_dir):
     # every customer has a nation, every nation a region, regions are sinks
     assert per_step[0] == 50 and per_step[1] == 50 and per_step[2] == 50
     assert 3 not in per_step
+
+
+def test_histogram_totals_and_merge_property(spark):
+    """Property: (1) bin counts always total the row count (clamping never
+    drops); (2) merging the sketches of ANY split equals the sketch of the
+    union — the mergeability contract, for arbitrary data/splits/bounds."""
+    from hypothesis import given, settings, strategies as st
+
+    from torcdb_spark.operators.histogram import (
+        histogram_sketch,
+        merge_histograms,
+    )
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        vals=st.lists(
+            st.floats(-50, 150, width=16, allow_nan=False), min_size=1,
+            max_size=40,
+        ),
+        split=st.integers(0, 39),
+        n_bins=st.sampled_from([1, 7, 32]),
+    )
+    def check(vals, split, n_bins):
+        df = spark.createDataFrame([(float(v),) for v in vals], ["x"])
+        full = histogram_sketch(df, "x", 0.0, 100.0, n_bins)
+        assert sum(r["n"] for r in full.collect()) == len(vals)
+        s = min(split, len(vals))
+        a = spark.createDataFrame(
+            [(float(v),) for v in vals[:s]] or [(None,)], "x double"
+        ).where("x is not null")
+        b = spark.createDataFrame(
+            [(float(v),) for v in vals[s:]] or [(None,)], "x double"
+        ).where("x is not null")
+        ha = histogram_sketch(a, "x", 0.0, 100.0, n_bins)
+        hb = histogram_sketch(b, "x", 0.0, 100.0, n_bins)
+        merged = {r["bin"]: r["n"]
+                  for r in merge_histograms(ha.unionByName(hb)).collect()}
+        want = {r["bin"]: r["n"] for r in full.collect()}
+        assert merged == want
+
+    check()
+
+
+def test_table_diff_matches_python_reference_property(spark):
+    """Property: table_diff classification equals a dict-based reference
+    implementation for arbitrary old/new keyed maps."""
+    from hypothesis import given, settings, strategies as st
+
+    from torcdb_spark.operators.diff import table_diff
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        old=st.dictionaries(st.integers(0, 15), st.integers(0, 3), max_size=12),
+        new=st.dictionaries(st.integers(0, 15), st.integers(0, 3), max_size=12),
+    )
+    def check(old, new):
+        if not old and not new:
+            return
+        odf = spark.createDataFrame(
+            [(k, v) for k, v in old.items()] or [(None, None)], "k int, v int"
+        ).where("k is not null")
+        ndf = spark.createDataFrame(
+            [(k, v) for k, v in new.items()] or [(None, None)], "k int, v int"
+        ).where("k is not null")
+        got = {r["k"]: r["change"]
+               for r in table_diff(odf, ndf, ["k"]).collect()}
+        want = {}
+        for k in old.keys() | new.keys():
+            if k not in old:
+                want[k] = "inserted"
+            elif k not in new:
+                want[k] = "deleted"
+            elif old[k] != new[k]:
+                want[k] = "updated"
+        assert got == want
+
+    check()
+
+
+def test_zorder_interleave_roundtrip_property(spark):
+    """Property: the Morton interleave is a bijection — de-interleaving the
+    z value recovers the original scaled coordinates."""
+    from hypothesis import given, settings, strategies as st
+
+    import pyspark.sql.functions as F
+
+    from torcdb_spark.operators.zorder import interleave_bits
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        pts=st.lists(
+            st.tuples(st.integers(0, 255), st.integers(0, 255)),
+            min_size=1, max_size=30,
+        )
+    )
+    def check(pts):
+        df = spark.createDataFrame(pts, ["x", "y"])
+        out = df.select(
+            "x", "y",
+            interleave_bits([F.col("x"), F.col("y")], bits=8).alias("z"),
+        ).collect()
+        for r in out:
+            z = r["z"]
+            x = sum(((z >> (2 * b)) & 1) << b for b in range(8))
+            y = sum(((z >> (2 * b + 1)) & 1) << b for b in range(8))
+            assert (x, y) == (r["x"], r["y"])
+
+    check()

@@ -503,6 +503,36 @@ class PropertyGraph:
         )
         return PropertyGraph(vertices=self.vertices, edges=merged)
 
+    def edge_induced_subgraph(self, edge_pred) -> "PropertyGraph":
+        """TinkerPop ``subgraph()`` semantics (SubgraphStep: the subgraph
+        is the set of TRAVERSED edges plus their incident vertices): keep
+        edges passing ``edge_pred`` (Column predicate over the edge frame),
+        then the vertices they touch. Two left-semi joins — no payload
+        duplication, and the vertex filter pushes into the label-partitioned
+        scan when the predicate narrows labels."""
+        e = self.edges.where(edge_pred)
+        touched = (
+            e.select(F.col("src").alias("id"))
+            .unionByName(e.select(F.col("dst").alias("id")))
+            .dropDuplicates(["id"])
+        )
+        v = self.vertices.join(touched, "id", "left_semi")
+        return PropertyGraph(vertices=v, edges=e)
+
+    def vertex_induced_subgraph(self, vertex_pred) -> "PropertyGraph":
+        """Vertex-induced subgraph: vertices passing ``vertex_pred`` plus
+        every edge whose BOTH endpoints survive (the closure property that
+        keeps the result a well-formed graph). Edge filtering is two
+        left-semi joins against the surviving id set."""
+        v = self.vertices.where(vertex_pred)
+        ids = v.select("id")
+        e = (
+            self.edges.join(
+                ids.withColumnRenamed("id", "src"), "src", "left_semi"
+            ).join(ids.withColumnRenamed("id", "dst"), "dst", "left_semi")
+        ).select(*EDGE_SCHEMA.names)
+        return PropertyGraph(vertices=v, edges=e)
+
     def degrees(self, direction: str = "OUT", vertex_label: str | None = None) -> DataFrame:
         """Per-vertex degree — a groupBy with map-side partial aggregation.
 

@@ -4518,3 +4518,35 @@ def cd1_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(F.col("o_totalprice")).alias("o_totalprice"),
     )
     return diff_summary(old_v, new_v, ["o_orderkey"], ["o_totalprice"])
+
+
+@_register(
+    "sg1_subgraph_counts",
+    """WITH rich AS (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+       SELECT label, CAST(COUNT(*) AS BIGINT) AS n_edges
+       FROM (
+         SELECT 'fromNation' AS label FROM customer
+         JOIN rich USING (c_custkey)
+         UNION ALL
+         SELECT 'inRegion' FROM nation
+       ) GROUP BY label""",
+)
+def sg1_subgraph_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vertex-induced subgraph extraction (graph.py
+    vertex_induced_subgraph — TinkerPop SubgraphStep closure semantics):
+    keep geography labels + only customers with acctbal > 5000; surviving
+    edges are those with BOTH endpoints alive (two left-semi joins).
+    Edge-label counts verify the closure: fromNation shrinks to the rich
+    customers, inRegion survives whole, and every other label (placed,
+    contains, ...) vanishes because its endpoints were filtered out."""
+    g = _graph(spark, sf_dir)
+    sub = g.vertex_induced_subgraph(
+        (F.col("label").isin("nation", "region"))
+        | (
+            (F.col("label") == "customer")
+            & (F.col("props")["c_acctbal"].cast("double") > 5000.0)
+        )
+    )
+    return sub.edges.groupBy("label").agg(
+        F.count("*").cast("long").alias("n_edges")
+    )
