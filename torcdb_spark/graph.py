@@ -366,15 +366,28 @@ class PropertyGraph:
                 "edges_by_key requires keys; the reference refuses edge "
                 "scans (TorcGraph.java:400)"
             )
-        cond = None
-        for s, d, lbl in keys:
-            c = (
-                (F.col("src") == bytes(s))
-                & (F.col("dst") == bytes(d))
-                & (F.col("label") == lbl)
-            )
-            cond = c if cond is None else (cond | c)
-        return e.where(cond)
+        if len(keys) <= 16:
+            # few literals: an OR-of-conjunctions predicate pushes into the
+            # parquet scan (min/max + dictionary skipping on src/dst)
+            cond = None
+            for s, d, lbl in keys:
+                c = (
+                    (F.col("src") == bytes(s))
+                    & (F.col("dst") == bytes(d))
+                    & (F.col("label") == lbl)
+                )
+                cond = c if cond is None else (cond | c)
+            return e.where(cond)
+        # many literals: a giant OR tree bloats the optimizer and the
+        # codegen'd filter (measured 1.5 s for 100 keys vs 0.3 s as a
+        # join); route through the bulk DataFrame path instead — the same
+        # broadcast hash join the reference's multiread batching maps to
+        spark = e.sparkSession
+        k = spark.createDataFrame(
+            [(bytes(s), bytes(d), lbl) for s, d, lbl in keys],
+            "src binary, dst binary, label string",
+        ).dropDuplicates()
+        return e.join(F.broadcast(k), ["src", "dst", "label"], "inner")
 
     def set_vertex_property(
         self,

@@ -458,6 +458,7 @@ def pq_topk(
     k_sub: int = 16,
     rerank_factor: int = 4,
     score_decimals: int = 3,
+    train_fraction: float = 1.0,
 ) -> DataFrame:
     """Approximate cosine top-k via Product Quantization (ADC + exact
     re-rank) — the third ANN layout besides LSH and IVF, and the one that
@@ -478,6 +479,11 @@ def pq_topk(
     are then exactly re-scored against true vectors (equi-join on id) and
     the final top-k ranked on exact cosine, so returned scores are exact
     and approximation only affects recall (pytest-asserted vs e1).
+
+    ``train_fraction`` < 1 trains the codebooks on a deterministic hash
+    sample of the corpus (standard at scale: 100 TB of vectors need only
+    m*k_sub centroids, which a small sample estimates as well as a full
+    pass) while ENCODING still covers every vector.
     """
     import numpy as np
 
@@ -486,9 +492,15 @@ def pq_topk(
 
     c = corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
     qn = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
+    train = c
+    if train_fraction < 1.0:
+        train = c.where(
+            F.pmod(F.xxhash64(F.col("_id"), F.lit(7)), F.lit(10000))
+            < int(train_fraction * 10000)
+        )
 
     # ---- train: hash-seeded subspace centroids + 1 Lloyd step ----------
-    seeded = c.withColumn(
+    seeded = train.withColumn(
         "_b", F.pmod(F.xxhash64(F.col("_id")), F.lit(k_sub))
     )
 
@@ -541,7 +553,7 @@ def pq_topk(
         return encode
 
     # one Lloyd refinement: re-assign, then re-mean per (sub, code)
-    assigned = c.crossJoin(F.broadcast(packed0)).mapInPandas(
+    assigned = train.crossJoin(F.broadcast(packed0)).mapInPandas(
         encode_factory(lloyd=True),
         "_id long, _v array<float>, _codes array<long>",
     )

@@ -1,5 +1,9 @@
 from torcdb_spark.sources.ingest import ingest_documents, read_any
-from torcdb_spark.sources.maintenance import compact_files, table_file_stats
+from torcdb_spark.sources.maintenance import (
+    compact_files,
+    merge_upsert,
+    table_file_stats,
+)
 from torcdb_spark.sources.tables import TABLE_NAMES, load_table, load_tables
 
 __all__ = [
@@ -9,5 +13,6 @@ __all__ = [
     "ingest_documents",
     "read_any",
     "compact_files",
+    "merge_upsert",
     "table_file_stats",
 ]
