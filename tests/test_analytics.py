@@ -124,3 +124,46 @@ def test_k_core_peels_tails_and_keeps_cycles(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         k_core(edges, 0)
+
+
+def test_shortest_path_pair_reconstructs_exact_path(spark):
+    """Diamond graph with two equal-length paths: the min-parent rule must
+    pick the lexicographically smaller intermediate deterministically; an
+    unreachable pair returns empty; src==dst returns the single vertex."""
+    from torcdb_spark.analytics import shortest_path_pair
+
+    def b(i):
+        return bytes([0] * 15 + [i])
+
+    # 1-2, 1-3, 2-4, 3-4 (diamond), 5 isolated; undirected
+    edges = spark.createDataFrame(
+        [(b(1), b(2), "e"), (b(1), b(3), "e"), (b(2), b(4), "e"),
+         (b(3), b(4), "e"), (b(5), b(6), "e")],
+        "src binary, dst binary, label string",
+    )
+    path = shortest_path_pair(edges, b(1), b(4), max_depth=5)
+    got = [r["id"][-1] for r in path.orderBy("step").collect()]
+    assert got == [1, 2, 4]  # via min(2,3) = 2
+
+    empty = shortest_path_pair(edges, b(1), b(5), max_depth=5)
+    assert empty.count() == 0
+
+    self_path = shortest_path_pair(edges, b(1), b(1), max_depth=5)
+    assert [r["id"][-1] for r in self_path.collect()] == [1]
+
+
+def test_shortest_path_pair_directed_respects_direction(spark):
+    from torcdb_spark.analytics import shortest_path_pair
+
+    def b(i):
+        return bytes([0] * 15 + [i])
+
+    edges = spark.createDataFrame(
+        [(b(1), b(2), "e"), (b(3), b(2), "e")],
+        "src binary, dst binary, label string",
+    )
+    # directed: 1->2 exists but 2->3 does not (edge points 3->2)
+    assert shortest_path_pair(edges, b(1), b(3), max_depth=4,
+                              directed=True).count() == 0
+    undirected = shortest_path_pair(edges, b(1), b(3), max_depth=4)
+    assert [r["id"][-1] for r in undirected.orderBy("step").collect()] == [1, 2, 3]

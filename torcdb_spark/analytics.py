@@ -409,3 +409,87 @@ def k_core(
     return live.groupBy(F.col("a").alias("id")).agg(
         F.count("*").cast("long").alias("degree")
     ).where(F.col("degree") >= k)
+
+
+def shortest_path_pair(
+    edges: DataFrame,
+    src_id: bytes,
+    dst_id: bytes,
+    max_depth: int = 10,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    directed: bool = False,
+) -> DataFrame:
+    """Unweighted shortest PATH between two vertices with full path
+    reconstruction — the LDBC IC13 shape (the reference serves IC13
+    through iterated traverse calls; TorcGraph.java:479-585).
+
+    Forward pass: BFS from ``src_id`` tracking a PARENT per discovered
+    vertex, chosen as min(parent id) so the reconstructed path is
+    deterministic. Each level is one frontier⋈edges join + one anti-join
+    against the visited set (the bfs_distances shape plus a min_by).
+    Stops as soon as ``dst_id`` is discovered.
+
+    Backward pass: walk the parent chain dst→src. The path has at most
+    max_depth+1 vertices — collecting IT is O(depth), not O(graph); the
+    visited/parent state itself stays distributed throughout.
+
+    Returns (step, id) ordered src→dst; empty when no path within
+    ``max_depth``.
+    """
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    if not directed:
+        e = e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).dropDuplicates(["src", "dst"])
+    e = e.persist()
+
+    spark = edges.sparkSession
+    visited = _checkpointed(
+        spark.createDataFrame(
+            [(bytes(src_id), 0, None)], "id binary, dist int, parent binary"
+        )
+    )
+    frontier = visited.select("id")
+    found = bytes(src_id) == bytes(dst_id)
+    dist = 0
+    while not found and dist < max_depth:
+        dist += 1
+        expanded = (
+            F.broadcast(frontier)
+            .join(e, frontier["id"] == e["src"])
+            .groupBy(F.col("dst").alias("nid"))
+            .agg(F.min("src").alias("parent"))
+        )
+        nxt = _checkpointed(
+            expanded.join(
+                visited.select(F.col("id").alias("nid")), "nid", "left_anti"
+            ).select(
+                F.col("nid").alias("id"),
+                F.lit(dist).alias("dist"),
+                "parent",
+            )
+        )
+        n_new = nxt.count()
+        if n_new == 0:
+            break
+        visited = _checkpointed(visited.unionByName(nxt))
+        found = nxt.where(F.col("id") == bytes(dst_id)).count() > 0
+        frontier = nxt.select("id")
+    e.unpersist()
+    if not found:
+        return spark.createDataFrame([], "step int, id binary")
+    # backward walk: <= dist 1-row lookups against the distributed state;
+    # only the O(depth) path itself reaches the driver
+    path = [bytes(dst_id)]
+    cur = bytes(dst_id)
+    for _ in range(dist):
+        row = visited.where(F.col("id") == cur).select("parent").first()
+        if row is None or row["parent"] is None:
+            break
+        cur = bytes(row["parent"])
+        path.append(cur)
+    path.reverse()
+    return spark.createDataFrame(
+        [(i, v) for i, v in enumerate(path)], "step int, id binary"
+    )

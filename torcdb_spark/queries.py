@@ -4550,3 +4550,62 @@ def sg1_subgraph_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sub.edges.groupBy("label").agg(
         F.count("*").cast("long").alias("n_edges")
     )
+
+
+@_register(
+    "g_path_pair",
+    """WITH RECURSIVE und AS (
+         SELECT 3 AS st, c_custkey AS sk, 2 AS dt, c_nationkey AS dk FROM customer
+         UNION ALL SELECT 2, c_nationkey, 3, c_custkey FROM customer
+         UNION ALL SELECT 2, n_nationkey, 1, n_regionkey FROM nation
+         UNION ALL SELECT 1, n_regionkey, 2, n_nationkey FROM nation
+       ),
+       bfs(t, k, d) AS (
+         SELECT 3, 3, 0
+         UNION
+         SELECT und.dt, und.dk, bfs.d + 1
+         FROM bfs JOIN und ON und.st = bfs.t AND und.sk = bfs.k
+         WHERE bfs.d < 4
+       ),
+       dmin AS (SELECT t, k, MIN(d) AS d FROM bfs GROUP BY 1, 2),
+       target AS (SELECT t, k, d FROM dmin WHERE t = 3 AND k = 8),
+       walk(step, t, k) AS (
+         SELECT d, t, k FROM target
+         UNION ALL
+         SELECT w.step - 1, p.t, p.k
+         FROM walk w, LATERAL (
+           SELECT m.t, m.k FROM und u JOIN dmin m ON m.t = u.st AND m.k = u.sk
+           WHERE u.dt = w.t AND u.dk = w.k AND m.d = w.step - 1
+           ORDER BY m.t, m.k LIMIT 1
+         ) p
+         WHERE w.step > 0
+       )
+       SELECT CAST(step AS BIGINT) AS step, CAST(t AS BIGINT) AS vtag,
+              CAST(k AS BIGINT) AS vkey
+       FROM walk""",
+)
+def g_path_pair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LDBC IC13-shaped pairwise shortest path WITH path reconstruction
+    (analytics.py shortest_path_pair): undirected BFS customer3→customer8
+    over the location chain, parent = min id per discovered vertex (so the
+    path is deterministic), early stop on target, backward parent walk.
+    The oracle recomputes min-parent BFS as a recursive CTE with a LATERAL
+    argmin backwalk — the full path is exact-checked, not just the
+    distance."""
+    from torcdb_spark.analytics import shortest_path_pair
+    from torcdb_spark.graph import LABEL_TAGS
+    from torcdb_spark.ids import id_upper, uint128_pair
+
+    g = _graph(spark, sf_dir)
+    loc = g.edges.where(F.col("label").isin("fromNation", "inRegion"))
+    path = shortest_path_pair(
+        loc,
+        uint128_pair(LABEL_TAGS["customer"], 3),
+        uint128_pair(LABEL_TAGS["customer"], 8),
+        max_depth=4,
+    )
+    return path.select(
+        F.col("step").cast("long").alias("step"),
+        id_upper(F.col("id")).alias("vtag"),
+        id_lower(F.col("id")).alias("vkey"),
+    )
