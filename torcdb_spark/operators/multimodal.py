@@ -3,10 +3,11 @@
 Images/audio/video ride through the engine as ``binary`` columns with a
 metadata struct; transforms run as Arrow-batched Pandas UDFs over
 ``mapInPandas`` so payload bytes never round-trip through Python row
-objects. The decode kernels themselves are STUBBED (image/audio libraries
-are not in this container, marked NotImplementedError / deterministic
-fakes) — the Spark-side plumbing (schema, batch iteration, partitioning,
-UDF signatures) is real and tested.
+objects. Decode kernels are REAL for every format decodable without codec
+libraries — PPM(P6), uncompressed BMP, non-interlaced PNG (stdlib zlib),
+uncompressed TIFF, RIFF/WAVE PCM — plus FFT spectral audio features;
+compressed formats (JPEG/WebP/MP3...) raise a documented
+NotImplementedError where a deployment plugs in pillow/opencv/ffmpeg.
 
 At 100 TB: payloads dominate; the operators keep them in Arrow buffers,
 never collect them, and the repartition key is the id — size partitions
@@ -125,11 +126,69 @@ def decode_image(payload: bytes):
         return img[:, :, [2, 1, 0] if nch == 3 else [2, 1, 0, 3]]  # BGR(A)→RGB(A)
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return _decode_png(payload)
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):
+        return _decode_tiff(payload)
     raise NotImplementedError(
-        "only PPM(P6), uncompressed 24/32-bit BMP, and non-interlaced 8-bit "
-        "gray/RGB/RGBA PNG decode without codec libraries; install "
-        "pillow/opencv for JPEG/WebP and extend dispatch"
+        "only PPM(P6), uncompressed 24/32-bit BMP, non-interlaced 8-bit "
+        "gray/RGB/RGBA PNG, and uncompressed chunky TIFF decode without "
+        "codec libraries; install pillow/opencv for JPEG/WebP and extend "
+        "dispatch"
     )
+
+
+def _decode_tiff(payload: bytes):
+    """Baseline TIFF decode: uncompressed (Compression=1) chunky 8-bit
+    gray/RGB(A), both byte orders, strip-organized. The full IFD walk —
+    tags 256/257/258/259/273/277/278/279 — per TIFF 6.0 §2; planar,
+    predictor, tiled and LZW variants raise (codec territory)."""
+    import numpy as np
+
+    bo = "little" if payload[:2] == b"II" else "big"
+
+    def u(b):
+        return int.from_bytes(b, bo)
+
+    ifd_off = u(payload[4:8])
+    n = u(payload[ifd_off:ifd_off + 2])
+    # type sizes per TIFF 6.0: SHORT=2, LONG=4 (the two used by these tags)
+    tags: dict[int, list[int]] = {}
+    for i in range(n):
+        e = ifd_off + 2 + 12 * i
+        tag = u(payload[e:e + 2])
+        typ = u(payload[e + 2:e + 4])
+        cnt = u(payload[e + 4:e + 8])
+        size = {3: 2, 4: 4}.get(typ)
+        if size is None:
+            continue
+        inline = payload[e + 8:e + 12]
+        vals = []
+        if size * cnt <= 4:
+            for j in range(cnt):
+                vals.append(u(inline[j * size:(j + 1) * size]))
+        else:
+            off = u(inline)
+            for j in range(cnt):
+                vals.append(u(payload[off + j * size:off + (j + 1) * size]))
+        tags[tag] = vals
+
+    w, h = tags[256][0], tags[257][0]
+    comp = tags.get(259, [1])[0]
+    if comp != 1:
+        raise NotImplementedError(f"TIFF compression={comp} needs a codec")
+    spp = tags.get(277, [1])[0]
+    bps = tags.get(258, [8])
+    if any(b != 8 for b in bps):
+        raise NotImplementedError(f"TIFF bits-per-sample {bps} != 8")
+    offsets = tags[273]
+    counts = tags.get(279, [w * h * spp])
+    raw = b"".join(
+        payload[o:o + c] for o, c in zip(offsets, counts)
+    )
+    need = w * h * spp
+    if len(raw) < need:
+        raise ValueError(f"truncated TIFF: {len(raw)} < {need}")
+    img = np.frombuffer(raw[:need], dtype=np.uint8).reshape(h, w, spp)
+    return img[:, :, 0] if spp == 1 else img
 
 
 def _decode_png(payload: bytes):
@@ -505,3 +564,108 @@ def wav_wrap_udf(sample_rate: int = 8000, bits: int = 8):
         return payload.map(lambda b: encode_wav_pcm(bytes(b), sample_rate, bits))
 
     return wrap
+
+
+def encode_tiff_rgb(img) -> bytes:
+    """Minimal little-endian uncompressed TIFF writer (single strip) —
+    the fixture-synthesis counterpart of :func:`_decode_tiff`, mirroring
+    encode_png/encode_wav_pcm for the other formats."""
+    import numpy as np
+
+    arr = np.ascontiguousarray(img, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, spp = arr.shape
+    data = arr.tobytes()
+    # layout: header(8) + pixel data + IFD
+    data_off = 8
+    ifd_off = data_off + len(data)
+
+    def entry(tag, typ, cnt, val):
+        return (
+            tag.to_bytes(2, "little") + typ.to_bytes(2, "little")
+            + cnt.to_bytes(4, "little") + val.to_bytes(4, "little")
+        )
+
+    entries = [
+        entry(256, 4, 1, w),            # ImageWidth
+        entry(257, 4, 1, h),            # ImageLength
+        entry(258, 3, 1, 8) if spp == 1 else None,  # BitsPerSample (inline)
+        entry(259, 3, 1, 1),            # Compression = none
+        entry(262, 3, 1, 1 if spp == 1 else 2),  # Photometric
+        entry(273, 4, 1, data_off),     # StripOffsets
+        entry(277, 3, 1, spp),          # SamplesPerPixel
+        entry(278, 4, 1, h),            # RowsPerStrip
+        entry(279, 4, 1, len(data)),    # StripByteCounts
+    ]
+    if spp != 1:
+        # BitsPerSample array for multi-sample lives after the IFD
+        bps_off = None  # patched below
+        entries[2] = None
+    entries = [e for e in entries if e is not None]
+    n = len(entries) + (1 if spp != 1 else 0)
+    ifd = n.to_bytes(2, "little")
+    if spp != 1:
+        bps_off = ifd_off + 2 + 12 * n + 4
+        entries.insert(2, entry(258, 3, spp, bps_off))
+    ifd += b"".join(sorted(entries, key=lambda e: int.from_bytes(e[:2], "little")))
+    ifd += (0).to_bytes(4, "little")  # next IFD = none
+    tail = b"" if spp == 1 else b"".join(
+        (8).to_bytes(2, "little") for _ in range(spp)
+    )
+    return (
+        b"II*\x00" + ifd_off.to_bytes(4, "little") + data + ifd + tail
+    )
+
+
+def audio_spectral_features(
+    media: DataFrame, payload_col: str = "payload"
+) -> DataFrame:
+    """FFT-based spectral features per WAV payload: dominant frequency
+    (argmax of the rFFT magnitude, DC excluded), spectral centroid and
+    bandwidth in Hz — the standard audio-quality/content signals computed
+    with numpy's FFT inside the same Arrow-batched mapInPandas shape as
+    audio_features. Undecodable rows drop (skip-malformed contract)."""
+    schema = (
+        "media_id long, sample_rate long, dominant_hz double, "
+        "centroid_hz double, bandwidth_hz double"
+    )
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = {
+                "media_id": [], "sample_rate": [], "dominant_hz": [],
+                "centroid_hz": [], "bandwidth_hz": [],
+            }
+            for mid, payload in zip(pdf["media_id"], pdf[payload_col]):
+                try:
+                    rate, x = decode_wav(bytes(payload))
+                except (ValueError, NotImplementedError):
+                    continue
+                if len(x) < 4:
+                    continue
+                mag = np.abs(np.fft.rfft(x))
+                freqs = np.fft.rfftfreq(len(x), d=1.0 / rate)
+                mag[0] = 0.0  # exclude DC from all three measures
+                total = mag.sum()
+                if total <= 0:
+                    # constant signal: no spectral content above DC — report
+                    # zeros rather than dropping (the row DID decode)
+                    dom = cent = bw = 0.0
+                else:
+                    dom = float(freqs[int(mag.argmax())])
+                    cent = float((freqs * mag).sum() / total)
+                    bw = float(
+                        np.sqrt((((freqs - cent) ** 2) * mag).sum() / total)
+                    )
+                out["media_id"].append(mid)
+                out["sample_rate"].append(rate)
+                out["dominant_hz"].append(round(dom, 2))
+                out["centroid_hz"].append(round(cent, 2))
+                out["bandwidth_hz"].append(round(bw, 2))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(kernel, schema=schema)

@@ -4609,3 +4609,34 @@ def g_path_pair(spark: SparkSession, sf_dir: str) -> DataFrame:
         id_upper(F.col("id")).alias("vtag"),
         id_lower(F.col("id")).alias("vkey"),
     )
+
+
+@_register(
+    "m5_audio_spectral",
+    """WITH pcm AS (
+         SELECT doc_id AS media_id, 8000 AS sample_rate
+         FROM documents WHERE length(trim(text)) >= 4
+       )
+       SELECT media_id, CAST(sample_rate AS BIGINT) AS sample_rate
+       FROM pcm""",
+)
+def m5_audio_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FFT spectral audio features (operators/multimodal.py
+    audio_spectral_features) over WAV payloads synthesized from document
+    bytes (same wav_wrap fixture path as m4): dominant frequency, spectral
+    centroid and bandwidth via numpy rfft inside the Arrow-batched kernel.
+    The oracle checks the STRUCTURAL columns (which rows decode, their
+    sample rate); the spectral math itself is pytest-exact against a pure
+    sine (tests/test_operators.py)."""
+    from torcdb_spark.operators.multimodal import (
+        audio_spectral_features,
+        wav_wrap_udf,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    wrap = wav_wrap_udf(sample_rate=8000, bits=8)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        wrap(F.encode(F.trim(F.col("text")), "utf-8")).alias("payload"),
+    )
+    return audio_spectral_features(media).select("media_id", "sample_rate")
