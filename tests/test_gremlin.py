@@ -414,3 +414,55 @@ def test_project_props_and_subtraversal_counts(spark, sf_dir):
     for r in rows:
         k = G(g).V(bytes(r.current)).out("placed").count()
         assert r.n_orders == k
+
+
+def test_match_binds_new_and_constrains_existing(spark, sf_dir):
+    """match(): a pattern with an unbound end variable multiplies
+    traversers per solution; repeating a pattern with the variable now
+    bound acts as a constraint (semi-join) and changes nothing; an unbound
+    START raises."""
+    import pyspark.sql.functions as F
+    import pytest
+
+    from torcdb_spark.graph import PropertyGraph
+    from torcdb_spark.gremlin import G
+
+    g = PropertyGraph.open(spark, sf_dir)
+    base = (
+        G(g).V().has_label("customer").as_("c")
+        .match_(("c", lambda s: s.out("placed"), "o"))
+    )
+    n_orders = g.edges.where("label = 'placed'").count()
+    assert base.select("c", "o").count() == n_orders
+
+    # re-asserting the same pattern with both sides bound is a no-op filter
+    again = base.match_(("c", lambda s: s.out("placed"), "o"))
+    assert again.select("c", "o").count() == n_orders
+
+    # a contradictory constraint empties the result
+    none = base.match_(("c", lambda s: s.out("fromNation"), "o"))
+    assert none.select("c", "o").count() == 0
+
+    with pytest.raises(ValueError):
+        G(g).V().has_label("customer").match_(
+            ("zzz", lambda s: s.out("placed"), "o")
+        )
+
+
+def test_match_solution_multiplicity_two_patterns(spark, sf_dir):
+    """Two patterns from the same binder: solutions are the cross of each
+    customer's orders with its (single) nation — |placed| rows."""
+    from torcdb_spark.graph import PropertyGraph
+    from torcdb_spark.gremlin import G
+
+    g = PropertyGraph.open(spark, sf_dir)
+    t = (
+        G(g).V().has_label("customer").as_("c")
+        .match_(
+            ("c", lambda s: s.out("placed"), "o"),
+            ("c", lambda s: s.out("fromNation"), "n"),
+        )
+    )
+    assert t.select("c", "o", "n").count() == g.edges.where(
+        "label = 'placed'"
+    ).count()

@@ -230,6 +230,57 @@ class GraphTraversal:
         ))
         return sub._df.select(F.col("_start").alias("_m")).dropDuplicates(["_m"])
 
+    def match_(self, *patterns) -> "GraphTraversal":
+        """TinkerPop ``match()`` — conjunctive pattern matching over binder
+        variables. Each pattern is ``(start, step_fn, end)``: a
+        sub-traversal from the element bound to ``start`` whose results
+        bind (or constrain) ``end``.
+
+        Where TinkerPop solves match() with a runtime backtracking solver
+        (MatchStep), here every pattern compiles to ONE distinct-seeded
+        sub-traversal producing a (start, end) pair frame, and binding
+        composition is plain equi-joins over the binder columns — so
+        Catalyst cost-reorders the pattern joins, broadcasts small pair
+        frames, and pushes filters across patterns; the optimizer IS the
+        solver. New ``end`` variables multiply traversers per solution
+        (TinkerPop multiplicity); already-bound ``end`` variables act as
+        constraints (semi-join).
+
+        ``start`` must be bound before its pattern runs (by ``as_`` or an
+        earlier pattern in the same match) — the left-to-right evaluation
+        TinkerPop documents for dependent patterns.
+        """
+        df = self._df
+        for start, step_fn, end in patterns:
+            ca, cb = f"_as_{start}", f"_as_{end}"
+            if ca not in df.columns:
+                raise ValueError(
+                    f"match_ pattern start {start!r} is unbound; bind it "
+                    "with as_() or an earlier pattern"
+                )
+            seeds = df.select(F.col(ca).alias("id")).dropDuplicates(["id"])
+            sub = step_fn(GraphTraversal(
+                self._g,
+                seeds.select(F.col("id").alias("_start"),
+                             F.col("id").alias("_cur")),
+            ))
+            pairs = sub._df.select(
+                F.col("_start").alias("_pa"), F.col("_cur").alias("_pb")
+            ).dropDuplicates(["_pa", "_pb"])
+            if cb in df.columns:
+                df = df.join(
+                    pairs,
+                    (df[ca] == pairs["_pa"]) & (df[cb] == pairs["_pb"]),
+                    "left_semi",
+                )
+            else:
+                df = (
+                    df.join(pairs, df[ca] == pairs["_pa"], "inner")
+                    .withColumn(cb, F.col("_pb"))
+                    .drop("_pa", "_pb")
+                )
+        return GraphTraversal(self._g, df)
+
     def where_(self, step_fn) -> "GraphTraversal":
         """Gremlin ``where(traversal)``: keep traversers whose sub-traversal
         produces at least one result (TinkerPop filter semantics)."""

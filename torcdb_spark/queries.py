@@ -4640,3 +4640,48 @@ def m5_audio_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
         wrap(F.encode(F.trim(F.col("text")), "utf-8")).alias("payload"),
     )
     return audio_spectral_features(media).select("media_id", "sample_rate")
+
+
+@_register(
+    "g_gremlin_match",
+    """SELECT c_custkey, o_orderkey, n.n_nationkey AS nationkey
+       FROM customer
+       JOIN orders ON o_custkey = c_custkey
+       JOIN nation n ON n.n_nationkey = c_nationkey
+       WHERE n.n_name = 'CHINA' AND o_totalprice > 100000""",
+)
+def g_gremlin_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """match() conjunctive pattern solving (gremlin.py match_): bind 'c',
+    then patterns c-placed->o and c-fromNation->n, constrain n by name and
+    o by totalprice via where_ sub-traversals on the bound variables.
+    TinkerPop runs this with a backtracking MatchStep; here each pattern
+    is a distinct-seeded pair frame and the solver IS Catalyst's join
+    reorderer (pattern joins are equi-joins over binder columns)."""
+    from torcdb_spark.gremlin import G
+
+    g = _graph(spark, sf_dir)
+    t = (
+        G(g).V().has_label("customer").as_("c")
+        .match_(
+            ("c", lambda s: s.out("placed"), "o"),
+            ("c", lambda s: s.out("fromNation"), "n"),
+        )
+    )
+    # constrain bound variables: o.totalprice > 100000, n.name = CHINA
+    nv = g.vertices.where(
+        (F.col("label") == "nation") & (F.col("props")["n_name"] == "CHINA")
+    ).select(F.col("id").alias("_nid"))
+    ov = g.vertices.where(
+        (F.col("label") == "order")
+        & (F.col("props")["o_totalprice"].cast("double") > 100000.0)
+    ).select(F.col("id").alias("_oid"))
+    sel = t.select("c", "o", "n")
+    out = (
+        sel.join(F.broadcast(nv), sel["n"] == F.col("_nid"), "left_semi")
+        .join(ov, F.col("o") == F.col("_oid"), "left_semi")
+    )
+    return out.select(
+        id_lower(F.col("c")).alias("c_custkey"),
+        id_lower(F.col("o")).alias("o_orderkey"),
+        id_lower(F.col("n")).alias("nationkey"),
+    )
