@@ -185,20 +185,22 @@ def test_q9_dimensions_broadcast(spark, sf_dir):
     assert plan.count("BroadcastHashJoin") >= 2
 
 
-def test_tfidf_reuses_tf_and_broadcasts_df(spark, sf_dir):
-    """tf feeds both the score and the df aggregation: the persisted
-    intermediate must appear as an InMemoryTableScan in the executed plan
-    (corpus tokenized ONCE, not twice — Spark does not canonicalize the
-    duplicated subtrees itself), and the vocabulary-sized df side must
-    broadcast into the final join."""
+def test_tfidf_single_tokenize_pass(spark, sf_dir):
+    """df is a COUNT() OVER (PARTITION BY term) window on the tf frame, so
+    the corpus is tokenized and exploded exactly ONCE (one Generate node),
+    there is no tf⋈df join and no cached intermediate to manage, and N
+    arrives as a broadcast 1-row scalar."""
     from torcdb_spark.operators.text import tfidf
     from torcdb_spark.sources.tables import load_table
 
     out = tfidf(load_table(spark, sf_dir, "documents"), top_terms=5)
-    out.write.format("noop").mode("overwrite").save()
-    plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "InMemoryTableScan" in plan
-    assert "BroadcastHashJoin" in plan
+    plan = explain_str(out, "formatted")
+    import re
+
+    assert len(re.findall(r"\(\d+\) Generate\b", plan)) == 1  # one explode
+    assert "InMemoryTableScan" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 2  # df + top_terms
 
 
 def test_aqe_skew_join_splits_hot_partition(spark):

@@ -221,3 +221,40 @@ def test_kafka_decode_json_events(spark):
     assert once.count() == 2
     u1 = once.where("user_id = 1").first()
     assert u1["_offset"] == 0  # first delivery wins
+
+
+def test_apply_cdc_stream_merges_into_partitioned_table(spark, tmp_path):
+    """End-to-end streaming CDC apply: change files land in a source dir,
+    the stream drains them (availableNow) and merge-upserts into the
+    partitioned base table; within-batch multiple changes per key collapse
+    latest-wins by _seq."""
+    from pyspark.sql import types as T
+
+    from torcdb_spark.streaming.jobs import apply_cdc_stream
+
+    base = str(tmp_path / "base")
+    src = str(tmp_path / "cdc")
+    ckpt = str(tmp_path / "ckpt")
+    spark.createDataFrame(
+        [(1, "p1", 10.0), (2, "p1", 20.0), (3, "p2", 30.0)],
+        "k long, part string, v double",
+    ).write.partitionBy("part").parquet(base)
+
+    schema = T.StructType([
+        T.StructField("k", T.LongType()),
+        T.StructField("part", T.StringType()),
+        T.StructField("v", T.DoubleType()),
+        T.StructField("_seq", T.LongType()),
+    ])
+    spark.createDataFrame(
+        [(2, "p1", 21.0, 1), (2, "p1", 22.0, 2),   # two updates: seq 2 wins
+         (4, "p2", 40.0, 3)],                       # insert
+        schema,
+    ).write.parquet(src)
+
+    q = apply_cdc_stream(
+        spark, src, schema, base, ckpt, key_cols=["k"], partition_col="part"
+    )
+    q.awaitTermination(120)
+    got = {r["k"]: r["v"] for r in spark.read.parquet(base).collect()}
+    assert got == {1: 10.0, 2: 22.0, 3: 30.0, 4: 40.0}

@@ -209,16 +209,16 @@ def tfidf(
     whitespace splitting of the lowercased, trimmed text (the same
     convention as the other text operators).
 
-    Plan shape — three shuffles, all on bounded key spaces:
-    explode→groupBy(doc, term) for tf (map-side combined), groupBy(term)
-    for df, then a term-keyed join of tf against the (much smaller) df
-    side; N arrives as a broadcast scalar via a 1-row cross join, never a
-    driver collect. At 100 TB the df table is vocabulary-sized (millions of
-    rows, not corpus-sized) so the final join broadcasts.
-
-    ``top_terms`` keeps only the k highest-scoring terms per document
-    (ties broken by term for determinism) — the usual bound on output
-    size for downstream keyword extraction."""
+    Plan shape — ONE linear chain, two shuffles on bounded key spaces:
+    explode → groupBy(doc, term) for tf (map-side combined), then df as a
+    COUNT OVER (PARTITION BY term) window on that same tf frame. Deriving
+    df from the tf frame (each (doc, term) row is exactly one document
+    containing the term) means the corpus is tokenized and shuffled ONCE —
+    no second aggregation subtree, no tf⋈df join, and no persisted
+    intermediate to manage across calls (an earlier revision cached tf to
+    feed two subtrees; the window form makes the cache unnecessary). N
+    arrives as a broadcast scalar via a 1-row cross join, never a driver
+    collect."""
     from pyspark.sql import Window
 
     toks = docs.where(F.trim(F.col(text_col)) != "").select(
@@ -227,35 +227,13 @@ def tfidf(
             F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
         ).alias("term"),
     )
-    # tf feeds BOTH the score and the df aggregation; Spark does not
-    # canonicalize the two subtrees to one exchange (verified on the
-    # executed plan), so without a persist the corpus is tokenized and
-    # shuffled twice — the dominant cost at scale. Persisting the compact
-    # (id, term, tf) intermediate is the classic two-pass TF-IDF layout.
-    # The returned DataFrame is lazy, so the cache cannot be dropped here
-    # without recomputing the double-exchange; instead evict the PREVIOUS
-    # call's cache so repeated invocations (bench re-runs a query n times)
-    # hold at most one tf intermediate. Evict BEFORE persisting the new
-    # frame: CacheManager keys entries by logical plan, so when two calls
-    # build identical plans, unpersisting the old one afterwards would
-    # drop the new call's entry too. Callers wanting zero residue can
-    # unpersist via tfidf.last_cached after their action completes.
-    prev = getattr(tfidf, "last_cached", None)
-    if prev is not None:
-        try:
-            prev.unpersist()
-        except Exception:
-            pass  # session of the old cache may already be stopped
     tf = toks.groupBy(id_col, "term").agg(
         F.count("*").cast("long").alias("tf")
-    ).persist()
-    tfidf.last_cached = tf
-    df_tbl = tf.groupBy("term").agg(
-        F.count("*").cast("long").alias("df")
     )
+    wdf = Window.partitionBy("term")
     n_docs = docs.groupBy().agg(F.count("*").alias("_n"))
     scored = (
-        tf.join(df_tbl, "term")
+        tf.withColumn("df", F.count("*").over(wdf))
         .crossJoin(F.broadcast(n_docs))
         .select(
             F.col(id_col),

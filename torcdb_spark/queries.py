@@ -4685,3 +4685,60 @@ def g_gremlin_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         id_lower(F.col("o")).alias("o_orderkey"),
         id_lower(F.col("n")).alias("nationkey"),
     )
+
+
+@_register(
+    "ldbc_ic_like_new_parts",
+    """WITH seedlines AS (
+         SELECT l_partkey, o_orderdate
+         FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+         WHERE o_custkey BETWEEN 1 AND 60
+       )
+       SELECT l_partkey AS part_key,
+              CAST(COUNT(*) AS BIGINT) AS n_in_window
+       FROM seedlines
+       WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+         AND l_partkey NOT IN (
+           SELECT l_partkey FROM seedlines
+           WHERE o_orderdate < TIMESTAMP '1997-01-01'
+         )
+       GROUP BY 1
+       ORDER BY n_in_window DESC, part_key ASC
+       LIMIT 20""",
+)
+def ldbc_ic_like_new_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IC4-shaped novelty query: parts the 60 seed customers ordered IN a
+    date window but never BEFORE it — the 'new tags in window' pattern.
+    Traversal form: one seeded expansion to (order, part) incidence with
+    the order date carried on the placed edge (remove_edge_if θ-filters,
+    TorcHelper.java:594-638), split into window/before frames, composed
+    with subtract (anti-join) — the window partition of one traversal
+    rather than two scans."""
+    from torcdb_spark.graph import LABEL_TAGS
+    from torcdb_spark.ids import uint128_pair
+
+    g = _graph(spark, sf_dir)
+    seeds = [uint128_pair(LABEL_TAGS["customer"], k) for k in range(1, 61)]
+    cust = g.vertices_by_id(seeds, label="customer")
+    placed = traverse(cust, g.edges, "placed", Direction.OUT, fill_edge=True)
+    h2 = traverse(v_set(placed), g.edges, "contains", Direction.OUT)
+    h3 = traverse(v_set(h2), g.edges, "ofPart", Direction.OUT)
+    order_part = algebra.fuse(h2, h3)  # (order, part) incidence per line
+    in_window = remove_edge_if(
+        placed, lambda dst, props: props["orderdate"] < "1997-01-01"
+    ).select(F.col("dst").alias("src"))
+    before = remove_edge_if(
+        placed, lambda dst, props: props["orderdate"] >= "1997-01-01"
+    ).select(F.col("dst").alias("src"))
+    op_window = order_part.join(in_window, "src", "left_semi")
+    op_before = order_part.join(before, "src", "left_semi")
+    novel = algebra.subtract(
+        op_window, op_before.select(F.col("dst").alias("id")).dropDuplicates(["id"])
+    )
+    return (
+        novel.groupBy("dst")
+        .agg(F.count("*").cast("long").alias("n_in_window"))
+        .select(id_lower(F.col("dst")).alias("part_key"), "n_in_window")
+        .orderBy(F.desc("n_in_window"), F.asc("part_key"))
+        .limit(20)
+    )

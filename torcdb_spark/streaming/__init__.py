@@ -5,6 +5,7 @@ from torcdb_spark.streaming.connectors import (
     kafka_source,
 )
 from torcdb_spark.streaming.jobs import (
+    apply_cdc_stream,
     events_stream,
     sessionized_stream,
     streaming_dedup,
@@ -12,6 +13,7 @@ from torcdb_spark.streaming.jobs import (
 )
 
 __all__ = [
+    "apply_cdc_stream",
     "events_stream",
     "windowed_counts",
     "sessionized_stream",

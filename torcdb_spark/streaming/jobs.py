@@ -335,3 +335,67 @@ def maintain_rollup(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def apply_cdc_stream(
+    spark: SparkSession,
+    source_path: str,
+    schema: T.StructType,
+    table_path: str,
+    checkpoint: str,
+    key_cols: list[str],
+    partition_col: str,
+):
+    """Streaming CDC apply: drain a change feed into a partitioned parquet
+    table via per-micro-batch MERGE (sources/maintenance.py merge_upsert
+    — latest-wins on key, only touched partitions rewritten).
+
+    This composes the two batch/streaming halves the engine already
+    verifies separately: the kafka-shaped decode/dedup path produces the
+    change rows; merge_upsert gives partition-scoped upsert semantics.
+    Idempotence story: a replayed micro-batch re-merges the same rows —
+    latest-wins makes the rewrite byte-identical, so failure between
+    partition write and offset commit cannot double-apply (the same
+    contract maintain_rollup documents; manifest-level atomicity is what
+    a table format would add).
+
+    Within one micro-batch, multiple changes per key are collapsed
+    latest-wins BEFORE the merge using the monotonically increasing
+    ``_seq`` column when present (the kafka offset after
+    decode_json_events), else arbitrarily-but-deterministically by max
+    of all columns' struct. Returns the started query (availableNow
+    drain)."""
+    from torcdb_spark.sources.maintenance import merge_upsert
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.head(1):
+            return
+        b = batch_df
+        order_col = "_seq" if "_seq" in b.columns else None
+        if order_col is None:
+            b = b.withColumn("_seq", F.xxhash64(*[F.col(c) for c in b.columns]))
+        collapsed = (
+            b.groupBy(*key_cols)
+            .agg(
+                F.max_by(
+                    F.struct(*[c for c in b.columns if c not in key_cols]),
+                    F.col("_seq"),
+                ).alias("_row")
+            )
+            .select(*key_cols, "_row.*")
+            .drop("_seq")
+        )
+        merge_upsert(
+            batch_df.sparkSession, table_path, collapsed, key_cols,
+            partition_col,
+        )
+
+    stream = (
+        spark.readStream.schema(schema).parquet(source_path)
+    )
+    return (
+        stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
