@@ -167,3 +167,47 @@ def test_shortest_path_pair_directed_respects_direction(spark):
                               directed=True).count() == 0
     undirected = shortest_path_pair(edges, b(1), b(3), max_depth=4)
     assert [r["id"][-1] for r in undirected.orderBy("step").collect()] == [1, 2, 3]
+
+
+def test_cc_doubling_matches_label_propagation(spark, sf_dir):
+    """The O(log n)-round star-contraction CC must produce the identical
+    (id, component=min-id) partition as label propagation, on a
+    constructed multi-component graph including a long PATH (the
+    high-diameter case star contraction exists for) and on the fixture
+    geography subgraph."""
+    import pyspark.sql.functions as F
+
+    from torcdb_spark.analytics import (
+        connected_components,
+        connected_components_doubling,
+    )
+
+    def b(i):
+        return bytes([0] * 14 + [i // 256, i % 256])
+
+    # component A: path 1-2-3-...-12 (diameter 11); component B: triangle
+    # 100,101,102; component C: pair 200-201
+    path = [(b(i), b(i + 1), "e") for i in range(1, 12)]
+    tri = [(b(100), b(101), "e"), (b(101), b(102), "e"), (b(102), b(100), "e")]
+    pair = [(b(200), b(201), "e")]
+    edges = spark.createDataFrame(
+        path + tri + pair, "src binary, dst binary, label string"
+    )
+    lp = {r["id"]: r["component"]
+          for r in connected_components(edges, max_iter=30).collect()}
+    db = {r["id"]: r["component"]
+          for r in connected_components_doubling(edges).collect()}
+    assert lp == db
+    assert db[b(12)] == b(1)      # far end of the path reaches the min
+    assert db[b(102)] == b(100)
+    assert db[b(201)] == b(200)
+
+    from torcdb_spark.graph import PropertyGraph
+
+    g = PropertyGraph.open(spark, sf_dir)
+    geo = g.edges.where(F.col("label") == "inRegion")
+    lp2 = {r["id"]: r["component"]
+           for r in connected_components(geo).collect()}
+    db2 = {r["id"]: r["component"]
+           for r in connected_components_doubling(geo).collect()}
+    assert lp2 == db2

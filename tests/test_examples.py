@@ -1,0 +1,20 @@
+"""The examples/ tour must keep running end-to-end (it is the switchover
+document for reference users; a rotted example is worse than none)."""
+
+import importlib.util
+import os
+
+
+def test_tour_runs(spark, capsys):
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "examples", "tour.py",
+    )
+    spec = importlib.util.spec_from_file_location("tour", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.main("/root/testdata/sf0.001")
+    out = capsys.readouterr().out
+    for marker in ("vertices:", "2-hop paths:", "match() bindings:",
+                   "geo components:", "ANN top-3:", "zorder files:"):
+        assert marker in out, f"missing section {marker!r}:\n{out}"

@@ -493,3 +493,98 @@ def shortest_path_pair(
     return spark.createDataFrame(
         [(i, v) for i, v in enumerate(path)], "step int, id binary"
     )
+
+
+def connected_components_doubling(
+    edges: DataFrame,
+    max_rounds: int = 16,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Undirected connected components in O(log n) ROUNDS via alternating
+    large-star / small-star edge rewriting (the MapReduce-and-Beyond
+    formulation) → (id, component), component = min vertex id.
+
+    Complements ``connected_components`` (label propagation, O(diameter)
+    supersteps): on a path-shaped or otherwise high-diameter graph — lineage
+    chains, road networks, long doc-similarity chains — label propagation
+    needs diameter rounds while star contraction doubles pointer reach
+    every alternation. Per round: ONE groupBy-min + ONE join per star op,
+    both shuffles keyed on the vertex id; the edge set only contracts, so
+    round cost shrinks as components collapse.
+
+    large-star(u): m = min(N(u) ∪ {u}); rewrite (v, m) for v ∈ N(u), v > u.
+    small-star(u): m = min(N(u) ∪ {u}); rewrite (v, m) for v ∈ N(u) ∪ {u},
+    v ≤ u, v ≠ m.
+
+    Convergence: edge-multiset checksum (count + sum of xxhash64) stable
+    across one full alternation; stopping early on a (2^-64) checksum
+    collision is the accepted trade for not materializing set-difference
+    per round.
+    """
+    e = (
+        edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .unionByName(
+            edges.select(
+                F.col(dst_col).alias("u"), F.col(src_col).alias("v")
+            ).where(F.col("u") != F.col("v"))
+        )
+        .dropDuplicates(["u", "v"])
+    )
+    all_vertices = e.select(F.col("u").alias("id")).dropDuplicates(["id"])
+
+    def star(cur: DataFrame, large: bool) -> DataFrame:
+        # neighborhoods are over the UNDIRECTED view each round (the
+        # rewrite emits one orientation only, so re-symmetrize first —
+        # without this the second round sees half-neighborhoods and the
+        # edge set collapses; caught by the pure-python rule simulation)
+        und = cur.unionByName(
+            cur.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        ).dropDuplicates(["u", "v"])
+        mins = und.groupBy("u").agg(F.min("v").alias("_mv")).select(
+            "u", F.least(F.col("u"), F.col("_mv")).alias("m")
+        )
+        j = und.join(mins, "u")
+        if large:
+            out = j.where(F.col("v") > F.col("u")).select(
+                F.col("v").alias("u"), F.col("m").alias("v")
+            )
+        else:
+            keep = j.where(F.col("v") <= F.col("u")).select(
+                F.col("v").alias("u"), F.col("m").alias("v")
+            )
+            self_edge = mins.select("u", F.col("m").alias("v"))
+            out = keep.unionByName(self_edge)
+        return (
+            out.where(F.col("u") != F.col("v")).dropDuplicates(["u", "v"])
+        )
+
+    def checksum(cur: DataFrame):
+        r = cur.agg(
+            F.count("*").alias("n"),
+            # decimal(38,0) accumulator: a long sum of 64-bit hashes
+            # overflows under ANSI arithmetic
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+        ).first()
+        return (r["n"], r["h"])
+
+    cur = _checkpointed(e)
+    prev_sig = checksum(cur)
+    for _ in range(max_rounds):
+        cur = _checkpointed(star(star(cur, large=True), large=False))
+        sig = checksum(cur)
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    # converged edges are star arms (v -> center=min of component)
+    centers = cur.select(F.col("u").alias("id"), F.col("v").alias("component"))
+    comp = (
+        centers.groupBy("id").agg(F.min("component").alias("component"))
+    )
+    return (
+        all_vertices.join(comp, "id", "left")
+        .select(
+            "id", F.coalesce(F.col("component"), F.col("id")).alias("component")
+        )
+    )

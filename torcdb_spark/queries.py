@@ -4742,3 +4742,30 @@ def ldbc_ic_like_new_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_in_window"), F.asc("part_key"))
         .limit(20)
     )
+
+
+@_register(
+    "g_cc_doubling",
+    """SELECT CAST(r_regionkey AS BIGINT) AS component_key,
+              CAST(1 + count(n_nationkey) AS BIGINT) AS size
+       FROM region LEFT JOIN nation ON n_regionkey = r_regionkey
+       GROUP BY r_regionkey""",
+)
+def g_cc_doubling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components via O(log n)-round large-star/small-star
+    contraction (analytics.py connected_components_doubling) on the
+    nation--inRegion-->region subgraph — same closed-form oracle as
+    g_connected_components (components = regions, id = min vertex id),
+    but the algorithm that survives HIGH-DIAMETER graphs where label
+    propagation needs diameter supersteps; cross-checked equal to label
+    propagation on a diameter-11 path in pytest."""
+    from torcdb_spark.analytics import connected_components_doubling
+
+    g = _graph(spark, sf_dir)
+    cc = connected_components_doubling(
+        g.edges.where(F.col("label") == "inRegion")
+    )
+    return cc.groupBy("component").agg(F.count("*").alias("size")).select(
+        id_lower(F.col("component")).alias("component_key"),
+        F.col("size").cast("long").alias("size"),
+    )
