@@ -211,3 +211,37 @@ def test_cc_doubling_matches_label_propagation(spark, sf_dir):
     db2 = {r["id"]: r["component"]
            for r in connected_components_doubling(geo).collect()}
     assert lp2 == db2
+
+
+def test_personalized_pagerank_properties(spark):
+    """PPR invariants on a constructed graph: total rank conserved at |S|
+    (reset + dangling both return to sources), vertices unreachable FROM
+    the sources get exactly 0, source-adjacent beats distant, and the run
+    is deterministic."""
+    import pyspark.sql.functions as F
+
+    from torcdb_spark.analytics import personalized_pagerank
+
+    def b(i):
+        return bytes([0] * 15 + [i])
+
+    # chain 1->2->3->4 plus separate pair 10->11
+    edges = spark.createDataFrame(
+        [(b(1), b(2), "e"), (b(2), b(3), "e"), (b(3), b(4), "e"),
+         (b(10), b(11), "e")],
+        "src binary, dst binary, label string",
+    )
+    srcs = spark.createDataFrame([(b(1),)], ["id"])
+    pr = personalized_pagerank(edges, srcs, num_iter=20)
+    ranks = {r["id"][-1]: r["rank"] for r in pr.collect()}
+    assert abs(sum(ranks.values()) - 1.0) < 1e-9  # |S| = 1 conserved
+    assert ranks[10] == 0.0 and ranks[11] == 0.0  # unreachable from source
+    assert ranks[1] > ranks[2] > ranks[3] > ranks[4] > 0
+    pr2 = personalized_pagerank(edges, srcs, num_iter=20)
+    ranks2 = {r["id"][-1]: r["rank"] for r in pr2.collect()}
+    assert ranks == ranks2
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        personalized_pagerank(edges, srcs.limit(0), num_iter=2)

@@ -1048,3 +1048,30 @@ def test_audio_spectral_features_match_sine(spark):
     # noise-only centroid (~2 kHz) — i.e., the tone dominates
     assert 400.0 < got[0]["centroid_hz"] < 1000.0
     assert 0.0 < got[0]["bandwidth_hz"] < 1500.0
+
+
+def test_cms_never_underestimates_and_merges(spark, sf_dir):
+    """CMS contract: (1) estimate >= true count for every key; (2) the
+    merge of two partial sketches equals the sketch of the union —
+    counters add exactly (deterministic md5 bucketing)."""
+    import pyspark.sql.functions as F
+
+    from torcdb_spark.operators.cms import cms_estimate, cms_merge, cms_sketch
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    d, w = 4, 2048
+    sk = cms_sketch(li, "l_partkey", d=d, w=w)
+    keys = li.select("l_partkey").dropDuplicates().limit(50)
+    est = {r["l_partkey"]: r["est"]
+           for r in cms_estimate(sk, keys, "l_partkey", d=d, w=w).collect()}
+    true = {r["l_partkey"]: r["n"] for r in
+            li.groupBy("l_partkey").agg(F.count("*").alias("n")).collect()}
+    for k, e in est.items():
+        assert e >= true[k], (k, e, true[k])
+
+    a = cms_sketch(li.where("l_orderkey % 2 = 0"), "l_partkey", d=d, w=w)
+    b = cms_sketch(li.where("l_orderkey % 2 = 1"), "l_partkey", d=d, w=w)
+    merged = {(r["row"], r["bucket"]): r["n"]
+              for r in cms_merge(a.unionByName(b)).collect()}
+    full = {(r["row"], r["bucket"]): r["n"] for r in sk.collect()}
+    assert merged == full

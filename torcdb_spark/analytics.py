@@ -588,3 +588,82 @@ def connected_components_doubling(
             "id", F.coalesce(F.col("component"), F.col("id")).alias("component")
         )
     )
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    sources: DataFrame,
+    num_iter: int = 10,
+    damping: float = 0.85,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    checkpoint_interval: int = 2,
+) -> DataFrame:
+    """Personalized PageRank → (id, rank): the reset mass returns to the
+    SOURCE set (uniformly across it) instead of all vertices, so rank
+    measures proximity to the sources — the standard graph-recommendation
+    primitive (LDBC-style "people you may know" ranks FOF candidates by
+    exactly this).
+
+    Same superstep shape and checkpoint cadence as ``pagerank``; the only
+    structural difference is the reset term: a broadcast membership flag
+    (semi-join-derived 0/1 column folded into the state) replaces the
+    uniform 1/N. Dangling mass also returns to the sources — rank stays
+    conserved at |S| total so disconnected vertices converge to exactly 0.
+    """
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    verts = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .dropDuplicates(["id"])
+    )
+    id_c = "id" if "id" in sources.columns else sources.columns[0]
+    src_ids = sources.select(F.col(id_c).alias("id")).dropDuplicates(["id"])
+    out_deg = e.groupBy("src").agg(F.count("*").alias("out_deg"))
+    state = _checkpointed(
+        verts.join(out_deg, verts["id"] == out_deg["src"], "left")
+        .join(
+            src_ids.withColumn("_is_src", F.lit(1)), "id", "left"
+        )
+        .select(
+            "id",
+            F.coalesce(F.col("_is_src"), F.lit(0)).alias("is_src"),
+            # start rank = membership: |S| total mass, all on the sources
+            F.coalesce(F.col("_is_src"), F.lit(0)).cast("double").alias("rank"),
+            "out_deg",
+        )
+    )
+    n_src = state.where(F.col("is_src") == 1).count()
+    if n_src == 0:
+        raise ValueError("personalized_pagerank requires a non-empty source set")
+    for i in range(num_iter):
+        contrib = state.where(F.col("out_deg").isNotNull()).select(
+            F.col("id").alias("csrc"),
+            (F.col("rank") / F.col("out_deg")).alias("c"),
+        )
+        msgs = (
+            e.join(contrib, e["src"] == contrib["csrc"])
+            .groupBy("dst")
+            .agg(F.sum("c").alias("msum"))
+        )
+        dangling = F.broadcast(
+            state.where(F.col("out_deg").isNull())
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dang"))
+        )
+        state = (
+            state.join(msgs, state["id"] == msgs["dst"], "left")
+            .crossJoin(dangling)
+            .select(
+                "id",
+                "is_src",
+                (
+                    F.col("is_src")
+                    * (F.lit(1 - damping) + F.lit(damping) * F.col("dang") / n_src)
+                    + F.lit(damping) * F.coalesce(F.col("msum"), F.lit(0.0))
+                ).alias("rank"),
+                "out_deg",
+            )
+        )
+        if (i + 1) % checkpoint_interval == 0 or i == num_iter - 1:
+            state = _checkpointed(state)
+    return state.select("id", "rank")

@@ -22,6 +22,7 @@ from torcdb_spark.operators.similarity import (
 )
 from torcdb_spark.operators.skew import salted_join
 from torcdb_spark.operators.text import text_stats, quality_score, tfidf, token_count
+from torcdb_spark.operators.cms import cms_estimate, cms_merge, cms_sketch
 from torcdb_spark.operators.diff import diff_summary, table_diff
 from torcdb_spark.operators.histogram import (
     histogram_sketch,
@@ -52,6 +53,9 @@ __all__ = [
     "time_bucket",
     "simhash_near_dup_pairs",
     "cosine_topk_quantized",
+    "cms_estimate",
+    "cms_merge",
+    "cms_sketch",
     "diff_summary",
     "table_diff",
     "pq_topk",

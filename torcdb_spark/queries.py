@@ -4769,3 +4769,68 @@ def g_cc_doubling(spark: SparkSession, sf_dir: str) -> DataFrame:
         id_lower(F.col("component")).alias("component_key"),
         F.col("size").cast("long").alias("size"),
     )
+
+
+@_register(
+    "cms1_frequency_estimates",
+    __import__("torcdb_spark.operators.cms", fromlist=["cms_oracle_sql"])
+    .cms_oracle_sql(
+        "lineitem", "l_partkey",
+        "SELECT DISTINCT l_partkey AS k FROM lineitem "
+        "WHERE l_partkey BETWEEN 1 AND 40",
+        d=4, w=2048, seed=0,
+    ),
+)
+def cms1_frequency_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch frequency estimates (operators/cms.py): d×w md5-
+    bucketed counter grid over lineitem part keys, probed for 40 keys with
+    min-over-rows readback. md5 bucketing makes the sketch deterministic
+    and the ORACLE reproduces its exact cell values — approximation means
+    bounded overcount, not nondeterminism (no-underestimate + merge==union
+    pytest-proven). The sketch is ≤ d*w rows at any input scale; probes
+    broadcast-join it."""
+    from torcdb_spark.operators.cms import cms_estimate, cms_sketch
+
+    li = load_table(spark, sf_dir, "lineitem")
+    sk = cms_sketch(li, "l_partkey", d=4, w=2048, seed=0)
+    keys = (
+        li.where(F.col("l_partkey").between(1, 40))
+        .select(F.col("l_partkey").alias("k"))
+        .dropDuplicates()
+    )
+    return cms_estimate(sk, keys, "k", d=4, w=2048, seed=0)
+
+
+@_register("g_ppr_recommend")  # iterative float fixpoint: rows-only check
+# (invariants — mass conservation at |S|, zero rank off the reachable set,
+# determinism — are pytest-proven in tests/test_analytics.py)
+def g_ppr_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank recommendation (analytics.py
+    personalized_pagerank): reset mass pinned to 10 seed customers, pushed
+    6 supersteps through the purchase DAG (placed→contains→ofPart), top-20
+    parts by proximity — LDBC-style 'people/products you may know' ranking,
+    the graph-native complement of the co-purchase count in
+    ldbc_ic_like_foaf_copurchase."""
+    from torcdb_spark.analytics import personalized_pagerank
+    from torcdb_spark.graph import LABEL_TAGS
+    from torcdb_spark.ids import uint128_pair
+
+    g = _graph(spark, sf_dir)
+    purchase = g.edges.where(
+        F.col("label").isin("placed", "contains", "ofPart")
+    )
+    seeds = spark.createDataFrame(
+        [(uint128_pair(LABEL_TAGS["customer"], k),) for k in range(1, 11)],
+        "id binary",
+    )
+    pr = personalized_pagerank(purchase, seeds, num_iter=6)
+    parts = g.vertices.where(F.col("label") == "part").select("id")
+    return (
+        pr.join(parts, "id", "left_semi")
+        .select(
+            id_lower(F.col("id")).alias("part_key"),
+            F.round(F.col("rank"), 6).alias("ppr"),
+        )
+        .orderBy(F.desc("ppr"), F.asc("part_key"))
+        .limit(20)
+    )
