@@ -232,10 +232,20 @@ def test_personalized_pagerank_properties(spark):
         "src binary, dst binary, label string",
     )
     srcs = spark.createDataFrame([(b(1),)], ["id"])
+    # unpruned: unreachable vertices present with exactly 0 rank
+    pr_full = personalized_pagerank(
+        edges, srcs, num_iter=20, prune_unreachable=False
+    )
+    full = {r["id"][-1]: r["rank"] for r in pr_full.collect()}
+    assert full[10] == 0.0 and full[11] == 0.0
+    # pruned (default): identical ranks on the reachable set, unreachable
+    # vertices absent — the locality that makes PPR cheap at scale
     pr = personalized_pagerank(edges, srcs, num_iter=20)
     ranks = {r["id"][-1]: r["rank"] for r in pr.collect()}
+    assert set(ranks) == {1, 2, 3, 4}
+    for k, v in ranks.items():
+        assert abs(v - full[k]) < 1e-12
     assert abs(sum(ranks.values()) - 1.0) < 1e-9  # |S| = 1 conserved
-    assert ranks[10] == 0.0 and ranks[11] == 0.0  # unreachable from source
     assert ranks[1] > ranks[2] > ranks[3] > ranks[4] > 0
     pr2 = personalized_pagerank(edges, srcs, num_iter=20)
     ranks2 = {r["id"][-1]: r["rank"] for r in pr2.collect()}

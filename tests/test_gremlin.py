@@ -466,3 +466,30 @@ def test_match_solution_multiplicity_two_patterns(spark, sf_dir):
     assert t.select("c", "o", "n").count() == g.edges.where(
         "label = 'placed'"
     ).count()
+
+
+def test_edge_start_traversal(spark, sf_dir):
+    """g.E(label): edge-first entry composes with has_edge and in_v; the
+    unlabeled form scans all labels."""
+    import pyspark.sql.functions as F
+
+    from torcdb_spark.graph import PropertyGraph
+    from torcdb_spark.gremlin import G
+
+    g = PropertyGraph.open(spark, sf_dir)
+    n_placed = g.edges.where("label = 'placed'").count()
+    t = G(g).E("placed")
+    assert t._df.count() == n_placed
+    assert G(g).E()._df.count() == g.edges.count()
+
+    filtered = (
+        G(g).E("placed")
+        .has_edge("totalprice", lambda v: v.cast("double") > 150000.0)
+        .in_v()
+    )
+    from torcdb_spark.sources.tables import load_table
+
+    want = load_table(spark, sf_dir, "orders").where(
+        F.col("o_totalprice") > 150000
+    ).count()
+    assert filtered._df.count() == want

@@ -706,3 +706,21 @@ class G:
         v = self._g.vertices_by_id(list(ids)).select("id")
         frame = v.select(F.col("id").alias("_start"), F.col("id").alias("_cur"))
         return GraphTraversal(self._g, frame)
+
+    def E(self, *labels: str) -> GraphTraversal:
+        """``g.E([label…])``: start the traversal AT the edges (TinkerPop
+        GraphStep over edges). The frame is shaped exactly like an ``out_e``
+        step's (near endpoint as ``_cur``, far as ``_edst``, properties as
+        ``_eprops``) so every edge-step — ``has_edge``, ``in_v``/``out_v``
+        — composes unchanged; an unlabeled E() scans all labels (the
+        label-partitioned store prunes when labels are given)."""
+        e = self._g.edges
+        if labels:
+            e = e.where(F.col("label").isin(list(labels)))
+        frame = e.select(
+            F.col("src").alias("_start"),
+            F.col("src").alias("_cur"),
+            F.col("dst").alias("_edst"),
+            F.col("props").alias("_eprops"),
+        )
+        return GraphTraversal(self._g, frame)

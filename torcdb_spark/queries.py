@@ -4823,7 +4823,7 @@ def g_ppr_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(uint128_pair(LABEL_TAGS["customer"], k),) for k in range(1, 11)],
         "id binary",
     )
-    pr = personalized_pagerank(purchase, seeds, num_iter=6)
+    pr = personalized_pagerank(purchase, seeds, num_iter=4)
     parts = g.vertices.where(F.col("label") == "part").select("id")
     return (
         pr.join(parts, "id", "left_semi")
@@ -4834,3 +4834,24 @@ def g_ppr_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("ppr"), F.asc("part_key"))
         .limit(20)
     )
+
+
+@_register(
+    "g_gremlin_edge_start",
+    """SELECT o_orderkey
+       FROM orders WHERE CAST(o_totalprice AS DOUBLE) > 150000""",
+)
+def g_gremlin_edge_start(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """g.E('placed').has(totalprice > 150k).inV() — the edge-first
+    traversal entry (TinkerPop GraphStep over edges; gremlin.py G.E):
+    edge-property filter on the label-pruned edge scan, then the hop to
+    the far endpoint. Oracle is the equivalent order-table predicate."""
+    from torcdb_spark.gremlin import G
+
+    g = _graph(spark, sf_dir)
+    t = (
+        G(g).E("placed")
+        .has_edge("totalprice", lambda v: v.cast("double") > 150000.0)
+        .in_v()
+    )
+    return t._df.select(id_lower(F.col("_cur")).alias("o_orderkey"))
