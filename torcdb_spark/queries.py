@@ -4472,7 +4472,8 @@ def e7_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     qs = emb.where(F.col("vec_id") < 10)
     return pq_topk(
-        emb, qs, k=5, m_subspaces=4, k_sub=64, rerank_factor=20
+        emb, qs, k=5, m_subspaces=4, k_sub=64, rerank_factor=20,
+        train_fraction=0.5,
     )
 
 
@@ -4855,3 +4856,42 @@ def g_gremlin_edge_start(spark: SparkSession, sf_dir: str) -> DataFrame:
         .in_v()
     )
     return t._df.select(id_lower(F.col("_cur")).alias("o_orderkey"))
+
+
+@_register(
+    "cd2_snapshot_diff_rows",
+    """WITH old_v AS (
+         SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 10 <> 0
+       ),
+       new_v AS (
+         SELECT o_orderkey,
+                CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1
+                     ELSE o_totalprice END AS o_totalprice
+         FROM orders WHERE o_orderkey % 13 <> 0
+       )
+       SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+              CASE WHEN o.o_orderkey IS NULL THEN 'inserted'
+                   WHEN n.o_orderkey IS NULL THEN 'deleted'
+                   ELSE 'updated' END AS change
+       FROM old_v o FULL OUTER JOIN new_v n ON o.o_orderkey = n.o_orderkey
+       WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+          OR o.o_totalprice <> n.o_totalprice""",
+)
+def cd2_snapshot_diff_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level CDC classification (operators/diff.py table_diff): the
+    per-key change feed itself — what an incremental scheduler consumes to
+    re-embed only updated docs / re-dedup only inserts — same synthetic
+    two-version setup as cd1, exact-checked per key."""
+    from torcdb_spark.operators.diff import table_diff
+
+    orders = load_table(spark, sf_dir, "orders")
+    old_v = orders.where(F.col("o_orderkey") % 10 != 0).select(
+        "o_orderkey", "o_totalprice"
+    )
+    new_v = orders.where(F.col("o_orderkey") % 13 != 0).select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") + 1
+        ).otherwise(F.col("o_totalprice")).alias("o_totalprice"),
+    )
+    return table_diff(old_v, new_v, ["o_orderkey"], ["o_totalprice"])
