@@ -245,3 +245,40 @@ def test_zorder_interleave_roundtrip_property(spark):
             assert (x, y) == (r["x"], r["y"])
 
     check()
+
+
+def test_weighted_sample_biases_toward_heavy_edges(spark):
+    """Across many seeds, a neighbor with 10x the weight must be chosen
+    (fanout=1) several times more often than a light one; zero/negative
+    weights are never chosen; same seed reproduces exactly."""
+    import pyspark.sql.functions as F
+
+    from torcdb_spark.operators.sampling import weighted_neighbor_sample
+
+    def b(i):
+        return bytes([0] * 15 + [i])
+
+    # vertex 1 -> {2 (w=10), 3 (w=1), 4 (w=0)}
+    edges = spark.createDataFrame(
+        [(b(1), b(2), "e", 10.0), (b(1), b(3), "e", 1.0),
+         (b(1), b(4), "e", 0.0)],
+        "src binary, dst binary, label string, w double",
+    )
+    frontier = spark.createDataFrame([(b(1),)], ["id"])
+    picks = {2: 0, 3: 0}
+    for seed in range(40):
+        out = weighted_neighbor_sample(
+            frontier, edges, "e", fanout=1, weight=F.col("w"), seed=seed
+        ).collect()
+        assert len(out) == 1
+        picks[out[0]["dst"][-1]] += 1
+    assert picks[2] > picks[3] * 2, picks  # E[ratio] = 10:1
+    assert picks[2] + picks[3] == 40      # w=0 never chosen
+
+    a = weighted_neighbor_sample(
+        frontier, edges, "e", fanout=2, weight=F.col("w"), seed=5
+    )
+    b2 = weighted_neighbor_sample(
+        frontier, edges, "e", fanout=2, weight=F.col("w"), seed=5
+    )
+    assert a.exceptAll(b2).isEmpty()

@@ -16,7 +16,7 @@ The reference's traverse() returns FULL neighbor lists (TorcGraph.java:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -131,3 +131,55 @@ def neighbor_sample_oracle_sql(
        )
        SELECT src_key, dst_key, CAST(rk AS BIGINT) AS rk
        FROM ranked WHERE rk <= {fanout}"""
+
+
+def _uniform(seed_parts: Column) -> Column:
+    """Deterministic uniform in (0, 1]: 52 md5 bits → double. Same value
+    in any engine that has md5 + hex parsing (the property every operator
+    in this module trades on)."""
+    h = F.md5(seed_parts)
+    bits = F.conv(F.substring(h, 1, 13), 16, 10).cast("double")
+    return (bits + F.lit(1.0)) / F.lit(float((1 << 52) + 1))
+
+
+def weighted_neighbor_sample(
+    frontier: DataFrame,
+    edges: DataFrame,
+    edge_label: str,
+    fanout: int,
+    weight: Column,
+    seed: int = 0,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement of ≤ ``fanout`` OUT-neighbors
+    per frontier vertex, proportional to ``weight`` (a Column over the
+    edge frame, e.g. an edge property): the Efraimidis–Spirakis A-Res
+    scheme — key = u^(1/w) with u uniform per (src, dst, seed), keep the
+    ``fanout`` LARGEST keys. With u from md5 the draw is deterministic
+    (reproducible samples, exact SQL oracle) while remaining a faithful
+    weighted sample across seeds.
+
+    Same plan shape as ``neighbor_sample``: hop join + one per-src window
+    with rank pushdown (WindowGroupLimit), hub fan-out bounded in-stage."""
+    ids = frontier.select(
+        F.col(frontier.columns[0]).alias("id")
+    ).dropDuplicates(["id"])
+    e = edges.where(F.col("label") == edge_label)
+    hop = ids.join(e, ids["id"] == e["src"], "inner").select(
+        "src", "dst", weight.alias("_w")
+    )
+    u = _uniform(
+        F.concat(
+            F.hex(F.col("src")), F.lit(":"), F.hex(F.col("dst")),
+            F.lit(":"), F.lit(str(seed)),
+        )
+    )
+    key = F.pow(u, F.lit(1.0) / F.col("_w"))
+    w = Window.partitionBy("src").orderBy(
+        F.desc(key), F.col("dst")
+    )
+    return (
+        hop.where(F.col("_w") > 0)
+        .withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= fanout)
+        .select("src", "dst", F.col("_rk").cast("long").alias("rk"))
+    )

@@ -4895,3 +4895,61 @@ def cd2_snapshot_diff_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(F.col("o_totalprice")).alias("o_totalprice"),
     )
     return table_diff(old_v, new_v, ["o_orderkey"], ["o_totalprice"])
+
+
+def _ws1_oracle() -> str:
+    """A-Res weighted-sample oracle: identical md5-uniform + pow keys in
+    SQL (operators/sampling.py weighted_neighbor_sample)."""
+    def hexid(tag: int, key: str) -> str:
+        return (
+            f"UPPER(LPAD(TO_HEX({tag}), 16, '0') || "
+            f"LPAD(TO_HEX(CAST({key} AS BIGINT)), 16, '0'))"
+        )
+
+    src_hex = hexid(3, "o_custkey")
+    dst_hex = hexid(6, "o_orderkey")
+    u = (
+        f"(CAST(('0x' || substring(md5({src_hex} || ':' || {dst_hex} "
+        f"|| ':' || '7'), 1, 13)) AS BIGINT) + 1.0) / {float((1 << 52) + 1)}"
+    )
+    return f"""WITH scored AS (
+         SELECT o_custkey AS src_key, o_orderkey AS dst_key,
+                pow({u}, 1.0 / o_totalprice) AS k,
+                {dst_hex} AS dst_hex
+         FROM orders
+         WHERE o_custkey BETWEEN 1 AND 100 AND o_totalprice > 0
+       ),
+       ranked AS (
+         SELECT src_key, dst_key,
+                row_number() OVER (PARTITION BY src_key
+                                   ORDER BY k DESC, dst_hex) AS rk
+         FROM scored
+       )
+       SELECT src_key, dst_key, CAST(rk AS BIGINT) AS rk
+       FROM ranked WHERE rk <= 3"""
+
+
+@_register("ws1_weighted_sample", _ws1_oracle())
+def ws1_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted neighbor sampling without replacement (operators/
+    sampling.py weighted_neighbor_sample): ≤3 'placed' neighbors per seed
+    customer drawn ∝ the order's totalprice via Efraimidis–Spirakis keys
+    u^(1/w) on md5 uniforms — deterministic (data-lineage reproducible)
+    AND exactly SQL-verified, while remaining a faithful weighted sample
+    across seeds (statistical bias pytest-asserted)."""
+    from torcdb_spark.graph import LABEL_TAGS
+    from torcdb_spark.ids import uint128_pair
+    from torcdb_spark.operators.sampling import weighted_neighbor_sample
+
+    g = _graph(spark, sf_dir)
+    seeds = [uint128_pair(LABEL_TAGS["customer"], k) for k in range(1, 101)]
+    cust = g.vertices_by_id(seeds, label="customer")
+    samp = weighted_neighbor_sample(
+        cust, g.edges, "placed", fanout=3,
+        weight=F.col("props")["totalprice"].cast("double"), seed=7,
+    )
+    return samp.select(
+        id_lower(F.col("src")).alias("src_key"),
+        id_lower(F.col("dst")).alias("dst_key"),
+        "rk",
+    )
