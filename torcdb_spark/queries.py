@@ -680,7 +680,6 @@ DRIVER_PRIORITY: list[str] = [
     "q_topk_orders_per_customer",
     # §2.5 relational/OLAP (TPC-H shapes)
     "q1_pricing_summary",
-    "q2_min_cost_supplier",
     "q9_profit_by_nation_year",
     "q18_large_volume_customers",
     # §2.5 temporal extensions (range join + hypertable rollup/gap-fill):
@@ -715,6 +714,10 @@ DRIVER_PRIORITY: list[str] = [
     "gs1_neighbor_sample",     # deterministic graph sampling (md5 oracle)
     "cd1_snapshot_diff",       # CDC snapshot diff
     "ldbc_ic_like_foaf_copurchase",  # 6-hop FOF traversal composite
+    # cms1 takes q2's slot (q1/q9/q18 keep three TPC-H witnesses green):
+    # the frequency sketch is a distinct mergeable-summary family whose
+    # exact-value oracle deserves a hard driver row
+    "cms1_frequency_estimates",
 ]
 
 
