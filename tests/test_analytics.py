@@ -255,3 +255,29 @@ def test_personalized_pagerank_properties(spark):
 
     with pytest.raises(ValueError):
         personalized_pagerank(edges, srcs.limit(0), num_iter=2)
+
+
+def test_hits_matches_numpy_power_iteration(spark):
+    import numpy as np
+
+    from torcdb_spark.analytics import hits
+
+    edges = [(0, 3), (0, 4), (1, 3), (2, 4), (2, 5), (3, 0)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    out = {r.id: (r.hub, r.auth) for r in hits(df, num_iter=4).collect()}
+
+    ids = sorted({v for e in edges for v in e})
+    idx = {v: i for i, v in enumerate(ids)}
+    A = np.zeros((len(ids), len(ids)))
+    for s, d in edges:
+        A[idx[s], idx[d]] = 1.0
+    h = np.ones(len(ids))
+    a = np.ones(len(ids))
+    for _ in range(4):
+        a = A.T @ h
+        a = a / np.linalg.norm(a)
+        h = A @ a
+        h = h / np.linalg.norm(h)
+    for v in ids:
+        assert out[v][0] == pytest.approx(h[idx[v]], abs=1e-9)
+        assert out[v][1] == pytest.approx(a[idx[v]], abs=1e-9)

@@ -1,0 +1,251 @@
+"""Unit tests for the round-4 operator families: funnel/cohort/anomaly
+behavioral analytics, Bloom + KMV sketches, blocked entity resolution,
+repetition signals, and HITS — small in-memory inputs with hand-computed
+answers plus the operators' structural guarantees (no false negatives,
+merge == union, estimate error bounds)."""
+
+import datetime as dt
+import math
+
+import pyspark.sql.functions as F
+import pytest
+
+from torcdb_spark.operators.bloom import (
+    bloom_build,
+    bloom_merge,
+    bloom_might_contain,
+)
+from torcdb_spark.operators.er import blocked_levenshtein_pairs
+from torcdb_spark.operators.funnel import cohort_retention, funnel_stages
+from torcdb_spark.operators.text import repetition_signals
+from torcdb_spark.operators.theta import (
+    kmv_estimate,
+    kmv_intersect_estimate,
+    kmv_sketch,
+)
+from torcdb_spark.operators.timeseries import trailing_zscore
+
+
+def _ts(day, hour=0, minute=0):
+    return dt.datetime(2024, 1, day, hour, minute)
+
+
+# ---------------------------------------------------------------------------
+# funnel
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def funnel_events(spark):
+    rows = [
+        # u1 converts fully within a day
+        (1, _ts(1, 0), "view"), (1, _ts(1, 1), "click"), (1, _ts(1, 2), "purchase"),
+        # u2: clicks but purchase comes BEFORE the click -> no stage 3
+        (2, _ts(1, 0), "view"), (2, _ts(1, 5), "click"), (2, _ts(1, 3), "purchase"),
+        # u3: click outside the 1-day window of the first view
+        (3, _ts(1, 0), "view"), (3, _ts(3, 0), "click"),
+        # u4: click with no prior view -> never enters the funnel
+        (4, _ts(1, 0), "click"), (4, _ts(1, 1), "purchase"),
+        # u5: two views; funnel anchors at the FIRST view; click after 2nd
+        (5, _ts(1, 0), "view"), (5, _ts(1, 10), "view"), (5, _ts(1, 11), "click"),
+    ]
+    return spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
+
+
+def test_funnel_hand_computed(funnel_events):
+    out = {
+        r.stage: (r.stage_idx, r.users)
+        for r in funnel_stages(
+            funnel_events, ["view", "click", "purchase"]
+        ).collect()
+    }
+    # views: u1,u2,u3,u5 ; clicks within window after view: u1,u2,u5 ;
+    # purchase after the click: u1 only
+    assert out == {"view": (1, 4), "click": (2, 3), "purchase": (3, 1)}
+
+
+def test_funnel_requires_two_steps(funnel_events):
+    with pytest.raises(ValueError):
+        funnel_stages(funnel_events, ["view"])
+
+
+# ---------------------------------------------------------------------------
+# cohort retention
+# ---------------------------------------------------------------------------
+
+
+def test_cohort_retention_hand_computed(spark):
+    # 2024-01-01 is a Monday. u1 first in week0, active weeks 0 and 2;
+    # u2 first in week1, active weeks 1,2; u3 only week0.
+    rows = [
+        (1, _ts(1)), (1, _ts(2)), (1, _ts(15)),
+        (2, _ts(8)), (2, _ts(16)),
+        (3, _ts(3)),
+    ]
+    ev = spark.createDataFrame(rows, ["user_id", "ts"])
+    out = {
+        (str(r.cohort_week), r.week_offset): r.users
+        for r in cohort_retention(ev).collect()
+    }
+    assert out == {
+        ("2024-01-01", 0): 2,  # u1, u3
+        ("2024-01-01", 2): 1,  # u1
+        ("2024-01-08", 0): 1,  # u2
+        ("2024-01-08", 1): 1,  # u2
+    }
+
+
+# ---------------------------------------------------------------------------
+# trailing z-score
+# ---------------------------------------------------------------------------
+
+
+def test_trailing_zscore_hand_computed(spark):
+    # key 'a': 9 days; days 1..7 all total=10, day 8 total=10 (z=NULL, sd=0),
+    # day 9 vs trailing {10x6, 20} -> mean/std hand-computed
+    rows = []
+    for d in range(1, 8):
+        rows.append(("a", _ts(d), 10.0))
+    rows.append(("a", _ts(8), 20.0))
+    rows.append(("a", _ts(9), 50.0))
+    df = spark.createDataFrame(rows, ["event_type", "ts", "value"])
+    out = {str(r.day): r for r in trailing_zscore(df, ["event_type"]).collect()}
+    # first 7 days: no full window
+    for d in range(1, 8):
+        assert out[f"2024-01-0{d}"].z is None
+        assert out[f"2024-01-0{d}"].is_anomaly is False
+    # day 8: window = 7x10.0, sd = 0 -> z NULL
+    assert out["2024-01-08"].z is None
+    # day 9: window = {10x6, 20}: mean=80/7, sd=sqrt(sum((x-mu)^2)/6)
+    mu = 80.0 / 7
+    sd = math.sqrt((6 * (10 - mu) ** 2 + (20 - mu) ** 2) / 6)
+    assert out["2024-01-09"].z == pytest.approx(round((50 - mu) / sd, 4))
+    assert out["2024-01-09"].is_anomaly is True
+
+
+# ---------------------------------------------------------------------------
+# bloom filter
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_no_false_negatives_and_fp_bounded(spark):
+    build = spark.range(0, 500).select(F.col("id").alias("k"))
+    probes = spark.range(0, 5000).select(F.col("id").alias("k"))
+    bloom = bloom_build(build, "k", m_bits=16384, d=3)
+    out = bloom_might_contain(bloom, probes, "k", m_bits=16384, d=3)
+    rows = out.collect()
+    members = {r.k for r in rows if r.might_contain}
+    # every built key passes (no false negatives)
+    assert set(range(500)) <= members
+    # false-positive rate bounded: fill = 1-e^(-1500/16384) ~ 0.0876,
+    # fp ~ fill^3 ~ 6.7e-4; allow 10x headroom on 4500 non-members
+    assert len(members - set(range(500))) <= 30
+
+
+def test_bloom_merge_equals_union_build(spark):
+    a = spark.range(0, 100).select(F.col("id").alias("k"))
+    b = spark.range(100, 200).select(F.col("id").alias("k"))
+    both = a.unionByName(b)
+    merged = bloom_merge(
+        bloom_build(a, "k", m_bits=2048, d=3).unionByName(
+            bloom_build(b, "k", m_bits=2048, d=3)
+        )
+    )
+    direct = bloom_build(both, "k", m_bits=2048, d=3)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+
+
+# ---------------------------------------------------------------------------
+# KMV / theta sketch
+# ---------------------------------------------------------------------------
+
+
+def test_kmv_exact_when_unsaturated(spark):
+    df = spark.range(0, 50).select(F.col("id").alias("k"))
+    sk = kmv_sketch(df, "k", k=128)
+    est = kmv_estimate(sk, k=128).collect()[0].est_distinct
+    assert est == 50.0
+
+
+def test_kmv_estimate_within_error_when_saturated(spark):
+    n = 20000
+    df = spark.range(0, n).select(F.col("id").alias("k"))
+    sk = kmv_sketch(df, "k", k=256)
+    est = kmv_estimate(sk, k=256).collect()[0].est_distinct
+    # standard error ~ n/sqrt(k-2) ; allow 4 sigma
+    assert abs(est - n) < 4 * n / math.sqrt(254)
+
+
+def test_kmv_intersection_estimate(spark):
+    a = spark.range(0, 3000).select(F.col("id").alias("k"))
+    b = spark.range(2000, 5000).select(F.col("id").alias("k"))  # overlap 1000
+    sa = kmv_sketch(a, "k", k=256)
+    sb = kmv_sketch(b, "k", k=256)
+    est = kmv_intersect_estimate(sa, sb, k=256).collect()[0].est_intersection
+    assert abs(est - 1000) < 600  # coarse: intersection error compounds
+
+
+def test_kmv_deterministic(spark):
+    df = spark.range(0, 1000).select(F.col("id").alias("k"))
+    e1 = kmv_estimate(kmv_sketch(df, "k", k=64), k=64).collect()[0].est_distinct
+    e2 = kmv_estimate(
+        kmv_sketch(df.repartition(7), "k", k=64), k=64
+    ).collect()[0].est_distinct
+    assert e1 == e2
+
+
+# ---------------------------------------------------------------------------
+# blocked entity resolution
+# ---------------------------------------------------------------------------
+
+
+def test_blocked_levenshtein_pairs(spark):
+    rows = [
+        (1, "cold plate"), (2, "old plate"), (3, "bold plate"),
+        (4, "steel ring"), (5, "steel king"), (6, "cold bolt"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "name"])
+    out = blocked_levenshtein_pairs(
+        df, "id", "name", F.split(F.col("name"), " ")[1], max_distance=2
+    ).collect()
+    pairs = {(r.id_a, r.id_b): r.dist for r in out}
+    # within 'plate' block: cold~old 1, cold~bold 1, old~bold 1;
+    # within 'ring'/'king': different blocks -> steel ring/king NOT paired
+    assert pairs == {(1, 2): 1, (1, 3): 1, (2, 3): 1}
+
+
+# ---------------------------------------------------------------------------
+# repetition signals
+# ---------------------------------------------------------------------------
+
+
+def test_repetition_signals_hand_computed(spark):
+    rows = [
+        (1, "a b a b a b"),          # heavy 2-gram repetition
+        (2, "one two three four"),   # no repetition
+        (3, ""),                     # empty
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in repetition_signals(df).collect()}
+    r1 = out[1]
+    assert r1.n_words == 6
+    assert r1.word_rep_ratio == pytest.approx(round(4 / 6, 6))
+    # 2-grams: 'a b' x3, 'b a' x2 -> top is 'a b' covering 3*2=6 of 6 chars
+    assert r1.top2_gram == "a b"
+    assert r1.top2_frac == 1.0
+    # 5-grams: 'a b a b a' x1, 'b a b a b' x1 -> no duplicates
+    assert r1.dup5_frac == 0.0
+    r2 = out[2]
+    assert r2.n_words == 4 and r2.word_rep_ratio == 0.0 and r2.dup5_frac == 0.0
+    r3 = out[3]
+    assert r3.n_words == 0 and r3.top2_gram is None and r3.top2_frac == 0.0
+
+
+def test_repetition_signals_dup5(spark):
+    # 12 identical words -> every 5-gram identical (8 occurrences)
+    df = spark.createDataFrame([(1, " ".join(["x"] * 12))], ["doc_id", "text"])
+    r = repetition_signals(df).collect()[0]
+    assert r.dup5_frac == 1.0
+    assert r.word_rep_ratio == pytest.approx(round(11 / 12, 6))

@@ -31,6 +31,20 @@ from torcdb_spark.operators.histogram import (
 )
 from torcdb_spark.operators.sampling import neighbor_sample, random_walks
 from torcdb_spark.operators.topk import topk_per_group
+from torcdb_spark.operators.bloom import (
+    bloom_build,
+    bloom_merge,
+    bloom_might_contain,
+)
+from torcdb_spark.operators.theta import (
+    kmv_estimate,
+    kmv_intersect_estimate,
+    kmv_sketch,
+)
+from torcdb_spark.operators.funnel import cohort_retention, funnel_stages
+from torcdb_spark.operators.er import blocked_levenshtein_pairs
+from torcdb_spark.operators.timeseries import trailing_zscore
+from torcdb_spark.operators.text import repetition_signals
 from torcdb_spark.operators.zorder import (
     zorder_cell_stats,
     zorder_code,
@@ -71,4 +85,15 @@ __all__ = [
     "tfidf",
     "token_count",
     "topk_per_group",
+    "bloom_build",
+    "bloom_merge",
+    "bloom_might_contain",
+    "kmv_estimate",
+    "kmv_intersect_estimate",
+    "kmv_sketch",
+    "cohort_retention",
+    "funnel_stages",
+    "blocked_levenshtein_pairs",
+    "trailing_zscore",
+    "repetition_signals",
 ]

@@ -546,7 +546,14 @@ def pq_topk(
                     codes[:, s] = d2.argmin(1)
                 out = {"_id": pdf["_id"].to_numpy()}
                 if lloyd:
-                    out["_v"] = pdf["_v"]
+                    # normalized per-subspace segments: the Lloyd shuffle
+                    # then carries exactly ONE copy of the corpus (m
+                    # segments of d_sub floats each), not m full vectors
+                    out["_segs"] = [
+                        [row[s * d_sub:(s + 1) * d_sub].tolist()
+                         for s in range(m_subspaces)]
+                        for row in mat
+                    ]
                 out["_codes"] = list(codes)
                 yield pd.DataFrame(out)
 
@@ -555,26 +562,36 @@ def pq_topk(
     # one Lloyd refinement: re-assign, then re-mean per (sub, code)
     assigned = train.crossJoin(F.broadcast(packed0)).mapInPandas(
         encode_factory(lloyd=True),
-        "_id long, _v array<float>, _codes array<long>",
+        "_id long, _segs array<array<double>>, _codes array<long>",
     )
 
     def refine(pdf: pd.DataFrame) -> pd.DataFrame:
-        mat = norm_rows(np.asarray(pdf["_v"].tolist(), dtype=np.float64))
-        d_sub = mat.shape[1] // m_subspaces
-        s = int(pdf["_s"].iloc[0])
-        cid = int(pdf["_cid"].iloc[0])
-        seg = mat[:, s * d_sub:(s + 1) * d_sub].mean(axis=0)
-        return pd.DataFrame([{"_sub": s, "_cid": cid, "_mean": seg.tolist()}])
+        seg = np.asarray(pdf["_seg"].tolist(), dtype=np.float64).mean(axis=0)
+        return pd.DataFrame([{
+            "_sub": int(pdf["_s"].iloc[0]),
+            "_cid": int(pdf["_cid"].iloc[0]),
+            "_mean": seg.tolist(),
+        }])
 
-    exploded = assigned.select(
-        "_id", "_v", F.posexplode("_codes").alias("_s", "_cid")
+    exploded = (
+        assigned.select(
+            "_id", F.posexplode(F.arrays_zip("_codes", "_segs")).alias("_s", "_z")
+        )
+        .select(
+            "_s",
+            F.col("_z._codes").alias("_cid"),
+            F.col("_z._segs").alias("_seg"),
+        )
     )
     cents1 = exploded.groupBy("_s", "_cid").applyInPandas(
         refine, "_sub long, _cid long, _mean array<double>"
     )
+    # the packed codebook is one tiny row consumed by three plans (corpus
+    # encode, query LUTs, and transitively the re-rank); the eager
+    # localCheckpoint materializes training ONCE instead of per consumer
     packed = cents1.groupBy().agg(
         F.collect_list(F.struct("_sub", "_cid", "_mean")).alias("_cents")
-    )
+    ).localCheckpoint(eager=True)
 
     codes = c.crossJoin(F.broadcast(packed)).mapInPandas(
         encode_factory(lloyd=False), "_id long, _codes array<long>"

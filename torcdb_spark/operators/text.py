@@ -407,3 +407,97 @@ def bm25_rank(
         .limit(int(top_k))
         .withColumn("rnk", F.row_number().over(w).cast("long"))
     )
+
+
+def repetition_signals(
+    docs: "DataFrame", text_col: str = "text", id_col: str = "doc_id"
+) -> "DataFrame":
+    """Gopher-style repetition/quality signals per document — the standard
+    pre-training corpus filters for boilerplate and degenerate text (Rae et
+    al. 2021 §A1.1 "repetition" heuristics), defined over whitespace word
+    tokens so every measure is deterministic integer arithmetic an external
+    SQL oracle replicates exactly:
+
+    - ``word_rep_ratio``  = 1 − distinct_words/words (token-level repetition)
+    - ``top2_gram``/``top2_frac``: the most frequent word 2-gram (ties →
+      lexicographically greatest) and the fraction of non-space characters
+      its occurrences cover
+    - ``dup5_frac``: fraction of 5-gram character mass (non-space chars,
+      every occurrence counted) held by 5-grams that occur more than once
+
+    Zero shuffle: per-row array expressions only (n-gram counting is an
+    O(distinct·total) in-row scan over ~100-word documents), so the
+    operator scales embarrassingly with partitions at 100 TB — there is no
+    corpus-wide state, unlike tfidf/bm25."""
+    t = F.trim(F.col(text_col))
+    base = docs.select(
+        F.col(id_col),
+        F.split(t, r"\s+").alias("_w"),
+        F.length(F.regexp_replace(t, r"\s", "")).cast("long").alias("_nsc"),
+    ).select(
+        id_col,
+        "_nsc",
+        F.when(F.col("_nsc") > 0, F.col("_w")).otherwise(
+            F.array().cast("array<string>")
+        ).alias("_w"),
+    )
+
+    def grams(words, k: int):
+        return F.transform(
+            F.sequence(F.lit(1), F.size(words) - (k - 1)),
+            lambda i: F.concat_ws(" ", F.slice(words, i, k)),
+        )
+
+    def gram_cols(df: DataFrame, k: int) -> DataFrame:
+        g = F.when(F.size(F.col("_w")) >= k, grams(F.col("_w"), k)).otherwise(
+            F.array().cast("array<string>")
+        )
+        return df.withColumn(f"_g{k}", g)
+
+    withg = gram_cols(gram_cols(base, 2), 5)
+    g2, g5 = F.col("_g2"), F.col("_g5")
+    d2, d5 = F.array_distinct(g2), F.array_distinct(g5)
+    cnt2 = lambda g: F.size(F.filter(F.col("_g2"), lambda x: x == g))
+    cnt5 = lambda g: F.size(F.filter(F.col("_g5"), lambda x: x == g))
+    nospace = lambda g: F.length(F.regexp_replace(g, " ", ""))
+
+    top2 = F.array_max(
+        F.transform(
+            d2,
+            lambda g: F.struct(
+                cnt2(g).cast("long").alias("c"), g.alias("gram")
+            ),
+        )
+    )
+    tot5 = F.aggregate(
+        g5, F.lit(0).cast("long"), lambda acc, g: acc + nospace(g)
+    )
+    dup5 = F.aggregate(
+        d5,
+        F.lit(0).cast("long"),
+        lambda acc, g: acc
+        + F.when(cnt5(g) > 1, cnt5(g).cast("long") * nospace(g)).otherwise(
+            F.lit(0).cast("long")
+        ),
+    )
+    n_words = F.size(F.col("_w")).cast("long")
+    n_distinct = F.size(F.array_distinct(F.col("_w"))).cast("long")
+    return withg.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        F.when(
+            n_words > 0,
+            F.round((n_words - n_distinct) / n_words.cast("double"), 6),
+        ).otherwise(F.lit(0.0)).alias("word_rep_ratio"),
+        top2["gram"].alias("top2_gram"),
+        F.when(
+            (F.col("_nsc") > 0) & top2["gram"].isNotNull(),
+            F.round(
+                top2["c"] * nospace(top2["gram"]) / F.col("_nsc").cast("double"),
+                6,
+            ),
+        ).otherwise(F.lit(0.0)).alias("top2_frac"),
+        F.when(
+            tot5 > 0, F.round(dup5 / tot5.cast("double"), 6)
+        ).otherwise(F.lit(0.0)).alias("dup5_frac"),
+    )

@@ -94,3 +94,51 @@ def gap_fill(
         for c in value_cols:
             dense = dense.withColumn(c, F.last(F.col(c), ignorenulls=True).over(win))
     return dense
+
+
+def trailing_zscore(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    window_days: int = 7,
+    z_threshold: float = 2.0,
+) -> DataFrame:
+    """Trailing-window anomaly detection over a daily series →
+    (key…, day, total, z, is_anomaly).
+
+    Per key: daily totals (rounded to 2 so the aggregation is
+    float-stable), then for each day a z-score against the TRAILING
+    ``window_days`` days (exclusive of the current day — the detector must
+    not see the point it scores). Days without a full trailing window get
+    z NULL / is_anomaly false rather than a noisy early estimate.
+
+    One shuffle to the daily grain, one window sort per key — the window
+    state is ``window_days`` floats per key, so the operator streams at
+    100 TB (and is exactly the shape Structured Streaming's
+    ``applyInPandasWithState`` version would hold as state)."""
+    daily = (
+        df.groupBy(
+            *key_cols, F.to_date(F.col(ts_col)).alias("day")
+        )
+        .agg(F.round(F.sum(value_col), 2).alias("total"))
+    )
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy("day")
+        .rowsBetween(-window_days, -1)
+    )
+    mu = F.avg("total").over(w)
+    sd = F.stddev_samp("total").over(w)
+    n = F.count("total").over(w)
+    z = F.when(
+        (n == window_days) & (sd > 0),
+        F.round((F.col("total") - mu) / sd, 4),
+    )
+    return daily.select(
+        *key_cols,
+        "day",
+        "total",
+        z.alias("z"),
+        F.coalesce(F.abs(z) > z_threshold, F.lit(False)).alias("is_anomaly"),
+    )

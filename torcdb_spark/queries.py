@@ -4956,3 +4956,328 @@ def ws1_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         id_lower(F.col("dst")).alias("dst_key"),
         "rk",
     )
+
+
+@_register(
+    "d16_repetition_signals",
+    r"""WITH base AS (
+         SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w,
+                length(regexp_replace(trim(text), '\s', '', 'g')) AS nsc
+         FROM documents
+       ),
+       b2 AS (SELECT doc_id, CASE WHEN nsc > 0 THEN w ELSE [] END AS w, nsc
+              FROM base),
+       g2 AS (SELECT doc_id, w[i] || ' ' || w[i+1] AS gram
+              FROM b2, UNNEST(generate_series(1, len(w)-1)) AS t(i)),
+       c2 AS (SELECT doc_id, gram, COUNT(*) AS c FROM g2 GROUP BY 1, 2),
+       t2 AS (SELECT doc_id, gram, c,
+              ROW_NUMBER() OVER (PARTITION BY doc_id
+                                 ORDER BY c DESC, gram DESC) AS rn FROM c2),
+       g5 AS (SELECT doc_id,
+                     w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4]
+                       AS gram
+              FROM b2, UNNEST(generate_series(1, len(w)-4)) AS t(i)),
+       c5 AS (SELECT doc_id, gram, COUNT(*) AS c,
+                     length(replace(gram, ' ', '')) AS ln
+              FROM g5 GROUP BY 1, 2),
+       a5 AS (SELECT doc_id, SUM(c*ln) AS tot5,
+                     SUM(CASE WHEN c > 1 THEN c*ln ELSE 0 END) AS dup5
+              FROM c5 GROUP BY 1)
+       SELECT b2.doc_id,
+              CAST(len(w) AS BIGINT) AS n_words,
+              CASE WHEN len(w) > 0
+                   THEN round((len(w) - len(list_distinct(w)))
+                              / CAST(len(w) AS DOUBLE), 6)
+                   ELSE 0.0 END AS word_rep_ratio,
+              t2.gram AS top2_gram,
+              CASE WHEN nsc > 0 AND t2.gram IS NOT NULL
+                   THEN round(t2.c * length(replace(t2.gram, ' ', ''))
+                              / CAST(nsc AS DOUBLE), 6)
+                   ELSE 0.0 END AS top2_frac,
+              CASE WHEN COALESCE(a5.tot5, 0) > 0
+                   THEN round(a5.dup5 / CAST(a5.tot5 AS DOUBLE), 6)
+                   ELSE 0.0 END AS dup5_frac
+       FROM b2
+       LEFT JOIN t2 ON t2.doc_id = b2.doc_id AND t2.rn = 1
+       LEFT JOIN a5 ON a5.doc_id = b2.doc_id""",
+)
+def d16_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters (operators/text.py
+    repetition_signals): word-repetition ratio, top word-2-gram character
+    fraction, duplicated-5-gram character fraction — the pre-training
+    corpus quality heuristics (Rae et al. 2021). Per-row array expressions
+    only (zero shuffle, no corpus state); the oracle regenerates every
+    measure relationally via UNNEST + GROUP BY."""
+    from torcdb_spark.operators.text import repetition_signals
+
+    docs = load_table(spark, sf_dir, "documents")
+    return repetition_signals(docs)
+
+
+# ---------------------------------------------------------------------------
+# round-4 extension families: behavioral analytics (funnel/cohort/anomaly),
+# membership + theta sketches, blocked entity resolution, HITS
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "fu1_funnel_stages",
+    """WITH t1 AS (SELECT user_id, min(ts) AS t1 FROM events
+                   WHERE event_type = 'view' GROUP BY 1),
+       t2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+              JOIN t1 ON e.user_id = t1.user_id
+              WHERE e.event_type = 'click' AND e.ts > t1.t1
+                AND e.ts <= t1.t1 + INTERVAL 1 DAY GROUP BY 1),
+       t3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+              JOIN t2 ON e.user_id = t2.user_id
+              JOIN t1 ON e.user_id = t1.user_id
+              WHERE e.event_type = 'purchase' AND e.ts > t2.t2
+                AND e.ts <= t1.t1 + INTERVAL 1 DAY GROUP BY 1)
+       SELECT 'view' AS stage, CAST(1 AS BIGINT) AS stage_idx,
+              (SELECT CAST(count(*) AS BIGINT) FROM t1) AS users
+       UNION ALL SELECT 'click', 2, (SELECT count(*) FROM t2)
+       UNION ALL SELECT 'purchase', 3, (SELECT count(*) FROM t3)""",
+)
+def fu1_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view→click→purchase within 1 day of the
+    first view (operators/funnel.py funnel_stages): chained conditional
+    window-mins over ONE user-key exchange — no event-table self-joins.
+    The oracle spells the same earliest-qualifying-event semantics as
+    chained min-aggregate CTEs."""
+    from torcdb_spark.operators.funnel import funnel_stages
+
+    ev = load_table(spark, sf_dir, "events")
+    return funnel_stages(ev, ["view", "click", "purchase"])
+
+
+@_register(
+    "co1_cohort_retention",
+    """WITH f AS (SELECT user_id, min(ts) AS first_ts FROM events GROUP BY 1),
+       c AS (SELECT user_id, CAST(date_trunc('week', first_ts) AS DATE)
+                    AS cohort_week FROM f),
+       a AS (SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE)
+                    AS wk FROM events),
+       j AS (SELECT cohort_week,
+                    CAST(FLOOR(date_diff('day', cohort_week, wk) / 7.0)
+                         AS BIGINT) AS week_offset,
+                    a.user_id
+             FROM a JOIN c ON a.user_id = c.user_id)
+       SELECT cohort_week, week_offset,
+              CAST(count(DISTINCT user_id) AS BIGINT) AS users
+       FROM j WHERE week_offset <= 8 GROUP BY 1, 2""",
+)
+def co1_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix (operators/funnel.py
+    cohort_retention): cohort = Monday-week of a user's first event,
+    retention = distinct users active k weeks later. Integer-exact
+    (both endpoints week-truncated, offsets are whole weeks)."""
+    from torcdb_spark.operators.funnel import cohort_retention
+
+    ev = load_table(spark, sf_dir, "events")
+    return cohort_retention(ev)
+
+
+@_register(
+    "ts3_zscore_anomalies",
+    """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                             round(sum(value), 2) AS total
+                      FROM events GROUP BY 1, 2),
+       w AS (SELECT event_type, day, total,
+                    avg(total) OVER tw AS mu,
+                    stddev_samp(total) OVER tw AS sd,
+                    count(total) OVER tw AS n
+             FROM daily
+             WINDOW tw AS (PARTITION BY event_type ORDER BY day
+                           ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+       SELECT event_type, day, total,
+              CASE WHEN n = 7 AND sd > 0
+                   THEN round((total - mu) / sd, 4) END AS z,
+              COALESCE(abs(CASE WHEN n = 7 AND sd > 0
+                                THEN round((total - mu) / sd, 4) END) > 2.0,
+                       FALSE) AS is_anomaly
+       FROM w""",
+)
+def ts3_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window anomaly detection (operators/timeseries.py
+    trailing_zscore): per event type, each day's total scored against the
+    trailing 7 observations (exclusive) — z NULL until a full window
+    exists. One shuffle to the daily grain + one window sort per key; the
+    streaming-state analogue holds 7 floats per key."""
+    from torcdb_spark.operators.timeseries import trailing_zscore
+
+    ev = load_table(spark, sf_dir, "events")
+    return trailing_zscore(ev, ["event_type"])
+
+
+@_register(
+    "er1_part_name_pairs",
+    """WITH reps AS (SELECT min(p_partkey) AS id, p_name AS name
+                     FROM part GROUP BY p_name)
+       SELECT a.id AS id_a, b.id AS id_b, a.name AS name_a, b.name AS name_b,
+              CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
+       FROM reps a JOIN reps b
+         ON split_part(a.name, ' ', 2) = split_part(b.name, ' ', 2)
+        AND a.id < b.id
+       WHERE levenshtein(a.name, b.name) <= 2""",
+)
+def er1_part_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked entity resolution over part names (operators/er.py
+    blocked_levenshtein_pairs): canonicalize to one representative per
+    distinct name (min key), block on the name's noun (second token), and
+    verify candidates with Levenshtein ≤ 2 — 'cold plate' ↔ 'old plate'.
+    The block key bounds the quadratic verify to within-noun pairs; the
+    oracle replays the identical blocking + distance relationally."""
+    from torcdb_spark.operators.er import blocked_levenshtein_pairs
+
+    part = load_table(spark, sf_dir, "part")
+    reps = part.groupBy(F.col("p_name").alias("name")).agg(
+        F.min("p_partkey").alias("id")
+    )
+    return blocked_levenshtein_pairs(
+        reps, "id", "name", F.split(F.col("name"), " ")[1], max_distance=2
+    )
+
+
+@_register(
+    "bl1_bloom_semijoin",
+    __import__("torcdb_spark.operators.bloom", fromlist=["bloom_oracle_sql"])
+    .bloom_oracle_sql(
+        "SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'",
+        "c_custkey",
+        "SELECT DISTINCT o_custkey FROM orders",
+        "o_custkey",
+        m_bits=65536, d=3, seed=0,
+    ),
+)
+def bl1_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-pruned semi-join audit (operators/bloom.py): build a 64 Kbit
+    d=3 filter over BUILDING customers' keys, probe every distinct
+    order-placing customer, and report (n_probed, n_pass, n_true,
+    n_false_pos) — proving the no-false-negative contract and the exact
+    filter contents against an oracle that rebuilds the identical bit
+    array in SQL. At 100 TB the filter rides a broadcast and prunes the
+    big side map-side before the real join's shuffle."""
+    from torcdb_spark.operators.bloom import bloom_build, bloom_might_contain
+
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    build = cust.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    probes = orders.select(F.col("o_custkey")).dropDuplicates()
+    bloom = bloom_build(build, "c_custkey", m_bits=65536, d=3)
+    checked = bloom_might_contain(bloom, probes, "o_custkey", m_bits=65536, d=3)
+    truth = checked.join(
+        build.dropDuplicates().withColumn("_actual", F.lit(True)),
+        checked["o_custkey"] == F.col("c_custkey"),
+        "left",
+    ).select(
+        "might_contain", F.coalesce(F.col("_actual"), F.lit(False)).alias("_actual")
+    )
+    return truth.agg(
+        F.count("*").cast("long").alias("n_probed"),
+        F.sum(F.col("might_contain").cast("int")).cast("long").alias("n_pass"),
+        F.sum(F.col("_actual").cast("int")).cast("long").alias("n_true"),
+        F.sum(
+            (F.col("might_contain") & ~F.col("_actual")).cast("int")
+        ).cast("long").alias("n_false_pos"),
+    )
+
+
+def _kmv_u_sql(key: str, seed: int = 0) -> str:
+    return (
+        f"(CAST(('0x' || substring(md5(CAST({key} AS VARCHAR) || ':{seed}'), "
+        f"1, 13)) AS BIGINT) + 1.0) / 4503599627370497.0"
+    )
+
+
+@_register(
+    "th1_kmv_distinct",
+    f"""WITH hashed AS (SELECT DISTINCT c_mktsegment,
+                               {_kmv_u_sql('c_custkey')} AS u
+                        FROM customer),
+       rk AS (SELECT c_mktsegment, u,
+                     row_number() OVER (PARTITION BY c_mktsegment
+                                        ORDER BY u) AS rk
+              FROM hashed),
+       sk AS (SELECT * FROM rk WHERE rk <= 128),
+       agg AS (SELECT c_mktsegment, count(*) AS n, max(u) AS uk
+               FROM sk GROUP BY 1)
+       SELECT c_mktsegment,
+              round(CASE WHEN n < 128 THEN CAST(n AS DOUBLE)
+                         ELSE 127 / uk END, 4) AS est_distinct
+       FROM agg""",
+)
+def th1_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-count sketch per market segment (operators/theta.py):
+    k=128 minimum md5-hash values per segment → (k-1)/u_k estimate
+    (exact count when unsaturated — the sf0.001 fixture exercises that
+    path, sf0.1 the saturated one). Deterministic hashing makes the
+    ESTIMATE itself oracle-reproducible, not merely its error bound."""
+    from torcdb_spark.operators.theta import kmv_estimate, kmv_sketch
+
+    cust = load_table(spark, sf_dir, "customer")
+    sk = kmv_sketch(cust, "c_custkey", ["c_mktsegment"], k=128)
+    return kmv_estimate(sk, ["c_mktsegment"], k=128)
+
+
+@_register(
+    "th2_kmv_intersection",
+    f"""WITH a_h AS (SELECT DISTINCT {_kmv_u_sql('o_custkey')} AS u
+                     FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'),
+       b_h AS (SELECT DISTINCT {_kmv_u_sql('o_custkey')} AS u
+               FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01'),
+       a_s AS (SELECT u FROM (SELECT u, row_number() OVER (ORDER BY u) AS rk
+                              FROM a_h) WHERE rk <= 128),
+       b_s AS (SELECT u FROM (SELECT u, row_number() OVER (ORDER BY u) AS rk
+                              FROM b_h) WHERE rk <= 128),
+       th AS (SELECT least(
+                (SELECT CASE WHEN count(*) >= 128 THEN max(u) ELSE 1.0 END
+                 FROM a_s),
+                (SELECT CASE WHEN count(*) >= 128 THEN max(u) ELSE 1.0 END
+                 FROM b_s)) AS theta),
+       common AS (SELECT u FROM a_s WHERE u IN (SELECT u FROM b_s))
+       SELECT round(
+                (SELECT count(*) FROM common, th WHERE u < theta)
+                / (SELECT theta FROM th), 4) AS est_intersection""",
+)
+def th2_kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch set intersection (operators/theta.py
+    kmv_intersect_estimate): estimated overlap between customers ordering
+    before vs since 1998, from two k=128 KMV sketches — θ = min of the
+    sketch thresholds, |common below θ| / θ. The 100 TB answer to
+    'how many users are in both cohorts' without a distinct-join of the
+    full sets; deterministic hashing → exact-value oracle."""
+    from torcdb_spark.operators.theta import kmv_intersect_estimate, kmv_sketch
+
+    orders = load_table(spark, sf_dir, "orders")
+    cutoff = F.lit("1998-01-01").cast("timestamp")
+    a = kmv_sketch(
+        orders.where(F.col("o_orderdate") < cutoff), "o_custkey", k=128
+    )
+    b = kmv_sketch(
+        orders.where(F.col("o_orderdate") >= cutoff), "o_custkey", k=128
+    )
+    return kmv_intersect_estimate(a, b, k=128)
+
+
+@_register("g_hits_parts")  # iterative float fixpoint: rows-only check
+# (exact agreement with a dense numpy power iteration is pytest-proven on a
+# constructed graph, tests/test_analytics.py)
+def g_hits_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs/authorities (analytics.py hits) on the part→supplier
+    supply graph derived from lineitem: parts that buy from well-connected
+    suppliers score as hubs, suppliers covering many strong parts as
+    authorities — the classic bipartite ranking that plain degree
+    counting misses. Top-10 authorities (score rounded, key tie-break)."""
+    from torcdb_spark.analytics import hits
+
+    li = load_table(spark, sf_dir, "lineitem")
+    e = li.select(
+        F.concat(F.lit("p"), F.col("l_partkey")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+    ).dropDuplicates()
+    hs = hits(e, num_iter=3, checkpoint_interval=3)
+    return (
+        hs.select("id", F.round(F.col("auth"), 6).alias("auth"))
+        .orderBy(F.desc("auth"), F.asc("id"))
+        .limit(10)
+    )
