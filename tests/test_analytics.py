@@ -281,3 +281,54 @@ def test_hits_matches_numpy_power_iteration(spark):
     for v in ids:
         assert out[v][0] == pytest.approx(h[idx[v]], abs=1e-9)
         assert out[v][1] == pytest.approx(a[idx[v]], abs=1e-9)
+
+
+def test_betweenness_matches_pure_python_brandes(spark):
+    from collections import defaultdict, deque
+
+    from torcdb_spark.analytics import betweenness_sampled
+
+    edges = [
+        (0, 1), (0, 2), (1, 3), (2, 3), (3, 4), (1, 4), (4, 5), (2, 6),
+        (6, 4),
+    ]
+    sources = [0, 1]
+
+    def brandes(edge_list, srcs):
+        adj = defaultdict(list)
+        for s, d in edge_list:
+            adj[s].append(d)
+        bc = defaultdict(float)
+        for s in srcs:
+            dist = {s: 0}
+            sigma = defaultdict(float)
+            sigma[s] = 1.0
+            order = []
+            q = deque([s])
+            while q:
+                v = q.popleft()
+                order.append(v)
+                for w in adj[v]:
+                    if w not in dist:
+                        dist[w] = dist[v] + 1
+                        q.append(w)
+                    if dist[w] == dist[v] + 1:
+                        sigma[w] += sigma[v]
+            delta = defaultdict(float)
+            for v in reversed(order):
+                for w in adj[v]:
+                    if dist.get(w) == dist[v] + 1:
+                        delta[v] += sigma[v] / sigma[w] * (1 + delta[w])
+                if v != s:
+                    bc[v] += delta[v]
+        return bc
+
+    expected = brandes(edges, sources)
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    sdf = spark.createDataFrame([(s,) for s in sources], ["id"])
+    got = {r.id: r.bc for r in betweenness_sampled(df, sdf).collect()}
+    assert set(got) == {v for v in expected if expected[v] > 0} | {
+        v for v in got
+    }
+    for v, b in got.items():
+        assert b == pytest.approx(expected[v], abs=1e-9), v

@@ -249,3 +249,88 @@ def test_repetition_signals_dup5(spark):
     r = repetition_signals(df).collect()[0]
     assert r.dup5_frac == 1.0
     assert r.word_rep_ratio == pytest.approx(round(11 / 12, 6))
+
+
+# ---------------------------------------------------------------------------
+# SCD Type 2
+# ---------------------------------------------------------------------------
+
+
+def test_scd2_build_hand_computed(spark):
+    from torcdb_spark.operators.scd import scd2_build
+
+    rows = [
+        (1, "A", _ts(1)), (1, "A", _ts(2)), (1, "B", _ts(3)), (1, "A", _ts(4)),
+    ]
+    df = spark.createDataFrame(rows, ["k", "attr", "ts"])
+    out = sorted(
+        (r.attr, str(r.valid_from), str(r.valid_to), r.is_current)
+        for r in scd2_build(df, ["k"], ["attr"]).collect()
+    )
+    assert out == [
+        ("A", "2024-01-01 00:00:00", "2024-01-03 00:00:00", False),
+        ("A", "2024-01-04 00:00:00", "None", True),
+        ("B", "2024-01-03 00:00:00", "2024-01-04 00:00:00", False),
+    ]
+
+
+def test_scd2_build_null_attr_first_row_survives(spark):
+    from pyspark.sql.types import (
+        StringType, StructField, StructType, TimestampType, LongType,
+    )
+
+    from torcdb_spark.operators.scd import scd2_build
+
+    schema = StructType([
+        StructField("k", LongType()), StructField("attr", StringType()),
+        StructField("ts", TimestampType()),
+    ])
+    rows = [(2, None, _ts(1)), (2, None, _ts(2)), (2, "X", _ts(3))]
+    df = spark.createDataFrame(rows, schema)
+    out = sorted(
+        (
+            (r.attr, str(r.valid_from), r.is_current)
+            for r in scd2_build(df, ["k"], ["attr"]).collect()
+        ),
+        key=lambda t: (t[0] is not None, t),
+    )
+    # the NULL first version must survive; the second NULL is a no-op
+    assert out == [
+        (None, "2024-01-01 00:00:00", False),
+        ("X", "2024-01-03 00:00:00", True),
+    ]
+
+
+# ---------------------------------------------------------------------------
+# sessionize
+# ---------------------------------------------------------------------------
+
+
+def test_sessionize_hand_computed(spark):
+    from torcdb_spark.operators.funnel import sessionize
+
+    rows = [
+        (1, _ts(1, 0, 0)), (1, _ts(1, 0, 10)), (1, _ts(1, 0, 50)),
+        (1, _ts(1, 2, 0)),
+        (2, _ts(1, 0, 0)),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts"])
+    out = {
+        (r.user_id, r.session_id): (str(r.session_start), str(r.session_end), r.n_events)
+        for r in sessionize(df, gap_minutes=30).collect()
+    }
+    assert out == {
+        (1, 1): ("2024-01-01 00:00:00", "2024-01-01 00:10:00", 2),
+        (1, 2): ("2024-01-01 00:50:00", "2024-01-01 00:50:00", 1),
+        (1, 3): ("2024-01-01 02:00:00", "2024-01-01 02:00:00", 1),
+        (2, 1): ("2024-01-01 00:00:00", "2024-01-01 00:00:00", 1),
+    }
+
+
+def test_sessionize_gap_boundary_exclusive(spark):
+    from torcdb_spark.operators.funnel import sessionize
+
+    # exactly 30:00 gap does NOT break (strict >)
+    rows = [(1, _ts(1, 0, 0)), (1, _ts(1, 0, 30))]
+    df = spark.createDataFrame(rows, ["user_id", "ts"])
+    assert sessionize(df, gap_minutes=30).count() == 1

@@ -282,3 +282,94 @@ def test_weighted_sample_biases_toward_heavy_edges(spark):
         frontier, edges, "e", fanout=2, weight=F.col("w"), seed=5
     )
     assert a.exceptAll(b2).isEmpty()
+
+
+def test_node2vec_walks_match_pure_python_replay(spark):
+    """Replay the exact second-order rule (md5 uniform → Efraimidis key →
+    argmax with hex(dst) tie-break) in pure Python and require identical
+    walks — the strongest determinism check short of a SQL oracle."""
+    from torcdb_spark.operators.sampling import node2vec_walks
+
+    triples = [
+        (1, 2, "e"), (1, 3, "e"), (2, 1, "e"), (2, 3, "e"), (2, 4, "e"),
+        (3, 4, "e"), (4, 2, "e"), (4, 5, "e"), (3, 1, "e"),
+    ]
+    edges = _mk_edges(spark, triples)
+    starts = spark.createDataFrame(
+        [(bytes([0] * 15 + [1]),), (bytes([0] * 15 + [2]),)], ["id"]
+    )
+    p_, q_, seed, walk_len = 0.5, 2.0, 11, 4
+    out = node2vec_walks(starts, edges, "e", walk_len, p=p_, q=q_, seed=seed)
+    got = {
+        (r.walk_id[-1], r.step): r.vertex[-1] for r in out.collect()
+    }
+
+    adj = {}
+    pairs = set()
+    for s, d, _l in triples:
+        adj.setdefault(s, []).append(d)
+        pairs.add((s, d))
+
+    def hx(v):
+        return bytes([0] * 15 + [v]).hex().upper()
+
+    def uniform(prev, src, dst, step):
+        ph = hx(prev) if prev is not None else "-"
+        h = hashlib.md5(f"{ph}:{hx(src)}:{hx(dst)}:{step}:{seed}".encode()).hexdigest()
+        return (int(h[:13], 16) + 1.0) / float((1 << 52) + 1)
+
+    expect = {}
+    for start in (1, 2):
+        prev, cur = None, start
+        expect[(start, 0)] = start
+        for step in range(1, walk_len + 1):
+            cands = adj.get(cur, [])
+            if not cands:
+                break
+            best = None
+            for x in cands:
+                if prev is not None and x == prev:
+                    w = 1.0 / p_
+                elif prev is not None and (prev, x) in pairs:
+                    w = 1.0
+                else:
+                    w = 1.0 / q_
+                key = uniform(prev, cur, x, step) ** (1.0 / w)
+                cand_key = (key, hx(x))
+                if best is None or cand_key > best[0]:
+                    best = (cand_key, x)
+            prev, cur = cur, best[1]
+            expect[(start, step)] = cur
+    assert got == expect
+
+
+def test_node2vec_p_bias_returns_more(spark):
+    """Across many starts, a tiny p (return-friendly) must produce far
+    more immediate backtracks at step 2 than a huge p."""
+    from torcdb_spark.operators.sampling import node2vec_walks
+
+    # star-ish graph: hub 0 <-> leaves, leaves also chain to each other
+    triples = []
+    for leaf in range(1, 41):
+        triples.append((0, leaf, "e"))
+        triples.append((leaf, 0, "e"))
+        triples.append((leaf, (leaf % 40) + 1, "e"))
+    edges = _mk_edges(spark, triples)
+    starts = spark.createDataFrame(
+        [(bytes([0] * 15 + [v]),) for v in range(1, 41)], ["id"]
+    )
+
+    def backtracks(p):
+        out = node2vec_walks(starts, edges, "e", 2, p=p, q=1.0, seed=3)
+        rows = {(r.walk_id[-1], r.step): r.vertex[-1] for r in out.collect()}
+        # walk start=leaf: step1 either 0 or next leaf; count step2 == start
+        return sum(
+            1 for v in range(1, 41) if rows.get((v, 2)) == v
+        )
+
+    many = backtracks(0.01)   # 1/p = 100: strongly prefer returning
+    few = backtracks(100.0)   # 1/p = 0.01: strongly avoid returning
+    assert many > few
+    # only walks whose step-1 went to the hub CAN backtrack (the leaf
+    # chain is one-directional), i.e. ~20 of 40; near-all of those must
+    assert many >= 12

@@ -41,10 +41,19 @@ from torcdb_spark.operators.theta import (
     kmv_intersect_estimate,
     kmv_sketch,
 )
-from torcdb_spark.operators.funnel import cohort_retention, funnel_stages
+from torcdb_spark.operators.funnel import (
+    cohort_retention,
+    funnel_stages,
+    sessionize,
+)
 from torcdb_spark.operators.er import blocked_levenshtein_pairs
 from torcdb_spark.operators.timeseries import trailing_zscore
 from torcdb_spark.operators.text import repetition_signals
+from torcdb_spark.operators.scd import scd2_build
+from torcdb_spark.operators.sampling import (
+    node2vec_walks,
+    weighted_neighbor_sample,
+)
 from torcdb_spark.operators.zorder import (
     zorder_cell_stats,
     zorder_code,
@@ -96,4 +105,8 @@ __all__ = [
     "blocked_levenshtein_pairs",
     "trailing_zscore",
     "repetition_signals",
+    "sessionize",
+    "scd2_build",
+    "node2vec_walks",
+    "weighted_neighbor_sample",
 ]

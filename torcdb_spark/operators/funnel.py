@@ -111,3 +111,44 @@ def cohort_retention(
         .groupBy("cohort_week", "week_offset")
         .agg(F.count_distinct(F.col(user_col)).cast("long").alias("users"))
     )
+
+
+def sessionize(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Gap-based session assignment → per-session aggregates
+    (user, session_id, session_start, session_end, n_events).
+
+    A new session starts when the gap to the user's previous event exceeds
+    ``gap_minutes``; session_id is the running count of such breaks (so
+    ids are 1,2,… per user in time order — deterministic). This is the
+    batch complement of ``session_window`` streaming aggregation
+    (streaming/jobs.py): identical session boundaries, but it yields the
+    session MEMBERSHIP (event→session assignment), which windowed
+    aggregation cannot return.
+
+    One shuffle on the user key; two window passes over the same
+    partitioning (lag then running sum) — Catalyst reuses the exchange."""
+    w = Window.partitionBy(user_col).orderBy(ts_col)
+    # integer microseconds, not float epoch: exact, and portable to SQL
+    # oracles whose epoch() truncates fractional seconds
+    gap = F.unix_micros(F.col(ts_col)) - F.lag(
+        F.unix_micros(F.col(ts_col))
+    ).over(w)
+    tagged = events.withColumn(
+        "_new",
+        F.when(
+            gap.isNull() | (gap > gap_minutes * 60 * 1_000_000), F.lit(1)
+        ).otherwise(F.lit(0)),
+    ).withColumn(
+        "session_id",
+        F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"),
+    )
+    return tagged.groupBy(user_col, "session_id").agg(
+        F.min(ts_col).alias("session_start"),
+        F.max(ts_col).alias("session_end"),
+        F.count("*").cast("long").alias("n_events"),
+    )

@@ -183,3 +183,93 @@ def weighted_neighbor_sample(
         .where(F.col("_rk") <= fanout)
         .select("src", "dst", F.col("_rk").cast("long").alias("rk"))
     )
+
+
+def node2vec_walks(
+    starts: DataFrame,
+    edges: DataFrame,
+    edge_labels: str | list[str],
+    walk_len: int,
+    p: float = 1.0,
+    q: float = 1.0,
+    seed: int = 0,
+) -> DataFrame:
+    """Second-order (node2vec-style) biased walks → (walk_id, step,
+    vertex): from current vertex v with previous vertex t, a candidate
+    next-hop x is weighted 1/p when x == t (return), 1 when x is also an
+    OUT-neighbor of t (triangle-closing / BFS-like), and 1/q otherwise
+    (outward / DFS-like) — Grover & Leskovec's p/q interpolation between
+    breadth- and depth-biased exploration.
+
+    The weighted draw reuses the Efraimidis–Spirakis key pow(u, 1/w) with
+    the md5 uniform of (prev, cur, cand, step, seed), argmax per walk —
+    deterministic for fixed seed (data-lineage reproducible; the exact
+    rule is replayed in pure Python in pytest), while faithful in
+    distribution across seeds.
+
+    Per step: candidate hop join + ONE flag join against the (deduped)
+    edge pair set to test 'x ∈ N(t)' + one max_by per walk — no per-row
+    neighbor-set materialization, so hub vertices cost what their edge
+    lists cost and nothing more. Frontier never exceeds |starts|."""
+    labels = [edge_labels] if isinstance(edge_labels, str) else list(edge_labels)
+    e = edges.where(F.col("label").isin(labels)).select("src", "dst").dropDuplicates()
+    pair = e.select(
+        F.col("src").alias("_pt"), F.col("dst").alias("_px"),
+        F.lit(True).alias("_common"),
+    )
+    state = starts.select(
+        F.col(starts.columns[0]).alias("walk_id"),
+    ).withColumn("vertex", F.col("walk_id")).withColumn(
+        "prev", F.lit(None).cast(starts.schema[starts.columns[0]].dataType)
+    ).withColumn("step", F.lit(0))
+    out = [state.select("walk_id", "vertex", "step")]
+    cur = state
+    for step in range(1, walk_len + 1):
+        cand = (
+            cur.join(e, cur["vertex"] == e["src"], "inner")
+            .select("walk_id", "prev", "src", "dst")
+        )
+        cand = cand.join(
+            pair,
+            (cand["prev"] == pair["_pt"]) & (cand["dst"] == pair["_px"]),
+            "left",
+        ).select(
+            "walk_id", "prev", "src", "dst",
+            F.coalesce(F.col("_common"), F.lit(False)).alias("_cm"),
+        )
+        wgt = (
+            F.when(F.col("dst").eqNullSafe(F.col("prev")), F.lit(1.0 / p))
+            .when(F.col("_cm"), F.lit(1.0))
+            .otherwise(F.lit(1.0 / q))
+        )
+        u = _uniform(
+            F.concat(
+                F.coalesce(F.hex(F.col("prev")), F.lit("-")), F.lit(":"),
+                F.hex(F.col("src")), F.lit(":"), F.hex(F.col("dst")),
+                F.lit(":"), F.lit(f"{step}:{seed}"),
+            )
+        )
+        key = F.pow(u, F.lit(1.0) / wgt)
+        nxt = (
+            cand.groupBy("walk_id")
+            .agg(
+                F.max_by(
+                    F.struct(F.col("dst"), F.col("src")),
+                    F.struct(key.alias("k"), F.hex(F.col("dst")).alias("h")),
+                ).alias("_pick")
+            )
+            .select(
+                "walk_id",
+                F.col("_pick.dst").alias("vertex"),
+                F.col("_pick.src").alias("prev"),
+            )
+            .withColumn("step", F.lit(step))
+        )
+        cur = nxt
+        out.append(nxt.select("walk_id", "vertex", "step"))
+    res = out[0]
+    for part in out[1:]:
+        res = res.unionByName(part)
+    return res.select(
+        "walk_id", F.col("step").cast("long").alias("step"), "vertex"
+    )

@@ -663,12 +663,11 @@ DRIVER_PRIORITY: list[str] = [
     "a3_subtract",
     "a4_remove_edge_if",
     "a5_keylist",
-    # §2.4 gremlin steps
+    # §2.4 gremlin steps (G1/G2/G3 keep five witnesses; both_e/where_not/
+    # order_by_prop ceded their round-3 slots to round-4 operator families
+    # below and stay covered by the local exact-value gate)
     "g_gremlin_edge_filter",
-    "g_gremlin_both_e",
-    "g_gremlin_where_not",
     "g_gremlin_select",
-    "g_gremlin_order_by_prop",
     "g_gremlin_simple_path",
     "g_gremlin_repeat",
     "g_gremlin_group",
@@ -678,9 +677,8 @@ DRIVER_PRIORITY: list[str] = [
     "g_shortest_paths",
     # §2.4 library steps
     "q_topk_orders_per_customer",
-    # §2.5 relational/OLAP (TPC-H shapes)
+    # §2.5 relational/OLAP (TPC-H shapes; q9 ceded its slot to er1)
     "q1_pricing_summary",
-    "q9_profit_by_nation_year",
     "q18_large_volume_customers",
     # §2.5 temporal extensions (range join + hypertable rollup/gap-fill):
     # displace two of the eight TPC-H witnesses — §2.5-relational keeps six
@@ -696,7 +694,9 @@ DRIVER_PRIORITY: list[str] = [
     "d1_dedup_exact",
     "d2_text_stats",
     "d9_tfidf",
-    "d11_redact_pii",
+    # d11 ceded its slot to d16 (text family keeps three witnesses:
+    # stats, tfidf, repetition; redact_pii stays locally exact-gated)
+    "d16_repetition_signals",
     "d13_dedup_clusters",
     "e1_cosine_topk",
     "e5_label_centroids",
@@ -714,10 +714,16 @@ DRIVER_PRIORITY: list[str] = [
     "gs1_neighbor_sample",     # deterministic graph sampling (md5 oracle)
     "cd1_snapshot_diff",       # CDC snapshot diff
     "ldbc_ic_like_foaf_copurchase",  # 6-hop FOF traversal composite
-    # cms1 takes q2's slot (q1/q9/q18 keep three TPC-H witnesses green):
-    # the frequency sketch is a distinct mergeable-summary family whose
+    # cms1 takes q2's slot (q1/q18 keep TPC-H witnesses green): the
+    # frequency sketch is a distinct mergeable-summary family whose
     # exact-value oracle deserves a hard driver row
     "cms1_frequency_estimates",
+    # round-4 operator families (slots ceded by gremlin both_e/where_not/
+    # order_by_prop, q9, d11 — each a first driver row for a new family):
+    "bl1_bloom_semijoin",      # Bloom membership sketch (exact bit oracle)
+    "th1_kmv_distinct",        # KMV/theta distinct sketch
+    "fu1_funnel_stages",       # behavioral: ordered conversion funnel
+    "er1_part_name_pairs",     # blocked-Levenshtein entity resolution
 ]
 
 
@@ -5281,3 +5287,132 @@ def g_hits_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("auth"), F.asc("id"))
         .limit(10)
     )
+
+
+@_register(
+    "scd1_event_type_history",
+    """WITH feed AS (SELECT user_id, event_type, ts FROM events
+                     WHERE user_id < 100),
+       ordered AS (SELECT user_id, event_type, ts,
+                          lag(event_type) OVER (PARTITION BY user_id
+                                                ORDER BY ts, event_type)
+                            AS prev_et,
+                          row_number() OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_type) AS rn
+                   FROM feed),
+       changed AS (SELECT user_id, event_type, ts FROM ordered
+                   WHERE rn = 1 OR prev_et IS DISTINCT FROM event_type),
+       final AS (SELECT user_id, event_type, ts AS valid_from,
+                        lead(ts) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_type) AS valid_to
+                 FROM changed)
+       SELECT user_id, event_type, valid_from, valid_to,
+              (valid_to IS NULL) AS is_current
+       FROM final""",
+)
+def scd1_event_type_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 history build (operators/scd.py scd2_build): each user's
+    event-type change feed collapsed to versioned validity intervals
+    (valid_from/valid_to, open current row) with consecutive no-op changes
+    dropped — the lakehouse dimension-history pattern. One key-partitioned
+    window; the oracle replays the identical lag/lead algebra."""
+    from torcdb_spark.operators.scd import scd2_build
+
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") < 100)
+    return scd2_build(ev, ["user_id"], ["event_type"], "ts")
+
+
+@_register(
+    "se1_event_sessions",
+    """WITH feed AS (SELECT user_id, ts FROM events WHERE user_id < 50),
+       tagged AS (SELECT user_id, ts,
+                         CASE WHEN lag(ts) OVER w IS NULL
+                                OR date_diff('microsecond',
+                                             lag(ts) OVER w, ts)
+                                   > CAST(120 AS BIGINT) * 60 * 1000000
+                              THEN 1 ELSE 0 END AS brk
+                  FROM feed
+                  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+       sess AS (SELECT user_id, ts,
+                       SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING)
+                         AS session_id
+                FROM tagged)
+       SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+              min(ts) AS session_start, max(ts) AS session_end,
+              CAST(count(*) AS BIGINT) AS n_events
+       FROM sess GROUP BY 1, 2""",
+)
+def se1_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (operators/funnel.py sessionize): a
+    2-hour inactivity gap opens a new session; running-sum session ids,
+    per-session aggregates. The batch complement of the session_window
+    streaming aggregate (st_events_sessions_stream) that also yields
+    event→session MEMBERSHIP. Integer-microsecond gap arithmetic keeps
+    engine and oracle bit-identical."""
+    from torcdb_spark.operators.funnel import sessionize
+
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") < 50)
+    return sessionize(ev, gap_minutes=120)
+
+
+@_register("g_betweenness")  # float dependency accumulation: rows-only
+# (exact agreement with a pure-Python Brandes on a constructed DAG is
+# pytest-proven, tests/test_analytics.py)
+def g_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-sampled Brandes betweenness centrality (analytics.py
+    betweenness_sampled) on the purchase DAG from 8 seed customers:
+    which orders/lineitems sit on the most shortest paths — the
+    bottleneck-detection centrality degree counting can't express.
+    Top-20 by score, rounded, key tie-break."""
+    from torcdb_spark.analytics import betweenness_sampled
+    from torcdb_spark.graph import LABEL_TAGS
+    from torcdb_spark.ids import uint128_pair
+
+    g = _graph(spark, sf_dir)
+    purchase = g.edges.where(
+        F.col("label").isin("placed", "contains", "ofPart")
+    )
+    seeds = spark.createDataFrame(
+        [(uint128_pair(LABEL_TAGS["customer"], k),) for k in range(1, 9)],
+        "id binary",
+    )
+    bc = betweenness_sampled(purchase, seeds, max_depth=6)
+    return (
+        bc.select(
+            id_lower(F.col("id")).alias("vertex_key"),
+            F.round(F.col("bc"), 6).alias("bc"),
+        )
+        .orderBy(F.desc("bc"), F.asc("vertex_key"))
+        .limit(20)
+    )
+
+
+@_register("gs3_node2vec_walks")  # second-order biased draw: rows-only
+# (the exact md5/Efraimidis rule is replayed in pure Python in
+# tests/test_histogram_sampling.py on a constructed graph)
+def gs3_node2vec_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """node2vec-style second-order biased walks (operators/sampling.py
+    node2vec_walks): p=0.5 (return-friendly), q=2 (breadth-leaning) over
+    the purchase DAG from 50 seed customers, walk length 3 — the
+    embedding-training corpus generator. Deterministic md5/Efraimidis
+    draw: reproducible walks, per-step cost = one candidate hop join +
+    one neighbor-flag join."""
+    from torcdb_spark.graph import LABEL_TAGS
+    from torcdb_spark.ids import uint128_pair
+    from torcdb_spark.operators.sampling import node2vec_walks
+
+    g = _graph(spark, sf_dir)
+    seeds = spark.createDataFrame(
+        [(uint128_pair(LABEL_TAGS["customer"], k),) for k in range(1, 51)],
+        "id binary",
+    )
+    walks = node2vec_walks(
+        seeds, g.edges, ["placed", "contains", "ofPart"],
+        walk_len=3, p=0.5, q=2.0, seed=11,
+    )
+    return walks.select(
+        id_lower(F.col("walk_id")).alias("walk_key"),
+        "step",
+        F.hex(F.col("vertex")).alias("vertex_hex"),
+    ).orderBy("walk_key", "step")
