@@ -334,3 +334,114 @@ def test_sessionize_gap_boundary_exclusive(spark):
     rows = [(1, _ts(1, 0, 0)), (1, _ts(1, 0, 30))]
     df = spark.createDataFrame(rows, ["user_id", "ts"])
     assert sessionize(df, gap_minutes=30).count() == 1
+
+
+# ---------------------------------------------------------------------------
+# BPE training / encoding
+# ---------------------------------------------------------------------------
+
+
+def _reference_bpe(word_counts, num_merges):
+    """Plain-Python Sennrich-style BPE on a word-count dict."""
+    state = {tuple(w): n for w, n in word_counts.items()}
+    merges = []
+    for _ in range(num_merges):
+        pairs = {}
+        for syms, n in state.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] = pairs.get(
+                    (syms[i], syms[i + 1]), 0
+                ) + n
+        if not pairs:
+            break
+        # deterministic tie-break: highest count, then lexicographically
+        # smallest (a, b)
+        top = max(pairs.values())
+        best = min(p for p, c in pairs.items() if c == top)
+        merges.append((best[0], best[1], pairs[best]))
+        new_state = {}
+        for syms, n in state.items():
+            out = []
+            i = 0
+            while i < len(syms):
+                if (
+                    i + 1 < len(syms)
+                    and syms[i] == best[0]
+                    and syms[i + 1] == best[1]
+                ):
+                    out.append(syms[i] + syms[i + 1])
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_state[tuple(out)] = new_state.get(tuple(out), 0) + n
+        state = new_state
+    return merges, state
+
+
+def test_bpe_train_matches_reference(spark):
+    from torcdb_spark.operators.bpe import bpe_train
+
+    corpus = (
+        ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3
+    )
+    docs = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(corpus)], ["doc_id", "text"]
+    )
+    got = [
+        (r.left, r.right, r.pair_count)
+        for r in bpe_train(docs, num_merges=6).orderBy("merge_rank").collect()
+    ]
+    counts = {}
+    for w in corpus:
+        counts[w] = counts.get(w, 0) + 1
+    expected, _ = _reference_bpe(counts, 6)
+    assert got == expected
+
+
+def test_bpe_adjacent_merge_left_to_right(spark):
+    # 'aaa' with best pair (a,a): left-to-right non-overlap -> ['aa','a']
+    from torcdb_spark.operators.bpe import bpe_encode, bpe_train
+
+    docs = spark.createDataFrame([(1, "aaa aaa")], ["doc_id", "text"])
+    merges = bpe_train(docs, num_merges=1)
+    m = merges.collect()
+    assert [(r.left, r.right) for r in m] == [("a", "a")]
+    enc = bpe_encode(docs, merges).collect()[0]
+    assert enc.tokens == ["aa", "a", "aa", "a"]
+    assert enc.n_bpe_tokens == 4
+
+
+def test_bpe_encode_roundtrip_concat(spark):
+    from torcdb_spark.operators.bpe import bpe_encode, bpe_train
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(
+            ["spark line column", "sort fast value", "spark sort spark"]
+        )],
+        ["doc_id", "text"],
+    )
+    merges = bpe_train(docs, num_merges=5)
+    enc = bpe_encode(docs, merges)
+    # concatenating a word's tokens must reproduce the word
+    rows = enc.join(docs, "doc_id").collect()
+    for r in rows:
+        assert "".join(r.tokens) == r.text.replace(" ", "")
+
+
+def test_vocab_oov_hand_computed(spark):
+    from torcdb_spark.operators.text import vocab_oov
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a a a b"),   # a x3, b x1
+            (2, "a c"),       # c is OOV with vocab_size=2 (vocab = a, b)
+            (3, ""),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in vocab_oov(docs, vocab_size=2).collect()}
+    # counts: a=4, b=1, c=1 -> vocab (count desc, term asc) = {a, b}
+    assert out[1].n_tokens == 4 and out[1].oov_frac == 0.0
+    assert out[2].n_tokens == 2 and out[2].oov_frac == 0.5
+    assert 3 not in out  # blank doc contributes no tokens

@@ -50,6 +50,8 @@ from torcdb_spark.operators.er import blocked_levenshtein_pairs
 from torcdb_spark.operators.timeseries import trailing_zscore
 from torcdb_spark.operators.text import repetition_signals
 from torcdb_spark.operators.scd import scd2_build
+from torcdb_spark.operators.bpe import bpe_encode, bpe_train
+from torcdb_spark.operators.text import vocab_oov
 from torcdb_spark.operators.sampling import (
     node2vec_walks,
     weighted_neighbor_sample,
@@ -109,4 +111,7 @@ __all__ = [
     "scd2_build",
     "node2vec_walks",
     "weighted_neighbor_sample",
+    "bpe_encode",
+    "bpe_train",
+    "vocab_oov",
 ]

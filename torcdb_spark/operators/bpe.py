@@ -1,0 +1,198 @@
+"""Distributed BPE (byte-pair encoding) merge training — the tokenizer-
+vocabulary learner every LLM data pipeline runs over its corpus.
+
+Formulation (Sennrich et al. 2016, word-dictionary variant): collapse the
+corpus to a (word, count) dictionary, split words into character symbols,
+then repeatedly (a) count adjacent symbol pairs weighted by word count,
+(b) take the most frequent pair (count desc, then lexicographic — fully
+deterministic), (c) merge its adjacent occurrences left-to-right.
+
+Scale shape: the corpus is touched ONCE (the word-count shuffle); every
+merge round then runs over the distinct-word dictionary only — bounded by
+vocabulary size, not corpus size, which is what makes BPE trainable at
+100 TB. Per round: one explode+groupBy over the dictionary, a 1-row argmax
+(TakeOrdered) broadcast into the update, and a JVM string replace — no
+Python UDFs anywhere.
+
+Merge application trick: the symbol sequence is kept as a single string
+with every symbol wrapped as ``\\x01 sym \\x02``. The pair (a, b) then
+merges via one literal ``replace`` of ``\\x01a\\x02\\x01b\\x02`` with
+``\\x01ab\\x02``: wrappers make matches alignment-safe (no cross-symbol
+false hits) AND adjacent matches share no characters, so Java's
+left-to-right non-overlapping replace applies exactly BPE's merge order
+(``aaa`` with pair (a,a) → ``aa,a``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_L = "\x01"
+_R = "\x02"
+
+
+def _wrap_chars(word: Column) -> Column:
+    """'low' → '\\x01l\\x02\\x01o\\x02\\x01w\\x02'."""
+    return F.aggregate(
+        F.split(word, ""),
+        F.lit(""),
+        lambda acc, ch: F.concat(acc, F.lit(_L), ch, F.lit(_R)),
+    )
+
+
+def _symbols(wrapped: Column) -> Column:
+    """Wrapped string → array of symbols."""
+    inner = F.regexp_replace(wrapped, f"^{_L}|{_R}$", "")
+    return F.split(inner, f"{_R}{_L}")
+
+
+def bpe_train(
+    docs: DataFrame,
+    num_merges: int = 10,
+    text_col: str = "text",
+) -> DataFrame:
+    """Learn ``num_merges`` BPE merges → (merge_rank, left, right, merged,
+    pair_count), ordered by rank. Deterministic: ties in pair frequency
+    break lexicographically on (left, right).
+
+    Stops early (fewer rows than ``num_merges``) when no adjacent pair
+    remains."""
+    words = (
+        docs.select(
+            F.explode(
+                F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+            ).alias("w")
+        )
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    state = words.select(
+        _wrap_chars(F.col("w")).alias("s"), F.col("n")
+    ).localCheckpoint(eager=True)
+
+    merges = []
+    for rank in range(1, num_merges + 1):
+        toks = F.col("_toks")
+        pairs = (
+            state.withColumn("_toks", _symbols(F.col("s")))
+            .select(
+                "n",
+                F.explode(
+                    F.when(
+                        F.size(toks) >= 2,
+                        F.transform(
+                            F.sequence(F.lit(1), F.size(toks) - 1),
+                            lambda i: F.struct(
+                                F.element_at(toks, i).alias("a"),
+                                F.element_at(toks, (i + 1).cast("int")).alias("b"),
+                            ),
+                        ),
+                    ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+                ).alias("_p"),
+            )
+            .groupBy(F.col("_p.a").alias("a"), F.col("_p.b").alias("b"))
+            .agg(F.sum("n").alias("cnt"))
+        )
+        best = pairs.orderBy(F.desc("cnt"), F.asc("a"), F.asc("b")).limit(1)
+        best_rows = best.collect()  # 1 row: the argmax IS the result datum
+        if not best_rows:
+            break
+        a, b, cnt = best_rows[0].a, best_rows[0].b, best_rows[0].cnt
+        merges.append((rank, a, b, a + b, cnt))
+        target = f"{_L}{a}{_R}{_L}{b}{_R}"
+        repl = f"{_L}{a}{b}{_R}"
+        state = state.select(
+            F.replace(F.col("s"), F.lit(target), F.lit(repl)).alias("s"), "n"
+        ).localCheckpoint(eager=True)
+
+    spark = docs.sparkSession
+    return spark.createDataFrame(
+        merges, "merge_rank long, left string, right string, merged string, pair_count long"
+    )
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply a learned merge table → (id, tokens array, n_bpe_tokens):
+    replay the merges in rank order on every word. The merge table is
+    driver-side-small by construction (``num_merges`` rows — it IS the
+    vocabulary artifact), so it folds into the plan as a chain of literal
+    replaces: zero joins, zero shuffles, whole-stage codegen end to end."""
+    ordered = [
+        (r.left, r.right) for r in merges.orderBy("merge_rank").collect()
+    ]
+    out_tokens = F.transform(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+        lambda wd: _apply_merges(wd, ordered),
+    )
+    flat = F.flatten(out_tokens)
+    return docs.select(
+        F.col(id_col),
+        flat.alias("tokens"),
+        F.size(flat).cast("long").alias("n_bpe_tokens"),
+    )
+
+
+def _apply_merges(word: Column, ordered: list[tuple[str, str]]) -> Column:
+    s = _wrap_chars(word)
+    for a, b in ordered:
+        s = F.replace(
+            s, F.lit(f"{_L}{a}{_R}{_L}{b}{_R}"), F.lit(f"{_L}{a}{b}{_R}")
+        )
+    return _symbols(s)
+
+
+def bpe_oracle_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    num_merges: int = 8,
+) -> str:
+    """The identical trainer unrolled in SQL: every merge round is a CTE
+    block (pair counts → deterministic argmax → literal replace with the
+    argmax pattern as a scalar subquery), so the oracle reproduces the
+    EXACT merge table — BPE training verified end-to-end relationally,
+    not just spot-checked. Assumes the corpus supports ``num_merges``
+    rounds (the fixture does; ``bpe_train`` itself stops early)."""
+    l, r = "chr(1)", "chr(2)"
+    blocks = [f"""state_0 AS MATERIALIZED (
+         SELECT list_aggregate(
+                  list_transform(string_split(w, ''),
+                                 ch -> {l} || ch || {r}),
+                  'string_agg', '') AS s,
+                n
+         FROM (SELECT w, CAST(count(*) AS BIGINT) AS n
+               FROM (SELECT unnest(regexp_split_to_array(
+                              lower(trim({text_col})), '\\s+')) AS w
+                     FROM {table})
+               WHERE w <> '' GROUP BY w))"""]
+    for i in range(1, num_merges + 1):
+        p = i - 1
+        blocks.append(f"""toks_{i} AS MATERIALIZED (
+         SELECT n, string_split(
+                  regexp_replace(s, '^' || {l} || '|' || {r} || '$', '', 'g'),
+                  {r} || {l}) AS t
+         FROM state_{p}),
+       pairs_{i} AS MATERIALIZED (
+         SELECT t[j] AS a, t[j+1] AS b, SUM(n) AS cnt
+         FROM toks_{i}, UNNEST(generate_series(1, len(t)-1)) AS u(j)
+         GROUP BY 1, 2),
+       best_{i} AS MATERIALIZED (
+         SELECT a, b, cnt FROM pairs_{i}
+         ORDER BY cnt DESC, a, b LIMIT 1),
+       state_{i} AS MATERIALIZED (
+         SELECT replace(s,
+                  (SELECT {l}||a||{r}||{l}||b||{r} FROM best_{i}),
+                  (SELECT {l}||a||b||{r} FROM best_{i})) AS s, n
+         FROM state_{p})""")
+    finals = " UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS merge_rank, a AS left_sym, "
+        f"b AS right_sym, a||b AS merged, cnt AS pair_count FROM best_{i}"
+        for i in range(1, num_merges + 1)
+    )
+    return "WITH " + ",\n       ".join(blocks) + f"\n       {finals}"

@@ -501,3 +501,44 @@ def repetition_signals(
             tot5 > 0, F.round(dup5 / tot5.cast("double"), 6)
         ).otherwise(F.lit(0.0)).alias("dup5_frac"),
     )
+
+
+def vocab_oov(
+    docs: "DataFrame",
+    vocab_size: int = 1000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> "DataFrame":
+    """Corpus vocabulary coverage → (id, n_tokens, oov_frac): build the
+    top-``vocab_size`` term vocabulary (count desc, term asc tie-break)
+    over lowercased whitespace tokens, then score every document's
+    out-of-vocabulary token fraction — the coverage diagnostic run before
+    committing to a tokenizer/vocab on a new corpus.
+
+    Two passes, both scale-shaped: term counts are one partial-aggregated
+    shuffle; the vocabulary is a distributed TakeOrdered (top-V never
+    sorts the full term table) and rides a broadcast into the per-document
+    scoring join. OOV aggregation is keyed on the document id — map-side
+    combinable, skew-free."""
+    toks = docs.where(F.trim(F.col(text_col)) != "").select(
+        F.col(id_col),
+        F.explode(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+        ).alias("term"),
+    )
+    vocab = (
+        toks.groupBy("term")
+        .agg(F.count("*").alias("_n"))
+        .orderBy(F.desc("_n"), F.asc("term"))
+        .limit(int(vocab_size))
+        .select("term", F.lit(True).alias("_in_vocab"))
+    )
+    scored = toks.join(F.broadcast(vocab), "term", "left")
+    return scored.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.round(
+            F.sum(F.when(F.col("_in_vocab").isNull(), 1).otherwise(0))
+            / F.count("*"),
+            6,
+        ).alias("oov_frac"),
+    )

@@ -5416,3 +5416,197 @@ def gs3_node2vec_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
         "step",
         F.hex(F.col("vertex")).alias("vertex_hex"),
     ).orderBy("walk_key", "step")
+
+
+@_register(
+    "d17_vocab_oov",
+    r"""WITH toks AS (SELECT doc_id,
+                unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+              FROM documents WHERE trim(text) <> ''),
+       vocab AS (SELECT term FROM (
+                   SELECT term,
+                          row_number() OVER (ORDER BY count(*) DESC, term)
+                            AS rk
+                   FROM toks GROUP BY term) WHERE rk <= 16),
+       flagged AS (SELECT t.doc_id, t.term,
+                          (v.term IS NOT NULL) AS in_vocab
+                   FROM toks t LEFT JOIN vocab v ON t.term = v.term)
+       SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+              round(sum(CASE WHEN in_vocab THEN 0 ELSE 1 END)
+                    / CAST(count(*) AS DOUBLE), 6) AS oov_frac
+       FROM flagged GROUP BY doc_id""",
+)
+def d17_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage / OOV-rate diagnostic (operators/text.py
+    vocab_oov): top-16 corpus vocabulary (count desc, term tie-break) via
+    distributed TakeOrdered — never a full sort — broadcast into per-doc
+    out-of-vocabulary scoring. The go/no-go check before fixing a
+    tokenizer vocab on a new corpus."""
+    from torcdb_spark.operators.text import vocab_oov
+
+    docs = load_table(spark, sf_dir, "documents")
+    return vocab_oov(docs, vocab_size=16)
+
+
+def _aqp_u_sql() -> str:
+    key = (
+        "CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_partkey AS VARCHAR)"
+        " || ':' || CAST(l_suppkey AS VARCHAR) || ':' ||"
+        " CAST(l_linenumber AS VARCHAR)"
+    )
+    return (
+        f"(CAST(('0x' || substring(md5({key} || ':17'), 1, 13)) AS BIGINT)"
+        f" + 1.0) / 4503599627370497.0"
+    )
+
+
+@_register(
+    "q_aqp_sampled_revenue",
+    f"""WITH sampled AS (
+         SELECT l_suppkey,
+                CAST(l_extendedprice AS DECIMAL(18,4))
+                  * (1 - CAST(l_discount AS DECIMAL(18,4))) AS rev
+         FROM lineitem WHERE {_aqp_u_sql()} < 0.1
+       ),
+       full_t AS (
+         SELECT l_suppkey,
+                CAST(l_extendedprice AS DECIMAL(18,4))
+                  * (1 - CAST(l_discount AS DECIMAL(18,4))) AS rev
+         FROM lineitem
+       ),
+       est AS (SELECT n_name, CAST(sum(rev) AS DOUBLE) / 0.1 AS est_rev
+               FROM sampled
+               JOIN supplier ON l_suppkey = s_suppkey
+               JOIN nation ON s_nationkey = n_nationkey
+               GROUP BY n_name),
+       ex AS (SELECT n_name, CAST(sum(rev) AS DOUBLE) AS exact_rev
+              FROM full_t
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation ON s_nationkey = n_nationkey
+              GROUP BY n_name)
+       SELECT ex.n_name, round(est.est_rev, 2) AS est_revenue,
+              round(ex.exact_rev, 2) AS exact_revenue,
+              round(abs(est.est_rev - ex.exact_rev) / ex.exact_rev, 4)
+                AS rel_err
+       FROM ex JOIN est ON ex.n_name = est.n_name""",
+)
+def q_aqp_sampled_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate query processing on a deterministic 10% hash sample:
+    per-nation supplier revenue estimated from the sample (scaled 1/rate)
+    next to the exact aggregate and the realized relative error — the
+    sample-first pattern that answers dashboard queries over 100 TB with
+    a 10× cheaper scan. md5-uniform row sampling (operators/text.py
+    hash_sample idiom) makes the SAMPLE itself — hence the estimate —
+    exactly reproducible in the oracle; DECIMAL accumulation keeps the
+    sums bit-stable across engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    key = F.concat_ws(
+        ":",
+        F.col("l_orderkey").cast("string"),
+        F.col("l_partkey").cast("string"),
+        F.col("l_suppkey").cast("string"),
+        F.col("l_linenumber").cast("string"),
+    )
+    u = (
+        F.conv(F.substring(F.md5(F.concat(key, F.lit(":17"))), 1, 13), 16, 10)
+        .cast("double") + 1.0
+    ) / F.lit(float((1 << 52) + 1))
+    rev = F.col("l_extendedprice").cast("decimal(18,4)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,4)")
+    )
+    base = li.select("l_suppkey", rev.alias("rev"), u.alias("_u"))
+    dims = sup.select("s_suppkey", "s_nationkey").join(
+        nat.select("n_nationkey", "n_name"),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", "n_name")
+    est = (
+        base.where(F.col("_u") < 0.1)
+        .join(F.broadcast(dims), base["l_suppkey"] == dims["s_suppkey"])
+        .groupBy("n_name")
+        .agg((F.sum("rev").cast("double") / 0.1).alias("est_rev"))
+    )
+    exact = (
+        base.join(F.broadcast(dims), base["l_suppkey"] == dims["s_suppkey"])
+        .groupBy("n_name")
+        .agg(F.sum("rev").cast("double").alias("exact_rev"))
+    )
+    return exact.join(est, "n_name").select(
+        "n_name",
+        F.round(F.col("est_rev"), 2).alias("est_revenue"),
+        F.round(F.col("exact_rev"), 2).alias("exact_revenue"),
+        F.round(
+            F.abs(F.col("est_rev") - F.col("exact_rev")) / F.col("exact_rev"),
+            4,
+        ).alias("rel_err"),
+    )
+
+
+@_register(
+    "ev2_error_bursts",
+    """WITH seq AS (SELECT user_id, ts, event_type,
+                           lag(event_type, 1) OVER w AS p1,
+                           lag(ts, 1) OVER w AS t1
+                    FROM events
+                    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       bursts AS (SELECT user_id FROM seq
+                  WHERE event_type = 'error' AND p1 = 'error'
+                    AND date_diff('microsecond', t1, ts)
+                        <= CAST(7 AS BIGINT) * 24 * 3600 * 1000000)
+       SELECT user_id, CAST(count(*) AS BIGINT) AS n_bursts
+       FROM bursts GROUP BY user_id""",
+)
+def ev2_error_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-pattern detection (MATCH_RECOGNIZE-shaped): two
+    consecutive 'error' events per user within 7 days — the lag-window
+    formulation of run detection; one user-key exchange, lag projections
+    over it, integer-microsecond gap arithmetic. Counts burst-completing
+    events per user. (Run length 2 keeps the match set non-empty at every
+    fixture SF; the operator shape generalizes to any run length by
+    adding lag terms.)"""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.lag("event_type", 1).over(w).alias("p1"),
+        F.lag("ts", 1).over(w).alias("t1"),
+    )
+    bursts = seq.where(
+        (F.col("event_type") == "error")
+        & (F.col("p1") == "error")
+        & (
+            F.unix_micros(F.col("ts")) - F.unix_micros(F.col("t1"))
+            <= 7 * 24 * 3600 * 1_000_000
+        )
+    )
+    return bursts.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_bursts")
+    )
+
+
+@_register(
+    "d18_bpe_merges",
+    __import__("torcdb_spark.operators.bpe", fromlist=["bpe_oracle_sql"])
+    .bpe_oracle_sql("documents", "text", num_merges=8),
+)
+def d18_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer-vocabulary training (operators/bpe.py bpe_train):
+    8 merge rounds over the corpus word dictionary — per round one
+    pair-count aggregate over the dictionary (bounded by vocabulary, not
+    corpus size), a deterministic argmax, and a JVM string-replace merge.
+    The oracle unrolls the SAME 8 rounds as materialized SQL CTEs, so the
+    learned merge table is verified exactly, end to end."""
+    from torcdb_spark.operators.bpe import bpe_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = bpe_train(docs, num_merges=8)
+    return out.select(
+        "merge_rank",
+        F.col("left").alias("left_sym"),
+        F.col("right").alias("right_sym"),
+        "merged",
+        "pair_count",
+    )
