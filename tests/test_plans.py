@@ -357,3 +357,86 @@ def test_neighbor_sample_bounds_window_partition(spark, sf_dir):
     # the in-stage bound on hub fan-out
     assert "WindowGroupLimit" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_funnel_single_user_exchange(spark, sf_dir):
+    """Every per-stage conditional min is a window over the SAME user
+    partitioning: the plan must contain exactly one exchange on user_id
+    feeding the window stack (plus the final 1-row aggregate's)."""
+    from torcdb_spark.operators.funnel import funnel_stages
+
+    ev = load_table(spark, sf_dir, "events")
+    out = funnel_stages(ev, ["view", "click", "purchase"])
+    plan = explain_str(out, "formatted")
+    import re
+
+    # all three stage-minimums in ONE Window node (shared partitioning)
+    assert len(re.findall(r"hashpartitioning\(user_id", plan)) <= 2
+    assert "BatchEvalPython" not in plan
+
+
+def test_bloom_probe_broadcasts_filter_side(spark, sf_dir):
+    """The bloom filter (≤ m/32 rows) must ride a broadcast into the
+    probe join — the map-side-pruning property the operator exists for."""
+    from torcdb_spark.operators.bloom import bloom_build, bloom_might_contain
+
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    bloom = bloom_build(
+        cust.where("c_mktsegment = 'BUILDING'").select("c_custkey"),
+        "c_custkey", m_bits=4096, d=3,
+    )
+    out = bloom_might_contain(
+        bloom, orders.select("o_custkey").dropDuplicates(), "o_custkey",
+        m_bits=4096, d=3,
+    )
+    plan = explain_str(out, "formatted")
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_kmv_global_sketch_uses_take_ordered(spark, sf_dir):
+    """The global KMV sketch must plan as a distributed TakeOrdered (each
+    partition keeps k, driver merges k·P) — never a single-partition
+    window sort of the whole corpus."""
+    from torcdb_spark.operators.theta import kmv_sketch
+
+    cust = load_table(spark, sf_dir, "customer")
+    sk = kmv_sketch(cust, "c_custkey", k=64)
+    plan = explain_str(sk, "formatted")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_vocab_oov_topv_is_take_ordered_and_broadcast(spark, sf_dir):
+    """Top-V vocabulary: TakeOrdered (no full sort) + broadcast into the
+    per-document scoring join."""
+    from torcdb_spark.operators.text import vocab_oov
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = vocab_oov(docs, vocab_size=16)
+    plan = explain_str(out, "formatted")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_scd2_single_key_exchange(spark, sf_dir):
+    """Both window passes (no-op collapse lag + interval lead) share one
+    user_id exchange."""
+    from torcdb_spark.operators.scd import scd2_build
+
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") < 100)
+    out = scd2_build(ev, ["user_id"], ["event_type"], "ts")
+    assert shuffle_count(out) == 1
+    assert "BatchEvalPython" not in explain_str(out, "formatted")
+
+
+def test_repetition_signals_zero_shuffle(spark, sf_dir):
+    """Per-row array expressions only: the whole operator must plan
+    without a single exchange."""
+    from torcdb_spark.operators.text import repetition_signals
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = repetition_signals(docs)
+    assert shuffle_count(out) == 0
+    assert "BatchEvalPython" not in explain_str(out, "formatted")
