@@ -1075,3 +1075,83 @@ def test_cms_never_underestimates_and_merges(spark, sf_dir):
               for r in cms_merge(a.unionByName(b)).collect()}
     full = {(r["row"], r["bucket"]): r["n"] for r in sk.collect()}
     assert merged == full
+
+
+def test_jpeg_roundtrip_all_paths():
+    import numpy as np
+
+    from torcdb_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg_baseline,
+    )
+
+    rng = np.random.default_rng(7)
+    flat = np.full((16, 24, 3), [120, 60, 200], dtype=np.uint8)
+    dec = decode_jpeg(encode_jpeg_baseline(flat, quality=90))
+    assert dec.shape == (16, 24, 3)
+    assert int(np.abs(dec.astype(int) - flat.astype(int)).max()) <= 1
+
+    # non-multiple-of-8 dims + gradient
+    grad = np.zeros((17, 13, 3), dtype=np.uint8)
+    grad[..., 0] = np.linspace(0, 255, 13)[None, :]
+    grad[..., 1] = np.linspace(0, 255, 17)[:, None]
+    grad[..., 2] = 128
+    dec = decode_jpeg(encode_jpeg_baseline(grad, quality=90))
+    assert dec.shape == grad.shape
+    assert int(np.abs(dec.astype(int) - grad.astype(int)).max()) <= 8
+
+    # noise at q95 stays close on average
+    noise = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+    dec = decode_jpeg(encode_jpeg_baseline(noise, quality=95))
+    assert float(np.abs(dec.astype(int) - noise.astype(int)).mean()) < 8
+
+    # grayscale single component
+    g = rng.integers(0, 256, (20, 20), dtype=np.uint8)
+    decg = decode_jpeg(encode_jpeg_baseline(g, quality=95))
+    assert decg.shape == (20, 20, 1)
+
+    # 4:2:0 subsampling decodes with chroma within subsampling error
+    dec420 = decode_jpeg(
+        encode_jpeg_baseline(grad, quality=90, subsample_420=True)
+    )
+    assert dec420.shape == grad.shape
+    assert int(np.abs(dec420.astype(int) - grad.astype(int)).max()) <= 24
+
+    # restart markers change the byte stream, not the pixels
+    with_rst = decode_jpeg(
+        encode_jpeg_baseline(noise, quality=90, restart_interval=2)
+    )
+    without = decode_jpeg(encode_jpeg_baseline(noise, quality=90))
+    assert np.array_equal(with_rst, without)
+
+
+def test_jpeg_rejects_progressive_and_garbage():
+    import numpy as np
+    import pytest as _pytest
+
+    from torcdb_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg_baseline,
+    )
+
+    img = np.zeros((8, 8, 3), dtype=np.uint8)
+    payload = bytearray(encode_jpeg_baseline(img))
+    # flip SOF0 (FFC0) to SOF2 (FFC2): progressive must be refused
+    i = payload.index(b"\xff\xc0")
+    payload[i + 1] = 0xC2
+    with _pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(payload))
+    with _pytest.raises(ValueError):
+        decode_jpeg(b"\x00\x01\x02\x03")
+
+
+def test_decode_image_dispatches_jpeg():
+    import numpy as np
+
+    from torcdb_spark.operators.jpeg import encode_jpeg_baseline
+    from torcdb_spark.operators.multimodal import decode_image
+
+    img = np.full((8, 8, 3), [10, 200, 30], dtype=np.uint8)
+    out = decode_image(encode_jpeg_baseline(img, quality=90))
+    assert out.shape == (8, 8, 3)
+    assert int(np.abs(out.astype(int) - img.astype(int)).max()) <= 2

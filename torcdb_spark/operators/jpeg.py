@@ -1,0 +1,579 @@
+"""Pure-numpy baseline JPEG (ITU-T T.81) codec — closes the multimodal
+decode surface's last documented NotImplementedError without any codec
+library.
+
+Decoder: baseline sequential DCT (SOF0), 8-bit, 1 or 3 components,
+sampling factors 1 or 2 (4:4:4 / 4:2:2 / 4:2:0), DHT-defined canonical
+Huffman tables, byte-stuffing (FF 00) and restart markers (DRI/RSTn).
+Progressive (SOF2), arithmetic coding, and 12-bit remain
+NotImplementedError by design.
+
+Encoder (`encode_jpeg_baseline`): the matching baseline writer — Annex-K
+quantization tables scaled by the IJG quality formula, spec-standard
+Huffman tables, optional 4:2:0 subsampling and restart intervals. Its
+purpose here is the same as ``encode_png``/``encode_wav_pcm``: produce
+real compressed bytes so the decoder is testable end-to-end in a container
+with no imaging libraries (round-trip error is bounded by the quantization
+tables, and every structural path — subsampling, restarts, padding — gets
+exercised).
+
+The entropy loop is scalar Python per 8×8 block: fine for the kernel's
+role (it runs INSIDE an Arrow-batched ``mapInPandas`` over a binary
+column — parallelism comes from partitions, operators/multimodal.py). The
+DCT/IDCT, quantization, color transforms, and upsampling are vectorized
+numpy over whole planes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# shared constants
+# ---------------------------------------------------------------------------
+
+ZIGZAG = np.array([
+     0,  1,  8, 16,  9,  2,  3, 10,
+    17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+])
+
+# Annex-K quantization tables (luminance / chrominance)
+QT_LUM = np.array([
+    [16, 11, 10, 16, 24, 40, 51, 61],
+    [12, 12, 14, 19, 26, 58, 60, 55],
+    [14, 13, 16, 24, 40, 57, 69, 56],
+    [14, 17, 22, 29, 51, 87, 80, 62],
+    [18, 22, 37, 56, 68, 109, 103, 77],
+    [24, 35, 55, 64, 81, 104, 113, 92],
+    [49, 64, 78, 87, 103, 121, 120, 101],
+    [72, 92, 95, 98, 112, 100, 103, 99],
+])
+QT_CHROM = np.array([
+    [17, 18, 24, 47, 99, 99, 99, 99],
+    [18, 21, 26, 66, 99, 99, 99, 99],
+    [24, 26, 56, 99, 99, 99, 99, 99],
+    [47, 66, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+])
+
+# Annex-K Huffman table specs: (bits[1..16] counts, symbol values)
+DC_LUM_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+DC_LUM_VALS = list(range(12))
+DC_CHROM_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+DC_CHROM_VALS = list(range(12))
+AC_LUM_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+AC_LUM_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+AC_CHROM_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+AC_CHROM_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+    0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+    0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+    0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+    0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+    0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+    0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+    0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+    0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+    0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+    0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+
+def _dct_matrix() -> np.ndarray:
+    """Orthonormal 8-point DCT-II matrix D: FDCT = D·b·Dᵀ, IDCT = Dᵀ·F·D
+    (matches T.81's 1/4·C(u)C(v)·Σ form exactly)."""
+    u = np.arange(8).reshape(-1, 1)
+    x = np.arange(8).reshape(1, -1)
+    d = 0.5 * np.cos((2 * x + 1) * u * np.pi / 16)
+    d[0, :] /= np.sqrt(2)
+    return d
+
+_D = _dct_matrix()
+
+
+def _canonical_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol → (code, length) under JPEG's canonical assignment."""
+    out: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _scaled_qt(base: np.ndarray, quality: int) -> np.ndarray:
+    quality = min(100, max(1, quality))
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    return np.clip((base * scale + 50) // 100, 1, 255).astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# bit I/O
+# ---------------------------------------------------------------------------
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> None:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # pad with 1s
+
+
+class _BitReader:
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        b = self.data[self.pos]
+        self.pos += 1
+        if b == 0xFF:
+            nxt = self.data[self.pos]
+            if nxt == 0x00:
+                self.pos += 1  # stuffed byte
+            else:
+                # marker reached mid-entropy (e.g. padded tail): feed 0s
+                self.pos -= 1
+                b = 0
+                self.acc = (self.acc << 8) | b
+                self.nbits += 8
+                return
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def align_and_expect_rst(self, n: int) -> None:
+        """Byte-align, then consume the RSTn marker."""
+        self.acc = 0
+        self.nbits = 0
+        while self.data[self.pos] == 0xFF and self.data[self.pos + 1] == 0x00:
+            self.pos += 2
+        if self.data[self.pos] != 0xFF or (self.data[self.pos + 1] & 0xF8) != 0xD0:
+            raise ValueError("expected restart marker")
+        self.pos += 2
+
+
+def _extend(v: int, size: int) -> int:
+    """T.81 EXTEND: map the raw ``size``-bit magnitude to a signed value."""
+    if size == 0:
+        return 0
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def _size_of(v: int) -> int:
+    return int(abs(v)).bit_length()
+
+
+# ---------------------------------------------------------------------------
+# encoder
+# ---------------------------------------------------------------------------
+
+
+def encode_jpeg_baseline(
+    img: np.ndarray,
+    quality: int = 90,
+    subsample_420: bool = False,
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode an (h, w, 3) RGB or (h, w) grayscale uint8 array as a
+    baseline sequential JPEG (Annex-K quant + Huffman tables)."""
+    img = np.asarray(img)
+    gray = img.ndim == 2
+    h, w = img.shape[:2]
+    if h == 0 or w == 0:
+        raise ValueError("empty image")
+    qt_l = _scaled_qt(QT_LUM, quality)
+    qt_c = _scaled_qt(QT_CHROM, quality)
+
+    if gray:
+        planes = [img.astype(np.float64) - 128.0]
+        samp = [(1, 1)]
+        qts = [qt_l]
+    else:
+        rgb = img.astype(np.float64)
+        r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        if subsample_420:
+            def down2(p):
+                ph, pw = p.shape
+                p = np.pad(p, ((0, ph % 2), (0, pw % 2)), mode="edge")
+                return (
+                    p.reshape(p.shape[0] // 2, 2, p.shape[1] // 2, 2)
+                    .mean(axis=(1, 3))
+                )
+            planes = [y - 128.0, down2(cb) - 128.0, down2(cr) - 128.0]
+            samp = [(2, 2), (1, 1), (1, 1)]
+        else:
+            planes = [y - 128.0, cb - 128.0, cr - 128.0]
+            samp = [(1, 1), (1, 1), (1, 1)]
+        qts = [qt_l, qt_c, qt_c]
+
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+
+    # pad every plane to its MCU-aligned size (edge replication)
+    padded = []
+    for p, (sh, sv) in zip(planes, samp):
+        th, tw = mcus_y * 8 * sv, mcus_x * 8 * sh
+        padded.append(
+            np.pad(
+                p,
+                ((0, th - p.shape[0]), (0, tw - p.shape[1])),
+                mode="edge",
+            )
+        )
+
+    dc_tabs = [
+        _canonical_codes(DC_LUM_BITS, DC_LUM_VALS),
+        _canonical_codes(DC_CHROM_BITS, DC_CHROM_VALS),
+    ]
+    ac_tabs = [
+        _canonical_codes(AC_LUM_BITS, AC_LUM_VALS),
+        _canonical_codes(AC_CHROM_BITS, AC_CHROM_VALS),
+    ]
+
+    # quantized coefficients per plane, vectorized: (blocks_y, blocks_x, 64)
+    qcoef = []
+    for p, qt in zip(padded, qts):
+        by, bx = p.shape[0] // 8, p.shape[1] // 8
+        blocks = p.reshape(by, 8, bx, 8).transpose(0, 2, 1, 3)
+        coef = np.einsum("ux,ybxv,wv->ybuw", _D, blocks, _D)
+        q = np.round(coef / qt).astype(np.int64)
+        qcoef.append(q)  # zigzag applied at emission time from the 8x8 grid
+    bw = _BitWriter()
+    dc_pred = [0] * len(planes)
+    zz_r = ZIGZAG  # natural index order for flattened 8x8
+    mcu_count = 0
+    rst_idx = 0
+
+    def emit_block(ci: int, block: np.ndarray) -> None:
+        t = 0 if ci == 0 or gray else 1
+        dct, act = dc_tabs[t], ac_tabs[t]
+        flat = block.reshape(64)[zz_r]
+        diff = int(flat[0]) - dc_pred[ci]
+        dc_pred[ci] = int(flat[0])
+        s = _size_of(diff)
+        code, ln = dct[s]
+        bw.write(code, ln)
+        if s:
+            bw.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+        run = 0
+        last_nz = 0
+        nz = np.nonzero(flat[1:])[0]
+        last_nz = nz[-1] + 1 if len(nz) else 0
+        for k in range(1, 64):
+            v = int(flat[k])
+            if k > last_nz:
+                break
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, ln = act[0xF0]
+                bw.write(code, ln)
+                run -= 16
+            s = _size_of(v)
+            sym = (run << 4) | s
+            if sym not in act:
+                raise ValueError(f"AC symbol {sym:#x} missing from table")
+            code, ln = act[sym]
+            bw.write(code, ln)
+            bw.write(v if v >= 0 else v + (1 << s) - 1, s)
+            run = 0
+        if last_nz < 63:
+            code, ln = act[0x00]  # EOB
+            bw.write(code, ln)
+
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                bw.flush()
+                bw.out += bytes([0xFF, 0xD0 + rst_idx])
+                rst_idx = (rst_idx + 1) % 8
+                for i in range(len(dc_pred)):
+                    dc_pred[i] = 0
+            for ci, (q, (sh, sv)) in enumerate(zip(qcoef, samp)):
+                for vy in range(sv):
+                    for vx in range(sh):
+                        emit_block(ci, q[my * sv + vy, mx * sh + vx])
+            mcu_count += 1
+    bw.flush()
+
+    # ---- headers -------------------------------------------------------
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") + payload
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += seg(0xDB, bytes([0]) + bytes(qt_l.reshape(64)[ZIGZAG].astype(np.uint8)))
+    if not gray:
+        out += seg(0xDB, bytes([1]) + bytes(qt_c.reshape(64)[ZIGZAG].astype(np.uint8)))
+    ncomp = 1 if gray else 3
+    sof = bytearray([8])
+    sof += h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([ncomp])
+    for ci in range(ncomp):
+        sh, sv = samp[ci]
+        sof += bytes([ci + 1, (sh << 4) | sv, 0 if ci == 0 else 1])
+    out += seg(0xC0, bytes(sof))
+
+    def dht(tc: int, th: int, bits: list[int], vals: list[int]) -> bytes:
+        return seg(0xC4, bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals))
+
+    out += dht(0, 0, DC_LUM_BITS, DC_LUM_VALS)
+    out += dht(1, 0, AC_LUM_BITS, AC_LUM_VALS)
+    if not gray:
+        out += dht(0, 1, DC_CHROM_BITS, DC_CHROM_VALS)
+        out += dht(1, 1, AC_CHROM_BITS, AC_CHROM_VALS)
+    if restart_interval:
+        out += seg(0xDD, restart_interval.to_bytes(2, "big"))
+    sos = bytearray([ncomp])
+    for ci in range(ncomp):
+        t = 0 if ci == 0 else 1
+        sos += bytes([ci + 1, (t << 4) | t])
+    sos += bytes([0, 63, 0])
+    out += seg(0xDA, bytes(sos))
+    out += bw.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# decoder
+# ---------------------------------------------------------------------------
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Baseline JPEG → (h, w, 3) RGB (or (h, w, 1) grayscale) uint8."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    qts: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    frame = None
+    restart = 0
+    comps: list[dict] = []
+    n = len(payload)
+    while pos < n:
+        if payload[pos] != 0xFF:
+            raise ValueError(f"expected marker at {pos}")
+        marker = payload[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
+            continue
+        ln = int.from_bytes(payload[pos:pos + 2], "big")
+        body = payload[pos + 2: pos + ln]
+        if marker == 0xDB:  # DQT (possibly several tables)
+            b = body
+            while b:
+                prec, tid = b[0] >> 4, b[0] & 0xF
+                if prec:
+                    raise NotImplementedError("16-bit quant tables")
+                tbl = np.zeros(64, dtype=np.int64)
+                tbl[ZIGZAG] = np.frombuffer(b[1:65], dtype=np.uint8)
+                qts[tid] = tbl.reshape(8, 8)
+                b = b[65:]
+        elif marker == 0xC4:  # DHT (possibly several tables)
+            b = body
+            while b:
+                tc, th = b[0] >> 4, b[0] & 0xF
+                bits = list(b[1:17])
+                nv = sum(bits)
+                vals = list(b[17:17 + nv])
+                table = {}
+                code = 0
+                k = 0
+                for length in range(1, 17):
+                    for _ in range(bits[length - 1]):
+                        table[(length, code)] = vals[k]
+                        code += 1
+                        k += 1
+                    code <<= 1
+                huff[(tc, th)] = table
+                b = b[17 + nv:]
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+            prec = body[0]
+            if prec != 8:
+                raise NotImplementedError(f"{prec}-bit JPEG")
+            fh = int.from_bytes(body[1:3], "big")
+            fw = int.from_bytes(body[3:5], "big")
+            nc = body[5]
+            comps = []
+            for i in range(nc):
+                cid, sampb, qid = body[6 + 3 * i: 9 + 3 * i]
+                comps.append({
+                    "id": cid, "h": sampb >> 4, "v": sampb & 0xF, "q": qid,
+                })
+            frame = (fh, fw)
+        elif marker in (0xC2, 0xC3) or (0xC5 <= marker <= 0xCF and marker != 0xC8):
+            raise NotImplementedError(
+                "only baseline sequential (SOF0/1) JPEG is supported"
+            )
+        elif marker == 0xDD:  # DRI
+            restart = int.from_bytes(body[:2], "big")
+        elif marker == 0xDA:  # SOS — entropy data follows
+            ns = body[0]
+            scan = []
+            for i in range(ns):
+                cid, tt = body[1 + 2 * i], body[2 + 2 * i]
+                comp = next(c for c in comps if c["id"] == cid)
+                scan.append((comp, tt >> 4, tt & 0xF))
+            data_start = pos + ln
+            return _decode_scan(
+                payload, data_start, frame, scan, qts, huff, restart
+            )
+        pos += ln
+    raise ValueError("no SOS segment found")
+
+
+def _decode_scan(data, pos, frame, scan, qts, huff, restart):
+    fh, fw = frame
+    hmax = max(c["h"] for c, _, _ in scan)
+    vmax = max(c["v"] for c, _, _ in scan)
+    if hmax not in (1, 2) or vmax not in (1, 2):
+        raise NotImplementedError("sampling factors beyond 2 unsupported")
+    mcus_x = -(-fw // (8 * hmax))
+    mcus_y = -(-fh // (8 * vmax))
+    planes = []
+    for c, _, _ in scan:
+        planes.append(
+            np.zeros((mcus_y * 8 * c["v"], mcus_x * 8 * c["h"]))
+        )
+    br = _BitReader(data, pos)
+
+    def read_symbol(table) -> int:
+        length = 0
+        code = 0
+        while length < 16:
+            code = (code << 1) | br.read_bit()
+            length += 1
+            if (length, code) in table:
+                return table[(length, code)]
+        raise ValueError("invalid Huffman code")
+
+    dc_pred = [0] * len(scan)
+    mcu_count = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart and mcu_count and mcu_count % restart == 0:
+                br.align_and_expect_rst(mcu_count // restart)
+                for i in range(len(dc_pred)):
+                    dc_pred[i] = 0
+            for ci, (c, dct_id, act_id) in enumerate(scan):
+                dct = huff[(0, dct_id)]
+                act = huff[(1, act_id)]
+                qt = qts[c["q"]]
+                for vy in range(c["v"]):
+                    for vx in range(c["h"]):
+                        zz = np.zeros(64, dtype=np.int64)
+                        s = read_symbol(dct)
+                        diff = _extend(br.read_bits(s), s) if s else 0
+                        dc_pred[ci] += diff
+                        zz[0] = dc_pred[ci]
+                        k = 1
+                        while k < 64:
+                            sym = read_symbol(act)
+                            if sym == 0x00:  # EOB
+                                break
+                            run, size = sym >> 4, sym & 0xF
+                            if sym == 0xF0:  # ZRL
+                                k += 16
+                                continue
+                            k += run
+                            if k > 63:
+                                raise ValueError("AC index overflow")
+                            zz[k] = _extend(br.read_bits(size), size)
+                            k += 1
+                        block = np.zeros(64)
+                        block[ZIGZAG] = zz
+                        block = block.reshape(8, 8) * qt
+                        pix = _D.T @ block @ _D
+                        y0 = (my * c["v"] + vy) * 8
+                        x0 = (mx * c["h"] + vx) * 8
+                        planes[ci][y0:y0 + 8, x0:x0 + 8] = pix
+            mcu_count += 1
+
+    # upsample to full frame grid, crop, color-convert
+    out_planes = []
+    for (c, _, _), p in zip(scan, planes):
+        ry, rx = vmax // c["v"], hmax // c["h"]
+        if ry > 1 or rx > 1:
+            p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
+        out_planes.append(p[:fh, :fw] + 128.0)
+    if len(out_planes) == 1:
+        g = np.clip(np.round(out_planes[0]), 0, 255).astype(np.uint8)
+        return g[:, :, None]
+    y, cb, cr = out_planes
+    cb = cb - 128.0
+    cr = cr - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    rgb = np.stack([r, g, b], axis=-1)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)

@@ -70,10 +70,13 @@ def decode_image(payload: bytes):
       BI_RGB), bottom-up row order with 4-byte row padding, BGR(A) channel
       order.
 
-    Compressed formats (JPEG/PNG/WebP…) require codec libraries not in
-    this container and raise NotImplementedError — a deployment installs
-    pillow/opencv and extends the dispatch. The Spark-side plumbing
-    (mapInPandas batching, binary Arrow buffers) is format-agnostic.
+    Plus pure-numpy decoders for PNG (stdlib zlib), uncompressed chunky
+    TIFF, and **baseline sequential JPEG** (operators/jpeg.py: DHT
+    canonical Huffman, dequant + vectorized IDCT, 4:2:0/4:2:2/4:4:4,
+    restart markers). Progressive JPEG / WebP / arithmetic coding raise
+    NotImplementedError — a deployment installs pillow/opencv and extends
+    the dispatch. The Spark-side plumbing (mapInPandas batching, binary
+    Arrow buffers) is format-agnostic.
     """
     import numpy as np
 
@@ -128,11 +131,15 @@ def decode_image(payload: bytes):
         return _decode_png(payload)
     if payload[:4] in (b"II*\x00", b"MM\x00*"):
         return _decode_tiff(payload)
+    if payload[:2] == b"\xff\xd8":
+        from torcdb_spark.operators.jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
     raise NotImplementedError(
         "only PPM(P6), uncompressed 24/32-bit BMP, non-interlaced 8-bit "
-        "gray/RGB/RGBA PNG, and uncompressed chunky TIFF decode without "
-        "codec libraries; install pillow/opencv for JPEG/WebP and extend "
-        "dispatch"
+        "gray/RGB/RGBA PNG, uncompressed chunky TIFF, and baseline "
+        "sequential JPEG decode without codec libraries; install "
+        "pillow/opencv for progressive JPEG/WebP and extend dispatch"
     )
 
 

@@ -229,9 +229,18 @@ def node2vec_walks(
             cur.join(e, cur["vertex"] == e["src"], "inner")
             .select("walk_id", "prev", "src", "dst")
         )
+        # slice the pair set down to the current prev-frontier FIRST (tiny
+        # side broadcast into the edge scan) — the neighbor-membership
+        # flag join then touches |prevs|-incident pairs, never the full
+        # edge-pair table (which a direct left join would shuffle whole,
+        # every step)
+        prevs = cur.select(F.col("prev").alias("_pt")).where(
+            F.col("_pt").isNotNull()
+        ).dropDuplicates()
+        pair_slice = pair.join(F.broadcast(prevs), "_pt", "left_semi")
         cand = cand.join(
-            pair,
-            (cand["prev"] == pair["_pt"]) & (cand["dst"] == pair["_px"]),
+            F.broadcast(pair_slice),
+            (cand["prev"] == pair_slice["_pt"]) & (cand["dst"] == pair_slice["_px"]),
             "left",
         ).select(
             "walk_id", "prev", "src", "dst",
@@ -264,6 +273,10 @@ def node2vec_walks(
                 F.col("_pick.src").alias("prev"),
             )
             .withColumn("step", F.lit(step))
+            # ≤|starts| rows feeding THREE consumers (next step's frontier
+            # + prev-slice + the output union): eager checkpoint stops the
+            # per-step chain being re-derived by each of them
+            .localCheckpoint(eager=True)
         )
         cur = nxt
         out.append(nxt.select("walk_id", "vertex", "step"))

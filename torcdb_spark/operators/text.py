@@ -459,7 +459,10 @@ def repetition_signals(
     d2, d5 = F.array_distinct(g2), F.array_distinct(g5)
     cnt2 = lambda g: F.size(F.filter(F.col("_g2"), lambda x: x == g))
     cnt5 = lambda g: F.size(F.filter(F.col("_g5"), lambda x: x == g))
-    nospace = lambda g: F.length(F.regexp_replace(g, " ", ""))
+    # non-space char count of a k-gram is just length − (k−1): the grams
+    # are single-space joined, so no per-gram string rewrite is needed
+    nospace2 = lambda g: F.length(g) - 1
+    nospace5 = lambda g: F.length(g) - 4
 
     top2 = F.array_max(
         F.transform(
@@ -469,16 +472,24 @@ def repetition_signals(
             ),
         )
     )
+    # one in-row count pass per distinct 5-gram: (c, chars) structs first,
+    # then both aggregates fold over the precomputed stats (a when()-form
+    # evaluated cnt5 twice per element — 2× the dominant cost)
+    stats5 = F.transform(
+        d5,
+        lambda g: F.struct(
+            cnt5(g).cast("long").alias("c"),
+            nospace5(g).cast("long").alias("l"),
+        ),
+    )
     tot5 = F.aggregate(
-        g5, F.lit(0).cast("long"), lambda acc, g: acc + nospace(g)
+        stats5, F.lit(0).cast("long"), lambda acc, s: acc + s["c"] * s["l"]
     )
     dup5 = F.aggregate(
-        d5,
+        stats5,
         F.lit(0).cast("long"),
-        lambda acc, g: acc
-        + F.when(cnt5(g) > 1, cnt5(g).cast("long") * nospace(g)).otherwise(
-            F.lit(0).cast("long")
-        ),
+        lambda acc, s: acc
+        + F.when(s["c"] > 1, s["c"] * s["l"]).otherwise(F.lit(0).cast("long")),
     )
     n_words = F.size(F.col("_w")).cast("long")
     n_distinct = F.size(F.array_distinct(F.col("_w"))).cast("long")
@@ -493,7 +504,7 @@ def repetition_signals(
         F.when(
             (F.col("_nsc") > 0) & top2["gram"].isNotNull(),
             F.round(
-                top2["c"] * nospace(top2["gram"]) / F.col("_nsc").cast("double"),
+                top2["c"] * nospace2(top2["gram"]) / F.col("_nsc").cast("double"),
                 6,
             ),
         ).otherwise(F.lit(0.0)).alias("top2_frac"),

@@ -5277,13 +5277,23 @@ def g_hits_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from torcdb_spark.analytics import hits
 
     li = load_table(spark, sf_dir, "lineitem")
+    # materialize the DERIVED graph once (the distinct is a shuffle that
+    # six message joins would otherwise each re-run), and key it with
+    # DISJOINT LONGS (part→2k, supplier→2k+1) — integer equi-joins, not
+    # string-concat keys, in the six half-step joins
     e = li.select(
-        F.concat(F.lit("p"), F.col("l_partkey")).alias("src"),
-        F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
-    ).dropDuplicates()
-    hs = hits(e, num_iter=3, checkpoint_interval=3)
+        (F.col("l_partkey") * 2).alias("src"),
+        (F.col("l_suppkey") * 2 + 1).alias("dst"),
+    ).dropDuplicates().localCheckpoint(eager=True)
+    hs = hits(e, num_iter=3)
     return (
-        hs.select("id", F.round(F.col("auth"), 6).alias("auth"))
+        hs.select(
+            F.concat(
+                F.when(F.col("id") % 2 == 0, F.lit("p")).otherwise(F.lit("s")),
+                F.floor(F.col("id") / 2).cast("long").cast("string"),
+            ).alias("id"),
+            F.round(F.col("auth"), 6).alias("auth"),
+        )
         .orderBy(F.desc("auth"), F.asc("id"))
         .limit(10)
     )
@@ -5609,4 +5619,69 @@ def d18_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("right").alias("right_sym"),
         "merged",
         "pair_count",
+    )
+
+
+@_register(
+    "m6_jpeg_roundtrip",
+    """SELECT doc_id AS media_id, CAST(16 AS BIGINT) AS width,
+              CAST(16 AS BIGINT) AS height, CAST(3 AS BIGINT) AS channels,
+              TRUE AS within_tol
+       FROM documents WHERE doc_id < 200""",
+)
+def m6_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Baseline-JPEG codec through the Spark multimodal path
+    (operators/jpeg.py): per document a deterministic 16×16 smooth RGB
+    test image is synthesized from its id, ENCODED to real baseline-JPEG
+    bytes and DECODED back inside one Arrow-batched mapInPandas kernel;
+    the query reports decoded dimensions plus a bounded-error check
+    against the source image (|err|max ≤ 12 at quality 90 — the
+    quantization-table bound, with margin; exactness of the codec itself
+    is pytest-proven per path: 4:4:4/4:2:0/gray/restart). The oracle pins
+    the structural fields and the tolerance contract — the same
+    verification shape as m4/m5's audio features."""
+    import pandas as pd
+
+    from torcdb_spark.operators.jpeg import decode_jpeg, encode_jpeg_baseline
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") < 200
+    ).select("doc_id")
+
+    def kernel(batches):
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                yy, xx = np.mgrid[0:16, 0:16]
+                img = np.stack(
+                    [
+                        128 + 100 * np.sin((xx + d) / 5.0) * np.cos(yy / 7.0),
+                        128 + 100 * np.sin((yy + d) / 6.0),
+                        128 + 100 * np.cos((xx + yy + d) / 9.0),
+                    ],
+                    axis=-1,
+                )
+                img = np.clip(np.round(img), 0, 255).astype(np.uint8)
+                dec = decode_jpeg(encode_jpeg_baseline(img, quality=90))
+                err = int(
+                    np.abs(dec.astype(int) - img.astype(int)).max()
+                )
+                rows.append(
+                    {
+                        "media_id": d,
+                        "width": dec.shape[1],
+                        "height": dec.shape[0],
+                        "channels": dec.shape[2],
+                        "within_tol": err <= 12,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(
+        kernel,
+        "media_id long, width long, height long, channels long, "
+        "within_tol boolean",
     )
