@@ -663,14 +663,12 @@ DRIVER_PRIORITY: list[str] = [
     "a3_subtract",
     "a4_remove_edge_if",
     "a5_keylist",
-    # §2.4 gremlin steps (G1/G2/G3 keep five witnesses; both_e/where_not/
-    # order_by_prop ceded their round-3 slots to round-4 operator families
+    # §2.4 gremlin steps (G1/G2/G3 keep three witnesses; both_e/where_not/
+    # order_by_prop/repeat/group ceded slots to round-4 operator families
     # below and stay covered by the local exact-value gate)
     "g_gremlin_edge_filter",
     "g_gremlin_select",
     "g_gremlin_simple_path",
-    "g_gremlin_repeat",
-    "g_gremlin_group",
     # §2.4 G4 analytics (exact-oracle variants preferred)
     "g_pagerank_exact",
     "g_triangle_count",
@@ -724,6 +722,12 @@ DRIVER_PRIORITY: list[str] = [
     "th1_kmv_distinct",        # KMV/theta distinct sketch
     "fu1_funnel_stages",       # behavioral: ordered conversion funnel
     "er1_part_name_pairs",     # blocked-Levenshtein entity resolution
+    # d18's oracle replays the full 8-round BPE training relationally —
+    # the strongest new exact check in the inventory; m6 drives the JPEG
+    # codec through the multimodal path with an oracle-pinned contract
+    # (slots ceded by g_gremlin_repeat/group)
+    "d18_bpe_merges",
+    "m6_jpeg_roundtrip",
 ]
 
 
