@@ -1,0 +1,125 @@
+#!/usr/bin/env python
+"""End-to-end LLM training-corpus preparation pipeline — the round-trip a
+data-curation team runs before pre-training, composed entirely from this
+engine's operators and kept as ONE lazy-per-stage Spark job chain. Runs
+standalone on the sf0.001 fixtures in ~1 min:
+
+    python examples/corpus_pipeline.py [sf_dir]
+
+Stages (each prints one line; executed by tests/test_examples.py so it
+cannot rot):
+
+1. quality gating   — Gopher repetition signals + heuristic quality score
+2. exact dedup      — xxhash64 fingerprint groups
+3. near dedup       — MinHash-LSH candidate pairs → connected-component
+                      cluster representatives
+4. PII scrub        — regex redaction (emails/phones), zero-shuffle
+5. tokenizer prep   — BPE merge training + vocab/OOV coverage check
+6. packing stats    — token counts for batch/sequence planning
+7. lineage sample   — deterministic md5 hash-sample for eval holdout
+
+At 100 TB each stage is shuffle-partitionable exactly as written: the
+gates are per-row expressions, dedup keys are hash buckets, BPE rounds
+touch only the word dictionary, and the sample is data-lineage
+deterministic (same rows on every rerun).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
+    t_start = time.time()
+
+    def log(msg: str) -> None:
+        print(f"[{time.time()-t_start:6.1f}s] {msg}", flush=True)
+    import pyspark.sql.functions as F
+
+    from torcdb_spark import get_spark
+    from torcdb_spark.analytics import connected_components
+    from torcdb_spark.operators.bpe import bpe_encode, bpe_train
+    from torcdb_spark.operators.dedup import exact_dedup, minhash_lsh_dedup
+    from torcdb_spark.operators.text import (
+        hash_sample,
+        quality_score,
+        redact_pii,
+        repetition_signals,
+        vocab_oov,
+    )
+
+    spark = get_spark(app_name="corpus-pipeline-example")
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n0 = docs.count()
+
+    # 1 — quality gating: drop highly repetitive or low-quality docs
+    rep = repetition_signals(docs)
+    q = quality_score(docs)
+    gated = (
+        docs.join(rep.select("doc_id", "dup5_frac", "word_rep_ratio"), "doc_id")
+        .join(q, "doc_id")
+        .where(
+            (F.col("dup5_frac") < 0.6)
+            & (F.col("word_rep_ratio") < 0.9)
+            & (F.col("quality") > 0.2)
+        )
+        .select("doc_id", "text")
+    )
+    n1 = gated.count()
+    log(f"quality gate: {n0} -> {n1} docs")
+
+    # 2 — exact dedup on normalized fingerprints (keep min-id survivor)
+    survivors = exact_dedup(gated, text_col="text", id_col="doc_id")
+    exact = gated.join(survivors.select("doc_id"), "doc_id", "left_semi")
+    n2 = exact.count()
+    log(f"exact dedup: {n1} -> {n2} docs")
+
+    # 3 — near dedup: LSH candidate pairs -> connected-component clusters
+    #     -> keep each cluster's min-id representative
+    pairs = minhash_lsh_dedup(
+        exact, num_perm=32, bands=8, jaccard_threshold=0.5
+    )
+    cluster_edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    cc = connected_components(cluster_edges)
+    dupes = cc.where(F.col("id") != F.col("component")).select(
+        F.col("id").alias("doc_id")
+    )
+    reps = exact.join(dupes, "doc_id", "left_anti")
+    n3 = reps.count()
+    log(f"near dedup: {n2} -> {n3} docs")
+
+    # 4 — PII scrub (zero shuffle, per-row regexes)
+    clean = redact_pii(reps, text_col="text", id_col="doc_id").select(
+        "doc_id", F.col("clean_text").alias("text")
+    )
+    log(f"pii scrub: {n3} docs scrubbed")
+
+    # 5 — tokenizer prep: learn merges, check vocabulary coverage
+    merges = bpe_train(clean.select("doc_id", "text"), num_merges=8)
+    top = merges.orderBy("merge_rank").first()
+    oov = vocab_oov(clean, vocab_size=16)
+    worst = oov.agg(F.round(F.max("oov_frac"), 4)).first()[0]
+    log(f"bpe: first merge {top.left}+{top.right} (n={top.pair_count}); max OOV {worst}")
+
+    # 6 — packing stats: tokens per doc for sequence packing
+    enc = bpe_encode(clean.select("doc_id", "text"), merges)
+    stats = enc.agg(
+        F.sum("n_bpe_tokens").alias("total"),
+        F.round(F.avg("n_bpe_tokens"), 1).alias("mean"),
+    ).first()
+    log(f"packing: {stats.total} BPE tokens, mean {stats.mean}/doc")
+
+    # 7 — deterministic eval holdout (reruns pick the SAME rows)
+    holdout = hash_sample(clean, rate_pct=5, id_col="doc_id")
+    log(f"holdout sample: {holdout.count()} docs (5% hash-deterministic)")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001")

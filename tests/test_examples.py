@@ -18,3 +18,18 @@ def test_tour_runs(spark, capsys):
     for marker in ("vertices:", "2-hop paths:", "match() bindings:",
                    "geo components:", "ANN top-3:", "zorder files:"):
         assert marker in out, f"missing section {marker!r}:\n{out}"
+
+
+def test_corpus_pipeline_runs(spark, capsys):
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "examples", "corpus_pipeline.py",
+    )
+    spec = importlib.util.spec_from_file_location("corpus_pipeline", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.main("/root/testdata/sf0.001")
+    out = capsys.readouterr().out
+    for marker in ("quality gate:", "exact dedup:", "near dedup:",
+                   "pii scrub:", "bpe:", "packing:", "holdout sample:"):
+        assert marker in out, f"missing stage {marker!r}:\n{out}"

@@ -409,6 +409,20 @@ def bm25_rank(
     )
 
 
+def _bind_once(expr: Column, fn) -> Column:
+    """Evaluate ``expr`` exactly once and hand it to ``fn`` as a bound
+    higher-order-function lambda variable.
+
+    Why: staged Project columns protect multi-referenced expensive
+    expressions only until an optimizer rewrite collapses the projection
+    into a consumer — and HOF lambdas always run on the INTERPRETED
+    expression path, where every reference re-evaluates its subtree. A
+    lambda VARIABLE, by contrast, is bound once per element under any
+    plan shape. ``transform(array(e), x -> fn(x))[1]`` is that binder:
+    one element, one evaluation, arbitrarily many cheap references."""
+    return F.element_at(F.transform(F.array(expr), fn), 1)
+
+
 def repetition_signals(
     docs: "DataFrame", text_col: str = "text", id_col: str = "doc_id"
 ) -> "DataFrame":
@@ -428,90 +442,111 @@ def repetition_signals(
     Zero shuffle: per-row array expressions only (n-gram counting is an
     O(distinct·total) in-row scan over ~100-word documents), so the
     operator scales embarrassingly with partitions at 100 TB — there is no
-    corpus-wide state, unlike tfidf/bm25."""
+    corpus-wide state, unlike tfidf/bm25.
+
+    Every derived array (the split, both gram lists, the 5-gram stats) is
+    bound through ``_bind_once`` rather than a projected column: staged
+    Projects protect multi-referenced expressions only until an optimizer
+    rewrite collapses them into a consumer (observed when this operator's
+    output joins other frames), and higher-order functions always run
+    INTERPRETED — an inlined split then re-evaluates per gram reference,
+    turning a 0.7 s pass into minutes. Lambda variables are bound exactly
+    once per element under any plan shape, so the cost stays O(grams)
+    no matter what the caller fuses around it."""
     t = F.trim(F.col(text_col))
-    base = docs.select(
-        F.col(id_col),
-        F.split(t, r"\s+").alias("_w"),
-        F.length(F.regexp_replace(t, r"\s", "")).cast("long").alias("_nsc"),
-    ).select(
-        id_col,
-        "_nsc",
-        F.when(F.col("_nsc") > 0, F.col("_w")).otherwise(
-            F.array().cast("array<string>")
-        ).alias("_w"),
+    nsc = F.length(F.regexp_replace(t, r"\s", "")).cast("long")
+    raw_w = F.when(nsc > 0, F.split(t, r"\s+")).otherwise(
+        F.array().cast("array<string>")
     )
 
     def grams(words, k: int):
-        return F.transform(
-            F.sequence(F.lit(1), F.size(words) - (k - 1)),
-            lambda i: F.concat_ws(" ", F.slice(words, i, k)),
+        return F.when(
+            F.size(words) >= k,
+            F.transform(
+                F.sequence(F.lit(1), F.size(words) - (k - 1)),
+                lambda i: F.concat_ws(" ", F.slice(words, i, k)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    def compute(env):
+        return _bind_once(
+            grams(env["w"], 2),
+            lambda g2: _bind_once(
+                grams(env["w"], 5), lambda g5: _measures(env, g2, g5)
+            ),
         )
 
-    def gram_cols(df: DataFrame, k: int) -> DataFrame:
-        g = F.when(F.size(F.col("_w")) >= k, grams(F.col("_w"), k)).otherwise(
-            F.array().cast("array<string>")
+    def _measures(env, g2, g5):
+        w = env["w"]
+        cnt2 = lambda g: F.size(F.filter(g2, lambda x: x == g))
+        cnt5 = lambda g: F.size(F.filter(g5, lambda x: x == g))
+        # non-space char count of a k-gram is length − (k−1): grams are
+        # single-space joined, so no per-gram string rewrite is needed
+        top2 = F.array_max(
+            F.transform(
+                F.array_distinct(g2),
+                lambda g: F.struct(
+                    cnt2(g).cast("long").alias("c"), g.alias("gram")
+                ),
+            )
         )
-        return df.withColumn(f"_g{k}", g)
-
-    withg = gram_cols(gram_cols(base, 2), 5)
-    g2, g5 = F.col("_g2"), F.col("_g5")
-    d2, d5 = F.array_distinct(g2), F.array_distinct(g5)
-    cnt2 = lambda g: F.size(F.filter(F.col("_g2"), lambda x: x == g))
-    cnt5 = lambda g: F.size(F.filter(F.col("_g5"), lambda x: x == g))
-    # non-space char count of a k-gram is just length − (k−1): the grams
-    # are single-space joined, so no per-gram string rewrite is needed
-    nospace2 = lambda g: F.length(g) - 1
-    nospace5 = lambda g: F.length(g) - 4
-
-    top2 = F.array_max(
-        F.transform(
-            d2,
+        # one count pass per distinct 5-gram: (c, chars) structs, both
+        # aggregates fold over the bound stats array
+        stats5 = F.transform(
+            F.array_distinct(g5),
             lambda g: F.struct(
-                cnt2(g).cast("long").alias("c"), g.alias("gram")
+                cnt5(g).cast("long").alias("c"),
+                (F.length(g) - 4).cast("long").alias("l"),
             ),
         )
-    )
-    # one in-row count pass per distinct 5-gram: (c, chars) structs first,
-    # then both aggregates fold over the precomputed stats (a when()-form
-    # evaluated cnt5 twice per element — 2× the dominant cost)
-    stats5 = F.transform(
-        d5,
-        lambda g: F.struct(
-            cnt5(g).cast("long").alias("c"),
-            nospace5(g).cast("long").alias("l"),
-        ),
-    )
-    tot5 = F.aggregate(
-        stats5, F.lit(0).cast("long"), lambda acc, s: acc + s["c"] * s["l"]
-    )
-    dup5 = F.aggregate(
-        stats5,
-        F.lit(0).cast("long"),
-        lambda acc, s: acc
-        + F.when(s["c"] > 1, s["c"] * s["l"]).otherwise(F.lit(0).cast("long")),
-    )
-    n_words = F.size(F.col("_w")).cast("long")
-    n_distinct = F.size(F.array_distinct(F.col("_w"))).cast("long")
-    return withg.select(
-        F.col(id_col),
-        n_words.alias("n_words"),
-        F.when(
-            n_words > 0,
-            F.round((n_words - n_distinct) / n_words.cast("double"), 6),
-        ).otherwise(F.lit(0.0)).alias("word_rep_ratio"),
-        top2["gram"].alias("top2_gram"),
-        F.when(
-            (F.col("_nsc") > 0) & top2["gram"].isNotNull(),
-            F.round(
-                top2["c"] * nospace2(top2["gram"]) / F.col("_nsc").cast("double"),
-                6,
+        n_words = F.size(w).cast("long")
+        n_distinct = F.size(F.array_distinct(w)).cast("long")
+        return _bind_once(
+            F.struct(top2.alias("t2"), stats5.alias("s5")),
+            lambda b: F.struct(
+                n_words.alias("n_words"),
+                F.when(
+                    n_words > 0,
+                    F.round((n_words - n_distinct) / n_words.cast("double"), 6),
+                ).otherwise(F.lit(0.0)).alias("word_rep_ratio"),
+                b["t2"]["gram"].alias("top2_gram"),
+                F.when(
+                    (env["nsc"] > 0) & b["t2"]["gram"].isNotNull(),
+                    F.round(
+                        b["t2"]["c"] * (F.length(b["t2"]["gram"]) - 1)
+                        / env["nsc"].cast("double"),
+                        6,
+                    ),
+                ).otherwise(F.lit(0.0)).alias("top2_frac"),
+                _dup5_frac(b["s5"]).alias("dup5_frac"),
             ),
-        ).otherwise(F.lit(0.0)).alias("top2_frac"),
-        F.when(
+        )
+
+    def _dup5_frac(stats5):
+        tot5 = F.aggregate(
+            stats5, F.lit(0).cast("long"),
+            lambda acc, s: acc + s["c"] * s["l"],
+        )
+        dup5 = F.aggregate(
+            stats5,
+            F.lit(0).cast("long"),
+            lambda acc, s: acc
+            + F.when(s["c"] > 1, s["c"] * s["l"]).otherwise(
+                F.lit(0).cast("long")
+            ),
+        )
+        return F.when(
             tot5 > 0, F.round(dup5 / tot5.cast("double"), 6)
-        ).otherwise(F.lit(0.0)).alias("dup5_frac"),
+        ).otherwise(F.lit(0.0))
+
+    out = _bind_once(
+        F.struct(raw_w.alias("w"), nsc.alias("nsc")), compute
     )
+    # inline() is a GENERATOR: the struct is evaluated exactly once per
+    # row and its fields become columns — extracting five GetStructFields
+    # from a projected column would instead re-run the whole expression
+    # five times under interpreted eval
+    return docs.select(F.col(id_col), F.inline(F.array(out)))
 
 
 def vocab_oov(
