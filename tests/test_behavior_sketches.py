@@ -445,3 +445,129 @@ def test_vocab_oov_hand_computed(spark):
     assert out[1].n_tokens == 4 and out[1].oov_frac == 0.0
     assert out[2].n_tokens == 2 and out[2].oov_frac == 0.5
     assert 3 not in out  # blank doc contributes no tokens
+
+
+# ---------------------------------------------------------------------------
+# property tests: funnel / sessionize vs pure-Python references
+# ---------------------------------------------------------------------------
+
+
+def test_funnel_matches_python_reference_property(spark):
+    """Property: for arbitrary event streams, funnel_stages equals a
+    brute-force per-user simulation of the earliest-qualifying-event
+    semantics (anchor at first step-0, each stage strictly after the
+    previous, all within the window of the anchor)."""
+    from hypothesis import given, settings, strategies as st
+
+    steps = ["view", "click", "purchase"]
+    window_s = 3600
+
+    def reference(events):
+        per_user = {}
+        for u, t, e in events:
+            per_user.setdefault(u, []).append((t, e))
+        counts = [0, 0, 0]
+        for u, evs in per_user.items():
+            evs.sort()
+            t0 = min((t for t, e in evs if e == steps[0]), default=None)
+            if t0 is None:
+                continue
+            counts[0] += 1
+            prev = t0
+            horizon = t0 + window_s
+            for i in (1, 2):
+                nxt = min(
+                    (t for t, e in evs
+                     if e == steps[i] and prev < t <= horizon),
+                    default=None,
+                )
+                if nxt is None:
+                    break
+                counts[i] += 1
+                prev = nxt
+        return counts
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        events=st.lists(
+            st.tuples(
+                st.integers(1, 4),          # user
+                st.integers(0, 7200),        # seconds offset
+                st.sampled_from(steps),
+            ),
+            min_size=1, max_size=30,
+        )
+    )
+    def check(events):
+        rows = [
+            (u, dt.datetime(2024, 1, 1) + dt.timedelta(seconds=t), e)
+            for u, t, e in events
+        ]
+        df = spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
+        got = {
+            r.stage_idx: r.users
+            for r in funnel_stages(
+                df, steps, max_span="INTERVAL 1 HOUR"
+            ).collect()
+        }
+        expected = reference(events)
+        assert [got[1], got[2], got[3]] == expected, (events, got, expected)
+
+    check()
+
+
+def test_sessionize_matches_python_reference_property(spark):
+    """Property: session boundaries/aggregates equal a linear scan with
+    the same strict-gap rule, for arbitrary (possibly duplicate-ts)
+    per-user event sequences."""
+    from hypothesis import given, settings, strategies as st
+
+    from torcdb_spark.operators.funnel import sessionize
+
+    gap_s = 600
+
+    def reference(events):
+        per_user = {}
+        for u, t in events:
+            per_user.setdefault(u, []).append(t)
+        out = {}
+        for u, ts in per_user.items():
+            ts.sort()
+            sid = 0
+            prev = None
+            for t in ts:
+                if prev is None or (t - prev) > gap_s:
+                    sid += 1
+                    out[(u, sid)] = [t, t, 1]
+                else:
+                    out[(u, sid)][1] = t
+                    out[(u, sid)][2] += 1
+                prev = t
+        return {
+            k: (v[0], v[1], v[2]) for k, v in out.items()
+        }
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        events=st.lists(
+            st.tuples(st.integers(1, 3), st.integers(0, 4000)),
+            min_size=1, max_size=30, unique=True,
+        )
+    )
+    def check(events):
+        base = dt.datetime(2024, 1, 1)
+        rows = [
+            (u, base + dt.timedelta(seconds=t)) for u, t in events
+        ]
+        df = spark.createDataFrame(rows, ["user_id", "ts"])
+        got = {
+            (r.user_id, r.session_id): (
+                int((r.session_start - base).total_seconds()),
+                int((r.session_end - base).total_seconds()),
+                r.n_events,
+            )
+            for r in sessionize(df, gap_minutes=10).collect()
+        }
+        assert got == reference(events), (events, got)
+
+    check()
