@@ -332,3 +332,54 @@ def test_betweenness_matches_pure_python_brandes(spark):
     }
     for v, b in got.items():
         assert b == pytest.approx(expected[v], abs=1e-9), v
+
+
+def test_label_propagation_matches_pure_python(spark):
+    from collections import Counter
+
+    from torcdb_spark.analytics import label_propagation
+
+    # Two dense clusters (triangles) joined by one bridge edge, plus a
+    # pendant vertex: LPA should keep the clusters as separate
+    # communities where min-label CC would merge everything.
+    edges = [
+        (0, 1), (1, 2), (0, 2),          # cluster A
+        (10, 11), (11, 12), (10, 12),    # cluster B
+        (2, 10),                         # bridge
+        (12, 20),                        # pendant
+    ]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+
+    def reference(edge_list, iters):
+        adj = {}
+        for a, b in edge_list:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        label = {v: v for v in adj}
+        for _ in range(iters):
+            nxt = {}
+            for v in adj:
+                votes = Counter(label[u] for u in adj[v])
+                top = max(votes.values())
+                nxt[v] = min(l for l, c in votes.items() if c == top)
+            label = nxt
+        return label
+
+    for iters in (1, 2, 5):
+        got = {
+            r.id: r.community
+            for r in label_propagation(df, max_iter=iters).collect()
+        }
+        assert got == reference(edges, iters), f"iters={iters}"
+
+    # Structural check on disjoint triangles (no bridge): each converges
+    # to its own min label and the communities stay distinct.
+    disjoint = [(0, 1), (1, 2), (0, 2), (10, 11), (11, 12), (10, 12)]
+    final = {
+        r.id: r.community
+        for r in label_propagation(
+            spark.createDataFrame(disjoint, ["src", "dst"]), max_iter=3
+        ).collect()
+    }
+    assert final[0] == final[1] == final[2] == 0
+    assert final[10] == final[11] == final[12] == 10

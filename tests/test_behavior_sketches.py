@@ -571,3 +571,45 @@ def test_sessionize_matches_python_reference_property(spark):
         assert got == reference(events), (events, got)
 
     check()
+
+
+def test_word_shingles_and_decontam_edges(spark):
+    from torcdb_spark.operators.text import (
+        benchmark_overlap,
+        cross_doc_span_stats,
+        word_shingles,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d"),          # shingles: "a b c", "b c d"
+            (2, "a b c"),            # shingle:  "a b c" (owned by doc 1)
+            (3, "x y"),              # too short: no shingles
+            (4, "  A  b   C e "),    # whitespace/case noise -> "a b c", "b c e"
+        ],
+        ["doc_id", "text"],
+    )
+    sh = {
+        r.doc_id: sorted(r.sh)
+        for r in docs.select("doc_id", word_shingles(F.col("text")).alias("sh")).collect()
+    }
+    assert sh[1] == ["a b c", "b c d"]
+    assert sh[3] == []
+    assert sh[4] == ["a b c", "b c e"]
+
+    # bench = doc 2 only: doc 1 is 50% contaminated, doc 4 50%, doc 3 absent
+    out = {
+        r.doc_id: (r.n_shingles, r.n_matched, float(r.contamination))
+        for r in benchmark_overlap(
+            docs.where("doc_id <> 2"), docs.where("doc_id = 2")
+        ).collect()
+    }
+    assert out == {1: (2, 1, 0.5), 4: (2, 1, 0.5)}
+
+    # span ownership: "a b c" owned by doc 1 -> foreign dup in docs 2 and 4
+    stats = {
+        r.doc_id: (r.n_spans, r.n_foreign_dups)
+        for r in cross_doc_span_stats(docs).collect()
+    }
+    assert stats == {1: (2, 0), 2: (1, 1), 4: (2, 1)}

@@ -905,3 +905,67 @@ def betweenness_sampled(
         .groupBy(F.col("v").alias("id"))
         .agg(F.sum("delta").alias("bc"))
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    max_iter: int = 5,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Community detection via SYNCHRONOUS label propagation (Raghavan
+    et al. 2007) → (id, community): every vertex starts as its own
+    community, then each superstep adopts the most frequent label among
+    its neighbors, ties broken toward the SMALLEST label. Unlike
+    ``connected_components`` (min-label flood = one community per
+    component) the frequency vote splits dense regions from each other.
+
+    Deterministic by construction: synchronous updates + min-label
+    tie-break have no RNG and no visit-order dependence, so the result is
+    reproducible and exactly replayable by a reference implementation
+    (tests/test_analytics.py) — fixed ``max_iter`` also sidesteps the
+    classic LPA oscillation on bipartite shapes.
+
+    Scale shape per superstep: one edge⋈state join, one (vertex, label)
+    count aggregate (map-side combinable), one struct-min argmax per
+    vertex — two bounded-key shuffles over |E| and |V|-sized frames, no
+    corpus-wide window, no driver state. Below the same broadcast
+    threshold ``connected_components`` uses, the |V|-sized label table
+    broadcasts and each superstep is a map-only pass over the cached
+    edge set."""
+    und = (
+        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+        .unionByName(
+            edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b"))
+        )
+        .dropDuplicates(["a", "b"])
+        .persist()
+    )
+    state = (
+        und.select(F.col("a").alias("id"))
+        .dropDuplicates(["id"])
+        .withColumn("community", F.col("id"))
+    )
+    broadcast_threshold = 500_000
+    small = state.count() <= broadcast_threshold
+    for _ in range(max_iter):
+        s = F.broadcast(state) if small else state
+        votes = (
+            und.join(s, und["a"] == s["id"])
+            .groupBy(F.col("b").alias("v"), F.col("community").alias("lbl"))
+            .agg(F.count("*").alias("cnt"))
+        )
+        winner = votes.groupBy("v").agg(
+            F.min(F.struct((-F.col("cnt")).alias("nc"), F.col("lbl")))["lbl"]
+            .alias("new_community")
+        )
+        if small:
+            winner = F.broadcast(winner)
+        state = _checkpointed(
+            state.join(winner, state["id"] == winner["v"], "left").select(
+                "id",
+                F.coalesce("new_community", "community").alias("community"),
+            )
+        )
+    und.unpersist()
+    return state

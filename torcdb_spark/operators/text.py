@@ -588,3 +588,107 @@ def vocab_oov(
             6,
         ).alias("oov_frac"),
     )
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram array over a raw text column: lowercase,
+    whitespace-tokenize, slide an n-token window, join each window with a
+    single space. Documents with fewer than ``n`` tokens yield an EMPTY
+    array (no short-shingle fallback — decontamination and span-dedup
+    consumers must not match partial windows).
+
+    Stays entirely inside codegen: split/sequence/transform/slice/
+    array_join are all JVM expressions, so shingling 100 TB of text is a
+    map-only pass with zero Python."""
+    toks = F.split(F.lower(F.trim(text)), r"\s+")
+    k = F.size(toks) - (n - 1)
+    spans = F.when(
+        k >= 1,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.array_distinct(spans)
+
+
+def benchmark_overlap(
+    corpus: DataFrame,
+    bench: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination (the pre-training hygiene pass: drop
+    training documents that leak evaluation data): for every corpus
+    document, the fraction of its distinct word n-gram shingles that also
+    appear anywhere in the benchmark set.
+
+    Returns (id, n_shingles, n_matched, contamination) for every corpus
+    document with >= n tokens, including zero-overlap rows.
+
+    Scale shape: the benchmark shingle set is DISTINCT-ed and broadcast
+    (benchmarks are MBs against a 100 TB corpus), so the match is a
+    map-side hash probe — the corpus is never shuffled at all; the only
+    exchange is the per-document count aggregation, keyed on the document
+    id (map-side combinable, skew-free). Production note: at 13-gram/
+    100 TB scale the join key would be xxhash64(shingle) to shrink the
+    broadcast; the raw string key here keeps the operator exactly
+    SQL-reproducible."""
+    c = corpus.select(
+        F.col(id_col), word_shingles(F.col(text_col), n).alias("_sh")
+    ).where(F.size("_sh") >= 1)
+    b = (
+        bench.select(word_shingles(F.col(text_col), n).alias("_sh"))
+        .select(F.explode("_sh").alias("shingle"))
+        .distinct()
+        .select("shingle", F.lit(True).alias("_hit"))
+    )
+    probe = c.select(F.col(id_col), F.explode("_sh").alias("shingle")).join(
+        F.broadcast(b), "shingle", "left"
+    )
+    return probe.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_shingles"),
+        F.sum(F.when(F.col("_hit"), 1).otherwise(0)).cast("long").alias("n_matched"),
+        F.round(
+            F.sum(F.when(F.col("_hit"), 1).otherwise(0)) / F.count("*"), 4
+        ).alias("contamination"),
+    )
+
+
+def cross_doc_span_stats(
+    docs: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-document exact span duplication (the inter-document
+    counterpart of ``repetition_signals``; C4/ExactSubstr-style hygiene):
+    a distinct word n-gram span is OWNED by the lowest document id that
+    contains it; every other document carrying it holds a foreign
+    duplicate. Returns (id, n_spans, n_foreign_dups, dup_frac) — the
+    keep-first-occurrence retention signal.
+
+    Scale shape: one groupBy on the span string computes the global
+    min-owner (map-side combinable; the span table is vocabulary-bounded,
+    not corpus-bounded), joined back to the exploded spans on the same
+    key — Catalyst reuses the exchange — then one id-keyed aggregate.
+    No window over the full corpus, no driver state."""
+    spans = docs.select(
+        F.col(id_col), word_shingles(F.col(text_col), n).alias("_sh")
+    ).where(F.size("_sh") >= 1).select(
+        F.col(id_col), F.explode("_sh").alias("span")
+    )
+    owners = spans.groupBy("span").agg(F.min(id_col).alias("_owner"))
+    joined = spans.join(owners, "span")
+    return joined.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_spans"),
+        F.sum(F.when(F.col("_owner") < F.col(id_col), 1).otherwise(0))
+        .cast("long")
+        .alias("n_foreign_dups"),
+        F.round(
+            F.sum(F.when(F.col("_owner") < F.col(id_col), 1).otherwise(0))
+            / F.count("*"),
+            4,
+        ).alias("dup_frac"),
+    )

@@ -5689,3 +5689,114 @@ def m6_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id long, width long, height long, channels long, "
         "within_tol boolean",
     )
+
+
+# ---------------------------------------------------------------------------
+# Decontamination + cross-document span duplication (SURVEY §2.5 text
+# hygiene: the two corpus-vs-corpus exact-overlap passes every pre-training
+# pipeline runs — benchmark leakage detection and keep-first span dedup)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "dc1_benchmark_decontam",
+    """WITH toks AS (
+         SELECT doc_id,
+                regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+         FROM documents
+       ),
+       spans AS (
+         SELECT DISTINCT doc_id,
+                array_to_string(t[i : i + 2], ' ') AS shingle
+         FROM (SELECT doc_id, t,
+                      unnest(generate_series(1, len(t) - 2)) AS i
+               FROM toks WHERE len(t) >= 3)
+       ),
+       bench AS (
+         SELECT DISTINCT shingle FROM spans WHERE doc_id % 29 = 0
+       )
+       SELECT s.doc_id,
+              CAST(count(*) AS BIGINT) AS n_shingles,
+              CAST(sum(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_matched,
+              round(sum(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END)
+                    * 1.0 / count(*), 4) AS contamination
+       FROM spans s LEFT JOIN bench b USING (shingle)
+       WHERE s.doc_id % 29 <> 0
+       GROUP BY s.doc_id""",
+)
+def dc1_benchmark_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination over the documents corpus: docs with
+    doc_id % 29 == 0 stand in for the held-out benchmark; every other
+    document is scored by the fraction of its distinct word trigrams that
+    appear anywhere in the benchmark set (operators/text.benchmark_overlap
+    — broadcast benchmark shingles, map-side probe, one id-keyed agg; the
+    corpus side is never shuffled). Production runs 13-grams; trigrams
+    make overlap observable on the synthetic fixture vocabulary."""
+    from torcdb_spark.operators.text import benchmark_overlap
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 29 != 0)
+    bench = docs.where(F.col("doc_id") % 29 == 0)
+    return benchmark_overlap(corpus, bench, n=3)
+
+
+@_register(
+    "d19_span_dedup_stats",
+    """WITH toks AS (
+         SELECT doc_id,
+                regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+         FROM documents
+       ),
+       spans AS (
+         SELECT DISTINCT doc_id,
+                array_to_string(t[i : i + 2], ' ') AS span
+         FROM (SELECT doc_id, t,
+                      unnest(generate_series(1, len(t) - 2)) AS i
+               FROM toks WHERE len(t) >= 3)
+       ),
+       owners AS (SELECT span, min(doc_id) AS owner FROM spans GROUP BY span)
+       SELECT s.doc_id,
+              CAST(count(*) AS BIGINT) AS n_spans,
+              CAST(sum(CASE WHEN o.owner < s.doc_id THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_foreign_dups,
+              round(sum(CASE WHEN o.owner < s.doc_id THEN 1 ELSE 0 END)
+                    * 1.0 / count(*), 4) AS dup_frac
+       FROM spans s JOIN owners o USING (span)
+       GROUP BY s.doc_id""",
+)
+def d19_span_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document exact span duplication (C4/ExactSubstr-style
+    keep-first retention signal): each distinct word trigram is owned by
+    its lowest doc_id; other carriers hold foreign duplicates
+    (operators/text.cross_doc_span_stats — span-keyed min-owner aggregate
+    whose exchange Catalyst reuses for the join back, then one id-keyed
+    agg; no corpus-wide window, no driver state)."""
+    from torcdb_spark.operators.text import cross_doc_span_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return cross_doc_span_stats(docs, n=3)
+
+
+@_register("g_lpa_communities")  # iterative frequency vote: rows-only check
+def g_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection via synchronous label-propagation (5 fixed
+    supersteps, min-label tie-break — deterministic, exact pure-Python
+    agreement pytest-proven) over the geography subgraph; reports
+    community sizes. Unlike g_connected_components' min-label flood, the
+    frequency vote keeps dense nation neighborhoods distinct."""
+    from torcdb_spark.analytics import label_propagation
+
+    g = _graph(spark, sf_dir)
+    geo = g.edges.where(
+        F.col("label").isin(["fromNation", "suppFromNation", "inRegion"])
+    )
+    lpa = label_propagation(geo, max_iter=5)
+    return (
+        lpa.groupBy("community")
+        .agg(F.count("*").alias("size"))
+        .select(
+            id_lower(F.col("community")).alias("community_key"),
+            F.col("size").cast("long").alias("size"),
+        )
+    )
