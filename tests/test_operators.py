@@ -1155,3 +1155,51 @@ def test_decode_image_dispatches_jpeg():
     out = decode_image(encode_jpeg_baseline(img, quality=90))
     assert out.shape == (8, 8, 3)
     assert int(np.abs(out.astype(int) - img.astype(int)).max()) <= 2
+
+
+def test_phash_pairs_match_bruteforce(spark):
+    import numpy as np
+
+    from torcdb_spark.operators.multimodal import phash64, phash_near_dup_pairs
+
+    rng = np.random.RandomState(7)
+    imgs = {}
+    base = rng.randint(0, 255, size=(16, 16, 3)).astype(np.uint8)
+    imgs[0] = base
+    near = base.copy()
+    near[3, 4] = [1, 2, 3]          # one-pixel perturbation
+    imgs[1] = near
+    imgs[2] = base.copy()           # exact duplicate of 0
+    shifted = np.clip(base.astype(int) + 10, 0, 245).astype(np.uint8)
+    imgs[3] = shifted               # brightness shift
+    for i in range(4, 16):
+        imgs[i] = rng.randint(0, 255, size=(16, 16, 3)).astype(np.uint8)
+
+    # brute-force reference pairs at hamming <= 3
+    hashes = {i: phash64(im) for i, im in imgs.items()}
+    assert all(-(1 << 63) <= h < (1 << 63) for h in hashes.values())
+    assert hashes[0] == hashes[2]   # identical pixels -> identical hash
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    expected = {
+        (a, b, ham(hashes[a], hashes[b]))
+        for a in imgs
+        for b in imgs
+        if a < b and ham(hashes[a], hashes[b]) <= 3
+    }
+    assert (0, 2, 0) in expected
+
+    def ppm(im):
+        return b"P6\n16 16\n255\n" + im.tobytes()
+
+    media = spark.createDataFrame(
+        [(i, bytearray(ppm(im))) for i, im in imgs.items()],
+        "media_id long, payload binary",
+    )
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in phash_near_dup_pairs(media, max_hamming=3, bands=4).collect()
+    }
+    assert got == expected

@@ -303,16 +303,6 @@ def simhash_near_dup_pairs(
     standard Charikar/Manku-Jain-Sarma web-dedup layout; at 100 TB use
     bands = max_hamming + 1 tables exactly as published). The only Python
     is the Arrow-batched sign-vote shared with simhash_dedup."""
-    if max_hamming > bands - 1:
-        raise ValueError(
-            f"max_hamming={max_hamming} needs bands >= {max_hamming + 1} "
-            "for exact recall (pigeonhole)"
-        )
-    if 64 % bands != 0:
-        raise ValueError(f"bands must divide 64, got {bands}")
-    width = 64 // bands
-    mask = (1 << width) - 1
-
     # Repartition before the Arrow vote (a small parquet arrives as 1-2
     # splits, which would serialize the UDF), and persist the signatures:
     # BOTH sides of the band self-join read them, so without the persist
@@ -330,16 +320,46 @@ def simhash_near_dup_pairs(
     )
     vote = _simhash_pandas_udf()
     sh = hashed.select(F.col(id_col), vote(F.col("_hs")).alias("_sh")).persist()
+    return hamming_near_dup_pairs(
+        sh, max_hamming=max_hamming, bands=bands, id_col=id_col, hash_col="_sh"
+    )
 
-    banded = sh.select(
+
+def hamming_near_dup_pairs(
+    hashes: DataFrame,
+    max_hamming: int = 3,
+    bands: int = 4,
+    id_col: str = "doc_id",
+    hash_col: str = "_sh",
+) -> DataFrame:
+    """Near-dup PAIRS (id_a, id_b, hamming) over any 64-bit fingerprint
+    column — the banded-pigeonhole layout shared by SimHash text dedup and
+    pHash image dedup: a pair with hamming <= bands-1 agrees on at least
+    one equal-width bit-band, so candidates come from an EQUI-join on
+    (band_index, band_bits), verified by one JVM bit_count(xor)
+    expression. Never an all-pairs comparison; requires
+    max_hamming <= bands - 1 for zero false negatives. The caller should
+    persist ``hashes`` when its lineage is expensive — both join sides
+    read it."""
+    if max_hamming > bands - 1:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs bands >= {max_hamming + 1} "
+            "for exact recall (pigeonhole)"
+        )
+    if 64 % bands != 0:
+        raise ValueError(f"bands must divide 64, got {bands}")
+    width = 64 // bands
+    mask = (1 << width) - 1
+
+    banded = hashes.select(
         id_col,
-        "_sh",
+        hash_col,
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(i).alias("band"),
-                        F.shiftrightunsigned(F.col("_sh"), i * width)
+                        F.shiftrightunsigned(F.col(hash_col), i * width)
                         .bitwiseAND(F.lit(mask))
                         .alias("bits"),
                     )
@@ -347,13 +367,15 @@ def simhash_near_dup_pairs(
                 ]
             )
         ).alias("_b"),
-    ).select(id_col, "_sh", F.col("_b.band").alias("_band"), F.col("_b.bits").alias("_bits"))
+    ).select(
+        id_col, hash_col, F.col("_b.band").alias("_band"), F.col("_b.bits").alias("_bits")
+    )
 
     a = banded.select(
-        F.col(id_col).alias("id_a"), F.col("_sh").alias("_sha"), "_band", "_bits"
+        F.col(id_col).alias("id_a"), F.col(hash_col).alias("_sha"), "_band", "_bits"
     )
     b = banded.select(
-        F.col(id_col).alias("id_b"), F.col("_sh").alias("_shb"), "_band", "_bits"
+        F.col(id_col).alias("id_b"), F.col(hash_col).alias("_shb"), "_band", "_bits"
     )
     ham = F.bit_count(F.col("_sha").bitwiseXOR(F.col("_shb")))
     return (

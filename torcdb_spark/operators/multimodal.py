@@ -676,3 +676,100 @@ def audio_spectral_features(
             yield pd.DataFrame(out)
 
     return media.mapInPandas(kernel, schema=schema)
+
+
+def _dct_mat_n(n: int):
+    """Orthonormal n-point DCT-II matrix (the 32-point sibling of the
+    8-point matrix in operators/jpeg.py)."""
+    import numpy as np
+
+    k = np.arange(n, dtype=np.float64)[:, None]
+    i = np.arange(n, dtype=np.float64)[None, :]
+    d = np.sqrt(2.0 / n) * np.cos(np.pi * (2 * i + 1) * k / (2 * n))
+    d[0] /= np.sqrt(2.0)
+    return d
+
+
+def phash64(img) -> int:
+    """Reference perceptual hash (pHash) of a decoded (h, w, c) uint8
+    image: ITU-R 601 luma → 32×32 nearest resize → 2-D orthonormal DCT →
+    top-left 8×8 low-frequency block → threshold each coefficient against
+    the median of the 63 AC coefficients (DC excluded from the median so a
+    global brightness shift cannot flip every bit) → 64 bits packed
+    row-major, returned as a SIGNED int64 (Spark LongType-compatible).
+
+    Deterministic pure numpy — no RNG, no library codecs — so the Spark
+    operator's output is exactly replayable in tests."""
+    import numpy as np
+
+    arr = np.asarray(img, dtype=np.float64)
+    if arr.ndim == 3:
+        if arr.shape[2] >= 3:
+            gray = (
+                0.299 * arr[:, :, 0] + 0.587 * arr[:, :, 1] + 0.114 * arr[:, :, 2]
+            )
+        else:
+            gray = arr[:, :, 0]
+    else:
+        gray = arr
+    g32 = resize_nearest(gray, 32, 32)
+    d = _dct_mat_n(32)
+    coeffs = d @ g32 @ d.T
+    low = coeffs[:8, :8].ravel()
+    med = float(np.median(low[1:]))
+    bits = low > med
+    h = 0
+    for bit in bits:
+        h = (h << 1) | int(bit)
+    if h >= 1 << 63:
+        h -= 1 << 64
+    return h
+
+
+def image_phash(media: DataFrame) -> DataFrame:
+    """(media_id, phash): perceptual hash per image via the real decode
+    path inside one Arrow-batched mapInPandas pass — payload bytes never
+    leave the executor. Undecodable payloads yield NULL phash (same
+    decode_err contract as decode_and_featurize)."""
+    import numpy as np  # noqa: F401  (kernel dependency, imported eagerly)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    img = decode_image(bytes(payload))
+                    out.append({"media_id": mid, "phash": phash64(img)})
+                except Exception:
+                    out.append({"media_id": mid, "phash": None})
+            yield pd.DataFrame(out, columns=["media_id", "phash"])
+
+    return media.select("media_id", "payload").mapInPandas(
+        kernel, "media_id long, phash long"
+    )
+
+
+def phash_near_dup_pairs(
+    media: DataFrame, max_hamming: int = 3, bands: int = 4
+) -> DataFrame:
+    """Perceptually-near-duplicate image PAIRS (id_a, id_b, hamming):
+    pHash each image (one decode pass, persisted — both sides of the
+    band self-join read it), then the same banded-pigeonhole equi-join
+    layout as SimHash text dedup (operators/dedup.hamming_near_dup_pairs).
+    The image counterpart of d14: candidate generation never compares
+    all pairs, verification is one JVM bit_count(xor)."""
+    from torcdb_spark.operators.dedup import hamming_near_dup_pairs
+
+    par = media.sparkSession.sparkContext.defaultParallelism
+    hashes = (
+        image_phash(media.repartition(par))
+        .where(F.col("phash").isNotNull())
+        .persist()
+    )
+    return hamming_near_dup_pairs(
+        hashes,
+        max_hamming=max_hamming,
+        bands=bands,
+        id_col="media_id",
+        hash_col="phash",
+    )

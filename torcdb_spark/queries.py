@@ -5800,3 +5800,32 @@ def g_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("size").cast("long").alias("size"),
         )
     )
+
+
+@_register("m7_phash_near_dups")  # rows-only: pHash rides the Python
+# decode+DCT kernel; exactness (hash values AND the pair set) is
+# pytest-verified against brute-force numpy on constructed images
+def m7_phash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image near-dup pairs: each document's text bytes
+    are framed as a 16×8 P6 PPM payload (the m3 decode fixture — exact
+    duplicate texts become pixel-identical images), pHashed through the
+    real decode path (operators/multimodal.image_phash: luma → 32×32 →
+    DCT → median threshold), and paired at hamming <= 3 by the banded
+    pigeonhole equi-join shared with d14. Reports per-hamming pair
+    counts — the image-dedup census."""
+    from torcdb_spark.operators.multimodal import phash_near_dup_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    w, h = 16, 8
+    header = F.encode(F.lit(f"P6\n{w} {h}\n255\n"), "utf-8")
+    body = F.encode(F.rpad(F.col("text"), w * h * 3, " "), "utf-8")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.concat(header, body).alias("payload"),
+    )
+    pairs = phash_near_dup_pairs(media, max_hamming=3, bands=4)
+    return (
+        pairs.groupBy("hamming")
+        .agg(F.count("*").cast("long").alias("n_pairs"))
+        .select("hamming", "n_pairs")
+    )
