@@ -852,19 +852,35 @@ def betweenness_sampled(
             F.lit(1.0).alias("sigma"),
         )
     )
+    # The (s, v) state tables are k-bounded while the edge set is the
+    # whole graph: when a level is small enough, broadcast IT so every
+    # superstep is a map-side probe of the cached edge blocks instead of
+    # re-shuffling |E| rows per depth. The level size is already material
+    # (each level is an eager localCheckpoint), so the count that decides
+    # is a cheap scan of local blocks, and the same count doubles as the
+    # convergence probe.
+    bcast_rows = 500_000
+
+    def _maybe_bcast(df: DataFrame, n_rows: int) -> DataFrame:
+        return F.broadcast(df) if n_rows <= bcast_rows else df
+
     levels = [lvl0]
+    level_sizes = [lvl0.count()]
     visited = lvl0.select("s", "v")
     for _d in range(1, max_depth + 1):
+        frontier = _maybe_bcast(levels[-1], level_sizes[-1])
         msgs = (
-            levels[-1]
-            .join(e, levels[-1]["v"] == e["es"])
+            frontier
+            .join(e, frontier["v"] == e["es"])
             .select("s", F.col("ed").alias("v"), "sigma")
         )
         agg = msgs.groupBy("s", "v").agg(F.sum("sigma").alias("sigma"))
         new = _checkpointed(agg.join(visited, ["s", "v"], "left_anti"))
-        if new.limit(1).count() == 0:
+        n_new = new.count()
+        if n_new == 0:
             break
         levels.append(new)
+        level_sizes.append(n_new)
         visited = visited.unionByName(new.select("s", "v"))
     # backward accumulation, deepest level first (its delta is 0)
     delta = levels[-1].select("s", "v", F.lit(0.0).alias("delta"))
@@ -878,9 +894,11 @@ def betweenness_sampled(
                 ["s", "w"],
             )
         )
+        succ = _maybe_bcast(succ, level_sizes[li + 1])
         cur = levels[li]
+        cur_b = _maybe_bcast(cur, level_sizes[li])
         contrib = (
-            cur.join(e, cur["v"] == e["es"])
+            cur_b.join(e, cur_b["v"] == e["es"])
             .select("s", "v", "sigma", F.col("ed").alias("w"))
             .join(succ, ["s", "w"])
             .groupBy("s", "v")
@@ -892,7 +910,7 @@ def betweenness_sampled(
         )
         delta = _checkpointed(
             cur.select("s", "v")
-            .join(contrib, ["s", "v"], "left")
+            .join(_maybe_bcast(contrib, level_sizes[li]), ["s", "v"], "left")
             .select("s", "v", F.coalesce(F.col("_c"), F.lit(0.0)).alias("delta"))
         )
         acc.append(delta)

@@ -629,16 +629,20 @@ def pq_topk(
         .select(
             "query_id",
             F.col("_id").alias("neighbor_id"),
-            F.aggregate(
-                F.zip_with(
-                    F.col("_codes"),
-                    F.sequence(F.lit(0), F.lit(m_subspaces - 1)),
-                    lambda code, s: F.element_at(
-                        F.col("_lut"), (s * k_sub + code + 1).cast("int")
-                    ),
+            # m_subspaces is a small plan-time constant: unroll the LUT
+            # row-sum into a flat codegen sum of element_at terms instead
+            # of a per-row aggregate(zip_with(...)) lambda chain (HOFs
+            # allocate per-element lambda frames; the unrolled form stays
+            # inside whole-stage codegen for the |Q|×|corpus| scan)
+            sum(
+                (
+                    F.element_at(
+                        F.col("_lut"),
+                        (F.lit(s * k_sub) + F.col("_codes")[s] + 1).cast("int"),
+                    )
+                    for s in range(m_subspaces)
                 ),
                 F.lit(0.0),
-                lambda acc, x: acc + x,
             ).alias("_adc"),
         )
     )
