@@ -657,10 +657,10 @@ DRIVER_PRIORITY: list[str] = [
     # t10 (map) is the superset serde round-trip; t9 (list) keeps its local
     # exact-value gate and cedes its driver slot to a new operator family
     "t10_props_map_roundtrip",
-    # §2.3 set algebra (TorcHelper)
+    # §2.3 set algebra (TorcHelper): three witnesses — a2/a3 (semi/anti
+    # join one-liners, driver-green since r1) ceded their slots to the
+    # round-4 corpus-hygiene families below and stay locally exact-gated
     "a1_fuse",
-    "a2_intersect",
-    "a3_subtract",
     "a4_remove_edge_if",
     "a5_keylist",
     # §2.4 gremlin steps (G1/G2/G3 keep three witnesses; both_e/where_not/
@@ -728,6 +728,11 @@ DRIVER_PRIORITY: list[str] = [
     # (slots ceded by g_gremlin_repeat/group)
     "d18_bpe_merges",
     "m6_jpeg_roundtrip",
+    # corpus-hygiene families added this round, both exact-value-oracled
+    # (slots ceded by a2/a3): benchmark decontamination and cross-doc
+    # span dedup
+    "dc1_benchmark_decontam",
+    "d19_span_dedup_stats",
 ]
 
 
