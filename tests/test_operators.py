@@ -1203,3 +1203,69 @@ def test_phash_pairs_match_bruteforce(spark):
         for r in phash_near_dup_pairs(media, max_hamming=3, bands=4).collect()
     }
     assert got == expected
+
+
+def test_semantic_dedup_matches_bruteforce(spark):
+    import numpy as np
+
+    from torcdb_spark.operators.similarity import semantic_dedup
+
+    rng = np.random.RandomState(3)
+    vecs = {}
+    a = rng.randn(16)
+    vecs[0] = a
+    vecs[1] = a * 2.0                      # cosine 1.0 with 0
+    b = rng.randn(16)
+    vecs[2] = b
+    # chain: 3 close to 2, 4 close to 3 but not to 2 (transitive closure)
+    vecs[3] = b + 0.06 * rng.randn(16)
+    vecs[4] = vecs[3] + 0.06 * rng.randn(16)
+    for i in range(5, 30):
+        vecs[i] = rng.randn(16)            # background, pairwise far
+
+    def brute_groups(threshold):
+        ids = sorted(vecs)
+        parent = {i: i for i in ids}
+
+        def find(x):
+            while parent[x] != x:
+                x = parent[x]
+            return x
+
+        for i in ids:
+            for j in ids:
+                if i < j:
+                    vi, vj = vecs[i], vecs[j]
+                    cos = round(
+                        float(vi @ vj / (np.linalg.norm(vi) * np.linalg.norm(vj))),
+                        3,
+                    )
+                    if cos >= threshold:
+                        ri, rj = find(i), find(j)
+                        if ri != rj:
+                            parent[max(ri, rj)] = min(ri, rj)
+        return {i: find(i) for i in ids}
+
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in vecs.items()],
+        "vec_id long, embedding array<float>",
+    )
+    # num_cells=1 removes the cell-boundary approximation -> exact match
+    got = {
+        r.vec_id: (r.rep_id, r.kept)
+        for r in semantic_dedup(df, threshold=0.95, num_cells=1).collect()
+    }
+    exp = brute_groups(0.95)
+    assert {i: g[0] for i, g in got.items()} == exp
+    assert all(kept == (rep == i) for i, (rep, kept) in got.items())
+    # the duplicate pair and the transitive chain actually collapsed
+    assert got[1][0] == 0 and not got[1][1]
+    assert got[3][0] == got[4][0] == got[2][0] == 2
+
+    # with cells, results remain a refinement (groups never cross-merge
+    # incorrectly: every reported rep must be a brute-force groupmate)
+    cells = {
+        r.vec_id: r.rep_id
+        for r in semantic_dedup(df, threshold=0.95, num_cells=4).collect()
+    }
+    assert all(exp[i] == exp[rep] for i, rep in cells.items())

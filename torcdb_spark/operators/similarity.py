@@ -675,3 +675,133 @@ def pq_topk(
         .where(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", "score", "rnk")
     )
+
+
+def semantic_dedup(
+    vectors: DataFrame,
+    threshold: float = 0.95,
+    num_cells: int = 16,
+    kmeans_iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    score_decimals: int = 3,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023: cluster
+    the embedding space, then treat within-cluster cosine >= threshold as
+    duplication) → (vec_id, rep_id, kept): every vector maps to the
+    minimum-id representative of its near-duplicate group; ``kept`` marks
+    the one row per group a cleaned corpus retains.
+
+    Pipeline, all distributed:
+    1. k-means cells — deterministic hash-bucket seeding + ``kmeans_iters``
+       Lloyd refinements (one Arrow-batched nearest-centroid assignment +
+       one groupBy-mean per iteration; centroids ride as ONE packed row,
+       no driver collect). Cells bound the quadratic: pairs are only
+       scored WITHIN a cell — the approximation the SemDeDup paper makes,
+       so recall misses only cell-boundary straddlers (raise num_cells
+       accuracy-neutrally: duplicates at threshold 0.95 land in the same
+       cell with overwhelming probability).
+    2. within-cell exact pairs — per cell one numpy gram matrix emitting
+       cosine >= threshold pairs (the cell-bounded sibling of
+       cosine_near_dup_pairs; size num_cells ~ N/target so a cell fits an
+       executor, sub-block giant cells with that operator if needed).
+    3. duplicate GROUPS, not just pairs — connected components over the
+       pair graph (analytics.connected_components), so transitive chains
+       a~b~c collapse to one representative even when cos(a,c) <
+       threshold (the same closure semantics as d13's text clusters).
+
+    At 100 TB: num_cells ~ N / 100k keeps cells executor-sized; stage 2's
+    shuffle carries each vector exactly once (keyed by cell); stage 3 runs
+    on the pair graph only, which duplicate-rate-bounds it far below N."""
+    import numpy as np
+
+    from torcdb_spark.analytics import connected_components
+
+    base = vectors.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+
+    def bucket_mean(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = np.asarray(pdf["_v"].tolist(), dtype=np.float64).mean(axis=0)
+        return pd.DataFrame({"_c": [int(pdf["_c"].iloc[0])], "_mean": [m.tolist()]})
+
+    def pack(assigned: DataFrame) -> DataFrame:
+        return (
+            assigned.groupBy("_c")
+            .applyInPandas(bucket_mean, "_c long, _mean array<double>")
+            .groupBy()
+            .agg(F.collect_list(F.struct("_c", "_mean")).alias("_cents"))
+        )
+
+    def nearest(df: DataFrame, cents: DataFrame) -> DataFrame:
+        packed = df.crossJoin(F.broadcast(cents))
+
+        def assign(batches):
+            for pdf in batches:
+                cen = pdf["_cents"].iloc[0]
+                cids = np.array([c["_c"] for c in cen], dtype=np.int64)
+                cm = np.asarray([c["_mean"] for c in cen], dtype=np.float64)
+                cm = cm / np.maximum(
+                    np.linalg.norm(cm, axis=1, keepdims=True), 1e-12
+                )
+                mat = np.asarray(pdf["_v"].tolist(), dtype=np.float64)
+                mat = mat / np.maximum(
+                    np.linalg.norm(mat, axis=1, keepdims=True), 1e-12
+                )
+                best = cids[np.argmax(mat @ cm.T, axis=1)]
+                yield pd.DataFrame(
+                    {"_id": pdf["_id"], "_v": pdf["_v"], "_c": best}
+                )
+
+        return packed.mapInPandas(assign, "_id long, _v array<float>, _c long")
+
+    seeded = base.withColumn(
+        "_c", F.pmod(F.xxhash64(F.col("_id")), F.lit(num_cells))
+    )
+    cents = pack(seeded)
+    assigned = seeded
+    for _ in range(kmeans_iters):
+        assigned = nearest(base, cents)
+        cents = pack(assigned)
+    assigned = nearest(base, cents)
+
+    cells = assigned.groupBy("_c").agg(
+        F.collect_list(F.struct("_id", "_v")).alias("_rows")
+    )
+
+    def cell_pairs(batches):
+        for pdf in batches:
+            out_a, out_b = [], []
+            for rows in pdf["_rows"]:
+                if len(rows) < 2:
+                    continue
+                ids = np.array([r["_id"] for r in rows], dtype=np.int64)
+                mat = np.asarray([r["_v"] for r in rows], dtype=np.float64)
+                n = np.linalg.norm(mat, axis=1)
+                denom = np.outer(n, n)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    scores = np.where(denom > 0, (mat @ mat.T) / denom, 0.0)
+                hit = (np.round(scores, score_decimals) >= threshold) & (
+                    ids[:, None] < ids[None, :]
+                )
+                ii, jj = np.nonzero(hit)
+                out_a.append(ids[ii])
+                out_b.append(ids[jj])
+            yield pd.DataFrame(
+                {
+                    "id_a": np.concatenate(out_a) if out_a else [],
+                    "id_b": np.concatenate(out_b) if out_b else [],
+                }
+            )
+
+    pairs = cells.mapInPandas(cell_pairs, "id_a long, id_b long")
+    comp = connected_components(pairs, src_col="id_a", dst_col="id_b")
+    return (
+        base.select("_id")
+        .join(comp, base["_id"] == comp["id"], "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce(F.col("component"), F.col("_id")).alias("rep_id"),
+            (F.coalesce(F.col("component"), F.col("_id")) == F.col("_id")).alias(
+                "kept"
+            ),
+        )
+    )

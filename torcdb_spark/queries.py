@@ -5834,3 +5834,17 @@ def m7_phash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("n_pairs"))
         .select("hamming", "n_pairs")
     )
+
+
+@_register("e8_semantic_dedup")  # rows-only: k-means cells + float cosine
+# + iterative CC; group semantics are pytest-exact vs brute-force numpy
+def e8_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication over the embeddings table
+    (operators/similarity.semantic_dedup): k-means cells bound the
+    quadratic, within-cell cosine >= 0.95 pairs, connected-components
+    closure, min-id representative per duplicate group. Returns the
+    per-vector keep/drop verdict a cleaned corpus applies."""
+    from torcdb_spark.operators.similarity import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, threshold=0.95, num_cells=8, kmeans_iters=1)
