@@ -987,3 +987,44 @@ def label_propagation(
         )
     und.unpersist()
     return state
+
+
+def adamic_adar(
+    pairs: DataFrame,
+    item_col: str = "item",
+    basket_col: str = "basket",
+    max_basket: int | None = 1000,
+) -> DataFrame:
+    """Adamic–Adar link prediction over an (item, basket) bipartite
+    relation → (item_a, item_b, n_common, aa_score): candidate item pairs
+    are those sharing >= 1 basket; each common basket contributes
+    1/ln(|basket|), so rare contexts weigh more than popular ones — the
+    classic co-occurrence link predictor (Adamic & Adar 2003).
+
+    Scale shape: the pair blow-up is bounded by BASKET size, not corpus
+    size — one within-basket self-join emits <= |b|·(|b|-1)/2 rows per
+    basket, then one pair-keyed aggregate (map-side combinable).
+    ``max_basket`` drops mega-baskets before the self-join (a 1M-item
+    basket is 5·10¹¹ pairs and carries ~0 signal at weight 1/ln(1M) —
+    capping is the standard skew guard); size-1 baskets are excluded by
+    construction (ln 1 = 0 has no defined weight, and they generate no
+    pairs anyway). Every step is an equi-join/aggregate on basket or pair
+    keys — exactly SQL-replayable."""
+    b = pairs.select(
+        F.col(item_col).alias("_i"), F.col(basket_col).alias("_b")
+    ).dropDuplicates()
+    deg = b.groupBy("_b").agg(F.count("*").alias("_deg"))
+    if max_basket is not None:
+        deg = deg.where(F.col("_deg") <= max_basket)
+    deg = deg.where(F.col("_deg") >= 2)
+    bd = b.join(deg, "_b")
+    left = bd.select(F.col("_b"), F.col("_i").alias("item_a"), "_deg")
+    right = bd.select(F.col("_b").alias("_b2"), F.col("_i").alias("item_b"))
+    co = left.join(
+        right,
+        (left["_b"] == right["_b2"]) & (left["item_a"] < right["item_b"]),
+    )
+    return co.groupBy("item_a", "item_b").agg(
+        F.count("*").cast("long").alias("n_common"),
+        F.round(F.sum(F.lit(1.0) / F.log(F.col("_deg"))), 4).alias("aa_score"),
+    )

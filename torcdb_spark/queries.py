@@ -5848,3 +5848,57 @@ def e8_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return semantic_dedup(emb, threshold=0.95, num_cells=8, kmeans_iters=1)
+
+
+@_register(
+    "lp1_adamic_adar",
+    """WITH b AS (
+         SELECT DISTINCT l_partkey AS i, l_orderkey AS o FROM lineitem
+       ),
+       deg AS (
+         SELECT o, count(*) AS d FROM b GROUP BY o
+         HAVING count(*) BETWEEN 2 AND 1000
+       ),
+       co AS (
+         SELECT x.i AS item_a, y.i AS item_b, deg.d
+         FROM b x JOIN b y ON x.o = y.o AND x.i < y.i
+         JOIN deg ON deg.o = x.o
+       ),
+       agg AS (
+         SELECT item_a, item_b,
+                CAST(count(*) AS BIGINT) AS n_common,
+                round(sum(1.0 / ln(d)), 4) AS aa_score
+         FROM co GROUP BY 1, 2
+       )
+       SELECT item_a, item_b, n_common, aa_score
+       FROM agg
+       ORDER BY aa_score DESC, item_a ASC, item_b ASC
+       LIMIT 20""",
+)
+def lp1_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic–Adar link prediction on the part↔order co-purchase
+    bipartite relation (analytics.adamic_adar): part pairs sharing
+    orders, each common order weighted 1/ln(#parts in it) — top 20
+    predicted links. The pair blow-up is bounded by basket size (max 13
+    parts/order in the fixture; mega-baskets capped at 1000), every step
+    an equi-join/aggregate keyed on order or pair."""
+    from torcdb_spark.analytics import adamic_adar
+
+    li = load_table(spark, sf_dir, "lineitem")
+    aa = adamic_adar(
+        li.select(
+            F.col("l_partkey").alias("item"), F.col("l_orderkey").alias("basket")
+        ),
+        item_col="item",
+        basket_col="basket",
+    )
+    return (
+        aa.select(
+            F.col("item_a").cast("long").alias("item_a"),
+            F.col("item_b").cast("long").alias("item_b"),
+            "n_common",
+            "aa_score",
+        )
+        .orderBy(F.desc("aa_score"), F.asc("item_a"), F.asc("item_b"))
+        .limit(20)
+    )
