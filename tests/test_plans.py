@@ -440,3 +440,49 @@ def test_repetition_signals_zero_shuffle(spark, sf_dir):
     out = repetition_signals(docs)
     assert shuffle_count(out) == 0
     assert "BatchEvalPython" not in explain_str(out, "formatted")
+
+
+def test_decontam_broadcasts_bench_and_single_exchange(spark, sf_dir):
+    """benchmark_overlap: the benchmark shingle set must ride a broadcast
+    (the corpus side is never shuffled for the match); the only exchange
+    is the per-document count aggregate."""
+    from torcdb_spark.operators.text import benchmark_overlap
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = benchmark_overlap(
+        docs.where("doc_id % 29 <> 0"), docs.where("doc_id % 29 = 0"), n=3
+    )
+    plan = explain_str(out, "formatted")
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan  # shingling is pure codegen
+
+
+def test_span_dedup_reuses_span_exchange(spark, sf_dir):
+    """cross_doc_span_stats: the min-owner aggregate and the join back
+    both key on the span — Catalyst must reuse that exchange (or plan a
+    bounded number), and nothing goes through Python."""
+    from torcdb_spark.operators.text import cross_doc_span_stats
+    from torcdb_spark.plans.explain import shuffle_count
+
+    out = cross_doc_span_stats(load_table(spark, sf_dir, "documents"), n=3)
+    plan = explain_str(out, "formatted")
+    assert "BatchEvalPython" not in plan
+    # span-keyed agg + join + id-keyed agg: <= 4 exchanges total
+    assert shuffle_count(out) <= 4
+
+
+def test_adamic_adar_joins_on_basket_key(spark, sf_dir):
+    """adamic_adar: the co-occurrence self-join must be an equi-join on
+    the basket key (never a nested-loop/cartesian), with the final
+    aggregate keyed on the pair."""
+    from torcdb_spark.analytics import adamic_adar
+
+    li = load_table(spark, sf_dir, "lineitem")
+    out = adamic_adar(
+        li.select(
+            F.col("l_partkey").alias("item"), F.col("l_orderkey").alias("basket")
+        )
+    )
+    plan = explain_str(out, "formatted")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
