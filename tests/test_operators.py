@@ -1269,3 +1269,73 @@ def test_semantic_dedup_matches_bruteforce(spark):
         for r in semantic_dedup(df, threshold=0.95, num_cells=4).collect()
     }
     assert all(exp[i] == exp[rep] for i, rep in cells.items())
+
+
+def test_avi_mjpeg_roundtrip_and_frame_sampler(spark):
+    import numpy as np
+
+    from torcdb_spark.operators.jpeg import decode_jpeg
+    from torcdb_spark.operators.multimodal import (
+        decode_avi_mjpeg,
+        encode_avi_mjpeg,
+        video_frame_features,
+    )
+
+    yy, xx = np.mgrid[0:16, 0:16]
+    frames = [
+        np.clip(
+            np.round(
+                np.stack(
+                    [
+                        128 + 100 * np.sin((xx + d) / 5.0),
+                        128 + 80 * np.cos(yy / 4.0),
+                        128 + 60 * np.sin((xx + yy + d) / 7.0),
+                    ],
+                    axis=-1,
+                )
+            ),
+            0,
+            255,
+        ).astype(np.uint8)
+        for d in range(5)
+    ]
+    avi = encode_avi_mjpeg(frames, fps=10, quality=90)
+    meta, payloads = decode_avi_mjpeg(avi)
+    assert meta == (5, 16, 16) and len(payloads) == 5
+    # JPEG quantization tolerance, per-frame
+    for p, f in zip(payloads, frames):
+        assert int(np.abs(decode_jpeg(p).astype(int) - f.astype(int)).max()) <= 12
+    # odd-sized JPEG payloads must not break chunk alignment
+    assert all(
+        decode_avi_mjpeg(encode_avi_mjpeg([f], quality=q))[1] for f in frames[:1]
+        for q in (35, 50, 90)
+    )
+    with_garbage = b"RIFF" + avi[4:8] + b"AVI " + b"\x00" * 8
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        decode_avi_mjpeg(with_garbage[:10])
+
+    # the distributed sampler decodes exactly every 2nd frame with lumas
+    # matching a direct local decode
+    media = spark.createDataFrame(
+        [(1, bytearray(avi))], "media_id long, payload binary"
+    )
+    got = {
+        r.frame_idx: (r.width, r.height, r.mean_luma, r.decode_err)
+        for r in video_frame_features(media, every_n=2).collect()
+    }
+    assert sorted(got) == [0, 2, 4]
+    for idx in (0, 2, 4):
+        img = decode_jpeg(payloads[idx])
+        luma = round(
+            float(
+                (
+                    0.299 * img[:, :, 0]
+                    + 0.587 * img[:, :, 1]
+                    + 0.114 * img[:, :, 2]
+                ).mean()
+            ),
+            3,
+        )
+        assert got[idx] == (16, 16, luma, None)

@@ -773,3 +773,161 @@ def phash_near_dup_pairs(
         id_col="media_id",
         hash_col="phash",
     )
+
+
+def encode_avi_mjpeg(frames, fps: int = 10, quality: int = 90) -> bytes:
+    """Minimal-but-well-formed AVI (RIFF) container holding an MJPEG
+    video stream: LIST hdrl (avih + one 'vids'/'MJPG' strl) + LIST movi
+    with one '00dc' chunk per frame (each a baseline JPEG from
+    operators/jpeg.encode_jpeg_baseline) + an idx1 index. Chunks are
+    even-padded per the RIFF rule. Pure stdlib struct packing — the video
+    sibling of encode_wav_pcm, so round-trips are testable with no
+    container/codec libs."""
+    import struct
+
+    from torcdb_spark.operators.jpeg import encode_jpeg_baseline
+
+    if not frames:
+        raise ValueError("encode_avi_mjpeg needs at least one frame")
+    h, w = frames[0].shape[:2]
+    payloads = [encode_jpeg_baseline(f, quality=quality) for f in frames]
+
+    def chunk(fourcc: bytes, data: bytes) -> bytes:
+        pad = b"\x00" if len(data) % 2 else b""
+        return fourcc + struct.pack("<I", len(data)) + data + pad
+
+    def lst(listtype: bytes, data: bytes) -> bytes:
+        return chunk(b"LIST", listtype + data)
+
+    avih = struct.pack(
+        "<14I",
+        1_000_000 // fps,  # microseconds per frame
+        0, 0, 0x10,        # max bytes/sec, padding, AVIF_HASINDEX
+        len(frames), 0, 1, 0,
+        w, h, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + b"MJPG"
+        + struct.pack("<IHHIIIIIIIi", 0, 0, 0, 0, 1, fps, 0, len(frames), 0, 10000, 0)
+        + struct.pack("<4H", 0, 0, w, h)
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG", w * h * 3, 0, 0, 0, 0
+    )
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi_chunks = b"".join(chunk(b"00dc", p) for p in payloads)
+    movi = lst(b"movi", movi_chunks)
+    # idx1 offsets are relative to the start of the movi LIST's data
+    idx_entries, off = [], 4
+    for p in payloads:
+        idx_entries.append(struct.pack("<4sIII", b"00dc", 0x10, off, len(p)))
+        off += 8 + len(p) + (len(p) % 2)
+    idx1 = chunk(b"idx1", b"".join(idx_entries))
+    body = b"AVI " + hdrl + movi + idx1
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_avi_mjpeg(payload: bytes):
+    """Parse a RIFF/AVI container and return (meta, frames): meta =
+    (declared_n_frames, width, height) from the avih header, frames = the
+    list of raw JPEG payloads from the movi '00dc'/'00db' chunks in
+    stream order. Real chunk walking (sizes + even padding honored);
+    raises ValueError on a malformed container. Frame pixel decode is the
+    caller's step (operators/jpeg.decode_jpeg) so frame SAMPLING can skip
+    JPEG work for unsampled frames — the point of a container-aware
+    sampler."""
+    import struct
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI payload")
+    meta = None
+    frames = []
+
+    def walk(buf: bytes, start: int, end: int) -> None:
+        nonlocal meta
+        pos = start
+        while pos + 8 <= end:
+            fourcc = buf[pos:pos + 4]
+            (size,) = struct.unpack_from("<I", buf, pos + 4)
+            data_start = pos + 8
+            data_end = data_start + size
+            if data_end > end:
+                raise ValueError("chunk overruns container")
+            if fourcc == b"LIST":
+                walk(buf, data_start + 4, data_end)
+            elif fourcc == b"avih":
+                f = struct.unpack_from("<14I", buf, data_start)
+                meta = (f[4], f[8], f[9])
+            elif fourcc in (b"00dc", b"00db"):
+                frames.append(buf[data_start:data_end])
+            pos = data_end + (size % 2)
+
+    walk(payload, 12, len(payload))
+    if meta is None:
+        raise ValueError("no avih header")
+    return meta, frames
+
+
+def video_frame_features(
+    media: DataFrame, every_n: int = 2, payload_col: str = "payload"
+) -> DataFrame:
+    """REAL video frame sampling: parse the AVI container, decode every
+    ``every_n``-th MJPEG frame (unsampled frames are never JPEG-decoded —
+    container-aware seek, the whole point of frame sampling at 100 TB),
+    and emit per-frame (media_id, frame_idx, width, height, mean_luma,
+    decode_err). One Arrow-batched mapInPandas pass; payloads never leave
+    the executor."""
+    import numpy as np
+
+    from torcdb_spark.operators.jpeg import decode_jpeg
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf[payload_col]):
+                try:
+                    _meta, frames = decode_avi_mjpeg(bytes(payload))
+                    for idx in range(0, len(frames), every_n):
+                        img = decode_jpeg(frames[idx])
+                        luma = (
+                            0.299 * img[:, :, 0]
+                            + 0.587 * img[:, :, 1]
+                            + 0.114 * img[:, :, 2]
+                        ).mean()
+                        rows.append(
+                            {
+                                "media_id": mid,
+                                "frame_idx": idx,
+                                "width": img.shape[1],
+                                "height": img.shape[0],
+                                "mean_luma": round(float(luma), 3),
+                                "decode_err": None,
+                            }
+                        )
+                except Exception as exc:  # malformed container/frame
+                    rows.append(
+                        {
+                            "media_id": mid,
+                            "frame_idx": -1,
+                            "width": None,
+                            "height": None,
+                            "mean_luma": None,
+                            "decode_err": str(exc)[:80],
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "frame_idx", "width", "height",
+                    "mean_luma", "decode_err",
+                ],
+            )
+
+    return media.mapInPandas(
+        kernel,
+        "media_id long, frame_idx long, width long, height long, "
+        "mean_luma double, decode_err string",
+    )

@@ -5902,3 +5902,70 @@ def lp1_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("aa_score"), F.asc("item_a"), F.asc("item_b"))
         .limit(20)
     )
+
+
+@_register(
+    "m8_video_frames",
+    """WITH f(frame_idx) AS (VALUES (CAST(0 AS BIGINT)), (CAST(2 AS BIGINT)))
+       SELECT doc_id AS media_id, frame_idx,
+              CAST(16 AS BIGINT) AS width, CAST(16 AS BIGINT) AS height,
+              TRUE AS decoded_ok
+       FROM documents CROSS JOIN f""",
+)
+def m8_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video-frame sampling end-to-end: per document a deterministic
+    4-frame 16×16 MJPEG-in-AVI payload is synthesized executor-side
+    (encode_avi_mjpeg — RIFF hdrl/movi/idx1 + baseline JPEG frames), then
+    operators/multimodal.video_frame_features parses the container and
+    JPEG-decodes every 2nd frame (unsampled frames are never decoded —
+    the container-aware seek that makes frame sampling viable at 100 TB).
+    The oracle pins the structural contract (each doc yields exactly
+    frames 0 and 2 at 16×16, cleanly decoded); frame pixel fidelity is
+    pytest-exact (tests/test_operators.py)."""
+    from torcdb_spark.operators.multimodal import (
+        encode_avi_mjpeg,
+        video_frame_features,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            yy, xx = np.mgrid[0:16, 0:16]
+            for d in pdf["doc_id"]:
+                frames = []
+                for fi in range(4):
+                    img = np.stack(
+                        [
+                            128 + 100 * np.sin((xx + d + 3 * fi) / 5.0),
+                            128 + 80 * np.cos((yy + fi) / 4.0),
+                            128 + 60 * np.sin((xx + yy + d) / 7.0),
+                        ],
+                        axis=-1,
+                    )
+                    frames.append(
+                        np.clip(np.round(img), 0, 255).astype(np.uint8)
+                    )
+                rows.append(
+                    {
+                        "media_id": d,
+                        "payload": encode_avi_mjpeg(frames, quality=90),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    media = docs.mapInPandas(synth, "media_id long, payload binary")
+    feats = video_frame_features(media, every_n=2)
+    return feats.select(
+        "media_id",
+        "frame_idx",
+        "width",
+        "height",
+        (F.col("decode_err").isNull() & F.col("mean_luma").isNotNull()).alias(
+            "decoded_ok"
+        ),
+    )
