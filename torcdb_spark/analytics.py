@@ -65,15 +65,26 @@ def pagerank(
         .select("id", F.lit(1.0).alias("rank"), "out_deg")
     )
     n = state.count()
+    # |contrib| = |V| every superstep; below the same threshold the other
+    # iterative operators use, broadcast it (and the dst-keyed message
+    # sums) so each superstep probes the edge scan map-side instead of
+    # shuffling |E| rows — the n we already count decides once for the
+    # whole run. Above the threshold the ordinary shuffle path stands
+    # (AQE re-plans it), which is the only viable shape at 100 TB anyway.
+    small = n <= 500_000
     for i in range(num_iter):
         contrib = state.where(F.col("out_deg").isNotNull()).select(
             F.col("id").alias("csrc"), (F.col("rank") / F.col("out_deg")).alias("c")
         )
+        if small:
+            contrib = F.broadcast(contrib)
         msgs = (
             e.join(contrib, e["src"] == contrib["csrc"])
             .groupBy("dst")
             .agg(F.sum("c").alias("msum"))
         )
+        if small:
+            msgs = F.broadcast(msgs)
         # dangling vertices contribute their rank uniformly; a 1-row
         # aggregate over the cached state, broadcast into the update plan —
         # a driver-side .first() here would serialize an extra action per
