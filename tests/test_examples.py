@@ -33,3 +33,20 @@ def test_corpus_pipeline_runs(spark, capsys):
     for marker in ("quality gate:", "exact dedup:", "near dedup:",
                    "pii scrub:", "bpe:", "packing:", "holdout sample:"):
         assert marker in out, f"missing stage {marker!r}:\n{out}"
+
+
+def test_multimodal_curation_runs(spark, capsys):
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "examples", "multimodal_curation.py",
+    )
+    spec = importlib.util.spec_from_file_location("multimodal_curation", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.main("/root/testdata/sf0.001")
+    out = capsys.readouterr().out
+    for marker in ("images decoded:", "images in near-dup pairs:",
+                   "audio clips with rms:", "video frames sampled:",
+                   "embeddings kept after semantic dedup:",
+                   "documents flagged contaminated:", "curated corpus size:"):
+        assert marker in out, f"missing section {marker!r}:\n{out}"
