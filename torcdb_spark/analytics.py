@@ -408,6 +408,12 @@ def k_core(
             break
         deg = live.groupBy("a").agg(F.count("*").alias("degree"))
         keep = deg.where(F.col("degree") >= k).select("a")
+        # |keep| <= |V| <= n_edges (known from the previous checkpoint):
+        # under the threshold both induced-subgraph semi-joins probe the
+        # broadcast survivor set map-side instead of shuffling the edge
+        # frontier twice per peel round
+        if n_edges <= 1_000_000:
+            keep = F.broadcast(keep)
         nxt = _checkpointed(
             live.join(keep, "a", "left_semi").join(
                 keep.select(F.col("a").alias("b")), "b", "left_semi"

@@ -421,9 +421,11 @@ def extract_features(media: DataFrame, feature_dim: int = 8) -> DataFrame:
 
 
 def frame_sample(media: DataFrame, every_n: int = 10) -> DataFrame:
-    """Video frame-sampling plumbing: explodes a frame index per payload
-    (decode stubbed — indexes are derived from metadata, the real kernel
-    would seek the container format)."""
+    """Video frame-sampling plumbing over METADATA only: explodes a frame
+    index per payload from the declared n_frames — the zero-decode
+    planning pass (which frames will we touch?). The real container-aware
+    kernel is ``video_frame_features`` (RIFF/AVI walk + per-sampled-frame
+    MJPEG decode)."""
     idx = F.sequence(
         F.lit(0),
         F.greatest(F.coalesce(F.col("n_frames"), F.lit(0)) - 1, F.lit(0)),
