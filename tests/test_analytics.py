@@ -383,3 +383,51 @@ def test_label_propagation_matches_pure_python(spark):
     }
     assert final[0] == final[1] == final[2] == 0
     assert final[10] == final[11] == final[12] == 10
+
+
+def test_adamic_adar_matches_python_reference_property(spark):
+    """Property: for arbitrary small (item, basket) relations — with
+    duplicates, size-1 baskets, and over-cap baskets — adamic_adar equals
+    a brute-force dictionary computation of Σ 1/ln(|basket|) over common
+    baskets with 2 <= |basket| <= max_basket."""
+    import math
+
+    from hypothesis import given, settings, strategies as st
+
+    from torcdb_spark.analytics import adamic_adar
+
+    max_basket = 4
+
+    def reference(pairs):
+        baskets = {}
+        for i, b in set(pairs):
+            baskets.setdefault(b, set()).add(i)
+        out = {}
+        for b, items in baskets.items():
+            if not (2 <= len(items) <= max_basket):
+                continue
+            w = 1.0 / math.log(len(items))
+            its = sorted(items)
+            for x in range(len(its)):
+                for y in range(x + 1, len(its)):
+                    key = (its[x], its[y])
+                    n, s = out.get(key, (0, 0.0))
+                    out[key] = (n + 1, s + w)
+        return {k: (n, round(s, 4)) for k, (n, s) in out.items()}
+
+    @settings(max_examples=6, deadline=None)
+    @given(
+        pairs=st.lists(
+            st.tuples(st.integers(0, 6), st.integers(0, 4)),
+            min_size=1, max_size=40,
+        )
+    )
+    def check(pairs):
+        df = spark.createDataFrame(pairs, ["item", "basket"])
+        got = {
+            (r.item_a, r.item_b): (r.n_common, r.aa_score)
+            for r in adamic_adar(df, max_basket=max_basket).collect()
+        }
+        assert got == reference(pairs), (pairs, got)
+
+    check()
