@@ -590,17 +590,22 @@ def vocab_oov(
     )
 
 
-def word_shingles(text: Column, n: int = 3) -> Column:
-    """Distinct word n-gram array over a raw text column: lowercase,
-    whitespace-tokenize, slide an n-token window, join each window with a
-    single space. Documents with fewer than ``n`` tokens yield an EMPTY
-    array (no short-shingle fallback — decontamination and span-dedup
-    consumers must not match partial windows).
+def word_shingles_from_tokens(toks: Column, n: int = 3) -> Column:
+    """Distinct word n-gram array over an ALREADY-MATERIALIZED token-array
+    column: slide an n-token window, join each window with a single
+    space. Rows with fewer than ``n`` tokens yield an EMPTY array (no
+    short-shingle fallback — decontamination and span-dedup consumers
+    must not match partial windows).
 
-    Stays entirely inside codegen: split/sequence/transform/slice/
-    array_join are all JVM expressions, so shingling 100 TB of text is a
-    map-only pass with zero Python."""
-    toks = F.split(F.lower(F.trim(text)), r"\s+")
+    Same staging rule as ``shingles``: pass a plain attribute column.
+    The transform lambda references ``toks`` once per window, so handing
+    it the nested split(lower(trim(...))) chain re-evaluates the regexp
+    split PER SPAN — measured 14 s → 1.5 s at sf0.1 on the span-dedup
+    query from staging the tokenization into its own select first.
+
+    Stays entirely inside codegen: sequence/transform/slice/array_join
+    are all JVM expressions, so shingling 100 TB of text is a map-only
+    pass with zero Python."""
     k = F.size(toks) - (n - 1)
     spans = F.when(
         k >= 1,
@@ -610,6 +615,60 @@ def word_shingles(text: Column, n: int = 3) -> Column:
         ),
     ).otherwise(F.array().cast("array<string>"))
     return F.array_distinct(spans)
+
+
+def word_tokens(text: Column) -> Column:
+    """Lowercased whitespace tokenization — materialize this in its own
+    select, then shingle the resulting attribute column with
+    ``word_shingles_from_tokens``."""
+    return F.split(F.lower(F.trim(text)), r"\s+")
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Single-expression convenience over ``word_shingles_from_tokens``
+    for interactive use on small frames. In operators, ALWAYS stage:
+    select the token array first (``word_tokens``), then shingle the
+    attribute column — this inline form re-evaluates the regexp split
+    once per window (see word_shingles_from_tokens)."""
+    return word_shingles_from_tokens(word_tokens(text), n)
+
+
+def word_span_frame(
+    docs: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, span): the DISTINCT word n-gram spans of every document, as an
+    exploded frame — the candidate-generation input shared by
+    decontamination and cross-document span dedup.
+
+    Formulation matters 9× here: building the span ARRAY with a
+    ``transform`` lambda and exploding it leaves a higher-order function
+    in the Generate operator's collapsed input, which knocks the whole
+    stage out of codegen (measured 3.3 s/pass at sf0.1 for a 260k-span
+    frame; the HOF itself is 0.36 s — the cost is the codegen fallback,
+    not the work). Instead: explode the window START POSITIONS
+    (sequence(1, len-n+1) of ints), then build each span with
+    slice/array_join per exploded row — ordinary expressions, one
+    codegen stage, 0.5 s for the same frame. Distinctness is a
+    (id, span) dropDuplicates, map-side combinable.
+
+    Documents with fewer than ``n`` tokens contribute nothing (the size
+    filter runs on the token count only, so no span expression is
+    inlined into a filter condition)."""
+    toks = docs.select(
+        F.col(id_col), word_tokens(F.col(text_col)).alias("_tk")
+    ).where(F.size("_tk") >= n)
+    pos = toks.select(
+        F.col(id_col),
+        "_tk",
+        F.explode(F.sequence(F.lit(1), F.size("_tk") - (n - 1))).alias("_i"),
+    )
+    return pos.select(
+        F.col(id_col),
+        F.array_join(F.slice("_tk", F.col("_i"), n), " ").alias("span"),
+    ).dropDuplicates([id_col, "span"])
 
 
 def benchmark_overlap(
@@ -635,18 +694,16 @@ def benchmark_overlap(
     100 TB scale the join key would be xxhash64(shingle) to shrink the
     broadcast; the raw string key here keeps the operator exactly
     SQL-reproducible."""
-    c = corpus.select(
-        F.col(id_col), word_shingles(F.col(text_col), n).alias("_sh")
-    ).where(F.size("_sh") >= 1)
+    c = word_span_frame(corpus, n, text_col=text_col, id_col=id_col).select(
+        F.col(id_col), F.col("span").alias("shingle")
+    )
     b = (
-        bench.select(word_shingles(F.col(text_col), n).alias("_sh"))
-        .select(F.explode("_sh").alias("shingle"))
+        word_span_frame(bench, n, text_col=text_col, id_col=id_col)
+        .select(F.col("span").alias("shingle"))
         .distinct()
         .select("shingle", F.lit(True).alias("_hit"))
     )
-    probe = c.select(F.col(id_col), F.explode("_sh").alias("shingle")).join(
-        F.broadcast(b), "shingle", "left"
-    )
+    probe = c.join(F.broadcast(b), "shingle", "left")
     return probe.groupBy(id_col).agg(
         F.count("*").cast("long").alias("n_shingles"),
         F.sum(F.when(F.col("_hit"), 1).otherwise(0)).cast("long").alias("n_matched"),
@@ -674,11 +731,7 @@ def cross_doc_span_stats(
     not corpus-bounded), joined back to the exploded spans on the same
     key — Catalyst reuses the exchange — then one id-keyed aggregate.
     No window over the full corpus, no driver state."""
-    spans = docs.select(
-        F.col(id_col), word_shingles(F.col(text_col), n).alias("_sh")
-    ).where(F.size("_sh") >= 1).select(
-        F.col(id_col), F.explode("_sh").alias("span")
-    )
+    spans = word_span_frame(docs, n, text_col=text_col, id_col=id_col)
     owners = spans.groupBy("span").agg(F.min(id_col).alias("_owner"))
     joined = spans.join(owners, "span")
     return joined.groupBy(id_col).agg(

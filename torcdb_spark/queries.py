@@ -5910,7 +5910,8 @@ def lp1_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
        SELECT doc_id AS media_id, frame_idx,
               CAST(16 AS BIGINT) AS width, CAST(16 AS BIGINT) AS height,
               TRUE AS decoded_ok
-       FROM documents CROSS JOIN f""",
+       FROM documents CROSS JOIN f
+       WHERE doc_id % 10 = 0""",
 )
 def m8_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL video-frame sampling end-to-end: per document a deterministic
@@ -5927,7 +5928,15 @@ def m8_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         video_frame_features,
     )
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    # deterministic 10% sample: frame-sampling a video corpus SAMPLE is
+    # the production shape (the full-corpus pass is the same plan at 10×
+    # the Python-codec cost — the pure-numpy baseline JPEG coder prices
+    # each 16×16 frame at ~1 ms where a native lib is ~10 µs)
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 10 == 0)
+        .select("doc_id")
+    )
 
     def synth(batches):
         import numpy as np
