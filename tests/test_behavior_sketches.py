@@ -613,3 +613,68 @@ def test_word_shingles_and_decontam_edges(spark):
         for r in cross_doc_span_stats(docs).collect()
     }
     assert stats == {1: (2, 0), 2: (1, 1), 4: (2, 1)}
+
+
+def test_span_hygiene_matches_python_reference_property(spark):
+    """Property: for arbitrary small corpora (random words, duplicate
+    texts, sub-n-token docs), benchmark_overlap and cross_doc_span_stats
+    both equal brute-force set computations over distinct word trigrams."""
+    from hypothesis import given, settings, strategies as st
+
+    from torcdb_spark.operators.text import benchmark_overlap, cross_doc_span_stats
+
+    words = ["aa", "bb", "cc", "dd"]
+
+    def spans_of(text):
+        toks = text.lower().split()
+        return {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
+
+    @settings(max_examples=6, deadline=None)
+    @given(
+        texts=st.lists(
+            st.lists(st.sampled_from(words), min_size=0, max_size=8).map(" ".join),
+            min_size=2, max_size=8,
+        )
+    )
+    def check(texts):
+        docs = [(i, t) for i, t in enumerate(texts)]
+        df = spark.createDataFrame(docs, ["doc_id", "text"])
+
+        # --- decontamination: even ids = corpus, odd ids = benchmark ---
+        bench_spans = set().union(
+            *(spans_of(t) for i, t in docs if i % 2 == 1), set()
+        )
+        exp_overlap = {}
+        for i, t in docs:
+            if i % 2 == 1:
+                continue
+            sp = spans_of(t)
+            if sp:
+                m = len(sp & bench_spans)
+                exp_overlap[i] = (len(sp), m, round(m / len(sp), 4))
+        got_overlap = {
+            r.doc_id: (r.n_shingles, r.n_matched, float(r.contamination))
+            for r in benchmark_overlap(
+                df.where("doc_id % 2 = 0"), df.where("doc_id % 2 = 1")
+            ).collect()
+        }
+        assert got_overlap == exp_overlap, (texts, got_overlap, exp_overlap)
+
+        # --- cross-doc span ownership over the whole corpus -------------
+        owner = {}
+        for i, t in docs:
+            for s in spans_of(t):
+                owner[s] = min(owner.get(s, i), i)
+        exp_stats = {}
+        for i, t in docs:
+            sp = spans_of(t)
+            if sp:
+                nf = sum(1 for s in sp if owner[s] < i)
+                exp_stats[i] = (len(sp), nf, round(nf / len(sp), 4))
+        got_stats = {
+            r.doc_id: (r.n_spans, r.n_foreign_dups, float(r.dup_frac))
+            for r in cross_doc_span_stats(df).collect()
+        }
+        assert got_stats == exp_stats, (texts, got_stats, exp_stats)
+
+    check()
