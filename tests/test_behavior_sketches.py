@@ -678,3 +678,37 @@ def test_span_hygiene_matches_python_reference_property(spark):
         assert got_stats == exp_stats, (texts, got_stats, exp_stats)
 
     check()
+
+
+def test_pack_sequences_straddle_semantics(spark):
+    from pyspark.sql import functions as F
+
+    from torcdb_spark.operators.text import pack_sequences, packing_stats
+
+    # one shard, capacity 10: docs of 4/4/4 tokens -> offsets 0,4,8;
+    # doc 2 STARTS inside seq 0 (offset 8 < 10) so it belongs to seq 0
+    # even though it straddles into seq 1; doc 3 (offset 12) opens seq 1
+    docs = spark.createDataFrame(
+        [(i, "t " * 4) for i in range(4)], ["doc_id", "text"]
+    )
+    packed = pack_sequences(
+        docs, capacity=10, n_shards=1, shard=F.lit(0)
+    )
+    got = {r.doc_id: (r.seq_id, r.offset) for r in packed.collect()}
+    assert got == {0: (0, 0), 1: (0, 4), 2: (0, 8), 3: (1, 12)}
+    stats = {
+        r.seq_id: (r.n_docs, r.n_tokens, float(r.fill_rate))
+        for r in packing_stats(packed, capacity=10).collect()
+    }
+    assert stats == {0: (3, 12, 1.2), 1: (1, 4, 0.4)}
+    # empty docs occupy zero tokens and never advance the offset
+    docs2 = spark.createDataFrame(
+        [(0, "a b c"), (1, "   "), (2, "d e")], ["doc_id", "text"]
+    )
+    got2 = {
+        r.doc_id: (r.offset, r.n_tokens)
+        for r in pack_sequences(
+            docs2, capacity=4, n_shards=1, shard=F.lit(0)
+        ).collect()
+    }
+    assert got2 == {0: (0, 3), 1: (3, 0), 2: (3, 2)}

@@ -745,3 +745,76 @@ def cross_doc_span_stats(
             4,
         ).alias("dup_frac"),
     )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    capacity: int = 512,
+    n_shards: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shard: Column | None = None,
+) -> DataFrame:
+    """Sequence-packing plan for pre-training batch assembly → (id,
+    shard, seq_id, offset, n_tokens): documents are concatenated in
+    deterministic id order and split into fixed-``capacity`` token
+    sequences; a document whose tokens START inside sequence k belongs to
+    sequence k (greedy contiguous packing — the GPT-style concatenate-
+    and-slice layout, where a straddling document spills into the next
+    sequence rather than opening a fresh one).
+
+    Distributed shape: a corpus-wide running sum would be ONE serial
+    window — instead documents are hash-sharded (deterministic
+    pmod(xxhash64(id))) and packed independently per shard, so the
+    running-sum window partitions by shard and parallelizes. Sequences
+    never span shards; with thousands of shards per 100 TB corpus each
+    window partition is executor-sized and the per-shard tail waste
+    (< capacity tokens) is negligible. Fully deterministic → exactly
+    SQL-replayable (window + integer arithmetic, no RNG)."""
+    from pyspark.sql.window import Window as W
+
+    shard_expr = (
+        shard
+        if shard is not None
+        else F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards))
+    )
+    toks = docs.select(
+        F.col(id_col),
+        shard_expr.cast("long").alias("shard"),
+        token_count(F.col(text_col)).cast("long").alias("n_tokens"),
+    )
+    w = W.partitionBy("shard").orderBy(id_col)
+    return toks.select(
+        F.col(id_col),
+        "shard",
+        "n_tokens",
+        (
+            F.coalesce(
+                F.sum("n_tokens").over(
+                    w.rowsBetween(W.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            )
+        ).alias("offset"),
+    ).select(
+        F.col(id_col),
+        "shard",
+        F.floor(F.col("offset") / capacity).cast("long").alias("seq_id"),
+        "offset",
+        "n_tokens",
+    )
+
+
+def packing_stats(
+    packed: DataFrame, capacity: int = 512
+) -> DataFrame:
+    """Per-sequence fill statistics over a ``pack_sequences`` plan →
+    (shard, seq_id, n_docs, n_tokens, fill_rate): one (shard, seq_id)
+    keyed aggregate, map-side combinable. fill_rate may exceed 1.0 on
+    sequences whose last document straddles the boundary (its tail slice
+    spills into the next sequence at materialization time)."""
+    return packed.groupBy("shard", "seq_id").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.round(F.sum("n_tokens") / capacity, 4).alias("fill_rate"),
+    )

@@ -5978,3 +5978,44 @@ def m8_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
             "decoded_ok"
         ),
     )
+
+
+@_register(
+    "pk1_sequence_packing",
+    """WITH toks AS (
+         SELECT doc_id, doc_id % 8 AS shard,
+                CASE WHEN trim(text) = '' THEN 0
+                     ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                END AS n_tokens
+         FROM documents
+       ),
+       packed AS (
+         SELECT doc_id, shard, n_tokens,
+                COALESCE(SUM(n_tokens) OVER (
+                    PARTITION BY shard ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS off
+         FROM toks
+       )
+       SELECT shard, CAST(off // 128 AS BIGINT) AS seq_id,
+              CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+              round(sum(n_tokens) / 128.0, 4) AS fill_rate
+       FROM packed
+       GROUP BY shard, off // 128""",
+)
+def pk1_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-training sequence-packing plan (operators/text.pack_sequences +
+    packing_stats): documents hash-sharded, concatenated in id order per
+    shard, sliced into 128-token sequences (greedy contiguous / GPT-style
+    concatenate-and-slice). The running sum windows BY SHARD — the
+    formulation that parallelizes where a corpus-wide cumsum would be one
+    serial window. Shard key is id % 8 here so the DuckDB oracle replays
+    the plan hash-free; production uses the default xxhash64 shard."""
+    from torcdb_spark.operators.text import pack_sequences, packing_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    packed = pack_sequences(
+        docs, capacity=128, n_shards=8, shard=F.col("doc_id") % 8
+    )
+    return packing_stats(packed, capacity=128)
