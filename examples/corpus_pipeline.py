@@ -108,13 +108,22 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     worst = oov.agg(F.round(F.max("oov_frac"), 4)).first()[0]
     log(f"bpe: first merge {top.left}+{top.right} (n={top.pair_count}); max OOV {worst}")
 
-    # 6 — packing stats: tokens per doc for sequence packing
+    # 6 — sequence packing: shard-parallel concatenate-and-slice plan
+    from torcdb_spark.operators.text import pack_sequences, packing_stats
+
     enc = bpe_encode(clean.select("doc_id", "text"), merges)
     stats = enc.agg(
         F.sum("n_bpe_tokens").alias("total"),
         F.round(F.avg("n_bpe_tokens"), 1).alias("mean"),
     ).first()
-    log(f"packing: {stats.total} BPE tokens, mean {stats.mean}/doc")
+    packed = packing_stats(
+        pack_sequences(clean, capacity=256, n_shards=4), capacity=256
+    )
+    fill = packed.agg(F.round(F.avg("fill_rate"), 3)).first()[0]
+    log(
+        f"packing: {stats.total} BPE tokens, mean {stats.mean}/doc; "
+        f"{packed.count()} sequences of 256, mean fill {fill}"
+    )
 
     # 7 — deterministic eval holdout (reruns pick the SAME rows)
     holdout = hash_sample(clean, rate_pct=5, id_col="doc_id")
