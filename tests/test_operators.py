@@ -1339,3 +1339,33 @@ def test_avi_mjpeg_roundtrip_and_frame_sampler(spark):
             3,
         )
         assert got[idx] == (16, 16, luma, None)
+
+
+def test_gif_codec_roundtrips_and_dispatch():
+    import numpy as np
+    import pytest
+
+    from torcdb_spark.operators.gif import decode_gif, encode_gif
+    from torcdb_spark.operators.multimodal import decode_image
+
+    rng = np.random.RandomState(11)
+    pal = rng.randint(0, 255, (16, 3)).astype(np.uint8)
+    idx = rng.randint(0, 16, (23, 31)).astype(np.uint8)
+    g = encode_gif(idx, pal)
+    assert g[:6] == b"GIF89a"
+    # paletted round-trip is bit-exact, and the multimodal dispatch
+    # routes GIF magic to the same decoder
+    assert (decode_gif(g) == pal[idx]).all()
+    assert (decode_image(g) == pal[idx]).all()
+    # RGB path: nearest-level uniform quantization, error <= half spacing
+    img = rng.randint(0, 255, (17, 19, 3)).astype(np.uint8)
+    err = int(np.abs(decode_gif(encode_gif(img)).astype(int) - img.astype(int)).max())
+    assert err <= 43
+    # LZW code-width growth + >16-entry palette power-of-two padding
+    pal2 = rng.randint(0, 255, (200, 3)).astype(np.uint8)
+    idx2 = rng.randint(0, 200, (64, 64)).astype(np.uint8)
+    assert (decode_gif(encode_gif(idx2, pal2)) == pal2[idx2]).all()
+    with pytest.raises(ValueError):
+        decode_gif(b"NOTAGIF!")
+    with pytest.raises(ValueError):
+        encode_gif(idx)  # index input without palette

@@ -135,10 +135,15 @@ def decode_image(payload: bytes):
         from torcdb_spark.operators.jpeg import decode_jpeg
 
         return decode_jpeg(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        from torcdb_spark.operators.gif import decode_gif
+
+        return decode_gif(payload)
     raise NotImplementedError(
         "only PPM(P6), uncompressed 24/32-bit BMP, non-interlaced 8-bit "
-        "gray/RGB/RGBA PNG, uncompressed chunky TIFF, and baseline "
-        "sequential JPEG decode without codec libraries; install "
+        "gray/RGB/RGBA PNG, uncompressed chunky TIFF, baseline "
+        "sequential JPEG, and single-frame non-interlaced GIF decode "
+        "without codec libraries; install "
         "pillow/opencv for progressive JPEG/WebP and extend dispatch"
     )
 

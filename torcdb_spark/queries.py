@@ -6019,3 +6019,62 @@ def pk1_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, capacity=128, n_shards=8, shard=F.col("doc_id") % 8
     )
     return packing_stats(packed, capacity=128)
+
+
+@_register(
+    "m9_gif_roundtrip",
+    """SELECT doc_id AS media_id,
+              CAST(24 AS BIGINT) AS width, CAST(16 AS BIGINT) AS height,
+              TRUE AS lossless
+       FROM documents WHERE doc_id % 10 = 0""",
+)
+def m9_gif_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GIF codec through the multimodal decode path: per sampled document
+    a deterministic 16-color paletted 24×16 image is encoded as GIF89a
+    (operators/gif.py — real variable-code-width LZW with CLEAR handling)
+    and decoded back via decode_image's dispatch. Paletted GIF is
+    LOSSLESS, so the oracle pins an exact pixel round-trip (lossless =
+    decoded == palette[indices]) plus dimensions — a harder contract than
+    the quantization-bounded JPEG one (m6)."""
+    from torcdb_spark.operators.gif import encode_gif
+    from torcdb_spark.operators.multimodal import decode_image
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 10 == 0)
+        .select("doc_id")
+    )
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            yy, xx = np.mgrid[0:16, 0:24]
+            for d in pdf["doc_id"]:
+                pal = np.stack(
+                    [
+                        (np.arange(16) * 17) % 256,
+                        (np.arange(16) * 31 + int(d)) % 256,
+                        (np.arange(16) * 13) % 256,
+                    ],
+                    axis=1,
+                ).astype(np.uint8)
+                idx = ((xx + yy + int(d)) % 16).astype(np.uint8)
+                dec = decode_image(encode_gif(idx, pal))
+                rows.append(
+                    {
+                        "media_id": d,
+                        "width": dec.shape[1],
+                        "height": dec.shape[0],
+                        "lossless": bool((dec == pal[idx]).all()),
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "width", "height", "lossless"]
+            )
+
+    return docs.mapInPandas(
+        kernel, "media_id long, width long, height long, lossless boolean"
+    )
