@@ -1369,3 +1369,26 @@ def test_gif_codec_roundtrips_and_dispatch():
         decode_gif(b"NOTAGIF!")
     with pytest.raises(ValueError):
         encode_gif(idx)  # index input without palette
+
+
+def test_gif_interlaced_decode():
+    import numpy as np
+
+    from torcdb_spark.operators.gif import decode_gif, encode_gif
+
+    rng = np.random.RandomState(5)
+    pal = rng.randint(0, 255, (16, 3)).astype(np.uint8)
+    h, w = 13, 9  # odd height exercises uneven pass lengths
+    arr = rng.randint(0, 16, (h, w)).astype(np.uint8)
+    order = np.concatenate(
+        [np.arange(0, h, 8), np.arange(4, h, 8),
+         np.arange(2, h, 4), np.arange(1, h, 2)]
+    )
+    stored = arr[order]  # rows as an interlaced encoder would emit them
+    g = bytearray(encode_gif(stored, pal))
+    # image descriptor: header 13 + padded GCT 16*3; flags byte is the
+    # 9th byte after the 0x2C introducer
+    desc = 13 + 48
+    assert g[desc] == 0x2C
+    g[desc + 9] |= 0x40  # set interlace flag
+    assert (decode_gif(bytes(g)) == pal[arr]).all()

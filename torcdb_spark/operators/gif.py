@@ -3,9 +3,10 @@ mapping, no imaging libraries — the GIF sibling of operators/jpeg.py,
 giving the multimodal decode path (operators/multimodal.decode_image) real
 coverage of the last common legacy raster format.
 
-Scope: single-image GIFs, global color table, non-interlaced (interlaced
-and animated/multi-frame GIFs raise a documented NotImplementedError —
-same contract as progressive JPEG). The encoder writes an 8-bit global
+Scope: single-image GIFs, global or local color table, interlaced or
+not (de-interlacing is an inverse row scatter); animated/multi-frame
+GIFs raise a documented NotImplementedError — same contract as
+progressive JPEG. The encoder writes an 8-bit global
 palette and a correct variable-code-width LZW stream with CLEAR handling,
 so encode→decode round-trips are bit-exact and testable with no codec
 libs.
@@ -119,9 +120,9 @@ def _lzw_encode(indices: bytes, min_code_size: int) -> bytes:
 
 
 def decode_gif(payload: bytes):
-    """Decode a single-image non-interlaced GIF → (h, w, 3) uint8 RGB
-    numpy array. Raises ValueError on malformed data and
-    NotImplementedError for interlaced or multi-frame/animated inputs."""
+    """Decode a single-image GIF (interlaced or not) → (h, w, 3) uint8
+    RGB numpy array. Raises ValueError on malformed data and
+    NotImplementedError for multi-frame/animated inputs."""
     import numpy as np
 
     if len(payload) < 13 or payload[:6] not in (b"GIF87a", b"GIF89a"):
@@ -153,8 +154,7 @@ def decode_gif(payload: bytes):
             raise NotImplementedError("multi-frame/animated GIF")
         ix, iy, iw, ih, iflags = struct.unpack_from("<HHHHB", payload, pos)
         pos += 9
-        if iflags & 0x40:
-            raise NotImplementedError("interlaced GIF")
+        interlaced = bool(iflags & 0x40)
         pal = palette
         if iflags & 0x80:
             lct_size = 2 << (iflags & 0x07)
@@ -176,6 +176,20 @@ def decode_gif(payload: bytes):
         if len(idx) < iw * ih:
             raise ValueError("truncated GIF pixel data")
         arr = np.frombuffer(idx, dtype=np.uint8).reshape(ih, iw)
+        if interlaced:
+            # GIF89a appendix E: rows stored in four passes
+            # (0::8, 4::8, 2::4, 1::2) — de-interlace by inverse scatter
+            order = np.concatenate(
+                [
+                    np.arange(0, ih, 8),
+                    np.arange(4, ih, 8),
+                    np.arange(2, ih, 4),
+                    np.arange(1, ih, 2),
+                ]
+            )
+            out_rows = np.empty_like(arr)
+            out_rows[order] = arr
+            arr = out_rows
         if int(arr.max(initial=0)) >= len(pal):
             raise ValueError("palette index out of range")
         frame = pal[arr]
