@@ -4,10 +4,12 @@ Images/audio/video ride through the engine as ``binary`` columns with a
 metadata struct; transforms run as Arrow-batched Pandas UDFs over
 ``mapInPandas`` so payload bytes never round-trip through Python row
 objects. Decode kernels are REAL for every format decodable without codec
-libraries — PPM(P6), uncompressed BMP, non-interlaced PNG (stdlib zlib),
-uncompressed TIFF, RIFF/WAVE PCM — plus FFT spectral audio features;
-compressed formats (JPEG/WebP/MP3...) raise a documented
-NotImplementedError where a deployment plugs in pillow/opencv/ffmpeg.
+libraries — PPM(P6), uncompressed BMP, PNG (stdlib zlib), uncompressed
+TIFF, baseline JPEG (operators/jpeg.py), GIF incl. interlaced
+(operators/gif.py LZW), RIFF/WAVE PCM audio, MJPEG-in-AVI video — plus
+FFT spectral audio features; the remaining compressed formats
+(progressive JPEG/WebP/MP3...) raise a documented NotImplementedError
+where a deployment plugs in pillow/opencv/ffmpeg.
 
 At 100 TB: payloads dominate; the operators keep them in Arrow buffers,
 never collect them, and the repartition key is the id — size partitions
@@ -142,7 +144,7 @@ def decode_image(payload: bytes):
     raise NotImplementedError(
         "only PPM(P6), uncompressed 24/32-bit BMP, non-interlaced 8-bit "
         "gray/RGB/RGBA PNG, uncompressed chunky TIFF, baseline "
-        "sequential JPEG, and single-frame non-interlaced GIF decode "
+        "sequential JPEG, and single-frame GIF decode "
         "without codec libraries; install "
         "pillow/opencv for progressive JPEG/WebP and extend dispatch"
     )
