@@ -712,3 +712,23 @@ def test_pack_sequences_straddle_semantics(spark):
         ).collect()
     }
     assert got2 == {0: (0, 3), 1: (3, 0), 2: (3, 2)}
+
+
+def test_bigram_perplexity_hand_model(spark):
+    from torcdb_spark.operators.text import bigram_perplexity
+
+    ref = spark.createDataFrame([(100, "a b a b")], ["doc_id", "text"])
+    docs = spark.createDataFrame(
+        [(0, "a b"), (1, "z z")], ["doc_id", "text"]
+    )
+    got = {
+        r.doc_id: (r.n_bigrams, float(r.ppl))
+        for r in bigram_perplexity(docs, ref).collect()
+    }
+    # vocab {a, b}, V=3; counts: (<s>,a)=1,(a,b)=2,(b,a)=1; ctx <s>=1,a=2,b=1
+    # "a b": P(<s>→a)=1.5/2.5, P(a→b)=2.5/3.5 → ppl = (3/7)^-0.5
+    assert got[0] == (2, round((7 / 3) ** 0.5, 4))
+    # "z z" → unk unk: P(<s>→unk)=0.5/2.5, P(unk→unk)=0.5/1.5 → ppl=sqrt(15)
+    assert got[1] == (2, round(15 ** 0.5, 4))
+    # in-distribution text scores lower perplexity than noise
+    assert got[0][1] < got[1][1]

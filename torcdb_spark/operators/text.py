@@ -818,3 +818,106 @@ def packing_stats(
         F.sum("n_tokens").cast("long").alias("n_tokens"),
         F.round(F.sum("n_tokens") / capacity, 4).alias("fill_rate"),
     )
+
+
+def bigram_perplexity(
+    docs: DataFrame,
+    reference: DataFrame,
+    alpha: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet-style LM-perplexity quality signal → (id, n_bigrams, ppl):
+    train an add-α-smoothed bigram language model on a clean REFERENCE
+    corpus, then score every document's perplexity under it — low ppl ≈
+    looks like the reference distribution, high ppl ≈ noise/boilerplate.
+    The cheap, fully-auditable stand-in for the neural-LM filter every
+    production corpus pipeline runs (CCNet uses a wiki-trained LM the
+    same way).
+
+    Model: P(cur|prev) = (c(prev,cur) + α) / (c(prev) + α·V), with a
+    beginning-of-document pseudo-token as the first context, corpus
+    tokens outside the reference vocabulary mapped to '<unk>', and
+    V = |reference vocab| + 1 (the unk slot).
+    ppl = exp(-Σ ln P / n_bigrams), rounded.
+
+    Scale shape: bigram/context counts are two map-side-combinable
+    aggregates over the REFERENCE (small by definition); the model rides
+    two broadcast joins into the corpus scan — the corpus itself is
+    touched once and shuffled only by the final per-document aggregate.
+    The per-document window (lag over token position) partitions by
+    document id, so partitions are document-sized. Deterministic
+    integer counts + IEEE log arithmetic → exactly SQL-replayable."""
+    from pyspark.sql.window import Window as W
+
+    bos = "<s>"
+    unk = "<unk>"
+
+    def bigrams(frame: DataFrame) -> DataFrame:
+        toks = frame.select(
+            F.col(id_col), word_tokens(F.col(text_col)).alias("_tk")
+        ).where(F.size("_tk") >= 1)
+        pos = toks.select(
+            F.col(id_col),
+            F.posexplode("_tk").alias("_i", "cur"),
+        )
+        w = W.partitionBy(id_col).orderBy("_i")
+        return pos.select(
+            F.col(id_col),
+            F.coalesce(F.lag("cur").over(w), F.lit(bos)).alias("prev"),
+            "cur",
+        )
+
+    vocab = (
+        reference.select(
+            F.explode(word_tokens(F.col(text_col))).alias("term")
+        )
+        .distinct()
+    )
+    v_size = vocab.count() + 1  # + the unk slot
+
+    ref_bi = bigrams(reference)
+    big_c = ref_bi.groupBy("prev", "cur").agg(F.count("*").alias("c_bi"))
+    ctx_c = ref_bi.groupBy("prev").agg(F.count("*").alias("c_ctx"))
+
+    def unkify(frame: DataFrame, col: str) -> DataFrame:
+        return (
+            frame.join(
+                F.broadcast(vocab.withColumn("_iv", F.lit(True))),
+                frame[col] == vocab["term"],
+                "left",
+            )
+            .withColumn(
+                col + "_m",
+                F.when(
+                    (F.col(col) == bos) | F.col("_iv").isNotNull(), F.col(col)
+                ).otherwise(F.lit(unk)),
+            )
+            .drop("term", "_iv")
+        )
+
+    corpus_bi = unkify(unkify(bigrams(docs), "prev"), "cur")
+    scored = (
+        corpus_bi.join(
+            F.broadcast(big_c),
+            (F.col("prev_m") == big_c["prev"]) & (F.col("cur_m") == big_c["cur"]),
+            "left",
+        )
+        .drop(big_c["prev"])
+        .drop(big_c["cur"])
+        .join(
+            F.broadcast(ctx_c), F.col("prev_m") == ctx_c["prev"], "left"
+        )
+        .drop(ctx_c["prev"])
+        .select(
+            F.col(id_col),
+            F.log(
+                (F.coalesce(F.col("c_bi"), F.lit(0)) + F.lit(alpha))
+                / (F.coalesce(F.col("c_ctx"), F.lit(0)) + F.lit(alpha * v_size))
+            ).alias("_lp"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_bigrams"),
+        F.round(F.exp(-F.sum("_lp") / F.count("*")), 4).alias("ppl"),
+    )

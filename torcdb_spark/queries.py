@@ -6078,3 +6078,64 @@ def m9_gif_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(
         kernel, "media_id long, width long, height long, lossless boolean"
     )
+
+
+@_register(
+    "d21_lm_perplexity",
+    """WITH ref AS (
+         SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+         FROM documents WHERE doc_id % 29 = 0
+       ),
+       vocab AS (SELECT DISTINCT unnest(t) AS term FROM ref),
+       v AS (SELECT count(*) + 1 AS vs FROM vocab),
+       refbi AS (
+         SELECT CASE WHEN i = 1 THEN '<s>' ELSE t[i - 1] END AS prev,
+                t[i] AS cur
+         FROM (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i
+               FROM ref)
+       ),
+       bigc AS (SELECT prev, cur, count(*) AS c_bi FROM refbi GROUP BY 1, 2),
+       ctxc AS (SELECT prev, count(*) AS c_ctx FROM refbi GROUP BY 1),
+       corp AS (
+         SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+         FROM documents
+       ),
+       corpbi0 AS (
+         SELECT doc_id,
+                CASE WHEN i = 1 THEN '<s>' ELSE t[i - 1] END AS prev0,
+                t[i] AS cur0
+         FROM (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i
+               FROM corp)
+       ),
+       corpbi AS (
+         SELECT doc_id,
+                CASE WHEN prev0 = '<s>'
+                          OR prev0 IN (SELECT term FROM vocab)
+                     THEN prev0 ELSE '<unk>' END AS prev,
+                CASE WHEN cur0 IN (SELECT term FROM vocab)
+                     THEN cur0 ELSE '<unk>' END AS cur
+         FROM corpbi0
+       ),
+       lp AS (
+         SELECT doc_id,
+                ln((COALESCE(c_bi, 0) + 0.5)
+                   / (COALESCE(c_ctx, 0) + 0.5 * (SELECT vs FROM v))) AS l
+         FROM corpbi
+         LEFT JOIN bigc USING (prev, cur)
+         LEFT JOIN ctxc USING (prev)
+       )
+       SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+              round(exp(-sum(l) / count(*)), 4) AS ppl
+       FROM lp GROUP BY doc_id""",
+)
+def d21_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality filter (operators/text.bigram_perplexity):
+    an add-0.5-smoothed bigram LM is trained on the doc_id % 29 == 0
+    reference split (two map-side-combinable aggregates over the small
+    reference), broadcast into one scan of the full corpus, and every
+    document scored by perplexity. The oracle replays the entire model —
+    counts, unk mapping, smoothing, log-sum — relationally."""
+    from torcdb_spark.operators.text import bigram_perplexity
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bigram_perplexity(docs, docs.where(F.col("doc_id") % 29 == 0))
