@@ -10,6 +10,7 @@ Stages (each prints one line; executed by tests/test_examples.py so it
 cannot rot):
 
 1. quality gating   — Gopher repetition signals + heuristic quality score
+1b. perplexity gate — CCNet-style bigram-LM scoring vs a clean split
 2. exact dedup      — xxhash64 fingerprint groups
 3. near dedup       — MinHash-LSH candidate pairs → connected-component
                       cluster representatives
@@ -72,6 +73,17 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     )
     n1 = gated.count()
     log(f"quality gate: {n0} -> {n1} docs")
+
+    # 1b — LM-perplexity gate (CCNet-style): score against a bigram LM
+    # trained on a held-out clean split; keep the in-distribution half
+    from torcdb_spark.operators.text import bigram_perplexity
+
+    ppl = bigram_perplexity(gated, gated.where("doc_id % 29 = 0"))
+    med = ppl.agg(F.expr("percentile_approx(ppl, 0.5)")).first()[0]
+    gated = gated.join(
+        ppl.where(F.col("ppl") <= F.lit(med) * 1.5).select("doc_id"), "doc_id"
+    )
+    log(f"perplexity gate: median ppl {med:.1f}, kept {gated.count()} docs")
 
     # 2 — exact dedup on normalized fingerprints (keep min-id survivor)
     survivors = exact_dedup(gated, text_col="text", id_col="doc_id")

@@ -486,3 +486,16 @@ def test_adamic_adar_joins_on_basket_key(spark, sf_dir):
     plan = explain_str(out, "formatted")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_perplexity_model_rides_broadcasts(spark, sf_dir):
+    """bigram_perplexity: the LM (bigram counts, context counts, vocab)
+    must broadcast into the corpus scan — the corpus is shuffled only by
+    the final per-document aggregate, and nothing goes through Python."""
+    from torcdb_spark.operators.text import bigram_perplexity
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = bigram_perplexity(docs, docs.where("doc_id % 29 = 0"))
+    plan = explain_str(out, "formatted")
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "BatchEvalPython" not in plan
