@@ -373,3 +373,34 @@ def test_node2vec_p_bias_returns_more(spark):
     # only walks whose step-1 went to the hub CAN backtrack (the leaf
     # chain is one-directional), i.e. ~20 of 40; near-all of those must
     assert many >= 12
+
+
+def test_mixture_downsample_flattens_and_is_deterministic(spark):
+    from pyspark.sql import functions as F
+
+    from torcdb_spark.operators.sampling import mixture_downsample
+
+    # source A: 300 docs, B: 100, C: 100 -> A sampled at ~1/3, B/C kept
+    rows = (
+        [(i, "A") for i in range(300)]
+        + [(1000 + i, "B") for i in range(100)]
+        + [(2000 + i, "C") for i in range(100)]
+    )
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    kept = mixture_downsample(df, source_col="source")
+    counts = {r.source: r.n for r in kept.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    rates = {r.source: r.rate for r in kept.select("source", "rate").distinct().collect()}
+    assert rates["B"] == rates["C"] == 1.0
+    assert abs(rates["A"] - 1 / 3) < 1e-9
+    assert counts["B"] == counts["C"] == 100  # rate 1.0 keeps everything
+    assert 60 <= counts["A"] <= 140  # ~100 expected, md5-binomial spread
+    # deterministic: same seed -> identical kept set
+    ids1 = sorted(r.doc_id for r in kept.collect())
+    ids2 = sorted(r.doc_id for r in mixture_downsample(df, source_col="source").collect())
+    assert ids1 == ids2
+    # different seed -> (almost surely) different selection within A
+    ids3 = sorted(
+        r.doc_id
+        for r in mixture_downsample(df, source_col="source", seed=7).collect()
+    )
+    assert ids1 != ids3

@@ -300,3 +300,57 @@ def node2vec_walks(
     return res.select(
         "walk_id", F.col("step").cast("long").alias("step"), "vertex"
     )
+
+
+def mixture_downsample(
+    docs: DataFrame,
+    source_col: str = "source",
+    weight_col: Column | None = None,
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Domain-mixture rebalancing by deterministic downsampling → the
+    kept subset of ``docs`` (plus the applied per-source ``rate``): every
+    source is sampled at rate min_total/total_source so all sources
+    contribute ~the SMALLEST source's weight (token count by default) —
+    the pre-training mixture-flattening pass (no upsampling; repeat
+    epochs handle that).
+
+    Fully deterministic and engine-exact: each row's uniform is the first
+    13 hex digits of md5(id:seed) compared AS A STRING against the
+    source's threshold printf('%013x', floor(rate·16¹³)) — IEEE double
+    division/multiply + integer hex formatting reproduce bit-identically
+    in any engine, so a SQL oracle replays the exact kept set (the same
+    trick as the md5 samplers above, extended to data-dependent rates).
+
+    Scale shape: one map-side-combinable per-source total, broadcast back
+    into a single scan of the corpus (sources are few; the corpus is
+    never shuffled); selection is a per-row string compare."""
+    w = weight_col if weight_col is not None else F.lit(1)
+    base = docs.withColumn("_w", w.cast("double"))
+    totals = base.groupBy(source_col).agg(F.sum("_w").alias("_tot"))
+    min_tot = totals.groupBy().agg(F.min("_tot").alias("_min"))
+    rates = totals.crossJoin(F.broadcast(min_tot)).select(
+        source_col,
+        (F.col("_min") / F.col("_tot")).alias("rate"),
+    )
+    thr = F.lower(
+        F.lpad(
+            F.hex(
+                F.floor(F.col("rate") * F.lit(float(1 << 52))).cast("long")
+            ),
+            13,
+            "0",
+        )
+    )
+    u = F.substring(
+        F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f":{seed}"))), 1, 13
+    )
+    # rate >= 1 (the smallest source itself) must keep every row: its
+    # threshold floor(1.0·16¹³) is a 14-hex-digit string that would
+    # otherwise be truncated by the 13-char pad and reject ~15/16 of rows
+    return (
+        base.join(F.broadcast(rates), source_col)
+        .where((F.col("rate") >= 1.0) | (u < thr))
+        .drop("_w")
+    )

@@ -6139,3 +6139,56 @@ def d21_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return bigram_perplexity(docs, docs.where(F.col("doc_id") % 29 == 0))
+
+
+@_register(
+    "mx1_domain_mixture",
+    """WITH base AS (
+         SELECT doc_id, source,
+                CASE WHEN trim(text) = '' THEN 0
+                     ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                END AS n_tokens
+         FROM documents
+       ),
+       totals AS (
+         SELECT source, CAST(sum(n_tokens) AS DOUBLE) AS tot
+         FROM base GROUP BY source
+       ),
+       rates AS (
+         SELECT source, (SELECT min(tot) FROM totals) / tot AS rate
+         FROM totals
+       ),
+       kept AS (
+         SELECT b.doc_id, b.source, b.n_tokens, r.rate
+         FROM base b JOIN rates r USING (source)
+         WHERE rate >= 1.0
+            OR substr(md5(CAST(b.doc_id AS VARCHAR) || ':0'), 1, 13)
+               < printf('%013x', CAST(floor(rate * 4503599627370496) AS BIGINT))
+       )
+       SELECT source,
+              CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(n_tokens) AS BIGINT) AS tokens_kept,
+              round(any_value(rate), 6) AS rate
+       FROM kept GROUP BY source""",
+)
+def mx1_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-training domain-mixture flattening
+    (operators/sampling.mixture_downsample): every source downsampled by
+    deterministic md5 selection to ~the smallest source's TOKEN budget —
+    per-source rates computed in-plan from one broadcast totals
+    aggregate, corpus never shuffled. The oracle replays the exact kept
+    set, hex thresholds included."""
+    from torcdb_spark.operators.sampling import mixture_downsample
+    from torcdb_spark.operators.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = mixture_downsample(
+        docs.select("doc_id", "source", "text"),
+        source_col="source",
+        weight_col=token_count(F.col("text")),
+    ).withColumn("n_tokens", token_count(F.col("text")))
+    return kept.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("tokens_kept"),
+        F.round(F.first("rate"), 6).alias("rate"),
+    )
