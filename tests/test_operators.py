@@ -380,8 +380,10 @@ def test_decode_image_rejects_unknown_format():
     import pytest
     from torcdb_spark.operators.multimodal import decode_image
 
+    with pytest.raises(ValueError):
+        decode_image(b"GIF89a not supported")  # dispatches, malformed body
     with pytest.raises(NotImplementedError):
-        decode_image(b"GIF89a not supported")
+        decode_image(b"RIFFxxxxWEBPVP8 ")  # genuinely undispatched format
     with pytest.raises(ValueError):
         decode_image(b"\x89PNG\r\n\x1a\n....")  # PNG magic, no chunks
     with pytest.raises(ValueError):
@@ -485,7 +487,7 @@ def test_decode_and_featurize_spark_path(spark):
     rows = [
         (1, bytearray(_ppm_bytes(px)), "image/x-portable-pixmap", None, None, None),
         (2, bytearray(_bmp_bytes(px)), "image/bmp", None, None, None),
-        (3, bytearray(b"GIF89a not supported"), "image/gif", None, None, None),
+        (3, bytearray(b"RIFFxxxxWEBPVP8 "), "image/webp", None, None, None),
         (4, bytearray(encode_png(px, filter_type=2)), "image/png",
          None, None, None),
     ]
@@ -501,7 +503,7 @@ def test_decode_and_featurize_spark_path(spark):
         assert r.mean_b == exp_mean["mean_b"]
         assert abs(sum(r.luma_hist) - 1.0) < 1e-6
         assert r.decode_err is None
-    assert out[3].decode_err == "NotImplementedError"
+    assert out[3].decode_err == "NotImplementedError"  # WebP: no codec
     assert out[3].width is None
 
 
