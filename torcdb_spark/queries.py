@@ -6192,3 +6192,54 @@ def mx1_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").cast("long").alias("tokens_kept"),
         F.round(F.first("rate"), 6).alias("rate"),
     )
+
+
+@_register(
+    "st_docs_history_dedup",
+    """WITH hist AS (
+         SELECT DISTINCT lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))
+                  AS nt
+         FROM documents WHERE doc_id % 3 = 0
+       )
+       SELECT source, CAST(count(*) AS BIGINT) AS n_new
+       FROM documents
+       WHERE lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))
+             NOT IN (SELECT nt FROM hist)
+       GROUP BY source""",
+)
+def st_docs_history_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL streaming ingest dedup: the documents table replayed as a
+    file stream (crawl-batch shape), each micro-batch fingerprinted
+    (xxhash64 of normalized text, the d1 key) and LEFT-ANTI joined
+    against the static historical fingerprint set (doc_id % 3 == 0) —
+    streaming/jobs.dedup_against_history: stream-static anti join, no
+    state store, history never evicted. Counts surviving docs per
+    source; the oracle replays the same dedup on normalized text."""
+    import os
+    import tempfile
+
+    from torcdb_spark.operators.text import fingerprint
+    from torcdb_spark.streaming.jobs import (
+        dedup_against_history,
+        docs_stream,
+        run_to_memory,
+    )
+
+    slug = sf_dir.strip("/").replace("/", "_")
+    d = os.path.join(tempfile.gettempdir(), f"torcdb_stream_docs_{slug}")
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, "documents.parquet")
+    if not os.path.exists(link):
+        os.symlink(f"{sf_dir}/documents.parquet", link)
+
+    stream = docs_stream(spark, d).withColumn("fp", fingerprint(F.col("text")))
+    history = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 3 == 0)
+        .select(fingerprint(F.col("text")).alias("fp"))
+        .distinct()
+    )
+    kept = dedup_against_history(stream, history, "fp")
+    agg = kept.groupBy("source").agg(F.count("*").cast("long").alias("n_new"))
+    run_to_memory(agg, "st_hist_dedup", output_mode="complete")
+    return spark.table("st_hist_dedup")

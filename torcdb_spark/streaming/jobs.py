@@ -399,3 +399,42 @@ def apply_cdc_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+DOC_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+
+def docs_stream(spark: SparkSession, path: str) -> DataFrame:
+    """File-source stream of the documents table (one file per
+    micro-batch) — the crawl-ingest shape: new document batches arriving
+    continuously. Same directory/symlink contract as events_stream."""
+    return (
+        spark.readStream.schema(DOC_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+
+
+def dedup_against_history(
+    stream: DataFrame, history_fps: DataFrame, fp_col: str = "fp"
+) -> DataFrame:
+    """Online exact dedup of a document stream against a HISTORICAL
+    fingerprint set (the crawler-pipeline shape: drop documents already
+    in the corpus BEFORE they enter downstream processing): per
+    micro-batch one stream-static LEFT ANTI join on the 64-bit
+    fingerprint — the static side auto-broadcasts under the threshold
+    and needs NO state store, so unlike within-stream watermark dedup
+    (streaming_dedup) the history can be arbitrarily large and is never
+    evicted. At 100 TB of history, swap the broadcast for a bucketed
+    static table on fp; the plan shape is unchanged."""
+    return stream.join(
+        history_fps, stream[fp_col] == history_fps[fp_col], "left_anti"
+    )
