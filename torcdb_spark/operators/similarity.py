@@ -805,3 +805,59 @@ def semantic_dedup(
             ),
         )
     )
+
+
+def hard_negative_mining(
+    corpus: DataFrame,
+    anchors: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    score_decimals: int = 3,
+) -> DataFrame:
+    """Contrastive-training data prep → (anchor_id, neighbor_id, score,
+    rnk): for every anchor, the k most-cosine-similar corpus vectors with
+    a DIFFERENT label — the "hard negatives" that dominate contrastive /
+    embedding-model fine-tuning batches (near the anchor in embedding
+    space, wrong by label).
+
+    Same scale shape as cosine_topk_bruteforce: anchors broadcast into a
+    partition-parallel corpus scan (the corpus never shuffles), JVM-side
+    cosine, per-anchor window top-k with rank pushdown. The label
+    inequality rides the join filter, so mismatched pairs are dropped
+    before scoring. Swap the scan for the LSH/IVF candidate generators
+    when anchors × corpus outgrows brute force."""
+    a = anchors.select(
+        F.col(id_col).alias("anchor_id"),
+        F.col(vec_col).alias("_av"),
+        F.col(label_col).alias("_al"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        F.col(label_col).alias("_cl"),
+    )
+    scored = (
+        F.broadcast(a)
+        .crossJoin(c)
+        .where(
+            (F.col("anchor_id") != F.col("neighbor_id"))
+            & (F.col("_al") != F.col("_cl"))
+        )
+        .select(
+            "anchor_id",
+            "neighbor_id",
+            F.round(
+                cosine_similarity(F.col("_av"), F.col("_cv")), score_decimals
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.desc("score"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("anchor_id", "neighbor_id", "score", "rnk")
+    )

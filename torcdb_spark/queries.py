@@ -6243,3 +6243,39 @@ def st_docs_history_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = kept.groupBy("source").agg(F.count("*").cast("long").alias("n_new"))
     run_to_memory(agg, "st_hist_dedup", output_mode="complete")
     return spark.table("st_hist_dedup")
+
+
+@_register(
+    "e9_hard_negatives",
+    """WITH a AS (SELECT vec_id AS anchor_id, label AS al,
+                         CAST(embedding AS DOUBLE[]) AS av
+                  FROM embeddings WHERE vec_id < 20),
+       scored AS (
+         SELECT anchor_id, e.vec_id AS neighbor_id,
+                round(list_dot_product(av, CAST(e.embedding AS DOUBLE[]))
+                      / (sqrt(list_dot_product(av, av))
+                         * sqrt(list_dot_product(
+                               CAST(e.embedding AS DOUBLE[]),
+                               CAST(e.embedding AS DOUBLE[])))),
+                      3) AS score
+         FROM a, embeddings e
+         WHERE e.vec_id <> anchor_id AND e.label <> al)
+       SELECT anchor_id, neighbor_id, score, CAST(rnk AS BIGINT) AS rnk
+       FROM (SELECT *, row_number() OVER (PARTITION BY anchor_id
+                                          ORDER BY score DESC, neighbor_id)
+                       AS rnk
+             FROM scored)
+       WHERE rnk <= 3""",
+)
+def e9_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training
+    (operators/similarity.hard_negative_mining): per anchor (vec_id <
+    20) the 3 most-similar DIFFERENT-label vectors — anchors broadcast
+    into a partition-parallel corpus scan, JVM cosine, windowed top-k."""
+    from torcdb_spark.operators.similarity import hard_negative_mining
+
+    emb = load_table(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    anchors = emb.where(F.col("vec_id") < 20)
+    return hard_negative_mining(emb, anchors, k=3)
