@@ -258,3 +258,50 @@ def test_apply_cdc_stream_merges_into_partitioned_table(spark, tmp_path):
     q.awaitTermination(120)
     got = {r["k"]: r["v"] for r in spark.read.parquet(base).collect()}
     assert got == {1: 10.0, 2: 22.0, 3: 30.0, 4: 40.0}
+
+
+def test_history_dedup_across_batches(spark, sf_dir, tmp_path_factory):
+    """The stream-static anti-join must drop history hits in EVERY
+    micro-batch: split the documents fixture into two files and check
+    the appended survivors equal the batch anti-join over the union."""
+    from torcdb_spark.operators.text import fingerprint
+    from torcdb_spark.streaming.jobs import (
+        dedup_against_history,
+        docs_stream,
+        run_to_memory,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = tmp_path_factory.mktemp("docs_split")
+    docs.where(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(str(d / "a"))
+    docs.where(F.col("doc_id") % 2 == 1).coalesce(1).write.parquet(str(d / "b"))
+    import glob
+    import shutil
+
+    stream_dir = tmp_path_factory.mktemp("docs_two_files")
+    for i, f in enumerate(sorted(glob.glob(str(d / "*" / "part-*.parquet")))):
+        shutil.copy(f, stream_dir / f"{i}.parquet")
+
+    history = (
+        docs.where(F.col("doc_id") % 3 == 0)
+        .select(fingerprint(F.col("text")).alias("fp"))
+        .distinct()
+    )
+    stream = docs_stream(spark, str(stream_dir)).withColumn(
+        "fp", fingerprint(F.col("text"))
+    )
+    kept = dedup_against_history(stream, history, "fp").select("doc_id")
+    run_to_memory(kept, "hist_dedup_2b", output_mode="append")
+    got = sorted(r.doc_id for r in spark.table("hist_dedup_2b").collect())
+
+    hist_nt = docs.where(F.col("doc_id") % 3 == 0).select(
+        fingerprint(F.col("text")).alias("fp")
+    )
+    exp = sorted(
+        r.doc_id
+        for r in docs.withColumn("fp", fingerprint(F.col("text")))
+        .join(hist_nt, "fp", "left_anti")
+        .select("doc_id")
+        .collect()
+    )
+    assert got == exp and len(got) > 0
