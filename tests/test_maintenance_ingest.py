@@ -77,3 +77,48 @@ def test_read_any_rejects_unknown_format(spark):
 
     with pytest.raises(ValueError):
         read_any(spark, "/nonexistent", fmt="avro")
+
+
+def test_warc_roundtrip_and_distributed_fanout(spark):
+    from torcdb_spark.sources.warc import parse_warc, warc_records, write_warc
+
+    recs = [
+        (
+            {"WARC-Target-URI": f"http://x/{i}", "WARC-Type": "response"},
+            f"body {i} \r\n tricky crlf data".encode(),
+        )
+        for i in range(5)
+    ]
+    for gz in (True, False):
+        back = parse_warc(write_warc(recs, gzip_members=gz))
+        assert [(h["WARC-Target-URI"], b) for _, h, b in back] == [
+            (h["WARC-Target-URI"], b) for h, b in recs
+        ]
+    # offsets are monotone record starts in the decompressed stream
+    offs = [o for o, _, _ in parse_warc(write_warc(recs))]
+    assert offs == sorted(offs) and offs[0] == 0
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        parse_warc(b"WARC/1.0\r\nNoLen: 1\r\n\r\nxx")
+
+    files = spark.createDataFrame(
+        [
+            ("a.warc.gz", bytearray(write_warc(recs))),
+            ("bad.warc.gz", bytearray(b"\x1f\x8b garbage")),
+        ],
+        "path string, content binary",
+    )
+    rows = warc_records(files).collect()
+    good = [r for r in rows if r.path == "a.warc.gz"]
+    bad = [r for r in rows if r.path == "bad.warc.gz"]
+    assert len(good) == 5
+    assert sorted(r.target_uri for r in good) == sorted(
+        h["WARC-Target-URI"] for h, _ in recs
+    )
+    assert all(bytes(r.payload) == b for r, (_, b) in zip(
+        sorted(good, key=lambda r: r.record_offset), recs
+    ))
+    # poisoned archive yields an _error row, not a job failure
+    assert len(bad) == 1 and bad[0].warc_type == "_error"

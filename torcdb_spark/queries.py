@@ -6279,3 +6279,49 @@ def e9_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     anchors = emb.where(F.col("vec_id") < 20)
     return hard_negative_mining(emb, anchors, k=3)
+
+
+@_register(
+    "w1_warc_ingest",
+    """SELECT source AS path,
+              CAST(count(*) AS BIGINT) AS n_records,
+              CAST(sum(octet_length(encode(text))) AS BIGINT) AS payload_bytes
+       FROM documents GROUP BY source""",
+)
+def w1_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC crawl-archive ingestion end-to-end (sources/warc.py): each
+    fixture source becomes one .warc.gz archive (independent gzip member
+    per record — the splittable CommonCrawl layout, written by the real
+    serializer), then warc_records fans the archives back out to one row
+    per record inside one Arrow pass. The oracle pins the full record
+    census: every document must come back as exactly one response record
+    with its byte-exact payload length."""
+    from torcdb_spark.sources.warc import warc_records, write_warc
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def build(pdf):
+        import pandas as pd
+
+        recs = [
+            (
+                {
+                    "WARC-Type": "response",
+                    "WARC-Target-URI": f"http://fixture/{int(r.doc_id)}",
+                },
+                r.text.encode(),
+            )
+            for r in pdf.sort_values("doc_id").itertuples()
+        ]
+        return pd.DataFrame(
+            {"path": [pdf["source"].iloc[0]], "content": [write_warc(recs)]}
+        )
+
+    archives = docs.select("doc_id", "source", "text").groupBy("source").applyInPandas(
+        build, "path string, content binary"
+    )
+    recs = warc_records(archives)
+    return recs.groupBy("path").agg(
+        F.count("*").cast("long").alias("n_records"),
+        F.sum("content_length").cast("long").alias("payload_bytes"),
+    )
