@@ -732,3 +732,27 @@ def test_bigram_perplexity_hand_model(spark):
     assert got[1] == (2, round(15 ** 0.5, 4))
     # in-distribution text scores lower perplexity than noise
     assert got[0][1] < got[1][1]
+
+
+def test_html_to_text_extraction(spark):
+    from pyspark.sql import functions as F
+
+    from torcdb_spark.operators.text import html_to_text
+
+    cases = [
+        # script containing '<' and '</' lookalikes must vanish whole
+        ("<p>a</p><script>if (x<1) { s='</scr'+'ipt>'; }</script><p>b</p>",
+         "a b"),
+        ("<style>p { content: '<q>'; }</style>hello", "hello"),
+        ("<!-- c1 --><b>bold</b><!-- c2 -->", "bold"),
+        ("x &amp;amp; y", "x &amp; y"),  # double-escape decodes ONCE
+        ("&lt;tag&gt; &quot;q&quot; &#39;a&#39;", "<tag> \"q\" 'a'"),
+        ("  lots\n\n of\twhitespace  ", "lots of whitespace"),
+        ("<div\nclass='x'>multi\nline tag</div>", "multi line tag"),
+    ]
+    df = spark.createDataFrame(
+        [(i, h) for i, (h, _) in enumerate(cases)], ["i", "html"]
+    )
+    got = {r.i: r.t for r in df.select("i", html_to_text(F.col("html")).alias("t")).collect()}
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (i, got[i], want)

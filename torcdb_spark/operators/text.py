@@ -921,3 +921,26 @@ def bigram_perplexity(
         F.count("*").cast("long").alias("n_bigrams"),
         F.round(F.exp(-F.sum("_lp") / F.count("*")), 4).alias("ppl"),
     )
+
+
+def html_to_text(html: Column) -> Column:
+    """Crawl-pipeline HTML→text extraction (trafilatura-lite), as a chain
+    of JVM regex passes: drop <script>/<style> blocks and comments, strip
+    the remaining tags, decode the five predefined entities, collapse
+    whitespace. Zero Python, zero shuffle — a per-row expression chain
+    over 100 TB of crawl HTML.
+
+    Every pattern uses only syntax with identical semantics in Java regex
+    and RE2 ((?is) flags + non-greedy + character classes), so an
+    external SQL oracle replays the extraction byte-for-byte — the same
+    engine-exactness contract as the md5 samplers."""
+    t = F.regexp_replace(html, r"(?is)<script[^>]*>.*?</script>", " ")
+    t = F.regexp_replace(t, r"(?is)<style[^>]*>.*?</style>", " ")
+    t = F.regexp_replace(t, r"(?s)<!--.*?-->", " ")
+    t = F.regexp_replace(t, r"(?s)<[^>]+>", " ")
+    for ent, ch in (
+        ("&lt;", "<"), ("&gt;", ">"), ("&quot;", "\""),
+        ("&#39;", "'"), ("&amp;", "&"),  # &amp; LAST (double-escape rule)
+    ):
+        t = F.replace(t, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(t, r"\s+", " "))

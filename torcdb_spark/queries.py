@@ -6325,3 +6325,72 @@ def w1_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_records"),
         F.sum("content_length").cast("long").alias("payload_bytes"),
     )
+
+
+@_register(
+    "h2_html_extract",
+    """WITH pages AS (
+         SELECT doc_id,
+                '<html><head><title>t</title>'
+                || '<script type="text/javascript">var x = 1 < 2;</script>'
+                || '<style>.c { color: red; }</style></head>'
+                || '<body><!-- nav --><h1>Doc ' || doc_id || '</h1><p>'
+                || text
+                || '</p><div>&amp;copy; &lt;fixture&gt; &#39;' || source
+                || '&#39;</div></body></html>' AS html
+         FROM documents
+       ),
+       ext AS (
+         SELECT doc_id,
+                trim(regexp_replace(
+                  replace(replace(replace(replace(replace(
+                    regexp_replace(
+                      regexp_replace(
+                        regexp_replace(
+                          regexp_replace(html,
+                            '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+                          '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+                        '(?s)<!--.*?-->', ' ', 'g'),
+                      '(?s)<[^>]+>', ' ', 'g'),
+                    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                    '&#39;', ''''), '&amp;', '&'),
+                  '\\s+', ' ', 'g')) AS extracted
+         FROM pages
+       )
+       SELECT doc_id,
+              CAST(length(extracted) AS BIGINT) AS n_chars,
+              substr(extracted, 1, 40) AS head
+       FROM ext""",
+)
+def h2_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML→text extraction over synthesized crawl pages: each document
+    is wrapped in a realistic page (script with a '<' in code, style
+    block, comment, entities), then operators/text.html_to_text strips it
+    back out as a pure JVM regex chain. The oracle replays the identical
+    extraction in RE2 — the patterns are chosen for byte-identical
+    semantics across engines, and the result is compared on length AND a
+    40-char prefix of the extracted text."""
+    from torcdb_spark.operators.text import html_to_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    pages = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("<html><head><title>t</title>"),
+            F.lit('<script type="text/javascript">var x = 1 < 2;</script>'),
+            F.lit("<style>.c { color: red; }</style></head>"),
+            F.lit("<body><!-- nav --><h1>Doc "),
+            F.col("doc_id").cast("string"),
+            F.lit("</h1><p>"),
+            F.col("text"),
+            F.lit("</p><div>&amp;copy; &lt;fixture&gt; &#39;"),
+            F.col("source"),
+            F.lit("&#39;</div></body></html>"),
+        ).alias("html"),
+    )
+    ext = pages.select("doc_id", html_to_text(F.col("html")).alias("extracted"))
+    return ext.select(
+        "doc_id",
+        F.length("extracted").cast("long").alias("n_chars"),
+        F.substring("extracted", 1, 40).alias("head"),
+    )
