@@ -9,6 +9,7 @@ standalone on the sf0.001 fixtures in ~1 min:
 Stages (each prints one line; executed by tests/test_examples.py so it
 cannot rot):
 
+0. crawl entry      — WARC archives -> record fan-out -> HTML extraction
 1. quality gating   — Gopher repetition signals + heuristic quality score
 1b. perplexity gate — CCNet-style bigram-LM scoring vs a clean split
 2. exact dedup      — xxhash64 fingerprint groups
@@ -55,8 +56,43 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
 
     spark = get_spark(app_name="corpus-pipeline-example")
     spark.sparkContext.setLogLevel("ERROR")
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    raw = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    # 0 — crawl entry: WARC archives (one .warc.gz per source, real
+    # gzip-member codec) -> per-record fan-out -> HTML text extraction
+    import pandas as pd
+
+    from torcdb_spark.operators.text import html_to_text
+    from torcdb_spark.sources.warc import warc_records, write_warc
+
+    def build(pdf):
+        recs = [
+            (
+                {"WARC-Target-URI": f"http://fixture/{int(r.doc_id)}"},
+                (
+                    f"<html><body><h1>{int(r.doc_id)}</h1>"
+                    f"<p>{r.text}</p></body></html>"
+                ).encode(),
+            )
+            for r in pdf.sort_values("doc_id").itertuples()
+        ]
+        return pd.DataFrame(
+            {"path": [pdf["source"].iloc[0]], "content": [write_warc(recs)]}
+        )
+
+    archives = raw.select("doc_id", "source", "text").groupBy("source").applyInPandas(
+        build, "path string, content binary"
+    )
+    docs = (
+        warc_records(archives)
+        .where(F.col("warc_type") == "response")
+        .select(
+            F.regexp_extract("target_uri", r"/(\d+)$", 1).cast("long").alias("doc_id"),
+            html_to_text(F.decode("payload", "utf-8")).alias("text"),
+        )
+    )
     n0 = docs.count()
+    log(f"warc ingest + html extract: {n0} docs from {archives.count()} archives")
 
     # 1 — quality gating: drop highly repetitive or low-quality docs
     rep = repetition_signals(docs)
