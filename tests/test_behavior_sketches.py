@@ -756,3 +756,28 @@ def test_html_to_text_extraction(spark):
     got = {r.i: r.t for r in df.select("i", html_to_text(F.col("html")).alias("t")).collect()}
     for i, (_, want) in enumerate(cases):
         assert got[i] == want, (i, got[i], want)
+
+
+def test_url_parts_and_domain_filter(spark):
+    from pyspark.sql import functions as F
+
+    from torcdb_spark.operators.text import domain_filter, url_parts
+
+    urls = [
+        (0, "https://A.News.Example.com:8443/a/b?q=1#f"),
+        (1, "http://example.org/"),
+        (2, "https://spam.bad.net/x"),
+        (3, "ftp://files.example.com/pub"),
+    ]
+    df = spark.createDataFrame(urls, ["doc_id", "url"])
+    got = {r.doc_id: r.u for r in df.select("doc_id", url_parts(F.col("url")).alias("u")).collect()}
+    assert got[0].scheme == "https"
+    assert got[0].host == "a.news.example.com"          # lowercased, port gone
+    assert got[0].registered_domain == "example.com"
+    assert got[0].path == "/a/b"                        # no query/fragment
+    assert got[1].registered_domain == "example.org" and got[1].path == "/"
+    assert got[3].scheme == "ftp"
+
+    block = spark.createDataFrame([("bad.net",)], ["domain"])
+    kept = sorted(r.doc_id for r in domain_filter(df, block).collect())
+    assert kept == [0, 1, 3]

@@ -944,3 +944,48 @@ def html_to_text(html: Column) -> Column:
     ):
         t = F.replace(t, F.lit(ent), F.lit(ch))
     return F.trim(F.regexp_replace(t, r"\s+", " "))
+
+
+def url_parts(url: Column) -> Column:
+    """Parse a URL into a (scheme, host, registered_domain, path) struct
+    with pure JVM regexes (RE2-identical syntax, so SQL oracles replay it
+    exactly): host is lowercased, a trailing :port is dropped, the
+    registered domain is the last two host labels (the public-suffix-list
+    refinement is a deployment swap-in), and the path excludes query and
+    fragment. The crawl-curation primitive behind per-domain stats,
+    blocklist filtering, and URL-keyed dedup."""
+    scheme = F.lower(F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    host = F.lower(
+        F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1)
+    )
+    host = F.regexp_replace(host, r":[0-9]+$", "")
+    reg_dom = F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
+    path = F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)", 1)
+    return F.struct(
+        scheme.alias("scheme"),
+        host.alias("host"),
+        reg_dom.alias("registered_domain"),
+        path.alias("path"),
+    )
+
+
+def domain_filter(
+    docs: DataFrame,
+    blocklist: DataFrame,
+    url_col: str = "url",
+) -> DataFrame:
+    """Blocklist filtering by registered domain: parse once, LEFT ANTI
+    join against the (broadcast) blocked-domain set — the shape of every
+    crawl-hygiene domain gate. Blocklists are small by nature; at
+    millions of entries swap the broadcast for the Bloom-pruned
+    semi-join (operators/bloom.py)."""
+    parts = docs.withColumn("_u", url_parts(F.col(url_col)))
+    b = blocklist.select(F.col(blocklist.columns[0]).alias("_blocked"))
+    return (
+        parts.join(
+            F.broadcast(b),
+            parts["_u"]["registered_domain"] == F.col("_blocked"),
+            "left_anti",
+        )
+        .drop("_u")
+    )

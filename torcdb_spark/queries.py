@@ -6394,3 +6394,54 @@ def h2_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("extracted").cast("long").alias("n_chars"),
         F.substring("extracted", 1, 40).alias("head"),
     )
+
+
+@_register(
+    "u1_url_domain_stats",
+    """WITH urls AS (
+         SELECT doc_id,
+                'https://' || lang || '.' || source
+                || '.example.com:8443/docs/' || doc_id
+                || '?ref=abc#frag' AS url
+         FROM documents
+       ),
+       parts AS (
+         SELECT doc_id,
+                lower(regexp_extract(url,
+                    '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS rawhost,
+                regexp_extract(url,
+                    '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1) AS path
+         FROM urls
+       ),
+       hosts AS (
+         SELECT doc_id, regexp_replace(rawhost, ':[0-9]+$', '') AS host, path
+         FROM parts
+       )
+       SELECT regexp_extract(host, '([^.]+\\.[^.]+)$', 1) AS registered_domain,
+              CAST(count(*) AS BIGINT) AS n_pages,
+              CAST(count(DISTINCT path) AS BIGINT) AS n_paths
+       FROM hosts GROUP BY 1""",
+)
+def u1_url_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain crawl census over synthesized page URLs (scheme +
+    subdomains + port + query + fragment all exercised):
+    operators/text.url_parts — one JVM regex pass, RE2-identical
+    patterns — grouped by registered domain. The primitive behind
+    domain blocklists (operators/text.domain_filter) and URL-keyed
+    dedup."""
+    from torcdb_spark.operators.text import url_parts
+
+    docs = load_table(spark, sf_dir, "documents")
+    urls = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"), F.col("lang"), F.lit("."), F.col("source"),
+            F.lit(".example.com:8443/docs/"), F.col("doc_id").cast("string"),
+            F.lit("?ref=abc#frag"),
+        ).alias("url"),
+    )
+    p = urls.select("doc_id", url_parts(F.col("url")).alias("u"))
+    return p.groupBy(F.col("u")["registered_domain"].alias("registered_domain")).agg(
+        F.count("*").cast("long").alias("n_pages"),
+        F.countDistinct(F.col("u")["path"]).cast("long").alias("n_paths"),
+    )
