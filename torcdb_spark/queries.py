@@ -657,24 +657,23 @@ DRIVER_PRIORITY: list[str] = [
     # t10 (map) is the superset serde round-trip; t9 (list) keeps its local
     # exact-value gate and cedes its driver slot to a new operator family
     "t10_props_map_roundtrip",
-    # §2.3 set algebra (TorcHelper): three witnesses — a2/a3 (semi/anti
-    # join one-liners, driver-green since r1) ceded their slots to the
-    # round-4 corpus-hygiene families below and stay locally exact-gated
+    # §2.3 set algebra (TorcHelper): two witnesses — a2/a3/a5 (semi/anti
+    # join + projection one-liners, driver-green since r1) ceded their
+    # slots to round-4 corpus-pipeline families and stay locally
+    # exact-gated
     "a1_fuse",
     "a4_remove_edge_if",
-    "a5_keylist",
     # §2.4 gremlin steps (G1/G2/G3 keep three witnesses; both_e/where_not/
     # order_by_prop/repeat/group ceded slots to round-4 operator families
     # below and stay covered by the local exact-value gate)
     "g_gremlin_edge_filter",
-    "g_gremlin_select",
     "g_gremlin_simple_path",
     # §2.4 G4 analytics (exact-oracle variants preferred)
     "g_pagerank_exact",
     "g_triangle_count",
     "g_shortest_paths",
-    # §2.4 library steps
-    "q_topk_orders_per_customer",
+    # §2.4 library steps (q_topk ceded its slot after two green rounds;
+    # ldbc_ic_like_foaf_copurchase below remains the composite witness)
     # §2.5 relational/OLAP (TPC-H shapes; q9 ceded its slot to er1)
     "q1_pricing_summary",
     "q18_large_volume_customers",
@@ -684,10 +683,12 @@ DRIVER_PRIORITY: list[str] = [
     # driver rows (q8/q10 stay covered by the local exact-value gate).
     "rj1_attribution_window",
     "ts2_gap_fill_locf",
-    # §2.5 streaming (real readStream pipelines: windows + interval join)
-    "st_events_tumbling_stream",
+    # §2.5 streaming (real readStream pipelines; tumbling ceded its slot
+    # after two green rounds — sessions + interval join + the round-4
+    # history dedup keep three distinct streaming shapes checked)
     "st_events_sessions_stream",
     "st_interval_join_stream",
+    "st_docs_history_dedup",
     # LLM-pipeline extension operators
     "d1_dedup_exact",
     "d2_text_stats",
@@ -708,7 +709,6 @@ DRIVER_PRIORITY: list[str] = [
     # remain, g_gremlin_union→covered by union_path locally, d10→text
     # family keeps d2/d9/d11):
     "zo1_zorder_cells",        # layout: Morton clustering (bit-op oracle)
-    "h1_histogram_price",      # mergeable histogram sketch
     "gs1_neighbor_sample",     # deterministic graph sampling (md5 oracle)
     "cd1_snapshot_diff",       # CDC snapshot diff
     "ldbc_ic_like_foaf_copurchase",  # 6-hop FOF traversal composite
@@ -728,11 +728,16 @@ DRIVER_PRIORITY: list[str] = [
     # (slots ceded by g_gremlin_repeat/group)
     "d18_bpe_merges",
     "m6_jpeg_roundtrip",
-    # corpus-hygiene families added this round, both exact-value-oracled
-    # (slots ceded by a2/a3): benchmark decontamination and cross-doc
-    # span dedup
-    "dc1_benchmark_decontam",
-    "d19_span_dedup_stats",
+    # round-4 corpus-pipeline families, every one exact-value-oracled
+    # (slots ceded by a2/a3/a5, g_gremlin_select, q_topk,
+    # st_events_tumbling_stream, h1 — all driver-green in earlier
+    # rounds and still covered by the local exact-value gate):
+    "dc1_benchmark_decontam",  # benchmark n-gram decontamination
+    "d19_span_dedup_stats",    # cross-doc span dedup
+    "d21_lm_perplexity",       # bigram-LM quality filter (full model replay)
+    "pk1_sequence_packing",    # shard-parallel packing plan
+    "w1_warc_ingest",          # WARC crawl-archive ingestion
+    "mx1_domain_mixture",      # deterministic mixture rebalancing
 ]
 
 
