@@ -122,3 +122,55 @@ def test_warc_roundtrip_and_distributed_fanout(spark):
     ))
     # poisoned archive yields an _error row, not a job failure
     assert len(bad) == 1 and bad[0].warc_type == "_error"
+
+
+def test_tensor_codecs_roundtrip_and_fanout(spark):
+    import io
+
+    import numpy as np
+    import pytest
+
+    from torcdb_spark.sources.tensors import (
+        parse_npy,
+        parse_safetensors,
+        vectors_from_npy,
+        write_npy,
+        write_safetensors,
+    )
+
+    rng = np.random.RandomState(0)
+    for dt in (np.float32, np.float64, np.int32, np.int64):
+        a = (rng.randn(7, 5) * 10).astype(dt)
+        back = parse_npy(write_npy(a))
+        assert back.dtype == a.dtype and (back == a).all()
+    # numpy's own np.save output must parse identically
+    buf = io.BytesIO()
+    ref = rng.randn(4, 3).astype(np.float32)
+    np.save(buf, ref)
+    assert (parse_npy(buf.getvalue()) == ref).all()
+
+    ts = {"emb": rng.randn(6, 4).astype(np.float32),
+          "ids": np.arange(6, dtype=np.int64)}
+    back = parse_safetensors(write_safetensors(ts))
+    assert (back["emb"] == ts["emb"]).all() and (back["ids"] == ts["ids"]).all()
+
+    with pytest.raises(ValueError):
+        parse_npy(b"junk")
+    with pytest.raises(ValueError):
+        parse_safetensors(b"\x00" * 4)
+
+    mat = rng.randn(5, 8).astype(np.float32)
+    files = spark.createDataFrame(
+        [("a.npy", bytearray(write_npy(mat))),
+         ("bad.npy", bytearray(b"\x93NUMPYxx"))],
+        "path string, content binary",
+    )
+    rows = vectors_from_npy(files).collect()
+    good = sorted(
+        (r for r in rows if r.path == "a.npy"), key=lambda r: r.row_idx
+    )
+    assert len(good) == 5
+    for i, r in enumerate(good):
+        assert np.allclose(r.vec, mat[i]) and r.err is None
+    bad = [r for r in rows if r.path == "bad.npy"]
+    assert len(bad) == 1 and bad[0].row_idx == -1 and bad[0].err

@@ -6450,3 +6450,62 @@ def u1_url_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_pages"),
         F.countDistinct(F.col("u")["path"]).cast("long").alias("n_paths"),
     )
+
+
+@_register(
+    "v1_npy_ingest",
+    """SELECT 'label_' || label AS path,
+              CAST(count(*) AS BIGINT) AS n_vecs,
+              CAST(max(len(embedding)) AS BIGINT) AS dim,
+              CAST(count(*) AS BIGINT) AS n_exact
+       FROM embeddings GROUP BY label""",
+)
+def v1_npy_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tensor-dump ingestion end-to-end (sources/tensors.py): each label's
+    embedding matrix is packed as a REAL .npy dump (vec_id order, NumPy
+    format v1 — the parser also reads np.save output, pytest-proven),
+    fanned back out one row per vector, and joined against the original
+    table by (label, rank): ``n_exact`` counts vectors that came back
+    BIT-IDENTICAL, and the oracle pins n_exact == n_vecs — byte fidelity
+    through the whole pack→parse→fan-out path."""
+    from pyspark.sql.window import Window as W
+
+    from torcdb_spark.sources.tensors import vectors_from_npy, write_npy
+
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def pack(pdf):
+        import numpy as np
+        import pandas as pd
+
+        p = pdf.sort_values("vec_id")
+        mat = np.asarray(p["embedding"].tolist(), dtype=np.float32)
+        return pd.DataFrame(
+            {
+                "path": [f"label_{int(p['label'].iloc[0])}"],
+                "content": [write_npy(mat)],
+            }
+        )
+
+    dumps = emb.select("vec_id", "label", "embedding").groupBy("label").applyInPandas(
+        pack, "path string, content binary"
+    )
+    vecs = vectors_from_npy(dumps)
+    ranked = emb.select(
+        F.concat(F.lit("label_"), F.col("label").cast("string")).alias("path"),
+        (
+            F.row_number().over(
+                W.partitionBy("label").orderBy("vec_id")
+            )
+            - 1
+        ).alias("row_idx"),
+        "embedding",
+    )
+    joined = vecs.join(ranked, ["path", "row_idx"])
+    return joined.groupBy("path").agg(
+        F.count("*").cast("long").alias("n_vecs"),
+        F.max(F.size("vec")).cast("long").alias("dim"),
+        F.sum(F.when(F.col("vec") == F.col("embedding"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_exact"),
+    )
