@@ -781,3 +781,31 @@ def test_url_parts_and_domain_filter(spark):
     block = spark.createDataFrame([("bad.net",)], ["domain"])
     kept = sorted(r.doc_id for r in domain_filter(df, block).collect())
     assert kept == [0, 1, 3]
+
+
+def test_assemble_conversations_boundaries_and_order(spark):
+    import datetime as dt
+
+    from torcdb_spark.operators.funnel import assemble_conversations
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def at(minutes, eid, etype, user=1):
+        return (eid, t0 + dt.timedelta(minutes=minutes), user, etype)
+
+    rows = [
+        at(0, 1, "q"), at(5, 2, "a"), at(10, 3, "q"),       # session 1
+        at(60, 4, "q"), at(61, 5, "a"),                      # gap>30 -> session 2
+        at(61, 6, "z"),                                      # ts tie: id orders it after 5
+        at(0, 7, "x", user=2),                               # other user
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "ts", "user_id", "event_type"])
+    got = {
+        (r.user_id, r.session_id): (r.n_turns, r.turns)
+        for r in assemble_conversations(df, gap_minutes=30).collect()
+    }
+    assert got == {
+        (1, 1): (3, "q>a>q"),
+        (1, 2): (3, "q>a>z"),
+        (2, 1): (1, "x"),
+    }

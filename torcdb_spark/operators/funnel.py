@@ -152,3 +152,53 @@ def sessionize(
         F.max(ts_col).alias("session_end"),
         F.count("*").cast("long").alias("n_events"),
     )
+
+
+def assemble_conversations(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    turn_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Instruction-data conversation assembly → (user, session_id,
+    n_turns, turns): gap-sessionize a user's event stream (same boundary
+    rule as ``sessionize``, with (ts, id) ordering so timestamp ties are
+    deterministic) and materialize each session's ORDERED turn sequence
+    as a '>'-joined string — the grouping-into-dialogues step that turns
+    an interaction log into chat-format training examples; swap the
+    join for struct collection when the consumer wants typed turns.
+
+    One shuffle on the user key; the tag/sum windows and the final
+    aggregate share that partitioning. The turn sequence is assembled by
+    array_sort over (micros, id, turn) structs — deterministic under any
+    partitioning, exactly SQL-replayable via ordered string_agg."""
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    gap = F.unix_micros(F.col(ts_col)) - F.lag(
+        F.unix_micros(F.col(ts_col))
+    ).over(w)
+    tagged = events.withColumn(
+        "_new",
+        F.when(
+            gap.isNull() | (gap > gap_minutes * 60 * 1_000_000), F.lit(1)
+        ).otherwise(F.lit(0)),
+    ).withColumn(
+        "session_id",
+        F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"),
+    )
+    ordered = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.unix_micros(F.col(ts_col)).alias("t"),
+                F.col(id_col).alias("i"),
+                F.col(turn_col).alias("turn"),
+            )
+        )
+    )
+    return tagged.groupBy(user_col, "session_id").agg(
+        F.count("*").cast("long").alias("n_turns"),
+        F.array_join(
+            F.transform(ordered, lambda s: s["turn"]), ">"
+        ).alias("turns"),
+    )

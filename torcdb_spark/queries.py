@@ -6509,3 +6509,38 @@ def v1_npy_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_exact"),
     )
+
+
+@_register(
+    "cv1_conversation_assembly",
+    """WITH tagged AS (
+         SELECT user_id, ts, event_id, event_type,
+                CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                          OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                             > 30 * 60 * 1000000
+                     THEN 1 ELSE 0 END AS brk
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+       ),
+       sess AS (
+         SELECT *, SUM(brk) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING) AS session_id
+         FROM tagged
+       )
+       SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+              CAST(count(*) AS BIGINT) AS n_turns,
+              string_agg(event_type, '>' ORDER BY ts, event_id) AS turns
+       FROM sess GROUP BY user_id, session_id""",
+)
+def cv1_conversation_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation assembly for instruction-data prep
+    (operators/funnel.assemble_conversations): the events log
+    gap-sessionized per user (30-min boundary, (ts, event_id)-ordered so
+    ties are deterministic) with each session materialized as its ordered
+    '>'-joined turn sequence. The oracle replays boundaries AND the exact
+    turn strings via ordered string_agg."""
+    from torcdb_spark.operators.funnel import assemble_conversations
+
+    ev = load_table(spark, sf_dir, "events")
+    return assemble_conversations(ev, gap_minutes=30)
