@@ -174,3 +174,26 @@ def test_tensor_codecs_roundtrip_and_fanout(spark):
         assert np.allclose(r.vec, mat[i]) and r.err is None
     bad = [r for r in rows if r.path == "bad.npy"]
     assert len(bad) == 1 and bad[0].row_idx == -1 and bad[0].err
+
+
+def test_zip_members_fanout(spark):
+    import io
+    import zipfile
+
+    from torcdb_spark.sources.warc import zip_members
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+        zf.writestr("a/1.txt", "hello")
+        zf.writestr("a/", "")            # directory entry: skipped
+        zf.writestr("2.bin", b"\x00\x01\x02")
+    files = spark.createDataFrame(
+        [("ok.zip", bytearray(buf.getvalue())),
+         ("bad.zip", bytearray(b"PK\x03\x04garbage"))],
+        "path string, content binary",
+    )
+    rows = zip_members(files).collect()
+    ok = {r.member: bytes(r.payload) for r in rows if r.path == "ok.zip"}
+    assert ok == {"a/1.txt": b"hello", "2.bin": b"\x00\x01\x02"}
+    bad = [r for r in rows if r.path == "bad.zip"]
+    assert len(bad) == 1 and bad[0].member == "_error"

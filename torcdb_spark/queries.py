@@ -6544,3 +6544,45 @@ def cv1_conversation_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return assemble_conversations(ev, gap_minutes=30)
+
+
+@_register(
+    "ar1_zip_ingest",
+    """SELECT source AS path,
+              CAST(count(*) AS BIGINT) AS n_members,
+              CAST(sum(octet_length(encode(text))) AS BIGINT) AS payload_bytes
+       FROM documents GROUP BY source""",
+)
+def ar1_zip_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZIP bundle ingestion end-to-end (sources/warc.zip_members): each
+    fixture source zipped into one DEFLATE archive (stdlib zipfile, one
+    member per document), then fanned back out per member. The oracle
+    pins the member census with byte-exact payload sizes — the same
+    contract as w1's WARC path, over the other archive format document
+    drops actually use."""
+    import io
+    import zipfile
+
+    from torcdb_spark.sources.warc import zip_members
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def build(pdf):
+        import pandas as pd
+
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+            for r in pdf.sort_values("doc_id").itertuples():
+                zf.writestr(f"{int(r.doc_id)}.txt", r.text)
+        return pd.DataFrame(
+            {"path": [pdf["source"].iloc[0]], "content": [buf.getvalue()]}
+        )
+
+    archives = docs.select("doc_id", "source", "text").groupBy("source").applyInPandas(
+        build, "path string, content binary"
+    )
+    members = zip_members(archives)
+    return members.groupBy("path").agg(
+        F.count("*").cast("long").alias("n_members"),
+        F.sum("n_bytes").cast("long").alias("payload_bytes"),
+    )
