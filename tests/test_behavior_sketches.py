@@ -809,3 +809,27 @@ def test_assemble_conversations_boundaries_and_order(spark):
         (1, 2): (3, "q>a>z"),
         (2, 1): (1, "x"),
     }
+
+
+def test_extract_links_cases(spark):
+    from pyspark.sql import functions as F
+
+    from torcdb_spark.operators.text import extract_links
+
+    cases = [
+        ('<a href="https://a.com/x">t</a><a HREF="http://b.org">u</a>',
+         ["https://a.com/x", "http://b.org"]),
+        ('<a href = "spaced.html">v</a>', ["spaced.html"]),
+        ("no links here", []),
+        ('<link href="style.css"><a href="/rel?q=1#f">w</a>',
+         ["style.css", "/rel?q=1#f"]),
+    ]
+    df = spark.createDataFrame(
+        [(i, h) for i, (h, _) in enumerate(cases)], ["i", "html"]
+    )
+    got = {
+        r.i: list(r.l)
+        for r in df.select("i", extract_links(F.col("html")).alias("l")).collect()
+    }
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (i, got[i], want)

@@ -989,3 +989,13 @@ def domain_filter(
         )
         .drop("_u")
     )
+
+
+def extract_links(html: Column) -> Column:
+    """All double-quoted href values in a page, in document order — the
+    crawl-frontier / web-graph-construction primitive. One
+    regexp_extract_all pass with RE2-identical syntax (same
+    engine-exactness contract as html_to_text); single-quoted and bare
+    attributes are a deployment extension, kept out so the declared
+    pattern IS the verifiable contract."""
+    return F.regexp_extract_all(html, F.lit(r'(?i)href\s*=\s*"([^"]*)"'), 1)

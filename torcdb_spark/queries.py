@@ -6586,3 +6586,85 @@ def ar1_zip_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_members"),
         F.sum("n_bytes").cast("long").alias("payload_bytes"),
     )
+
+
+@_register(
+    "l1_link_graph",
+    """WITH pages AS (
+         SELECT doc_id,
+                lower(lang) || '.' || source || '.example.com' AS src_host,
+                '<html><body>'
+                || '<a HREF="https://' || source || '.partner.org/p/'
+                || doc_id || '">x</a>'
+                || '<a href="https://hub.example.net/t?d=' || doc_id
+                || '">y</a>'
+                || CASE WHEN doc_id % 2 = 0
+                        THEN '<a href="https://' || lang
+                             || '.mirror.io/m">z</a>'
+                        ELSE '' END
+                || '</body></html>' AS html
+         FROM documents
+       ),
+       links AS (
+         SELECT doc_id, src_host,
+                unnest(regexp_extract_all(html,
+                    '(?i)href\\s*=\\s*"([^"]*)"', 1)) AS href
+         FROM pages
+       ),
+       edges AS (
+         SELECT regexp_extract(src_host, '([^.]+\\.[^.]+)$', 1) AS src_domain,
+                regexp_extract(
+                  regexp_replace(
+                    lower(regexp_extract(href,
+                        '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)),
+                    ':[0-9]+$', ''),
+                  '([^.]+\\.[^.]+)$', 1) AS dst_domain
+         FROM links
+       )
+       SELECT src_domain, dst_domain, CAST(count(*) AS BIGINT) AS n_links
+       FROM edges GROUP BY 1, 2""",
+)
+def l1_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-graph construction from crawl pages: hrefs extracted with
+    operators/text.extract_links (one RE2-identical regex pass), targets
+    parsed by url_parts, aggregated to (src_domain, dst_domain, n_links)
+    — the edge list domain-level PageRank and link-spam analyses run on.
+    The synthesized pages exercise case-insensitive HREF, query strings,
+    and a parity-dependent third link; the oracle replays extraction and
+    parsing exactly."""
+    from torcdb_spark.operators.text import extract_links, url_parts
+
+    docs = load_table(spark, sf_dir, "documents")
+    pages = docs.select(
+        "doc_id",
+        F.concat(
+            F.lower(F.col("lang")), F.lit("."), F.col("source"),
+            F.lit(".example.com"),
+        ).alias("src_host"),
+        F.concat(
+            F.lit('<html><body><a HREF="https://'), F.col("source"),
+            F.lit('.partner.org/p/'), F.col("doc_id").cast("string"),
+            F.lit('">x</a><a href="https://hub.example.net/t?d='),
+            F.col("doc_id").cast("string"), F.lit('">y</a>'),
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.concat(
+                    F.lit('<a href="https://'), F.lower(F.col("lang")),
+                    F.lit('.mirror.io/m">z</a>'),
+                ),
+            ).otherwise(F.lit("")),
+            F.lit("</body></html>"),
+        ).alias("html"),
+    )
+    links = pages.select(
+        "src_host", F.explode(extract_links(F.col("html"))).alias("href")
+    )
+    edges = links.select(
+        F.regexp_extract(F.col("src_host"), r"([^.]+\.[^.]+)$", 1).alias(
+            "src_domain"
+        ),
+        url_parts(F.col("href"))["registered_domain"].alias("dst_domain"),
+    )
+    return edges.groupBy("src_domain", "dst_domain").agg(
+        F.count("*").cast("long").alias("n_links")
+    )
