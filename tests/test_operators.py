@@ -1394,3 +1394,30 @@ def test_gif_interlaced_decode():
     assert g[desc] == 0x2C
     g[desc + 9] |= 0x40  # set interlace flag
     assert (decode_gif(bytes(g)) == pal[arr]).all()
+
+
+def test_gif_animation_roundtrip():
+    import numpy as np
+    import pytest
+
+    from torcdb_spark.operators.gif import (
+        decode_gif,
+        decode_gif_frames,
+        encode_gif,
+        encode_gif_animated,
+    )
+
+    rng = np.random.RandomState(2)
+    pal = rng.randint(0, 255, (16, 3)).astype(np.uint8)
+    frames = [rng.randint(0, 16, (10, 12)).astype(np.uint8) for _ in range(4)]
+    g = encode_gif_animated(frames, pal, delay_cs=5)
+    out = decode_gif_frames(g)
+    assert len(out) == 4
+    for f_idx, f_rgb in zip(frames, out):
+        assert (f_rgb == pal[f_idx]).all()
+    # single-image path agrees across both decode APIs
+    single = encode_gif(frames[0], pal)
+    assert (decode_gif_frames(single)[0] == pal[frames[0]]).all()
+    # the single-image decoder refuses animations by documented contract
+    with pytest.raises(NotImplementedError):
+        decode_gif(g)

@@ -257,3 +257,126 @@ def encode_gif(img, palette=None) -> bytes:
         out += chunk
     out += b"\x00\x3b"
     return bytes(out)
+
+
+def encode_gif_animated(frames, palette, delay_cs: int = 10) -> bytes:
+    """Encode a list of (h, w) palette-index arrays as an animated GIF89a
+    (NETSCAPE2.0 loop extension + per-frame Graphic Control Extension
+    with ``delay_cs`` centiseconds). All frames share the global palette
+    and full-frame geometry — the layout synthetic/test animations use;
+    per-frame sub-rectangles are an encoder extension."""
+    import numpy as np
+
+    if not frames:
+        raise ValueError("need at least one frame")
+    pal = np.asarray(palette, dtype=np.uint8)
+    if pal.ndim != 2 or pal.shape[1] != 3 or len(pal) > 256:
+        raise ValueError("palette must be (n<=256, 3)")
+    h, w = np.asarray(frames[0]).shape
+    n = 2
+    while n < len(pal):
+        n *= 2
+    padded = np.zeros((n, 3), dtype=np.uint8)
+    padded[:len(pal)] = pal
+    depth = max(n.bit_length() - 1, 1)
+    out = bytearray()
+    out += b"GIF89a"
+    out += struct.pack("<HHBBB", w, h, 0x80 | (depth - 1), 0, 0)
+    out += padded.tobytes()
+    # NETSCAPE looping application extension (loop forever)
+    out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"
+    min_code_size = max(depth, 2)
+    for f in frames:
+        idx = np.asarray(f, dtype=np.uint8)
+        if idx.shape != (h, w):
+            raise ValueError("all frames must share the logical screen size")
+        if int(idx.max(initial=0)) >= len(pal):
+            raise ValueError("palette index out of range")
+        out += b"\x21\xf9\x04\x00" + struct.pack("<H", delay_cs) + b"\x00\x00"
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+        out.append(min_code_size)
+        stream = _lzw_encode(idx.tobytes(), min_code_size)
+        for i in range(0, len(stream), 255):
+            chunk = stream[i:i + 255]
+            out.append(len(chunk))
+            out += chunk
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
+
+
+def decode_gif_frames(payload: bytes):
+    """Decode EVERY frame of a (possibly animated) GIF → list of
+    (h, w, 3) uint8 RGB arrays, composited with do-not-dispose semantics
+    (each image block drawn onto a copy of the previous canvas at its
+    declared sub-rectangle — the common case for synthetic/optimized
+    animations; transparency indices are treated as opaque, documented).
+    Single-image GIFs return a one-element list."""
+    import numpy as np
+
+    if len(payload) < 13 or payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    w, h, flags, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    palette = None
+    if flags & 0x80:
+        gct_size = 2 << (flags & 0x07)
+        palette = np.frombuffer(
+            payload, dtype=np.uint8, count=gct_size * 3, offset=pos
+        ).reshape(gct_size, 3)
+        pos += gct_size * 3
+    frames = []
+    canvas = np.zeros((h, w, 3), dtype=np.uint8)
+    while pos < len(payload):
+        block = payload[pos]
+        pos += 1
+        if block == 0x3B:
+            break
+        if block == 0x21:
+            pos += 1
+            while payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{block:02x}")
+        ix, iy, iw, ih, iflags = struct.unpack_from("<HHHHB", payload, pos)
+        pos += 9
+        interlaced = bool(iflags & 0x40)
+        pal = palette
+        if iflags & 0x80:
+            lct_size = 2 << (iflags & 0x07)
+            pal = np.frombuffer(
+                payload, dtype=np.uint8, count=lct_size * 3, offset=pos
+            ).reshape(lct_size, 3)
+            pos += lct_size * 3
+        if pal is None:
+            raise ValueError("GIF image without a color table")
+        min_code_size = payload[pos]
+        pos += 1
+        stream = bytearray()
+        while payload[pos] != 0:
+            nb = payload[pos]
+            stream += payload[pos + 1:pos + 1 + nb]
+            pos += 1 + nb
+        pos += 1
+        idx = _lzw_decode(bytes(stream), min_code_size, iw * ih)
+        if len(idx) < iw * ih:
+            raise ValueError("truncated GIF pixel data")
+        arr = np.frombuffer(idx, dtype=np.uint8).reshape(ih, iw)
+        if interlaced:
+            order = np.concatenate(
+                [np.arange(0, ih, 8), np.arange(4, ih, 8),
+                 np.arange(2, ih, 4), np.arange(1, ih, 2)]
+            )
+            out_rows = np.empty_like(arr)
+            out_rows[order] = arr
+            arr = out_rows
+        if int(arr.max(initial=0)) >= len(pal):
+            raise ValueError("palette index out of range")
+        canvas = canvas.copy()
+        canvas[iy:iy + ih, ix:ix + iw] = pal[arr]
+        frames.append(canvas)
+    if not frames:
+        raise ValueError("GIF contains no image block")
+    return frames

@@ -6668,3 +6668,81 @@ def l1_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return edges.groupBy("src_domain", "dst_domain").agg(
         F.count("*").cast("long").alias("n_links")
     )
+
+
+@_register("l2_domain_pagerank")  # iterative float fixpoint: rows-only
+def l2_domain_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-level PageRank over the crawl link graph: l1_link_graph's
+    (src_domain, dst_domain) edges fed straight into the DataFrame-Pregel
+    pagerank (string vertex keys — the operator is key-type agnostic).
+    The composition every crawl ranker runs: extract → parse → aggregate
+    → iterate, all in one engine."""
+    from torcdb_spark.analytics import pagerank
+
+    edges = l1_link_graph(spark, sf_dir).select(
+        F.col("src_domain").alias("src"), F.col("dst_domain").alias("dst")
+    )
+    pr = pagerank(edges, num_iter=8)
+    return pr.select(
+        F.col("id").alias("domain"), F.round(F.col("rank"), 4).alias("rank")
+    )
+
+
+@_register(
+    "m10_gif_animation",
+    """WITH f(frame_idx) AS (VALUES (CAST(0 AS BIGINT)), (CAST(1 AS BIGINT)),
+                                  (CAST(2 AS BIGINT)), (CAST(3 AS BIGINT)))
+       SELECT doc_id AS media_id, frame_idx, TRUE AS lossless
+       FROM documents CROSS JOIN f
+       WHERE doc_id % 10 = 0""",
+)
+def m10_gif_animation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Animated-GIF decode through the real codec: per sampled document a
+    4-frame paletted animation (NETSCAPE loop + per-frame GCE, written by
+    operators/gif.encode_gif_animated), decoded frame-by-frame with
+    do-not-dispose compositing. Paletted GIF is lossless, so the oracle
+    pins every (doc, frame) as an exact pixel round-trip."""
+    from torcdb_spark.operators.gif import decode_gif_frames, encode_gif_animated
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 10 == 0)
+        .select("doc_id")
+    )
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            yy, xx = np.mgrid[0:10, 0:12]
+            for d in pdf["doc_id"]:
+                pal = np.stack(
+                    [
+                        (np.arange(16) * 17) % 256,
+                        (np.arange(16) * 29 + int(d)) % 256,
+                        (np.arange(16) * 11) % 256,
+                    ],
+                    axis=1,
+                ).astype(np.uint8)
+                frames = [
+                    ((xx + yy + int(d) + 3 * fi) % 16).astype(np.uint8)
+                    for fi in range(4)
+                ]
+                dec = decode_gif_frames(encode_gif_animated(frames, pal))
+                for fi, (f_idx, f_rgb) in enumerate(zip(frames, dec)):
+                    rows.append(
+                        {
+                            "media_id": d,
+                            "frame_idx": fi,
+                            "lossless": bool((f_rgb == pal[f_idx]).all()),
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "frame_idx", "lossless"]
+            )
+
+    return docs.mapInPandas(
+        kernel, "media_id long, frame_idx long, lossless boolean"
+    )
