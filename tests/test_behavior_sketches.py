@@ -833,3 +833,40 @@ def test_extract_links_cases(spark):
     }
     for i, (_, want) in enumerate(cases):
         assert got[i] == want, (i, got[i], want)
+
+
+def test_hash_embed_dense_matches_sparse_and_feeds_similarity(spark):
+    from pyspark.sql import functions as F
+
+    from torcdb_spark.operators.similarity import cosine_topk_bruteforce
+    from torcdb_spark.operators.text import hash_embed, hash_embed_sparse
+
+    docs = spark.createDataFrame(
+        [(0, "alpha beta beta"), (1, "alpha beta beta"), (2, "gamma delta"),
+         (3, "")],
+        ["doc_id", "text"],
+    )
+    dim = 16
+    sparse = {
+        (r.doc_id, r.bucket): r.weight
+        for r in hash_embed_sparse(docs, dim=dim).collect()
+    }
+    dense = {r.doc_id: list(r.vec) for r in hash_embed(docs, dim=dim).collect()}
+    for (d, b), w in sparse.items():
+        assert dense[d][b] == float(w)
+    for d, v in dense.items():
+        assert len(v) == dim
+        assert sum(abs(x) for x in v) == sum(
+            abs(w) for (dd, _), w in sparse.items() if dd == d
+        )
+    # identical texts -> identical vectors; the dense form drops straight
+    # into the similarity operators
+    assert dense[0] == dense[1] != dense[2]
+    emb = hash_embed(docs.where("doc_id <> 3"), dim=dim).select(
+        F.col("doc_id").alias("vec_id"), F.col("vec").alias("embedding")
+    )
+    top = {
+        r.query_id: r.neighbor_id
+        for r in cosine_topk_bruteforce(emb, emb.where("vec_id = 0"), k=1).collect()
+    }
+    assert top == {0: 1}  # the exact duplicate wins

@@ -999,3 +999,64 @@ def extract_links(html: Column) -> Column:
     attributes are a deployment extension, kept out so the declared
     pattern IS the verifiable contract."""
     return F.regexp_extract_all(html, F.lit(r'(?i)href\s*=\s*"([^"]*)"'), 1)
+
+
+def hash_embed_sparse(
+    docs: DataFrame,
+    dim: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Feature-hashing document embeddings (Weinberger et al. 2009 — the
+    hashing trick), SPARSE form → (id, bucket, weight): each token lands
+    in bucket md5[:8] % dim with sign md5[8] parity, weights are signed
+    token counts. The cheap, model-free text vectorizer: deterministic,
+    vocabulary-free, streamable — and md5-derived, so an external SQL
+    oracle reproduces every weight exactly (the engine-exactness contract
+    of the sampling family, applied to vectorization).
+
+    One explode + one (id, bucket)-keyed aggregate, map-side combinable;
+    no vocabulary state, no broadcast — the property that lets it run on
+    the first pass over a 100 TB corpus."""
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(word_tokens(F.col(text_col))).alias("term"),
+    )
+    h = F.md5(F.col("term"))
+    bucket = F.pmod(
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("long"), F.lit(dim)
+    )
+    sign = F.when(
+        F.conv(F.substring(h, 9, 1), 16, 10).cast("long") % 2 == 0, F.lit(1)
+    ).otherwise(F.lit(-1))
+    return toks.select(F.col(id_col), bucket.alias("bucket"), sign.alias("_s")).groupBy(
+        id_col, "bucket"
+    ).agg(F.sum("_s").cast("long").alias("weight"))
+
+
+def hash_embed(
+    docs: DataFrame,
+    dim: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Dense form of ``hash_embed_sparse`` → (id, vec array<float>):
+    the sparse weights scattered into a dim-length array (JVM
+    map_from_entries + sequence transform — no UDF), ready for the
+    similarity operators (cosine top-k, semantic dedup, ANN indexes) as
+    a drop-in embedding column."""
+    sparse = hash_embed_sparse(docs, dim=dim, text_col=text_col, id_col=id_col)
+    mapped = sparse.groupBy(id_col).agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("bucket"), F.col("weight")))
+        ).alias("_m")
+    )
+    return mapped.select(
+        F.col(id_col),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda i: F.coalesce(
+                F.element_at(F.col("_m"), i.cast("long")), F.lit(0)
+            ).cast("float"),
+        ).alias("vec"),
+    )

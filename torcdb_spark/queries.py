@@ -6746,3 +6746,35 @@ def m10_gif_animation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(
         kernel, "media_id long, frame_idx long, lossless boolean"
     )
+
+
+@_register(
+    "fe1_feature_hash_embed",
+    """WITH toks AS (
+         SELECT doc_id,
+                unnest(regexp_split_to_array(lower(trim(text)), '\\s+'))
+                  AS term
+         FROM documents
+       ),
+       b AS (
+         SELECT doc_id,
+                ('0x' || substr(md5(term), 1, 8))::BIGINT % 64 AS bucket,
+                CASE WHEN ('0x' || substr(md5(term), 9, 1))::BIGINT % 2 = 0
+                     THEN 1 ELSE -1 END AS s
+         FROM toks
+       )
+       SELECT doc_id, bucket, CAST(sum(s) AS BIGINT) AS weight
+       FROM b GROUP BY doc_id, bucket""",
+)
+def fe1_feature_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashing vectorization (operators/text.hash_embed_sparse):
+    every document embedded into 64 signed md5 buckets — the model-free,
+    vocabulary-free first-pass text vectorizer; the dense form
+    (hash_embed) drops straight into the similarity/ANN operators. The
+    oracle reproduces EVERY weight (md5 bucket + sign parity are
+    engine-exact), making this the rare vectorizer whose output is
+    value-verifiable."""
+    from torcdb_spark.operators.text import hash_embed_sparse
+
+    docs = load_table(spark, sf_dir, "documents")
+    return hash_embed_sparse(docs, dim=64)
