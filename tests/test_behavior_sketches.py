@@ -870,3 +870,35 @@ def test_hash_embed_dense_matches_sparse_and_feeds_similarity(spark):
         for r in cosine_topk_bruteforce(emb, emb.where("vec_id = 0"), k=1).collect()
     }
     assert top == {0: 1}  # the exact duplicate wins
+
+
+def test_content_defined_chunks_shift_resilience(spark):
+    """The defining CDC property: inserting a prefix re-chunks only the
+    neighborhood — chunk boundaries derived from content k-grams
+    reappear at shifted positions, so chunk LENGTH multisets beyond the
+    first chunk coincide."""
+    from torcdb_spark.operators.text import content_defined_chunks
+
+    base = "the quick brown fox jumps over the lazy dog " * 20
+    shifted = "INSERTED PREFIX " + base
+    df = spark.createDataFrame(
+        [(0, base), (1, shifted)], ["doc_id", "text"]
+    )
+    out = {}
+    for r in content_defined_chunks(df, k=8, divisor=32).collect():
+        out.setdefault(r.doc_id, {})[r.chunk_id] = r.chunk_len
+    # lengths partition the documents exactly
+    assert sum(out[0].values()) == len(base)
+    assert sum(out[1].values()) == len(shifted)
+    assert len(out[0]) > 3  # boundaries actually fire
+    # all but the leading chunk(s) realign after the insertion: compare
+    # chunk-length MULTISETS excluding each doc's first chunk
+    from collections import Counter
+
+    def tail_lengths(d):
+        ordered = [d[cid] for cid in sorted(d)]
+        return Counter(ordered[1:])
+
+    c0, c1 = tail_lengths(out[0]), tail_lengths(out[1])
+    shared = sum((c0 & c1).values())
+    assert shared >= sum(c0.values()) - 2

@@ -1060,3 +1060,59 @@ def hash_embed(
             ).cast("float"),
         ).alias("vec"),
     )
+
+
+def content_defined_chunks(
+    docs: DataFrame,
+    k: int = 8,
+    divisor: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Content-defined chunking (the rolling-boundary scheme behind
+    storage/transfer dedup, FastCDC-family) → (id, chunk_id, chunk_len):
+    a chunk boundary falls AFTER character position i whenever the
+    k-gram ending at i hashes to 0 mod ``divisor`` — so boundaries move
+    WITH the content, and an insertion only re-chunks its neighborhood
+    (fixed-size chunking would shift every downstream chunk, defeating
+    chunk-level dedup). Expected chunk length ≈ divisor.
+
+    The rolling hash is md5 of the k-gram — one position explode + one
+    per-position md5 + two windows over the (id, position) partitioning,
+    all JVM expressions, exactly SQL-replayable. Positions before the
+    first full k-gram cannot host a boundary (no partial windows)."""
+    from pyspark.sql.window import Window as W
+
+    base = docs.select(F.col(id_col), F.col(text_col).alias("_t")).where(
+        F.length("_t") >= 1
+    )
+    pos = base.select(
+        F.col(id_col),
+        "_t",
+        F.explode(F.sequence(F.lit(1), F.length("_t"))).alias("_i"),
+    )
+    gram = F.substring(F.col("_t"), F.col("_i") - (k - 1), k)
+    is_boundary = F.when(
+        (F.col("_i") >= k)
+        & (
+            F.pmod(
+                F.conv(F.substring(F.md5(gram), 1, 8), 16, 10).cast("long"),
+                F.lit(divisor),
+            )
+            == 0
+        ),
+        1,
+    ).otherwise(0)
+    w = W.partitionBy(id_col).orderBy("_i")
+    tagged = pos.select(
+        F.col(id_col),
+        F.col("_i"),
+        # chunk of position i = boundaries strictly BEFORE i
+        F.coalesce(
+            F.sum(is_boundary).over(w.rowsBetween(W.unboundedPreceding, -1)),
+            F.lit(0),
+        ).cast("long").alias("chunk_id"),
+    )
+    return tagged.groupBy(id_col, "chunk_id").agg(
+        F.count("*").cast("long").alias("chunk_len")
+    )

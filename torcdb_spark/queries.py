@@ -6778,3 +6778,45 @@ def fe1_feature_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return hash_embed_sparse(docs, dim=64)
+
+
+@_register(
+    "cdc3_content_chunks",
+    """WITH base AS (
+         SELECT doc_id, text AS t FROM documents WHERE length(text) >= 1
+       ),
+       pos AS (
+         SELECT doc_id, t, unnest(generate_series(1, length(t))) AS i
+         FROM base
+       ),
+       tagged AS (
+         SELECT doc_id, i,
+                CASE WHEN i >= 8
+                          AND ('0x' || substr(
+                                md5(substr(t, i - 7, 8)), 1, 8))::BIGINT
+                              % 64 = 0
+                     THEN 1 ELSE 0 END AS brk
+         FROM pos
+       ),
+       chunks AS (
+         SELECT doc_id, i,
+                COALESCE(SUM(brk) OVER (
+                    PARTITION BY doc_id ORDER BY i
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS chunk_id
+         FROM tagged
+       )
+       SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+              CAST(count(*) AS BIGINT) AS chunk_len
+       FROM chunks GROUP BY doc_id, chunk_id""",
+)
+def cdc3_content_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking over the documents corpus
+    (operators/text.content_defined_chunks, k=8, divisor=64): rolling
+    md5-boundary chunks whose positions move WITH the content — the
+    chunk-level-dedup complement of d10's fixed windows. The oracle
+    replays every boundary decision and chunk length exactly."""
+    from torcdb_spark.operators.text import content_defined_chunks
+
+    docs = load_table(spark, sf_dir, "documents")
+    return content_defined_chunks(docs, k=8, divisor=64)
