@@ -192,7 +192,8 @@ def bpe_oracle_sql(
          FROM state_{p})""")
     finals = " UNION ALL ".join(
         f"SELECT CAST({i} AS BIGINT) AS merge_rank, a AS left_sym, "
-        f"b AS right_sym, a||b AS merged, cnt AS pair_count FROM best_{i}"
+        f"b AS right_sym, a||b AS merged, CAST(cnt AS BIGINT) AS pair_count "
+        f"FROM best_{i}"
         for i in range(1, num_merges + 1)
     )
     return "WITH " + ",\n       ".join(blocks) + f"\n       {finals}"
