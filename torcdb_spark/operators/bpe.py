@@ -148,17 +148,12 @@ def _apply_merges(word: Column, ordered: list[tuple[str, str]]) -> Column:
     return _symbols(s)
 
 
-def bpe_oracle_sql(
-    table: str = "documents",
-    text_col: str = "text",
-    num_merges: int = 8,
-) -> str:
-    """The identical trainer unrolled in SQL: every merge round is a CTE
-    block (pair counts → deterministic argmax → literal replace with the
-    argmax pattern as a scalar subquery), so the oracle reproduces the
-    EXACT merge table — BPE training verified end-to-end relationally,
-    not just spot-checked. Assumes the corpus supports ``num_merges``
-    rounds (the fixture does; ``bpe_train`` itself stops early)."""
+def _training_blocks(table: str, text_col: str, num_merges: int) -> list[str]:
+    """The trainer unrolled as SQL CTE blocks: every merge round is a
+    pair-count aggregate → deterministic argmax → literal replace with the
+    argmax pattern as a scalar subquery. Shared by the train oracle
+    (``bpe_oracle_sql``) and the encode oracle
+    (``bpe_encode_oracle_sql``)."""
     l, r = "chr(1)", "chr(2)"
     blocks = [f"""state_0 AS MATERIALIZED (
          SELECT list_aggregate(
@@ -190,6 +185,19 @@ def bpe_oracle_sql(
                   (SELECT {l}||a||{r}||{l}||b||{r} FROM best_{i}),
                   (SELECT {l}||a||b||{r} FROM best_{i})) AS s, n
          FROM state_{p})""")
+    return blocks
+
+
+def bpe_oracle_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    num_merges: int = 8,
+) -> str:
+    """The identical trainer unrolled in SQL, so the oracle reproduces the
+    EXACT merge table — BPE training verified end-to-end relationally,
+    not just spot-checked. Assumes the corpus supports ``num_merges``
+    rounds (the fixture does; ``bpe_train`` itself stops early)."""
+    blocks = _training_blocks(table, text_col, num_merges)
     finals = " UNION ALL ".join(
         f"SELECT CAST({i} AS BIGINT) AS merge_rank, a AS left_sym, "
         f"b AS right_sym, a||b AS merged, CAST(cnt AS BIGINT) AS pair_count "
@@ -197,3 +205,55 @@ def bpe_oracle_sql(
         for i in range(1, num_merges + 1)
     )
     return "WITH " + ",\n       ".join(blocks) + f"\n       {finals}"
+
+
+def bpe_encode_oracle_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_merges: int = 8,
+) -> str:
+    """End-to-end tokenization oracle: re-derives the merge table with the
+    SAME training CTEs as ``bpe_oracle_sql``, then applies the learned
+    merges to every word of every document (the argmax of round *i* folds
+    in as a scalar-subquery ``replace``), and reports per document the
+    total BPE token count plus the first emitted token. Verifies
+    ``bpe_train`` → ``bpe_encode`` as one relational program — the merge
+    ORDER matters (replaces nest rank-1-innermost), so a wrong rank
+    anywhere changes token counts and fails the hash."""
+    l, r = "chr(1)", "chr(2)"
+    blocks = _training_blocks(table, text_col, num_merges)
+    applied = "s0"
+    for i in range(1, num_merges + 1):
+        applied = (
+            f"replace({applied}, "
+            f"(SELECT {l}||a||{r}||{l}||b||{r} FROM best_{i}), "
+            f"(SELECT {l}||a||b||{r} FROM best_{i}))"
+        )
+    toks = (
+        f"string_split(regexp_replace({applied}, "
+        f"'^' || {l} || '|' || {r} || '$', '', 'g'), {r} || {l})"
+    )
+    blocks.append(f"""doc_words AS (
+         SELECT {id_col},
+                unnest(ws) AS w,
+                generate_subscripts(ws, 1) AS i
+         FROM (SELECT {id_col},
+                      regexp_split_to_array(lower(trim({text_col})), '\\s+')
+                        AS ws
+               FROM {table}))""")
+    blocks.append(f"""doc_toks AS (
+         SELECT {id_col}, i, {toks} AS t
+         FROM (SELECT {id_col}, i,
+                      list_aggregate(
+                        list_transform(string_split(w, ''),
+                                       ch -> {l} || ch || {r}),
+                        'string_agg', '') AS s0
+               FROM doc_words
+               WHERE w <> ''))""")
+    final = (
+        f"SELECT {id_col}, CAST(SUM(len(t)) AS BIGINT) AS n_bpe_tokens, "
+        f"MAX(CASE WHEN i = 1 THEN t[1] END) AS head_token "
+        f"FROM doc_toks GROUP BY {id_col}"
+    )
+    return "WITH " + ",\n       ".join(blocks) + f"\n       {final}"

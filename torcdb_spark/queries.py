@@ -5637,6 +5637,33 @@ def d18_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "d20_bpe_encode",
+    __import__("torcdb_spark.operators.bpe", fromlist=["bpe_encode_oracle_sql"])
+    .bpe_encode_oracle_sql("documents", "text", "doc_id", num_merges=8),
+)
+def d20_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenization end-to-end (operators/bpe.py bpe_train →
+    bpe_encode): train 8 merges on the corpus, then apply them to every
+    document — the merge table is driver-small by construction (it IS the
+    vocabulary artifact) and folds into the plan as a chain of literal
+    JVM replaces: zero joins, zero shuffles, whole-stage codegen across
+    the whole encode. The oracle re-derives the merge table with the SAME
+    relational training program and re-applies it per word, so token
+    counts verify train AND apply in one hash — merge-order errors
+    anywhere change the counts."""
+    from torcdb_spark.operators.bpe import bpe_encode, bpe_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe_train(docs, num_merges=8)
+    enc = bpe_encode(docs, merges)
+    return enc.select(
+        "doc_id",
+        "n_bpe_tokens",
+        F.element_at("tokens", 1).alias("head_token"),
+    )
+
+
+@_register(
     "m6_jpeg_roundtrip",
     """SELECT doc_id AS media_id, CAST(16 AS BIGINT) AS width,
               CAST(16 AS BIGINT) AS height, CAST(3 AS BIGINT) AS channels,
