@@ -5637,6 +5637,84 @@ def d18_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "dq1_constraint_audit",
+    """WITH ord AS (SELECT CAST(count(*) AS BIGINT) AS n FROM orders),
+            li  AS (SELECT CAST(count(*) AS BIGINT) AS n FROM lineitem),
+            rows_out AS (
+         SELECT 'not_null(o_custkey)' AS rule,
+                (SELECT n FROM ord) AS n_checked,
+                (SELECT CAST(count(*) AS BIGINT) FROM orders
+                  WHERE o_custkey IS NULL) AS n_violations
+         UNION ALL
+         SELECT 'in_set(o_orderstatus)', (SELECT n FROM ord),
+                (SELECT CAST(count(*) AS BIGINT) FROM orders
+                  WHERE o_orderstatus IS NULL
+                     OR o_orderstatus NOT IN ('F','O','P'))
+         UNION ALL
+         SELECT 'matches(o_orderpriority)', (SELECT n FROM ord),
+                (SELECT CAST(count(*) AS BIGINT) FROM orders
+                  WHERE o_orderpriority IS NULL
+                     OR NOT regexp_matches(o_orderpriority, '^[1-5]-'))
+         UNION ALL
+         SELECT 'in_range(o_totalprice)', (SELECT n FROM ord),
+                (SELECT CAST(count(*) AS BIGINT) FROM orders
+                  WHERE o_totalprice IS NULL
+                     OR o_totalprice < 0 OR o_totalprice > 100000)
+         UNION ALL
+         SELECT 'unique(o_orderkey)', (SELECT n FROM ord),
+                (SELECT CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT)
+                   FROM orders)
+         UNION ALL
+         SELECT 'in_range(l_quantity)', (SELECT n FROM li),
+                (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+                  WHERE l_quantity IS NULL
+                     OR l_quantity < 1 OR l_quantity > 50)
+         UNION ALL
+         SELECT 'in_range(l_discount)', (SELECT n FROM li),
+                (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+                  WHERE l_discount IS NULL
+                     OR l_discount < 0 OR l_discount > 0.1)
+         UNION ALL
+         SELECT 'unique(l_orderkey,l_linenumber)', (SELECT n FROM li),
+                (SELECT CAST(count(*) - count(DISTINCT (l_orderkey, l_linenumber))
+                        AS BIGINT) FROM lineitem)
+         UNION ALL
+         SELECT 'foreign_key(l_orderkey)', (SELECT n FROM li),
+                (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+                  WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)))
+       SELECT rule, n_checked, n_violations, n_violations = 0 AS passed
+       FROM rows_out""",
+)
+def dq1_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality gate (operators/audit.py constraint_audit):
+    9 rules across two tables — not-null, set membership, regex, range,
+    key uniqueness, composite uniqueness, and referential integrity.
+    Every row-level + uniqueness rule folds into ONE aggregate per table
+    (one scan each, whatever the rule count); the FK rule is one
+    broadcast anti-join. The in_range(o_totalprice) rule fires ~12k real
+    violations on the fixture, so the hash also verifies violation
+    COUNTING, not just all-green paths."""
+    from torcdb_spark.operators import audit as A
+
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    ord_audit = A.constraint_audit(orders, [
+        A.not_null("o_custkey"),
+        A.in_set("o_orderstatus", ["F", "O", "P"]),
+        A.matches("o_orderpriority", "^[1-5]-"),
+        A.in_range("o_totalprice", 0, 100000),
+        A.unique("o_orderkey"),
+    ])
+    li_audit = A.constraint_audit(lineitem, [
+        A.in_range("l_quantity", 1, 50),
+        A.in_range("l_discount", 0, 0.1),
+        A.unique("l_orderkey", "l_linenumber"),
+        A.foreign_key("l_orderkey", orders, "o_orderkey"),
+    ])
+    return ord_audit.unionAll(li_audit)
+
+
+@_register(
     "d20_bpe_encode",
     __import__("torcdb_spark.operators.bpe", fromlist=["bpe_encode_oracle_sql"])
     .bpe_encode_oracle_sql("documents", "text", "doc_id", num_merges=8),
