@@ -5637,6 +5637,63 @@ def d18_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "dr1_distribution_drift",
+    """WITH vals AS (
+         SELECT o_totalprice AS v, o_orderpriority = '1-URGENT' AS is_a
+         FROM orders
+         WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+       counts AS (
+         SELECT v,
+                SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS ca,
+                SUM(CASE WHEN is_a THEN 0 ELSE 1 END) AS cb
+         FROM vals GROUP BY v),
+       ns AS (SELECT CAST(SUM(ca) AS BIGINT) AS n_a,
+                     CAST(SUM(cb) AS BIGINT) AS n_b FROM counts),
+       cums AS (
+         SELECT SUM(ca) OVER (ORDER BY v) AS cum_a,
+                SUM(cb) OVER (ORDER BY v) AS cum_b
+         FROM counts),
+       ks AS (
+         SELECT round(MAX(ABS(CAST(cum_a AS DOUBLE) / n_a
+                             - CAST(cum_b AS DOUBLE) / n_b)), 6) AS ks_d
+         FROM cums, ns),
+       bins AS (
+         SELECT LEAST(GREATEST(CAST(FLOOR(v / 60000.0) AS BIGINT), 0), 9)
+                  AS bin,
+                SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS ca,
+                SUM(CASE WHEN is_a THEN 0 ELSE 1 END) AS cb
+         FROM vals GROUP BY 1),
+       p AS (
+         SELECT round(SUM((pa - pb) * ln(pa / pb)), 6) AS psi
+         FROM (SELECT (ca + 1.0) / (n_a + 10) AS pa,
+                      (cb + 1.0) / (n_b + 10) AS pb
+               FROM bins, ns))
+       SELECT n_a, n_b, ks_d, psi FROM ns, ks, p""",
+)
+def dr1_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution drift between two order populations (operators/
+    drift.py): two-sample Kolmogorov–Smirnov D over o_totalprice via the
+    distributed prefix-sum ECDF (range partition → within-partition
+    window cumsum → tiny per-partition offset table; NO single-task
+    global-order window), plus Laplace-smoothed PSI over 10 fixed bins.
+    The oracle recomputes both statistics with DuckDB's global window —
+    same numbers, different physical strategy, which is exactly the
+    point: the Spark formulation is the one that survives 100 TB."""
+    from torcdb_spark.operators.drift import ecdf_max_gap, psi
+
+    orders = load_table(spark, sf_dir, "orders")
+    two_pop = orders.where(
+        F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
+    ).select(
+        F.col("o_totalprice").alias("v"),
+        (F.col("o_orderpriority") == "1-URGENT").alias("is_a"),
+    )
+    ks = ecdf_max_gap(two_pop, "v", "is_a")
+    ps = psi(two_pop, "v", "is_a", bin_width=60000.0, num_bins=10)
+    return ks.join(ps, ["n_a", "n_b"]).select("n_a", "n_b", "ks_d", "psi")
+
+
+@_register(
     "dq1_constraint_audit",
     """WITH ord AS (SELECT CAST(count(*) AS BIGINT) AS n FROM orders),
             li  AS (SELECT CAST(count(*) AS BIGINT) AS n FROM lineitem),
