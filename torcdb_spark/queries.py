@@ -5637,6 +5637,47 @@ def d18_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "jl1_jsonl_roundtrip",
+    """SELECT source,
+              CAST(count(*) AS BIGINT) AS n_records,
+              CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+              CAST(sum(length(text)) AS BIGINT) AS text_chars,
+              CAST(0 AS BIGINT) AS n_parse_errors
+       FROM documents GROUP BY source""",
+)
+def jl1_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL corpus serde round-trip — the interchange format every LLM
+    data pipeline writes and reads. Each fixture source becomes one
+    newline-delimited shard (``to_json`` per record + concat framing:
+    JSON escapes embedded newlines, so the framing is unambiguous), then
+    the shard is fanned back out (split + explode) and parsed with
+    ``from_json`` under an explicit schema — all JVM expressions, no
+    Python in the loop. The oracle pins the parsed census per source:
+    record count, id sum, text length sum, and zero parse failures —
+    a wrong escape anywhere surfaces as a lost record or a null parse."""
+    docs = load_table(spark, sf_dir, "documents")
+    lines = docs.select(
+        "source",
+        F.to_json(F.struct("doc_id", "text", "lang")).alias("line"),
+    )
+    shards = lines.groupBy("source").agg(
+        F.concat_ws("\n", F.collect_list("line")).alias("content")
+    )
+    rec_schema = "doc_id bigint, text string, lang string"
+    parsed = shards.select(
+        "source",
+        F.explode(F.split("content", "\n")).alias("line"),
+    ).select("source", F.from_json("line", rec_schema).alias("r"))
+    return parsed.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_records"),
+        F.sum(F.col("r.doc_id")).cast("long").alias("sum_ids"),
+        F.sum(F.length("r.text")).cast("long").alias("text_chars"),
+        F.sum(F.when(F.col("r").isNull(), 1).otherwise(0))
+        .cast("long").alias("n_parse_errors"),
+    )
+
+
+@_register(
     "dr1_distribution_drift",
     """WITH vals AS (
          SELECT o_totalprice AS v, o_orderpriority = '1-URGENT' AS is_a
