@@ -683,23 +683,25 @@ DRIVER_PRIORITY: list[str] = [
     # driver rows (q8/q10 stay covered by the local exact-value gate).
     "rj1_attribution_window",
     "ts2_gap_fill_locf",
-    # §2.5 streaming (real readStream pipelines; tumbling ceded its slot
-    # after two green rounds — sessions + interval join + the round-4
-    # history dedup keep three distinct streaming shapes checked)
-    "st_events_sessions_stream",
+    # §2.5 streaming (real readStream pipelines; sessions ceded its slot
+    # after three green rounds — interval join + the history dedup keep
+    # two distinct streaming shapes checked; tumbling/sessions stay
+    # covered by the local stream-vs-batch hash-equivalence tests)
     "st_interval_join_stream",
     "st_docs_history_dedup",
     # LLM-pipeline extension operators
     "d1_dedup_exact",
     "d2_text_stats",
-    "d9_tfidf",
-    # d11 ceded its slot to d16 (text family keeps three witnesses:
-    # stats, tfidf, repetition; redact_pii stays locally exact-gated)
+    # d9 ceded its slot after two green rounds (text family keeps two
+    # witnesses: stats + repetition; tfidf stays locally exact-gated)
     "d16_repetition_signals",
+    # d13 is the MinHash-family exact witness (cluster assignments are
+    # hash-checked); x_minhash itself is rows-only by design and ceded
+    # its slot to an exact-oracled round-5 family after four rows-only
+    # rounds
     "d13_dedup_clusters",
     "e1_cosine_topk",
-    "e5_label_centroids",
-    "x_minhash_near_dups",
+    # e5 ceded after two green rounds (embedding family keeps e1)
     # m4 displaces m3 in the gate: same multimodal decode path but m4's
     # structural fields are hash-checked against an oracle while m3 is
     # rows-only (m3 stays exact-tested in pytest).
@@ -738,6 +740,13 @@ DRIVER_PRIORITY: list[str] = [
     "pk1_sequence_packing",    # shard-parallel packing plan
     "w1_warc_ingest",          # WARC crawl-archive ingestion
     "mx1_domain_mixture",      # deterministic mixture rebalancing
+    # round-5 operator families, all exact-value-oracled (slots ceded by
+    # x_minhash/d9/e5/st_events_sessions_stream above) — with these the
+    # driver gate head is 50/50 oracle-backed for the first time:
+    "d20_bpe_encode",          # BPE train→encode end-to-end
+    "dq1_constraint_audit",    # declarative data-quality gate
+    "dr1_distribution_drift",  # KS via distributed prefix-sum + PSI
+    "jl1_jsonl_roundtrip",     # JSONL corpus serde round-trip
 ]
 
 
