@@ -5646,6 +5646,31 @@ def d18_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "pf1_table_profile",
+    __import__("torcdb_spark.operators.profile", fromlist=["profile_oracle_sql"])
+    .profile_oracle_sql(
+        "lineitem",
+        ["l_orderkey", "l_quantity", "l_discount", "l_extendedprice"],
+        ["l_returnflag", "l_linestatus"],
+    ),
+)
+def pf1_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog-statistics profiling (operators/profile.py table_profile):
+    null counts, NDV, and typed min/max for 6 lineitem columns in ONE
+    aggregate over ONE scan (Catalyst Expand for the multi-distinct),
+    unpivoted in-plan to one row per column. The oracle computes the
+    same stats the naive way — one pass per column — proving the fused
+    single-scan plan loses nothing."""
+    from torcdb_spark.operators.profile import table_profile
+
+    return table_profile(
+        load_table(spark, sf_dir, "lineitem"),
+        ["l_orderkey", "l_quantity", "l_discount", "l_extendedprice"],
+        ["l_returnflag", "l_linestatus"],
+    )
+
+
+@_register(
     "jl1_jsonl_roundtrip",
     """SELECT source,
               CAST(count(*) AS BIGINT) AS n_records,
