@@ -1,0 +1,58 @@
+"""Incremental view maintenance — keep an aggregate view current under a
+stream of inserts AND deletes without recomputing from the base table
+(the Δ-processing every warehouse refresh / DBSP / materialized-view
+engine performs).
+
+Deltas carry a SIGNED MULTIPLICITY column (+1 insert, −1 delete/retract),
+the classic Z-set formulation: the delta first collapses to one row per
+group (one partial-aggregated shuffle over the delta ONLY — at 100 TB the
+view refresh touches the day's changes, never the corpus), then merges
+into the view with one outer join on the group key. Groups whose
+maintained count reaches zero are dropped, so a fully-retracted group
+leaves the view exactly as a recompute would.
+
+Exactness contract: measures must be INTEGRAL (counts, cents, token
+counts) — integer addition is associative, so maintain(base, Δ) is
+bit-identical to recompute(base ⊎ Δ), which is precisely what the oracle
+checks. For float measures, incremental subtraction re-orders rounding
+and drifts; scale them to integers first (the fixture uses cents).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def maintain_agg(
+    view: DataFrame,
+    delta: DataFrame,
+    keys: list[str],
+    sum_cols: list[str],
+    mult_col: str = "__m",
+    count_col: str = "n",
+) -> DataFrame:
+    """Merge a signed-multiplicity ``delta`` into an aggregate ``view``
+    (columns: keys + ``count_col`` + ``sum_cols``) → the maintained view.
+
+    One groupBy over the delta, one full-outer join on the keys,
+    zero-count groups dropped."""
+    m = F.col(mult_col)
+    d = delta.groupBy(*keys).agg(
+        F.sum(m).cast("long").alias("__dn"),
+        *[
+            F.sum(F.col(c) * m).cast("long").alias(f"__d_{c}")
+            for c in sum_cols
+        ],
+    )
+    merged = view.join(d, keys, "full_outer").select(
+        *keys,
+        (F.coalesce(F.col(count_col), F.lit(0))
+         + F.coalesce(F.col("__dn"), F.lit(0))).alias(count_col),
+        *[
+            (F.coalesce(F.col(c), F.lit(0))
+             + F.coalesce(F.col(f"__d_{c}"), F.lit(0))).alias(c)
+            for c in sum_cols
+        ],
+    )
+    return merged.where(F.col(count_col) > 0)

@@ -5646,6 +5646,53 @@ def d18_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "ivm1_view_maintenance",
+    """SELECT o_custkey % 100 AS bucket,
+              CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                AS revenue_cents
+       FROM orders
+       WHERE o_orderkey % 13 = 0 OR o_orderkey % 7 <> 0
+       GROUP BY 1""",
+)
+def ivm1_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance (operators/ivm.py maintain_agg):
+    a revenue-per-bucket view built on a base snapshot is maintained
+    through a signed-multiplicity delta — inserts (orderkey%13=0, the
+    rows missing from the base) and retractions (orderkey%7=0 rows of the
+    base). The maintenance path touches the DELTA plus one outer merge;
+    the oracle recomputes the view directly from the post-change table —
+    two different computation paths that must agree bit-for-bit (measures
+    are integral cents, so incremental subtraction is exact). Groups
+    fully retracted by the delta must vanish, which the row count
+    checks."""
+    from torcdb_spark.operators.ivm import maintain_agg
+
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    keyed = orders.select(
+        (F.col("o_custkey") % 100).alias("bucket"),
+        cents.alias("revenue_cents"),
+        "o_orderkey",
+    )
+    base = keyed.where(F.col("o_orderkey") % 13 != 0)
+    view = base.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("revenue_cents").cast("long").alias("revenue_cents"),
+    )
+    inserts = keyed.where(F.col("o_orderkey") % 13 == 0).withColumn(
+        "__m", F.lit(1)
+    )
+    deletes = base.where(F.col("o_orderkey") % 7 == 0).withColumn(
+        "__m", F.lit(-1)
+    )
+    delta = inserts.unionByName(deletes).select(
+        "bucket", "revenue_cents", "__m"
+    )
+    return maintain_agg(view, delta, ["bucket"], ["revenue_cents"])
+
+
+@_register(
     "pf1_table_profile",
     __import__("torcdb_spark.operators.profile", fromlist=["profile_oracle_sql"])
     .profile_oracle_sql(
