@@ -714,14 +714,10 @@ DRIVER_PRIORITY: list[str] = [
     "gs1_neighbor_sample",     # deterministic graph sampling (md5 oracle)
     "cd1_snapshot_diff",       # CDC snapshot diff
     "ldbc_ic_like_foaf_copurchase",  # 6-hop FOF traversal composite
-    # cms1 takes q2's slot (q1/q18 keep TPC-H witnesses green): the
-    # frequency sketch is a distinct mergeable-summary family whose
-    # exact-value oracle deserves a hard driver row
-    "cms1_frequency_estimates",
-    # round-4 operator families (slots ceded by gremlin both_e/where_not/
-    # order_by_prop, q9, d11 — each a first driver row for a new family):
+    # mergeable-sketch family: bl1 keeps the witness slot; cms1 and th1
+    # ceded theirs after two green rounds (both stay locally exact-gated)
+    # to the round-5 profiling/IVM families below
     "bl1_bloom_semijoin",      # Bloom membership sketch (exact bit oracle)
-    "th1_kmv_distinct",        # KMV/theta distinct sketch
     "fu1_funnel_stages",       # behavioral: ordered conversion funnel
     "er1_part_name_pairs",     # blocked-Levenshtein entity resolution
     # d18's oracle replays the full 8-round BPE training relationally —
@@ -747,6 +743,8 @@ DRIVER_PRIORITY: list[str] = [
     "dq1_constraint_audit",    # declarative data-quality gate
     "dr1_distribution_drift",  # KS via distributed prefix-sum + PSI
     "jl1_jsonl_roundtrip",     # JSONL corpus serde round-trip
+    "pf1_table_profile",       # one-scan catalog statistics
+    "ivm1_view_maintenance",   # Z-set incremental view maintenance
 ]
 
 
