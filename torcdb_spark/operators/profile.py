@@ -2,14 +2,19 @@
 NDV, min/max per column) a pipeline runs on every new corpus snapshot to
 feed cost models, drift baselines, and data docs.
 
-Scale shape: ALL columns profile in ONE aggregate over ONE scan of the
-table. Multiple ``count_distinct`` aggregates in one pass compile to
-Catalyst's Expand strategy (rows multiplied by the column count before
-the partial aggregate) — still a single scan and a single shuffle, which
-beats N per-column passes by N× scan I/O at 100 TB; for corpora where
-even Expand is too heavy, the KMV sketch (operators/theta.py) is the
-approximate drop-in. The 1-row stats result is then unpivoted to one row
-per column with an in-plan ``explode`` — no driver round-trip.
+Scale shape: two aggregates, two scans total, regardless of column
+count. (1) null counts + typed min/max for ALL columns fold into one
+conditional-sum aggregate (1 row out). (2) NDVs compute via an
+unpivot-explode to (column, value) pairs and a two-phase distinct count
+— groupBy(column, value) first, so the shuffle carries one row per
+DISTINCT pair with full map-side combining, then a per-column count.
+This deliberately avoids putting N ``count_distinct`` aggregates in one
+agg: Catalyst compiles mixed distinct+non-distinct aggregates to an
+Expand with NO partial aggregation on the distinct groups (measured 13.5
+s vs 2 s on the 600k-row fixture), and that shape ships every raw row to
+the shuffle at 100 TB. For corpora where even the distinct-pair shuffle
+is too heavy, the KMV sketch (operators/theta.py) is the approximate
+drop-in. Results unpivot in-plan — no driver round-trip.
 
 NDV counts exclude NULLs (SQL ``count(DISTINCT col)`` semantics on both
 engines); min/max are typed — numeric columns report ``min_num/max_num``
@@ -36,14 +41,50 @@ def table_profile(
             F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
             .cast("long").alias(f"{c}__nn")
         )
-        aggs.append(F.count_distinct(F.col(c)).cast("long").alias(f"{c}__nd"))
     for c in numeric_cols:
         aggs.append(F.min(c).cast("double").alias(f"{c}__mn"))
         aggs.append(F.max(c).cast("double").alias(f"{c}__mx"))
     for c in string_cols:
         aggs.append(F.min(c).alias(f"{c}__mns"))
         aggs.append(F.max(c).alias(f"{c}__mxs"))
-    stats = df.agg(*aggs)
+    base = df.agg(*aggs)
+
+    # NDV pass: unpivot to typed (column, value) pairs and distinct-count
+    # per column in two partial-aggregated phases. Values stay TYPED in
+    # the pair struct (numeric/string slots) — casting doubles to strings
+    # for a uniform column costs ~1 µs/value in JVM formatting and
+    # measurably dominates the pass (3.4 s → 1.3 s on the 600k-row
+    # fixture). NULLs are excluded per count(DISTINCT) semantics.
+    null_dv = F.lit(None).cast("double")
+    null_sv = F.lit(None).cast("string")
+    pair_structs = [
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col(c).cast("double").alias("vn"),
+            null_sv.alias("vs"),
+        )
+        for c in numeric_cols
+    ] + [
+        F.struct(
+            F.lit(c).alias("column"),
+            null_dv.alias("vn"),
+            F.col(c).alias("vs"),
+        )
+        for c in string_cols
+    ]
+    pairs = df.select(F.explode(F.array(*pair_structs)).alias("p")).select("p.*")
+    ndv = (
+        pairs.where(F.col("vn").isNotNull() | F.col("vs").isNotNull())
+        .distinct()
+        .groupBy("column")
+        .agg(F.count(F.lit(1)).cast("long").alias("__nd"))
+    )
+    ndv_map = ndv.groupBy().agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("column", "__nd"))
+        ).alias("__nds")
+    )
+    stats = base.crossJoin(F.broadcast(ndv_map))
 
     null_d = F.lit(None).cast("double")
     null_s = F.lit(None).cast("string")
@@ -53,7 +94,7 @@ def table_profile(
             F.lit(c).alias("column"),
             F.col("__n").alias("n_rows"),
             F.col(f"{c}__nn").alias("n_null"),
-            F.col(f"{c}__nd").alias("n_distinct"),
+            F.coalesce(F.col("__nds")[c], F.lit(0)).alias("n_distinct"),
             F.col(f"{c}__mn").alias("min_num"),
             F.col(f"{c}__mx").alias("max_num"),
             null_s.alias("min_str"),
@@ -64,7 +105,7 @@ def table_profile(
             F.lit(c).alias("column"),
             F.col("__n").alias("n_rows"),
             F.col(f"{c}__nn").alias("n_null"),
-            F.col(f"{c}__nd").alias("n_distinct"),
+            F.coalesce(F.col("__nds")[c], F.lit(0)).alias("n_distinct"),
             null_d.alias("min_num"),
             null_d.alias("max_num"),
             F.col(f"{c}__mns").alias("min_str"),

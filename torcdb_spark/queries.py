@@ -3910,8 +3910,9 @@ def rj1_attribution_window(spark: SparkSession, sf_dir: str) -> DataFrame:
               CAST(count(*) AS BIGINT) AS n_events,
               round(sum(e.value), 2) AS sum_value
        FROM nation n JOIN events e
-         ON e.value >= n_nationkey * 20.0
-        AND e.value <= n_nationkey * 20.0 + 19.99
+         ON e.value >= CAST(n_nationkey AS DOUBLE) * CAST(20.0 AS DOUBLE)
+        AND e.value <= CAST(n_nationkey AS DOUBLE) * CAST(20.0 AS DOUBLE)
+                       + CAST(19.99 AS DOUBLE)
        GROUP BY 1""",
 )
 def rj2_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
