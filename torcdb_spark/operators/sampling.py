@@ -354,3 +354,51 @@ def mixture_downsample(
         .where((F.col("rate") >= 1.0) | (u < thr))
         .drop("_w")
     )
+
+
+def stratified_split(
+    docs: DataFrame,
+    fractions: list[tuple[str, float]] | None = None,
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic train/val/test split assignment → ``docs`` plus a
+    ``split`` column. Every row's uniform is the first 13 hex digits of
+    md5(id:seed) compared as a STRING against cumulative-fraction
+    thresholds (the mixture_downsample trick with config-time constants):
+    the thresholds are computed ONCE driver-side as printf('%013x',
+    floor(cum·16¹³)) literals, so the assignment folds into codegen as a
+    chained CASE — zero joins, zero shuffles, and a SQL oracle replays the
+    exact same literals. Hash-based assignment is stable under corpus
+    growth (a document's split never changes when new docs arrive) and
+    uniform within every stratum, which is what makes it the standard
+    split mechanism for 100 TB corpora — no global sort, no RNG state.
+    """
+    fractions = fractions or [("train", 0.8), ("val", 0.1), ("test", 0.1)]
+    u = F.substring(
+        F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f":{seed}"))), 1, 13
+    )
+    cum = 0.0
+    expr = None
+    for name, frac in fractions[:-1]:
+        cum += frac
+        thr = format(int(cum * (1 << 52)), "013x")
+        cond = u < F.lit(thr)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = fractions[-1][0]
+    split = F.lit(last) if expr is None else expr.otherwise(last)
+    return docs.withColumn("split", split)
+
+
+def split_thresholds(
+    fractions: list[tuple[str, float]] | None = None,
+) -> list[tuple[str, str]]:
+    """The (name, 13-hex cumulative threshold) pairs ``stratified_split``
+    compares against — exposed so oracles inline the IDENTICAL literals."""
+    fractions = fractions or [("train", 0.8), ("val", 0.1), ("test", 0.1)]
+    out = []
+    cum = 0.0
+    for name, frac in fractions[:-1]:
+        cum += frac
+        out.append((name, format(int(cum * (1 << 52)), "013x")))
+    return out

@@ -5645,6 +5645,37 @@ def d18_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "sp1_stratified_split",
+    """WITH tagged AS (
+         SELECT source, doc_id,
+                substr(md5(CAST(doc_id AS VARCHAR) || ':0'), 1, 13) AS u
+         FROM documents)
+       SELECT source,
+              CASE WHEN u < 'ccccccccccccd' THEN 'train'
+                   WHEN u < 'e666666666666' THEN 'val'
+                   ELSE 'test' END AS split,
+              CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(doc_id) AS BIGINT) AS sum_ids
+       FROM tagged GROUP BY 1, 2""",
+)
+def sp1_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment (operators/
+    sampling.py stratified_split): md5-hash uniforms against
+    config-time hex-threshold literals — a codegen CASE, zero joins,
+    stable under corpus growth (a doc's split never changes when new
+    data lands). The oracle inlines the IDENTICAL thresholds
+    (split_thresholds), so every document's assignment is hash-checked
+    via the per-(source, split) census."""
+    from torcdb_spark.operators.sampling import stratified_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    return stratified_split(docs, seed=0).groupBy("source", "split").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("doc_id").cast("long").alias("sum_ids"),
+    )
+
+
+@_register(
     "ivm1_view_maintenance",
     """SELECT o_custkey % 100 AS bucket,
               CAST(count(*) AS BIGINT) AS n,
