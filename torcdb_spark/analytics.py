@@ -1049,3 +1049,130 @@ def adamic_adar(
         F.count("*").cast("long").alias("n_common"),
         F.round(F.sum(F.lit(1.0) / F.log(F.col("_deg"))), 4).alias("aa_score"),
     )
+
+
+def boruvka_mst(
+    edges: DataFrame,
+    max_rounds: int = 12,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str = "w",
+) -> DataFrame:
+    """Minimum spanning forest via distributed Borůvka → the MST edge set
+    (src, dst, w), one row per chosen edge, deterministic.
+
+    Borůvka is THE distributed MST formulation (components halve every
+    round → ≤ log₂V rounds, each round a constant number of joins/aggs),
+    unlike Kruskal/Prim whose sequential union-find/heap has no dataflow
+    equivalent. Per round:
+
+      1. drop intra-component edges, orient each survivor both ways;
+      2. every component picks its minimum incident edge — ties broken on
+         the total order (w, src, dst), which makes the forest UNIQUE
+         (same argument as Kruskal with a strict ordering) and therefore
+         exactly replayable by a sequential reference;
+      3. contract: selected edges define a pointer graph comp→comp; with
+         consistent tie-breaking its only cycles are 2-cycles, broken by
+         pointing the larger id at the smaller, then pointer-doubling
+         folds every chain onto its root (≤ log rounds, same
+         hash-to-min discipline as ``connected_components``).
+
+    State is (vertex → component) plus the shrinking candidate edge set;
+    both localCheckpoint per round (the module's standard lineage
+    barrier). Edge weights must be comparable doubles; multi-edges are
+    fine (the min pick sees them all).
+    """
+    e0 = (
+        edges.select(
+            F.col(src_col).alias("u"),
+            F.col(dst_col).alias("v"),
+            F.col(weight_col).cast("double").alias("w"),
+        )
+        .where(F.col("u") != F.col("v"))
+    )
+    verts = (
+        e0.select(F.col("u").alias("id"))
+        .unionByName(e0.select(F.col("v").alias("id")))
+        .dropDuplicates(["id"])
+    )
+    comp = _checkpointed(verts.select("id", F.col("id").alias("comp")))
+    cand = _checkpointed(e0)
+    chosen = None
+    for _r in range(max_rounds):
+        # re-key candidate edges to current components, drop internals
+        cu = comp.select(F.col("id").alias("u"), F.col("comp").alias("cu"))
+        cv = comp.select(F.col("id").alias("v"), F.col("comp").alias("cv"))
+        keyed = (
+            cand.join(cu, "u").join(cv, "v")
+            .where(F.col("cu") != F.col("cv"))
+        )
+        keyed = _checkpointed(keyed)
+        if keyed.isEmpty():
+            break
+        cand = keyed.select("u", "v", "w")
+        # each component's min incident edge under the (w, u, v) order
+        both = keyed.select(
+            F.col("cu").alias("c"), "w", "u", "v", F.col("cv").alias("other")
+        ).unionByName(
+            keyed.select(
+                F.col("cv").alias("c"), "w", "u", "v", F.col("cu").alias("other")
+            )
+        )
+        picked = both.groupBy("c").agg(
+            F.min(F.struct("w", "u", "v", "other")).alias("m")
+        ).select(
+            "c",
+            F.col("m.w").alias("w"),
+            F.col("m.u").alias("u"),
+            F.col("m.v").alias("v"),
+            F.col("m.other").alias("other"),
+        )
+        # an edge may be picked by both endpoints' components — one row each
+        new_edges = picked.select("u", "v", "w").dropDuplicates(["u", "v", "w"])
+        chosen = (
+            new_edges if chosen is None
+            else chosen.unionByName(new_edges)
+        )
+        chosen = _checkpointed(chosen)
+        # pointer graph: c -> other; break 2-cycles toward the smaller id
+        ptr = picked.select("c", F.col("other").alias("p"))
+        # 2-cycle break: if a.p = b and b.p = a, the larger points to the
+        # smaller and the smaller points to itself
+        back = ptr.select(F.col("c").alias("p2c"), F.col("p").alias("p2p"))
+        ptr = ptr.join(
+            back, (ptr["p"] == back["p2c"]) & (back["p2p"] == ptr["c"]), "left"
+        ).select(
+            "c",
+            F.when(
+                F.col("p2p").isNotNull() & (F.col("c") < F.col("p")), F.col("c")
+            ).otherwise(F.col("p")).alias("p"),
+        )
+        # pointer doubling to the root
+        ptr = _checkpointed(ptr)
+        for _j in range(max_rounds):
+            nxt = ptr.select(F.col("c").alias("jc"), F.col("p").alias("jp"))
+            jumped = ptr.join(
+                nxt, ptr["p"] == nxt["jc"], "left"
+            ).select(
+                "c", F.coalesce(F.col("jp"), F.col("p")).alias("p")
+            )
+            jumped = _checkpointed(jumped)
+            if jumped.where(F.col("p") != F.col("c")).join(
+                jumped.select(F.col("c").alias("x"), F.col("p").alias("xp")),
+                F.col("p") == F.col("x"),
+            ).where(F.col("xp") != F.col("p")).isEmpty():
+                ptr = jumped
+                break
+            ptr = jumped
+        # fold vertex components through the round's pointer map
+        comp = _checkpointed(
+            comp.join(
+                ptr.select(F.col("c").alias("comp"), "p"), "comp", "left"
+            ).select("id", F.coalesce(F.col("p"), F.col("comp")).alias("comp"))
+        )
+    out = e0.limit(0) if chosen is None else chosen
+    return out.select(
+        F.col("u").alias(src_col),
+        F.col("v").alias(dst_col),
+        F.col("w").alias(weight_col),
+    )

@@ -61,7 +61,13 @@ def quality_score(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
         + F.when(tok_ok, 0.3).otherwise(0.0)
         + alpha_ratio * 0.3
     )
-    return s.select(id_col, F.round(score, 4).alias("quality"))
+    # Portable round-half-up: floor(x·10⁴ + 0.5)/10⁴ in pure IEEE double
+    # ops, bit-identical in any engine. Built-in round() is NOT portable
+    # within 1 ulp of the .5 boundary: Java (BigDecimal on the shortest
+    # decimal repr) and DuckDB disagree on e.g. 0.9462499999999999 —
+    # observed as real sf0.1 fixture docs flipping the 4th decimal.
+    quality = F.floor(score * 10000 + F.lit(0.5)) / F.lit(10000.0)
+    return s.select(id_col, quality.alias("quality"))
 
 
 def normalize_text(text: Column) -> Column:

@@ -1068,18 +1068,26 @@ def d5_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "d6_quality_score",
+    # Portable round-half-up (floor(x*1e4 + 0.5)/1e4) with every literal
+    # cast to DOUBLE: DuckDB otherwise evaluates 0.4/0.3 in DECIMAL and
+    # its double round() disagrees with Java's within 1 ulp of the .5
+    # boundary — both bit-level traps hit real sf0.1 fixture docs.
     """SELECT doc_id,
-              round((CASE WHEN length(text) BETWEEN 100 AND 20000
-                          THEN 0.4 ELSE 0.0 END)
+              floor(((CASE WHEN length(text) BETWEEN 100 AND 20000
+                          THEN CAST(0.4 AS DOUBLE)
+                          ELSE CAST(0.0 AS DOUBLE) END)
                   + (CASE WHEN n_tokens > 0
                                AND length(text)/n_tokens >= 3.0
                                AND length(text)/n_tokens <= 12.0
-                          THEN 0.3 ELSE 0.0 END)
+                          THEN CAST(0.3 AS DOUBLE)
+                          ELSE CAST(0.0 AS DOUBLE) END)
                   + (CASE WHEN length(text) > 0
                           THEN CAST(length(regexp_replace(text,
                                     '[^A-Za-z]', '', 'g')) AS DOUBLE)
                                / length(text)
-                          ELSE 0.0 END) * 0.3, 4) AS quality
+                          ELSE CAST(0.0 AS DOUBLE) END)
+                    * CAST(0.3 AS DOUBLE)) * 10000
+                    + CAST(0.5 AS DOUBLE)) / 10000 AS quality
        FROM (SELECT doc_id, text,
                     CASE WHEN length(trim(text)) = 0 THEN 0
                          ELSE len(regexp_split_to_array(trim(text), '\\s+'))
@@ -2577,19 +2585,25 @@ def e5_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "p1_clean_corpus",
+    # quality CTE mirrors d6's portable-round formulation (see d6's
+    # oracle comment for the DECIMAL-literal / round() bit-level traps)
     """WITH q AS (
          SELECT doc_id,
-                round((CASE WHEN length(text) BETWEEN 100 AND 20000
-                            THEN 0.4 ELSE 0.0 END)
+                floor(((CASE WHEN length(text) BETWEEN 100 AND 20000
+                            THEN CAST(0.4 AS DOUBLE)
+                            ELSE CAST(0.0 AS DOUBLE) END)
                     + (CASE WHEN n_tokens > 0
                                  AND length(text)/n_tokens >= 3.0
                                  AND length(text)/n_tokens <= 12.0
-                            THEN 0.3 ELSE 0.0 END)
+                            THEN CAST(0.3 AS DOUBLE)
+                            ELSE CAST(0.0 AS DOUBLE) END)
                     + (CASE WHEN length(text) > 0
                             THEN CAST(length(regexp_replace(text,
                                       '[^A-Za-z]', '', 'g')) AS DOUBLE)
                                  / length(text)
-                            ELSE 0.0 END) * 0.3, 4) AS quality,
+                            ELSE CAST(0.0 AS DOUBLE) END)
+                      * CAST(0.3 AS DOUBLE)) * 10000
+                      + CAST(0.5 AS DOUBLE)) / 10000 AS quality,
                 n_tokens
          FROM (SELECT doc_id, text,
                       CASE WHEN length(trim(text)) = 0 THEN 0
@@ -4318,13 +4332,17 @@ def q_hll_mergeable_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB rollups maintainable (store a sketch column per partition,
     merge on demand; exact count(DISTINCT) cannot re-aggregate). The
     oracle is the exact count: Datasketches HLL keeps an exact coupon
-    list below promotion (~512 items/lgK=12), so at fixture cardinality
-    (150 users) the estimates ARE exact — the query verifies the
-    sketch path end-to-end, not a tolerance."""
+    set below promotion to dense mode (~k/8 items), so with lgK=16
+    (8192-coupon exact regime; 32 KB/sketch) the estimates ARE exact at
+    every fixture cardinality (150 users at sf0.01, 1500 at sf0.1) — the
+    query verifies the sketch build/merge path end-to-end, not a
+    tolerance. Above the exact regime the estimate degrades gracefully
+    to ±~0.8% (the lgK=16 HLL bound); size lgK to the cardinality band
+    whose exactness matters."""
     ev = load_table(spark, sf_dir, "events")
     daily_sk = (
         ev.groupBy(F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"))
-        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+        .agg(F.hll_sketch_agg("user_id", 16).alias("sk"))
         .persist()
     )
     per_day = daily_sk.select(
@@ -5641,6 +5659,37 @@ def d18_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("right").alias("right_sym"),
         "merged",
         "pair_count",
+    )
+
+
+@_register("g_mst")  # rows-only: MST needs union-find/contraction — not
+# SQL-expressible; exact edge-set agreement with a sequential Kruskal
+# under the identical (w, src, dst) tie-break is pytest-proven
+# (tests/test_mst.py, incl. equal-weight determinism + forest semantics)
+def g_mst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum spanning forest via distributed Borůvka (analytics.py
+    boruvka_mst) over the part–supplier supply graph (edge weight = the
+    cheapest observed lineitem price for the pair): components halve per
+    round — ≤ log₂V rounds of joins/aggs + pointer-doubling contraction,
+    the only MST formulation with a dataflow shape. Returns the forest
+    summary (deterministic: the strict edge order makes the MST
+    unique)."""
+    from torcdb_spark.analytics import boruvka_mst
+
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min("l_extendedprice").alias("w")
+    )
+    edges = pairs.select(
+        F.col("l_partkey").alias("src"),
+        (F.col("l_suppkey") + F.lit(10_000_000)).alias("dst"),
+        "w",
+    )
+    mst = boruvka_mst(edges)
+    return mst.agg(
+        F.count("*").cast("long").alias("n_mst_edges"),
+        F.round(F.sum("w"), 2).alias("total_weight"),
+        F.round(F.max("w"), 2).alias("max_edge_weight"),
     )
 
 
