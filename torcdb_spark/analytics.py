@@ -24,6 +24,38 @@ def _checkpointed(df: DataFrame) -> DataFrame:
     return df.localCheckpoint(eager=True)
 
 
+def _checkpointed_nostats(df: DataFrame) -> DataFrame:
+    """Eager localCheckpoint + STATS BARRIER for high-fan iterative loops.
+
+    Spark 4's ``localCheckpoint`` propagates the original plan's
+    estimated statistics into the resulting LogicalRDD
+    (LogicalRDD.rewriteStatsAndConstraints). The size-only join estimate
+    is the PRODUCT of the children's sizeInBytes, so in a loop that
+    checkpoints frames built from several joins of previous checkpoints,
+    log(sizeInBytes) grows geometrically — the BigInt stats values reach
+    millions of bits within a few rounds and the driver burns minutes
+    inside BigInteger.multiply while planning a 46-row join (observed:
+    Borůvka round 3 took 104 s of pure stats arithmetic; jstack pinned
+    Thread-3 in SizeInBytesOnlyStatsPlanVisitor → BigInteger).
+
+    The barrier rebuilds the DataFrame over the ALREADY-CHECKPOINTED
+    RDD without the stats rewrite, resetting sizeInBytes to the default.
+    Cost: compile-time auto-broadcast won't fire for these frames — fine
+    in the loops that use this, because AQE's runtime join selection
+    (enabled session-wide) decides from ACTUAL shuffle sizes, which the
+    stats default doesn't affect."""
+    ck = df.localCheckpoint(eager=True)
+    try:
+        jdf = ck._jdf
+        spark = ck.sparkSession
+        new_jdf = spark._jsparkSession.internalCreateDataFrame(
+            jdf.queryExecution().toRdd(), jdf.schema(), False
+        )
+        return DataFrame(new_jdf, spark)
+    except Exception:  # pragma: no cover — internal API moved; degrade
+        return ck
+
+
 def pagerank(
     edges: DataFrame,
     num_iter: int = 10,
@@ -1095,8 +1127,8 @@ def boruvka_mst(
         .unionByName(e0.select(F.col("v").alias("id")))
         .dropDuplicates(["id"])
     )
-    comp = _checkpointed(verts.select("id", F.col("id").alias("comp")))
-    cand = _checkpointed(e0)
+    comp = _checkpointed_nostats(verts.select("id", F.col("id").alias("comp")))
+    cand = _checkpointed_nostats(e0)
     chosen = None
     for _r in range(max_rounds):
         # re-key candidate edges to current components, drop internals
@@ -1106,7 +1138,7 @@ def boruvka_mst(
             cand.join(cu, "u").join(cv, "v")
             .where(F.col("cu") != F.col("cv"))
         )
-        keyed = _checkpointed(keyed)
+        keyed = _checkpointed_nostats(keyed)
         if keyed.isEmpty():
             break
         cand = keyed.select("u", "v", "w")
@@ -1133,7 +1165,7 @@ def boruvka_mst(
             new_edges if chosen is None
             else chosen.unionByName(new_edges)
         )
-        chosen = _checkpointed(chosen)
+        chosen = _checkpointed_nostats(chosen)
         # pointer graph: c -> other; break 2-cycles toward the smaller id
         ptr = picked.select("c", F.col("other").alias("p"))
         # 2-cycle break: if a.p = b and b.p = a, the larger points to the
@@ -1147,25 +1179,29 @@ def boruvka_mst(
                 F.col("p2p").isNotNull() & (F.col("c") < F.col("p")), F.col("c")
             ).otherwise(F.col("p")).alias("p"),
         )
-        # pointer doubling to the root
-        ptr = _checkpointed(ptr)
-        for _j in range(max_rounds):
+        # Pointer doubling to the root. The moved flag rides the jump
+        # frame itself, so convergence costs one isEmpty on the local
+        # checkpoint blocks — not extra joins (the original two-join
+        # probe tripled the job count and dominated wall time).
+        ptr = _checkpointed_nostats(ptr)
+        for _j in range(64):
             nxt = ptr.select(F.col("c").alias("jc"), F.col("p").alias("jp"))
-            jumped = ptr.join(
-                nxt, ptr["p"] == nxt["jc"], "left"
-            ).select(
-                "c", F.coalesce(F.col("jp"), F.col("p")).alias("p")
+            jumped = _checkpointed_nostats(
+                ptr.join(nxt, ptr["p"] == nxt["jc"], "left").select(
+                    "c",
+                    F.coalesce(F.col("jp"), F.col("p")).alias("p"),
+                    (
+                        F.col("jp").isNotNull()
+                        & (F.col("jp") != F.col("p"))
+                    ).alias("moved"),
+                )
             )
-            jumped = _checkpointed(jumped)
-            if jumped.where(F.col("p") != F.col("c")).join(
-                jumped.select(F.col("c").alias("x"), F.col("p").alias("xp")),
-                F.col("p") == F.col("x"),
-            ).where(F.col("xp") != F.col("p")).isEmpty():
-                ptr = jumped
+            done = jumped.where(F.col("moved")).isEmpty()
+            ptr = jumped.select("c", "p")
+            if done:
                 break
-            ptr = jumped
         # fold vertex components through the round's pointer map
-        comp = _checkpointed(
+        comp = _checkpointed_nostats(
             comp.join(
                 ptr.select(F.col("c").alias("comp"), "p"), "comp", "left"
             ).select("id", F.coalesce(F.col("p"), F.col("comp")).alias("comp"))
