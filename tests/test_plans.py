@@ -524,3 +524,72 @@ def test_dynamic_partition_pruning_fires(spark, tmp_path):
 
     plan = explain_str(joined, "formatted")
     assert "dynamicpruning" in plan.lower(), plan[:2000]
+
+
+def test_constraint_audit_single_scan(spark, sf_dir):
+    """All row-level + uniqueness rules must fold into ONE scan of the
+    audited table (explode-unpivot of one aggregate — a union of
+    per-rule selects would re-execute the aggregate per branch)."""
+    from torcdb_spark.operators import audit as A
+
+    orders = load_table(spark, sf_dir, "orders")
+    aud = A.constraint_audit(orders, [
+        A.not_null("o_custkey"),
+        A.unique("o_orderkey"),
+        A.in_range("o_totalprice", 0, 100000),
+        A.in_set("o_orderstatus", ["F", "O", "P"]),
+    ])
+    plan = explain_str(aud, "simple")
+    assert plan.count("orders.parquet") == 1, plan
+
+
+def test_constraint_audit_fk_adds_one_scan(spark, sf_dir):
+    """A referential rule costs exactly one extra pass (left join +
+    conditional count — not an anti-join plus a separate denominator
+    count)."""
+    from torcdb_spark.operators import audit as A
+
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    aud = A.constraint_audit(lineitem, [
+        A.in_range("l_quantity", 1, 50),
+        A.foreign_key("l_orderkey", orders, "o_orderkey"),
+    ])
+    plan = explain_str(aud, "simple")
+    assert plan.count("lineitem.parquet") == 2, plan
+
+
+def test_table_profile_two_scans(spark, sf_dir):
+    """Profiling N columns costs two scans total (base stats + NDV pair
+    pass), independent of N."""
+    from torcdb_spark.operators.profile import table_profile
+
+    pf = table_profile(
+        load_table(spark, sf_dir, "lineitem"),
+        ["l_orderkey", "l_quantity", "l_discount"],
+        ["l_returnflag", "l_linestatus"],
+    )
+    plan = explain_str(pf, "simple")
+    assert plan.count("lineitem.parquet") == 2, plan
+
+
+def test_ecdf_window_is_partitioned(spark, sf_dir):
+    """The drift ECDF's cumulative sums must run in a Window PARTITIONED
+    by the range-partition id — a global-order window would serialize the
+    whole distribution into one task at scale."""
+    import pyspark.sql.functions as F
+
+    from torcdb_spark.operators.drift import ecdf_max_gap
+
+    orders = load_table(spark, sf_dir, "orders")
+    two = orders.select(
+        F.col("o_totalprice").alias("v"),
+        (F.col("o_orderkey") % 2 == 0).alias("is_a"),
+    )
+    plan = explain_str(ecdf_max_gap(two, "v", "is_a"), "simple")
+    cum_windows = [
+        ln for ln in plan.splitlines()
+        if "Window" in ln and "val" in ln and "windowspecdefinition" in ln
+    ]
+    assert cum_windows, plan
+    assert all("pid" in ln for ln in cum_windows), cum_windows

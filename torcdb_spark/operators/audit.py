@@ -94,8 +94,11 @@ def constraint_audit(df: DataFrame, rules: list) -> DataFrame:
     passed), one output row per rule in a deterministic order.
 
     All RowRules and UniqueRules share ONE aggregate over ONE scan;
-    each ForeignKeyRule adds one anti-join count. Result rows are built
-    by cross-unioning the single 1-row aggregate — no driver collect."""
+    each ForeignKeyRule adds one anti-join count. The per-rule rows
+    unpivot from the single 1-row aggregate with an in-plan explode —
+    NOT a union of per-rule selects, which Catalyst would execute as one
+    scan per branch (no common-subplan reuse across union arms; verified
+    in tests/test_plans.py). No driver collect anywhere."""
     aggs = [F.count(F.lit(1)).cast("long").alias("__n")]
     for r in rules:
         if isinstance(r, RowRule):
@@ -111,37 +114,52 @@ def constraint_audit(df: DataFrame, rules: list) -> DataFrame:
             )
     stats = df.agg(*aggs)
 
-    per_rule = []
-    for r in rules:
-        if isinstance(r, (RowRule, UniqueRule)):
-            per_rule.append(
-                stats.select(
-                    F.lit(r.name).alias("rule"),
-                    F.col("__n").alias("n_checked"),
-                    F.col(r.name).alias("n_violations"),
-                )
-            )
-        elif isinstance(r, ForeignKeyRule):
-            dangling = (
-                df.join(
-                    F.broadcast(
-                        r.ref.select(F.col(r.ref_col).alias("__k")).distinct()
-                    ),
-                    F.col(r.col) == F.col("__k"),
-                    "left_anti",
-                ).agg(F.count(F.lit(1)).cast("long").alias("__v"))
-            )
-            per_rule.append(
-                stats.crossJoin(dangling).select(
-                    F.lit(r.name).alias("rule"),
-                    F.col("__n").alias("n_checked"),
-                    F.col("__v").alias("n_violations"),
-                )
-            )
-        else:
-            raise TypeError(f"unknown rule type: {type(r).__name__}")
+    scan_entries = [
+        F.struct(
+            F.lit(r.name).alias("rule"),
+            F.col("__n").alias("n_checked"),
+            F.col(r.name).alias("n_violations"),
+        )
+        for r in rules
+        if isinstance(r, (RowRule, UniqueRule))
+    ]
+    fk_rules = [r for r in rules if isinstance(r, ForeignKeyRule)]
+    bad = [
+        r for r in rules
+        if not isinstance(r, (RowRule, UniqueRule, ForeignKeyRule))
+    ]
+    if bad:
+        raise TypeError(f"unknown rule type: {type(bad[0]).__name__}")
 
-    out = per_rule[0]
-    for p in per_rule[1:]:
+    parts = []
+    if scan_entries:
+        parts.append(
+            stats.select(F.explode(F.array(*scan_entries)).alias("r"))
+            .select("r.*")
+        )
+    for r in fk_rules:
+        # one LEFT join + conditional count yields n_checked AND the
+        # dangling count in a single pass over df (an anti-join would
+        # need a second scan just for the denominator)
+        parts.append(
+            df.join(
+                F.broadcast(
+                    r.ref.select(F.col(r.ref_col).alias("__k")).distinct()
+                ),
+                F.col(r.col) == F.col("__k"),
+                "left",
+            )
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_checked"),
+                F.sum(F.when(F.col("__k").isNull(), 1).otherwise(0))
+                .cast("long").alias("n_violations"),
+            )
+            .select(
+                F.lit(r.name).alias("rule"), "n_checked", "n_violations"
+            )
+        )
+
+    out = parts[0]
+    for p in parts[1:]:
         out = out.unionAll(p)
     return out.withColumn("passed", F.col("n_violations") == 0)
