@@ -10,15 +10,18 @@ Stages (each prints one line; executed by tests/test_examples.py so it
 cannot rot):
 
 0. crawl entry      — WARC archives -> record fan-out -> HTML extraction
+0b. snapshot QA     — one-scan constraint audit (not-null/unique/nonempty)
 1. quality gating   — Gopher repetition signals + heuristic quality score
 1b. perplexity gate — CCNet-style bigram-LM scoring vs a clean split
 2. exact dedup      — xxhash64 fingerprint groups
 3. near dedup       — MinHash-LSH candidate pairs → connected-component
                       cluster representatives
+3b. drift monitor   — KS (distributed prefix-sum ECDF) + PSI, raw vs deduped
 4. PII scrub        — regex redaction (emails/phones), zero-shuffle
 5. tokenizer prep   — BPE merge training + vocab/OOV coverage check
 6. packing stats    — token counts for batch/sequence planning
 7. lineage sample   — deterministic md5 hash-sample for eval holdout
+8. split assignment — hash-stable stratified 80/10/10 train/val/test
 
 At 100 TB each stage is shuffle-partitionable exactly as written: the
 gates are per-row expressions, dedup keys are hash buckets, BPE rounds
@@ -94,6 +97,18 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     n0 = docs.count()
     log(f"warc ingest + html extract: {n0} docs from {archives.count()} archives")
 
+    # 0b — snapshot QA gate: one-scan constraint audit blesses the batch
+    # before any expensive stage runs (Deequ role, operators/audit.py)
+    from torcdb_spark.operators import audit as A
+
+    audit_rows = A.constraint_audit(docs, [
+        A.not_null("doc_id"),
+        A.unique("doc_id"),
+        A.satisfies("text_nonempty", F.length(F.trim("text")) > 0),
+    ]).collect()
+    assert all(r.passed for r in audit_rows), audit_rows
+    log(f"qa gate: {len(audit_rows)} constraints green on {n0} docs")
+
     # 1 — quality gating: drop highly repetitive or low-quality docs
     rep = repetition_signals(docs)
     q = quality_score(docs)
@@ -143,6 +158,26 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     n3 = reps.count()
     log(f"near dedup: {n2} -> {n3} docs")
 
+    # 3b — drift monitor: did the dedup stages shift the length
+    # distribution? KS via the distributed prefix-sum ECDF + smoothed PSI
+    # (operators/drift.py) — the check a pipeline runs snapshot-to-snapshot
+    from torcdb_spark.operators.drift import ecdf_max_gap, psi
+
+    two_pop = (
+        docs.select(F.length("text").cast("double").alias("v"),
+                    F.lit(True).alias("is_a"))
+        .unionByName(
+            reps.select(F.length("text").cast("double").alias("v"),
+                        F.lit(False).alias("is_a"))
+        )
+    )
+    ks_row = ecdf_max_gap(two_pop, "v", "is_a").first()
+    psi_row = psi(two_pop, "v", "is_a", bin_width=200.0, num_bins=10).first()
+    log(
+        f"drift raw->dedup: KS D={ks_row.ks_d} PSI={psi_row.psi} "
+        f"(n {ks_row.n_a} vs {ks_row.n_b})"
+    )
+
     # 4 — PII scrub (zero shuffle, per-row regexes)
     clean = redact_pii(reps, text_col="text", id_col="doc_id").select(
         "doc_id", F.col("clean_text").alias("text")
@@ -176,6 +211,16 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     # 7 — deterministic eval holdout (reruns pick the SAME rows)
     holdout = hash_sample(clean, rate_pct=5, id_col="doc_id")
     log(f"holdout sample: {holdout.count()} docs (5% hash-deterministic)")
+
+    # 8 — train/val/test assignment: hash-stable 80/10/10 split; a doc's
+    # split never changes as the corpus grows (operators/sampling.py)
+    from torcdb_spark.operators.sampling import stratified_split
+
+    split_census = (
+        stratified_split(clean, id_col="doc_id")
+        .groupBy("split").count().orderBy("split").collect()
+    )
+    log("split census: " + ", ".join(f"{r.split}={r['count']}" for r in split_census))
 
 
 if __name__ == "__main__":
