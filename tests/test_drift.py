@@ -47,3 +47,31 @@ def test_psi_shifted_population_positive(spark):
     # Fully separated bins; smoothing (n=3, B=10) caps the divergence well
     # below the unsmoothed infinity — positive and material is the claim.
     assert row.psi > 0.5
+
+
+def test_ks_matches_python_reference(spark):
+    """Property: the distributed prefix-sum KS equals a pure-Python ECDF
+    sup-gap on arbitrary two-sample data (ties, duplicates, negatives)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        a=st.lists(st.integers(-20, 20), min_size=1, max_size=30),
+        b=st.lists(st.integers(-20, 20), min_size=1, max_size=30),
+    )
+    def check(a, b):
+        df = _pop(spark, a, b)
+        got = ecdf_max_gap(df, "v", "is_a").collect()[0]
+        pooled = sorted(set(a) | set(b))
+        ref = max(
+            abs(
+                sum(1 for x in a if x <= v) / len(a)
+                - sum(1 for x in b if x <= v) / len(b)
+            )
+            for v in pooled
+        )
+        assert (got.n_a, got.n_b) == (len(a), len(b))
+        assert abs(got.ks_d - round(ref, 6)) < 1e-9, (a, b)
+
+    check()

@@ -53,3 +53,62 @@ def test_maintain_agg_matches_recompute(spark):
         .collect()
     }
     assert maintained == recomputed
+
+
+def test_maintain_equals_recompute_property(spark):
+    """Property: maintain(view(base), Δ) == recompute(base ⊎ Δ) for
+    arbitrary integer-keyed bases and signed deltas whose retractions
+    only remove existing rows (the Z-set well-formedness condition)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from pyspark.sql import functions as F
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        base=st.lists(
+            st.tuples(st.integers(0, 4), st.integers(-5, 5)),
+            min_size=0, max_size=20,
+        ),
+        inserts=st.lists(
+            st.tuples(st.integers(0, 6), st.integers(-5, 5)),
+            min_size=0, max_size=10,
+        ),
+        del_idx=st.lists(st.integers(0, 19), max_size=6, unique=True),
+    )
+    def check(base, inserts, del_idx):
+        deletes = [base[i] for i in del_idx if i < len(base)]
+        # python reference: multiset of final rows
+        from collections import Counter
+
+        final = Counter(base)
+        final.subtract(Counter(deletes))
+        final.update(Counter(inserts))
+        expect = {}
+        for (k, s), m in final.items():
+            if m:
+                n, tot = expect.get(k, (0, 0))
+                expect[k] = (n + m, tot + s * m)
+        expect = {k: v for k, v in expect.items() if v[0] > 0}
+
+        if not base and not inserts:
+            return
+        bdf = spark.createDataFrame(
+            base or [(None, None)], "k int, s int"
+        ).where("k is not null")
+        view = bdf.groupBy("k").agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("s").cast("long").alias("s"),
+        )
+        drows = [(k, s, 1) for k, s in inserts] + [
+            (k, s, -1) for k, s in deletes
+        ]
+        if not drows:
+            return
+        delta = spark.createDataFrame(drows, "k int, s int, __m int")
+        got = {
+            r.k: (r.n, r.s)
+            for r in maintain_agg(view, delta, ["k"], ["s"]).collect()
+        }
+        assert got == expect, (base, inserts, deletes)
+
+    check()
