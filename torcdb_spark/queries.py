@@ -691,10 +691,10 @@ DRIVER_PRIORITY: list[str] = [
     "st_docs_history_dedup",
     # LLM-pipeline extension operators
     "d1_dedup_exact",
+    # d2 keeps the text-family witness slot; d9 (r2-r4 green) and d16
+    # (r3-r4 green) ceded theirs to round-5 families and stay locally
+    # exact-gated
     "d2_text_stats",
-    # d9 ceded its slot after two green rounds (text family keeps two
-    # witnesses: stats + repetition; tfidf stays locally exact-gated)
-    "d16_repetition_signals",
     # d13 is the MinHash-family exact witness (cluster assignments are
     # hash-checked); x_minhash itself is rows-only by design and ceded
     # its slot to an exact-oracled round-5 family after four rows-only
@@ -745,6 +745,7 @@ DRIVER_PRIORITY: list[str] = [
     "jl1_jsonl_roundtrip",     # JSONL corpus serde round-trip
     "pf1_table_profile",       # one-scan catalog statistics
     "ivm1_view_maintenance",   # Z-set incremental view maintenance
+    "sp1_stratified_split",    # hash-stable train/val/test assignment
 ]
 
 
