@@ -1141,7 +1141,31 @@ def boruvka_mst(
         keyed = _checkpointed_nostats(keyed)
         if keyed.isEmpty():
             break
-        cand = keyed.select("u", "v", "w")
+        # Edge cleaning (standard Borůvka reduction): between two
+        # components only the MINIMUM edge under the total order can ever
+        # be selected, now or after any further contraction (cut
+        # property; contraction only coarsens the pairs, so the per-pair
+        # min is a superset of every future round's candidates). The
+        # carried edge set collapses from |E| to ≤ (#components choose 2),
+        # which is what keeps rounds 2+ cheap when |E| is 100 TB-scale.
+        # Skipped on round 0, where components ARE the vertices and the
+        # pair-min would reproduce the edge set at the cost of an extra
+        # |E| shuffle.
+        if _r == 0:
+            cand = keyed.select("u", "v", "w")
+        else:
+            cand = (
+                keyed.groupBy(
+                    F.least("cu", "cv").alias("_x"),
+                    F.greatest("cu", "cv").alias("_y"),
+                )
+                .agg(F.min(F.struct("w", "u", "v")).alias("m"))
+                .select(
+                    F.col("m.u").alias("u"),
+                    F.col("m.v").alias("v"),
+                    F.col("m.w").alias("w"),
+                )
+            )
         # each component's min incident edge under the (w, u, v) order
         both = keyed.select(
             F.col("cu").alias("c"), "w", "u", "v", F.col("cv").alias("other")
