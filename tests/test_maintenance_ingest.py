@@ -197,3 +197,38 @@ def test_zip_members_fanout(spark):
     assert ok == {"a/1.txt": b"hello", "2.bin": b"\x00\x01\x02"}
     bad = [r for r in rows if r.path == "bad.zip"]
     assert len(bad) == 1 and bad[0].member == "_error"
+
+
+def test_incremental_backfill_manifest(spark, tmp_path):
+    """Backfill processes only unseen partitions, records them, and is a
+    no-op on rerun; a new partition landing later is picked up alone."""
+    import pyspark.sql.functions as F
+
+    from torcdb_spark.sources.maintenance import incremental_backfill
+
+    src = str(tmp_path / "src")
+    spark.range(30).select(
+        "id", (F.col("id") % 3).cast("string").alias("part")
+    ).write.partitionBy("part").parquet(src)
+    manifest = str(tmp_path / "manifest.txt")
+    seen = []
+
+    def process(df, v):
+        seen.append((v, df.count()))
+
+    first = incremental_backfill(spark, src, manifest, process)
+    assert sorted(first) == ["0", "1", "2"]
+    assert sorted(v for v, _ in seen) == ["0", "1", "2"]
+    assert all(n == 10 for _, n in seen)
+
+    # rerun: nothing new
+    seen.clear()
+    assert incremental_backfill(spark, src, manifest, process) == []
+    assert seen == []
+
+    # late partition arrives: only it is processed
+    spark.range(5).select(
+        "id", F.lit("9").alias("part")
+    ).write.mode("append").partitionBy("part").parquet(src)
+    assert incremental_backfill(spark, src, manifest, process) == ["9"]
+    assert seen == [("9", 5)]

@@ -133,3 +133,52 @@ class _dynamic_partition_overwrite:
             "spark.sql.sources.partitionOverwriteMode", self.prev
         )
         return False
+
+
+def incremental_backfill(
+    spark: SparkSession,
+    source_dir: str,
+    manifest_path: str,
+    process,
+    partition_col: str = "part",
+) -> list:
+    """Manifest-driven incremental backfill: run ``process(df_partition,
+    partition_value)`` for every source partition NOT yet recorded in the
+    manifest, then append the newly processed values — the batch analog
+    of a streaming checkpoint, and how a 100 TB pipeline re-runs safely
+    (a rerun after a crash processes only what the manifest is missing;
+    a no-op rerun processes nothing).
+
+    The manifest is a plain-text file of processed partition values, one
+    per line, written atomically (temp + rename) AFTER all new partitions
+    succeed — a crash mid-backfill re-processes the in-flight batch,
+    never skips it, so ``process`` must be idempotent per partition
+    (e.g. dynamic partition overwrite, merge_upsert). Partition values
+    come from the source's hive-style directory names (``part=VALUE``),
+    so discovery is a LISTING, not a scan.
+
+    Returns the list of partition values processed this run."""
+    prefix = f"{partition_col}="
+    available = sorted(
+        d[len(prefix):]
+        for d in os.listdir(source_dir)
+        if d.startswith(prefix)
+        and os.path.isdir(os.path.join(source_dir, d))
+    )
+    done: set = set()
+    if os.path.exists(manifest_path):
+        with open(manifest_path) as f:
+            done = {ln.strip() for ln in f if ln.strip()}
+    todo = [v for v in available if v not in done]
+    for v in todo:
+        pdf = spark.read.parquet(
+            os.path.join(source_dir, f"{prefix}{v}")
+        )
+        process(pdf, v)
+    if todo:
+        tmp = manifest_path + ".tmp"
+        with open(tmp, "w") as f:
+            for v in sorted(done | set(todo)):
+                f.write(v + "\n")
+        os.replace(tmp, manifest_path)
+    return todo
