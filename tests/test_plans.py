@@ -593,3 +593,23 @@ def test_ecdf_window_is_partitioned(spark, sf_dir):
     ]
     assert cum_windows, plan
     assert all("pid" in ln for ln in cum_windows), cum_windows
+
+
+def test_global_rank_window_is_partitioned(spark, sf_dir):
+    """global_rank's row numbering must run in a Window PARTITIONED by
+    the range-partition id — the whole point vs Spark's single-task
+    global window."""
+    from torcdb_spark.operators.rank import global_rank
+
+    orders = load_table(spark, sf_dir, "orders")
+    ranked = global_rank(
+        orders.select("o_orderkey", "o_totalprice"),
+        ["o_totalprice", "o_orderkey"],
+    )
+    plan = explain_str(ranked, "simple")
+    win = [
+        ln for ln in plan.splitlines()
+        if "Window" in ln and "row_number" in ln
+    ]
+    assert win, plan
+    assert all("_pid" in ln for ln in win), win

@@ -1,0 +1,81 @@
+"""Exact GLOBAL ranking without a single-task window — the primitive
+behind curriculum ordering, percentile bucketing, top-p selection, and
+any "sort the whole corpus and number the rows" step.
+
+Spark's own ``row_number().over(Window.orderBy(...))`` with no partition
+spec collapses the entire dataset into ONE task — the textbook scale
+trap. The distributed formulation is the classic prefix-sum (the same
+shape as operators/drift.py's ECDF): range-partition on the order key so
+partition i holds globally-smaller keys than partition i+1, number rows
+WITHIN each partition (a partitioned window), then add each partition's
+global offset computed from the tiny (#partitions)-row count table. Two
+shuffles + one broadcast join, every stage parallel.
+
+The order columns must form a TOTAL order (add a unique id as the last
+tie-break column); with ties unbroken, ranks among tied rows would be
+partition-order-dependent and nondeterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def global_rank(
+    df: DataFrame,
+    order_cols: list[str],
+    rank_col: str = "rank",
+    num_partitions: int = 32,
+) -> DataFrame:
+    """``df`` + a 1-based exact global row number under ``order_cols``."""
+    # Pin the range partitioning once (localCheckpoint) so the two
+    # branches (within-partition numbering, per-partition counts) cannot
+    # resample different boundaries.
+    parts = (
+        df.repartitionByRange(num_partitions, *[F.col(c) for c in order_cols])
+        .sortWithinPartitions(*order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    w_in = Window.partitionBy("_pid").orderBy(*order_cols)
+    within = parts.withColumn("_rn", F.row_number().over(w_in))
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        parts.groupBy("_pid")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .select(
+            "_pid",
+            F.coalesce(F.sum("_cnt").over(w_off), F.lit(0)).alias("_off"),
+        )
+    )
+    return (
+        within.join(F.broadcast(offsets), "_pid")
+        .withColumn(rank_col, (F.col("_off") + F.col("_rn")).cast("long"))
+        .drop("_pid", "_rn", "_off")
+    )
+
+
+def rank_buckets(
+    df: DataFrame,
+    order_cols: list[str],
+    num_buckets: int,
+    bucket_col: str = "bucket",
+    num_partitions: int = 32,
+) -> DataFrame:
+    """Equal-size bucket assignment by exact global rank:
+    ``bucket = floor((rank-1)·k/n)`` in 0..k-1 — curriculum stages,
+    percentile cohorts, eval strata. The total count folds in as a
+    broadcast 1-row aggregate; no driver round-trip."""
+    ranked = global_rank(df, order_cols, "_grank", num_partitions)
+    n = ranked.agg(F.count(F.lit(1)).alias("_n"))
+    return (
+        ranked.crossJoin(F.broadcast(n))
+        .withColumn(
+            bucket_col,
+            F.floor(
+                (F.col("_grank") - 1) * num_buckets / F.col("_n")
+            ).cast("long"),
+        )
+        .drop("_grank", "_n")
+    )

@@ -5695,6 +5695,68 @@ def g_mst(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "cur1_curriculum_stages",
+    """WITH q AS (
+         SELECT doc_id,
+                floor(((CASE WHEN length(text) BETWEEN 100 AND 20000
+                            THEN CAST(0.4 AS DOUBLE)
+                            ELSE CAST(0.0 AS DOUBLE) END)
+                    + (CASE WHEN n_tokens > 0
+                                 AND length(text)/n_tokens >= 3.0
+                                 AND length(text)/n_tokens <= 12.0
+                            THEN CAST(0.3 AS DOUBLE)
+                            ELSE CAST(0.0 AS DOUBLE) END)
+                    + (CASE WHEN length(text) > 0
+                            THEN CAST(length(regexp_replace(text,
+                                      '[^A-Za-z]', '', 'g')) AS DOUBLE)
+                                 / length(text)
+                            ELSE CAST(0.0 AS DOUBLE) END)
+                      * CAST(0.3 AS DOUBLE)) * 10000
+                      + CAST(0.5 AS DOUBLE)) / 10000 AS quality
+         FROM (SELECT doc_id, text,
+                      CASE WHEN length(trim(text)) = 0 THEN 0
+                           ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                           END AS n_tokens
+               FROM documents)
+       ),
+       r AS (
+         SELECT doc_id, quality,
+                row_number() OVER (ORDER BY quality, doc_id) AS rn,
+                count(*) OVER () AS n
+         FROM q)
+       SELECT CAST(floor((rn - 1) * 4.0 / n) AS BIGINT) AS stage,
+              CAST(count(*) AS BIGINT) AS n_docs,
+              min(quality) AS min_q,
+              max(quality) AS max_q,
+              CAST(sum(doc_id) AS BIGINT) AS sum_ids
+       FROM r GROUP BY 1""",
+)
+def cur1_curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum staging: rank the whole corpus by quality score (total
+    order: quality, doc_id) and cut it into 4 equal stages — the
+    easy-to-hard data ordering a curriculum-learning pipeline feeds the
+    trainer. The ranking is the EXACT global row number computed with the
+    distributed prefix-sum (operators/rank.py global_rank: range
+    partition → partitioned window → tiny offset table), NOT Spark's
+    single-task global window; the oracle recomputes it with DuckDB's
+    global window — same numbers, scale-opposite physical plans."""
+    from torcdb_spark.operators.rank import rank_buckets
+    from torcdb_spark.operators.text import quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = quality_score(docs)
+    staged = rank_buckets(
+        scored, ["quality", "doc_id"], num_buckets=4, bucket_col="stage"
+    )
+    return staged.groupBy("stage").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.min("quality").alias("min_q"),
+        F.max("quality").alias("max_q"),
+        F.sum("doc_id").cast("long").alias("sum_ids"),
+    )
+
+
+@_register(
     "sp1_stratified_split",
     """WITH tagged AS (
          SELECT source, doc_id,
