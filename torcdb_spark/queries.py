@@ -653,10 +653,10 @@ DRIVER_PRIORITY: list[str] = [
     "t4_vertex_edges",
     "t6_edge_vertices",
     "t7_label_counts",
+    # T8 keeps t8_degree_out as its witness; the serde round-trips t9/t10
+    # (driver-green r3+r4) ceded their slots to round-5 families and stay
+    # covered by the local exact-value gate + pytest serde suites
     "t8_degree_out",
-    # t10 (map) is the superset serde round-trip; t9 (list) keeps its local
-    # exact-value gate and cedes its driver slot to a new operator family
-    "t10_props_map_roundtrip",
     # §2.3 set algebra (TorcHelper): two witnesses — a2/a3/a5 (semi/anti
     # join + projection one-liners, driver-green since r1) ceded their
     # slots to round-4 corpus-pipeline families and stay locally
@@ -746,6 +746,7 @@ DRIVER_PRIORITY: list[str] = [
     "pf1_table_profile",       # one-scan catalog statistics
     "ivm1_view_maintenance",   # Z-set incremental view maintenance
     "sp1_stratified_split",    # hash-stable train/val/test assignment
+    "cur1_curriculum_stages",  # exact distributed global ranking
 ]
 
 
