@@ -56,3 +56,58 @@ def test_rank_buckets_uneven_n(spark):
         r.n for r in out.groupBy("bucket").agg(F.count("*").alias("n")).collect()
     )
     assert sum(sizes) == 10 and len(sizes) == 3
+
+
+def test_global_cumsum_matches_window_reference(spark):
+    df = spark.createDataFrame(
+        [(i, (i * 13) % 7, i % 5 + 1) for i in range(120)],
+        "id long, v long, w long",
+    )
+    got = {
+        r.id: r.cum
+        for r in __import__(
+            "torcdb_spark.operators.rank", fromlist=["global_cumsum"]
+        ).global_cumsum(df, ["v", "id"], "w", num_partitions=6).collect()
+    }
+    ref = {
+        r.id: r.c
+        for r in df.withColumn(
+            "c",
+            F.sum("w").over(
+                Window.orderBy("v", "id").rowsBetween(
+                    Window.unboundedPreceding, 0
+                )
+            ),
+        ).collect()
+    }
+    assert got == ref
+
+
+def test_top_p_by_weight_hand_computed(spark):
+    from torcdb_spark.operators.rank import top_p_by_weight
+
+    # ordered by score: weights 4,3,2,1 (total 10); p=0.5 -> budget 5:
+    # keep first two (cum 4, 7>5 stops at... cum 7 > 5 so only first)
+    df = spark.createDataFrame(
+        [(1, 1, 4), (2, 2, 3), (3, 3, 2), (4, 4, 1)],
+        "id long, score long, w long",
+    )
+    kept = sorted(
+        r.id for r in top_p_by_weight(df, ["score", "id"], "w", 0.5).collect()
+    )
+    assert kept == [1]  # cum: 4 <= 5 keep; 7 > 5 stop
+
+    kept9 = sorted(
+        r.id for r in top_p_by_weight(df, ["score", "id"], "w", 0.9).collect()
+    )
+    assert kept9 == [1, 2, 3]  # cum 4,7,9 <= 9; 10 > 9
+
+
+def test_top_p_first_row_always_kept(spark):
+    df = spark.createDataFrame(
+        [(1, 1, 100), (2, 2, 1)], "id long, score long, w long"
+    )
+    from torcdb_spark.operators.rank import top_p_by_weight
+
+    kept = [r.id for r in top_p_by_weight(df, ["score", "id"], "w", 0.1).collect()]
+    assert kept == [1]  # over budget but first in order

@@ -79,3 +79,69 @@ def rank_buckets(
         )
         .drop("_grank", "_n")
     )
+
+
+def global_cumsum(
+    df: DataFrame,
+    order_cols: list[str],
+    value_col: str,
+    cum_col: str = "cum",
+    num_partitions: int = 32,
+) -> DataFrame:
+    """``df`` + the exact inclusive running sum of ``value_col`` under
+    the global ``order_cols`` order — same prefix-sum shape as
+    ``global_rank`` (range partition → partitioned window cumsum → tiny
+    per-partition offset table), so no single-task window. Use integral
+    values for cross-engine bit-exactness (float prefix sums re-order)."""
+    parts = (
+        df.repartitionByRange(num_partitions, *[F.col(c) for c in order_cols])
+        .sortWithinPartitions(*order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    w_in = Window.partitionBy("_pid").orderBy(*order_cols)
+    within = parts.withColumn("_cs", F.sum(value_col).over(w_in))
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        parts.groupBy("_pid")
+        .agg(F.sum(value_col).alias("_t"))
+        .select(
+            "_pid",
+            F.coalesce(F.sum("_t").over(w_off), F.lit(0)).alias("_off"),
+        )
+    )
+    return (
+        within.join(F.broadcast(offsets), "_pid")
+        .withColumn(cum_col, F.col("_off") + F.col("_cs"))
+        .drop("_pid", "_cs", "_off")
+    )
+
+
+def top_p_by_weight(
+    df: DataFrame,
+    order_cols: list[str],
+    weight_col: str,
+    p: float,
+    num_partitions: int = 32,
+) -> DataFrame:
+    """Budgeted prefix selection (the data-curation "top-p"): walk the
+    corpus in ``order_cols`` order (best first) and keep rows while the
+    INCLUSIVE running weight stays within ``p`` of the total — e.g. "the
+    highest-quality documents covering 50% of all tokens". The first row
+    is always kept (cum == own weight ⇔ nothing precedes it; weights
+    must be POSITIVE for that equivalence), so a single over-budget row
+    cannot empty the result. Threshold arithmetic is integer-safe when
+    weights are integral: keep while cum ≤ floor(p·total) (total folds
+    in as a broadcast 1-row aggregate)."""
+    cummed = global_cumsum(
+        df, order_cols, weight_col, "_cum", num_partitions
+    )
+    total = df.agg(F.sum(weight_col).alias("_tot"))
+    return (
+        cummed.crossJoin(F.broadcast(total))
+        .where(
+            (F.col("_cum") <= F.floor(F.col("_tot") * F.lit(p)))
+            | (F.col("_cum") == F.col(weight_col))  # first row in order
+        )
+        .drop("_cum", "_tot")
+    )

@@ -5696,6 +5696,83 @@ def g_mst(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "tp1_token_budget_selection",
+    """WITH q AS (
+         SELECT doc_id, n_tokens,
+                floor(((CASE WHEN length(text) BETWEEN 100 AND 20000
+                            THEN CAST(0.4 AS DOUBLE)
+                            ELSE CAST(0.0 AS DOUBLE) END)
+                    + (CASE WHEN n_tokens > 0
+                                 AND length(text)/n_tokens >= 3.0
+                                 AND length(text)/n_tokens <= 12.0
+                            THEN CAST(0.3 AS DOUBLE)
+                            ELSE CAST(0.0 AS DOUBLE) END)
+                    + (CASE WHEN length(text) > 0
+                            THEN CAST(length(regexp_replace(text,
+                                      '[^A-Za-z]', '', 'g')) AS DOUBLE)
+                                 / length(text)
+                            ELSE CAST(0.0 AS DOUBLE) END)
+                      * CAST(0.3 AS DOUBLE)) * 10000
+                      + CAST(0.5 AS DOUBLE)) / 10000 AS quality
+         FROM (SELECT doc_id, text,
+                      CASE WHEN length(trim(text)) = 0 THEN 0
+                           ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                           END AS n_tokens
+               FROM documents)
+       ),
+       r AS (
+         SELECT doc_id, quality, n_tokens,
+                SUM(n_tokens) OVER (ORDER BY quality DESC, doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                SUM(n_tokens) OVER () AS tot
+         FROM q)
+       SELECT CAST(count(*) AS BIGINT) AS n_kept,
+              CAST(sum(n_tokens) AS BIGINT) AS tokens_kept,
+              CAST(max(tot) AS BIGINT) AS total_tokens,
+              min(quality) AS min_quality_kept,
+              CAST(sum(doc_id) AS BIGINT) AS sum_ids
+       FROM r
+       WHERE cum <= floor(tot * CAST(0.5 AS DOUBLE))
+          OR cum = n_tokens""",
+)
+def tp1_token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budgeted corpus selection (operators/rank.py
+    top_p_by_weight): walk documents best-quality-first and keep the
+    prefix covering 50% of all corpus tokens — the curation step that
+    spends a fixed training budget on the best data. The inclusive
+    running token sum is the distributed prefix-sum (no single-task
+    window); weights are integral token counts, so the budget comparison
+    is bit-exact. The oracle replays the selection with DuckDB's global
+    window."""
+    from torcdb_spark.operators.rank import top_p_by_weight
+    from torcdb_spark.operators.text import quality_score, text_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = quality_score(docs).join(
+        text_stats(docs).select("doc_id", "n_tokens"), "doc_id"
+    ).select(
+        "doc_id", "quality", "n_tokens",
+        (-F.col("quality")).alias("_nq"),
+    )
+    kept = top_p_by_weight(scored, ["_nq", "doc_id"], "n_tokens", p=0.5)
+    return kept.agg(
+        F.count("*").cast("long").alias("n_kept"),
+        F.sum("n_tokens").cast("long").alias("tokens_kept"),
+        F.min("quality").alias("min_quality_kept"),
+        F.sum("doc_id").cast("long").alias("sum_ids"),
+    ).crossJoin(
+        F.broadcast(
+            text_stats(docs).agg(
+                F.sum("n_tokens").cast("long").alias("total_tokens")
+            )
+        )
+    ).select(
+        "n_kept", "tokens_kept", "total_tokens",
+        "min_quality_kept", "sum_ids",
+    )
+
+
+@_register(
     "cur1_curriculum_stages",
     """WITH q AS (
          SELECT doc_id,
