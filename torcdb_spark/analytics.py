@@ -1236,3 +1236,134 @@ def boruvka_mst(
         F.col("v").alias(dst_col),
         F.col("w").alias(weight_col),
     )
+
+
+def strongly_connected_components(
+    edges: DataFrame,
+    max_outer: int = 20,
+    max_prop: int = 30,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Strongly connected components of a DIRECTED graph → (id, scc_id)
+    with ``scc_id`` = the smallest member id (deterministic). The one
+    graph decomposition the undirected family (connected_components /
+    cc_doubling) cannot express: mutual reachability, the "core loop"
+    structure of navigation graphs, crawl graphs, dependency graphs.
+
+    Algorithm: forward-backward-min peeling (the FW-BW-Trim family,
+    Slota et al.; GraphX's scc runs the same dataflow). Per outer round
+    over the still-active subgraph:
+
+    1. **Trim**: a vertex with no active in-edges or no active
+       out-edges can't be in a cycle — emit it as a singleton SCC.
+       Repeated to a bounded fixpoint; each pass is two semi-joins.
+    2. **F** = min id each vertex can REACH, by min-label propagation
+       along out-edges (O(diameter) join+agg supersteps); **B** = min
+       id that REACHES each vertex, same along in-edges.
+    3. **Peel**: F(v) == B(v) == m ⇒ v and m are mutually reachable,
+       and whole SCCs share (F, B), so {v : F(v)=B(v)=m} IS the SCC of
+       m. At minimum the SCC of the globally-min active id peels each
+       round, so the loop terminates; DAG-ish periphery goes via trim.
+
+    Every superstep is an eager localCheckpoint (lineage discipline,
+    module docstring); counts that drive the loops are probes over
+    checkpointed blocks. Worst case (a long path of singleton SCCs)
+    costs O(path) trim passes — the known bound of this family; real
+    web/navigation graphs resolve in a few rounds. Self-loops are
+    stripped from propagation (a self-loop never changes an SCC).
+    """
+    e_all = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).dropDuplicates(["src", "dst"])
+    verts = (
+        e_all.select(F.col("src").alias("id"))
+        .unionByName(e_all.select(F.col("dst").alias("id")))
+        .dropDuplicates(["id"])
+    )
+    active_e = _checkpointed(e_all.where(F.col("src") != F.col("dst")))
+    active_v = _checkpointed(verts)
+    done_parts: list[DataFrame] = []
+
+    def _propagate(ev: DataFrame, vs: DataFrame, forward: bool) -> DataFrame:
+        frm, to = ("src", "dst") if forward else ("dst", "src")
+        # label(v) = min id within v's closure along `forward` edges
+        lab = _checkpointed(vs.withColumn("lab", F.col("id")))
+        for _ in range(max_prop):
+            nbr = (
+                ev.join(lab, ev[to] == lab["id"])
+                .groupBy(frm)
+                .agg(F.min("lab").alias("nbr_lab"))
+            )
+            new_lab = F.least(
+                F.col("lab"),
+                F.coalesce(F.col("nbr_lab"), F.col("lab")),
+            )
+            step = _checkpointed(
+                lab.join(nbr, lab["id"] == nbr[frm], "left").select(
+                    "id",
+                    new_lab.alias("lab"),
+                    (new_lab != F.col("lab")).alias("_chg"),
+                )
+            )
+            lab = step.select("id", "lab")
+            if step.where(F.col("_chg")).isEmpty():
+                break
+        return lab
+
+    for _outer in range(max_outer):
+        if active_v.isEmpty():
+            break
+        # 1. trim singleton SCCs (no in- or no out-edge in the active set)
+        while True:
+            has_out = active_e.select(F.col("src").alias("id")).dropDuplicates(
+                ["id"]
+            )
+            has_in = active_e.select(F.col("dst").alias("id")).dropDuplicates(
+                ["id"]
+            )
+            cyclic = _checkpointed(
+                active_v.join(has_out, "id", "left_semi").join(
+                    has_in, "id", "left_semi"
+                )
+            )
+            trimmed = _checkpointed(
+                active_v.join(cyclic, "id", "left_anti").withColumn(
+                    "scc_id", F.col("id")
+                )
+            )
+            if trimmed.isEmpty():
+                break
+            done_parts.append(trimmed)
+            active_v = cyclic
+            active_e = _checkpointed(
+                active_e.join(active_v, active_e["src"] == active_v["id"], "left_semi")
+                .join(active_v, active_e["dst"] == active_v["id"], "left_semi")
+            )
+        if active_v.isEmpty():
+            break
+        # 2. forward / backward min-label fixpoints on the cyclic core
+        fwd = _propagate(active_e, active_v, True)
+        bwd = _propagate(active_e, active_v, False)
+        # 3. peel complete SCCs where F == B
+        fb = fwd.join(
+            bwd.select(F.col("id").alias("bid"), F.col("lab").alias("blab")),
+            fwd["id"] == F.col("bid"),
+        ).select("id", "lab", "blab")
+        peeled = _checkpointed(
+            fb.where(F.col("lab") == F.col("blab")).select(
+                "id", F.col("lab").alias("scc_id")
+            )
+        )
+        done_parts.append(peeled)
+        active_v = _checkpointed(active_v.join(peeled, "id", "left_anti"))
+        active_e = _checkpointed(
+            active_e.join(peeled, active_e["src"] == peeled["id"], "left_anti")
+            .join(peeled, active_e["dst"] == peeled["id"], "left_anti")
+        )
+    if not done_parts:
+        return verts.limit(0).withColumn("scc_id", F.col("id"))
+    out = done_parts[0]
+    for p in done_parts[1:]:
+        out = out.unionByName(p)
+    return out

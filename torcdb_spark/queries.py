@@ -7324,3 +7324,162 @@ def cdc3_content_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return content_defined_chunks(docs, k=8, divisor=64)
+
+
+_CL1_EPOCH = """,
+       m{e} AS (
+         SELECT f.doc_id, SUM(f.v * w{p}.w) AS margin
+         FROM cl_feats f JOIN w{p} ON f.j = w{p}.j GROUP BY f.doc_id
+       ),
+       mis{e} AS (
+         SELECT l.doc_id, l.y FROM m{e} JOIN cl_lab l USING (doc_id)
+         WHERE l.y * m{e}.margin <= 0
+       ),
+       u{e} AS (
+         SELECT f.j, CAST(SUM(mis{e}.y * f.v) AS BIGINT) AS g
+         FROM mis{e} JOIN cl_feats f USING (doc_id) GROUP BY f.j
+       ),
+       w{e} AS (
+         SELECT w{p}.j, CAST(w{p}.w + COALESCE(u{e}.g, 0) AS BIGINT) AS w
+         FROM w{p} LEFT JOIN u{e} ON w{p}.j = u{e}.j
+       ),
+       n{e} AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM mis{e})"""
+
+_CL1_ORACLE = (
+    """WITH cl_toks AS (
+         SELECT doc_id,
+                unnest(regexp_split_to_array(lower(trim(text)), '\\s+'))
+                  AS term
+         FROM documents
+       ),
+       cl_feats AS (
+         SELECT doc_id,
+                ('0x' || substr(md5(term), 1, 8))::BIGINT % 8 AS j,
+                CAST(SUM(CASE WHEN ('0x' || substr(md5(term), 9, 1))::BIGINT
+                                   % 2 = 0
+                              THEN 1 ELSE -1 END) AS BIGINT) AS v
+         FROM cl_toks GROUP BY doc_id, j
+         UNION ALL
+         SELECT doc_id, 8 AS j, CAST(1 AS BIGINT) AS v FROM documents
+       ),
+       cl_lab AS (
+         SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y
+         FROM documents
+       ),
+       w0 AS (
+         SELECT unnest(generate_series(0, 8)) AS j, CAST(0 AS BIGINT) AS w
+       )"""
+    + _CL1_EPOCH.format(e=1, p=0)
+    + _CL1_EPOCH.format(e=2, p=1)
+    + _CL1_EPOCH.format(e=3, p=2)
+    + """
+       SELECT CAST(e.epoch AS BIGINT) AS epoch,
+              CAST(t.j AS BIGINT) AS feature, t.w AS weight,
+              e.n AS n_mistakes
+       FROM (SELECT 1 AS epoch, * FROM w1
+             UNION ALL SELECT 2, * FROM w2
+             UNION ALL SELECT 3, * FROM w3) t(epoch, j, w)
+       JOIN (SELECT 1 AS epoch, n FROM n1
+             UNION ALL SELECT 2, n FROM n2
+             UNION ALL SELECT 3, n FROM n3) e USING (epoch)"""
+)
+
+
+@_register("cl1_perceptron_train", _CL1_ORACLE)
+def cl1_perceptron_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-engine classifier training (operators/classifier): a batch
+    perceptron learning English-vs-rest over 8 hashing-trick features +
+    bias, 3 epochs. Integer-exact by construction, so the oracle unrolls
+    every epoch as CTEs and verifies the ENTIRE training trajectory —
+    every weight after every epoch and every misclassification count.
+    The distributed-training allreduce shape: corpus scanned per epoch,
+    only the (dim+1)-vector crosses stages."""
+    from torcdb_spark.operators.classifier import perceptron_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    label = F.when(F.col("lang") == "en", F.lit(1)).otherwise(F.lit(-1))
+    return perceptron_train(spark, docs, label, dim=8, epochs=3)
+
+
+@_register(
+    "scc1_navigation_core",
+    """WITH seq AS (
+         SELECT user_id,
+                CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+                ts, event_id
+         FROM events
+       ),
+       tr AS (
+         SELECT k AS src,
+                LEAD(k) OVER (
+                  PARTITION BY user_id ORDER BY ts, event_id) AS dst
+         FROM seq
+       ),
+       cnts AS (
+         SELECT src, dst, COUNT(*) AS n FROM tr
+         WHERE dst IS NOT NULL GROUP BY src, dst
+       ),
+       tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM cnts),
+       e AS (
+         SELECT src, dst FROM cnts, tot
+         WHERE n >= GREATEST(2, CAST(CEIL(t / 2500.0) AS BIGINT))
+       ),
+       nodes AS (
+         SELECT DISTINCT src AS id FROM e
+         UNION SELECT DISTINCT dst FROM e
+       ),
+       reach AS (
+         WITH RECURSIVE r(a, b) AS (
+           SELECT src, dst FROM e
+           UNION
+           SELECT r.a, e.dst FROM r JOIN e ON r.b = e.src
+         ) SELECT a, b FROM r
+       )
+       SELECT id AS node, CAST(MIN(x) AS BIGINT) AS scc_id
+       FROM (
+         SELECT id, id AS x FROM nodes
+         UNION ALL
+         SELECT r1.a AS id, r1.b AS x
+         FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a
+       ) GROUP BY id""",
+)
+def scc1_navigation_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strongly connected components of the user-navigation graph
+    (analytics.strongly_connected_components — FW-BW-MIN peeling): per
+    user, consecutive events' JSON ``props.k`` pages form directed
+    transitions; transitions seen >= max(2, ceil(total/2500)) times (a
+    SCALE-RELATIVE support threshold, computed in-plan from one
+    broadcast 1-row total — same structure at every SF) are the edge
+    set. The SCCs are the site's "core loops" — the mutual-reachability
+    structure no undirected component operator can see. The oracle
+    computes mutual reachability directly: a recursive-CTE transitive
+    closure self-joined on (a,b)=(b,a), min id per closure class."""
+    from torcdb_spark.analytics import strongly_connected_components
+
+    events = load_table(spark, sf_dir, "events")
+    seq = events.select(
+        "user_id",
+        F.get_json_object(F.col("props"), "$.k").cast("long").alias("k"),
+        "ts",
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tr = seq.select(
+        F.col("k").alias("src"), F.lead("k").over(w).alias("dst")
+    ).where(F.col("dst").isNotNull())
+    cnts = tr.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("n"))
+    tot = cnts.agg(F.sum("n").cast("long").alias("t"))
+    edges = (
+        cnts.crossJoin(F.broadcast(tot))
+        .where(
+            F.col("n")
+            >= F.greatest(
+                F.lit(2).cast("long"),
+                F.ceil(F.col("t") / F.lit(2500.0)).cast("long"),
+            )
+        )
+        .select("src", "dst")
+    )
+    return strongly_connected_components(edges).select(
+        F.col("id").alias("node"), F.col("scc_id")
+    )
