@@ -1285,28 +1285,48 @@ def strongly_connected_components(
     active_v = _checkpointed(verts)
     done_parts: list[DataFrame] = []
 
-    def _propagate(ev: DataFrame, vs: DataFrame, forward: bool) -> DataFrame:
-        frm, to = ("src", "dst") if forward else ("dst", "src")
-        # label(v) = min id within v's closure along `forward` edges
-        lab = _checkpointed(vs.withColumn("lab", F.col("id")))
+    def _propagate_fb(ev: DataFrame, vs: DataFrame) -> DataFrame:
+        """Both min-label fixpoints at once → (id, f, b): f = min id the
+        vertex REACHES (flows against edge direction: v adopts its
+        out-neighbors' f), b = min id REACHING it (flows with edge
+        direction). The two propagations are independent, so fusing them
+        halves the supersteps — rounds = max(diam_F, diam_B), one
+        checkpoint per round instead of two sequential loops."""
+        lab = _checkpointed(
+            vs.select("id", F.col("id").alias("f"), F.col("id").alias("b"))
+        )
         for _ in range(max_prop):
-            nbr = (
-                ev.join(lab, ev[to] == lab["id"])
-                .groupBy(frm)
-                .agg(F.min("lab").alias("nbr_lab"))
+            fmsg = (
+                ev.join(
+                    lab.select(F.col("id").alias("_fid"), "f"),
+                    ev["dst"] == F.col("_fid"),
+                )
+                .groupBy("src")
+                .agg(F.min("f").alias("nf"))
             )
-            new_lab = F.least(
-                F.col("lab"),
-                F.coalesce(F.col("nbr_lab"), F.col("lab")),
+            bmsg = (
+                ev.join(
+                    lab.select(F.col("id").alias("_bid"), "b"),
+                    ev["src"] == F.col("_bid"),
+                )
+                .groupBy("dst")
+                .agg(F.min("b").alias("nb"))
             )
+            new_f = F.least(F.col("f"), F.coalesce(F.col("nf"), F.col("f")))
+            new_b = F.least(F.col("b"), F.coalesce(F.col("nb"), F.col("b")))
             step = _checkpointed(
-                lab.join(nbr, lab["id"] == nbr[frm], "left").select(
+                lab.join(fmsg, lab["id"] == fmsg["src"], "left")
+                .join(bmsg, lab["id"] == bmsg["dst"], "left")
+                .select(
                     "id",
-                    new_lab.alias("lab"),
-                    (new_lab != F.col("lab")).alias("_chg"),
+                    new_f.alias("f"),
+                    new_b.alias("b"),
+                    (
+                        (new_f != F.col("f")) | (new_b != F.col("b"))
+                    ).alias("_chg"),
                 )
             )
-            lab = step.select("id", "lab")
+            lab = step.select("id", "f", "b")
             if step.where(F.col("_chg")).isEmpty():
                 break
         return lab
@@ -1314,45 +1334,52 @@ def strongly_connected_components(
     for _outer in range(max_outer):
         if active_v.isEmpty():
             break
-        # 1. trim singleton SCCs (no in- or no out-edge in the active set)
+        # 1. trim singleton SCCs (no in- or no out-edge in the active
+        # set). One checkpoint per pass: the cyclic flag is computed with
+        # two left joins so survivors and trimmed both filter off the same
+        # materialized frame; edge refiltering stays lazy across passes
+        # (two semi-joins per pass over a bounded fixpoint) and is pinned
+        # once after the loop.
         while True:
-            has_out = active_e.select(F.col("src").alias("id")).dropDuplicates(
-                ["id"]
+            has_out = (
+                active_e.select(F.col("src").alias("id"))
+                .dropDuplicates(["id"])
+                .withColumn("_o", F.lit(True))
             )
-            has_in = active_e.select(F.col("dst").alias("id")).dropDuplicates(
-                ["id"]
+            has_in = (
+                active_e.select(F.col("dst").alias("id"))
+                .dropDuplicates(["id"])
+                .withColumn("_i", F.lit(True))
             )
-            cyclic = _checkpointed(
-                active_v.join(has_out, "id", "left_semi").join(
-                    has_in, "id", "left_semi"
+            flagged = _checkpointed(
+                active_v.join(has_out, "id", "left")
+                .join(has_in, "id", "left")
+                .select(
+                    "id",
+                    (
+                        F.col("_o").isNotNull() & F.col("_i").isNotNull()
+                    ).alias("_cyc"),
                 )
             )
-            trimmed = _checkpointed(
-                active_v.join(cyclic, "id", "left_anti").withColumn(
-                    "scc_id", F.col("id")
-                )
+            trimmed = flagged.where(~F.col("_cyc")).select(
+                "id", F.col("id").alias("scc_id")
             )
             if trimmed.isEmpty():
                 break
             done_parts.append(trimmed)
-            active_v = cyclic
-            active_e = _checkpointed(
-                active_e.join(active_v, active_e["src"] == active_v["id"], "left_semi")
-                .join(active_v, active_e["dst"] == active_v["id"], "left_semi")
-            )
+            active_v = flagged.where(F.col("_cyc")).select("id")
+            active_e = active_e.join(
+                active_v, active_e["src"] == active_v["id"], "left_semi"
+            ).join(active_v, active_e["dst"] == active_v["id"], "left_semi")
         if active_v.isEmpty():
             break
-        # 2. forward / backward min-label fixpoints on the cyclic core
-        fwd = _propagate(active_e, active_v, True)
-        bwd = _propagate(active_e, active_v, False)
+        active_e = _checkpointed(active_e)
+        # 2. fused forward/backward min-label fixpoint on the cyclic core
+        fb = _propagate_fb(active_e, active_v)
         # 3. peel complete SCCs where F == B
-        fb = fwd.join(
-            bwd.select(F.col("id").alias("bid"), F.col("lab").alias("blab")),
-            fwd["id"] == F.col("bid"),
-        ).select("id", "lab", "blab")
         peeled = _checkpointed(
-            fb.where(F.col("lab") == F.col("blab")).select(
-                "id", F.col("lab").alias("scc_id")
+            fb.where(F.col("f") == F.col("b")).select(
+                "id", F.col("f").alias("scc_id")
             )
         )
         done_parts.append(peeled)
