@@ -648,9 +648,10 @@ DRIVER_PRIORITY: list[str] = [
     "s6_edges_by_key",
     # §2.3 traversal surface
     "t1_traverse_both",
-    "t2_fill_properties",
+    # t2/t4 (driver-green r1-r4) ceded their slots to the round-5
+    # classifier/SCC/top-p families below; both stay covered by the
+    # local exact-value gate + traverse pytest suite
     "t3_vertex_neighbors",
-    "t4_vertex_edges",
     "t6_edge_vertices",
     "t7_label_counts",
     # T8 keeps t8_degree_out as its witness; the serde round-trips t9/t10
@@ -710,7 +711,8 @@ DRIVER_PRIORITY: list[str] = [
     # already-green witness (t9→t10 superset, q6/q7→4 TPC-H witnesses
     # remain, g_gremlin_union→covered by union_path locally, d10→text
     # family keeps d2/d9/d11):
-    "zo1_zorder_cells",        # layout: Morton clustering (bit-op oracle)
+    # zo1 (driver-green r3+r4) ceded its slot to the round-5 families
+    # below; stays locally exact-gated (generated bit-op SQL oracle)
     "gs1_neighbor_sample",     # deterministic graph sampling (md5 oracle)
     "cd1_snapshot_diff",       # CDC snapshot diff
     "ldbc_ic_like_foaf_copurchase",  # 6-hop FOF traversal composite
@@ -747,6 +749,10 @@ DRIVER_PRIORITY: list[str] = [
     "ivm1_view_maintenance",   # Z-set incremental view maintenance
     "sp1_stratified_split",    # hash-stable train/val/test assignment
     "cur1_curriculum_stages",  # exact distributed global ranking
+    "tp1_token_budget_selection",  # top-p prefix selection by token budget
+    "cl1_perceptron_train",    # in-engine classifier training (full
+                               # trajectory oracle-unrolled)
+    "scc1_navigation_core",    # directed SCC via FW-BW-MIN peeling
 ]
 
 
