@@ -78,6 +78,20 @@ def test_matches_tarjan(spark, edges):
     assert got == _tarjan(edges)
 
 
+@pytest.mark.parametrize("edges", CASES)
+def test_distributed_path_matches_tarjan(spark, edges):
+    # local_threshold=0 disables the single-task Tarjan finisher, forcing
+    # the trim + fused-FW/BW-propagation + peel loop to resolve everything.
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = sorted(
+        (r["id"], r["scc_id"])
+        for r in strongly_connected_components(
+            df, local_threshold=0
+        ).collect()
+    )
+    assert got == _tarjan(edges)
+
+
 def test_empty_graph(spark):
     df = spark.createDataFrame([], "src long, dst long")
     assert strongly_connected_components(df).count() == 0

@@ -1238,12 +1238,70 @@ def boruvka_mst(
     )
 
 
+def _tarjan_local(pairs):
+    """Iterative Tarjan over an in-memory edge list → {vertex: min-id of
+    its SCC}. The single-partition finisher for
+    ``strongly_connected_components`` — runs inside one task, never on
+    the driver."""
+    import collections
+
+    adj = collections.defaultdict(list)
+    nodes = set()
+    for s_, d_ in pairs:
+        nodes.add(s_)
+        nodes.add(d_)
+        if s_ != d_:
+            adj[s_].append(d_)
+    index, low, onstk, stk, out = {}, {}, {}, [], {}
+    cnt = [0]
+    for v0 in sorted(nodes):
+        if v0 in index:
+            continue
+        work = [(v0, 0)]
+        while work:
+            v, pi = work[-1]
+            if pi == 0:
+                index[v] = low[v] = cnt[0]
+                cnt[0] += 1
+                stk.append(v)
+                onstk[v] = True
+            descend = False
+            for i in range(pi, len(adj[v])):
+                w = adj[v][i]
+                if w not in index:
+                    work[-1] = (v, i + 1)
+                    work.append((w, 0))
+                    descend = True
+                    break
+                elif onstk.get(w):
+                    low[v] = min(low[v], index[w])
+            if descend:
+                continue
+            if low[v] == index[v]:
+                comp = []
+                while True:
+                    w = stk.pop()
+                    onstk[w] = False
+                    comp.append(w)
+                    if w == v:
+                        break
+                m = min(comp)
+                for w in comp:
+                    out[w] = m
+            work.pop()
+            if work:
+                u, _ = work[-1]
+                low[u] = min(low[u], low[v])
+    return out
+
+
 def strongly_connected_components(
     edges: DataFrame,
     max_outer: int = 20,
     max_prop: int = 30,
     src_col: str = "src",
     dst_col: str = "dst",
+    local_threshold: int = 1_000_000,
 ) -> DataFrame:
     """Strongly connected components of a DIRECTED graph → (id, scc_id)
     with ``scc_id`` = the smallest member id (deterministic). The one
@@ -1281,9 +1339,19 @@ def strongly_connected_components(
         .unionByName(e_all.select(F.col("dst").alias("id")))
         .dropDuplicates(["id"])
     )
-    active_e = _checkpointed(e_all.where(F.col("src") != F.col("dst")))
-    active_v = _checkpointed(verts)
+    active_e = _checkpointed_nostats(e_all.where(F.col("src") != F.col("dst")))
+    active_v = _checkpointed_nostats(verts)
     done_parts: list[DataFrame] = []
+    # The stats barrier (mandatory here: the per-round label self-joins
+    # would otherwise explode the checkpoint size estimates geometrically,
+    # the Borůvka failure mode) also disables compile-time auto-broadcast,
+    # so the small-side joins get explicit hints behind the same counted
+    # threshold the other iterative operators use. Every build side below
+    # is bounded by |active vertices|, which only shrinks.
+    small = active_v.count() <= 500_000
+
+    def _b(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if small else df
 
     def _propagate_fb(ev: DataFrame, vs: DataFrame) -> DataFrame:
         """Both min-label fixpoints at once → (id, f, b): f = min id the
@@ -1291,14 +1359,19 @@ def strongly_connected_components(
         out-neighbors' f), b = min id REACHING it (flows with edge
         direction). The two propagations are independent, so fusing them
         halves the supersteps — rounds = max(diam_F, diam_B), one
-        checkpoint per round instead of two sequential loops."""
-        lab = _checkpointed(
+        checkpoint per round. (Pointer-jumping f[v] ← f[f[v]] was tried
+        and does NOT help here: on a near-cycle core every label stays
+        at its own id until the min wave arrives, so the jump target is
+        the vertex itself — measured no round reduction for 2 extra
+        joins/round. The small-core finisher below is what bounds the
+        superstep count instead.)"""
+        lab = _checkpointed_nostats(
             vs.select("id", F.col("id").alias("f"), F.col("id").alias("b"))
         )
         for _ in range(max_prop):
             fmsg = (
                 ev.join(
-                    lab.select(F.col("id").alias("_fid"), "f"),
+                    _b(lab.select(F.col("id").alias("_fid"), "f")),
                     ev["dst"] == F.col("_fid"),
                 )
                 .groupBy("src")
@@ -1306,7 +1379,7 @@ def strongly_connected_components(
             )
             bmsg = (
                 ev.join(
-                    lab.select(F.col("id").alias("_bid"), "b"),
+                    _b(lab.select(F.col("id").alias("_bid"), "b")),
                     ev["src"] == F.col("_bid"),
                 )
                 .groupBy("dst")
@@ -1314,9 +1387,9 @@ def strongly_connected_components(
             )
             new_f = F.least(F.col("f"), F.coalesce(F.col("nf"), F.col("f")))
             new_b = F.least(F.col("b"), F.coalesce(F.col("nb"), F.col("b")))
-            step = _checkpointed(
-                lab.join(fmsg, lab["id"] == fmsg["src"], "left")
-                .join(bmsg, lab["id"] == bmsg["dst"], "left")
+            step = _checkpointed_nostats(
+                lab.join(_b(fmsg), lab["id"] == fmsg["src"], "left")
+                .join(_b(bmsg), lab["id"] == bmsg["dst"], "left")
                 .select(
                     "id",
                     new_f.alias("f"),
@@ -1334,7 +1407,47 @@ def strongly_connected_components(
     for _outer in range(max_outer):
         if active_v.isEmpty():
             break
-        # 1. trim singleton SCCs (no in- or no out-edge in the active
+        # 1. small-core finisher: distributed propagation costs O(core
+        # diameter) full job barriers, so once the active subgraph fits
+        # comfortably in ONE task, finish it with a sequential Tarjan
+        # inside mapInPandas — a single-partition job, never a driver
+        # collect (the classic switch-to-local-below-threshold design,
+        # cf. the IVF operator's packed-centroid row). Vertex self-pairs
+        # ride along so vertices isolated by self-loop stripping or
+        # earlier peels still get their singleton row. At 100 TB the
+        # trim/propagate/peel rounds below shrink the graph until it
+        # crosses this threshold.
+        core = active_e.unionByName(
+            active_v.select(
+                F.col("id").alias("src"), F.col("id").alias("dst")
+            )
+        )
+        if core.count() <= local_threshold:
+            id_t = dict(active_e.dtypes)["src"]
+
+            def _finish(batches):
+                import pandas as pd
+
+                pairs = []
+                for b in batches:
+                    pairs.extend(zip(b["src"].tolist(), b["dst"].tolist()))
+                comp = _tarjan_local(pairs)
+                yield pd.DataFrame(
+                    {
+                        "id": list(comp.keys()),
+                        "scc_id": list(comp.values()),
+                    }
+                )
+
+            done_parts.append(
+                _checkpointed_nostats(
+                    core.repartition(1).mapInPandas(
+                        _finish, f"id {id_t}, scc_id {id_t}"
+                    )
+                )
+            )
+            break
+        # 2. trim singleton SCCs (no in- or no out-edge in the active
         # set). One checkpoint per pass: the cyclic flag is computed with
         # two left joins so survivors and trimmed both filter off the same
         # materialized frame; edge refiltering stays lazy across passes
@@ -1351,9 +1464,9 @@ def strongly_connected_components(
                 .dropDuplicates(["id"])
                 .withColumn("_i", F.lit(True))
             )
-            flagged = _checkpointed(
-                active_v.join(has_out, "id", "left")
-                .join(has_in, "id", "left")
+            flagged = _checkpointed_nostats(
+                active_v.join(_b(has_out), "id", "left")
+                .join(_b(has_in), "id", "left")
                 .select(
                     "id",
                     (
@@ -1369,24 +1482,26 @@ def strongly_connected_components(
             done_parts.append(trimmed)
             active_v = flagged.where(F.col("_cyc")).select("id")
             active_e = active_e.join(
-                active_v, active_e["src"] == active_v["id"], "left_semi"
-            ).join(active_v, active_e["dst"] == active_v["id"], "left_semi")
+                _b(active_v), active_e["src"] == active_v["id"], "left_semi"
+            ).join(_b(active_v), active_e["dst"] == active_v["id"], "left_semi")
         if active_v.isEmpty():
             break
-        active_e = _checkpointed(active_e)
-        # 2. fused forward/backward min-label fixpoint on the cyclic core
+        active_e = _checkpointed_nostats(active_e)
+        # 3. fused forward/backward min-label fixpoint on the cyclic core
         fb = _propagate_fb(active_e, active_v)
-        # 3. peel complete SCCs where F == B
-        peeled = _checkpointed(
+        # 4. peel complete SCCs where F == B
+        peeled = _checkpointed_nostats(
             fb.where(F.col("f") == F.col("b")).select(
                 "id", F.col("f").alias("scc_id")
             )
         )
         done_parts.append(peeled)
-        active_v = _checkpointed(active_v.join(peeled, "id", "left_anti"))
-        active_e = _checkpointed(
-            active_e.join(peeled, active_e["src"] == peeled["id"], "left_anti")
-            .join(peeled, active_e["dst"] == peeled["id"], "left_anti")
+        active_v = _checkpointed_nostats(
+            active_v.join(_b(peeled), "id", "left_anti")
+        )
+        active_e = _checkpointed_nostats(
+            active_e.join(_b(peeled), active_e["src"] == peeled["id"], "left_anti")
+            .join(_b(peeled), active_e["dst"] == peeled["id"], "left_anti")
         )
     if not done_parts:
         return verts.limit(0).withColumn("scc_id", F.col("id"))

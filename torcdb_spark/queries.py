@@ -7425,10 +7425,9 @@ def cl1_perceptron_train(spark: SparkSession, sf_dir: str) -> DataFrame:
          SELECT src, dst, COUNT(*) AS n FROM tr
          WHERE dst IS NOT NULL GROUP BY src, dst
        ),
-       tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM cnts),
        e AS (
-         SELECT src, dst FROM cnts, tot
-         WHERE n >= GREATEST(2, CAST(CEIL(t / 2500.0) AS BIGINT))
+         SELECT src, dst FROM cnts
+         ORDER BY n DESC, src, dst LIMIT 175
        ),
        nodes AS (
          SELECT DISTINCT src AS id FROM e
@@ -7453,10 +7452,13 @@ def scc1_navigation_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Strongly connected components of the user-navigation graph
     (analytics.strongly_connected_components — FW-BW-MIN peeling): per
     user, consecutive events' JSON ``props.k`` pages form directed
-    transitions; transitions seen >= max(2, ceil(total/2500)) times (a
-    SCALE-RELATIVE support threshold, computed in-plan from one
-    broadcast 1-row total — same structure at every SF) are the edge
-    set. The SCCs are the site's "core loops" — the mutual-reachability
+    transitions; the TOP-175 transitions by support (count desc,
+    (src, dst) tie-break — a distributed TakeOrdered over the
+    aggregated pair table, which is bounded by the page vocabulary
+    squared, never by the event count) are the edge set, so the graph
+    keeps the same high-support structure at every SF (an absolute
+    count threshold saturates once every frequent pair is seen). The
+    SCCs are the site's "core loops" — the mutual-reachability
     structure no undirected component operator can see. The oracle
     computes mutual reachability directly: a recursive-CTE transitive
     closure self-joined on (a,b)=(b,a), min id per closure class."""
@@ -7474,16 +7476,9 @@ def scc1_navigation_core(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("k").alias("src"), F.lead("k").over(w).alias("dst")
     ).where(F.col("dst").isNotNull())
     cnts = tr.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("n"))
-    tot = cnts.agg(F.sum("n").cast("long").alias("t"))
     edges = (
-        cnts.crossJoin(F.broadcast(tot))
-        .where(
-            F.col("n")
-            >= F.greatest(
-                F.lit(2).cast("long"),
-                F.ceil(F.col("t") / F.lit(2500.0)).cast("long"),
-            )
-        )
+        cnts.orderBy(F.desc("n"), F.asc("src"), F.asc("dst"))
+        .limit(175)
         .select("src", "dst")
     )
     return strongly_connected_components(edges).select(
