@@ -99,16 +99,21 @@ def perceptron_train(
         mis = margins.where(F.col("y") * F.col("margin") <= 0).select(
             id_col, "y"
         )
-        # Two tiny actions over the misclassified slice: the (dim+1)-row
-        # gradient and its doc count. Both map-side-combinable aggs.
-        upd = {
-            r["j"]: r["g"]
-            for r in mis.join(x.select(id_col, "j", "v"), id_col)
+        # ONE tiny action per epoch: the (dim+1)-row gradient, map-side
+        # combinable. The misclassified-doc count rides along for free —
+        # every doc has exactly one bias-feature row (j == dim), so that
+        # row's count(*) IS |misclassified|.
+        rows = (
+            mis.join(x.select(id_col, "j", "v"), id_col)
             .groupBy("j")
-            .agg(F.sum(F.col("y") * F.col("v")).cast("long").alias("g"))
+            .agg(
+                F.sum(F.col("y") * F.col("v")).cast("long").alias("g"),
+                F.count(F.lit(1)).cast("long").alias("c"),
+            )
             .collect()
-        }
-        n_mis = mis.count()
+        )
+        upd = {r["j"]: r["g"] for r in rows}
+        n_mis = next((int(r["c"]) for r in rows if r["j"] == dim), 0)
         w = [w[j] + int(upd.get(j, 0)) for j in range(dim + 1)]
         out.extend((epoch, j, w[j], n_mis) for j in range(dim + 1))
     return spark.createDataFrame(
