@@ -648,10 +648,9 @@ DRIVER_PRIORITY: list[str] = [
     "s6_edges_by_key",
     # §2.3 traversal surface
     "t1_traverse_both",
-    # t2/t4 (driver-green r1-r4) ceded their slots to the round-5
-    # classifier/SCC/top-p families below; both stay covered by the
-    # local exact-value gate + traverse pytest suite
-    "t3_vertex_neighbors",
+    # t2/t3/t4 (driver-green r1-r4) ceded their slots to the round-5
+    # classifier/SCC/top-p/set-similarity families below; all stay
+    # covered by the local exact-value gate + traverse pytest suite
     "t6_edge_vertices",
     "t7_label_counts",
     # T8 keeps t8_degree_out as its witness; the serde round-trips t9/t10
@@ -753,6 +752,7 @@ DRIVER_PRIORITY: list[str] = [
     "cl1_perceptron_train",    # in-engine classifier training (full
                                # trajectory oracle-unrolled)
     "scc1_navigation_core",    # directed SCC via FW-BW-MIN peeling
+    "ssj1_jaccard_join",       # exact prefix-filtered set-similarity join
 ]
 
 
@@ -7483,4 +7483,53 @@ def scc1_navigation_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return strongly_connected_components(edges).select(
         F.col("id").alias("node"), F.col("scc_id")
+    )
+
+
+@_register(
+    "ssj1_jaccard_join",
+    """WITH w AS (
+         SELECT doc_id,
+                string_split_regex(lower(trim(text)), '\\s+') AS ws
+         FROM documents WHERE trim(text) <> ''
+       ),
+       pos AS (
+         SELECT doc_id, unnest(generate_series(1, len(ws) - 2)) AS i, ws
+         FROM w WHERE len(ws) >= 3
+       ),
+       toks AS (
+         SELECT DISTINCT doc_id,
+                ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS term
+         FROM pos
+       ),
+       sz AS (SELECT doc_id, COUNT(*) AS s FROM toks GROUP BY doc_id),
+       inter AS (
+         SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS i
+         FROM toks a JOIN toks b
+           ON a.term = b.term AND a.doc_id < b.doc_id
+         GROUP BY 1, 2
+       )
+       SELECT ia AS id_a, ib AS id_b,
+              CAST(i AS BIGINT) AS inter_size,
+              CAST(sa.s + sb.s - i AS BIGINT) AS union_size
+       FROM inter
+       JOIN sz sa ON ia = sa.doc_id JOIN sz sb ON ib = sb.doc_id
+       WHERE i * 2 >= (sa.s + sb.s - i) * 1""",
+)
+def ssj1_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs set-similarity self-join
+    (operators/setjoin.jaccard_pairs_exact): every document pair whose
+    3-gram-shingle Jaccard ≥ 1/2, found via rarest-first prefix
+    filtering (vocabulary totally ordered by rank.global_rank's
+    distributed prefix-sum — no single-task window) — the EXACT ground
+    truth the MinHash-LSH family (x_minhash/d13) approximates, with the
+    τ test in cross-multiplied integers so every decision is
+    engine-exact. The oracle computes brute-force all-pairs Jaccard
+    directly, so a hash match also certifies the prefix-filter theorem
+    (no candidate the prefixes missed)."""
+    from torcdb_spark.operators.setjoin import jaccard_pairs_exact
+
+    docs = load_table(spark, sf_dir, "documents")
+    return jaccard_pairs_exact(
+        docs, tau_num=1, tau_den=2, shingle=3
     )
