@@ -83,3 +83,73 @@ def test_score_agrees_with_replay(spark, docs):
         x = _feats(t)
         m = sum(w[j] * v for j, v in x.items())
         assert got[i] == (m, 1 if m > 0 else -1)
+
+
+# ---------------------------------------------------------------- NB ----
+
+def test_naive_bayes_separable_toy(spark):
+    from torcdb_spark.operators.classifier import naive_bayes_classify
+
+    train = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat", "en"),
+            (2, "a cat and a dog", "en"),
+            (3, "le chat est sur le tapis", "fr"),
+            (4, "le chien et le chat", "fr"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    test = spark.createDataFrame(
+        [(10, "the cat and the dog", "en"), (11, "le chat et le chien", "fr")],
+        "doc_id long, text string, lang string",
+    )
+    got = {
+        r["doc_id"]: (r["actual"], r["predicted"])
+        for r in naive_bayes_classify(train, test).collect()
+    }
+    assert got == {10: ("en", "en"), 11: ("fr", "fr")}
+
+
+def test_naive_bayes_python_replay(spark):
+    """Scores must equal an independent per-doc python NB replay."""
+    import math
+    from collections import Counter
+
+    from torcdb_spark.operators.classifier import naive_bayes_classify
+
+    tr = [
+        (1, "x x y", "a"), (2, "x y y z", "a"),
+        (3, "z z w", "b"), (4, "w w z x", "b"), (5, "q z w", "b"),
+    ]
+    te = [(10, "x y q", "a"), (11, "z w w unseen", "b")]
+    train = spark.createDataFrame(tr, "doc_id long, text string, lang string")
+    test = spark.createDataFrame(te, "doc_id long, text string, lang string")
+    got = {
+        r["doc_id"]: (r["predicted"], r["score"])
+        for r in naive_bayes_classify(train, test).collect()
+    }
+
+    cnt = {}
+    docs_c = Counter()
+    vocab = set()
+    for _, t, c in tr:
+        docs_c[c] += 1
+        for w in t.split():
+            cnt[(c, w)] = cnt.get((c, w), 0) + 1
+            vocab.add(w)
+    n_c = Counter()
+    for (c, _), v in cnt.items():
+        n_c[c] += v
+    V = len(vocab)
+    for did, t, _ in te:
+        best = None
+        for c in sorted(docs_c):
+            s = math.log(docs_c[c] / len(tr))
+            for w, k in Counter(t.split()).items():
+                s += k * math.log(
+                    (cnt.get((c, w), 0) + 1.0) / (n_c[c] + float(V))
+                )
+            s = round(s, 4)
+            if best is None or s > best[1]:
+                best = (c, s)
+        assert got[did] == best

@@ -613,3 +613,39 @@ def test_global_rank_window_is_partitioned(spark, sf_dir):
     ]
     assert win, plan
     assert all("_pid" in ln for ln in win), win
+
+
+def test_partitioned_landing_prunes_directories(spark, sf_dir, tmp_path):
+    """write_table_partitioned + a partition-key filter must resolve as
+    PartitionFilters (directory selection), not a data filter — the
+    pt1_partition_prune contract."""
+    from torcdb_spark.sources.io import write_table_partitioned
+
+    orders = load_table(spark, sf_dir, "orders")
+    path = str(tmp_path / "orders_by_priority")
+    write_table_partitioned(orders, path, ["o_orderpriority"])
+    back = spark.read.parquet(path)
+    plan = explain_str(
+        back.where(F.col("o_orderpriority") == "1-URGENT"), "formatted"
+    )
+    pf = plan.split("PartitionFilters")[1][:200]
+    assert "o_orderpriority" in pf and "1-URGENT" in pf
+    # and the row filter is NOT re-applied per row after pruning
+    assert "PushedFilters: []" in plan or "Filter (" not in plan.split(
+        "PartitionFilters"
+    )[0]
+
+
+def test_orc_roundtrip_prunes_lang_partitions(spark, sf_dir, tmp_path):
+    """The ORC landing keeps the same partition-pruning contract as
+    parquet: a lang predicate over the landed table is directory
+    selection."""
+    from torcdb_spark.sources.io import write_table_partitioned
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = str(tmp_path / "docs_orc")
+    write_table_partitioned(docs, path, ["lang"], fmt="orc")
+    back = spark.read.orc(path)
+    plan = explain_str(back.where(F.col("lang") == "en"), "formatted")
+    pf = plan.split("PartitionFilters")[1][:160]
+    assert "lang" in pf and "en" in pf

@@ -111,3 +111,39 @@ def test_top_p_first_row_always_kept(spark):
 
     kept = [r.id for r in top_p_by_weight(df, ["score", "id"], "w", 0.1).collect()]
     assert kept == [1]  # over budget but first in order
+
+
+def test_preference_pairs_bounds_and_margin(spark):
+    from torcdb_spark.operators.rank import preference_pairs
+
+    rows = [("g1", i, float(i)) for i in range(1, 11)]  # scores 1..10
+    rows += [("g2", 100, 5.0), ("g2", 101, 5.0)]  # no margin clears 0.5
+    df = spark.createDataFrame(rows, "grp string, doc_id long, score double")
+    got = preference_pairs(
+        df, ["grp"], "doc_id", "score", k=3, min_margin=0.5
+    ).collect()
+    by_g = {}
+    for r in got:
+        by_g.setdefault(r["grp"], []).append(r)
+    # k² bound: at most 9 pairs per group
+    assert len(by_g.get("g1", [])) == 9
+    assert "g2" not in by_g
+    # chosen are the top-3 {10,9,8}, rejected the bottom-3 {1,2,3}
+    assert {r["chosen_id"] for r in by_g["g1"]} == {8, 9, 10}
+    assert {r["rejected_id"] for r in by_g["g1"]} == {1, 2, 3}
+    for r in by_g["g1"]:
+        assert r["chosen_score"] - r["rejected_score"] >= 0.5
+        assert r["margin"] == round(r["chosen_score"] - r["rejected_score"], 4)
+
+
+def test_preference_pairs_tiebreak_deterministic(spark):
+    from torcdb_spark.operators.rank import preference_pairs
+
+    # four docs with identical scores: top/bot picks lowest ids
+    df = spark.createDataFrame(
+        [("g", i, 1.0) for i in (4, 2, 3, 1)],
+        "grp string, doc_id long, score double",
+    )
+    got = preference_pairs(df, ["grp"], "doc_id", "score", k=2, min_margin=0.0)
+    pairs = {(r["chosen_id"], r["rejected_id"]) for r in got.collect()}
+    assert pairs == {(1, 1), (1, 2), (2, 1), (2, 2)}

@@ -155,3 +155,118 @@ def perceptron_score(
             .alias("predicted"),
         )
     )
+
+
+def naive_bayes_classify(
+    train: DataFrame,
+    test: DataFrame,
+    label_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Multinomial Naive Bayes train + classify in one plan — the
+    classical fastText-precursor label screen (language ID, quality
+    vs junk, domain routing) that corpus pipelines train in-engine
+    because shipping 100 TB to an external trainer is the bug.
+
+    Model (add-1 smoothing):
+        P(c)     = n_docs_c / n_docs
+        P(t | c) = (c(c,t) + 1) / (N_c + V)
+    score(d,c)  = ln P(c) + Σ_t cnt_{d,t} · ln P(t|c); predict argmax,
+    ties broken by label ascending on the ROUNDED score so the argmax
+    is engine-stable.
+
+    Scale shape: the model is three map-side-combinable aggregates over
+    the TRAIN split (one corpus scan); scoring fans each test (doc,term)
+    row out by |classes| (a broadcast of the tiny class table — bounded
+    C× blow-up, the canonical NB scoring dataflow) and left-joins the
+    (term,class) count table, which is vocabulary-sized, not
+    corpus-sized. One final (doc,class) aggregate + per-doc argmax
+    window. All counts are BIGINT; doubles appear only in the last
+    per-row log expression, and the per-(doc,class) sum is rounded
+    before the argmax — the same exactness contract as
+    text.bigram_perplexity (round absorbs summation-order ulps).
+
+    Reference parity: TorcDB has no in-engine trainer; this extends the
+    classifier family (perceptron_train above) that SURVEY §2 claims as
+    extension operators."""
+    from pyspark.sql.window import Window as W
+
+    from torcdb_spark.operators.text import word_tokens
+
+    def doc_terms(frame: DataFrame) -> DataFrame:
+        return (
+            frame.select(
+                F.col(id_col),
+                F.explode(word_tokens(F.col(text_col))).alias("term"),
+            )
+            .where(F.col("term") != "")
+            .groupBy(id_col, "term")
+            .agg(F.count("*").cast("long").alias("cnt"))
+        )
+
+    tr_terms = doc_terms(train).join(
+        train.select(F.col(id_col), F.col(label_col).alias("_c")), id_col
+    )
+    # (class, term) counts — vocabulary-sized, the NB "model".
+    ct = tr_terms.groupBy("_c", "term").agg(
+        F.sum("cnt").cast("long").alias("c_ct")
+    )
+    # Per-class token totals + doc priors; |classes| rows.
+    classes = tr_terms.groupBy("_c").agg(
+        F.sum("cnt").cast("long").alias("n_c")
+    ).join(
+        train.groupBy(F.col(label_col).alias("_c")).agg(
+            F.count("*").cast("long").alias("n_docs_c")
+        ),
+        "_c",
+    )
+    v_size = tr_terms.select("term").distinct().count()
+    n_docs = train.count()
+
+    te = doc_terms(test)
+    scored = (
+        te.crossJoin(F.broadcast(classes))
+        .join(F.broadcast(ct), ["_c", "term"], "left")
+        .select(
+            F.col(id_col),
+            "_c",
+            "n_c",
+            "n_docs_c",
+            (
+                F.col("cnt")
+                * F.log(
+                    (F.coalesce(F.col("c_ct"), F.lit(0)) + F.lit(1.0))
+                    / (F.col("n_c") + F.lit(float(v_size)))
+                )
+            ).alias("_ll"),
+        )
+        .groupBy(id_col, "_c")
+        .agg(
+            F.first("n_docs_c").alias("_nd"),
+            F.sum("_ll").alias("_s"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("_c"),
+            F.round(
+                F.log(F.col("_nd") / F.lit(float(n_docs))) + F.col("_s"), 4
+            ).alias("score"),
+        )
+    )
+    w = W.partitionBy(id_col).orderBy(F.desc("score"), F.asc("_c"))
+    best = scored.withColumn("_rk", F.row_number().over(w)).where(
+        F.col("_rk") == 1
+    )
+    return (
+        best.join(
+            test.select(F.col(id_col), F.col(label_col).alias("actual")),
+            id_col,
+        )
+        .select(
+            F.col(id_col),
+            "actual",
+            F.col("_c").alias("predicted"),
+            "score",
+        )
+    )

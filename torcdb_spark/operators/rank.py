@@ -145,3 +145,78 @@ def top_p_by_weight(
         )
         .drop("_cum", "_tot")
     )
+
+
+def preference_pairs(
+    scored: DataFrame,
+    group_cols: list[str],
+    id_col: str = "doc_id",
+    score_col: str = "quality",
+    k: int = 3,
+    min_margin: float = 0.05,
+) -> DataFrame:
+    """RLHF preference-pair construction: within each group ("prompt"),
+    pair the k best-scored members (chosen) against the k worst
+    (rejected) and keep pairs whose score margin clears ``min_margin``
+    → (group…, chosen_id, rejected_id, chosen_score, rejected_score,
+    margin). This is the standard reward-model data builder: never all
+    O(n²) pairs, only extremes-vs-extremes, bounded at k² per group.
+
+    Scale shape: two row_number windows over the SAME (group, score)
+    shuffle partitioning (one sort each), then a group-keyed self-join
+    whose both sides are ≤ k rows per group — the join fan-out is k²,
+    a constant, regardless of corpus size. Tie-breaks are (score desc,
+    id asc) / (score asc, id asc), so the pair set is deterministic and
+    an external engine replays it exactly."""
+    from pyspark.sql.window import Window as W
+
+    g = [F.col(c) for c in group_cols]
+    top = (
+        scored.withColumn(
+            "_rk",
+            F.row_number().over(
+                W.partitionBy(*g).orderBy(
+                    F.desc(score_col), F.asc(id_col)
+                )
+            ),
+        )
+        .where(F.col("_rk") <= k)
+        .select(
+            *group_cols,
+            F.col(id_col).alias("chosen_id"),
+            F.col(score_col).alias("chosen_score"),
+        )
+    )
+    bot = (
+        scored.withColumn(
+            "_rk",
+            F.row_number().over(
+                W.partitionBy(*g).orderBy(
+                    F.asc(score_col), F.asc(id_col)
+                )
+            ),
+        )
+        .where(F.col("_rk") <= k)
+        .select(
+            *group_cols,
+            F.col(id_col).alias("rejected_id"),
+            F.col(score_col).alias("rejected_score"),
+        )
+    )
+    return (
+        top.join(bot, group_cols)
+        .where(
+            (F.col("chosen_score") - F.col("rejected_score"))
+            >= F.lit(float(min_margin))
+        )
+        .select(
+            *group_cols,
+            "chosen_id",
+            "rejected_id",
+            "chosen_score",
+            "rejected_score",
+            F.round(
+                F.col("chosen_score") - F.col("rejected_score"), 4
+            ).alias("margin"),
+        )
+    )

@@ -142,3 +142,77 @@ def trailing_zscore(
         z.alias("z"),
         F.coalesce(F.abs(z) > z_threshold, F.lit(False)).alias("is_anomaly"),
     )
+
+
+def ewma(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    alpha: float = 0.25,
+    order_tiebreak: str | None = None,
+) -> DataFrame:
+    """Per-key exponentially-weighted moving average (the classic
+    time-series smoother: y_1 = x_1, y_t = α·x_t + (1−α)·y_{t−1}) →
+    one row per key with the series tail:
+    (keys…, n_points, last_raw, last_ewma, max_abs_dev) where
+    max_abs_dev = max_t |x_t − y_t| (the smoothing-residual anomaly
+    signal trailing_zscore approximates windowed).
+
+    Execution: the recursion is inherently sequential PER KEY, so the
+    only dataflow shape that works is collect the key's ordered values
+    into an array (one shuffle — the same groupBy every per-key rollup
+    pays) and fold it with ``F.aggregate`` — a sequential JVM lambda
+    per row, no Python, deterministic evaluation order by construction.
+    Per-key arrays are session-sized; at 100 TB keys are users/devices
+    with bounded history, the same boundedness contract as gap_fill's
+    spine. A closed-form window formulation exists (y_t = αΣ(1−α)^{t−i}
+    x_i) but needs (1−α)^{−i} factors that overflow doubles beyond a
+    few hundred points — the fold is the numerically-stable form.
+
+    Determinism: ordering is (ts, tiebreak) with an explicit tiebreak
+    column (pass event_id); the fold then fixes the float evaluation
+    order bit-for-bit, so an external engine folding the same array
+    reproduces the exact doubles (DuckDB ``list_reduce``)."""
+    order = [F.col(ts_col)] + (
+        [F.col(order_tiebreak)] if order_tiebreak else []
+    )
+    a = float(alpha)
+    packed = (
+        df.groupBy(*[F.col(k) for k in key_cols])
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(*order, F.col(value_col).alias("_v")))
+            ).alias("_pts")
+        )
+        .select(
+            *key_cols,
+            F.transform(F.col("_pts"), lambda s: s["_v"]).alias("_xs"),
+        )
+    )
+    xs = F.col("_xs")
+    folded = F.aggregate(
+        F.slice(xs, 2, F.greatest(F.size(xs) - 1, F.lit(0))),
+        F.struct(
+            F.element_at(xs, 1).alias("y"),
+            F.lit(0.0).alias("dev"),
+        ),
+        lambda acc, x: F.struct(
+            (F.lit(a) * x + F.lit(1.0 - a) * acc["y"]).alias("y"),
+            F.greatest(
+                acc["dev"],
+                F.abs(x - (F.lit(a) * x + F.lit(1.0 - a) * acc["y"])),
+            ).alias("dev"),
+        ),
+    )
+    def _r6(c: Column) -> Column:
+        # portable round-half-up (see text.quality_score's rounding note)
+        return F.floor(c * 1_000_000 + F.lit(0.5)) / F.lit(1_000_000.0)
+
+    return packed.select(
+        *key_cols,
+        F.size(xs).cast("long").alias("n_points"),
+        _r6(F.element_at(xs, -1)).alias("last_raw"),
+        _r6(folded["y"]).alias("last_ewma"),
+        _r6(folded["dev"]).alias("max_abs_dev"),
+    )

@@ -7533,3 +7533,277 @@ def ssj1_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_pairs_exact(
         docs, tau_num=1, tau_den=2, shingle=3
     )
+
+
+_CL2_TOKENS = """SELECT doc_id,
+                unnest(regexp_split_to_array(lower(trim(text)), '\\s+'))
+                  AS term
+         FROM {split}"""
+
+_CL2_ORACLE = (
+    """WITH tr AS (SELECT * FROM documents WHERE doc_id % 3 <> 0),
+       te AS (SELECT * FROM documents WHERE doc_id % 3 = 0),
+       tr_terms AS (
+         SELECT t.doc_id, d.lang AS c, t.term,
+                CAST(count(*) AS BIGINT) AS cnt
+         FROM ("""
+    + _CL2_TOKENS.format(split="tr")
+    + """) t JOIN tr d USING (doc_id)
+         WHERE t.term <> '' GROUP BY 1, 2, 3),
+       ct AS (SELECT c, term, CAST(SUM(cnt) AS BIGINT) AS c_ct
+              FROM tr_terms GROUP BY 1, 2),
+       cls AS (SELECT c, CAST(SUM(cnt) AS BIGINT) AS n_c
+               FROM tr_terms GROUP BY 1),
+       pri AS (SELECT lang AS c, CAST(count(*) AS BIGINT) AS n_docs_c
+               FROM tr GROUP BY 1),
+       v AS (SELECT CAST(count(DISTINCT term) AS DOUBLE) AS v_size
+             FROM tr_terms),
+       nd AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM tr),
+       te_terms AS (
+         SELECT doc_id, term, CAST(count(*) AS BIGINT) AS cnt
+         FROM ("""
+    + _CL2_TOKENS.format(split="te")
+    + """)
+         WHERE term <> '' GROUP BY 1, 2),
+       sc AS (
+         SELECT t.doc_id, k.c,
+                round(ln(p.n_docs_c / (SELECT n_docs FROM nd))
+                      + SUM(t.cnt
+                            * ln((COALESCE(m.c_ct, 0)
+                                  + CAST(1.0 AS DOUBLE))
+                                 / (k.n_c + (SELECT v_size FROM v)))),
+                      4) AS score
+         FROM te_terms t
+         CROSS JOIN cls k
+         JOIN pri p ON p.c = k.c
+         LEFT JOIN ct m ON m.c = k.c AND m.term = t.term
+         GROUP BY t.doc_id, k.c, p.n_docs_c, k.n_c),
+       best AS (
+         SELECT doc_id, c AS predicted, score,
+                row_number() OVER (
+                  PARTITION BY doc_id ORDER BY score DESC, c ASC) AS rk
+         FROM sc)
+       SELECT b.doc_id, d.lang AS actual, b.predicted, b.score
+       FROM best b JOIN te d USING (doc_id) WHERE b.rk = 1"""
+)
+
+
+@_register("cl2_naive_bayes", _CL2_ORACLE)
+def cl2_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-engine multinomial Naive Bayes (operators/classifier
+    naive_bayes_classify): train a 5-way language classifier on the
+    2/3 train split of documents, classify the held-out 1/3, emit
+    (doc_id, actual, predicted, score). The model is three
+    map-side-combinable aggregates over one train scan; scoring is a
+    bounded |classes|× fan-out + vocabulary-sized broadcast join — the
+    canonical distributed NB dataflow. The oracle replays training AND
+    inference relationally, so every posterior and every argmax is
+    value-checked."""
+    from torcdb_spark.operators.classifier import naive_bayes_classify
+
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.where(F.col("doc_id") % 3 != 0)
+    test = docs.where(F.col("doc_id") % 3 == 0)
+    return naive_bayes_classify(train, test)
+
+
+@_register(
+    "ts4_ewma_smoothing",
+    """WITH packed AS (
+         SELECT user_id, list(value ORDER BY ts, event_id) AS xs
+         FROM events GROUP BY user_id
+       ),
+       folded AS (
+         -- dev is assigned BEFORE y: DuckDB 1.0's list_reduce mutates
+         -- acc.<field> in place as struct_pack fields evaluate, so any
+         -- field reading the PREVIOUS y must come before the field that
+         -- overwrites it.
+         SELECT user_id, xs,
+                list_reduce(
+                  list_prepend(
+                    struct_pack(dev := CAST(0.0 AS DOUBLE), y := xs[1]),
+                    list_transform(
+                      xs[2:],
+                      x -> struct_pack(dev := CAST(0.0 AS DOUBLE), y := x))),
+                  (acc, s) -> struct_pack(
+                    dev := greatest(
+                      acc.dev,
+                      abs(s.y - (CAST(0.25 AS DOUBLE) * s.y
+                                 + CAST(0.75 AS DOUBLE) * acc.y))),
+                    y := CAST(0.25 AS DOUBLE) * s.y
+                         + CAST(0.75 AS DOUBLE) * acc.y)
+                ) AS f
+         FROM packed)
+       SELECT user_id, CAST(len(xs) AS BIGINT) AS n_points,
+              floor(xs[-1] * 1000000 + CAST(0.5 AS DOUBLE)) / 1000000
+                AS last_raw,
+              floor(f.y * 1000000 + CAST(0.5 AS DOUBLE)) / 1000000
+                AS last_ewma,
+              floor(f.dev * 1000000 + CAST(0.5 AS DOUBLE)) / 1000000
+                AS max_abs_dev
+       FROM folded""",
+)
+def ts4_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA smoothing of the event value series (operators/
+    timeseries.ewma, α=0.25): the inherently-sequential recursion runs
+    as a per-key JVM array fold after ONE groupBy shuffle — evaluation
+    order is fixed by construction, so the oracle's ``list_reduce``
+    reproduces every double bit-for-bit. Emits per user the series
+    length, last raw value, last smoothed value, and the max smoothing
+    residual (the anomaly signal)."""
+    from torcdb_spark.operators.timeseries import ewma
+
+    ev = load_table(spark, sf_dir, "events")
+    return ewma(
+        ev, ["user_id"], "ts", "value", alpha=0.25, order_tiebreak="event_id"
+    )
+
+
+@_register(
+    "pp1_preference_pairs",
+    """WITH q AS (
+         SELECT doc_id, source, lang,
+                floor(((CASE WHEN length(text) BETWEEN 100 AND 20000
+                            THEN CAST(0.4 AS DOUBLE)
+                            ELSE CAST(0.0 AS DOUBLE) END)
+                    + (CASE WHEN n_tokens > 0
+                                 AND length(text)/n_tokens >= 3.0
+                                 AND length(text)/n_tokens <= 12.0
+                            THEN CAST(0.3 AS DOUBLE)
+                            ELSE CAST(0.0 AS DOUBLE) END)
+                    + (CASE WHEN length(text) > 0
+                            THEN CAST(length(regexp_replace(text,
+                                      '[^A-Za-z]', '', 'g')) AS DOUBLE)
+                                 / length(text)
+                            ELSE CAST(0.0 AS DOUBLE) END)
+                      * CAST(0.3 AS DOUBLE)) * 10000
+                      + CAST(0.5 AS DOUBLE)) / 10000 AS quality
+         FROM (SELECT doc_id, source, lang, text,
+                      CASE WHEN length(trim(text)) = 0 THEN 0
+                           ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                           END AS n_tokens
+               FROM documents)
+       ),
+       top AS (
+         SELECT source, lang, doc_id AS chosen_id,
+                quality AS chosen_score,
+                row_number() OVER (PARTITION BY source, lang
+                    ORDER BY quality DESC, doc_id ASC) AS rk
+         FROM q),
+       bot AS (
+         SELECT source, lang, doc_id AS rejected_id,
+                quality AS rejected_score,
+                row_number() OVER (PARTITION BY source, lang
+                    ORDER BY quality ASC, doc_id ASC) AS rk
+         FROM q)
+       SELECT t.source, t.lang, t.chosen_id, b.rejected_id,
+              t.chosen_score, b.rejected_score,
+              floor((t.chosen_score - b.rejected_score) * 10000
+                    + CAST(0.5 AS DOUBLE)) / 10000 AS margin
+       FROM top t JOIN bot b
+         ON t.source = b.source AND t.lang = b.lang
+       WHERE t.rk <= 3 AND b.rk <= 3
+         AND t.chosen_score - b.rejected_score >= CAST(0.05 AS DOUBLE)""",
+)
+def pp1_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reward-model preference-pair construction (operators/rank
+    preference_pairs): within every (source, lang) group, pair the 3
+    best quality-scored documents against the 3 worst with margin
+    ≥ 0.05 — the extremes-vs-extremes pairing every RLHF data builder
+    uses instead of O(n²) all-pairs. Two same-shuffle windows + a
+    k²-bounded group self-join; quality uses the portable
+    floor(x·10⁴+0.5)/10⁴ rounding so the pair set is engine-exact."""
+    from torcdb_spark.operators.rank import preference_pairs
+    from torcdb_spark.operators.text import quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = quality_score(docs).join(
+        docs.select("doc_id", "source", "lang"), "doc_id"
+    )
+    out = preference_pairs(
+        scored, ["source", "lang"], "doc_id", "quality", k=3, min_margin=0.05
+    )
+    # portable margin rounding (see quality_score's rounding note)
+    return out.withColumn(
+        "margin",
+        F.floor(
+            (F.col("chosen_score") - F.col("rejected_score")) * 10000
+            + F.lit(0.5)
+        )
+        / F.lit(10000.0),
+    )
+
+
+@_register(
+    "orc1_roundtrip",
+    """SELECT lang,
+              CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+              CAST(sum(length(text)) AS BIGINT) AS text_chars,
+              CAST(sum(n_chars) AS BIGINT) AS sum_n_chars
+       FROM documents GROUP BY lang""",
+)
+def orc1_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink/source round-trip (sources/io.write_table_partitioned,
+    fmt='orc'): write the documents corpus as a lang-partitioned ORC
+    table — Spark's second first-class columnar format, the
+    Hive-ecosystem interchange the parquet path doesn't cover — read it
+    back, and emit the per-lang census. The oracle computes the same
+    census from the ORIGINAL parquet, so any value lost or mangled by
+    the ORC encode/decode (strings with embedded newlines, negative
+    ids, NULLs) breaks the hash. Partition pruning on lang comes free
+    from the directory layout."""
+    import os
+    import tempfile
+
+    from torcdb_spark.sources.io import write_table_partitioned
+
+    docs = load_table(spark, sf_dir, "documents")
+    slug = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(tempfile.gettempdir(), f"torcdb_orc_docs_{slug}")
+    write_table_partitioned(docs, path, ["lang"], fmt="orc")
+    back = spark.read.orc(path)
+    return back.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("doc_id").cast("long").alias("sum_ids"),
+        F.sum(F.length("text")).cast("long").alias("text_chars"),
+        F.sum("n_chars").cast("long").alias("sum_n_chars"),
+    )
+
+
+@_register(
+    "pt1_partition_prune",
+    """SELECT CAST(strftime(o_orderdate, '%Y') AS BIGINT) AS order_year,
+              CAST(count(*) AS BIGINT) AS n_orders,
+              round(sum(o_totalprice), 2) AS revenue
+       FROM orders
+       WHERE o_orderpriority = '1-URGENT'
+       GROUP BY 1""",
+)
+def pt1_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-layout partition pruning end-to-end: land orders as a
+    directory-partitioned table on o_orderpriority (sources/io
+    write_table_partitioned), then run a priority-filtered yearly
+    rollup against the LANDED table. The filter never touches data —
+    it resolves to directory selection (PartitionFilters in the scan;
+    plan-asserted in tests/test_plans.py), which at 100 TB is the
+    difference between scanning one priority class and the whole fact
+    table. The oracle replays the rollup from the original parquet, so
+    the pruned scan is also value-verified."""
+    import os
+    import tempfile
+
+    from torcdb_spark.sources.io import write_table_partitioned
+
+    orders = load_table(spark, sf_dir, "orders")
+    slug = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(tempfile.gettempdir(), f"torcdb_part_orders_{slug}")
+    write_table_partitioned(orders, path, ["o_orderpriority"])
+    back = spark.read.parquet(path)
+    pruned = back.where(F.col("o_orderpriority") == "1-URGENT")
+    return pruned.groupBy(
+        F.year("o_orderdate").cast("long").alias("order_year")
+    ).agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
