@@ -1,0 +1,73 @@
+"""Luby MIS (analytics.maximal_independent_set): exact agreement with a
+sequential replay under the identical md5 priorities, plus the two
+defining properties (independence, maximality)."""
+
+import hashlib
+
+
+def _pri(v, rnd):
+    return int(
+        hashlib.md5(f"{v}:{rnd}".encode()).hexdigest()[:15], 16
+    )
+
+
+def _luby_replay(edge_list, max_rounds=40):
+    adj = {}
+    for a, b in edge_list:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    active = set(adj)
+    mis = set()
+    rnd = 0
+    while active and rnd < max_rounds:
+        rnd += 1
+        sel = set()
+        for v in active:
+            nb = [u for u in adj[v] if u in active]
+            key = (_pri(v, rnd), v)
+            if all(key < (_pri(u, rnd), u) for u in nb):
+                sel.add(v)
+        mis |= sel
+        removed = set(sel)
+        for v in sel:
+            removed |= {u for u in adj[v] if u in active}
+        active -= removed
+    return mis
+
+
+EDGES = [
+    (1, 2), (2, 3), (3, 4), (4, 1), (1, 3),   # clique-ish square
+    (5, 6), (6, 7),                            # path
+    (8, 8),                                    # self-loop: ignored
+    (9, 10),
+    (2, 5),                                    # bridge
+]
+
+
+def _spark_mis(spark):
+    from torcdb_spark.analytics import maximal_independent_set
+
+    e = spark.createDataFrame(EDGES, "src long, dst long")
+    return {r["id"] for r in maximal_independent_set(e).collect()}
+
+
+def test_mis_matches_sequential_replay(spark):
+    assert _spark_mis(spark) == _luby_replay(EDGES)
+
+
+def test_mis_is_independent_and_maximal(spark):
+    mis = _spark_mis(spark)
+    adj = {}
+    for a, b in EDGES:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    # independence: no edge inside the set
+    for a, b in EDGES:
+        assert not (a != b and a in mis and b in mis)
+    # maximality: every non-member has a member neighbor
+    for v in adj:
+        assert v in mis or adj[v] & mis

@@ -1509,3 +1509,104 @@ def strongly_connected_components(
     for p in done_parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def maximal_independent_set(
+    edges: DataFrame,
+    max_rounds: int = 40,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Maximal independent set via Luby's algorithm → (id) — one row per
+    selected vertex, deterministic.
+
+    Luby is the canonical distributed MIS (Luby 1986): per round every
+    ACTIVE vertex draws a priority; a vertex joins the MIS iff its
+    priority is a strict local minimum among active neighbors; selected
+    vertices AND their neighbors deactivate. Expected O(log n) rounds.
+    The reference has no MIS; this extends the G4 analytics family with
+    the standard symmetry-breaking primitive (graph coloring, parallel
+    matching, and landmark selection all reduce to it).
+
+    Determinism: the "random" priority is md5-derived —
+    ``conv(substr(md5(id || ':' || round), 1, 15), 16, 10)`` with ties
+    broken by vertex id, so every engine (and the sequential pytest
+    replay, tests/test_mis.py) selects the IDENTICAL set; md5 keeps the
+    per-round draws independent enough for Luby's round bound.
+
+    Scale shape per round: priorities are per-row expressions (no join
+    to a priority table); the local-min test is one edge-keyed
+    aggregate; deactivation is two hash anti-joins. Active state
+    localCheckpoints with the module's stats barrier (high-fan loop).
+    Isolated-by-removal vertices self-select in their next round (no
+    neighbors ⇒ vacuous local minimum), so termination sweeps the tail.
+    """
+
+    def pri(col: Column, rnd: int) -> Column:
+        return F.conv(
+            F.substring(
+                F.md5(F.concat(col.cast("string"), F.lit(f":{rnd}"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    sym = (
+        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .unionByName(
+            edges.select(
+                F.col(dst_col).alias("a"), F.col(src_col).alias("b")
+            ).where(F.col("a") != F.col("b"))
+        )
+        .distinct()
+    )
+    active_v = _checkpointed(
+        sym.select(F.col("a").alias("id"))
+        .unionByName(sym.select(F.col("b").alias("id")))
+        .distinct()
+    )
+    active_e = _checkpointed(sym)
+    mis_parts: list[DataFrame] = []
+    for rnd in range(1, max_rounds + 1):
+        if active_v.isEmpty():
+            break
+        # min (priority, id) over active neighbors, per vertex
+        nbr_min = active_e.groupBy(F.col("a").alias("id")).agg(
+            F.min(F.struct(pri(F.col("b"), rnd).alias("p"),
+                           F.col("b").alias("i"))).alias("nb")
+        )
+        cand = (
+            active_v.join(nbr_min, "id", "left")
+            .where(
+                F.col("nb").isNull()
+                | (
+                    F.struct(
+                        pri(F.col("id"), rnd).alias("p"),
+                        F.col("id").alias("i"),
+                    )
+                    < F.col("nb")
+                )
+            )
+            .select("id")
+        )
+        selected = _checkpointed(cand)
+        mis_parts.append(selected)
+        # deactivate selected ∪ neighbors(selected)
+        removed = selected.unionByName(
+            active_e.join(
+                selected.withColumnRenamed("id", "a"), "a"
+            ).select(F.col("b").alias("id"))
+        ).distinct()
+        active_v = _checkpointed_nostats(
+            active_v.join(removed, "id", "left_anti")
+        )
+        active_e = _checkpointed_nostats(
+            active_e.join(active_v.withColumnRenamed("id", "a"), "a")
+            .join(active_v.withColumnRenamed("id", "b"), "b")
+            .select("a", "b")
+        )
+    out = mis_parts[0]
+    for p in mis_parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -7807,3 +7807,30 @@ def pt1_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_orders"),
         F.round(F.sum("o_totalprice"), 2).alias("revenue"),
     )
+
+
+@_register("mis1_independent_set")  # rows-only: MIS needs Luby's
+# round-until-empty loop — not SQL-expressible; exact set agreement with
+# a sequential replay under identical md5 priorities is pytest-proven
+# (tests/test_mis.py, incl. independence + maximality properties)
+def mis1_independent_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal independent set via deterministic Luby (analytics
+    maximal_independent_set) over the part–supplier supply graph: the
+    distributed symmetry-breaking primitive (coloring, matching,
+    landmark selection). Expected O(log n) rounds, each one edge-keyed
+    aggregate + two anti-joins; priorities are md5-derived so the set
+    is unique and engine-replayable. Returns the MIS summary."""
+    from torcdb_spark.analytics import maximal_independent_set
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.col("l_partkey").alias("src"),
+        (F.col("l_suppkey") + F.lit(10_000_000)).alias("dst"),
+    ).distinct()
+    mis = maximal_independent_set(edges)
+    return mis.agg(
+        F.count("*").cast("long").alias("n_mis_vertices"),
+        F.sum("id").cast("long").alias("sum_ids"),
+        F.min("id").cast("long").alias("min_id"),
+        F.max("id").cast("long").alias("max_id"),
+    )
