@@ -1421,3 +1421,52 @@ def test_gif_animation_roundtrip():
     # the single-image decoder refuses animations by documented contract
     with pytest.raises(NotImplementedError):
         decode_gif(g)
+
+
+def test_kneser_ney_bigram_math(spark):
+    """KN probabilities vs a by-hand replay on a tiny corpus."""
+    from collections import Counter
+    import math
+
+    from torcdb_spark.operators.text import kneser_ney_bigram
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b c"),
+            (2, "b c a"),
+            (3, "x"),          # < 2 tokens: contributes nothing
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["context"], r["next_word"]): r
+        for r in kneser_ney_bigram(docs, 0.75).collect()
+    }
+
+    bigrams = [("a","b"),("b","a"),("a","b"),("b","c"),("b","c"),("c","a")]
+    c_bi = Counter(bigrams)
+    c_ctx = Counter(v for v, _ in bigrams)
+    follow = {v: len({w for (x, w) in c_bi if x == v}) for v, _ in bigrams}
+    prec = {w: len({x for (x, y) in c_bi if y == w}) for _, w in bigrams}
+    total = len(c_bi)
+    for (v, w), c in c_bi.items():
+        p = (max(c - 0.75, 0.0) / c_ctx[v]
+             + 0.75 * follow[v] / c_ctx[v] * (prec[w] / float(total)))
+        r = got[(v, w)]
+        assert r["c_bi"] == c
+        assert r["c_ctx"] == c_ctx[v]
+        assert r["n_follow_types"] == follow[v]
+        assert r["n_prec_types"] == prec[w]
+        assert r["p_kn"] == math.floor(p * 1_000_000 + 0.5) / 1_000_000
+    assert set(got) == set(c_bi)
+    # probability mass per context sums to ~1 (interpolated KN is proper)
+    for v in c_ctx:
+        mass = sum(
+            (max(c_bi[(v, w)] - 0.75, 0.0) / c_ctx[v]
+             + 0.75 * follow[v] / c_ctx[v] * (prec[w] / float(total)))
+            for w in prec  # full vocab on the next-word side
+            if True
+        )
+        # over OBSERVED next-words only it's < 1; with the continuation
+        # term extended over the whole vocab it hits 1 — check the bound
+        assert mass <= 1.0 + 1e-9

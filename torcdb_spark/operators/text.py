@@ -1122,3 +1122,70 @@ def content_defined_chunks(
     return tagged.groupBy(id_col, "chunk_id").agg(
         F.count("*").cast("long").alias("chunk_len")
     )
+
+
+def kneser_ney_bigram(
+    docs: DataFrame,
+    discount: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Interpolated Kneser-Ney bigram model over the corpus → one row per
+    observed bigram: (context, next_word, c_bi, c_ctx, n_follow_types,
+    n_prec_types, p_kn). THE n-gram smoothing that made count-based LMs
+    competitive (Kneser & Ney 1995; Chen & Goodman 1998), and the piece
+    add-α models (bigram_perplexity above) lack: absolute discounting
+    plus a CONTINUATION-count backoff — "how many distinct contexts does
+    w follow" rather than "how often does w occur", which is what keeps
+    'Francisco' from getting high unigram mass.
+
+        P_KN(w|v) = max(c(v,w) − D, 0)/c(v·)
+                    + D·N1+(v·)/c(v·) · N1+(·w)/N1+(··)
+
+    Scale shape: one corpus tokenize pass → the bigram count table
+    (vocabulary², but Zipf-sparse — corpus-scans dominate, the model
+    table is joinable); every other statistic (context totals, follow
+    types, preceding types, total types) is an aggregate or window OVER
+    that table, never over the corpus again. All counts are BIGINT; the
+    only doubles are the final per-row probability expression, so an
+    external SQL oracle replays every value exactly."""
+    from pyspark.sql.window import Window as W
+
+    toks = docs.select(
+        F.col(id_col), word_tokens(F.col(text_col)).alias("_tk")
+    ).where(F.size("_tk") >= 2)
+    pos = toks.select(F.col(id_col), F.posexplode("_tk").alias("_i", "cur"))
+    w = W.partitionBy(id_col).orderBy("_i")
+    bi = (
+        pos.select(F.lag("cur").over(w).alias("context"), F.col("cur"))
+        .where(F.col("context").isNotNull() & (F.col("context") != "")
+               & (F.col("cur") != ""))
+    )
+    c_bi = bi.groupBy("context", "cur").agg(
+        F.count("*").cast("long").alias("c_bi")
+    )
+    wv = W.partitionBy("context")
+    ww = W.partitionBy("cur")
+    d = float(discount)
+    model = (
+        c_bi.withColumn("c_ctx", F.sum("c_bi").over(wv).cast("long"))
+        .withColumn("n_follow_types", F.count("*").over(wv).cast("long"))
+        .withColumn("n_prec_types", F.count("*").over(ww).cast("long"))
+    )
+    total_types = c_bi.count()
+    p = (
+        F.greatest(F.col("c_bi") - F.lit(d), F.lit(0.0)) / F.col("c_ctx")
+        + F.lit(d) * F.col("n_follow_types") / F.col("c_ctx")
+        * (F.col("n_prec_types") / F.lit(float(total_types)))
+    )
+    return model.select(
+        "context",
+        F.col("cur").alias("next_word"),
+        "c_bi",
+        "c_ctx",
+        "n_follow_types",
+        "n_prec_types",
+        (F.floor(p * 1_000_000 + F.lit(0.5)) / F.lit(1_000_000.0)).alias(
+            "p_kn"
+        ),
+    )

@@ -7834,3 +7834,105 @@ def mis1_independent_set(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("id").cast("long").alias("min_id"),
         F.max("id").cast("long").alias("max_id"),
     )
+
+
+@_register(
+    "d23_kneser_ney",
+    """WITH toks AS (
+         SELECT doc_id, unnest(tk) AS t,
+                generate_subscripts(tk, 1) AS i
+         FROM (SELECT doc_id,
+                      regexp_split_to_array(lower(trim(text)), '\\s+') AS tk
+               FROM documents)
+         WHERE len(tk) >= 2
+       ),
+       bi AS (
+         SELECT a.t AS context, b.t AS cur
+         FROM toks a JOIN toks b
+           ON a.doc_id = b.doc_id AND b.i = a.i + 1
+         WHERE a.t <> '' AND b.t <> ''
+       ),
+       c_bi AS (
+         SELECT context, cur, CAST(count(*) AS BIGINT) AS c_bi
+         FROM bi GROUP BY 1, 2
+       ),
+       model AS (
+         SELECT context, cur, c_bi,
+                CAST(SUM(c_bi) OVER (PARTITION BY context) AS BIGINT)
+                  AS c_ctx,
+                CAST(COUNT(*) OVER (PARTITION BY context) AS BIGINT)
+                  AS n_follow_types,
+                CAST(COUNT(*) OVER (PARTITION BY cur) AS BIGINT)
+                  AS n_prec_types
+         FROM c_bi
+       ),
+       tot AS (SELECT CAST(count(*) AS DOUBLE) AS total_types FROM c_bi),
+       scored AS (
+         SELECT context, cur AS next_word, c_bi, c_ctx,
+                n_follow_types, n_prec_types,
+                floor((greatest(c_bi - CAST(0.75 AS DOUBLE),
+                                CAST(0.0 AS DOUBLE)) / c_ctx
+                       + CAST(0.75 AS DOUBLE) * n_follow_types / c_ctx
+                         * (n_prec_types
+                            / (SELECT total_types FROM tot))) * 1000000
+                      + CAST(0.5 AS DOUBLE)) / 1000000 AS p_kn
+         FROM model
+       ),
+       top_ctx AS (
+         SELECT context, c_ctx,
+                row_number() OVER (
+                  ORDER BY c_ctx DESC, context ASC) AS ctx_rank
+         FROM (SELECT DISTINCT context, c_ctx FROM scored)
+         QUALIFY ctx_rank <= 20
+       )
+       SELECT s.context, s.next_word, s.c_bi, s.c_ctx,
+              s.n_follow_types, s.n_prec_types, s.p_kn,
+              CAST(r.wrank AS BIGINT) AS word_rank
+       FROM (SELECT *, row_number() OVER (
+                PARTITION BY context
+                ORDER BY c_bi DESC, next_word ASC) AS wrank
+             FROM scored) r
+       JOIN scored s
+         ON s.context = r.context AND s.next_word = r.next_word
+       JOIN top_ctx t ON t.context = s.context
+       WHERE r.wrank <= 3""",
+)
+def d23_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram LM (operators/text
+    kneser_ney_bigram, D=0.75): absolute discounting + continuation-
+    count backoff, the smoothing add-α models lack. The query surfaces
+    the model head — for the 20 highest-mass contexts, the top-3
+    predicted next words with their KN probabilities. Ranking is on
+    INTEGER counts (ties by word), so ordering is engine-exact; the
+    probability itself is value-checked via the portable rounding. The
+    oracle recomputes the entire model relationally."""
+    from pyspark.sql.window import Window as W
+
+    from torcdb_spark.operators.text import kneser_ney_bigram
+
+    docs = load_table(spark, sf_dir, "documents")
+    m = kneser_ney_bigram(docs, discount=0.75)
+    top_ctx = (
+        m.select("context", "c_ctx")
+        .distinct()
+        .withColumn(
+            "_cr",
+            F.row_number().over(
+                W.orderBy(F.desc("c_ctx"), F.asc("context"))
+            ),
+        )
+        .where(F.col("_cr") <= 20)
+        .select("context")
+    )
+    ranked = m.join(F.broadcast(top_ctx), "context").withColumn(
+        "word_rank",
+        F.row_number().over(
+            W.partitionBy("context").orderBy(
+                F.desc("c_bi"), F.asc("next_word")
+            )
+        ).cast("long"),
+    )
+    return ranked.where(F.col("word_rank") <= 3).select(
+        "context", "next_word", "c_bi", "c_ctx",
+        "n_follow_types", "n_prec_types", "p_kn", "word_rank",
+    )
