@@ -643,26 +643,23 @@ def x_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 # its registration order after slot 50 and stays covered by the local
 # exact-value gate (tests/test_oracle_parity.py).
 DRIVER_PRIORITY: list[str] = [
-    # §2.1/2.2 sources + lookups
-    "s5_vertex_lookup",
+    # §2.1/2.2 sources + lookups (s5, driver-green r1-r5-gate, ceded to
+    # the round-5 additions below; vertex lookup is also exercised by
+    # every traverse query and stays locally exact-gated)
     "s6_edges_by_key",
-    # §2.3 traversal surface
-    "t1_traverse_both",
-    # t2/t3/t4 (driver-green r1-r4) ceded their slots to the round-5
-    # classifier/SCC/top-p/set-similarity families below; all stay
+    # §2.3 traversal surface: t1 (both directions) + t8 (degree) remain
+    # the family witnesses; t2/t3/t4 ceded earlier, t6/t7 (driver-green
+    # r1-r4) ceded this round to the round-5 families below — all stay
     # covered by the local exact-value gate + traverse pytest suite
-    "t6_edge_vertices",
-    "t7_label_counts",
+    "t1_traverse_both",
     # T8 keeps t8_degree_out as its witness; the serde round-trips t9/t10
     # (driver-green r3+r4) ceded their slots to round-5 families and stay
     # covered by the local exact-value gate + pytest serde suites
     "t8_degree_out",
-    # §2.3 set algebra (TorcHelper): two witnesses — a2/a3/a5 (semi/anti
-    # join + projection one-liners, driver-green since r1) ceded their
-    # slots to round-4 corpus-pipeline families and stay locally
+    # §2.3 set algebra (TorcHelper): a1 is the witness — a2/a3/a5 ceded
+    # in round 4, a4 (driver-green r1-r4) this round; all stay locally
     # exact-gated
     "a1_fuse",
-    "a4_remove_edge_if",
     # §2.4 gremlin steps (G1/G2/G3 keep three witnesses; both_e/where_not/
     # order_by_prop/repeat/group ceded slots to round-4 operator families
     # below and stay covered by the local exact-value gate)
@@ -674,9 +671,10 @@ DRIVER_PRIORITY: list[str] = [
     "g_shortest_paths",
     # §2.4 library steps (q_topk ceded its slot after two green rounds;
     # ldbc_ic_like_foaf_copurchase below remains the composite witness)
-    # §2.5 relational/OLAP (TPC-H shapes; q9 ceded its slot to er1)
+    # §2.5 relational/OLAP (TPC-H shapes; q9 ceded its slot to er1 in
+    # r4, q18 — driver-green r2-r4 — to the round-5 additions; all 22
+    # TPC-H shapes stay locally exact-gated)
     "q1_pricing_summary",
-    "q18_large_volume_customers",
     # §2.5 temporal extensions (range join + hypertable rollup/gap-fill):
     # displace two of the eight TPC-H witnesses — §2.5-relational keeps six
     # green representatives, and the two novel operator families gain hard
@@ -691,10 +689,9 @@ DRIVER_PRIORITY: list[str] = [
     "st_docs_history_dedup",
     # LLM-pipeline extension operators
     "d1_dedup_exact",
-    # d2 keeps the text-family witness slot; d9 (r2-r4 green) and d16
-    # (r3-r4 green) ceded theirs to round-5 families and stay locally
-    # exact-gated
-    "d2_text_stats",
+    # d2 (text stats, driver-green r1-r4) joined d9/d16 in ceding to
+    # round-5 families; the text family keeps its exact witnesses via
+    # d13/d18/d21/d23 and stays locally exact-gated
     # d13 is the MinHash-family exact witness (cluster assignments are
     # hash-checked); x_minhash itself is rows-only by design and ceded
     # its slot to an exact-oracled round-5 family after four rows-only
@@ -753,6 +750,14 @@ DRIVER_PRIORITY: list[str] = [
                                # trajectory oracle-unrolled)
     "scc1_navigation_core",    # directed SCC via FW-BW-MIN peeling
     "ssj1_jaccard_join",       # exact prefix-filtered set-similarity join
+    # round-5 (this session) operator families, all exact-value-oracled
+    # (slots ceded by s5/t6/t7/a4/d2/q18 above):
+    "cl2_naive_bayes",         # in-engine NB train + classify
+    "d23_kneser_ney",          # interpolated Kneser-Ney bigram LM
+    "ts4_ewma_smoothing",      # per-key EWMA via deterministic fold
+    "pp1_preference_pairs",    # RLHF preference-pair construction
+    "orc1_roundtrip",          # ORC sink/source round-trip
+    "pt1_partition_prune",     # hive-layout pruning, value-verified
 ]
 
 
