@@ -20,11 +20,27 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _digest(key: Column, group: int, seed: int) -> Column:
+    """One md5 digest covers FOUR sketch rows: 32 hex chars slice into
+    4×8-char chunks (32 bits each — plenty for w ≤ 2^20 grids). Hashing
+    is the sketch's only per-row CPU, so amortizing the digest 4× is a
+    4× cut in the scan's hot loop; rows beyond 4 re-salt with the group
+    index."""
+    return F.md5(F.concat(key.cast("string"), F.lit(f":{group}:{seed}")))
+
+
+def _bucket_from_digest(digest: Column, row: int, w: int) -> Column:
+    """Bucket for sketch row ``row``: hex chunk row%4 of its group's
+    digest → int % w."""
+    off = (row % 4) * 8
+    return F.conv(F.substring(digest, 1 + off, 8), 16, 10).cast("long") % w
+
+
 def _bucket(key: Column, row: int, w: int, seed: int) -> Column:
-    """Deterministic bucket for (key, row): first 8 md5 hex chars → int
-    % w. 32 bits of the digest is plenty for w ≤ 2^20 grids."""
-    h = F.md5(F.concat(key.cast("string"), F.lit(f":{row}:{seed}")))
-    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % w
+    """Deterministic bucket for (key, row) — the one-off form used by
+    probes (d columns per probe row, so the digest CSE happens in the
+    oracle/probe plan anyway)."""
+    return _bucket_from_digest(_digest(key, row // 4, seed), row, w)
 
 
 def cms_sketch(
@@ -37,17 +53,26 @@ def cms_sketch(
     """Build the sketch: (row, bucket, n) — at most d*w rows out, one
     partial-aggregated shuffle in, key cardinality irrelevant. Union any
     number of sketches and ``cms_merge`` to combine."""
+    n_groups = (d + 3) // 4
+    staged = df.select(
+        *[
+            _digest(F.col(key_col), g, seed).alias(f"_dg{g}")
+            for g in range(n_groups)
+        ]
+    )
     rows = F.explode(
         F.array(*[
             F.struct(
                 F.lit(i).alias("row"),
-                _bucket(F.col(key_col), i, w, seed).alias("bucket"),
+                _bucket_from_digest(
+                    F.col(f"_dg{i // 4}"), i, w
+                ).alias("bucket"),
             )
             for i in range(d)
         ])
     ).alias("_rb")
     return (
-        df.select(rows)
+        staged.select(rows)
         .select(F.col("_rb.row").alias("row"), F.col("_rb.bucket").alias("bucket"))
         .groupBy("row", "bucket")
         .agg(F.count("*").cast("long").alias("n"))
@@ -105,10 +130,12 @@ def cms_oracle_sql(
     from_hex is awkward — use a manual hex-to-int on the first 8 chars),
     so the sketch's exact values — not just its bounds — are verifiable."""
     def bucket(col: str, i: int) -> str:
-        # first 8 hex chars of md5 -> BIGINT, portably
-        h = f"md5(CAST({col} AS VARCHAR) || ':{i}:{seed}')"
+        # hex chunk i%4 of the group digest -> BIGINT, portably
+        # (mirrors _bucket_from_digest: one digest covers 4 rows)
+        h = f"md5(CAST({col} AS VARCHAR) || ':{i // 4}:{seed}')"
+        off = (i % 4) * 8
         return (
-            f"(CAST(('0x' || substring({h}, 1, 8)) AS BIGINT) % {w})"
+            f"(CAST(('0x' || substring({h}, {1 + off}, 8)) AS BIGINT) % {w})"
         )
 
     build_rows = " UNION ALL ".join(
