@@ -71,3 +71,49 @@ def test_mis_is_independent_and_maximal(spark):
     # maximality: every non-member has a member neighbor
     for v in adj:
         assert v in mis or adj[v] & mis
+
+
+def _coloring_replay(edge_list, max_colors=16):
+    adj = {}
+    for a, b in edge_list:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    uncolored = set(adj)
+    colors = {}
+    color = 0
+    while uncolored and color < max_colors:
+        color += 1
+        sub_edges = [
+            (a, b) for a, b in edge_list
+            if a != b and a in uncolored and b in uncolored
+        ]
+        with_nb = {v for e in sub_edges for v in e}
+        sel = _luby_replay(sub_edges) | (uncolored - with_nb)
+        for v in sel:
+            colors[v] = color
+        uncolored -= sel
+    return colors
+
+
+def test_coloring_matches_sequential_replay(spark):
+    from torcdb_spark.analytics import greedy_coloring
+
+    e = spark.createDataFrame(EDGES, "src long, dst long")
+    got = {
+        r["id"]: r["color"] for r in greedy_coloring(e).collect()
+    }
+    assert got == _coloring_replay(EDGES)
+
+
+def test_coloring_is_proper_and_total(spark):
+    from torcdb_spark.analytics import greedy_coloring
+
+    e = spark.createDataFrame(EDGES, "src long, dst long")
+    got = {r["id"]: r["color"] for r in greedy_coloring(e).collect()}
+    verts = {v for a, b in EDGES if a != b for v in (a, b)}
+    assert set(got) == verts          # total
+    for a, b in EDGES:
+        if a != b:
+            assert got[a] != got[b]   # proper

@@ -1606,7 +1606,70 @@ def maximal_independent_set(
             .join(active_v.withColumnRenamed("id", "b"), "b")
             .select("a", "b")
         )
+    if not mis_parts:  # empty / self-loop-only graph
+        return sym.select(F.col("a").alias("id")).limit(0)
     out = mis_parts[0]
     for p in mis_parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def greedy_coloring(
+    edges: DataFrame,
+    max_colors: int = 16,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Proper vertex coloring via iterated Luby MIS → (id, color) with
+    colors 1..C: color c is a maximal independent set of the not-yet-
+    colored subgraph, so no edge ever joins two same-colored vertices
+    (proper by construction) and C ≤ Δ+1 in expectation (Jones-Plassmann
+    family). The distributed scheduling primitive: rounds of mutually
+    non-conflicting work (updates that share an edge never share a
+    color/phase).
+
+    Determinism: inherits maximal_independent_set's md5 priorities —
+    the full color assignment is unique and sequentially replayable
+    (tests/test_mis.py::test_coloring_*). Each color costs one MIS run
+    over a strictly-shrinking subgraph; per-round state checkpoints
+    inside MIS, the remaining-vertex frame checkpoints here."""
+    remaining_e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).where(F.col("src") != F.col("dst"))
+    remaining_v = _checkpointed(
+        remaining_e.select(F.col("src").alias("id"))
+        .unionByName(remaining_e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    parts: list[DataFrame] = []
+    for color in range(1, max_colors + 1):
+        if remaining_v.isEmpty():
+            break
+        mis = _checkpointed(maximal_independent_set(remaining_e))
+        # vertices isolated by prior removals never appear in
+        # remaining_e; they are trivially independent — color them now
+        iso = remaining_v.join(
+            remaining_e.select(F.col("src").alias("id"))
+            .unionByName(remaining_e.select(F.col("dst").alias("id")))
+            .distinct(),
+            "id",
+            "left_anti",
+        )
+        colored = mis.unionByName(iso).distinct()
+        parts.append(
+            colored.select("id", F.lit(color).cast("long").alias("color"))
+        )
+        remaining_v = _checkpointed_nostats(
+            remaining_v.join(colored, "id", "left_anti")
+        )
+        remaining_e = _checkpointed_nostats(
+            remaining_e.join(
+                colored.withColumnRenamed("id", "src"), "src", "left_anti"
+            ).join(
+                colored.withColumnRenamed("id", "dst"), "dst", "left_anti"
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
         out = out.unionByName(p)
     return out

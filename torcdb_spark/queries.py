@@ -7941,3 +7941,42 @@ def d23_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
         "context", "next_word", "c_bi", "c_ctx",
         "n_follow_types", "n_prec_types", "p_kn", "word_rank",
     )
+
+
+@_register("gc1_graph_coloring")  # rows-only: iterated-MIS coloring needs
+# the Luby round-until-empty loop per color — not SQL-expressible; exact
+# color-assignment agreement with a sequential replay under identical md5
+# priorities + properness/totality are pytest-proven (tests/test_mis.py)
+def gc1_graph_coloring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proper vertex coloring (analytics.greedy_coloring — iterated
+    deterministic Luby MIS, Jones-Plassmann family) of the user-
+    navigation transition core (same scale-stable top-175-support edge
+    construction as scc1): the distributed scheduling primitive —
+    vertices sharing an edge never share a color, so each color class
+    is a conflict-free update round. Emits per-color class size + id
+    checksum (deterministic: the full assignment is unique under the
+    md5 priorities)."""
+    from torcdb_spark.analytics import greedy_coloring
+
+    events = load_table(spark, sf_dir, "events")
+    seq = events.select(
+        "user_id",
+        F.get_json_object(F.col("props"), "$.k").cast("long").alias("k"),
+        "ts",
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tr = seq.select(
+        F.col("k").alias("src"), F.lead("k").over(w).alias("dst")
+    ).where(F.col("dst").isNotNull())
+    cnts = tr.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("n"))
+    edges = (
+        cnts.orderBy(F.desc("n"), F.asc("src"), F.asc("dst"))
+        .limit(175)
+        .select("src", "dst")
+    )
+    colored = greedy_coloring(edges)
+    return colored.groupBy("color").agg(
+        F.count("*").cast("long").alias("n_vertices"),
+        F.sum("id").cast("long").alias("sum_ids"),
+    )
