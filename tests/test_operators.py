@@ -1470,3 +1470,33 @@ def test_kneser_ney_bigram_math(spark):
         # over OBSERVED next-words only it's < 1; with the continuation
         # term extended over the whole vocab it hits 1 — check the bound
         assert mass <= 1.0 + 1e-9
+
+
+def test_scrub_duplicate_spans_semantics(spark):
+    """Keep-first span removal on a constructed corpus."""
+    import hashlib
+
+    from torcdb_spark.operators.text import scrub_duplicate_spans
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e"),          # owner of every span it has
+            (2, "x a b c y"),          # 'a b c' foreign -> cut 3 tokens
+            (3, "a b c d e"),          # full duplicate -> cut everything
+            (4, "q r"),                # < 3 tokens: untouched
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in scrub_duplicate_spans(docs, 3).collect()}
+
+    def h(s):
+        return hashlib.md5(s.encode()).hexdigest()
+
+    assert (got[1]["n_removed"], got[1]["n_kept"]) == (0, 5)
+    assert got[1]["kept_md5"] == h("a b c d e")
+    assert (got[2]["n_removed"], got[2]["n_kept"]) == (3, 2)
+    assert got[2]["kept_md5"] == h("x y")
+    assert (got[3]["n_removed"], got[3]["n_kept"]) == (5, 0)
+    assert got[3]["kept_md5"] == h("")
+    assert (got[4]["n_removed"], got[4]["n_kept"]) == (0, 2)
+    assert got[4]["kept_md5"] == h("q r")

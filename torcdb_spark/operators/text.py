@@ -1189,3 +1189,91 @@ def kneser_ney_bigram(
             "p_kn"
         ),
     )
+
+
+def scrub_duplicate_spans(
+    docs: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-document duplicate-span REMOVAL (the transform behind
+    ``cross_doc_span_stats``' signal; ExactSubstr-style, Lee et al.
+    2022 "Deduplicating Training Data Makes Language Models Better"):
+    every word n-gram span is owned by the lowest doc id carrying it;
+    in every OTHER document, all token positions covered by that span
+    are cut. → (id, n_tokens, n_removed, n_kept, kept_md5) where
+    kept_md5 fingerprints the reconstructed post-scrub text (tokens in
+    original order), so an oracle verifies the actual rewrite, not just
+    its size.
+
+    Scale shape: span ownership is one span-keyed min aggregate
+    (vocabulary-bounded); coverage is a bounded n× explode of the
+    foreign spans; the rewrite is an anti-join on (id, position) + one
+    id-keyed ordered fold — no corpus-wide window, no driver state.
+    Same codegen discipline as word_span_frame: explode START POSITIONS
+    and slice per row, never a transform-lambda under the Generate."""
+    toks = docs.select(
+        F.col(id_col), word_tokens(F.col(text_col)).alias("_tk")
+    )
+    pos = toks.select(
+        F.col(id_col), F.posexplode("_tk").alias("_p0", "_t")
+    ).select(id_col, (F.col("_p0") + 1).alias("_p"), "_t")
+    starts = toks.where(F.size("_tk") >= n).select(
+        F.col(id_col),
+        F.col("_tk"),
+        F.explode(
+            F.sequence(F.lit(1), F.size("_tk") - (n - 1))
+        ).alias("_i"),
+    )
+    spans = starts.select(
+        F.col(id_col),
+        "_i",
+        F.array_join(F.slice(F.col("_tk"), F.col("_i"), n), " ").alias(
+            "span"
+        ),
+    )
+    owners = spans.groupBy("span").agg(F.min(id_col).alias("_owner"))
+    foreign = (
+        spans.join(owners, "span")
+        .where(F.col("_owner") < F.col(id_col))
+        .select(id_col, "_i")
+        .distinct()
+    )
+    covered = foreign.select(
+        F.col(id_col),
+        F.explode(
+            F.sequence(F.col("_i"), F.col("_i") + (n - 1))
+        ).alias("_p"),
+    ).distinct()
+    kept = pos.join(covered, [id_col, "_p"], "left_anti")
+    agg = kept.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("_n_kept"),
+        F.md5(
+            F.encode(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("_p", "_t"))
+                        ),
+                        lambda s: s["_t"],
+                    ),
+                    " ",
+                ),
+                "utf-8",
+            )
+        ).alias("_kept_md5"),
+    )
+    census = toks.select(
+        F.col(id_col), F.size("_tk").cast("long").alias("n_tokens")
+    )
+    empty_md5 = "d41d8cd98f00b204e9800998ecf8427e"  # md5("")
+    return census.join(agg, id_col, "left").select(
+        F.col(id_col),
+        "n_tokens",
+        (F.col("n_tokens") - F.coalesce(F.col("_n_kept"), F.lit(0)))
+        .cast("long")
+        .alias("n_removed"),
+        F.coalesce(F.col("_n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+        F.coalesce(F.col("_kept_md5"), F.lit(empty_md5)).alias("kept_md5"),
+    )

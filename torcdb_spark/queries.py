@@ -7980,3 +7980,65 @@ def gc1_graph_coloring(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_vertices"),
         F.sum("id").cast("long").alias("sum_ids"),
     )
+
+
+@_register(
+    "d24_span_scrub",
+    """WITH toks AS (
+         SELECT doc_id,
+                regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+         FROM documents
+       ),
+       pos AS (
+         SELECT doc_id, unnest(t) AS tok, generate_subscripts(t, 1) AS p
+         FROM toks
+       ),
+       spans AS (
+         SELECT doc_id, i, array_to_string(t[i : i + 2], ' ') AS span
+         FROM (SELECT doc_id, t,
+                      unnest(generate_series(1, len(t) - 2)) AS i
+               FROM toks WHERE len(t) >= 3)
+       ),
+       owners AS (SELECT span, min(doc_id) AS owner FROM spans GROUP BY span),
+       foreign_spans AS (
+         SELECT DISTINCT s.doc_id, s.i
+         FROM spans s JOIN owners o USING (span)
+         WHERE o.owner < s.doc_id
+       ),
+       covered AS (
+         SELECT DISTINCT doc_id, i + unnest(generate_series(0, 2)) AS p
+         FROM foreign_spans
+       ),
+       kept AS (
+         SELECT pos.doc_id, pos.p, pos.tok
+         FROM pos LEFT JOIN covered c
+           ON c.doc_id = pos.doc_id AND c.p = pos.p
+         WHERE c.p IS NULL
+       ),
+       agg AS (
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+                md5(string_agg(tok, ' ' ORDER BY p)) AS kept_md5
+         FROM kept GROUP BY doc_id
+       ),
+       census AS (
+         SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens FROM toks
+       )
+       SELECT c.doc_id, c.n_tokens,
+              CAST(c.n_tokens - COALESCE(a.n_kept, 0) AS BIGINT)
+                AS n_removed,
+              CAST(COALESCE(a.n_kept, 0) AS BIGINT) AS n_kept,
+              COALESCE(a.kept_md5, md5('')) AS kept_md5
+       FROM census c LEFT JOIN agg a USING (doc_id)""",
+)
+def d24_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-span scrubbing (operators/text.scrub_duplicate_spans,
+    word-trigram spans): the REWRITE behind d19's retention signal —
+    keep-first ownership cuts every foreign duplicated span's token
+    positions from the carrier documents (ExactSubstr dedup, Lee et al.
+    2022). The oracle replays ownership, coverage, AND the reconstructed
+    post-scrub text (md5 of the kept tokens in order), so the transform
+    itself — not just its counts — is value-verified."""
+    from torcdb_spark.operators.text import scrub_duplicate_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    return scrub_duplicate_spans(docs, n=3)
