@@ -1500,3 +1500,58 @@ def test_scrub_duplicate_spans_semantics(spark):
     assert got[3]["kept_md5"] == h("")
     assert (got[4]["n_removed"], got[4]["n_kept"]) == (0, 2)
     assert got[4]["kept_md5"] == h("q r")
+
+
+def test_mmr_rerank_greedy_replay(spark):
+    """MMR selection trajectory vs an independent python greedy replay."""
+    import math
+
+    from torcdb_spark.operators.similarity import mmr_rerank
+
+    vecs = {
+        1: [1.0, 0.0, 0.0],     # query
+        10: [0.9, 0.1, 0.0],    # most relevant
+        11: [0.89, 0.11, 0.0],  # near-dup of 10 -> should be demoted
+        12: [0.5, 0.5, 0.0],    # diverse
+        13: [0.4, 0.0, 0.6],    # diverse
+    }
+    df = spark.createDataFrame(
+        [(k, v) for k, v in vecs.items()],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r["sel_rank"]: (r["neighbor_id"], r["mmr"])
+        for r in mmr_rerank(
+            df, df.where("vec_id = 1"), k=3, pool=4, lam=0.7
+        ).collect()
+    }
+
+    def r6(x):
+        return math.floor(x * 1_000_000 + 0.5) / 1_000_000
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return d / (na * nb)
+
+    cands = {i: r6(cos(vecs[1], vecs[i])) for i in (10, 11, 12, 13)}
+    sims = {
+        (a, b): r6(cos(vecs[a], vecs[b]))
+        for a in cands for b in cands if a != b
+    }
+    sel = [max(sorted(cands), key=lambda i: cands[i])]
+    expect = {1: (sel[0], cands[sel[0]])}
+    for rank in (2, 3):
+        best = None
+        for i in sorted(cands):
+            if i in sel:
+                continue
+            mmr = r6(0.7 * cands[i] - (1.0 - 0.7) * max(
+                sims[(i, s)] for s in sel
+            ))
+            if best is None or mmr > best[1]:
+                best = (i, mmr)
+        sel.append(best[0])
+        expect[rank] = best
+    assert got == expect

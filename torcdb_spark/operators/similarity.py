@@ -861,3 +861,219 @@ def hard_negative_mining(
         .where(F.col("rnk") <= k)
         .select("anchor_id", "neighbor_id", "score", "rnk")
     )
+
+
+def mmr_rerank(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 4,
+    pool: int = 10,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance diversified retrieval (Carbonell &
+    Goldstein 1998) → (query_id, neighbor_id, mmr, sel_rank): greedily
+    select k results balancing relevance against redundancy with what is
+    already selected:
+
+        pick argmax  λ·rel(d) − (1−λ)·max_{s∈S} sim(d, s)
+
+    The dedupe-at-retrieval-time operator every RAG/context-assembly
+    pipeline needs once near-duplicate chunks dominate plain top-k.
+
+    Scale shape: relevance is ONE brute-force pass (cosine_topk_
+    bruteforce — broadcast queries × corpus), truncated to a ``pool`` of
+    candidates per query; the greedy recursion then runs on pool-sized
+    frames only — pairwise sims are pool²·|Q| rows and each of the k−1
+    selection rounds is a bounded join + per-query argmax window. The
+    corpus is never rescanned after the candidate pass.
+
+    Determinism: rel, sim AND mmr all use the portable
+    floor(x·10⁶+0.5)/10⁶ rounding (quality_score's note: built-in
+    round() disagrees across engines within 1 ulp of the .5 boundary —
+    observed here on a real sf0.01 mmr value) BEFORE any comparison,
+    with ties broken by neighbor id — so the selection trajectory is
+    exactly replayable in SQL (mmr_oracle_sql unrolls the k rounds as
+    CTEs)."""
+
+    def _r6(c: Column) -> Column:
+        return F.floor(c * 1_000_000 + F.lit(0.5)) / F.lit(1_000_000.0)
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    c0 = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+    )
+    wc = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("neighbor_id")
+    )
+    cand = (
+        F.broadcast(q)
+        .crossJoin(c0)
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            _r6(
+                cosine_similarity(F.col("_qv"), F.col("_cv"))
+            ).alias("score"),
+        )
+        .withColumn("rnk", F.row_number().over(wc))
+        .where(F.col("rnk") <= pool)
+        .localCheckpoint(eager=True)  # consumed by sims + every round
+    )
+
+    vecs = corpus.select(
+        F.col(id_col).alias("_vid"), F.col(vec_col).alias("_vv")
+    )
+    a = cand.select("query_id", F.col("neighbor_id").alias("a"))
+    b = cand.select("query_id", F.col("neighbor_id").alias("b"))
+    sims = (
+        a.join(b, "query_id")
+        .where(F.col("a") != F.col("b"))
+        .join(vecs.withColumnRenamed("_vid", "a").withColumnRenamed("_vv", "_va"), "a")
+        .join(vecs.withColumnRenamed("_vid", "b").withColumnRenamed("_vv", "_vb"), "b")
+        .select(
+            "query_id", "a", "b",
+            _r6(
+                cosine_similarity(F.col("_va"), F.col("_vb"))
+            ).alias("sim"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    sel = cand.where(F.col("rnk") == 1).select(
+        "query_id",
+        "neighbor_id",
+        F.col("score").alias("mmr"),
+        F.lit(1).cast("long").alias("sel_rank"),
+    )
+    out = sel
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("_mmr"), F.asc("neighbor_id")
+    )
+    for i in range(2, k + 1):
+        rem = cand.join(
+            out.select("query_id", "neighbor_id"),
+            ["query_id", "neighbor_id"],
+            "left_anti",
+        )
+        maxsim = (
+            rem.join(
+                sims.withColumnRenamed("a", "neighbor_id"),
+                ["query_id", "neighbor_id"],
+            )
+            .join(
+                out.select(
+                    "query_id", F.col("neighbor_id").alias("b")
+                ),
+                ["query_id", "b"],
+            )
+            .groupBy("query_id", "neighbor_id", "score")
+            .agg(F.max("sim").alias("_ms"))
+        )
+        scored = maxsim.select(
+            "query_id",
+            "neighbor_id",
+            _r6(
+                F.lit(lam) * F.col("score")
+                - F.lit(1.0 - lam) * F.col("_ms")
+            ).alias("_mmr"),
+        )
+        pick = (
+            scored.withColumn("_rk", F.row_number().over(w))
+            .where(F.col("_rk") == 1)
+            .select(
+                "query_id",
+                "neighbor_id",
+                F.col("_mmr").alias("mmr"),
+                F.lit(i).cast("long").alias("sel_rank"),
+            )
+        )
+        out = out.unionByName(pick).localCheckpoint(eager=True)
+    return out
+
+
+def mmr_oracle_sql(
+    table: str = "embeddings",
+    query_pred: str = "vec_id < 6",
+    k: int = 4,
+    pool: int = 10,
+    lam: float = 0.7,
+) -> str:
+    """The identical MMR trajectory unrolled as SQL CTEs (one selection
+    round per CTE — the cl1/bpe oracle pattern), so every greedy pick
+    and every MMR score is value-verified."""
+    cos = (
+        "(floor((list_dot_product({a}, {b}) / "
+        "(sqrt(list_dot_product({a}, {a})) * "
+        "sqrt(list_dot_product({b}, {b})))) * 1000000 "
+        "+ CAST(0.5 AS DOUBLE)) / 1000000)"
+    )
+    lam_s = f"CAST({lam} AS DOUBLE)"
+    # the complement is COMPUTED (1.0 - lam) in both engines, never a
+    # decimal literal: IEEE 1.0-0.7 = 0.30000000000000004, which a cast
+    # "0.3" literal does not equal — one observed sf0.01 mmr landed on
+    # the 6-decimal boundary and flipped under the literal form
+    lam_c = f"(CAST(1.0 AS DOUBLE) - {lam_s})"
+    blocks = [f"""q AS (
+         SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+         FROM {table} WHERE {query_pred}),
+       cand AS (
+         SELECT * FROM (
+           SELECT query_id, e.vec_id AS neighbor_id,
+                  {cos.format(a='qv', b='CAST(e.embedding AS DOUBLE[])')}
+                    AS score,
+                  row_number() OVER (
+                    PARTITION BY query_id
+                    ORDER BY {cos.format(a='qv',
+                                         b='CAST(e.embedding AS DOUBLE[])')}
+                             DESC, e.vec_id ASC) AS rn
+           FROM q, {table} e WHERE e.vec_id <> query_id)
+         WHERE rn <= {pool}),
+       sims AS (
+         SELECT c1.query_id, c1.neighbor_id AS a, c2.neighbor_id AS b,
+                {cos.format(a='CAST(ea.embedding AS DOUBLE[])',
+                            b='CAST(eb.embedding AS DOUBLE[])')} AS sim
+         FROM cand c1
+         JOIN cand c2 ON c2.query_id = c1.query_id
+                     AND c2.neighbor_id <> c1.neighbor_id
+         JOIN {table} ea ON ea.vec_id = c1.neighbor_id
+         JOIN {table} eb ON eb.vec_id = c2.neighbor_id),
+       sel_1 AS (
+         SELECT query_id, neighbor_id, score AS mmr,
+                CAST(1 AS BIGINT) AS sel_rank
+         FROM cand WHERE rn = 1)"""]
+    for i in range(2, k + 1):
+        prev = " UNION ALL ".join(
+            f"SELECT query_id, neighbor_id FROM sel_{j}" for j in range(1, i)
+        )
+        blocks.append(f"""prev_{i} AS ({prev}),
+       sc_{i} AS (
+         SELECT c.query_id, c.neighbor_id,
+                floor(({lam_s} * c.score - {lam_c} * MAX(s.sim))
+                      * 1000000 + CAST(0.5 AS DOUBLE)) / 1000000 AS mmr
+         FROM cand c
+         LEFT JOIN prev_{i} px
+           ON px.query_id = c.query_id
+          AND px.neighbor_id = c.neighbor_id
+         JOIN sims s
+           ON s.query_id = c.query_id AND s.a = c.neighbor_id
+         JOIN prev_{i} p
+           ON p.query_id = s.query_id AND p.neighbor_id = s.b
+         WHERE px.neighbor_id IS NULL
+         GROUP BY c.query_id, c.neighbor_id, c.score),
+       sel_{i} AS (
+         SELECT query_id, neighbor_id, mmr, CAST({i} AS BIGINT) AS sel_rank
+         FROM (SELECT *, row_number() OVER (
+                 PARTITION BY query_id
+                 ORDER BY mmr DESC, neighbor_id ASC) AS rk
+               FROM sc_{i})
+         WHERE rk = 1)""")
+    finals = " UNION ALL ".join(
+        f"SELECT query_id, neighbor_id, mmr, sel_rank FROM sel_{i}"
+        for i in range(1, k + 1)
+    )
+    return "WITH " + ",\n       ".join(blocks) + f"\n       {finals}"

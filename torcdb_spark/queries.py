@@ -8042,3 +8042,26 @@ def d24_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return scrub_duplicate_spans(docs, n=3)
+
+
+@_register(
+    "e10_mmr_rerank",
+    __import__(
+        "torcdb_spark.operators.similarity", fromlist=["mmr_oracle_sql"]
+    ).mmr_oracle_sql("embeddings", "vec_id < 6", k=4, pool=10, lam=0.7),
+)
+def e10_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversified retrieval (operators/similarity.mmr_rerank,
+    λ=0.7): greedy relevance-vs-redundancy selection over a 10-candidate
+    pool per query — the RAG context-assembly operator that plain top-k
+    (e1) lacks when near-duplicate chunks dominate. One brute-force
+    candidate pass, then pool-sized frames only; rel/sim round portably
+    before every comparison, so the oracle unrolls the full 4-pick
+    greedy trajectory and value-checks every selection."""
+    from torcdb_spark.operators.similarity import mmr_rerank
+
+    emb = load_table(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    queries = emb.where(F.col("vec_id") < 6)
+    return mmr_rerank(emb, queries, k=4, pool=10, lam=0.7)
