@@ -1673,3 +1673,108 @@ def greedy_coloring(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def temporal_min_arrival(
+    transitions: DataFrame,
+    seeds: DataFrame,
+    max_iter: int = 64,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    ts_col: str = "tsm",
+) -> DataFrame:
+    """Time-respecting reachability with earliest-arrival times →
+    (id, arrival) for every vertex reachable from the seed set along
+    paths whose edge timestamps STRICTLY INCREASE (Holme & Saramäki
+    temporal-network semantics): an edge (u→v, t) extends a journey iff
+    u was reached strictly before t. The static-graph operators (BFS,
+    CC, SCC) are blind to this — a road that exists only before you
+    arrive is not a road.
+
+    Execution: DELTA-frontier label-correcting relaxation over PACKED
+    edges. Parallel (u→v) edges collapse once into a sorted distinct-
+    timestamp array per vertex pair (the multiplicity lives in data, not
+    in join fan-out: 98k raw transitions → ~10k packed pairs on the
+    sf0.1 navigation graph); relaxing a pair is then
+    ``array_min(filter(ts_arr, t > arr))`` — the first usable departure
+    after the source's arrival. Each superstep relaxes ONLY pairs whose
+    source arrival changed last round (new arrivals can appear nowhere
+    else), min-merges into the state, and derives the next frontier in
+    the same aggregate; convergence = empty frontier (one probe per
+    round, against the already-checkpointed frame). Arrival times only
+    decrease and are bounded below, so the fixpoint exists; rounds ≤ the
+    longest shortest journey's hop count. Raises RuntimeError if
+    ``max_iter`` is hit before the fixpoint — parity with the oracle's
+    recursive closure must never silently truncate.
+
+    All-integer state (epoch micros), so the fixpoint is engine-exact
+    and a recursive-CTE oracle replays it value-for-value."""
+    neg_inf = -(1 << 62)
+    packed = (
+        transitions.select(
+            F.col(src_col).alias("src"),
+            F.col(dst_col).alias("dst"),
+            F.col(ts_col).cast("long").alias("tsm"),
+        )
+        .groupBy("src", "dst")
+        .agg(F.array_sort(F.collect_set("tsm")).alias("_ts"))
+        .localCheckpoint(eager=True)
+    )
+    def step(
+        arrival: DataFrame, delta: DataFrame
+    ) -> tuple[DataFrame, DataFrame]:
+        relaxed = (
+            packed.join(delta.withColumnRenamed("id", "src"), "src")
+            .select(
+                F.col("dst").alias("id"),
+                F.array_min(
+                    F.filter(F.col("_ts"), lambda t: t > F.col("arr"))
+                ).alias("_cand"),
+            )
+            .where(F.col("_cand").isNotNull())
+            .groupBy("id")
+            .agg(F.min("_cand").alias("arr"))
+        )
+        merged = (
+            arrival.select("id", "arr", F.lit(True).alias("_old"))
+            .unionByName(
+                relaxed.select("id", "arr", F.lit(False).alias("_old"))
+            )
+            .groupBy("id")
+            .agg(
+                F.min("arr").alias("arr"),
+                # improved iff the best candidate beats every old value
+                # (min_by is order-unstable on ties; this form is not)
+                (
+                    F.min("arr")
+                    < F.min(F.when(F.col("_old"), F.col("arr")))
+                ).alias("_chg"),
+                F.max(F.col("_old")).alias("_seen"),
+            )
+            .select(
+                "id",
+                "arr",
+                (F.coalesce(F.col("_chg"), F.lit(False)) | ~F.col("_seen"))
+                .alias("_changed"),
+            )
+        )
+        return merged, merged.where(F.col("_changed")).select("id", "arr")
+
+    arrival = _checkpointed(
+        seeds.select(F.col("id"), F.lit(neg_inf).cast("long").alias("arr"))
+        .distinct()
+    )
+    delta = arrival
+    for _ in range(max_iter):
+        if delta.isEmpty():
+            return arrival.select("id", "arr")
+        # TWO relaxations fuse into one lazy plan per checkpoint round:
+        # the state frame is vocabulary-sized, so plan depth is cheap and
+        # halving the per-round job count halves local-mode wall time
+        mid, delta_mid = step(arrival, delta)
+        merged, _ = step(mid.select("id", "arr"), delta_mid)
+        arrival = _checkpointed_nostats(merged)
+        delta = arrival.where(F.col("_changed")).select("id", "arr")
+    raise RuntimeError(
+        f"temporal_min_arrival did not converge in {max_iter} supersteps"
+    )

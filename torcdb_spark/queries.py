@@ -8065,3 +8065,85 @@ def e10_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     queries = emb.where(F.col("vec_id") < 6)
     return mmr_rerank(emb, queries, k=4, pool=10, lam=0.7)
+
+
+@_register(
+    "tg1_temporal_reachability",
+    """WITH seq AS (
+         SELECT user_id,
+                CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+                ts, event_id
+         FROM events
+       ),
+       tr AS (
+         SELECT k AS src,
+                LEAD(k) OVER (
+                  PARTITION BY user_id ORDER BY ts, event_id) AS dst,
+                CAST(epoch_us(LEAD(ts) OVER (
+                  PARTITION BY user_id ORDER BY ts, event_id)) AS BIGINT)
+                  AS tsm
+         FROM seq
+       ),
+       edges AS (SELECT src, dst, tsm FROM tr WHERE dst IS NOT NULL),
+       seeds AS (
+         SELECT src AS id FROM (
+           SELECT src, count(*) AS n FROM edges GROUP BY src
+           ORDER BY n DESC, src ASC LIMIT 2)
+       ),
+       reach AS (
+         WITH RECURSIVE r(node, t) AS (
+           SELECT e.dst, e.tsm FROM edges e
+           WHERE e.src IN (SELECT id FROM seeds)
+           UNION
+           SELECT e.dst, e.tsm
+           FROM r JOIN edges e ON e.src = r.node AND e.tsm > r.t
+         )
+         SELECT node, t FROM r
+       )
+       SELECT node AS page, CAST(min(t) AS BIGINT) AS arrival_us
+       FROM reach
+       WHERE node NOT IN (SELECT id FROM seeds)
+       GROUP BY node""",
+)
+def tg1_temporal_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-respecting earliest-arrival reachability (analytics
+    temporal_min_arrival) over the user-navigation transition stream:
+    from the 2 highest-traffic pages, which pages are reachable along
+    journeys whose transition timestamps strictly increase, and when
+    does the earliest journey arrive — the temporal-network question
+    static BFS/CC/SCC cannot pose. All-integer label-correcting
+    relaxation to the exact fixpoint (convergence-checked, never
+    truncated), so the recursive-CTE oracle replays every arrival
+    value-for-value — a fully exact-oracled ITERATIVE graph operator."""
+    from torcdb_spark.analytics import temporal_min_arrival
+
+    events = load_table(spark, sf_dir, "events")
+    seq = events.select(
+        "user_id",
+        F.get_json_object(F.col("props"), "$.k").cast("long").alias("k"),
+        "ts",
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tr = seq.select(
+        F.col("k").alias("src"),
+        F.lead("k").over(w).alias("dst"),
+        F.unix_micros(F.lead("ts").over(w)).alias("tsm"),
+    ).where(F.col("dst").isNotNull()).localCheckpoint(eager=True)
+    # one window pass over events: seeds AND the packed edge table both
+    # derive from the checkpointed transition frame
+    seeds = (
+        tr.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("src"))
+        .limit(2)
+        .select(F.col("src").alias("id"))
+    )
+    arrival = temporal_min_arrival(tr, seeds)
+    return (
+        arrival.join(seeds, "id", "left_anti")
+        .select(
+            F.col("id").alias("page"),
+            F.col("arr").cast("long").alias("arrival_us"),
+        )
+    )
