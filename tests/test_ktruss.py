@@ -1,0 +1,39 @@
+"""k-truss peeling (analytics.k_truss) vs a sequential replay."""
+
+from torcdb_spark.analytics import k_truss
+
+
+def _replay(edge_list, k):
+    e = {tuple(sorted(p)) for p in edge_list if p[0] != p[1]}
+    while True:
+        adj = {}
+        for a, b in e:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        sup = {
+            (a, b): len(adj[a] & adj[b]) for a, b in e
+        }
+        kept = {p for p in e if sup[p] >= k - 2}
+        if kept == e:
+            return e
+        e = kept
+
+
+EDGES = [
+    (1, 2), (1, 3), (2, 3), (1, 4), (2, 4), (3, 4),   # K4: a 4-truss
+    (4, 5), (5, 6), (4, 6),                            # triangle tail
+    (6, 7), (7, 8),                                    # path
+]
+
+
+def test_k_truss_matches_replay(spark):
+    df = spark.createDataFrame(EDGES, "src long, dst long")
+    for k in (3, 4, 5):
+        got = {(r["a"], r["b"]) for r in k_truss(df, k=k).collect()}
+        assert got == _replay(EDGES, k), k
+
+
+def test_k4_is_the_4_truss(spark):
+    df = spark.createDataFrame(EDGES, "src long, dst long")
+    got = {(r["a"], r["b"]) for r in k_truss(df, k=4).collect()}
+    assert got == {(1, 2), (1, 3), (2, 3), (1, 4), (2, 4), (3, 4)}

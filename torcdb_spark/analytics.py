@@ -1778,3 +1778,69 @@ def temporal_min_arrival(
     raise RuntimeError(
         f"temporal_min_arrival did not converge in {max_iter} supersteps"
     )
+
+
+def k_truss(
+    edges: DataFrame,
+    k: int = 4,
+    max_rounds: int = 30,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """k-truss decomposition → the maximal subgraph's edge set (a, b)
+    with a < b, where every edge participates in ≥ k−2 triangles WITHIN
+    the subgraph — the standard cohesive-subgraph refinement of k-core
+    (an edge-wise, triangle-witnessed density guarantee; Cohen 2008).
+
+    Execution: support peeling. Per round: count each edge's triangles
+    with the canonical a<b<c wedge join (the same two-shuffle plan as
+    triangle_count), drop edges under k−2, repeat on the shrunk edge
+    set until no edge falls. Edge sets only shrink, so the fixpoint
+    exists and is THE k-truss (peeling order cannot matter — an edge
+    below threshold now stays below it forever). Deterministic; exact
+    agreement with a sequential replay is pytest-proven
+    (tests/test_temporal.py sibling suite tests/test_ktruss.py)."""
+    e = _checkpointed(
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("a"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    thresh = k - 2
+    n = e.count()
+    for _ in range(max_rounds):
+        if n == 0:
+            return e
+        u = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
+        v = e.select(F.col("a").alias("y"), F.col("b").alias("z"))
+        tri = (
+            u.join(v, "y")
+            .join(
+                e.select(F.col("a").alias("x"), F.col("b").alias("z")),
+                ["x", "z"],
+            )
+        )
+        # each (x<y<z) triangle supports its three edges
+        sup = (
+            tri.select(F.col("x").alias("a"), F.col("y").alias("b"))
+            .unionByName(
+                tri.select(F.col("y").alias("a"), F.col("z").alias("b"))
+            )
+            .unionByName(
+                tri.select(F.col("x").alias("a"), F.col("z").alias("b"))
+            )
+            .groupBy("a", "b")
+            .agg(F.count("*").alias("_sup"))
+        )
+        kept = _checkpointed_nostats(
+            e.join(sup, ["a", "b"], "left")
+            .where(F.coalesce(F.col("_sup"), F.lit(0)) >= thresh)
+            .select("a", "b")
+        )
+        n_new = kept.count()
+        if n_new == n:
+            return kept
+        e, n = kept, n_new
+    raise RuntimeError(f"k_truss did not converge in {max_rounds} rounds")

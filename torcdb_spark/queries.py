@@ -8147,3 +8147,45 @@ def tg1_temporal_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("arr").cast("long").alias("arrival_us"),
         )
     )
+
+
+@_register("g_ktruss")  # rows-only: support peeling iterates to a
+# fixpoint with aggregates inside the loop — not SQL-expressible; exact
+# edge-set agreement with a sequential replay is pytest-proven for
+# k=3,4,5 (tests/test_ktruss.py)
+def g_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-truss (k=3) of the undirected user-navigation core (analytics
+    k_truss; same scale-stable top-support edge construction as scc1/
+    gc1): the truss keeps only edges backed by a triangle within the
+    surviving subgraph — the edge-wise, triangle-witnessed refinement
+    of g_kcore's vertex-wise bound. Per round one canonical wedge-join
+    support count over a shrinking edge set. Emits the truss census."""
+    from torcdb_spark.analytics import k_truss
+
+    events = load_table(spark, sf_dir, "events")
+    seq = events.select(
+        "user_id",
+        F.get_json_object(F.col("props"), "$.k").cast("long").alias("k"),
+        "ts",
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tr = seq.select(
+        F.col("k").alias("src"), F.lead("k").over(w).alias("dst")
+    ).where(F.col("dst").isNotNull())
+    cnts = tr.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("n"))
+    edges = (
+        cnts.orderBy(F.desc("n"), F.asc("src"), F.asc("dst"))
+        .limit(175)
+        .select("src", "dst")
+    )
+    truss = k_truss(edges, k=3)
+    verts = truss.select(F.col("a").alias("v")).unionByName(
+        truss.select(F.col("b").alias("v"))
+    ).distinct()
+    return truss.agg(
+        F.count("*").cast("long").alias("n_edges"),
+        F.sum(F.col("a") + F.col("b")).cast("long").alias("edge_id_sum"),
+    ).crossJoin(
+        verts.agg(F.count("*").cast("long").alias("n_vertices"))
+    )
