@@ -649,3 +649,15 @@ def test_orc_roundtrip_prunes_lang_partitions(spark, sf_dir, tmp_path):
     plan = explain_str(back.where(F.col("lang") == "en"), "formatted")
     pf = plan.split("PartitionFilters")[1][:160]
     assert "lang" in pf and "en" in pf
+
+
+def test_span_scrub_is_two_corpus_scans_no_window(spark, sf_dir):
+    """d24: ownership + rewrite must not run a corpus-wide window — the
+    only windows allowed are none; spans aggregate on the span key and
+    the rewrite is an anti-join."""
+    from torcdb_spark.operators.text import scrub_duplicate_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = explain_str(scrub_duplicate_spans(docs, 3), "simple")
+    assert "Window" not in plan
+    assert "LeftAnti" in plan

@@ -8189,3 +8189,53 @@ def g_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).crossJoin(
         verts.agg(F.count("*").cast("long").alias("n_vertices"))
     )
+
+
+@_register(
+    "sm1_schema_evolution",
+    """SELECT lang,
+              CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(count(n_chars) AS BIGINT) AS n_with_chars,
+              CAST(sum(COALESCE(n_chars, 0)) AS BIGINT) AS chars_total,
+              CAST(sum(doc_id) AS BIGINT) AS sum_ids
+       FROM (
+         SELECT doc_id, lang,
+                CASE WHEN doc_id % 2 = 0 THEN n_chars END AS n_chars
+         FROM documents)
+       GROUP BY lang""",
+)
+def sm1_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution ingest: land the corpus as TWO parquet batches
+    with different schemas — an old batch without the n_chars column
+    (doc_id odd) and a new batch with it (doc_id even) — then read the
+    table with ``mergeSchema``: the union schema resolves by NAME, old
+    rows surface NULL for the added column (never a misaligned value),
+    and per-file column pruning still applies. The append-only column-
+    add migration every long-lived 100 TB table goes through; the
+    oracle replays the null pattern and census from the original
+    parquet."""
+    import os
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents")
+    slug = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(tempfile.gettempdir(), f"torcdb_schemev_{slug}")
+    old = docs.where(F.col("doc_id") % 2 != 0).select(
+        "doc_id", "text", "lang", "source"
+    )
+    new = docs.where(F.col("doc_id") % 2 == 0).select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    old.write.mode("overwrite").parquet(os.path.join(path, "b=old"))
+    new.write.mode("overwrite").parquet(os.path.join(path, "b=new"))
+    back = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(path, "b=old"), os.path.join(path, "b=new")
+    )
+    return back.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.count("n_chars").cast("long").alias("n_with_chars"),
+        F.sum(F.coalesce(F.col("n_chars"), F.lit(0)))
+        .cast("long")
+        .alias("chars_total"),
+        F.sum("doc_id").cast("long").alias("sum_ids"),
+    )
