@@ -660,10 +660,10 @@ DRIVER_PRIORITY: list[str] = [
     # in round 4, a4 (driver-green r1-r4) this round; all stay locally
     # exact-gated
     "a1_fuse",
-    # §2.4 gremlin steps (G1/G2/G3 keep three witnesses; both_e/where_not/
-    # order_by_prop/repeat/group ceded slots to round-4 operator families
-    # below and stay covered by the local exact-value gate)
-    "g_gremlin_edge_filter",
+    # §2.4 gremlin steps (G1/G2/G3: simple_path remains the composite
+    # witness; edge_filter — driver-green r1-r4 — joined both_e/where_not/
+    # order_by_prop/repeat/group in ceding to newer families; all stay
+    # covered by the local exact-value gate)
     "g_gremlin_simple_path",
     # §2.4 G4 analytics (exact-oracle variants preferred)
     "g_pagerank_exact",
@@ -709,15 +709,16 @@ DRIVER_PRIORITY: list[str] = [
     # family keeps d2/d9/d11):
     # zo1 (driver-green r3+r4) ceded its slot to the round-5 families
     # below; stays locally exact-gated (generated bit-op SQL oracle)
-    "gs1_neighbor_sample",     # deterministic graph sampling (md5 oracle)
-    "cd1_snapshot_diff",       # CDC snapshot diff
+    # gs1 (graph sampling) and cd1 (CDC diff), driver-green r3+r4, ceded
+    # to the round-5 temporal/retrieval/rewrite families; both stay
+    # locally exact-gated
     "ldbc_ic_like_foaf_copurchase",  # 6-hop FOF traversal composite
     # mergeable-sketch family: bl1 keeps the witness slot; cms1 and th1
     # ceded theirs after two green rounds (both stay locally exact-gated)
     # to the round-5 profiling/IVM families below
     "bl1_bloom_semijoin",      # Bloom membership sketch (exact bit oracle)
     "fu1_funnel_stages",       # behavioral: ordered conversion funnel
-    "er1_part_name_pairs",     # blocked-Levenshtein entity resolution
+    # er1 (entity resolution), driver-green r3+r4, ceded; locally gated
     # d18's oracle replays the full 8-round BPE training relationally —
     # the strongest new exact check in the inventory; m6 drives the JPEG
     # codec through the multimodal path with an oracle-pinned contract
@@ -758,6 +759,10 @@ DRIVER_PRIORITY: list[str] = [
     "pp1_preference_pairs",    # RLHF preference-pair construction
     "orc1_roundtrip",          # ORC sink/source round-trip
     "pt1_partition_prune",     # hive-layout pruning, value-verified
+    "d24_span_scrub",          # ExactSubstr rewrite, md5-verified text
+    "e10_mmr_rerank",          # MMR greedy trajectory, unrolled oracle
+    "tg1_temporal_reachability",  # exact-oracled ITERATIVE fixpoint
+    "sm1_schema_evolution",    # mergeSchema column-add migration
 ]
 
 
