@@ -8244,3 +8244,70 @@ def sm1_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("chars_total"),
         F.sum("doc_id").cast("long").alias("sum_ids"),
     )
+
+
+@_register(
+    "ns1_negative_sampling",
+    """WITH terms AS (
+         SELECT term, CAST(count(*) AS BIGINT) AS c
+         FROM (SELECT unnest(regexp_split_to_array(lower(trim(text)),
+                                                   '\\s+')) AS term
+               FROM documents)
+         WHERE term <> '' GROUP BY term
+       ),
+       top AS (
+         SELECT term, c,
+                CAST(floor(sqrt(c * sqrt(c)) * 1000000) AS BIGINT) AS w
+         FROM terms
+         ORDER BY c DESC, term ASC LIMIT 200
+       )
+       SELECT term, c, w,
+              CAST(SUM(w) OVER (ORDER BY c DESC, term ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - w AS BIGINT) AS cum_lo,
+              CAST(SUM(w) OVER (ORDER BY c DESC, term ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum_hi
+       FROM top""",
+)
+def ns1_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """word2vec-style negative-sampling table: unigram counts raised to
+    the 3/4 power (computed as sqrt(c·sqrt(c)) — sqrt is IEEE
+    correctly-rounded in every engine, pow() is not), quantized to
+    integral weights, and laid out as [cum_lo, cum_hi) bucket ranges by
+    the distributed prefix-sum (operators/rank.global_cumsum — range
+    partition + offset table, no single-task window even for a 100 TB
+    vocabulary). A sampler then draws u ~ Uniform[0, Σw) and
+    range-joins into the table. Top-200 head shown; integral weights
+    keep every cumulative value engine-exact."""
+    from torcdb_spark.operators.rank import global_cumsum
+    from torcdb_spark.operators.text import word_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    terms = (
+        docs.select(
+            F.explode(word_tokens(F.col("text"))).alias("term")
+        )
+        .where(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    top = (
+        terms.orderBy(F.desc("c"), F.asc("term"))
+        .limit(200)
+        .withColumn(
+            "w",
+            F.floor(
+                F.sqrt(F.col("c") * F.sqrt(F.col("c"))) * 1_000_000
+            ).cast("long"),
+        )
+        .withColumn("_negc", -F.col("c"))
+    )
+    cum = global_cumsum(top, ["_negc", "term"], "w", cum_col="cum_hi")
+    return cum.select(
+        "term",
+        "c",
+        "w",
+        (F.col("cum_hi") - F.col("w")).cast("long").alias("cum_lo"),
+        F.col("cum_hi").cast("long").alias("cum_hi"),
+    )
