@@ -8311,3 +8311,88 @@ def ns1_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("cum_hi") - F.col("w")).cast("long").alias("cum_lo"),
         F.col("cum_hi").cast("long").alias("cum_hi"),
     )
+
+
+@_register(
+    "km1_kmeans_assign",
+    """WITH qv AS (
+         SELECT vec_id,
+                list_transform(CAST(embedding AS DOUBLE[]),
+                               x -> CAST(floor(x * 1000) AS BIGINT)) AS v
+         FROM embeddings
+       ),
+       seeds AS (
+         SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
+         FROM (SELECT vec_id, v FROM qv ORDER BY vec_id LIMIT 8)
+       ),
+       dists AS (
+         SELECT q.vec_id, s.cid,
+                list_sum(list_transform(
+                  list_zip(q.v, s.cv),
+                  p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d2
+         FROM qv q CROSS JOIN seeds s
+       ),
+       assign AS (
+         SELECT vec_id, cid, d2,
+                row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY d2 ASC, cid ASC) AS rk
+         FROM dists
+       )
+       SELECT cid AS cluster,
+              CAST(count(*) AS BIGINT) AS n_members,
+              CAST(sum(d2) AS BIGINT) AS ssd,
+              CAST(sum(vec_id) AS BIGINT) AS member_id_sum
+       FROM assign WHERE rk = 1
+       GROUP BY cid""",
+)
+def km1_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-verified k-means assignment step over integer-quantized
+    embeddings: vectors quantize to floor(x·1000) BIGINT grids, the 8
+    lowest-id vectors seed the codebook (broadcast as a tiny dimension
+    table), and every vector takes its argmin squared-L2 cell with
+    (distance, cell) tie-breaks — ALL integer arithmetic, so the
+    assignment (the inner loop of e4's IVF and e7's PQ training, there
+    checked by properties only) is value-verified cell by cell. One
+    broadcast nested-loop scan + one per-vector argmin + one cell-keyed
+    aggregate: the canonical distributed k-means round shape at any
+    scale."""
+    from pyspark.sql.window import Window as W
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.floor(x.cast("double") * 1000).cast("long"),
+        ).alias("v"),
+    )
+    seeds = (
+        qv.orderBy("vec_id")
+        .limit(8)
+        .select(
+            (
+                F.row_number().over(W.orderBy("vec_id")) - 1
+            ).alias("cid"),
+            F.col("v").alias("cv"),
+        )
+    )
+    dists = qv.crossJoin(F.broadcast(seeds)).select(
+        "vec_id",
+        "cid",
+        F.aggregate(
+            F.zip_with(
+                F.col("v"), F.col("cv"), lambda a, b: (a - b) * (a - b)
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("d2"),
+    )
+    wv = W.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("cid"))
+    assign = dists.withColumn("rk", F.row_number().over(wv)).where(
+        F.col("rk") == 1
+    )
+    return assign.groupBy(F.col("cid").alias("cluster")).agg(
+        F.count("*").cast("long").alias("n_members"),
+        F.sum("d2").cast("long").alias("ssd"),
+        F.sum("vec_id").cast("long").alias("member_id_sum"),
+    )
