@@ -680,7 +680,8 @@ DRIVER_PRIORITY: list[str] = [
     # green representatives, and the two novel operator families gain hard
     # driver rows (q8/q10 stay covered by the local exact-value gate).
     "rj1_attribution_window",
-    "ts2_gap_fill_locf",
+    # ts2 (gap-fill, driver-green r3+r4) ceded to round-5 families; the
+    # timeseries family keeps ts4_ewma_smoothing below
     # §2.5 streaming (real readStream pipelines; sessions ceded its slot
     # after three green rounds — interval join + the history dedup keep
     # two distinct streaming shapes checked; tumbling/sessions stay
@@ -717,7 +718,8 @@ DRIVER_PRIORITY: list[str] = [
     # ceded theirs after two green rounds (both stay locally exact-gated)
     # to the round-5 profiling/IVM families below
     "bl1_bloom_semijoin",      # Bloom membership sketch (exact bit oracle)
-    "fu1_funnel_stages",       # behavioral: ordered conversion funnel
+    # fu1 (funnel, driver-green r3+r4) ceded; the behavioral family
+    # (fu1/co1/se1) stays locally exact-gated
     # er1 (entity resolution), driver-green r3+r4, ceded; locally gated
     # d18's oracle replays the full 8-round BPE training relationally —
     # the strongest new exact check in the inventory; m6 drives the JPEG
@@ -763,6 +765,8 @@ DRIVER_PRIORITY: list[str] = [
     "e10_mmr_rerank",          # MMR greedy trajectory, unrolled oracle
     "tg1_temporal_reachability",  # exact-oracled ITERATIVE fixpoint
     "sm1_schema_evolution",    # mergeSchema column-add migration
+    "ns1_negative_sampling",   # unigram^0.75 table via prefix-sum
+    "km1_kmeans_assign",       # exact integer k-means assignment
 ]
 
 
