@@ -178,6 +178,19 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
         f"(n {ks_row.n_a} vs {ks_row.n_b})"
     )
 
+    # 3c — span scrub: cut cross-document duplicated trigram spans from
+    # the surviving docs (ExactSubstr rewrite; near-dedup removes whole
+    # near-copies, this removes boilerplate SHARED by otherwise-distinct
+    # docs). Census only here; the rewrite itself is oracle-verified in
+    # the d24 gate query.
+    from torcdb_spark.operators.text import scrub_duplicate_spans
+
+    scrub = scrub_duplicate_spans(reps, n=3)
+    srow = scrub.agg(
+        F.sum("n_removed").alias("cut"), F.sum("n_tokens").alias("tot")
+    ).first()
+    log(f"span scrub: {srow.cut}/{srow.tot} tokens cut as foreign dup spans")
+
     # 4 — PII scrub (zero shuffle, per-row regexes)
     clean = redact_pii(reps, text_col="text", id_col="doc_id").select(
         "doc_id", F.col("clean_text").alias("text")
@@ -221,6 +234,17 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
         .groupBy("split").count().orderBy("split").collect()
     )
     log("split census: " + ", ".join(f"{r.split}={r['count']}" for r in split_census))
+
+    # 9 — reward-model pairs: best-vs-worst quality extremes per source
+    # group, margin-gated — the RLHF data builder (operators/rank.py)
+    from torcdb_spark.operators.rank import preference_pairs
+    from torcdb_spark.operators.text import quality_score as qscore
+
+    scored_docs = qscore(docs).join(raw.select("doc_id", "source"), "doc_id")
+    prefs = preference_pairs(
+        scored_docs, ["source"], "doc_id", "quality", k=2, min_margin=0.05
+    )
+    log(f"preference pairs: {prefs.count()} chosen/rejected pairs")
 
 
 if __name__ == "__main__":
