@@ -29,8 +29,14 @@ EDGES = [
 def test_k_truss_matches_replay(spark):
     df = spark.createDataFrame(EDGES, "src long, dst long")
     for k in (3, 4, 5):
-        got = {(r["a"], r["b"]) for r in k_truss(df, k=k).collect()}
-        assert got == _replay(EDGES, k), k
+        for threshold in (10_000, 0):  # finisher AND distributed loop
+            got = {
+                (r["a"], r["b"])
+                for r in k_truss(
+                    df, k=k, local_threshold=threshold
+                ).collect()
+            }
+            assert got == _replay(EDGES, k), (k, threshold)
 
 
 def test_k4_is_the_4_truss(spark):

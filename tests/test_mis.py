@@ -6,9 +6,8 @@ import hashlib
 
 
 def _pri(v, rnd):
-    return int(
-        hashlib.md5(f"{v}:{rnd}".encode()).hexdigest()[:15], 16
-    )
+    key = f"{v}" if rnd is None else f"{v}:{rnd}"
+    return int(hashlib.md5(key.encode()).hexdigest()[:15], 16)
 
 
 def _luby_replay(edge_list, max_rounds=40):
@@ -46,19 +45,27 @@ EDGES = [
 ]
 
 
-def _spark_mis(spark):
+def _spark_mis(spark, threshold):
     from torcdb_spark.analytics import maximal_independent_set
 
     e = spark.createDataFrame(EDGES, "src long, dst long")
-    return {r["id"] for r in maximal_independent_set(e).collect()}
+    return {
+        r["id"]
+        for r in maximal_independent_set(
+            e, local_threshold=threshold
+        ).collect()
+    }
 
 
 def test_mis_matches_sequential_replay(spark):
-    assert _spark_mis(spark) == _luby_replay(EDGES)
+    # threshold high -> small-core finisher; 0 -> distributed Luby loop.
+    # Both must select the identical set.
+    assert _spark_mis(spark, 10_000) == _luby_replay(EDGES)
+    assert _spark_mis(spark, 0) == _luby_replay(EDGES)
 
 
 def test_mis_is_independent_and_maximal(spark):
-    mis = _spark_mis(spark)
+    mis = _spark_mis(spark, 0)
     adj = {}
     for a, b in EDGES:
         if a == b:
@@ -73,27 +80,23 @@ def test_mis_is_independent_and_maximal(spark):
         assert v in mis or adj[v] & mis
 
 
-def _coloring_replay(edge_list, max_colors=16):
+def _coloring_replay(edge_list):
+    """Sequential greedy coloring in fixed md5-priority order — exactly
+    what Jones-Plassmann computes in parallel."""
     adj = {}
     for a, b in edge_list:
         if a == b:
             continue
         adj.setdefault(a, set()).add(b)
         adj.setdefault(b, set()).add(a)
-    uncolored = set(adj)
+    order = sorted(adj, key=lambda v: (_pri(v, None), v))
     colors = {}
-    color = 0
-    while uncolored and color < max_colors:
-        color += 1
-        sub_edges = [
-            (a, b) for a, b in edge_list
-            if a != b and a in uncolored and b in uncolored
-        ]
-        with_nb = {v for e in sub_edges for v in e}
-        sel = _luby_replay(sub_edges) | (uncolored - with_nb)
-        for v in sel:
-            colors[v] = color
-        uncolored -= sel
+    for v in order:
+        used = {colors[u] for u in adj[v] if u in colors}
+        c = 1
+        while c in used:
+            c += 1
+        colors[v] = c
     return colors
 
 
@@ -101,17 +104,25 @@ def test_coloring_matches_sequential_replay(spark):
     from torcdb_spark.analytics import greedy_coloring
 
     e = spark.createDataFrame(EDGES, "src long, dst long")
-    got = {
-        r["id"]: r["color"] for r in greedy_coloring(e).collect()
-    }
-    assert got == _coloring_replay(EDGES)
+    expect = _coloring_replay(EDGES)
+    for threshold in (10_000, 0):  # finisher AND distributed JP loop
+        got = {
+            r["id"]: r["color"]
+            for r in greedy_coloring(
+                e, local_threshold=threshold
+            ).collect()
+        }
+        assert got == expect, threshold
 
 
 def test_coloring_is_proper_and_total(spark):
     from torcdb_spark.analytics import greedy_coloring
 
     e = spark.createDataFrame(EDGES, "src long, dst long")
-    got = {r["id"]: r["color"] for r in greedy_coloring(e).collect()}
+    got = {
+        r["id"]: r["color"]
+        for r in greedy_coloring(e, local_threshold=0).collect()
+    }
     verts = {v for a, b in EDGES if a != b for v in (a, b)}
     assert set(got) == verts          # total
     for a, b in EDGES:

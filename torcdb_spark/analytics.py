@@ -1511,11 +1511,74 @@ def strongly_connected_components(
     return out
 
 
+def _luby_local(pairs):
+    """Sequential Luby on a collected edge list — the small-core finisher
+    for maximal_independent_set. IDENTICAL algorithm and md5 priorities
+    as the distributed loop, so both paths select the same set."""
+    import hashlib
+
+    def pri(v, rnd):
+        return int(
+            hashlib.md5(f"{v}:{rnd}".encode()).hexdigest()[:15], 16
+        )
+
+    adj = {}
+    for a, b in pairs:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    active = set(adj)
+    mis = set()
+    rnd = 0
+    while active:
+        rnd += 1
+        sel = set()
+        for v in active:
+            key = (pri(v, rnd), v)
+            if all(
+                key < (pri(u, rnd), u) for u in adj[v] if u in active
+            ):
+                sel.add(v)
+        mis |= sel
+        removed = set(sel)
+        for v in sel:
+            removed |= {u for u in adj[v] if u in active}
+        active -= removed
+    return mis
+
+
+def _greedy_color_local(pairs):
+    """Sequential greedy coloring in fixed md5-priority order — exactly
+    what Jones-Plassmann computes; the coloring small-core finisher."""
+    import hashlib
+
+    adj = {}
+    for a, b in pairs:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+
+    def pri(v):
+        return int(hashlib.md5(f"{v}".encode()).hexdigest()[:15], 16)
+
+    colors = {}
+    for v in sorted(adj, key=lambda u: (pri(u), u)):
+        used = {colors[u] for u in adj[v] if u in colors}
+        c = 1
+        while c in used:
+            c += 1
+        colors[v] = c
+    return colors
+
+
 def maximal_independent_set(
     edges: DataFrame,
     max_rounds: int = 40,
     src_col: str = "src",
     dst_col: str = "dst",
+    local_threshold: int = 100_000,
 ) -> DataFrame:
     """Maximal independent set via Luby's algorithm → (id) — one row per
     selected vertex, deterministic.
@@ -1561,12 +1624,30 @@ def maximal_independent_set(
         )
         .distinct()
     )
+    # small-core finisher (the SCC/_tarjan_local discipline): below the
+    # threshold the whole graph is one task's work, and 3+ Luby rounds of
+    # distributed fixed job overhead cost more than the entire problem —
+    # run the IDENTICAL algorithm sequentially in one partition. Both
+    # paths select the same set (md5 priorities; pytest-pinned).
+    sym = _checkpointed(sym)
+    if sym.count() <= local_threshold:
+        id_t = dict(sym.dtypes)["a"]
+
+        def _finish_mis(batches):
+            import pandas as pd
+
+            pairs = []
+            for b in batches:
+                pairs.extend(zip(b["a"].tolist(), b["b"].tolist()))
+            return iter([pd.DataFrame({"id": sorted(_luby_local(pairs))})])
+
+        return sym.repartition(1).mapInPandas(_finish_mis, f"id {id_t}")
     active_v = _checkpointed(
         sym.select(F.col("a").alias("id"))
         .unionByName(sym.select(F.col("b").alias("id")))
         .distinct()
     )
-    active_e = _checkpointed(sym)
+    active_e = sym
     mis_parts: list[DataFrame] = []
     for rnd in range(1, max_rounds + 1):
         if active_v.isEmpty():
@@ -1590,7 +1671,8 @@ def maximal_independent_set(
             )
             .select("id")
         )
-        selected = _checkpointed(cand)
+        selected = cand  # lazy: parents are checkpointed, re-derive is
+        # one small join; saves one eager job per round
         mis_parts.append(selected)
         # deactivate selected ∪ neighbors(selected)
         removed = selected.unionByName(
@@ -1616,62 +1698,126 @@ def maximal_independent_set(
 
 def greedy_coloring(
     edges: DataFrame,
-    max_colors: int = 16,
+    max_rounds: int = 64,
     src_col: str = "src",
     dst_col: str = "dst",
+    local_threshold: int = 100_000,
 ) -> DataFrame:
-    """Proper vertex coloring via iterated Luby MIS → (id, color) with
-    colors 1..C: color c is a maximal independent set of the not-yet-
-    colored subgraph, so no edge ever joins two same-colored vertices
-    (proper by construction) and C ≤ Δ+1 in expectation (Jones-Plassmann
-    family). The distributed scheduling primitive: rounds of mutually
-    non-conflicting work (updates that share an edge never share a
-    color/phase).
+    """Proper vertex coloring via Jones-Plassmann → (id, color): draw a
+    fixed md5 priority per vertex; each round, every uncolored vertex
+    whose priority beats all its UNCOLORED neighbors takes the smallest
+    color absent among its colored neighbors (mex). All colors resolve
+    in ONE loop of O(log n) expected rounds — unlike iterated-MIS
+    coloring, whose cost is colors × MIS-rounds (the first cut of this
+    operator; 12s on the 175-edge fixture core vs ~3s for this form).
 
-    Determinism: inherits maximal_independent_set's md5 priorities —
-    the full color assignment is unique and sequentially replayable
-    (tests/test_mis.py::test_coloring_*). Each color costs one MIS run
-    over a strictly-shrinking subgraph; per-round state checkpoints
-    inside MIS, the remaining-vertex frame checkpoints here."""
-    remaining_e = edges.select(
-        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    ).where(F.col("src") != F.col("dst"))
-    remaining_v = _checkpointed(
-        remaining_e.select(F.col("src").alias("id"))
-        .unionByName(remaining_e.select(F.col("dst").alias("id")))
+    With a FIXED priority order, JP computes exactly the SEQUENTIAL
+    greedy coloring in priority order (each vertex waits for all
+    higher-priority neighbors, then takes mex) — so the assignment is
+    unique, C ≤ Δ+1, and a trivial sequential replay verifies it
+    exactly (tests/test_mis.py::test_coloring_*).
+
+    Per round: one uncolored-neighbor min join (am I the local
+    priority minimum?), one colored-neighbor mex aggregate, two
+    anti-join shrinks; state checkpoints with the stats barrier."""
+
+    def pri(col: Column) -> Column:
+        return F.conv(
+            F.substring(F.md5(col.cast("string")), 1, 15), 16, 10
+        ).cast("long")
+
+    sym = (
+        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .unionByName(
+            edges.select(
+                F.col(dst_col).alias("a"), F.col(src_col).alias("b")
+            ).where(F.col("a") != F.col("b"))
+        )
         .distinct()
+        .localCheckpoint(eager=True)
     )
+    # small-core finisher: sequential greedy in priority order IS the
+    # JP fixed-priority result (same md5 order; pytest-pinned equal)
+    if sym.count() <= local_threshold:
+        id_t = dict(sym.dtypes)["a"]
+
+        def _finish_color(batches):
+            import pandas as pd
+
+            pairs = []
+            for b in batches:
+                pairs.extend(zip(b["a"].tolist(), b["b"].tolist()))
+            colors = _greedy_color_local(pairs)
+            ids = sorted(colors)
+            return iter([pd.DataFrame(
+                {"id": ids, "color": [colors[i] for i in ids]}
+            )])
+
+        return sym.repartition(1).mapInPandas(
+            _finish_color, f"id {id_t}, color long"
+        )
+    uncolored = _checkpointed(
+        sym.select(F.col("a").alias("id")).distinct()
+    )
+    colored = uncolored.limit(0).withColumn(
+        "color", F.lit(0).cast("long")
+    ).select("id", "color")
     parts: list[DataFrame] = []
-    for color in range(1, max_colors + 1):
-        if remaining_v.isEmpty():
+    for _ in range(max_rounds):
+        if uncolored.isEmpty():
             break
-        mis = _checkpointed(maximal_independent_set(remaining_e))
-        # vertices isolated by prior removals never appear in
-        # remaining_e; they are trivially independent — color them now
-        iso = remaining_v.join(
-            remaining_e.select(F.col("src").alias("id"))
-            .unionByName(remaining_e.select(F.col("dst").alias("id")))
-            .distinct(),
-            "id",
-            "left_anti",
+        unc_a = uncolored.withColumnRenamed("id", "a")
+        unc_b = uncolored.withColumnRenamed("id", "b")
+        # blocked: an uncolored neighbor with smaller (pri, id) exists
+        blocked = (
+            sym.join(unc_a, "a")
+            .join(unc_b, "b")
+            .where(
+                F.struct(pri(F.col("b")).alias("p"), F.col("b").alias("i"))
+                < F.struct(pri(F.col("a")).alias("p"), F.col("a").alias("i"))
+            )
+            .select(F.col("a").alias("id"))
+            .distinct()
         )
-        colored = mis.unionByName(iso).distinct()
-        parts.append(
-            colored.select("id", F.lit(color).cast("long").alias("color"))
+        ready = uncolored.join(blocked, "id", "left_anti")
+        # mex over colored neighbors: smallest color in 1..deg+1 not used
+        nbr_colors = (
+            sym.join(ready.withColumnRenamed("id", "a"), "a")
+            .join(
+                colored.withColumnRenamed("id", "b"), "b"
+            )
+            .groupBy(F.col("a").alias("id"))
+            .agg(F.collect_set("color").alias("_used"))
         )
-        remaining_v = _checkpointed_nostats(
-            remaining_v.join(colored, "id", "left_anti")
-        )
-        remaining_e = _checkpointed_nostats(
-            remaining_e.join(
-                colored.withColumnRenamed("id", "src"), "src", "left_anti"
-            ).join(
-                colored.withColumnRenamed("id", "dst"), "dst", "left_anti"
+        assigned = (
+            ready.join(nbr_colors, "id", "left")
+            .select(
+                "id",
+                F.array_min(
+                    F.array_except(
+                        F.sequence(
+                            F.lit(1),
+                            F.coalesce(F.size("_used"), F.lit(0)) + 1,
+                        ).cast("array<long>"),
+                        F.coalesce(
+                            F.col("_used"),
+                            F.array().cast("array<long>"),
+                        ),
+                    )
+                ).alias("color"),
             )
         )
+        assigned = _checkpointed(assigned)
+        parts.append(assigned)
+        # lazy union of checkpointed parts — no extra eager job
+        colored = colored.unionByName(assigned)
+        uncolored = _checkpointed_nostats(
+            uncolored.join(assigned, "id", "left_anti")
+        )
     out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
+    for p_ in parts[1:]:
+        out = out.unionByName(p_)
     return out
 
 
@@ -1780,12 +1926,30 @@ def temporal_min_arrival(
     )
 
 
+def _ktruss_local(pairs, k):
+    """Sequential support peeling — the k-truss small-core finisher
+    (identical fixpoint; peeling order cannot matter)."""
+    e = {tuple(sorted(p)) for p in pairs if p[0] != p[1]}
+    while True:
+        adj = {}
+        for a, b in e:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        kept = {
+            (a, b) for a, b in e if len(adj[a] & adj[b]) >= k - 2
+        }
+        if kept == e:
+            return e
+        e = kept
+
+
 def k_truss(
     edges: DataFrame,
     k: int = 4,
     max_rounds: int = 30,
     src_col: str = "src",
     dst_col: str = "dst",
+    local_threshold: int = 100_000,
 ) -> DataFrame:
     """k-truss decomposition → the maximal subgraph's edge set (a, b)
     with a < b, where every edge participates in ≥ k−2 triangles WITHIN
@@ -1810,6 +1974,25 @@ def k_truss(
     )
     thresh = k - 2
     n = e.count()
+    # small-core finisher (the SCC/_tarjan_local discipline): a fixpoint
+    # of wedge joins on a one-task graph is all fixed job overhead
+    if n <= local_threshold:
+        id_t = dict(e.dtypes)["a"]
+
+        def _finish_truss(batches):
+            import pandas as pd
+
+            pairs = []
+            for b in batches:
+                pairs.extend(zip(b["a"].tolist(), b["b"].tolist()))
+            kept = sorted(_ktruss_local(pairs, k))
+            return iter([pd.DataFrame(
+                {"a": [p[0] for p in kept], "b": [p[1] for p in kept]}
+            )])
+
+        return e.repartition(1).mapInPandas(
+            _finish_truss, f"a {id_t}, b {id_t}"
+        )
     for _ in range(max_rounds):
         if n == 0:
             return e
