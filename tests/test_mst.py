@@ -26,10 +26,14 @@ def _kruskal(edges):
 
 def _run(spark, edges):
     df = spark.createDataFrame(edges, "src long, dst long, w double")
-    got = sorted(
-        (r.src, r.dst, r.w) for r in boruvka_mst(df).collect()
-    )
-    assert got == _kruskal(edges)
+    # both paths: small-core Kruskal finisher AND the distributed
+    # Borůvka loop must choose the identical unique forest
+    for threshold in (200_000, 0):
+        got = sorted(
+            (r.src, r.dst, r.w)
+            for r in boruvka_mst(df, local_threshold=threshold).collect()
+        )
+        assert got == _kruskal(edges), threshold
     return got
 
 

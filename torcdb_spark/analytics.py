@@ -1083,12 +1083,36 @@ def adamic_adar(
     )
 
 
+def _kruskal_local(rows):
+    """Sequential Kruskal over (u, v, w, cu, cv) rows under the strict
+    (w, u, v) total order — the MST small-core finisher. The strict
+    order makes the minimum spanning forest UNIQUE, so Kruskal here and
+    Borůvka above choose the SAME edges (the exact-agreement pytest in
+    tests/test_mst.py is the proof obligation)."""
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    chosen = []
+    for u, v, w, cu, cv in sorted(rows, key=lambda r: (r[2], r[0], r[1])):
+        ru, rv = find(cu), find(cv)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+            chosen.append((u, v, w))
+    return chosen
+
+
 def boruvka_mst(
     edges: DataFrame,
     max_rounds: int = 12,
     src_col: str = "src",
     dst_col: str = "dst",
     weight_col: str = "w",
+    local_threshold: int = 1_000_000,
 ) -> DataFrame:
     """Minimum spanning forest via distributed Borůvka → the MST edge set
     (src, dst, w), one row per chosen edge, deterministic.
@@ -1139,7 +1163,45 @@ def boruvka_mst(
             .where(F.col("cu") != F.col("cv"))
         )
         keyed = _checkpointed_nostats(keyed)
-        if keyed.isEmpty():
+        n_keyed = keyed.count()
+        if n_keyed == 0:
+            break
+        # small-core finisher (the SCC/_tarjan_local discipline): once
+        # the inter-component edge set fits one task, log-many more
+        # distributed rounds of fixed job overhead cost more than the
+        # whole remainder — finish with sequential Kruskal under the
+        # SAME (w, u, v) order (strict total order ⇒ the forest is
+        # unique, so both paths choose identical edges).
+        # threshold sizing: 1M (u,v,w,cu,cv) rows ≈ 40 MB — one task's
+        # working set; a 100 TB edge set runs distributed rounds until
+        # contraction shrinks the inter-component remainder under it
+        if n_keyed <= local_threshold:
+            id_t = dict(keyed.dtypes)["u"]
+
+            def _finish_mst(batches):
+                import pandas as pd
+
+                rows = []
+                for b in batches:
+                    rows.extend(zip(
+                        b["u"].tolist(), b["v"].tolist(), b["w"].tolist(),
+                        b["cu"].tolist(), b["cv"].tolist(),
+                    ))
+                got = _kruskal_local(rows)
+                return iter([pd.DataFrame(
+                    {
+                        "u": [g[0] for g in got],
+                        "v": [g[1] for g in got],
+                        "w": [g[2] for g in got],
+                    }
+                )])
+
+            tail = _checkpointed_nostats(
+                keyed.select("u", "v", "w", "cu", "cv")
+                .repartition(1)
+                .mapInPandas(_finish_mst, f"u {id_t}, v {id_t}, w double")
+            )
+            chosen = tail if chosen is None else chosen.unionByName(tail)
             break
         # Edge cleaning (standard Borůvka reduction): between two
         # components only the MINIMUM edge under the total order can ever
