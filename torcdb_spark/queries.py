@@ -8418,3 +8418,102 @@ def km1_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("d2").cast("long").alias("ssd"),
         F.sum("vec_id").cast("long").alias("member_id_sum"),
     )
+
+
+@_register(
+    "ab1_welch_ttest",
+    """WITH assigned AS (
+         SELECT event_type, value,
+                (CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)),
+                                         1, 8)) AS BIGINT) % 2) = 0 AS is_a
+         FROM events
+       ),
+       stats AS (
+         SELECT event_type,
+                CAST(SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+                CAST(SUM(CASE WHEN is_a THEN 0 ELSE 1 END) AS BIGINT) AS n_b,
+                SUM(CASE WHEN is_a THEN value ELSE 0 END) AS s_a,
+                SUM(CASE WHEN is_a THEN 0 ELSE value END) AS s_b,
+                SUM(CASE WHEN is_a THEN value * value ELSE 0 END) AS q_a,
+                SUM(CASE WHEN is_a THEN 0 ELSE value * value END) AS q_b
+         FROM assigned GROUP BY event_type
+       ),
+       derived AS (
+         SELECT event_type, n_a, n_b,
+                s_a / n_a AS m_a, s_b / n_b AS m_b,
+                (q_a - s_a * s_a / n_a) / (n_a - 1) AS v_a,
+                (q_b - s_b * s_b / n_b) / (n_b - 1) AS v_b
+         FROM stats WHERE n_a >= 2 AND n_b >= 2
+       )
+       SELECT event_type, n_a, n_b,
+              floor(m_a * 10000 + CAST(0.5 AS DOUBLE)) / 10000 AS mean_a,
+              floor(m_b * 10000 + CAST(0.5 AS DOUBLE)) / 10000 AS mean_b,
+              floor((m_a - m_b) / sqrt(v_a / n_a + v_b / n_b) * 10000
+                    + CAST(0.5 AS DOUBLE)) / 10000 AS t_stat,
+              floor((v_a / n_a + v_b / n_b) * (v_a / n_a + v_b / n_b)
+                    / (v_a * v_a / (n_a * n_a * (n_a - 1))
+                       + v_b * v_b / (n_b * n_b * (n_b - 1))) * 100
+                    + CAST(0.5 AS DOUBLE)) / 100 AS welch_df
+       FROM derived""",
+)
+def ab1_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: users deterministically md5-assigned to
+    arms, per event_type the Welch unequal-variance t statistic and
+    Welch-Satterthwaite degrees of freedom over the event value metric.
+    One map-side-combinable aggregate per group computes (n, Σx, Σx²)
+    for both arms in a single scan — the sufficient statistics, so the
+    test costs the same as a count at any scale. Variances derive from
+    the SAME Σ/Σ² formula in both engines (never the built-in var_samp,
+    whose summation differs); final statistics round portably."""
+    arm = (
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 8),
+            16, 10,
+        ).cast("long") % 2 == 0
+    )
+    ev = load_table(spark, sf_dir, "events").withColumn("is_a", arm)
+    stats = ev.groupBy("event_type").agg(
+        F.sum(F.when(F.col("is_a"), 1).otherwise(0))
+        .cast("long").alias("n_a"),
+        F.sum(F.when(F.col("is_a"), 0).otherwise(1))
+        .cast("long").alias("n_b"),
+        F.sum(F.when(F.col("is_a"), F.col("value")).otherwise(0.0))
+        .alias("s_a"),
+        F.sum(F.when(F.col("is_a"), 0.0).otherwise(F.col("value")))
+        .alias("s_b"),
+        F.sum(
+            F.when(F.col("is_a"), F.col("value") * F.col("value"))
+            .otherwise(0.0)
+        ).alias("q_a"),
+        F.sum(
+            F.when(F.col("is_a"), 0.0)
+            .otherwise(F.col("value") * F.col("value"))
+        ).alias("q_b"),
+    ).where((F.col("n_a") >= 2) & (F.col("n_b") >= 2))
+    m_a = F.col("s_a") / F.col("n_a")
+    m_b = F.col("s_b") / F.col("n_b")
+    v_a = (F.col("q_a") - F.col("s_a") * F.col("s_a") / F.col("n_a")) / (
+        F.col("n_a") - 1
+    )
+    v_b = (F.col("q_b") - F.col("s_b") * F.col("s_b") / F.col("n_b")) / (
+        F.col("n_b") - 1
+    )
+    se2 = v_a / F.col("n_a") + v_b / F.col("n_b")
+    t = (m_a - m_b) / F.sqrt(se2)
+    df = (se2 * se2) / (
+        v_a * v_a / (F.col("n_a") * F.col("n_a") * (F.col("n_a") - 1))
+        + v_b * v_b / (F.col("n_b") * F.col("n_b") * (F.col("n_b") - 1))
+    )
+
+    def _r(c, d):
+        return F.floor(c * (10 ** d) + F.lit(0.5)) / F.lit(float(10 ** d))
+
+    return stats.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        _r(m_a, 4).alias("mean_a"),
+        _r(m_b, 4).alias("mean_b"),
+        _r(t, 4).alias("t_stat"),
+        _r(df, 2).alias("welch_df"),
+    )
