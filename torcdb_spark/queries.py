@@ -8517,3 +8517,79 @@ def ab1_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         _r(t, 4).alias("t_stat"),
         _r(df, 2).alias("welch_df"),
     )
+
+
+@_register(
+    "e11_matryoshka_topk",
+    """WITH half AS (
+         SELECT vec_id,
+                CAST(embedding AS DOUBLE[])[1 : len(embedding) / 2] AS v
+         FROM embeddings
+       ),
+       q AS (SELECT vec_id AS query_id, v AS qv FROM half
+             WHERE vec_id < 10),
+       scored AS (
+         SELECT query_id, h.vec_id AS neighbor_id,
+                (floor((list_dot_product(qv, h.v)
+                        / (sqrt(list_dot_product(qv, qv))
+                           * sqrt(list_dot_product(h.v, h.v)))) * 1000000
+                       + CAST(0.5 AS DOUBLE)) / 1000000) AS score
+         FROM q, half h WHERE h.vec_id <> query_id)
+       SELECT query_id, neighbor_id, score, CAST(rnk AS BIGINT) AS rnk
+       FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY score DESC, neighbor_id) AS rnk
+             FROM scored)
+       WHERE rnk <= 5""",
+)
+def e11_matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-truncation retrieval (Kusupati et al. 2022 MRL): score
+    with only the FIRST HALF of each embedding's dimensions — the
+    coarse-pass trick MRL-trained models enable, halving the ANN scan's
+    bandwidth and memory before an optional full-dim re-rank (e1/e10
+    are the refiners). Same broadcast-queries × corpus shape as e1; the
+    truncation is a zero-copy array slice in the scan projection.
+    Portable rounding keeps every score engine-exact."""
+    from pyspark.sql.window import Window as W
+
+    from torcdb_spark.functions.vector import cosine_similarity
+
+    emb = load_table(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    half = emb.select(
+        "vec_id",
+        F.slice(
+            F.col("embedding").cast("array<double>"),
+            1,
+            (F.size("embedding") / 2).cast("int"),
+        ).alias("v"),
+    )
+    q = half.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    c = half.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv")
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                F.floor(
+                    cosine_similarity(F.col("qv"), F.col("cv")) * 1_000_000
+                    + F.lit(0.5)
+                )
+                / F.lit(1_000_000.0)
+            ).alias("score"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 5)
+        .select("query_id", "neighbor_id", "score",
+                F.col("rnk").cast("long").alias("rnk"))
+    )
