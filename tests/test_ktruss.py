@@ -43,3 +43,24 @@ def test_k4_is_the_4_truss(spark):
     df = spark.createDataFrame(EDGES, "src long, dst long")
     got = {(r["a"], r["b"]) for r in k_truss(df, k=4).collect()}
     assert got == {(1, 2), (1, 3), (2, 3), (1, 4), (2, 4), (3, 4)}
+
+
+def test_double_sweep_diameter_exact_on_path_and_tree(spark):
+    from torcdb_spark.analytics import double_sweep_diameter
+
+    # path 1-2-3-4-5: diameter 4; seed mid-path
+    path = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "src long, dst long"
+    )
+    seed = spark.createDataFrame([(3,)], "id long")
+    r = double_sweep_diameter(path, seed).collect()[0]
+    assert r["diameter_lb"] == 4
+    assert r["sweep1_ecc"] == 2
+    # star: diameter 2 from any seed
+    star = spark.createDataFrame(
+        [(0, i) for i in range(1, 6)], "src long, dst long"
+    )
+    r2 = double_sweep_diameter(
+        star, spark.createDataFrame([(0,)], "id long")
+    ).collect()[0]
+    assert r2["diameter_lb"] == 2

@@ -2089,3 +2089,41 @@ def k_truss(
             return kept
         e, n = kept, n_new
     raise RuntimeError(f"k_truss did not converge in {max_rounds} rounds")
+
+
+def double_sweep_diameter(
+    edges: DataFrame,
+    seed: DataFrame,
+    max_depth: int = 32,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Double-sweep diameter estimate (Magnien/Latapy/Habib 2009) of the
+    UNDIRECTED graph → one row (sweep1_ecc, diameter_lb, peripheral_id):
+    BFS from a seed, restart from the farthest vertex found (ties by
+    id), and report that vertex's eccentricity — a lower bound that is
+    exact on trees and empirically tight on real graphs. Two
+    ``bfs_distances`` runs — 2·O(diameter) supersteps — instead of the
+    O(V) BFS sweeps exact diameter needs; THE scalable first question
+    ("how wide is this graph?") asked of any new 100 TB edge set."""
+    sym = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).unionByName(
+        edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst"))
+    ).where(F.col("src") != F.col("dst")).distinct()
+    d1 = bfs_distances(sym, seed, max_depth=max_depth)
+    far1 = (
+        d1.orderBy(F.desc("distance"), F.asc("id")).limit(1)
+        .localCheckpoint(eager=True)
+    )
+    ecc1 = far1.select(F.col("distance").alias("sweep1_ecc"))
+    d2 = bfs_distances(sym, far1.select("id"), max_depth=max_depth)
+    far2 = d2.orderBy(F.desc("distance"), F.asc("id")).limit(1)
+    return (
+        ecc1.crossJoin(
+            far2.select(
+                F.col("distance").alias("diameter_lb"),
+                F.col("id").alias("peripheral_id"),
+            )
+        )
+    )

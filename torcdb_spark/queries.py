@@ -8593,3 +8593,38 @@ def e11_matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id", "score",
                 F.col("rnk").cast("long").alias("rnk"))
     )
+
+
+@_register("g_diameter")  # rows-only: two BFS fixpoints — not
+# SQL-expressible; exact on paths/trees/stars pytest-proven
+# (tests/test_ktruss.py::test_double_sweep_diameter_*)
+def g_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Double-sweep diameter estimate (analytics.double_sweep_diameter)
+    of the undirected navigation core: BFS out, restart from the
+    farthest vertex, report its eccentricity — the 2-sweep lower bound
+    that replaces O(V) exact sweeps at scale. Seed = smallest page id
+    (deterministic)."""
+    from torcdb_spark.analytics import double_sweep_diameter
+
+    events = load_table(spark, sf_dir, "events")
+    seq = events.select(
+        "user_id",
+        F.get_json_object(F.col("props"), "$.k").cast("long").alias("k"),
+        "ts",
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tr = seq.select(
+        F.col("k").alias("src"), F.lead("k").over(w).alias("dst")
+    ).where(F.col("dst").isNotNull())
+    cnts = tr.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("n"))
+    edges = (
+        cnts.orderBy(F.desc("n"), F.asc("src"), F.asc("dst"))
+        .limit(175)
+        .select("src", "dst")
+        .localCheckpoint(eager=True)
+    )
+    seed = edges.select(F.col("src").alias("id")).unionByName(
+        edges.select(F.col("dst").alias("id"))
+    ).agg(F.min("id").alias("id"))
+    return double_sweep_diameter(edges, seed)
