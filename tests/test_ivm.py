@@ -112,3 +112,49 @@ def test_maintain_equals_recompute_property(spark):
         assert got == expect, (base, inserts, deletes)
 
     check()
+
+
+def test_delta_join_bilinear_rule_with_cross_term(spark):
+    """maintain(view, delta_join) == recompute on post-change tables,
+    on a toy where BOTH sides change for the same key — the ΔA⋈ΔB cross
+    term is load-bearing (dropping it double-counts retractions)."""
+    from pyspark.sql import functions as F
+
+    from torcdb_spark.operators.ivm import delta_join, maintain_agg
+
+    a0 = spark.createDataFrame(
+        [(1, "p1"), (2, "p2"), (3, "p1")], "k long, g string"
+    )
+    b0 = spark.createDataFrame(
+        [(1, 10), (1, 20), (2, 5), (3, 7)], "k long, x long"
+    )
+    # UPDATE key 1's group p1 -> p9 AND delete one of key 1's b rows
+    d_a = spark.createDataFrame(
+        [(1, "p1", -1), (1, "p9", 1)], "k long, g string, __m int"
+    )
+    d_b = spark.createDataFrame([(1, 20, -1)], "k long, x int, __m int")
+
+    view0 = (
+        a0.join(b0, "k").groupBy("g")
+        .agg(F.count("*").cast("long").alias("n"),
+             F.sum("x").cast("long").alias("x"))
+    )
+    dj = delta_join(a0, d_a, b0, d_b, ["k"]).select("g", "x", "__m")
+    got = {
+        r["g"]: (r["n"], r["x"])
+        for r in maintain_agg(view0, dj, ["g"], ["x"]).collect()
+    }
+
+    a1 = spark.createDataFrame(
+        [(1, "p9"), (2, "p2"), (3, "p1")], "k long, g string"
+    )
+    b1 = spark.createDataFrame(
+        [(1, 10), (2, 5), (3, 7)], "k long, x long"
+    )
+    expect = {
+        r["g"]: (r["n"], r["x"])
+        for r in a1.join(b1, "k").groupBy("g")
+        .agg(F.count("*").cast("long").alias("n"),
+             F.sum("x").cast("long").alias("x")).collect()
+    }
+    assert got == expect

@@ -56,3 +56,42 @@ def maintain_agg(
         ],
     )
     return merged.where(F.col(count_col) > 0)
+
+
+def delta_join(
+    a: DataFrame,
+    delta_a: DataFrame,
+    b: DataFrame,
+    delta_b: DataFrame,
+    on: list[str],
+    mult_col: str = "__m",
+) -> DataFrame:
+    """Signed delta of the join A ⋈ B under Z-set deltas on BOTH sides —
+    the bilinear rule every DBSP/materialized-view engine implements:
+
+        Δ(A ⋈ B) = ΔA ⋈ B  ⊎  A ⋈ ΔB  ⊎  ΔA ⋈ ΔB
+
+    with multiplicities MULTIPLYING across the join. ``a``/``b`` are the
+    PRE-delta snapshots; the result carries ``mult_col`` and feeds
+    ``maintain_agg`` (a join-aggregate view) or a multiplicity merge (a
+    plain join view). Cost scales with |Δ|·matches, never |A ⋈ B|: each
+    term joins a delta against the other side (or the other delta) on
+    the join key — the refresh touches the day's changes only."""
+    m = F.col(mult_col)
+    a0 = a.withColumn(mult_col, F.lit(1))
+    b0 = b.withColumn(mult_col, F.lit(1))
+
+    def term(left: DataFrame, right: DataFrame) -> DataFrame:
+        lm = left.withColumnRenamed(mult_col, "__ml")
+        rm = right.withColumnRenamed(mult_col, "__mr")
+        return (
+            lm.join(rm, on)
+            .withColumn(mult_col, F.col("__ml") * F.col("__mr"))
+            .drop("__ml", "__mr")
+        )
+
+    return (
+        term(delta_a, b0)
+        .unionByName(term(a0, delta_b))
+        .unionByName(term(delta_a, delta_b))
+    )

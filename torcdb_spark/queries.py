@@ -8628,3 +8628,70 @@ def g_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges.select(F.col("dst").alias("id"))
     ).agg(F.min("id").alias("id"))
     return double_sweep_diameter(edges, seed)
+
+
+@_register(
+    "ivm2_join_view_maintenance",
+    """WITH orders2 AS (
+         SELECT o_orderkey,
+                CASE WHEN o_orderkey % 37 = 0 THEN 'X-NEW'
+                     ELSE o_orderpriority END AS prio
+         FROM orders
+       ),
+       lineitem2 AS (
+         SELECT l_orderkey, CAST(l_quantity AS BIGINT) AS qty
+         FROM lineitem
+         WHERE NOT (l_orderkey % 53 = 0 AND l_linenumber % 2 = 0)
+       )
+       SELECT o.prio,
+              CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(l.qty) AS BIGINT) AS qty
+       FROM orders2 o JOIN lineitem2 l ON l.l_orderkey = o.o_orderkey
+       GROUP BY o.prio""",
+)
+def ivm2_join_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a JOIN-AGGREGATE view (operators/ivm
+    delta_join ∘ maintain_agg): the view GROUP BY priority over
+    orders ⋈ lineitem is maintained under simultaneous deltas on BOTH
+    base tables — an UPDATE on orders (retract + insert with a new
+    priority, the Z-set spelling of UPDATE) and DELETEs on lineitem —
+    via the bilinear rule Δ(A⋈B) = ΔA⋈B ⊎ A⋈ΔB ⊎ ΔA⋈ΔB. Refresh cost
+    scales with the deltas, never the join. The oracle RECOMPUTES the
+    view from the post-change tables: maintain(base, Δ) ≡
+    recompute(base ⊎ Δ), bit-exact (integral measures)."""
+    from torcdb_spark.operators.ivm import delta_join, maintain_agg
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_orderpriority").alias("prio")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        F.col("l_quantity").cast("long").alias("qty"),
+        "l_linenumber",
+    )
+    a0, b0 = orders, li.select("o_orderkey", "qty")
+    touched = orders.where(F.col("o_orderkey") % 37 == 0)
+    d_a = touched.withColumn("__m", F.lit(-1)).unionByName(
+        touched.withColumn("prio", F.lit("X-NEW")).withColumn(
+            "__m", F.lit(1)
+        )
+    )
+    d_b = (
+        li.where(
+            (F.col("o_orderkey") % 53 == 0) & (F.col("l_linenumber") % 2 == 0)
+        )
+        .select("o_orderkey", "qty")
+        .withColumn("__m", F.lit(-1))
+    )
+    view0 = (
+        a0.join(b0, "o_orderkey")
+        .groupBy("prio")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("qty").cast("long").alias("qty"),
+        )
+    )
+    dj = delta_join(a0, d_a, b0, d_b, ["o_orderkey"]).select(
+        "prio", "qty", "__m"
+    )
+    return maintain_agg(view0, dj, ["prio"], ["qty"])
