@@ -53,14 +53,20 @@ def test_double_sweep_diameter_exact_on_path_and_tree(spark):
         [(1, 2), (2, 3), (3, 4), (4, 5)], "src long, dst long"
     )
     seed = spark.createDataFrame([(3,)], "id long")
-    r = double_sweep_diameter(path, seed).collect()[0]
-    assert r["diameter_lb"] == 4
-    assert r["sweep1_ecc"] == 2
+    for threshold in (10_000, 0):  # finisher AND distributed sweeps
+        r = double_sweep_diameter(
+            path, seed, local_threshold=threshold
+        ).collect()[0]
+        assert r["diameter_lb"] == 4, threshold
+        assert r["sweep1_ecc"] == 2, threshold
+        assert r["peripheral_id"] in (1, 5)
     # star: diameter 2 from any seed
     star = spark.createDataFrame(
         [(0, i) for i in range(1, 6)], "src long, dst long"
     )
-    r2 = double_sweep_diameter(
-        star, spark.createDataFrame([(0,)], "id long")
-    ).collect()[0]
-    assert r2["diameter_lb"] == 2
+    for threshold in (10_000, 0):
+        r2 = double_sweep_diameter(
+            star, spark.createDataFrame([(0,)], "id long"),
+            local_threshold=threshold,
+        ).collect()[0]
+        assert r2["diameter_lb"] == 2, threshold

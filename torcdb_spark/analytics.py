@@ -2091,12 +2091,43 @@ def k_truss(
     raise RuntimeError(f"k_truss did not converge in {max_rounds} rounds")
 
 
+def _double_sweep_local(pairs, seed_ids):
+    """Sequential double sweep — the diameter small-core finisher
+    (identical BFS levels and (distance, id) tie-breaks)."""
+    from collections import deque
+
+    adj = {}
+    for a, b in pairs:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+
+    def bfs(srcs):
+        dist = {s: 0 for s in srcs if s in adj}
+        dq = deque(dist)
+        while dq:
+            u = dq.popleft()
+            for v in adj[u]:
+                if v not in dist:
+                    dist[v] = dist[u] + 1
+                    dq.append(v)
+        return dist
+
+    d1 = bfs(set(seed_ids))
+    far1 = max(d1, key=lambda v: (d1[v], -v))
+    d2 = bfs({far1})
+    far2 = max(d2, key=lambda v: (d2[v], -v))
+    return d1[far1], d2[far2], far2
+
+
 def double_sweep_diameter(
     edges: DataFrame,
     seed: DataFrame,
     max_depth: int = 32,
     src_col: str = "src",
     dst_col: str = "dst",
+    local_threshold: int = 100_000,
 ) -> DataFrame:
     """Double-sweep diameter estimate (Magnien/Latapy/Habib 2009) of the
     UNDIRECTED graph → one row (sweep1_ecc, diameter_lb, peripheral_id):
@@ -2106,11 +2137,38 @@ def double_sweep_diameter(
     ``bfs_distances`` runs — 2·O(diameter) supersteps — instead of the
     O(V) BFS sweeps exact diameter needs; THE scalable first question
     ("how wide is this graph?") asked of any new 100 TB edge set."""
-    sym = edges.select(
-        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    ).unionByName(
-        edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst"))
-    ).where(F.col("src") != F.col("dst")).distinct()
+    sym = _checkpointed(
+        edges.select(
+            F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+        ).unionByName(
+            edges.select(
+                F.col(dst_col).alias("src"), F.col(src_col).alias("dst")
+            )
+        ).where(F.col("src") != F.col("dst")).distinct()
+    )
+    # small-core finisher: two BFS fixpoints of fixed job overhead cost
+    # more than a one-task sweep below the threshold (same discipline as
+    # MIS/coloring/k-truss/MST; both paths pytest-pinned equal)
+    if sym.count() <= local_threshold:
+        seed_ids = [r[0] for r in seed.limit(1000).collect()]
+
+        def _finish_sweep(batches):
+            import pandas as pd
+
+            pairs = []
+            for b in batches:
+                pairs.extend(zip(b["src"].tolist(), b["dst"].tolist()))
+            e1, lb, pid = _double_sweep_local(pairs, seed_ids)
+            return iter([pd.DataFrame(
+                {"sweep1_ecc": [e1], "diameter_lb": [lb],
+                 "peripheral_id": [pid]}
+            )])
+
+        id_t = dict(sym.dtypes)["src"]
+        return sym.repartition(1).mapInPandas(
+            _finish_sweep,
+            f"sweep1_ecc long, diameter_lb long, peripheral_id {id_t}",
+        )
     d1 = bfs_distances(sym, seed, max_depth=max_depth)
     far1 = (
         d1.orderBy(F.desc("distance"), F.asc("id")).limit(1)
