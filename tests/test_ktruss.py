@@ -70,3 +70,29 @@ def test_double_sweep_diameter_exact_on_path_and_tree(spark):
             local_threshold=threshold,
         ).collect()[0]
         assert r2["diameter_lb"] == 2, threshold
+
+
+def test_double_sweep_seed_deterministic_across_partitionings(spark):
+    """The small-core finisher truncates the seed frame to 1000 ids;
+    without an orderBy before the limit the kept subset would depend on
+    partition order. Pin: a >1000-id seed frame produces the identical
+    result whether delivered as 1 partition or 16 shuffled ones."""
+    from torcdb_spark.analytics import double_sweep_diameter
+
+    # path 0-1-...-40 — diameter 40; seed with 1200 ids, most of them
+    # absent from the graph, so only the ordered-first-1000 subset
+    # (which contains all real vertices) matters
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "src long, dst long"
+    )
+    ids = list(range(1200))
+    rows = [(i,) for i in ids]
+    one = spark.createDataFrame(rows, "id long").coalesce(1)
+    many = (
+        spark.createDataFrame(list(reversed(rows)), "id long")
+        .repartition(16)
+    )
+    r_one = double_sweep_diameter(path, one).collect()[0]
+    r_many = double_sweep_diameter(path, many).collect()[0]
+    assert r_one == r_many
+    assert r_one["diameter_lb"] == 40

@@ -1292,6 +1292,24 @@ def boruvka_mst(
                 ptr.select(F.col("c").alias("comp"), "p"), "comp", "left"
             ).select("id", F.coalesce(F.col("p"), F.col("comp")).alias("comp"))
         )
+    else:
+        # max_rounds exhausted without contraction finishing or the
+        # small-core finisher firing. If inter-component edges remain,
+        # the returned forest would silently be non-spanning — check
+        # once (exhaustion path only) and fail loudly.
+        cu = comp.select(F.col("id").alias("u"), F.col("comp").alias("cu"))
+        cv = comp.select(F.col("id").alias("v"), F.col("comp").alias("cv"))
+        leftover = (
+            cand.join(cu, "u").join(cv, "v")
+            .where(F.col("cu") != F.col("cv"))
+        )
+        if not leftover.isEmpty():
+            raise RuntimeError(
+                "boruvka_mst: inter-component edges remain after"
+                f" max_rounds={max_rounds}; raise max_rounds or"
+                " local_threshold — returning now would yield a"
+                " non-spanning forest."
+            )
     out = e0.limit(0) if chosen is None else chosen
     return out.select(
         F.col("u").alias(src_col),
@@ -1426,10 +1444,17 @@ def strongly_connected_components(
         at its own id until the min wave arrives, so the jump target is
         the vertex itself — measured no round reduction for 2 extra
         joins/round. The small-core finisher below is what bounds the
-        superstep count instead.)"""
+        superstep count instead.)
+
+        Returns (labels, converged). A non-converged label frame MUST
+        NOT be peeled: with partial propagation only part of an SCC
+        satisfies F==B (e.g. a directed cycle longer than ~2*max_prop
+        peels only its min-id vertex), and removing that subset severs
+        the SCC so trim then mislabels the rest as singletons."""
         lab = _checkpointed_nostats(
             vs.select("id", F.col("id").alias("f"), F.col("id").alias("b"))
         )
+        converged = False
         for _ in range(max_prop):
             fmsg = (
                 ev.join(
@@ -1463,8 +1488,9 @@ def strongly_connected_components(
             )
             lab = step.select("id", "f", "b")
             if step.where(F.col("_chg")).isEmpty():
+                converged = True
                 break
-        return lab
+        return lab, converged
 
     for _outer in range(max_outer):
         if active_v.isEmpty():
@@ -1550,7 +1576,18 @@ def strongly_connected_components(
             break
         active_e = _checkpointed_nostats(active_e)
         # 3. fused forward/backward min-label fixpoint on the cyclic core
-        fb = _propagate_fb(active_e, active_v)
+        fb, fb_converged = _propagate_fb(active_e, active_v)
+        if not fb_converged:
+            # Peeling from truncated labels silently splits SCCs (only
+            # the min-id part of a long cycle satisfies F==B) — fail
+            # loudly instead, matching k_truss/temporal_min_arrival.
+            raise RuntimeError(
+                "strongly_connected_components: min-label propagation did"
+                f" not converge within max_prop={max_prop} supersteps on"
+                " an active core above local_threshold; raise max_prop"
+                " or local_threshold — peeling now would emit wrong"
+                " scc_ids."
+            )
         # 4. peel complete SCCs where F == B
         peeled = _checkpointed_nostats(
             fb.where(F.col("f") == F.col("b")).select(
@@ -1565,6 +1602,17 @@ def strongly_connected_components(
             active_e.join(_b(peeled), active_e["src"] == peeled["id"], "left_anti")
             .join(_b(peeled), active_e["dst"] == peeled["id"], "left_anti")
         )
+    else:
+        # max_outer exhausted without a break: any still-active vertices
+        # would silently vanish from the output — fail loudly instead
+        # (the k_truss/temporal_min_arrival discipline).
+        if not active_v.isEmpty():
+            raise RuntimeError(
+                "strongly_connected_components: trim/peel loop exhausted"
+                f" max_outer={max_outer} with active vertices remaining;"
+                " raise max_outer or local_threshold — returning now"
+                " would drop those vertices from the output."
+            )
     if not done_parts:
         return verts.limit(0).withColumn("scc_id", F.col("id"))
     out = done_parts[0]
@@ -1750,6 +1798,16 @@ def maximal_independent_set(
             .join(active_v.withColumnRenamed("id", "b"), "b")
             .select("a", "b")
         )
+    else:
+        # max_rounds exhausted: still-active vertices mean the set is
+        # not yet maximal — fail loudly rather than return a non-MIS.
+        if not active_v.isEmpty():
+            raise RuntimeError(
+                "maximal_independent_set: Luby loop exhausted"
+                f" max_rounds={max_rounds} with active vertices"
+                " remaining; raise max_rounds or local_threshold —"
+                " the selected set would not be maximal."
+            )
     if not mis_parts:  # empty / self-loop-only graph
         return sym.select(F.col("a").alias("id")).limit(0)
     out = mis_parts[0]
@@ -1877,6 +1935,16 @@ def greedy_coloring(
         uncolored = _checkpointed_nostats(
             uncolored.join(assigned, "id", "left_anti")
         )
+    else:
+        # max_rounds exhausted: uncolored vertices would vanish from
+        # the output, violating the documented totality — fail loudly.
+        if not uncolored.isEmpty():
+            raise RuntimeError(
+                "greedy_coloring: Jones-Plassmann loop exhausted"
+                f" max_rounds={max_rounds} with uncolored vertices"
+                " remaining; raise max_rounds or local_threshold —"
+                " the coloring would be partial."
+            )
     out = parts[0]
     for p_ in parts[1:]:
         out = out.unionByName(p_)
@@ -2150,7 +2218,10 @@ def double_sweep_diameter(
     # more than a one-task sweep below the threshold (same discipline as
     # MIS/coloring/k-truss/MST; both paths pytest-pinned equal)
     if sym.count() <= local_threshold:
-        seed_ids = [r[0] for r in seed.limit(1000).collect()]
+        # orderBy before limit: without it the seed subset (and hence
+        # the sweep-1 start) would depend on partition order.
+        first = seed.columns[0]
+        seed_ids = [r[0] for r in seed.orderBy(first).limit(1000).collect()]
 
         def _finish_sweep(batches):
             import pandas as pd

@@ -140,18 +140,25 @@ def constraint_audit(df: DataFrame, rules: list) -> DataFrame:
     for r in fk_rules:
         # one LEFT join + conditional count yields n_checked AND the
         # dangling count in a single pass over df (an anti-join would
-        # need a second scan just for the denominator)
+        # need a second scan just for the denominator). No broadcast
+        # hint: the reference table may be arbitrarily large — AQE
+        # picks broadcast on its own when the deduped key set is small.
+        # NULL fk values are NOT violations (SQL `NOT IN` semantics —
+        # a NULL key asserts nothing; a RowRule isNotNull predicate
+        # covers presence separately).
         parts.append(
             df.join(
-                F.broadcast(
-                    r.ref.select(F.col(r.ref_col).alias("__k")).distinct()
-                ),
+                r.ref.select(F.col(r.ref_col).alias("__k")).distinct(),
                 F.col(r.col) == F.col("__k"),
                 "left",
             )
             .agg(
                 F.count(F.lit(1)).cast("long").alias("n_checked"),
-                F.sum(F.when(F.col("__k").isNull(), 1).otherwise(0))
+                F.sum(
+                    F.when(
+                        F.col("__k").isNull() & F.col(r.col).isNotNull(), 1
+                    ).otherwise(0)
+                )
                 .cast("long").alias("n_violations"),
             )
             .select(

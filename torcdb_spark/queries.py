@@ -5988,12 +5988,20 @@ def jl1_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     parsed = shards.select(
         "source",
         F.explode(F.split("content", "\n")).alias("line"),
-    ).select("source", F.from_json("line", rec_schema).alias("r"))
+    ).select("source", "line", F.from_json("line", rec_schema).alias("r"))
+    # PERMISSIVE-mode from_json returns a row of NULL FIELDS (never a
+    # NULL struct) for malformed input since Spark 3.0, so testing
+    # r IS NULL can never fire. A parse failure is a non-empty line
+    # whose required doc_id came back NULL.
     return parsed.groupBy("source").agg(
         F.count("*").cast("long").alias("n_records"),
         F.sum(F.col("r.doc_id")).cast("long").alias("sum_ids"),
         F.sum(F.length("r.text")).cast("long").alias("text_chars"),
-        F.sum(F.when(F.col("r").isNull(), 1).otherwise(0))
+        F.sum(
+            F.when(
+                (F.length("line") > 0) & F.col("r.doc_id").isNull(), 1
+            ).otherwise(0)
+        )
         .cast("long").alias("n_parse_errors"),
     )
 
