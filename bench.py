@@ -124,11 +124,35 @@ def main() -> None:
         print(f"bench: recheck {name} {timings[name]}s", file=sys.stderr)
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
+    # Per-query delta vs the previous recorded run (bench_detail.json from
+    # the last round), so regressions surface in the artifact itself
+    # rather than in cross-round archaeology. Positive delta = slower.
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_detail.json"
+    )
+    prev: dict[str, float] = {}
+    prev_total = None
+    try:
+        with open(detail_path) as f:
+            prev_full = json.load(f)
+        prev = {
+            k: v for k, v in prev_full.get("queries", {}).items() if v >= 0
+        }
+        prev_total = prev_full.get("value")
+    except (OSError, ValueError):
+        pass
+    delta = {
+        k: round(v - prev[k], 3)
+        for k, v in timings.items()
+        if v >= 0 and k in prev
+    }
     full = {
         "metric": "total wall sec over declared query inventory",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "delta_vs_prev": delta,
+        "prev_total": prev_total,
         "runs_per_query": n_runs,
         "sf": sf,
     }
@@ -137,8 +161,7 @@ def main() -> None:
     # overflows that window (BENCH_r02: "parsed": null).  So: full detail
     # goes to a file + an early stdout line, and the FINAL line is a
     # compact summary (slowest queries only) guaranteed to fit.
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "bench_detail.json"), "w") as f:
+    with open(detail_path, "w") as f:
         json.dump(full, f)
     print(json.dumps(full))  # full record, for human/file consumers
 
@@ -148,6 +171,13 @@ def main() -> None:
             key=lambda kv: -kv[1],
         )
     )
+    # The biggest regressions ride in the compact record too (>=1.5x AND
+    # >=0.5s absolute — ratio alone flags 0.1s->0.2s noise).
+    regressed = {
+        k: [prev[k], timings[k]]
+        for k in sorted(delta, key=lambda k: -delta[k])[:5]
+        if timings[k] >= prev[k] * 1.5 and delta[k] >= 0.5
+    }
     compact = {
         "metric": "total wall sec over declared query inventory",
         "value": total,
@@ -156,6 +186,8 @@ def main() -> None:
         "n_queries": len(timings),
         "runs_per_query": n_runs,
         "sf": sf,
+        "prev_total": prev_total,
+        "regressed_vs_prev": regressed,
         "detail": "bench_detail.json",
     }
     budget = 1500 - len(json.dumps(compact, separators=(",", ":")))

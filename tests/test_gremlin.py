@@ -493,3 +493,82 @@ def test_edge_start_traversal(spark, sf_dir):
         F.col("o_totalprice") > 150000
     ).count()
     assert filtered._df.count() == want
+
+
+# ---------------------------------------------------------------------------
+# Round-6 step completeness: cyclicPath, coin, local, store/aggregate/cap
+# ---------------------------------------------------------------------------
+
+
+def test_cyclic_path_complements_simple_path(graph):
+    """cyclicPath ∪ simplePath == all path-tracked traversers, disjoint;
+    on the 2-hop both() walk the only cyclic paths are start-revisits."""
+    cid = uint128_pair(LABEL_TAGS["customer"], 1)
+    t = G(graph).V(cid).with_path().both("fromNation").both("fromNation")
+    all_n = t.count()
+    simple_n = t.simple_path().count()
+    cyclic_n = t.cyclic_path().count()
+    assert simple_n + cyclic_n == all_n
+    assert cyclic_n == 1  # exactly the c1 -> nation -> c1 revisit
+
+
+def test_coin_deterministic_partition(graph):
+    """coin(p) ∪ coin-complement == frame; rerun selects the same subset;
+    p=0/1 are empty/identity."""
+    t = G(graph).V().has_label("customer")
+    n = t.count()
+    kept = t.coin(0.25)
+    k1 = {r["_cur"] for r in kept._df.collect()}
+    k2 = {r["_cur"] for r in t.coin(0.25)._df.collect()}
+    assert k1 == k2  # deterministic across re-execution
+    assert 0 < len(k1) < n
+    assert t.coin(0.0).count() == 0
+    assert t.coin(1.0).count() == n
+    # a different seed draws a different (still deterministic) subset
+    k3 = {r["_cur"] for r in t.coin(0.25, seed=7)._df.collect()}
+    assert k3 != k1
+
+
+def test_local_limit_scopes_per_parent(graph, ddb):
+    """local(out('placed').limit(2)) keeps ≤2 orders PER customer, not 2
+    globally — ranked by order id, so the kept set is the SQL top-2 per
+    customer."""
+    t = G(graph).V().has_label("customer").local_(
+        lambda s: s.out("placed"), limit_per=2
+    )
+    got = sorted(
+        (int.from_bytes(r["_cur"][8:], "big"))
+        for r in t._df.collect()
+    )
+    exp = sorted(
+        r[0]
+        for r in ddb.sql(
+            """select o_orderkey from (
+                 select o_orderkey,
+                        row_number() over (partition by o_custkey
+                                           order by o_orderkey) rn
+                 from orders) where rn <= 2"""
+        ).fetchall()
+    )
+    assert got == exp
+
+
+def test_store_aggregate_cap(graph):
+    """store keeps duplicates (bag), aggregate dedups (set); cap unfolds
+    the collection as rows and pops the registry name."""
+    import pytest as _pytest
+
+    cid = uint128_pair(LABEL_TAGS["customer"], 1)
+    t = G(graph).V(cid).with_path().both("fromNation").both("fromNation")
+    n = t.count()
+    bag = t.store_("b1").cap_("b1")
+    assert bag.count() == n  # duplicates kept
+    st = t.aggregate_("s1").cap_("s1")
+    assert st.count() == t._df.select("_cur").distinct().count()
+    # cap popped the name: a second cap raises
+    with _pytest.raises(KeyError):
+        t.cap_("b1")
+    # store at two points of a chain unions both frontiers
+    t2 = G(graph).V(cid).store_("b2").out("fromNation").store_("b2")
+    both = t2.cap_("b2")
+    assert both.count() == 2  # customer + its nation

@@ -508,6 +508,113 @@ class GraphTraversal:
             ),
         )
 
+    def cyclic_path(self) -> "GraphTraversal":
+        """Keep only traversers whose path REVISITS a vertex (Gremlin
+        cyclicPath()) — the exact complement of ``simple_path``; their
+        union partitions the path-tracked frame (pytest-pinned in
+        tests/test_gremlin.py). Requires with_path(). Inherited by the
+        reference via gremlin-core 3.2.4 (pom.xml:17-20,
+        CyclicPathStep)."""
+        if "_path" not in self._df.columns:
+            raise ValueError("cyclic_path requires a preceding with_path()")
+        return GraphTraversal(
+            self._g,
+            self._df.where(
+                F.size(F.array_distinct(F.col("_path"))) < F.size(F.col("_path"))
+            ),
+        )
+
+    def coin(self, p: float, seed: int = 0) -> "GraphTraversal":
+        """``coin(p)``: keep each traverser with probability p. DELIBERATE
+        deviation from TinkerPop (same rationale as ``sample_``): the coin
+        is a DETERMINISTIC xxhash64 threshold on the traverser's current
+        vertex + seed, so retries, speculative tasks, and oracle
+        comparison all see the identical subset — a true random draw
+        cannot survive partition re-splits. Pure per-row JVM expression;
+        no shuffle."""
+        if not 0.0 <= p <= 1.0:
+            raise ValueError(f"coin probability must be in [0,1], got {p}")
+        bucket = F.pmod(
+            F.xxhash64(F.col("_cur"), F.lit(int(seed))), F.lit(1_000_000)
+        )
+        return GraphTraversal(
+            self._g, self._df.where(bucket < F.lit(int(round(p * 1_000_000))))
+        )
+
+    def local_(self, step_fn, limit_per: int | None = None) -> "GraphTraversal":
+        """``local(sub)``: apply a sub-traversal to each traverser as an
+        isolated unit (TinkerPop LocalStep). The common composition —
+        ``local(out(...).limit(n))`` — needs the limit scoped PER parent
+        traverser, not globally; pass the unlimited sub-step plus
+        ``limit_per=n``. Executes as the sub-traversal's join chain with
+        the parent vertex riding along, then one rank-filter window per
+        parent (Catalyst's WindowGroupLimit pushes the top-n into the
+        shuffle, so no group ever materializes fully — scale-safe where
+        TinkerPop's per-traverser iteration is inherently serial).
+        Deterministic order: results ranked by current-vertex id."""
+        parent = "_as___local"
+        tagged = GraphTraversal(
+            self._g, self._df.withColumn(parent, F.col("_cur"))
+        )
+        sub = step_fn(tagged)
+        out = sub._df
+        if limit_per is not None:
+            w = Window.partitionBy(parent).orderBy(
+                F.col("_cur").asc(), F.col("_start").asc()
+            )
+            out = (
+                out.withColumn("_lrn", F.row_number().over(w))
+                .where(F.col("_lrn") <= int(limit_per))
+                .drop("_lrn")
+            )
+        return GraphTraversal(self._g, out.drop(parent))
+
+    # -- side-effect collections (store/aggregate … cap, TinkerPop
+    # StoreStep/AggregateStep/SideEffectCapStep — inherited by the
+    # reference via gremlin-core 3.2.4, pom.xml:17-20) ---------------------
+
+    def _side_effects(self) -> dict:
+        # Side-effect registry rides on the graph handle: every traversal
+        # in a chain shares self._g, so store→hop→cap composes without
+        # threading state through each step constructor. Names are
+        # per-graph-handle — use query-unique keys; cap() pops by default.
+        return self._g.__dict__.setdefault("_gremlin_side_effects", {})
+
+    def store_(self, name: str) -> "GraphTraversal":
+        """``store(x)``: lazily add the current vertices to side-effect
+        bag ``x`` (duplicates kept, TinkerPop bag semantics) and continue
+        unchanged. Nothing materializes until ``cap_`` — the bag is a
+        lazy DataFrame union, so storing at three points of a chain
+        costs three plan branches, not three jobs."""
+        reg = self._side_effects()
+        cur = self._df.select(F.col("_cur").alias("value"))
+        reg[name] = reg[name].unionAll(cur) if name in reg else cur
+        return self
+
+    def aggregate_(self, name: str) -> "GraphTraversal":
+        """``aggregate(x)``: like ``store`` but set-semantics (deduped) —
+        the eager-barrier nuance of TinkerPop's AggregateStep is moot
+        here because the whole chain is one lazy Catalyst plan."""
+        reg = self._side_effects()
+        cur = self._df.select(F.col("_cur").alias("value"))
+        reg[name] = (
+            reg[name].unionAll(cur) if name in reg else cur
+        ).dropDuplicates(["value"])
+        return self
+
+    def cap_(self, name: str, keep: bool = False) -> DataFrame:
+        """``cap(x)``: emit side-effect collection ``x``. DELIBERATE
+        deviation from TinkerPop, which emits ONE traverser holding the
+        entire collection — a driver-sized object that cannot scale; the
+        unfolded one-row-per-element frame (= ``cap(x).unfold()``) is the
+        distributed representation. Pops the registry entry unless
+        ``keep=True`` so per-graph-handle names don't leak across
+        queries."""
+        reg = self._side_effects()
+        if name not in reg:
+            raise KeyError(f"no side-effect collection named {name!r}")
+        return reg.pop(name) if not keep else reg[name]
+
     def path(self) -> DataFrame:
         """Terminal path(): the full visited-vertex array per traverser."""
         if "_path" not in self._df.columns:
