@@ -278,10 +278,27 @@ def triangle_count(edges: DataFrame, src_col: str = "src", dst_col: str = "dst")
     degree-ordered orientation bounds every vertex's oriented out-degree
     by O(sqrt(m)), so wedge fan-out stays bounded on skewed graphs (a
     109-degree hub ordered by raw id could otherwise own ~10^18 wedges at
-    100 TB; ordered by degree it owns none)."""
+    100 TB; ordered by degree it owns none).
+
+    Symmetrization is ONE scan + explode, not a self-union: Catalyst has
+    no common-subexpression elimination across union branches, so the
+    union form pastes the (possibly expensive) edge subtree into the
+    plan twice and scans the source twice — measured 2x scan cost on
+    g_triangle_count's 3-branch edge construction before this form."""
     und = (
-        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
-        .unionByName(edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b")))
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col(src_col).alias("a"), F.col(dst_col).alias("b")
+                    ),
+                    F.struct(
+                        F.col(dst_col).alias("a"), F.col(src_col).alias("b")
+                    ),
+                )
+            ).alias("_p")
+        )
+        .select("_p.a", "_p.b")
         .where(F.col("a") != F.col("b"))
         .dropDuplicates(["a", "b"])
     )
@@ -312,10 +329,11 @@ def triangle_count(edges: DataFrame, src_col: str = "src", dst_col: str = "dst")
     tri = wedges.join(
         canon.select(F.col("a").alias("y"), F.col("b").alias("z")), ["y", "z"]
     )
+    # credit all three corners in ONE pass over tri — the union form
+    # would inline the wedge+closure join subtree three times (no
+    # cross-branch CSE), tripling the two most expensive joins
     per_vertex = (
-        tri.select(F.col("x").alias("id"))
-        .unionAll(tri.select(F.col("y").alias("id")))
-        .unionAll(tri.select(F.col("z").alias("id")))
+        tri.select(F.explode(F.array("x", "y", "z")).alias("id"))
         .groupBy("id")
         .agg(F.count("*").cast("long").alias("triangles"))
     )

@@ -3186,10 +3186,25 @@ def g_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = o.join(F.broadcast(prio_map), "o_orderpriority").withColumn(
         "okey", F.col("o_orderkey") + 1000000
     )
-    e1 = ranked.select(F.col("o_custkey").alias("src"), F.col("okey").alias("dst"))
-    e2 = ranked.select(F.col("o_custkey").alias("src"), F.col("prio").alias("dst"))
-    e3 = ranked.select(F.col("okey").alias("src"), F.col("prio").alias("dst"))
-    edges = e1.unionByName(e2).unionByName(e3)
+    # ONE orders scan: the three edge kinds explode out of each row.
+    # The previous 3-way unionByName pasted the scan+window subtree into
+    # the plan three times (no cross-branch CSE in Catalyst), which the
+    # operator's symmetrization then doubled to SIX scans of orders.
+    edges = ranked.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("o_custkey").alias("src"), F.col("okey").alias("dst")
+                ),
+                F.struct(
+                    F.col("o_custkey").alias("src"), F.col("prio").alias("dst")
+                ),
+                F.struct(
+                    F.col("okey").alias("src"), F.col("prio").alias("dst")
+                ),
+            )
+        ).alias("_e")
+    ).select("_e.src", "_e.dst")
     return triangle_count(edges).select("id", "triangles")
 
 
