@@ -661,3 +661,15 @@ def test_span_scrub_is_two_corpus_scans_no_window(spark, sf_dir):
     plan = explain_str(scrub_duplicate_spans(docs, 3), "simple")
     assert "Window" not in plan
     assert "LeftAnti" in plan
+
+
+def test_near_dup_queries_have_no_cartesian_product(spark, sf_dir):
+    """d3/d13 candidate generation is the LSH banded equi-join — the
+    declared queries must carry no crossJoin that would go quadratic if
+    the fixture bound were raised."""
+    from torcdb_spark.queries import queries
+
+    for name in ("d3_ngram_jaccard", "d13_dedup_clusters"):
+        plan = explain_str(queries()[name](spark, sf_dir), "simple")
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name

@@ -858,25 +858,34 @@ def g_gremlin_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
                           list_distinct([substring(t, i, 5)
                             for i in generate_series(1, greatest(len(t)-4, 1))]) AS s
                    FROM n)
-       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-              round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-                    / len(list_distinct(list_concat(a.s, b.s))), 4) AS jaccard
-       FROM sh a JOIN sh b ON a.doc_id < b.doc_id""",
+       SELECT id_a, id_b, jaccard FROM (
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                      / len(list_distinct(list_concat(a.s, b.s))), 4) AS jaccard
+         FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+       WHERE jaccard >= 0.2""",
 )
 def d3_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact character-5-gram Jaccard over candidate pairs (all pairs of
-    the first 30 docs) — the verification stage of near-dedup, via
-    array_intersect/array_union sizes."""
-    from torcdb_spark.operators.dedup import ngram_jaccard_pairs
+    """Near-dup pairs at exact 5-gram Jaccard ≥ 0.2, produced by the
+    PRODUCTION pipeline shape end to end: MinHash signatures → LSH
+    banded equi-join candidates → exact-Jaccard verification — no
+    crossJoin anywhere in the plan. Banding runs one row per band
+    (64 bands × 1 row), so a true pair is missed only if all 64
+    minhashes disagree: recall ≥ 1−(1−J)^64 ≥ 1−6.3e−7 at J = 0.2.
+    The oracle is the BRUTE-FORCE all-pairs filter — the hash match
+    certifies that the banded candidate set lost nothing on these
+    fixtures (the fixture bound doc_id ≤ 30 keeps the oracle's
+    quadratic side tractable; the Spark side never goes quadratic)."""
+    from torcdb_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        minhash_signatures,
+        ngram_jaccard_pairs,
+    )
 
     docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") <= 30)
-    ids = docs.select(F.col("doc_id"))
-    cand = (
-        ids.withColumnRenamed("doc_id", "id_a")
-        .crossJoin(ids.withColumnRenamed("doc_id", "id_b"))
-        .where(F.col("id_a") < F.col("id_b"))
-    )
-    return ngram_jaccard_pairs(docs, cand)
+    sigs = minhash_signatures(docs, num_perm=64)
+    cand = minhash_lsh_candidates(sigs, bands=64, rows=1)
+    return ngram_jaccard_pairs(docs, cand).where(F.col("jaccard") >= 0.2)
 
 
 @_register("d4_simhash_groups")  # xxhash64-based: rows-only check
@@ -3824,15 +3833,19 @@ def d13_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     this query verifies the composition exactly against a recursive-CTE
     transitive closure."""
     from torcdb_spark.analytics import connected_components
-    from torcdb_spark.operators.dedup import ngram_jaccard_pairs
+    from torcdb_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        minhash_signatures,
+        ngram_jaccard_pairs,
+    )
 
     docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") <= 30)
     ids = docs.select("doc_id")
-    cand = (
-        ids.withColumnRenamed("doc_id", "id_a")
-        .crossJoin(ids.withColumnRenamed("doc_id", "id_b"))
-        .where(F.col("id_a") < F.col("id_b"))
-    )
+    # production candidate stage: LSH banded equi-join (64 bands × 1 row
+    # ⇒ recall ≥ 1−(1−J)^64; see d3), NOT a crossJoin — the oracle's
+    # brute-force transitive closure certifies nothing was lost
+    sigs = minhash_signatures(docs, num_perm=64)
+    cand = minhash_lsh_candidates(sigs, bands=64, rows=1)
     edges = (
         ngram_jaccard_pairs(docs, cand)
         .where(F.col("jaccard") >= 0.2)
