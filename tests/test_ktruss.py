@@ -96,3 +96,61 @@ def test_double_sweep_seed_deterministic_across_partitionings(spark):
     r_many = double_sweep_diameter(path, many).collect()[0]
     assert r_one == r_many
     assert r_one["diameter_lb"] == 40
+
+
+def test_ifub_exact_on_path_star_tripartite(spark):
+    """iFUB certifies exactness (lb == ub, exact=True) on the three
+    fixture shapes, on BOTH the small-core and the distributed path."""
+    from torcdb_spark.analytics import ifub_diameter
+
+    cases = [
+        # path 1-..-7: diameter 6
+        ([(i, i + 1) for i in range(1, 7)], [(4,)], 6),
+        # star: diameter 2
+        ([(0, i) for i in range(1, 8)], [(0,)], 2),
+        # complete tripartite K_{2,2,2}: diameter 2
+        (
+            [
+                (a, b)
+                for a in (1, 2)
+                for b in (3, 4)
+            ]
+            + [(a, b) for a in (1, 2) for b in (5, 6)]
+            + [(a, b) for a in (3, 4) for b in (5, 6)],
+            [(1,)],
+            2,
+        ),
+    ]
+    for pairs, seed_rows, want in cases:
+        edges = spark.createDataFrame(pairs, "src long, dst long")
+        seed = spark.createDataFrame(seed_rows, "id long")
+        for threshold in (10_000, 0):  # finisher AND distributed loop
+            r = ifub_diameter(
+                edges, seed, local_threshold=threshold
+            ).collect()[0]
+            assert r["exact"] is True, (pairs[:2], threshold)
+            assert r["diameter_lb"] == r["diameter_ub"] == want, (
+                want, threshold, dict(r.asDict()),
+            )
+
+
+def test_ifub_budget_exhaustion_keeps_valid_bounds(spark):
+    """With a probe budget too small to certify, iFUB still returns
+    valid bounds (lb <= true diameter <= ub) and exact=False."""
+    from torcdb_spark.analytics import ifub_diameter
+
+    # 4x4 grid: diameter 6, midpoint fringes need several probes
+    edges = []
+    for r_ in range(4):
+        for c in range(4):
+            v = r_ * 4 + c
+            if c < 3:
+                edges.append((v, v + 1))
+            if r_ < 3:
+                edges.append((v, v + 4))
+    df = spark.createDataFrame(edges, "src long, dst long")
+    seed = spark.createDataFrame([(5,)], "id long")
+    r = ifub_diameter(df, seed, local_threshold=0, max_ecc_bfs=4).collect()[0]
+    assert r["diameter_lb"] <= 6 <= r["diameter_ub"]
+    if not r["exact"]:
+        assert r["diameter_lb"] < r["diameter_ub"]

@@ -2274,3 +2274,200 @@ def double_sweep_diameter(
             )
         )
     )
+
+
+def _ifub_local(pairs, seed_ids, max_ecc_bfs=10_000):
+    """Sequential iFUB (Crescenzi/Grossi/Habib/Lanzi/Marino 2013) on an
+    in-memory edge list → (lb, ub, exact, n_bfs). The small-core
+    finisher for ``ifub_diameter``; IDENTICAL sweep seeds, midpoint
+    choice, and fringe order as the distributed loop so both paths
+    return the same bounds."""
+    from collections import deque
+
+    adj = {}
+    for a, b in pairs:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    if not adj:
+        return 0, 0, True, 0
+
+    def bfs(srcs):
+        dist = {s: 0 for s in srcs if s in adj}
+        dq = deque(dist)
+        while dq:
+            u = dq.popleft()
+            for v in adj[u]:
+                if v not in dist:
+                    dist[v] = dist[u] + 1
+                    dq.append(v)
+        return dist
+
+    n_bfs = 0
+    # double sweep: seed -> a (farthest, ties by min id) -> b
+    d0 = bfs(set(seed_ids))
+    n_bfs += 1
+    a = max(d0, key=lambda v: (d0[v], -v))
+    d_a = bfs({a})
+    n_bfs += 1
+    b = max(d_a, key=lambda v: (d_a[v], -v))
+    lb = d_a[b]
+    d_b = bfs({b})
+    n_bfs += 1
+    # midpoint of the a-b shortest path: on-path (d_a+d_b == d(a,b))
+    # at level d(a,b)//2 from a, ties by min id
+    half = lb // 2
+    on_path = [
+        v for v in d_a
+        if v in d_b and d_a[v] + d_b[v] == lb and d_a[v] == half
+    ]
+    w = min(on_path) if on_path else a
+    d_w = bfs({w})
+    n_bfs += 1
+    ecc_w = max(d_w.values())
+    lb = max(lb, ecc_w)
+    ub = 2 * ecc_w
+    levels: dict[int, list] = {}
+    for v, d in d_w.items():
+        levels.setdefault(d, []).append(v)
+    i = ecc_w
+    while lb < ub and i > 0:
+        for v in sorted(levels.get(i, [])):
+            if n_bfs >= max_ecc_bfs:
+                return lb, ub, lb >= ub, n_bfs
+            dv = bfs({v})
+            n_bfs += 1
+            lb = max(lb, max(dv.values()))
+        # every unprocessed vertex now sits at level <= i-1, so its
+        # eccentricity is at most 2*(i-1) (triangle inequality via w)
+        ub_next = 2 * (i - 1)
+        if lb > ub_next:
+            ub = lb
+            break
+        ub = min(ub, ub_next)
+        i -= 1
+    return lb, ub, lb >= ub, n_bfs
+
+
+def ifub_diameter(
+    edges: DataFrame,
+    seed: DataFrame,
+    max_depth: int = 32,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    local_threshold: int = 100_000,
+    max_ecc_bfs: int = 16,
+) -> DataFrame:
+    """iFUB exact-diameter refinement of the double sweep → ONE row
+    (diameter_lb, diameter_ub, exact, n_bfs) for the UNDIRECTED graph
+    (the seed's component, like ``double_sweep_diameter``).
+
+    iFUB's observation: after a BFS from a well-chosen root w (the
+    midpoint of the double-sweep path), every vertex at BFS level ≤ i−1
+    has eccentricity ≤ 2(i−1), so processing fringe levels top-down and
+    keeping lb = max eccentricity seen certifies lb as the EXACT
+    diameter the moment lb > 2(i−1) — on real graphs typically after a
+    handful of BFS runs, vs the Θ(V) all-pairs sweeps exact diameter
+    naively needs. Each eccentricity probe is one ``bfs_distances``
+    fixpoint (O(diameter) supersteps); ``max_ecc_bfs`` caps the probe
+    budget, and an exhausted budget returns exact=False with the bounds
+    as-is — the bounds are always valid, exactness is what the budget
+    buys. Below ``local_threshold`` edges the IDENTICAL algorithm runs
+    sequentially in one task (pytest-pinned equal on path/star/
+    tripartite fixtures, both paths)."""
+    sym = _checkpointed(
+        edges.select(
+            F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+        ).unionByName(
+            edges.select(
+                F.col(dst_col).alias("src"), F.col(src_col).alias("dst")
+            )
+        ).where(F.col("src") != F.col("dst")).distinct()
+    )
+    if sym.count() <= local_threshold:
+        first = seed.columns[0]
+        seed_ids = [r[0] for r in seed.orderBy(first).limit(1000).collect()]
+
+        def _finish_ifub(batches):
+            import pandas as pd
+
+            pairs = []
+            for b_ in batches:
+                pairs.extend(zip(b_["src"].tolist(), b_["dst"].tolist()))
+            lb, ub, exact, nb = _ifub_local(pairs, seed_ids)
+            return iter([pd.DataFrame(
+                {"diameter_lb": [lb], "diameter_ub": [ub],
+                 "exact": [bool(exact)], "n_bfs": [nb]}
+            )])
+
+        return sym.repartition(1).mapInPandas(
+            _finish_ifub,
+            "diameter_lb long, diameter_ub long, exact boolean, n_bfs long",
+        )
+
+    def _ecc_and_far(srcs: DataFrame):
+        d = bfs_distances(sym, srcs, max_depth=max_depth)
+        far = (
+            d.orderBy(F.desc("distance"), F.asc("id")).limit(1)
+            .localCheckpoint(eager=True)
+        )
+        r = far.collect()[0]
+        return d, int(r["distance"]), r["id"]
+
+    n_bfs = 0
+    _, _, a = _ecc_and_far(seed.select(F.col(seed.columns[0]).alias("id")))
+    n_bfs += 1
+    spark = edges.sparkSession
+    d_a, lb, b = _ecc_and_far(spark.createDataFrame([(a,)], ["id"]))
+    n_bfs += 1
+    d_b, _, _ = _ecc_and_far(spark.createDataFrame([(b,)], ["id"]))
+    n_bfs += 1
+    half = lb // 2
+    mid = (
+        d_a.alias("x")
+        .join(d_b.alias("y"), "id")
+        .where(
+            (F.col("x.distance") + F.col("y.distance") == F.lit(lb))
+            & (F.col("x.distance") == F.lit(half))
+        )
+        .orderBy("id")
+        .limit(1)
+        .collect()
+    )
+    w = mid[0]["id"] if mid else a
+    d_w, ecc_w, _ = _ecc_and_far(spark.createDataFrame([(w,)], ["id"]))
+    n_bfs += 1
+    d_w = _checkpointed(d_w)
+    lb = max(lb, ecc_w)
+    ub = 2 * ecc_w
+    i = ecc_w
+    while lb < ub and i > 0 and n_bfs < max_ecc_bfs:
+        # fringe level i, ascending id (deterministic); each vertex is
+        # one eccentricity probe. Fringe sizes are bounded-collected
+        # only up to the probe budget — never an unbounded collect.
+        fringe = [
+            r["id"]
+            for r in d_w.where(F.col("distance") == i)
+            .orderBy("id")
+            .limit(max_ecc_bfs - n_bfs + 1)
+            .collect()
+        ]
+        if len(fringe) > max_ecc_bfs - n_bfs:
+            # budget cannot cover this level: bounds stay valid,
+            # exactness unproven
+            break
+        for v in fringe:
+            _, ecc_v, _ = _ecc_and_far(spark.createDataFrame([(v,)], ["id"]))
+            n_bfs += 1
+            lb = max(lb, ecc_v)
+        ub_next = 2 * (i - 1)
+        if lb > ub_next:
+            ub = lb
+            break
+        ub = min(ub, ub_next)
+        i -= 1
+    return spark.createDataFrame(
+        [(lb, ub, lb >= ub, n_bfs)],
+        "diameter_lb long, diameter_ub long, exact boolean, n_bfs long",
+    )

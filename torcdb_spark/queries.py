@@ -8574,16 +8574,17 @@ def e11_matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register("g_diameter")  # rows-only: two BFS fixpoints — not
-# SQL-expressible; exact on paths/trees/stars pytest-proven
-# (tests/test_ktruss.py::test_double_sweep_diameter_*)
+@_register("g_diameter")  # rows-only: iterative BFS fixpoints — not
+# SQL-expressible; exact on paths/stars/tripartite pytest-proven
+# (tests/test_ktruss.py::test_ifub_*), lb/ub/exact contract
 def g_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Double-sweep diameter estimate (analytics.double_sweep_diameter)
-    of the undirected navigation core: BFS out, restart from the
-    farthest vertex, report its eccentricity — the 2-sweep lower bound
-    that replaces O(V) exact sweeps at scale. Seed = smallest page id
-    (deterministic)."""
-    from torcdb_spark.analytics import double_sweep_diameter
+    """iFUB-certified diameter (analytics.ifub_diameter) of the
+    undirected navigation core: double sweep for the lower bound, then
+    the iFUB fringe descent from the sweep-path midpoint until the
+    bound certifies exactness (lb, ub, exact, n_bfs) — a handful of
+    BFS fixpoints instead of the O(V) sweeps exact diameter naively
+    costs. Seed = smallest page id (deterministic)."""
+    from torcdb_spark.analytics import ifub_diameter
 
     events = load_table(spark, sf_dir, "events")
     seq = events.select(
@@ -8606,7 +8607,7 @@ def g_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
     seed = edges.select(F.col("src").alias("id")).unionByName(
         edges.select(F.col("dst").alias("id"))
     ).agg(F.min("id").alias("id"))
-    return double_sweep_diameter(edges, seed)
+    return ifub_diameter(edges, seed)
 
 
 @_register(
