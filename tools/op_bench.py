@@ -83,7 +83,147 @@ def main() -> None:
             run("subtract", lambda: algebra.subtract(one_hop, frontier)),
         ]
     )
-    print(json.dumps({"sf_dir": sf_dir, "reps": reps, "ops": ops}))
+
+    writes = write_bench(spark, sf_dir)
+    print(json.dumps(
+        {"sf_dir": sf_dir, "reps": reps, "ops": ops, "writes": writes}
+    ))
+
+
+def write_bench(
+    spark,
+    sf_dir: str,
+    batch_rows: int = 10_000,
+    clients: tuple[int, ...] = (1, 8, 32),
+) -> dict:
+    """Write-path throughput/latency — the analogue of the reference's
+    MeasurementClient (util/MeasurementClient.java:289-534: addVertex
+    ops/s vs #clients, latency CCDF). Each 'client' is a driver thread
+    submitting its own Spark job (Spark schedules concurrent jobs from
+    threads; the fleet analogue is one ingest job per shard):
+
+    - add_vertices / add_edges: a batch_rows batch in the VERTEX_SCHEMA /
+      EDGE_SCHEMA contract appended as parquet to a client-private shard
+      dir (the multi-client ingest layout; the one-edge-per-(src,dst,
+      label) invariant is enforced by the read-side graph build /
+      merge job, exactly like the reference's client-side batching vs
+      server-side overwrite split).
+    - merge_upsert: each client MERGEs a 1000-row update batch into its
+      OWN partition of a shared partitioned table (disjoint partitions —
+      the per-partition-directory atomicity contract).
+
+    Emits rows/sec aggregate and per-batch p50 latency per client count.
+    """
+    import shutil
+    import tempfile
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark.sql import functions as F
+
+    from torcdb_spark.sources.maintenance import merge_upsert
+
+    out: dict[str, dict] = {"add_vertices": {}, "add_edges": {}, "merge_upsert": {}}
+    root = tempfile.mkdtemp(prefix="torcdb_write_bench_")
+
+    def vertex_batch(writer: int, tag: int):
+        return (
+            spark.range(batch_rows)
+            .select(
+                F.concat(
+                    F.lit(bytes([tag])),
+                    F.unhex(F.lpad(F.hex(
+                        F.col("id") + writer * 1_000_000_000), 16, "0")),
+                ).alias("id"),
+                F.lit("user").alias("label"),
+                F.create_map(
+                    F.lit("k"), (F.col("id") % 97).cast("string")
+                ).alias("props"),
+            )
+        )
+
+    def edge_batch(writer: int):
+        return (
+            spark.range(batch_rows)
+            .select(
+                F.unhex(F.lpad(F.hex(
+                    F.col("id") + writer * 1_000_000_000), 16, "0")).alias("src"),
+                F.lit("user").alias("src_label"),
+                F.unhex(F.lpad(F.hex(
+                    F.col("id") + 1 + writer * 1_000_000_000), 16, "0")).alias("dst"),
+                F.lit("user").alias("dst_label"),
+                F.lit("follows").alias("label"),
+                F.create_map(
+                    F.lit("w"), (F.col("id") % 7).cast("string")
+                ).alias("props"),
+            )
+        )
+
+    def timed_writer(fn):
+        t0 = time.perf_counter()
+        fn()
+        return (time.perf_counter() - t0) * 1000
+
+    for kind, mk in (("add_vertices", vertex_batch), ("add_edges", edge_batch)):
+        for n in clients:
+            jobs = []
+            for w in range(n):
+                path = f"{root}/{kind}/c{n}/w{w}"
+                if kind == "add_vertices":
+                    df = mk(w, 8)
+                else:
+                    df = mk(w)
+                jobs.append(
+                    lambda df=df, path=path: df.write.mode("append").parquet(path)
+                )
+            t0 = time.perf_counter()
+            with ThreadPoolExecutor(max_workers=n) as ex:
+                lat = list(ex.map(timed_writer, jobs))
+            wall = time.perf_counter() - t0
+            out[kind][str(n)] = {
+                "rows_per_s": round(batch_rows * n / wall),
+                "p50_batch_ms": round(statistics.median(lat), 1),
+                "batch_rows": batch_rows,
+            }
+
+    # merge_upsert: shared partitioned base, one private partition per
+    # client (the CDC sharding that keeps per-partition atomicity safe)
+    base_path = f"{root}/upsert_base"
+    max_clients = max(clients)
+    (
+        spark.range(max_clients * 20_000)
+        .select(
+            F.col("id").alias("k"),
+            (F.col("id") % max_clients).cast("int").alias("shard"),
+            F.lit(0).alias("v"),
+        )
+        .write.partitionBy("shard")
+        .parquet(base_path)
+    )
+    for n in clients:
+        def upsert(w: int):
+            upd = (
+                spark.range(1000)
+                .select(
+                    (F.col("id") * max_clients + w).alias("k"),
+                    F.lit(w).cast("int").alias("shard"),
+                    F.lit(1).alias("v"),
+                )
+            )
+            merge_upsert(spark, base_path, upd, ["k"], "shard")
+
+        t0 = time.perf_counter()
+        with ThreadPoolExecutor(max_workers=n) as ex:
+            lat = list(
+                ex.map(lambda w: timed_writer(lambda: upsert(w)), range(n))
+            )
+        wall = time.perf_counter() - t0
+        out["merge_upsert"][str(n)] = {
+            "rows_per_s": round(1000 * n / wall),
+            "p50_batch_ms": round(statistics.median(lat), 1),
+            "batch_rows": 1000,
+        }
+    shutil.rmtree(root, ignore_errors=True)
+    return out
 
 
 if __name__ == "__main__":
