@@ -572,3 +572,39 @@ def test_store_aggregate_cap(graph):
     t2 = G(graph).V(cid).store_("b2").out("fromNation").store_("b2")
     both = t2.cap_("b2")
     assert both.count() == 2  # customer + its nation
+
+
+def test_sack_accumulates_along_walk(graph, ddb):
+    """with_sack/sack_ fold per-traverser values through hops; the
+    2-hop cents sum matches SQL exactly (integer arithmetic)."""
+    import pyspark.sql.functions as F
+
+    t = (
+        G(graph).V().has_label("customer")
+        .with_sack(F.lit(0).cast("long"))
+        .out_e("placed")
+        .sack_("sum", F.round(
+            F.col("_eprops")["totalprice"].cast("double") * 100, 0
+        ).cast("long"))
+        .in_v()
+    )
+    got = {
+        int.from_bytes(r["start"][8:], "big"): r["total"]
+        for r in t.sack().groupBy("start").agg(
+            F.sum("sack").alias("total")
+        ).collect()
+    }
+    exp = dict(
+        ddb.sql(
+            """select o_custkey,
+                      sum(cast(round(o_totalprice*100,0) as bigint))
+               from orders group by 1"""
+        ).fetchall()
+    )
+    assert got == exp
+    # sack ops: mult / min / max / assign sanity on one traverser
+    base = G(graph).V().has_label("region").with_sack(F.lit(3).cast("long"))
+    assert base.sack_("mult", F.lit(4)).sack().collect()[0]["sack"] == 12
+    assert base.sack_("min", F.lit(1)).sack().collect()[0]["sack"] == 1
+    assert base.sack_("max", F.lit(9)).sack().collect()[0]["sack"] == 9
+    assert base.sack_("assign", F.lit(7)).sack().collect()[0]["sack"] == 7

@@ -1615,3 +1615,34 @@ def test_welch_ttest_matches_textbook_formula(spark):
     assert r["mean_a"] == flo(ma, 4) and r["mean_b"] == flo(mb, 4)
     assert r["t_stat"] == flo(t, 4)
     assert r["welch_df"] == flo(df, 2)
+
+
+def test_decode_image_16bit_ppm():
+    """16-bit P6 (maxval > 255): two big-endian bytes per sample,
+    rescaled to 8-bit with integer round-half-up."""
+    import numpy as np
+    from torcdb_spark.operators.multimodal import decode_image
+
+    wide = np.array(
+        [[[0, 65535, 32768], [257, 514, 65021]],
+         [[1000, 2000, 3000], [40000, 50000, 60000]]],
+        dtype=np.uint16,
+    )
+    payload = b"P6\n2 2\n65535\n" + wide.astype(">u2").tobytes()
+    got = decode_image(payload)
+    want = ((wide.astype(np.uint32) * 255 + 65535 // 2) // 65535).astype(
+        np.uint8
+    )
+    np.testing.assert_array_equal(got, want)
+    assert got[0, 0, 0] == 0 and got[0, 0, 1] == 255
+    # truncated 16-bit body still errors
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        decode_image(payload[:-3])
+    # non-power maxval (1023) rescales through the same integer path
+    w2 = np.array([[[1023, 0, 512]]], dtype=np.uint16)
+    p2 = b"P6\n1 1\n1023\n" + w2.astype(">u2").tobytes()
+    np.testing.assert_array_equal(
+        decode_image(p2), np.array([[[255, 0, 128]]], dtype=np.uint8)
+    )

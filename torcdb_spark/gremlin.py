@@ -79,8 +79,13 @@ class GraphTraversal:
         return GraphTraversal(self._g, joined.select(*cols))
 
     def _carry(self) -> list[Column]:
-        """Frame columns that ride along through hops: as_() step labels."""
-        return [F.col(c) for c in self._df.columns if c.startswith("_as_")]
+        """Frame columns that ride along through hops: as_() step labels
+        and the per-traverser sack value."""
+        return [
+            F.col(c)
+            for c in self._df.columns
+            if c.startswith("_as_") or c == "_sack"
+        ]
 
     def out(self, *labels: str) -> "GraphTraversal":
         return self._hop(Direction.OUT, *labels)
@@ -506,6 +511,49 @@ class GraphTraversal:
             self._df.where(
                 F.size(F.array_distinct(F.col("_path"))) == F.size(F.col("_path"))
             ),
+        )
+
+    def with_sack(self, init) -> "GraphTraversal":
+        """``withSack(v)``: give every traverser a private sack value
+        (TinkerPop SackValueStep family; inherited by the reference via
+        gremlin-core 3.2.4). The sack is a frame column that rides
+        through hops like as_() labels — pure per-row state, no shuffle
+        of its own."""
+        col = init if isinstance(init, Column) else F.lit(init)
+        return GraphTraversal(
+            self._g, self._df.withColumn("_sack", col)
+        )
+
+    def sack_(self, op: str, value: Column) -> "GraphTraversal":
+        """``sack(op).by(value)``: fold ``value`` (any Column over the
+        current frame — edge property, vertex id, literal) into each
+        traverser's sack. ops: sum, mult, min, max, assign. A
+        whole-stage-codegen expression per traverser."""
+        if "_sack" not in self._df.columns:
+            raise ValueError("sack_ requires a preceding with_sack()")
+        s = F.col("_sack")
+        ops = {
+            "sum": s + value,
+            "mult": s * value,
+            "min": F.least(s, value),
+            "max": F.greatest(s, value),
+            "assign": value,
+        }
+        if op not in ops:
+            raise ValueError(f"unknown sack op {op!r}; one of {sorted(ops)}")
+        return GraphTraversal(
+            self._g, self._df.withColumn("_sack", ops[op])
+        )
+
+    def sack(self) -> DataFrame:
+        """Terminal ``sack()``: one row per traverser with its sack
+        value (start, cur, sack)."""
+        if "_sack" not in self._df.columns:
+            raise ValueError("sack requires a preceding with_sack()")
+        return self._df.select(
+            F.col("_start").alias("start"),
+            F.col("_cur").alias("cur"),
+            F.col("_sack").alias("sack"),
         )
 
     def cyclic_path(self) -> "GraphTraversal":

@@ -100,8 +100,22 @@ def decode_image(payload: bytes):
             fields.append(int(payload[start:pos]))
         pos += 1  # single whitespace after maxval
         w, h, maxval = fields
+        if maxval > 65535 or maxval <= 0:
+            raise ValueError(f"PPM maxval out of range: {maxval}")
         if maxval > 255:
-            raise NotImplementedError("16-bit PPM not supported")
+            # 16-bit samples: two bytes each, big-endian (PPM spec);
+            # rescale to 8-bit with integer round-half-up so the result
+            # is deterministic across numpy versions
+            need = w * h * 3 * 2
+            raw = payload[pos : pos + need]
+            if len(raw) < need:
+                raise ValueError(f"truncated PPM: {len(raw)} < {need}")
+            wide = (
+                np.frombuffer(raw, dtype=">u2")
+                .astype(np.uint32)
+                .reshape(h, w, 3)
+            )
+            return ((wide * 255 + maxval // 2) // maxval).astype(np.uint8)
         need = w * h * 3
         raw = payload[pos : pos + need]
         if len(raw) < need:

@@ -9211,3 +9211,54 @@ def g_gremlin_cyclic_path(spark: SparkSession, sf_dir: str) -> DataFrame:
         id_lower(F.col("_path")[2]).alias("r_regionkey"),
         id_lower(F.col("_path")[3]).alias("n_nationkey"),
     )
+
+
+@_register(
+    "g_gremlin_sack",
+    """SELECT o_custkey AS c_custkey,
+              CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)
+                       + l_linenumber) AS BIGINT) AS sack_cents,
+              CAST(COUNT(*) AS BIGINT) AS n_traversers
+       FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+       GROUP BY o_custkey""",
+)
+def g_gremlin_sack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sack() step family (gremlin.py with_sack/sack_/sack — TinkerPop
+    SackValueStep, gremlin-core 3.2.4): per-traverser accumulator
+    folded along a 2-hop edge walk. Each customer traverser walks
+    placed→order→contains→lineitem summing the placed edge's totalprice
+    (in integer CENTS — float sums across engines diverge; cents don't)
+    and the contains edge's linenumber into its sack; the terminal
+    groups sacks per start. The sack is a frame column updated by
+    codegen expressions — per-traverser state with zero extra shuffles."""
+    from torcdb_spark.gremlin import G
+
+    g = _graph(spark, sf_dir)
+    t = (
+        G(g).V().has_label("customer")
+        .with_sack(F.lit(0).cast("long"))
+        .out_e("placed")
+        .sack_(
+            "sum",
+            F.round(
+                F.col("_eprops")["totalprice"].cast("double") * 100, 0
+            ).cast("long"),
+        )
+        .in_v()
+        .out_e("contains")
+        .sack_("sum", F.col("_eprops")["linenumber"].cast("long"))
+        .in_v()
+    )
+    return (
+        t.sack()
+        .groupBy("start")
+        .agg(
+            F.sum("sack").cast("long").alias("sack_cents"),
+            F.count("*").cast("long").alias("n_traversers"),
+        )
+        .select(
+            id_lower(F.col("start")).alias("c_custkey"),
+            "sack_cents",
+            "n_traversers",
+        )
+    )
