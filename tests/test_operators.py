@@ -1646,3 +1646,42 @@ def test_decode_image_16bit_ppm():
     np.testing.assert_array_equal(
         decode_image(p2), np.array([[[255, 0, 128]]], dtype=np.uint8)
     )
+
+
+def test_embedding_pca_matches_numpy(spark, sf_dir):
+    """embedding_pca == numpy PCA (eigh on the sample covariance) after
+    the largest-|loading|-positive sign convention; whitened components
+    have unit variance."""
+    import numpy as np
+
+    from torcdb_spark.operators.similarity import embedding_pca
+    from torcdb_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = [r["vec_id"] for r in rows]
+    X = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    mu = X.mean(axis=0)
+    cov = np.cov(X, rowvar=False, ddof=1)
+    vals, vecs = np.linalg.eigh(cov)
+    order = np.argsort(vals)[::-1][:4]
+    comps = vecs[:, order]
+    for c in range(comps.shape[1]):
+        m = np.argmax(np.abs(comps[:, c]))
+        if comps[m, c] < 0:
+            comps[:, c] = -comps[:, c]
+    want = {i: (X[n] - mu) @ comps for n, i in enumerate(ids)}
+
+    got = {
+        r["vec_id"]: np.array(r["proj"])
+        for r in embedding_pca(emb, k=4).collect()
+    }
+    assert set(got) == set(want)
+    for i in ids:
+        np.testing.assert_allclose(got[i], want[i], atol=1e-8)
+
+    # whitened: per-component sample variance == 1
+    W = np.array(
+        [r["proj"] for r in embedding_pca(emb, k=4, whiten=True).collect()]
+    )
+    np.testing.assert_allclose(W.var(axis=0, ddof=1), 1.0, atol=1e-6)

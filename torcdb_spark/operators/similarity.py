@@ -1077,3 +1077,134 @@ def mmr_oracle_sql(
         for i in range(1, k + 1)
     )
     return "WITH " + ",\n       ".join(blocks) + f"\n       {finals}"
+
+
+def embedding_moments(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """Exact second-moment statistics of an embedding column → d² rows
+    (i, j, n, sum_i, sum_j, sum_ij) — everything PCA/whitening needs,
+    in ONE pass with the tree-aggregate shape: each partition's
+    Arrow-batched kernel emits a single (d² + d + 1)-value partial
+    (numpy outer-product accumulation in float64), and the partials —
+    one row per partition, never per input row — combine in a tiny
+    groupBy. At 100 TB the data crosses the wire exactly once and the
+    shuffle carries #partitions × d² values, the allreduce shape
+    (classifier.py's dim+1 weight vector, generalized to rank 2).
+
+    i, j are 1-based dimension indices (full matrix, not just the upper
+    triangle, so downstream consumers index without reflection)."""
+    import numpy as np
+
+    if dim is None:
+        first = emb.select(F.size(vec_col).alias("d")).limit(1).collect()
+        if not first:
+            raise ValueError("empty embedding frame and no dim given")
+        dim = int(first[0]["d"])
+    d = dim
+
+    def _partial(batches):
+        n = 0
+        s = np.zeros(d, dtype=np.float64)
+        ss = np.zeros((d, d), dtype=np.float64)
+        for b in batches:
+            vs = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in b[vec_col]],
+                dtype=np.float64,
+            )
+            if vs.size == 0:
+                continue
+            if vs.shape[1] != d:
+                raise ValueError(f"embedding dim {vs.shape[1]} != {d}")
+            n += vs.shape[0]
+            s += vs.sum(axis=0)
+            ss += vs.T @ vs
+        yield pd.DataFrame(
+            {"n": [n], "s": [s.tolist()], "ss": [ss.reshape(-1).tolist()]}
+        )
+
+    partials = emb.select(vec_col).mapInPandas(
+        _partial, "n long, s array<double>, ss array<double>"
+    )
+    # combine: explode the flattened partials to (i, j, v) and sum —
+    # #partitions × d² rows, trivial vs the data pass above
+    idx = F.sequence(F.lit(0), F.lit(d * d - 1))
+    flat = partials.select(
+        "n", "s", F.explode(idx).alias("k"), F.col("ss")
+    ).select(
+        "n",
+        (F.col("k") / d + 1).cast("int").alias("i"),
+        (F.col("k") % d + 1).cast("int").alias("j"),
+        F.element_at("ss", F.col("k") + 1).alias("v"),
+        F.element_at("s", (F.col("k") / d + 1).cast("int")).alias("si"),
+        F.element_at("s", (F.col("k") % d + 1).cast("int")).alias("sj"),
+    )
+    return flat.groupBy("i", "j").agg(
+        F.sum("n").cast("long").alias("n"),
+        F.sum("si").alias("sum_i"),
+        F.sum("sj").alias("sum_j"),
+        F.sum("v").alias("sum_ij"),
+    )
+
+
+def embedding_pca(
+    emb: DataFrame,
+    k: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    whiten: bool = False,
+) -> DataFrame:
+    """PCA projection of an embedding column → (id, proj array<double>
+    of length k): covariance from ``embedding_moments`` (one data
+    pass), local eigendecomposition of the d×d matrix (the ONLY
+    collect — d² values, the bounded-moment discipline), then a
+    broadcast matmul projection per row. Deterministic sign convention:
+    each component's largest-|loading| coordinate is made positive, so
+    two runs (or two engines) agree exactly. ``whiten`` divides each
+    component by sqrt(eigenvalue) (the ANN-preprocessing form)."""
+    import numpy as np
+
+    vc = vec_col
+    moments = embedding_moments(emb, vc).collect()
+    d = max(r["i"] for r in moments)
+    n = moments[0]["n"]
+    if n < 2:
+        raise ValueError("PCA needs at least 2 vectors")
+    cov = np.zeros((d, d))
+    for r in moments:
+        i, j = r["i"] - 1, r["j"] - 1
+        cov[i, j] = (r["sum_ij"] - r["sum_i"] * r["sum_j"] / n) / (n - 1)
+    mean_vec = np.zeros(d)
+    for r in moments:
+        if r["j"] == 1:
+            mean_vec[r["i"] - 1] = r["sum_i"] / n
+    vals, vecs = np.linalg.eigh(cov)
+    order = np.argsort(vals)[::-1][:k]
+    comps = vecs[:, order]  # d × k
+    eigs = vals[order]
+    for c in range(comps.shape[1]):
+        m = np.argmax(np.abs(comps[:, c]))
+        if comps[m, c] < 0:
+            comps[:, c] = -comps[:, c]
+    if whiten:
+        comps = comps / np.sqrt(np.maximum(eigs, 1e-12))[None, :]
+    spark = emb.sparkSession
+    b_comps = spark.sparkContext.broadcast(comps)
+    b_mean = spark.sparkContext.broadcast(mean_vec)
+
+    def _project(batches):
+        for b in batches:
+            vs = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in b[vc]]
+            )
+            out = (vs - b_mean.value[None, :]) @ b_comps.value
+            yield pd.DataFrame(
+                {id_col: b[id_col], "proj": [row.tolist() for row in out]}
+            )
+
+    id_t = dict(emb.dtypes)[id_col]
+    return emb.select(id_col, vc).mapInPandas(
+        _project, f"{id_col} {id_t}, proj array<double>"
+    )

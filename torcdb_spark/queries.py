@@ -9262,3 +9262,95 @@ def g_gremlin_sack(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_traversers",
         )
     )
+
+
+@_register(
+    "sh1_epoch_shuffle",
+    """WITH h AS (
+         SELECT doc_id,
+                md5('epoch7:' || CAST(doc_id AS VARCHAR)) AS hx
+         FROM documents),
+       s AS (
+         SELECT doc_id, hx,
+                ('0x' || substr(hx, 1, 8))::BIGINT % 8 AS shard
+         FROM h)
+       SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+              CAST(row_number() OVER (PARTITION BY shard
+                                      ORDER BY hx, doc_id) AS BIGINT) AS pos
+       FROM s""",
+)
+def sh1_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-epoch shuffle — the reproducible global
+    permutation every data-loader epoch needs: md5('epoch<N>:'||id)
+    assigns each document a shard (hash prefix mod n_shards) and a
+    within-shard position (hash order, id tiebreak). Same seed → same
+    permutation on any engine and any partitioning; a new epoch seed is
+    a full reshuffle with zero state.
+
+    Scale shape: the per-shard position comes from rank.global_rank
+    over (shard, hx, id) — the distributed range-partitioned prefix
+    sum — with the shard's start offset subtracted via one broadcast
+    8-row aggregate. NEVER a window partitioned by shard: 8 shards at
+    100 TB would mean 8 single-task sorts of 12.5 TB each."""
+    from torcdb_spark.operators.rank import global_rank
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    hx = F.md5(F.concat(F.lit("epoch7:"), F.col("doc_id").cast("string")))
+    scored = docs.select(
+        "doc_id",
+        hx.alias("hx"),
+        (F.conv(F.substring(hx, 1, 8), 16, 10).cast("long") % 8).alias(
+            "shard"
+        ),
+    )
+    ranked = global_rank(scored, ["shard", "hx", "doc_id"], "grk")
+    starts = ranked.groupBy("shard").agg(F.min("grk").alias("_start"))
+    return (
+        ranked.join(F.broadcast(starts), "shard")
+        .select(
+            "doc_id",
+            F.col("shard").cast("long").alias("shard"),
+            (F.col("grk") - F.col("_start") + 1).cast("long").alias("pos"),
+        )
+    )
+
+
+@_register(
+    "pca1_embedding_covariance",
+    """WITH dims AS (SELECT i FROM generate_series(1, 64) t(i)),
+       st AS (
+         SELECT d1.i AS i, d2.i AS j,
+                COUNT(*) AS n,
+                SUM(CAST(embedding[d1.i] AS DOUBLE)) AS si,
+                SUM(CAST(embedding[d2.i] AS DOUBLE)) AS sj,
+                SUM(CAST(embedding[d1.i] AS DOUBLE)
+                    * CAST(embedding[d2.i] AS DOUBLE)) AS sij
+         FROM embeddings, dims d1, dims d2
+         GROUP BY d1.i, d2.i)
+       SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+              round((sij - si * sj / n) / (n - 1), 6) AS cov
+       FROM st""",
+)
+def pca1_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding covariance — the one data pass behind PCA/whitening
+    (operators/similarity.py embedding_moments → embedding_pca): each
+    partition's Arrow kernel accumulates one float64 outer-product
+    partial (d²+d+1 values), partials combine in a d²-row groupBy — the
+    rank-2 allreduce shape; the data never crosses the wire more than
+    once and no stage ever holds more than #partitions × d² values.
+    The oracle recomputes all 64×64 moments by brute-force dimension
+    cross join. The eigensolve/projection downstream is pytest-verified
+    against numpy PCA (sign-conventioned)."""
+    from torcdb_spark.operators.similarity import embedding_moments
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    m = embedding_moments(emb, "embedding")
+    return m.select(
+        F.col("i").cast("long").alias("i"),
+        F.col("j").cast("long").alias("j"),
+        F.round(
+            (F.col("sum_ij") - F.col("sum_i") * F.col("sum_j") / F.col("n"))
+            / (F.col("n") - 1),
+            6,
+        ).alias("cov"),
+    )
