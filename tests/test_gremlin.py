@@ -574,6 +574,25 @@ def test_store_aggregate_cap(graph):
     assert both.count() == 2  # customer + its nation
 
 
+def test_side_effect_registry_is_chain_scoped(graph):
+    """Two root traversals on the SAME graph handle reusing one bag name
+    never see each other's entries; an abandoned (e.g. errored) chain
+    leaves no residue for a later chain to union in."""
+    import pytest as _pytest
+
+    cid = uint128_pair(LABEL_TAGS["customer"], 1)
+    # chain A stores under "x" but is abandoned before cap (error path)
+    a = G(graph).V(cid).store_("x").out("fromNation")
+    # chain B reuses "x": its cap must contain ONLY chain-B rows
+    b = G(graph).V(cid).out("fromNation").store_("x")
+    assert b.cap_("x").count() == 1  # just the nation, not A's customer
+    # chain A's own bag is intact and independent
+    assert a.cap_("x").count() == 1  # just the customer
+    # and a fresh root sees an empty registry, not a graph-handle one
+    with _pytest.raises(KeyError):
+        G(graph).V(cid).cap_("x")
+
+
 def test_sack_accumulates_along_walk(graph, ddb):
     """with_sack/sack_ fold per-traverser values through hops; the
     2-hop cents sum matches SQL exactly (integer arithmetic)."""

@@ -154,3 +154,50 @@ def test_ifub_budget_exhaustion_keeps_valid_bounds(spark):
     assert r["diameter_lb"] <= 6 <= r["diameter_ub"]
     if not r["exact"]:
         assert r["diameter_lb"] < r["diameter_ub"]
+
+
+def test_ifub_exact_beyond_old_depth_cap(spark):
+    """A graph wider than any fixed BFS depth cap still certifies its
+    EXACT diameter on the distributed path: eccentricity probes run to
+    frontier exhaustion (bfs_distances max_depth=None), so ub=2*ecc_w
+    is a valid bound however wide the graph is. (Regression: a silent
+    depth-32 cap once truncated every probe, certifying 'exact' wrong
+    diameters on long paths.)"""
+    from torcdb_spark.analytics import ifub_diameter
+
+    # path 0-..-36: diameter 36 > the old 32-superstep cap
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(36)], "src long, dst long"
+    )
+    seed = spark.createDataFrame([(18,)], "id long")
+    r = ifub_diameter(edges, seed, local_threshold=0).collect()[0]
+    assert r["exact"] is True
+    assert r["diameter_lb"] == r["diameter_ub"] == 36
+
+
+def test_ifub_local_honors_probe_budget(spark):
+    """The small-core finisher gets the caller's max_ecc_bfs (no silent
+    10k default) and skips a fringe level it cannot fully cover — the
+    same budget semantics as the distributed loop."""
+    from torcdb_spark.analytics import ifub_diameter
+
+    edges = []
+    for r_ in range(4):
+        for c in range(4):
+            v = r_ * 4 + c
+            if c < 3:
+                edges.append((v, v + 1))
+            if r_ < 3:
+                edges.append((v, v + 4))
+    df = spark.createDataFrame(edges, "src long, dst long")
+    seed = spark.createDataFrame([(5,)], "id long")
+    loc = ifub_diameter(
+        df, seed, local_threshold=10_000, max_ecc_bfs=4
+    ).collect()[0]
+    dist = ifub_diameter(
+        df, seed, local_threshold=0, max_ecc_bfs=4
+    ).collect()[0]
+    # identical bounds, exactness, and probe count on both paths
+    assert dict(loc.asDict()) == dict(dist.asDict())
+    assert loc["n_bfs"] <= 4
+    assert loc["diameter_lb"] <= 6 <= loc["diameter_ub"]

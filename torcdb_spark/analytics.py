@@ -16,6 +16,8 @@ scale, bucket the edge table by src so the per-superstep join co-locates.
 
 from __future__ import annotations
 
+import itertools
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -209,13 +211,17 @@ def connected_components(
 def bfs_distances(
     edges: DataFrame,
     sources: DataFrame,
-    max_depth: int = 10,
+    max_depth: int | None = 10,
     src_col: str = "src",
     dst_col: str = "dst",
 ) -> DataFrame:
     """Multi-source BFS → (id, distance); frontier-expansion loop with an
     anti-join against the visited set (the iterative form of khop that also
-    records depth)."""
+    records depth). ``max_depth=None`` runs until the frontier empties —
+    required by callers that interpret the result as an exact eccentricity
+    (ifub_diameter): a depth-capped BFS silently truncates distances on
+    graphs wider than the cap. Termination is structural either way: the
+    frontier is anti-joined against visited, so it empties in ≤V supersteps."""
     # One materialization of the 2-column edge projection: every depth
     # re-joins against it, and without the persist each superstep re-scans
     # (and re-decodes) the full edge parquet — at depth d that is d full
@@ -238,7 +244,10 @@ def bfs_distances(
     # joins and let AQE re-plan from runtime sizes.
     broadcast_threshold = 500_000
     n_frontier = n_visited = visited.count()
-    for depth in range(1, max_depth + 1):
+    depth_iter = (
+        itertools.count(1) if max_depth is None else range(1, max_depth + 1)
+    )
+    for depth in depth_iter:
         f = (
             F.broadcast(frontier)
             if n_frontier <= broadcast_threshold
@@ -2276,12 +2285,14 @@ def double_sweep_diameter(
     )
 
 
-def _ifub_local(pairs, seed_ids, max_ecc_bfs=10_000):
+def _ifub_local(pairs, seed_ids, max_ecc_bfs):
     """Sequential iFUB (Crescenzi/Grossi/Habib/Lanzi/Marino 2013) on an
     in-memory edge list → (lb, ub, exact, n_bfs). The small-core
     finisher for ``ifub_diameter``; IDENTICAL sweep seeds, midpoint
-    choice, and fringe order as the distributed loop so both paths
-    return the same bounds."""
+    choice, fringe order, AND probe-budget semantics (a fringe level the
+    remaining budget cannot fully cover is skipped whole, never probed
+    partway) as the distributed loop, so both paths return the same
+    bounds for the same ``max_ecc_bfs`` — no separate default here."""
     from collections import deque
 
     adj = {}
@@ -2332,10 +2343,13 @@ def _ifub_local(pairs, seed_ids, max_ecc_bfs=10_000):
     for v, d in d_w.items():
         levels.setdefault(d, []).append(v)
     i = ecc_w
-    while lb < ub and i > 0:
-        for v in sorted(levels.get(i, [])):
-            if n_bfs >= max_ecc_bfs:
-                return lb, ub, lb >= ub, n_bfs
+    while lb < ub and i > 0 and n_bfs < max_ecc_bfs:
+        level = sorted(levels.get(i, []))
+        if len(level) > max_ecc_bfs - n_bfs:
+            # budget cannot cover this whole level: bounds stay valid,
+            # exactness unproven (mirrors the distributed loop exactly)
+            break
+        for v in level:
             dv = bfs({v})
             n_bfs += 1
             lb = max(lb, max(dv.values()))
@@ -2353,7 +2367,6 @@ def _ifub_local(pairs, seed_ids, max_ecc_bfs=10_000):
 def ifub_diameter(
     edges: DataFrame,
     seed: DataFrame,
-    max_depth: int = 32,
     src_col: str = "src",
     dst_col: str = "dst",
     local_threshold: int = 100_000,
@@ -2370,12 +2383,15 @@ def ifub_diameter(
     diameter the moment lb > 2(i−1) — on real graphs typically after a
     handful of BFS runs, vs the Θ(V) all-pairs sweeps exact diameter
     naively needs. Each eccentricity probe is one ``bfs_distances``
-    fixpoint (O(diameter) supersteps); ``max_ecc_bfs`` caps the probe
-    budget, and an exhausted budget returns exact=False with the bounds
-    as-is — the bounds are always valid, exactness is what the budget
-    buys. Below ``local_threshold`` edges the IDENTICAL algorithm runs
-    sequentially in one task (pytest-pinned equal on path/star/
-    tripartite fixtures, both paths)."""
+    fixpoint run to FRONTIER EXHAUSTION (max_depth=None) — a depth-capped
+    BFS would truncate eccentricities and make ub=2·ecc_w an invalid
+    upper bound, so there is deliberately no depth knob here.
+    ``max_ecc_bfs`` caps the probe budget, and an exhausted budget
+    returns exact=False with the bounds as-is — the bounds are always
+    valid, exactness is what the budget buys. Below ``local_threshold``
+    edges the IDENTICAL algorithm (same seeds, midpoint, fringe order,
+    and budget semantics) runs sequentially in one task (pytest-pinned
+    equal on path/star/tripartite fixtures, both paths)."""
     sym = _checkpointed(
         edges.select(
             F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
@@ -2395,7 +2411,7 @@ def ifub_diameter(
             pairs = []
             for b_ in batches:
                 pairs.extend(zip(b_["src"].tolist(), b_["dst"].tolist()))
-            lb, ub, exact, nb = _ifub_local(pairs, seed_ids)
+            lb, ub, exact, nb = _ifub_local(pairs, seed_ids, max_ecc_bfs)
             return iter([pd.DataFrame(
                 {"diameter_lb": [lb], "diameter_ub": [ub],
                  "exact": [bool(exact)], "n_bfs": [nb]}
@@ -2407,7 +2423,7 @@ def ifub_diameter(
         )
 
     def _ecc_and_far(srcs: DataFrame):
-        d = bfs_distances(sym, srcs, max_depth=max_depth)
+        d = bfs_distances(sym, srcs, max_depth=None)
         far = (
             d.orderBy(F.desc("distance"), F.asc("id")).limit(1)
             .localCheckpoint(eager=True)

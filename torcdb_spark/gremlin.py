@@ -29,9 +29,27 @@ from torcdb_spark.traverse import Direction
 
 
 class GraphTraversal:
-    def __init__(self, graph: PropertyGraph, frame: DataFrame):
+    def __init__(
+        self,
+        graph: PropertyGraph,
+        frame: DataFrame,
+        side_effects: dict | None = None,
+    ):
         self._g = graph
         self._df = frame
+        # Side-effect registry (store/aggregate … cap) scoped to THIS
+        # traversal chain: every derived step shares the root's dict via
+        # _spawn, so store→hop→cap composes, while two traversals rooted
+        # at separate V()/E() calls on the same graph handle can never
+        # see (or contaminate) each other's bags — and a chain abandoned
+        # by an error drops its entries with the chain, no graph-handle
+        # residue.
+        self._sfx: dict = {} if side_effects is None else side_effects
+
+    def _spawn(self, frame: DataFrame) -> "GraphTraversal":
+        """Derive the next step: same graph handle, same chain-scoped
+        side-effect registry."""
+        return GraphTraversal(self._g, frame, self._sfx)
 
     # -- navigation steps ---------------------------------------------------
 
@@ -76,7 +94,7 @@ class GraphTraversal:
             cols.append(
                 F.concat(F.col("_path"), F.array(F.col("_nbr"))).alias("_path")
             )
-        return GraphTraversal(self._g, joined.select(*cols))
+        return self._spawn(joined.select(*cols))
 
     def _carry(self) -> list[Column]:
         """Frame columns that ride along through hops: as_() step labels
@@ -117,7 +135,7 @@ class GraphTraversal:
         if "_path" in self._df.columns:
             cols.append(F.col("_path"))
         joined = self._df.join(h, self._df["_cur"] == h["_hop_src"]).select(*cols)
-        return GraphTraversal(self._g, joined)
+        return self._spawn(joined)
 
     def out_e(self, *labels: str) -> "GraphTraversal":
         return self._hop_e(Direction.OUT, *labels)
@@ -148,7 +166,7 @@ class GraphTraversal:
         if "_path" in self._df.columns:
             cols.append(F.col("_path"))
         joined = self._df.join(h, self._df["_cur"] == h["_hop_src"]).select(*cols)
-        return GraphTraversal(self._g, joined)
+        return self._spawn(joined)
 
     def has_edge(self, key: str, predicate) -> "GraphTraversal":
         """Filter on an edge property of the current outE/inE frame;
@@ -156,8 +174,7 @@ class GraphTraversal:
         — the Gremlin ``has`` on edges / removeEdgeIf analogue."""
         if "_eprops" not in self._df.columns:
             raise ValueError("has_edge requires a preceding out_e/in_e step")
-        return GraphTraversal(
-            self._g, self._df.where(predicate(F.col("_eprops")[key]))
+        return self._spawn(self._df.where(predicate(F.col("_eprops")[key]))
         )
 
     def in_v(self) -> "GraphTraversal":
@@ -170,7 +187,7 @@ class GraphTraversal:
             cols.append(
                 F.concat(F.col("_path"), F.array(F.col("_edst"))).alias("_path")
             )
-        return GraphTraversal(self._g, self._df.select(*cols))
+        return self._spawn(self._df.select(*cols))
 
     out_v = in_v  # far endpoint of an in_e frame — same stored column
 
@@ -179,14 +196,14 @@ class GraphTraversal:
     def has_label(self, *labels: str) -> "GraphTraversal":
         v = self._g.vertices.where(F.col("label").isin(list(labels))).select("id")
         out = self._df.join(v, self._df["_cur"] == v["id"], "left_semi")
-        return GraphTraversal(self._g, out)
+        return self._spawn(out)
 
     def has(self, key: str, value) -> "GraphTraversal":
         v = self._g.vertices.where(
             F.col("props")[key] == F.lit(value).cast("string")
         ).select("id")
         out = self._df.join(v, self._df["_cur"] == v["id"], "left_semi")
-        return GraphTraversal(self._g, out)
+        return self._spawn(out)
 
     _P_OPS = {
         "eq": lambda c, v: c == v,
@@ -215,10 +232,10 @@ class GraphTraversal:
             col = col.cast(cast)
         v = self._g.vertices.where(self._P_OPS[op](col, value)).select("id")
         out = self._df.join(v, self._df["_cur"] == v["id"], "left_semi")
-        return GraphTraversal(self._g, out)
+        return self._spawn(out)
 
     def dedup(self) -> "GraphTraversal":
-        return GraphTraversal(self._g, self._df.dropDuplicates(["_start", "_cur"]))
+        return self._spawn(self._df.dropDuplicates(["_start", "_cur"]))
 
     # -- traversal-filter composition (where/and/or/not) --------------------
 
@@ -229,9 +246,7 @@ class GraphTraversal:
         distinct ``_cur`` set (not per traverser) and the result drives a
         semi/anti join — set-at-a-time, like every other operator here."""
         seeds = self._df.select(F.col("_cur").alias("id")).dropDuplicates(["id"])
-        sub = step_fn(GraphTraversal(
-            self._g,
-            seeds.select(F.col("id").alias("_start"), F.col("id").alias("_cur")),
+        sub = step_fn(self._spawn(seeds.select(F.col("id").alias("_start"), F.col("id").alias("_cur")),
         ))
         return sub._df.select(F.col("_start").alias("_m")).dropDuplicates(["_m"])
 
@@ -264,9 +279,7 @@ class GraphTraversal:
                     "with as_() or an earlier pattern"
                 )
             seeds = df.select(F.col(ca).alias("id")).dropDuplicates(["id"])
-            sub = step_fn(GraphTraversal(
-                self._g,
-                seeds.select(F.col("id").alias("_start"),
+            sub = step_fn(self._spawn(seeds.select(F.col("id").alias("_start"),
                              F.col("id").alias("_cur")),
             ))
             pairs = sub._df.select(
@@ -284,22 +297,20 @@ class GraphTraversal:
                     .withColumn(cb, F.col("_pb"))
                     .drop("_pa", "_pb")
                 )
-        return GraphTraversal(self._g, df)
+        return self._spawn(df)
 
     def where_(self, step_fn) -> "GraphTraversal":
         """Gremlin ``where(traversal)``: keep traversers whose sub-traversal
         produces at least one result (TinkerPop filter semantics)."""
         m = self._match_set(step_fn)
-        return GraphTraversal(
-            self._g, self._df.join(m, self._df["_cur"] == m["_m"], "left_semi")
+        return self._spawn(self._df.join(m, self._df["_cur"] == m["_m"], "left_semi")
         )
 
     def not_(self, step_fn) -> "GraphTraversal":
         """Gremlin ``not(traversal)``: keep traversers whose sub-traversal
         is empty — compiles to a LEFT ANTI join."""
         m = self._match_set(step_fn)
-        return GraphTraversal(
-            self._g, self._df.join(m, self._df["_cur"] == m["_m"], "left_anti")
+        return self._spawn(self._df.join(m, self._df["_cur"] == m["_m"], "left_anti")
         )
 
     def and_(self, *step_fns) -> "GraphTraversal":
@@ -320,8 +331,7 @@ class GraphTraversal:
         m = self._match_set(step_fns[0])
         for fn in step_fns[1:]:
             m = m.unionByName(self._match_set(fn)).dropDuplicates(["_m"])
-        return GraphTraversal(
-            self._g, self._df.join(m, self._df["_cur"] == m["_m"], "left_semi")
+        return self._spawn(self._df.join(m, self._df["_cur"] == m["_m"], "left_semi")
         )
 
     # -- as()/select() step labels ------------------------------------------
@@ -329,8 +339,7 @@ class GraphTraversal:
     def as_(self, name: str) -> "GraphTraversal":
         """Label the current element (TinkerPop ``as('x')``) — materialized
         as an extra frame column, O(1) per traverser."""
-        return GraphTraversal(
-            self._g, self._df.withColumn(f"_as_{name}", F.col("_cur"))
+        return self._spawn(self._df.withColumn(f"_as_{name}", F.col("_cur"))
         )
 
     def select_(self, name: str) -> "GraphTraversal":
@@ -340,8 +349,7 @@ class GraphTraversal:
         if col not in self._df.columns:
             raise ValueError(f"no as_({name!r}) label on this traversal")
         cols = [F.col(c) for c in self._df.columns if c != "_cur"]
-        return GraphTraversal(
-            self._g, self._df.select(*cols, F.col(col).alias("_cur"))
+        return self._spawn(self._df.select(*cols, F.col(col).alias("_cur"))
         )
 
     def select(self, *names: str) -> DataFrame:
@@ -385,11 +393,11 @@ class GraphTraversal:
         ]
         if not levels:
             # emit-after with 0 iterations yields no traversers (TinkerPop)
-            return GraphTraversal(self._g, self._df.select(*keep).limit(0))
+            return self._spawn(self._df.select(*keep).limit(0))
         out = levels[0]._df.select(*keep)
         for lv in levels[1:]:
             out = out.unionByName(lv._df.select(*keep))
-        return GraphTraversal(self._g, out)
+        return self._spawn(out)
 
     def union(self, *step_fns) -> "GraphTraversal":
         """Gremlin ``union(a, b, ...)``: run each sub-traversal from the
@@ -408,7 +416,7 @@ class GraphTraversal:
         out = frames[0]
         for f in frames[1:]:
             out = out.unionByName(f)
-        return GraphTraversal(self._g, out)
+        return self._spawn(out)
 
     def optional(self, step_fn) -> "GraphTraversal":
         """Gremlin ``optional(sub)``: traversers whose sub-traversal
@@ -417,13 +425,10 @@ class GraphTraversal:
         per-traverser execution."""
         m = self._match_set(step_fn)
         moved = step_fn(self.where_(step_fn))
-        kept = GraphTraversal(
-            self._g, self._df.join(m, self._df["_cur"] == m["_m"], "left_anti")
+        kept = self._spawn(self._df.join(m, self._df["_cur"] == m["_m"], "left_anti")
         )
         keep = [c for c in moved._df.columns if c in kept._df.columns]
-        return GraphTraversal(
-            self._g,
-            moved._df.select(*keep).unionByName(kept._df.select(*keep)),
+        return self._spawn(moved._df.select(*keep).unionByName(kept._df.select(*keep)),
         )
 
     def coalesce_(self, *step_fns) -> "GraphTraversal":
@@ -448,7 +453,7 @@ class GraphTraversal:
         out = outs[0]._df.select(*keep)
         for t in outs[1:]:
             out = out.unionByName(t._df.select(*keep))
-        return GraphTraversal(self._g, out)
+        return self._spawn(out)
 
     def choose_(self, pred_fn, true_fn, false_fn) -> "GraphTraversal":
         """Gremlin ``choose(predicate, trueTraversal, falseTraversal)``:
@@ -460,9 +465,7 @@ class GraphTraversal:
         t_out = true_fn(self.where_(pred_fn))
         f_out = false_fn(self.not_(pred_fn))
         keep = sorted(set(t_out._df.columns) & set(f_out._df.columns))
-        return GraphTraversal(
-            self._g,
-            t_out._df.select(*keep).unionByName(f_out._df.select(*keep)),
+        return self._spawn(t_out._df.select(*keep).unionByName(f_out._df.select(*keep)),
         )
 
     def tail_(self, n: int) -> "GraphTraversal":
@@ -472,7 +475,7 @@ class GraphTraversal:
         collapses to one partition), so tail is as scale-safe as limit."""
         spec = self.__dict__.get("_order_spec") or [("_cur", True), ("_start", True)]
         rev = [F.col(c).desc() if asc else F.col(c).asc() for c, asc in spec]
-        out = GraphTraversal(self._g, self._df.orderBy(*rev).limit(int(n)))
+        out = self._spawn(self._df.orderBy(*rev).limit(int(n)))
         out.__dict__["_order_cols"] = self.__dict__.get("_order_cols")
         out.__dict__["_order_spec"] = spec
         return out
@@ -484,9 +487,7 @@ class GraphTraversal:
         tasks, oracle comparison — sees the same rows; a seeded true-random
         sample cannot offer that across partition re-splits. Executes as a
         distributed top-n on the hash."""
-        return GraphTraversal(
-            self._g,
-            self._df.orderBy(
+        return self._spawn(self._df.orderBy(
                 F.xxhash64(F.col("_cur")).asc(), F.col("_cur").asc()
             ).limit(int(n)),
         )
@@ -497,8 +498,7 @@ class GraphTraversal:
         bounded by hop count, so the per-traverser state stays O(depth)."""
         if "_path" in self._df.columns:
             return self
-        return GraphTraversal(
-            self._g, self._df.withColumn("_path", F.array(F.col("_cur")))
+        return self._spawn(self._df.withColumn("_path", F.array(F.col("_cur")))
         )
 
     def simple_path(self) -> "GraphTraversal":
@@ -506,9 +506,7 @@ class GraphTraversal:
         (Gremlin simplePath()). Requires with_path()."""
         if "_path" not in self._df.columns:
             raise ValueError("simple_path requires a preceding with_path()")
-        return GraphTraversal(
-            self._g,
-            self._df.where(
+        return self._spawn(self._df.where(
                 F.size(F.array_distinct(F.col("_path"))) == F.size(F.col("_path"))
             ),
         )
@@ -520,8 +518,7 @@ class GraphTraversal:
         through hops like as_() labels — pure per-row state, no shuffle
         of its own."""
         col = init if isinstance(init, Column) else F.lit(init)
-        return GraphTraversal(
-            self._g, self._df.withColumn("_sack", col)
+        return self._spawn(self._df.withColumn("_sack", col)
         )
 
     def sack_(self, op: str, value: Column) -> "GraphTraversal":
@@ -541,8 +538,7 @@ class GraphTraversal:
         }
         if op not in ops:
             raise ValueError(f"unknown sack op {op!r}; one of {sorted(ops)}")
-        return GraphTraversal(
-            self._g, self._df.withColumn("_sack", ops[op])
+        return self._spawn(self._df.withColumn("_sack", ops[op])
         )
 
     def sack(self) -> DataFrame:
@@ -565,9 +561,7 @@ class GraphTraversal:
         CyclicPathStep)."""
         if "_path" not in self._df.columns:
             raise ValueError("cyclic_path requires a preceding with_path()")
-        return GraphTraversal(
-            self._g,
-            self._df.where(
+        return self._spawn(self._df.where(
                 F.size(F.array_distinct(F.col("_path"))) < F.size(F.col("_path"))
             ),
         )
@@ -585,8 +579,7 @@ class GraphTraversal:
         bucket = F.pmod(
             F.xxhash64(F.col("_cur"), F.lit(int(seed))), F.lit(1_000_000)
         )
-        return GraphTraversal(
-            self._g, self._df.where(bucket < F.lit(int(round(p * 1_000_000))))
+        return self._spawn(self._df.where(bucket < F.lit(int(round(p * 1_000_000))))
         )
 
     def local_(self, step_fn, limit_per: int | None = None) -> "GraphTraversal":
@@ -601,32 +594,45 @@ class GraphTraversal:
         TinkerPop's per-traverser iteration is inherently serial).
         Deterministic order: results ranked by current-vertex id."""
         parent = "_as___local"
-        tagged = GraphTraversal(
-            self._g, self._df.withColumn(parent, F.col("_cur"))
+        tagged = self._spawn(self._df.withColumn(parent, F.col("_cur"))
         )
         sub = step_fn(tagged)
         out = sub._df
         if limit_per is not None:
+            # Rank by (_cur, _start) THEN every other carried column
+            # (_as_* labels, _sack, _path): a parent can reach the same
+            # current vertex via traversers that differ only in carried
+            # state, and without the full key the row_number tie-break —
+            # hence which carried values survive the cut — would depend
+            # on partition order.
+            tiebreak = [
+                F.col(c).asc()
+                for c, t in sorted(out.dtypes)
+                if c not in ("_cur", "_start", parent)
+                and not t.startswith("map")  # maps aren't orderable
+            ]
             w = Window.partitionBy(parent).orderBy(
-                F.col("_cur").asc(), F.col("_start").asc()
+                F.col("_cur").asc(), F.col("_start").asc(), *tiebreak
             )
             out = (
                 out.withColumn("_lrn", F.row_number().over(w))
                 .where(F.col("_lrn") <= int(limit_per))
                 .drop("_lrn")
             )
-        return GraphTraversal(self._g, out.drop(parent))
+        return self._spawn(out.drop(parent))
 
     # -- side-effect collections (store/aggregate … cap, TinkerPop
     # StoreStep/AggregateStep/SideEffectCapStep — inherited by the
     # reference via gremlin-core 3.2.4, pom.xml:17-20) ---------------------
 
     def _side_effects(self) -> dict:
-        # Side-effect registry rides on the graph handle: every traversal
-        # in a chain shares self._g, so store→hop→cap composes without
-        # threading state through each step constructor. Names are
-        # per-graph-handle — use query-unique keys; cap() pops by default.
-        return self._g.__dict__.setdefault("_gremlin_side_effects", {})
+        # Side-effect registry scoped to the ROOT TRAVERSAL CHAIN (the
+        # dict every _spawn-derived step shares), NOT the graph handle:
+        # store→hop→cap composes along a chain, while separate V()/E()
+        # roots on the same graph — including concurrent ones — can
+        # never union stale or foreign frontiers into a cap_ result,
+        # and a chain abandoned mid-query drops its entries with it.
+        return self._sfx
 
     def store_(self, name: str) -> "GraphTraversal":
         """``store(x)``: lazily add the current vertices to side-effect
@@ -655,9 +661,9 @@ class GraphTraversal:
         deviation from TinkerPop, which emits ONE traverser holding the
         entire collection — a driver-sized object that cannot scale; the
         unfolded one-row-per-element frame (= ``cap(x).unfold()``) is the
-        distributed representation. Pops the registry entry unless
-        ``keep=True`` so per-graph-handle names don't leak across
-        queries."""
+        distributed representation. Pops the entry unless ``keep=True``;
+        the registry itself is chain-scoped (see ``_side_effects``), so
+        names can never leak across root traversals anyway."""
         reg = self._side_effects()
         if name not in reg:
             raise KeyError(f"no side-effect collection named {name!r}")
@@ -751,9 +757,7 @@ class GraphTraversal:
             if isinstance(fn, str):
                 continue
             seeds = self._df.select(F.col("_cur").alias("id")).dropDuplicates(["id"])
-            sub = fn(GraphTraversal(
-                self._g,
-                seeds.select(F.col("id").alias("_start"), F.col("id").alias("_cur")),
+            sub = fn(self._spawn(seeds.select(F.col("id").alias("_start"), F.col("id").alias("_cur")),
             ))
             cnt = sub._df.groupBy(F.col("_start").alias("_sid")).agg(
                 F.count("*").cast("long").alias(name)
@@ -799,14 +803,14 @@ class GraphTraversal:
         else:
             bounded = self._df
         if low <= 0 and high is None:
-            return GraphTraversal(self._g, bounded)
+            return self._spawn(bounded)
         w = Window.orderBy(*order_cols)
         df = (
             bounded.withColumn("_rn", F.row_number().over(w))
             .where(F.col("_rn") > int(low))
             .drop("_rn")
         )
-        return GraphTraversal(self._g, df)
+        return self._spawn(df)
 
     def skip(self, n: int) -> "GraphTraversal":
         """``skip(n)`` — TinkerPop alias for range(n, -1)."""
@@ -814,7 +818,7 @@ class GraphTraversal:
 
     def order_by(self, col: Column | str, ascending: bool = True) -> "GraphTraversal":
         df = self._df.orderBy(F.asc(col) if ascending else F.desc(col))
-        return GraphTraversal(self._g, df)
+        return self._spawn(df)
 
     def order_by_values(
         self, key: str, ascending: bool = True, cast: str | None = None
@@ -830,7 +834,7 @@ class GraphTraversal:
         df = joined.orderBy(
             val.asc() if ascending else val.desc(), F.col("_cur").asc()
         ).select(*[F.col(c) for c in self._df.columns], val.alias("_ordval"))
-        t = GraphTraversal(self._g, df)
+        t = self._spawn(df)
         # remember the sort key so a following range_()/skip() slices by it
         t._order_cols = [
             F.col("_ordval").asc() if ascending else F.col("_ordval").desc(),
@@ -840,7 +844,7 @@ class GraphTraversal:
         return t
 
     def limit(self, n: int) -> "GraphTraversal":
-        return GraphTraversal(self._g, self._df.limit(n))
+        return self._spawn(self._df.limit(n))
 
     def count(self) -> int:
         return self._df.count()
@@ -860,6 +864,7 @@ class G:
     def V(self, *ids: bytes) -> GraphTraversal:
         v = self._g.vertices_by_id(list(ids)).select("id")
         frame = v.select(F.col("id").alias("_start"), F.col("id").alias("_cur"))
+        # Root of a chain: fresh side-effect registry (chain-scoped).
         return GraphTraversal(self._g, frame)
 
     def E(self, *labels: str) -> GraphTraversal:
@@ -878,4 +883,5 @@ class G:
             F.col("dst").alias("_edst"),
             F.col("props").alias("_eprops"),
         )
+        # Root of a chain: fresh side-effect registry (chain-scoped).
         return GraphTraversal(self._g, frame)
