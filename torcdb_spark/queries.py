@@ -9354,3 +9354,357 @@ def pca1_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("cov"),
     )
+
+
+# ---------------------------------------------------------------------------
+# LDBC SNB interactive SHORT READS (IS1-IS7) — the reference's validation
+# workload (reference README.md "Running LDBC SNB Validation") comprises
+# complex reads (ldbc_ic_like_*), short reads, and updates; these are the
+# short-read analogues: point lookups + 1-2-hop expansions with composite
+# order, composed from the S5/T1/T2/T4 operator surface over the FIXTURES
+# property graph. Each has an exact FK-join oracle.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "ldbc_is_like_profile",
+    """SELECT c_custkey, c_name,
+              round(CAST(c_acctbal AS DOUBLE), 2) AS acctbal,
+              c_mktsegment, CAST(c_nationkey AS BIGINT) AS n_nationkey
+       FROM customer WHERE c_custkey BETWEEN 1 AND 10""",
+)
+def ldbc_is_like_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IS1-shaped: person profile — point lookup of the seed vertices'
+    properties (S5, TorcGraph.java:327-373) plus the 1-hop location
+    (customer --fromNation--> nation), LDBC IS1's person+city composite
+    (reference README.md, SNB validation workload)."""
+    from torcdb_spark.graph import LABEL_TAGS
+    from torcdb_spark.ids import uint128_pair
+
+    g = _graph(spark, sf_dir)
+    seeds = [uint128_pair(LABEL_TAGS["customer"], k) for k in range(1, 11)]
+    cust = g.vertices_by_id(seeds, label="customer")
+    nat = traverse(cust, g.edges, "fromNation", Direction.OUT)
+    return (
+        cust.join(nat, cust["id"] == nat["src"])
+        .select(
+            id_lower(F.col("id")).alias("c_custkey"),
+            F.col("props")["c_name"].alias("c_name"),
+            F.round(F.col("props")["c_acctbal"].cast("double"), 2).alias(
+                "acctbal"
+            ),
+            F.col("props")["c_mktsegment"].alias("c_mktsegment"),
+            id_lower(F.col("dst")).alias("n_nationkey"),
+        )
+    )
+
+
+@_register(
+    "ldbc_is_like_recent_msgs",
+    """WITH recent AS (
+         SELECT o_custkey AS c_custkey, o_orderkey,
+                strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+                row_number() OVER (PARTITION BY o_custkey
+                                   ORDER BY o_orderdate DESC,
+                                            o_orderkey DESC) AS rk
+         FROM orders WHERE o_custkey BETWEEN 1 AND 20),
+       root AS (
+         SELECT l_orderkey,
+                CAST(l_linenumber AS BIGINT) AS root_line,
+                CAST(l_suppkey AS BIGINT) AS root_supp,
+                row_number() OVER (PARTITION BY l_orderkey
+                                   ORDER BY l_linenumber ASC,
+                                            l_suppkey ASC) AS rn
+         FROM lineitem)
+       SELECT c_custkey, o_orderkey, orderdate, root_line, root_supp
+       FROM recent JOIN root ON l_orderkey = o_orderkey
+       WHERE rk <= 10 AND rn = 1""",
+)
+def ldbc_is_like_recent_msgs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IS2-shaped: seed persons' 10 most recent messages, each joined to
+    the root post of its thread and that root's author — here: each seed
+    customer's 10 newest orders (edge-property window, newest-first with
+    key tiebreak), each joined to its FIRST lineitem (min linenumber,
+    supplier tiebreak — lineitem has no unique natural key, so the
+    arg-min window carries the full tiebreak on both sides) and that
+    lineitem's supplier (the 'root author'). Three 1-hop traverses
+    (T1+T2's fill_edge) + two per-group windows; Catalyst's
+    WindowGroupLimit keeps the top-10 cut inside the shuffle."""
+    from torcdb_spark.graph import LABEL_TAGS
+    from torcdb_spark.ids import uint128_pair
+
+    g = _graph(spark, sf_dir)
+    seeds = [uint128_pair(LABEL_TAGS["customer"], k) for k in range(1, 21)]
+    cust = g.vertices_by_id(seeds, label="customer")
+    placed = traverse(cust, g.edges, "placed", Direction.OUT, fill_edge=True)
+    w = Window.partitionBy("src").orderBy(
+        F.col("props")["orderdate"].desc(), id_lower(F.col("dst")).desc()
+    )
+    recent = (
+        placed.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 10)
+        .select(
+            F.col("src").alias("cust_id"),
+            F.col("dst").alias("order_id"),
+            F.date_format(
+                F.col("props")["orderdate"].cast("timestamp"), "yyyy-MM-dd"
+            ).alias("orderdate"),
+        )
+    )
+    contains = traverse(
+        recent.select(F.col("order_id").alias("id")), g.edges, "contains",
+        Direction.OUT, fill_edge=True,
+    ).select(
+        F.col("src").alias("order_id"),
+        F.col("dst").alias("line_id"),
+        F.col("props")["linenumber"].cast("long").alias("root_line"),
+    )
+    supplied = traverse(
+        contains.select(F.col("line_id").alias("id")), g.edges, "suppliedBy",
+        Direction.OUT,
+    ).select(
+        F.col("src").alias("line_id"), id_lower(F.col("dst")).alias("root_supp")
+    )
+    lines = contains.join(supplied, "line_id")
+    wr = Window.partitionBy("order_id").orderBy(
+        F.col("root_line").asc(), F.col("root_supp").asc()
+    )
+    roots = (
+        lines.withColumn("rn", F.row_number().over(wr))
+        .where(F.col("rn") == 1)
+    )
+    return recent.join(roots, "order_id").select(
+        id_lower(F.col("cust_id")).alias("c_custkey"),
+        id_lower(F.col("order_id")).alias("o_orderkey"),
+        "orderdate",
+        "root_line",
+        "root_supp",
+    )
+
+
+@_register(
+    "ldbc_is_like_friends",
+    """WITH fr AS (
+         SELECT c1.c_custkey AS c_custkey, c2.c_custkey AS friend_custkey,
+                c2.c_name AS friend_name,
+                round(CAST(c2.c_acctbal AS DOUBLE), 2) AS friend_acctbal
+         FROM customer c1 JOIN customer c2
+           ON c1.c_nationkey = c2.c_nationkey
+          AND c1.c_custkey <> c2.c_custkey
+         WHERE c1.c_custkey BETWEEN 1 AND 10)
+       SELECT c_custkey, friend_custkey, friend_name, friend_acctbal,
+              CAST(rnk AS BIGINT) AS rnk
+       FROM (SELECT *, row_number() OVER (PARTITION BY c_custkey
+                       ORDER BY friend_acctbal DESC,
+                                friend_custkey ASC) AS rnk
+             FROM fr)
+       WHERE rnk <= 20""",
+)
+def ldbc_is_like_friends(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IS3-shaped: seed persons' friends ordered by friendship recency —
+    here: co-located customers (2-hop customer→nation→customer over
+    fromNation OUT then IN, self excluded), hydrated (T2) and ranked per
+    seed by account balance (rounded, key tiebreak), top-20. The rank
+    column rides in the output so the composite ORDER of IS3 is itself
+    hash-checked, not just the row set."""
+    from torcdb_spark.graph import LABEL_TAGS
+    from torcdb_spark.ids import uint128_pair
+
+    g = _graph(spark, sf_dir)
+    seeds = [uint128_pair(LABEL_TAGS["customer"], k) for k in range(1, 11)]
+    cust = g.vertices_by_id(seeds, label="customer")
+    nat = traverse(cust, g.edges, "fromNation", Direction.OUT)
+    friends = traverse(
+        nat.select(F.col("dst").alias("id")), g.edges, "fromNation",
+        Direction.IN,
+    ).select(F.col("src").alias("nat_id"), F.col("dst").alias("friend_id"))
+    pairs = (
+        nat.select(F.col("src").alias("seed_id"), F.col("dst").alias("nat_id"))
+        .join(friends, "nat_id")
+        .where(F.col("seed_id") != F.col("friend_id"))
+    )
+    hydrated = fill_properties(
+        pairs.withColumnRenamed("friend_id", "id"), g.vertices,
+        keys=["c_name", "c_acctbal"], labels=["customer"],
+    )
+    w = Window.partitionBy("c_custkey").orderBy(
+        F.col("friend_acctbal").desc(), F.col("friend_custkey").asc()
+    )
+    return (
+        hydrated.select(
+            id_lower(F.col("seed_id")).alias("c_custkey"),
+            id_lower(F.col("id")).alias("friend_custkey"),
+            F.col("props")["c_name"].alias("friend_name"),
+            F.round(F.col("props")["c_acctbal"].cast("double"), 2).alias(
+                "friend_acctbal"
+            ),
+        )
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= 20)
+    )
+
+
+@_register(
+    "ldbc_is_like_msg_content",
+    """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+              o_orderstatus, o_orderpriority,
+              round(CAST(o_totalprice AS DOUBLE), 2) AS totalprice
+       FROM orders WHERE o_orderkey BETWEEN 1 AND 20""",
+)
+def ldbc_is_like_msg_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IS4-shaped: message content + creation date — a pure point lookup
+    of the seed message vertices' properties (S5 over the order label),
+    the cheapest shape in the validation workload."""
+    from torcdb_spark.graph import LABEL_TAGS
+    from torcdb_spark.ids import uint128_pair
+
+    g = _graph(spark, sf_dir)
+    seeds = [uint128_pair(LABEL_TAGS["order"], k) for k in range(1, 21)]
+    o = g.vertices_by_id(seeds, label="order")
+    return o.select(
+        id_lower(F.col("id")).alias("o_orderkey"),
+        F.date_format(
+            F.col("props")["o_orderdate"].cast("timestamp"), "yyyy-MM-dd"
+        ).alias("orderdate"),
+        F.col("props")["o_orderstatus"].alias("o_orderstatus"),
+        F.col("props")["o_orderpriority"].alias("o_orderpriority"),
+        F.round(F.col("props")["o_totalprice"].cast("double"), 2).alias(
+            "totalprice"
+        ),
+    )
+
+
+@_register(
+    "ldbc_is_like_msg_creator",
+    """SELECT o_orderkey, o_custkey AS c_custkey, c_name
+       FROM orders JOIN customer ON c_custkey = o_custkey
+       WHERE o_orderkey BETWEEN 1 AND 20""",
+)
+def ldbc_is_like_msg_creator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IS5-shaped: creator of a message — 1-hop IN over the authorship
+    edge (order --placed(IN)--> customer) + hydration (T1+T2)."""
+    from torcdb_spark.graph import LABEL_TAGS
+    from torcdb_spark.ids import uint128_pair
+
+    g = _graph(spark, sf_dir)
+    seeds = [uint128_pair(LABEL_TAGS["order"], k) for k in range(1, 21)]
+    orders = g.vertices_by_id(seeds, label="order")
+    creator = traverse(orders, g.edges, "placed", Direction.IN)
+    hydrated = fill_properties(
+        creator.withColumnRenamed("dst", "id"), g.vertices,
+        keys=["c_name"], labels=["customer"],
+    )
+    return hydrated.select(
+        id_lower(F.col("src")).alias("o_orderkey"),
+        id_lower(F.col("id")).alias("c_custkey"),
+        F.col("props")["c_name"].alias("c_name"),
+    )
+
+
+@_register(
+    "ldbc_is_like_msg_forum",
+    """SELECT o_orderkey, o_custkey AS c_custkey,
+              CAST(c_nationkey AS BIGINT) AS n_nationkey, n_name
+       FROM orders
+       JOIN customer ON c_custkey = o_custkey
+       JOIN nation ON n_nationkey = c_nationkey
+       WHERE o_orderkey BETWEEN 1 AND 20""",
+)
+def ldbc_is_like_msg_forum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IS6-shaped: forum of a message + its moderator — the message's
+    container chain: order --placed(IN)--> customer --fromNation-->
+    nation, the owner + container pair read in two 1-hop traverses."""
+    from torcdb_spark.graph import LABEL_TAGS
+    from torcdb_spark.ids import uint128_pair
+
+    g = _graph(spark, sf_dir)
+    seeds = [uint128_pair(LABEL_TAGS["order"], k) for k in range(1, 21)]
+    orders = g.vertices_by_id(seeds, label="order")
+    creator = traverse(orders, g.edges, "placed", Direction.IN).select(
+        F.col("src").alias("order_id"), F.col("dst").alias("cust_id")
+    )
+    nat = traverse(
+        creator.select(F.col("cust_id").alias("id")), g.edges, "fromNation",
+        Direction.OUT,
+    ).select(F.col("src").alias("cust_id"), F.col("dst").alias("nat_id"))
+    hydrated = fill_properties(
+        creator.join(nat, "cust_id").withColumnRenamed("nat_id", "id"),
+        g.vertices, keys=["n_name"], labels=["nation"],
+    )
+    return hydrated.select(
+        id_lower(F.col("order_id")).alias("o_orderkey"),
+        id_lower(F.col("cust_id")).alias("c_custkey"),
+        id_lower(F.col("id")).alias("n_nationkey"),
+        F.col("props")["n_name"].alias("n_name"),
+    )
+
+
+@_register(
+    "ldbc_is_like_replies",
+    """SELECT o_orderkey, CAST(l_linenumber AS BIGINT) AS linenumber,
+              CAST(l_suppkey AS BIGINT) AS s_suppkey, s_name,
+              (s_nationkey = c_nationkey) AS knows
+       FROM orders
+       JOIN customer ON c_custkey = o_custkey
+       JOIN lineitem ON l_orderkey = o_orderkey
+       JOIN supplier ON s_suppkey = l_suppkey
+       WHERE o_orderkey BETWEEN 1 AND 10""",
+)
+def ldbc_is_like_replies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IS7-shaped: replies to a message with their authors plus the
+    knows(message-author, reply-author) flag — here: a seed order's
+    lineitems ('replies') with each line's supplier ('reply author'),
+    flagged by whether the supplier and the order's customer share a
+    nation (the 'knows' co-location predicate). Four 1-hop traverses;
+    the knows flag is an equi-compare of two hydrated 1-hop frames, no
+    extra shuffle beyond the joins themselves. Duplicate (orderkey,
+    linenumber) pairs survive on both sides — lineitem has no unique
+    natural key and the hash compare is multiplicity-exact."""
+    from torcdb_spark.graph import LABEL_TAGS
+    from torcdb_spark.ids import uint128_pair
+
+    g = _graph(spark, sf_dir)
+    seeds = [uint128_pair(LABEL_TAGS["order"], k) for k in range(1, 11)]
+    orders = g.vertices_by_id(seeds, label="order")
+    creator = traverse(orders, g.edges, "placed", Direction.IN).select(
+        F.col("src").alias("order_id"), F.col("dst").alias("cust_id")
+    )
+    cust_nat = traverse(
+        creator.select(F.col("cust_id").alias("id")), g.edges, "fromNation",
+        Direction.OUT,
+    ).select(F.col("src").alias("cust_id"), F.col("dst").alias("cnat"))
+    lines = traverse(
+        orders, g.edges, "contains", Direction.OUT, fill_edge=True
+    ).select(
+        F.col("src").alias("order_id"),
+        F.col("dst").alias("line_id"),
+        F.col("props")["linenumber"].cast("long").alias("linenumber"),
+    )
+    supp = traverse(
+        lines.select(F.col("line_id").alias("id")), g.edges, "suppliedBy",
+        Direction.OUT,
+    ).select(F.col("src").alias("line_id"), F.col("dst").alias("supp_id"))
+    supp_nat = traverse(
+        supp.select(F.col("supp_id").alias("id")), g.edges, "suppFromNation",
+        Direction.OUT,
+    ).select(F.col("src").alias("supp_id"), F.col("dst").alias("snat"))
+    sname = fill_properties(
+        supp.select(F.col("supp_id").alias("id")).dropDuplicates(["id"]),
+        g.vertices, keys=["s_name"], labels=["supplier"],
+    ).select(
+        F.col("id").alias("supp_id"), F.col("props")["s_name"].alias("s_name")
+    )
+    return (
+        lines.join(supp, "line_id")
+        .join(creator, "order_id")
+        .join(cust_nat, "cust_id")
+        .join(supp_nat, "supp_id")
+        .join(sname, "supp_id")
+        .select(
+            id_lower(F.col("order_id")).alias("o_orderkey"),
+            "linenumber",
+            id_lower(F.col("supp_id")).alias("s_suppkey"),
+            "s_name",
+            (F.col("snat") == F.col("cnat")).alias("knows"),
+        )
+    )
