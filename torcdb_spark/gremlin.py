@@ -524,16 +524,23 @@ class GraphTraversal:
     def sack_(self, op: str, value: Column) -> "GraphTraversal":
         """``sack(op).by(value)``: fold ``value`` (any Column over the
         current frame — edge property, vertex id, literal) into each
-        traverser's sack. ops: sum, mult, min, max, assign. A
+        traverser's sack. ops: sum, minus, mult, div, min, max, mean,
+        assign (the gremlin-core 3.2.4 Operator surface). A
         whole-stage-codegen expression per traverser."""
         if "_sack" not in self._df.columns:
             raise ValueError("sack_ requires a preceding with_sack()")
         s = F.col("_sack")
         ops = {
             "sum": s + value,
+            "minus": s - value,
             "mult": s * value,
+            "div": s / value,
             "min": F.least(s, value),
             "max": F.greatest(s, value),
+            # TinkerPop Operator.mean folds a running mean; per-row that
+            # is the midpoint fold mean(a,b) = (a+b)/2 — double
+            # arithmetic, so pair with a double-typed with_sack.
+            "mean": (s + value) / F.lit(2.0),
             "assign": value,
         }
         if op not in ops:
@@ -676,6 +683,52 @@ class GraphTraversal:
         return self._df.select(
             F.col("_start").alias("start"), F.col("_path").alias("path")
         )
+
+    def tree(self) -> DataFrame:
+        """Terminal ``tree()`` (TinkerPop TreeStep, gremlin-core 3.2.4):
+        the traversal paths aggregated into their prefix tree. DELIBERATE
+        deviation from TinkerPop's single driver-sized nested-Map
+        traverser (the same scaling rationale as ``cap_``): the
+        distributed representation is one row per TREE NODE —
+        ``(depth, node, parent, n_traversers)`` where a node is a path
+        prefix's last vertex, parent its predecessor (NULL at the root),
+        and n_traversers how many walks pass through that prefix.
+        Exactly the information in the nested map, flattened. One
+        explode over the bounded-by-hop-count path array + one groupBy —
+        no joins, no driver materialization. Requires with_path()."""
+        if "_path" not in self._df.columns:
+            raise ValueError("tree requires a preceding with_path()")
+        # posexplode gives (depth idx, node); the parent is path[idx-1].
+        # Group by the full PREFIX (two walks sharing only a suffix are
+        # different tree nodes), represented as the sliced array.
+        node = self._df.select(
+            F.posexplode(F.col("_path")).alias("_d", "_node"),
+            F.col("_path"),
+        ).select(
+            F.col("_d"),
+            F.slice(F.col("_path"), 1, F.col("_d") + 1).alias("_prefix"),
+        )
+        return (
+            node.groupBy("_prefix")
+            .agg(F.count("*").alias("n_traversers"))
+            .select(
+                (F.size("_prefix") - 1).alias("depth"),
+                F.element_at("_prefix", -1).alias("node"),
+                F.when(
+                    F.size("_prefix") > 1, F.element_at("_prefix", -2)
+                ).alias("parent"),
+                "n_traversers",
+            )
+        )
+
+    def barrier(self) -> "GraphTraversal":
+        """``barrier()`` (TinkerPop NoOpBarrierStep): collect all
+        traversers before continuing. API parity only — every step here
+        already executes set-at-a-time over the whole frame (the lazy
+        Catalyst plan IS one global barrier per shuffle), so there is
+        nothing to synchronize; returns the traversal unchanged, exactly
+        like TinkerPop's strategy-inserted no-op barriers."""
+        return self
 
     # -- terminal steps -----------------------------------------------------
 

@@ -9708,3 +9708,189 @@ def ldbc_is_like_replies(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("snat") == F.col("cnat")).alias("knows"),
         )
     )
+
+
+@_register(
+    "wr1_upsert_census",
+    """WITH new_orders AS (
+         SELECT c_custkey, CAST(floor(CAST(c_acctbal AS DOUBLE)) AS BIGINT)
+                  AS newprice
+         FROM customer WHERE c_custkey BETWEEN 1 AND 10),
+       upd AS (
+         SELECT o_orderkey,
+                CAST(o_totalprice AS DOUBLE)
+                  + CAST(1000 AS DOUBLE) AS newtotal,
+                o_orderpriority
+         FROM orders WHERE o_orderkey BETWEEN 1 AND 100),
+       ins AS (SELECT o_orderkey + 20000000 AS k,
+                      CAST(o_totalprice AS DOUBLE) AS t
+               FROM orders WHERE o_orderkey BETWEEN 1 AND 50),
+       merged_cents AS (
+         SELECT CAST(sum(CAST(floor(newtotal * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS c
+         FROM upd),
+       ins_cents AS (
+         SELECT CAST(sum(CAST(floor(t * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS c FROM ins)
+       SELECT 'vertices_order' AS metric,
+              (SELECT count(*) FROM orders) + 10 AS value
+       UNION ALL SELECT 'edges_placed', (SELECT count(*) FROM orders) + 10
+       UNION ALL SELECT 'new_vertex_price_sum',
+                 (SELECT CAST(sum(newprice) AS BIGINT) FROM new_orders)
+       UNION ALL SELECT 'merged_rows',
+                 (SELECT count(*) FROM orders) + 50
+       UNION ALL SELECT 'updated_cents_sum', (SELECT c FROM merged_cents)
+       UNION ALL SELECT 'inserted_cents_sum', (SELECT c FROM ins_cents)
+       UNION ALL SELECT 'touched_partitions',
+                 (SELECT count(DISTINCT o_orderpriority)
+                  FROM orders WHERE o_orderkey BETWEEN 1 AND 100
+                     OR o_orderkey BETWEEN 1 AND 50)""",
+)
+def wr1_upsert_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-path correctness census — the LDBC update-workload (U1-U8)
+    analogue the reference measures with util/MeasurementClient.java:
+    289-534, made HASH-CHECKABLE rather than just timed (op_bench.py
+    covers the timing side):
+
+    1. S3/S4 graph writes: 10 new order vertices (one per seed
+       customer, price = floor(acctbal)) + their placed edges are
+       batch-appended via add_vertices/add_edges (graph.py:501,508);
+       the census re-reads label counts AND the new vertices' props
+       through the written graph, proving the append and the
+       one-edge-per-(src,dst,label) invariant survived.
+    2. merge_upsert (sources/maintenance.py:74): the orders table is
+       laid out partitioned by o_orderpriority under a scratch dir,
+       then a mixed batch — 100 key-updates (+1000.00 each) and 50
+       brand-new keys — is MERGEd with dynamic partition overwrite;
+       the census re-reads the merged table and emits latest-wins row
+       counts and integer-cents sums.
+
+    Every census value is a BIGINT derived from fixture data, so the
+    DuckDB oracle reproduces the exact post-write state with no float
+    hazards (cents via the portable floor(x*100+0.5) on both sides)."""
+    import os as _os
+
+    from torcdb_spark.graph import LABEL_TAGS
+    from torcdb_spark.ids import id_col
+    from torcdb_spark.sources.maintenance import merge_upsert
+
+    g = _graph(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer").where(
+        F.col("c_custkey").between(1, 10)
+    )
+    new_v = cust.select(
+        id_col(LABEL_TAGS["order"], F.col("c_custkey") + 9_000_000).alias(
+            "id"
+        ),
+        F.lit("order").alias("label"),
+        F.create_map(
+            F.lit("o_totalprice"),
+            F.floor(F.col("c_acctbal").cast("double")).cast("long").cast(
+                "string"
+            ),
+        ).alias("props"),
+    )
+    new_e = cust.select(
+        id_col(LABEL_TAGS["customer"], F.col("c_custkey")).alias("src"),
+        F.lit("customer").alias("src_label"),
+        id_col(LABEL_TAGS["order"], F.col("c_custkey") + 9_000_000).alias(
+            "dst"
+        ),
+        F.lit("order").alias("dst_label"),
+        F.lit("placed").alias("label"),
+        F.create_map(F.lit("new"), F.lit("1")).alias("props"),
+    )
+    g2 = g.add_vertices(new_v).add_edges(new_e)
+    n_orders = g2.vertices.where(F.col("label") == "order").count()
+    n_placed = g2.edges.where(F.col("label") == "placed").count()
+    new_price_sum = (
+        g2.vertices.where(
+            (F.col("label") == "order")
+            & (id_lower(F.col("id")) >= 9_000_000)
+        )
+        .select(
+            F.sum(F.col("props")["o_totalprice"].cast("long")).alias("s")
+        )
+        .collect()[0]["s"]
+    )
+
+    # -- merge_upsert leg: scratch partitioned copy of orders ----------
+    scratch = f"/tmp/torcdb_wr1_{_os.path.basename(sf_dir.rstrip('/'))}"
+    orders = load_table(spark, sf_dir, "orders")
+    orders.write.mode("overwrite").partitionBy("o_orderpriority").parquet(
+        scratch
+    )
+    upd = orders.where(F.col("o_orderkey").between(1, 100)).withColumn(
+        "o_totalprice",
+        F.col("o_totalprice").cast("double")
+        + F.lit(1000).cast("double"),
+    )
+    ins = orders.where(F.col("o_orderkey").between(1, 50)).withColumn(
+        "o_orderkey", F.col("o_orderkey") + 20_000_000
+    )
+    batch = upd.unionByName(ins.select(*upd.columns))
+    stats = merge_upsert(
+        spark, scratch, batch, ["o_orderkey"], "o_orderpriority"
+    )
+    merged = spark.read.parquet(scratch)
+    cents = F.floor(
+        F.col("o_totalprice").cast("double") * 100 + F.lit(0.5)
+    ).cast("long")
+    upd_sum = (
+        merged.where(F.col("o_orderkey").between(1, 100))
+        .select(F.sum(cents).alias("s")).collect()[0]["s"]
+    )
+    ins_sum = (
+        merged.where(F.col("o_orderkey") >= 20_000_000)
+        .select(F.sum(cents).alias("s")).collect()[0]["s"]
+    )
+    rows = [
+        ("vertices_order", n_orders),
+        ("edges_placed", n_placed),
+        ("new_vertex_price_sum", int(new_price_sum)),
+        ("merged_rows", merged.count()),
+        ("updated_cents_sum", int(upd_sum)),
+        ("inserted_cents_sum", int(ins_sum)),
+        ("touched_partitions", len(stats["touched_partitions"])),
+    ]
+    return spark.createDataFrame(rows, "metric string, value long")
+
+
+@_register(
+    "g_gremlin_tree",
+    """SELECT CAST(0 AS BIGINT) AS depth,
+              CAST(n_regionkey AS BIGINT) AS node_key,
+              CAST(NULL AS BIGINT) AS parent_key,
+              CAST(count(*) AS BIGINT) AS n_traversers
+       FROM customer JOIN nation ON n_nationkey = c_nationkey
+       GROUP BY n_regionkey
+       UNION ALL
+       SELECT 1, n_nationkey, n_regionkey, count(*)
+       FROM customer JOIN nation ON n_nationkey = c_nationkey
+       GROUP BY n_nationkey, n_regionkey
+       UNION ALL
+       SELECT 2, c_custkey, c_nationkey, 1 FROM customer""",
+)
+def g_gremlin_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tree() step (gremlin.py tree — TinkerPop TreeStep via gremlin-core
+    3.2.4, pom.xml:17-20): region ←inRegion— nation ←fromNation— customer
+    walked 2 hops IN with path tracking, aggregated into the prefix tree's
+    distributed form (depth, node, parent, n_traversers). Depth-0 rows
+    carry per-region customer counts, depth-1 per-nation counts, depth-2
+    one row per customer — the full nested-Map content of TinkerPop's
+    tree(), flattened set-at-a-time (one posexplode + one groupBy)."""
+    from torcdb_spark.gremlin import G
+
+    g = _graph(spark, sf_dir)
+    t = (
+        G(g).V().has_label("region").with_path()
+        .barrier()  # API-parity no-op: set-at-a-time execution already barriers
+        .in_("inRegion").in_("fromNation")
+    )
+    tr = t.tree()
+    return tr.select(
+        F.col("depth").cast("long").alias("depth"),
+        id_lower(F.col("node")).alias("node_key"),
+        id_lower(F.col("parent")).alias("parent_key"),
+        F.col("n_traversers").cast("long").alias("n_traversers"),
+    )
