@@ -643,73 +643,77 @@ def x_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 # its registration order after slot 50 and stays covered by the local
 # exact-value gate (tests/test_oracle_parity.py).
 DRIVER_PRIORITY: list[str] = [
-    # ROUND-6 ROTATION: the entire r5 head (50/50 hash-green, listed in
-    # CORRECTNESS_r05.json) cedes its slots at once — every entry below
-    # is a FIRST-TIME driver row, closing the largest audit gap (94
-    # exact-oracled queries had never produced a CORRECTNESS row; after
-    # this head, 44 remain for round 7). All displaced queries stay
-    # covered by the local 3-SF exact-value replica
-    # (tests/test_oracle_parity.py) and their pytest suites.
+    # ROUND-7 ROTATION: the entire r6 head (50/50 hash-green, listed in
+    # CORRECTNESS_r06.json) cedes its slots at once — every entry below
+    # is a FIRST-TIME driver row: 42 of the 55 never-checked exact-
+    # oracled queries (the window/subquery relational block, the LLM-ops
+    # block, the full multimodal block, and the four round-6 additions)
+    # plus the 8 new-this-round queries (LDBC IS1-IS7 short-read
+    # analogues + the wr1 write-path census). Deferred to round 8 for
+    # lack of slots: t9_props_list_roundtrip, gs2_random_walks,
+    # v1_npy_ingest, ar1_zip_ingest, sql1_adhoc_views,
+    # cd2_snapshot_diff_rows, scd1_event_type_history,
+    # co1_cohort_retention, ws1_weighted_sample, ab1_welch_ttest,
+    # ivm2_join_view_maintenance, h1_histogram_price, ev2_error_bursts,
+    # g_gremlin_tree, l2_domain_pagerank (all local exact-green in
+    # tests/test_oracle_parity.py, like every displaced query).
     #
-    # -- TPC-H block: the 16 shapes never driver-checked (q1/q3/q4/q5/
-    # q18/q22 et al. went green in r1-r5) --
-    "q2_min_cost_supplier",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_profit_by_nation_year",
-    "q10_returned_revenue",
-    "q11_important_parts",
-    "q12_priority_by_linestatus",
-    "q13_order_count_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_supplier_part_counts",
-    "q17_small_quantity_avg_yearly",
-    "q19_or_predicate_revenue",
-    "q20_bulk_shippers",
-    "q21_last_shipper_wait",
-    # -- gremlin fluent steps never driver-checked (simple_path/2hop/
-    # edge_filter went green earlier; value_stats waits for round 7) --
-    "g_gremlin_repeat",
-    "g_gremlin_union",
-    "g_gremlin_both_e",
-    "g_gremlin_where_not",
-    "g_gremlin_select",
-    "g_gremlin_order_by_prop",
-    "g_gremlin_group",
-    "g_gremlin_range",
-    "g_gremlin_union_path",
-    "g_gremlin_choose",
-    "g_gremlin_tail",
-    "g_gremlin_project",
-    "g_gremlin_match",
-    "g_gremlin_edge_start",
-    "g_gremlin_cyclic_path",   # NEW round-6: cyclicPath() step
-    # -- LDBC-IC-like composites: the 5 never-checked existing +
-    # the 7 new round-6 analogues (IC2/5/7/8/10/12/14 — closes the
-    # reference README's SNB validation workload parity) --
-    "ldbc_ic_like_top_parts",
-    "ldbc_ic_like_recent_orders",
-    "ldbc_ic_like_region_suppliers",
-    "ldbc_ic_like_brand_cooccur",
-    "ldbc_ic_like_new_parts",
-    "ldbc_ic_like_friend_orders",     # NEW: IC2 (friends' recent msgs)
-    "ldbc_ic_like_new_groups",        # NEW: IC5 (new group memberships)
-    "ldbc_ic_like_recent_likers",     # NEW: IC7 (+ is-new flag)
-    "ldbc_ic_like_recent_replies",    # NEW: IC8
-    "ldbc_ic_like_friend_recommend",  # NEW: IC10 (common-interest score)
-    "ldbc_ic_like_expert_search",     # NEW: IC12 (tag-class hierarchy)
-    "ldbc_ic_like_weighted_path",     # NEW: IC14 (weighted IC13 path)
-    # -- G4 analytics never driver-checked --
-    "g_kcore",
-    "g_path_pair",
-    "g_cc_doubling",
-    # -- streaming shapes never driver-checked --
-    "st_events_tumbling_stream",
-    "st_events_dedup_stream",
-    "st_stateful_totals",
-    "st_stream_static_join",
+    # -- window/subquery relational block --
+    "q_pivot",
+    "q_percentiles",
+    "q_lead_lag",
+    "q_salted_join",
+    "q_scalar_subquery",
+    "q_exists_subquery",
+    "q_set_ops",
+    "q_having",
+    "q_date_parts",
+    "q_range_frame_trailing",
+    "q_udtf_top_terms",
+    "q_hll_mergeable_sketch",
+    "q_aqp_sampled_revenue",
+    # -- LLM-ops block --
+    "p1_clean_corpus",
+    "d10_chunking",
+    "d11_redact_pii",
+    "d15_bm25_rank",
+    "d17_vocab_oov",
+    "e9_hard_negatives",
+    "e11_matryoshka_topk",
+    "fe1_feature_hash_embed",
+    "h2_html_extract",
+    "lp1_adamic_adar",
+    "cdc3_content_chunks",
+    "cv1_conversation_assembly",
+    "se1_event_sessions",
+    "sg1_subgraph_counts",
+    "ts1_rollup_hourly",
+    "ts3_zscore_anomalies",
+    "u1_url_domain_stats",
+    "th2_kmv_intersection",
+    "rj2_value_bands",
+    "l1_link_graph",
+    # -- multimodal block (full) --
+    "m2_frame_sample",
+    "m5_audio_spectral",
+    "m8_video_frames",
+    "m9_gif_roundtrip",
+    "m10_gif_animation",
+    # -- round-6 additions --
+    "sh1_epoch_shuffle",
+    "pca1_embedding_covariance",
+    "g_gremlin_sack",
+    "g_gremlin_value_stats",
+    # -- NEW round-7: LDBC SNB short reads (reference README validation
+    # workload) + the write-path census --
+    "ldbc_is_like_profile",
+    "ldbc_is_like_recent_msgs",
+    "ldbc_is_like_friends",
+    "ldbc_is_like_msg_content",
+    "ldbc_is_like_msg_creator",
+    "ldbc_is_like_msg_forum",
+    "ldbc_is_like_replies",
+    "wr1_upsert_census",
 ]
 
 
@@ -5101,7 +5105,7 @@ def fu1_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
                          AS BIGINT) AS week_offset,
                     a.user_id
              FROM a JOIN c ON a.user_id = c.user_id)
-       SELECT cohort_week, week_offset,
+       SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort_week, week_offset,
               CAST(count(DISTINCT user_id) AS BIGINT) AS users
        FROM j WHERE week_offset <= 8 GROUP BY 1, 2""",
 )
@@ -5109,11 +5113,15 @@ def co1_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly cohort retention matrix (operators/funnel.py
     cohort_retention): cohort = Monday-week of a user's first event,
     retention = distinct users active k weeks later. Integer-exact
-    (both endpoints week-truncated, offsets are whole weeks)."""
+    (both endpoints week-truncated, offsets are whole weeks). The cohort
+    week is rendered as a string in the declared output (header rule:
+    temporal values as strings on both sides of the hash compare)."""
     from torcdb_spark.operators.funnel import cohort_retention
 
     ev = load_table(spark, sf_dir, "events")
-    return cohort_retention(ev)
+    return cohort_retention(ev).withColumn(
+        "cohort_week", F.date_format("cohort_week", "yyyy-MM-dd")
+    )
 
 
 @_register(
@@ -5128,7 +5136,7 @@ def co1_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
              FROM daily
              WINDOW tw AS (PARTITION BY event_type ORDER BY day
                            ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
-       SELECT event_type, day, total,
+       SELECT event_type, strftime(day, '%Y-%m-%d') AS day, total,
               CASE WHEN n = 7 AND sd > 0
                    THEN round((total - mu) / sd, 4) END AS z,
               COALESCE(abs(CASE WHEN n = 7 AND sd > 0
@@ -5141,11 +5149,16 @@ def ts3_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     trailing_zscore): per event type, each day's total scored against the
     trailing 7 observations (exclusive) — z NULL until a full window
     exists. One shuffle to the daily grain + one window sort per key; the
-    streaming-state analogue holds 7 floats per key."""
+    streaming-state analogue holds 7 floats per key. The day is rendered
+    as a string in the declared output (header rule: temporal values as
+    strings on both sides — Spark DATE vs DuckDB date_trunc TIMESTAMP
+    would otherwise diverge at the driver's schema/hash compare)."""
     from torcdb_spark.operators.timeseries import trailing_zscore
 
     ev = load_table(spark, sf_dir, "events")
-    return trailing_zscore(ev, ["event_type"])
+    return trailing_zscore(ev, ["event_type"]).withColumn(
+        "day", F.date_format("day", "yyyy-MM-dd")
+    )
 
 
 @_register(
@@ -7173,13 +7186,82 @@ def l1_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register("l2_domain_pagerank")  # iterative float fixpoint: rows-only
+@_register(
+    "l2_domain_pagerank",
+    """WITH RECURSIVE pages AS (
+         SELECT doc_id,
+                lower(lang) || '.' || source || '.example.com' AS src_host,
+                '<html><body>'
+                || '<a HREF="https://' || source || '.partner.org/p/'
+                || doc_id || '">x</a>'
+                || '<a href="https://hub.example.net/t?d=' || doc_id
+                || '">y</a>'
+                || CASE WHEN doc_id % 2 = 0
+                        THEN '<a href="https://' || lang
+                             || '.mirror.io/m">z</a>'
+                        ELSE '' END
+                || '</body></html>' AS html
+         FROM documents
+       ),
+       links AS (
+         SELECT src_host,
+                unnest(regexp_extract_all(html,
+                    '(?i)href\\s*=\\s*"([^"]*)"', 1)) AS href
+         FROM pages
+       ),
+       eg AS (
+         SELECT regexp_extract(src_host, '([^.]+\\.[^.]+)$', 1)
+                  AS src_domain,
+                regexp_extract(
+                  regexp_replace(
+                    lower(regexp_extract(href,
+                        '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)),
+                    ':[0-9]+$', ''),
+                  '([^.]+\\.[^.]+)$', 1) AS dst_domain
+         FROM links
+       ),
+       e AS (SELECT DISTINCT src_domain, dst_domain FROM eg),
+       p AS (SELECT CAST((SELECT count(DISTINCT dst_domain) FROM e)
+                      AS DOUBLE) AS s),
+       it(iter, a, b) AS (
+         SELECT 0, CAST(1.0 AS DOUBLE), CAST(1.0 AS DOUBLE)
+         UNION ALL
+         SELECT iter + 1,
+                (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE))
+                  + CAST(0.85 AS DOUBLE)
+                    * ((SELECT s FROM p) * b / ((SELECT s FROM p) + 1)),
+                (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE))
+                  + CAST(0.85 AS DOUBLE)
+                    * (a / (SELECT s FROM p)
+                       + (SELECT s FROM p) * b / ((SELECT s FROM p) + 1))
+         FROM it WHERE iter < 8
+       )
+       SELECT src_domain AS domain,
+              floor(a * 10000 + 0.5) / 10000 AS rank
+       FROM (SELECT DISTINCT src_domain FROM e),
+            (SELECT a FROM it WHERE iter = 8)
+       UNION ALL
+       SELECT dst_domain, floor(b * 10000 + 0.5) / 10000
+       FROM (SELECT DISTINCT dst_domain FROM e),
+            (SELECT b FROM it WHERE iter = 8)""",
+)
 def l2_domain_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain-level PageRank over the crawl link graph: l1_link_graph's
     (src_domain, dst_domain) edges fed straight into the DataFrame-Pregel
     pagerank (string vertex keys — the operator is key-type agnostic).
     The composition every crawl ranker runs: extract → parse → aggregate
-    → iterate, all in one engine."""
+    → iterate, all in one engine.
+
+    EXACT-oracled (upgraded from rows-only): the synthesized corpus's
+    domain graph is a single-source star — every src_host registers under
+    example.com, fanning out to s sink domains — so the general power
+    iteration collapses to a two-scalar recurrence (a = source rank,
+    b = the symmetric sink rank, dangling mass s·b/(s+1)) that the
+    oracle replays as a DuckDB recursive CTE over the SAME extraction
+    pipeline, g_pagerank_exact's closed-form technique. Term order and
+    constant construction (1.0-0.85, s·b as one multiply) mirror the
+    operator's float evaluation; ranks rounded 4dp via the portable
+    floor(x·1e4+0.5) on both sides."""
     from torcdb_spark.analytics import pagerank
 
     edges = l1_link_graph(spark, sf_dir).select(
@@ -7187,7 +7269,8 @@ def l2_domain_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pr = pagerank(edges, num_iter=8)
     return pr.select(
-        F.col("id").alias("domain"), F.round(F.col("rank"), 4).alias("rank")
+        F.col("id").alias("domain"),
+        (F.floor(F.col("rank") * 10000 + F.lit(0.5)) / 10000).alias("rank"),
     )
 
 
@@ -9328,7 +9411,8 @@ def sh1_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
          FROM embeddings, dims d1, dims d2
          GROUP BY d1.i, d2.i)
        SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
-              round((sij - si * sj / n) / (n - 1), 6) AS cov
+              round((sij - si * sj / n) / (n - 1), 6)
+                + CAST(0.0 AS DOUBLE) AS cov
        FROM st""",
 )
 def pca1_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -9348,10 +9432,18 @@ def pca1_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select(
         F.col("i").cast("long").alias("i"),
         F.col("j").cast("long").alias("j"),
-        F.round(
-            (F.col("sum_ij") - F.col("sum_i") * F.col("sum_j") / F.col("n"))
-            / (F.col("n") - 1),
-            6,
+        # + 0.0 normalizes IEEE -0.0 to +0.0 (a round()-of-tiny-negative
+        # artifact that hashes differently from DuckDB's) on both sides
+        (
+            F.round(
+                (
+                    F.col("sum_ij")
+                    - F.col("sum_i") * F.col("sum_j") / F.col("n")
+                )
+                / (F.col("n") - 1),
+                6,
+            )
+            + F.lit(0.0)
         ).alias("cov"),
     )
 
