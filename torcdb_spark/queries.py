@@ -8657,16 +8657,62 @@ def e11_matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register("g_diameter")  # rows-only: iterative BFS fixpoints — not
-# SQL-expressible; exact on paths/stars/tripartite pytest-proven
-# (tests/test_ktruss.py::test_ifub_*), lb/ub/exact contract
+@_register(
+    "g_diameter",
+    """WITH seq AS (
+         SELECT user_id,
+                CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+                ts, event_id
+         FROM events),
+       tr AS (
+         SELECT k AS src,
+                lead(k) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS dst
+         FROM seq),
+       cnts AS (SELECT src, dst, count(*) AS n FROM tr
+                WHERE dst IS NOT NULL GROUP BY 1, 2),
+       top AS (SELECT src, dst FROM cnts
+               ORDER BY n DESC, src ASC, dst ASC LIMIT 175),
+       sym AS (SELECT DISTINCT a, b FROM (
+                 SELECT src AS a, dst AS b FROM top
+                 UNION ALL SELECT dst AS a, src AS b FROM top)
+               WHERE a <> b),
+       seedv AS (SELECT min(v) AS v FROM (
+                   SELECT src AS v FROM top UNION ALL SELECT dst FROM top)),
+       comp AS (
+         WITH RECURSIVE reach(v) AS (
+           SELECT v FROM seedv
+           UNION
+           SELECT sym.b FROM reach JOIN sym ON sym.a = reach.v)
+         SELECT v FROM reach),
+       dist AS (
+         WITH RECURSIVE walk(s, t, d) AS (
+           SELECT v, v, 0 FROM comp
+           UNION
+           SELECT walk.s, sym.b, walk.d + 1
+           FROM walk JOIN sym ON sym.a = walk.t
+           WHERE walk.d < 64)
+         SELECT s, t, min(d) AS md FROM walk GROUP BY 1, 2)
+       SELECT CAST(max(md) AS BIGINT) AS diameter_lb,
+              CAST(max(md) AS BIGINT) AS diameter_ub,
+              TRUE AS exact
+       FROM dist""",
+)
 def g_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """iFUB-certified diameter (analytics.ifub_diameter) of the
     undirected navigation core: double sweep for the lower bound, then
     the iFUB fringe descent from the sweep-path midpoint until the
-    bound certifies exactness (lb, ub, exact, n_bfs) — a handful of
-    BFS fixpoints instead of the O(V) sweeps exact diameter naively
-    costs. Seed = smallest page id (deterministic)."""
+    bound certifies exactness (lb, ub, exact) — a handful of BFS
+    fixpoints instead of the O(V) sweeps exact diameter naively costs.
+    Seed = smallest page id (deterministic).
+
+    EXACT-oracled (upgraded from rows-only): the navigation core is
+    capped at 175 edges, so DuckDB can afford the brute-force ground
+    truth — a depth-bounded recursive-CTE all-pairs closure over the
+    seed's component whose max min-distance IS the diameter. iFUB must
+    then certify (exact=TRUE) AND land on that exact value; the probe
+    count n_bfs stays an operator-level detail (pytest-pinned), not a
+    declared column. Certifies at sf0.001/0.01/0.1 (diameters 7/8/10)."""
     from torcdb_spark.analytics import ifub_diameter
 
     events = load_table(spark, sf_dir, "events")
@@ -8690,7 +8736,9 @@ def g_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
     seed = edges.select(F.col("src").alias("id")).unionByName(
         edges.select(F.col("dst").alias("id"))
     ).agg(F.min("id").alias("id"))
-    return ifub_diameter(edges, seed)
+    return ifub_diameter(edges, seed).select(
+        "diameter_lb", "diameter_ub", "exact"
+    )
 
 
 @_register(
