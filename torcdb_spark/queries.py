@@ -7264,9 +7264,16 @@ def l2_domain_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     floor(x·1e4+0.5) on both sides."""
     from torcdb_spark.analytics import pagerank
 
+    # Pin the extracted domain graph before iterating: pagerank's
+    # superstep loop re-references the edge frame every iteration, and
+    # without the checkpoint every superstep re-runs the full href-regex
+    # extraction over documents. Locally the win is modest (~10% — the
+    # 8 supersteps' fixed job-barrier overhead dominates on a 4-domain
+    # graph), but at 100 TB the un-pinned form re-scans the entire
+    # corpus 8 times, so the checkpoint is the scale-correct shape.
     edges = l1_link_graph(spark, sf_dir).select(
         F.col("src_domain").alias("src"), F.col("dst_domain").alias("dst")
-    )
+    ).localCheckpoint(eager=True)
     pr = pagerank(edges, num_iter=8)
     return pr.select(
         F.col("id").alias("domain"),
