@@ -445,12 +445,20 @@ def test_decode_png_rejects_unsupported_variants():
         return (struct.pack(">I", len(data)) + ctype + data
                 + struct.pack(">I", zlib.crc32(ctype + data)))
 
-    # palette color type (3)
+    # 16-bit depth still raises (palette is now supported — see
+    # test_decode_png_palette_lookup)
+    png = (b"\x89PNG\r\n\x1a\n"
+           + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 16, 0, 0, 0, 0))
+           + chunk(b"IDAT", zlib.compress(b"\x00\x00\x00"))
+           + chunk(b"IEND", b""))
+    with pytest.raises(NotImplementedError):
+        decode_image(png)
+    # paletted PNG missing its PLTE chunk is malformed, not unsupported
     png = (b"\x89PNG\r\n\x1a\n"
            + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 3, 0, 0, 0))
            + chunk(b"IDAT", zlib.compress(b"\x00\x00"))
            + chunk(b"IEND", b""))
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         decode_image(png)
     # truncated pixel stream: IDAT inflates to fewer bytes than h*(stride+1)
     ok = encode_png(np.zeros((4, 4, 3), dtype=np.uint8))
@@ -1685,3 +1693,111 @@ def test_embedding_pca_matches_numpy(spark, sf_dir):
         [r["proj"] for r in embedding_pca(emb, k=4, whiten=True).collect()]
     )
     np.testing.assert_allclose(W.var(axis=0, ddof=1), 1.0, atol=1e-6)
+
+
+def test_decode_png_palette_lookup():
+    """Paletted PNG (color type 3): indices gather through PLTE to RGB;
+    filter types apply to the index plane before the lookup."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest
+    from torcdb_spark.operators.multimodal import decode_image
+
+    def chunk(ctype, data):
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data)))
+
+    pal = bytes([255, 0, 0,  0, 255, 0,  0, 0, 255,  7, 8, 9])
+    # 3x2 indices with Sub filter on row 0 (cumsum: 0,1,2) and None on row 1
+    raw = bytes([1, 0, 1, 1]) + bytes([0, 3, 0, 2])
+    png = (b"\x89PNG\r\n\x1a\n"
+           + chunk(b"IHDR", struct.pack(">IIBBBBB", 3, 2, 8, 3, 0, 0, 0))
+           + chunk(b"PLTE", pal)
+           + chunk(b"IDAT", zlib.compress(raw))
+           + chunk(b"IEND", b""))
+    got = decode_image(png)
+    exp = np.array(
+        [[[255, 0, 0], [0, 255, 0], [0, 0, 255]],
+         [[7, 8, 9], [255, 0, 0], [0, 0, 255]]], dtype=np.uint8)
+    np.testing.assert_array_equal(got, exp)
+    # out-of-range index is malformed
+    bad = (b"\x89PNG\r\n\x1a\n"
+           + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 3, 0, 0, 0))
+           + chunk(b"PLTE", bytes([1, 2, 3]))
+           + chunk(b"IDAT", zlib.compress(bytes([0, 200])))
+           + chunk(b"IEND", b""))
+    with pytest.raises(ValueError):
+        decode_image(bad)
+
+
+def test_decode_tiff_16bit_both_byte_orders():
+    """16-bit TIFF samples rescale to uint8 with PPM-style integer
+    rounding, honoring II/MM byte order; hand-built single-strip files."""
+    import struct
+
+    import numpy as np
+    from torcdb_spark.operators.multimodal import decode_image
+
+    def build(bo, vals, w, h):
+        e = "<" if bo == b"II" else ">"
+        px = b"".join(struct.pack(e + "H", v) for v in vals)
+        # header + one IFD with 8 entries, strip data after the IFD
+        n_tags = 8
+        ifd_off = 8
+        data_off = ifd_off + 2 + 12 * n_tags + 4
+
+        def tag(t, typ, cnt, val):
+            return struct.pack(e + "HHI", t, typ, cnt) + struct.pack(
+                e + "I", val
+            ) if typ == 4 else struct.pack(e + "HHI", t, typ, cnt) + struct.pack(
+                e + "HH", val, 0
+            )
+
+        ifd = struct.pack(e + "H", n_tags)
+        ifd += tag(256, 3, 1, w)            # width
+        ifd += tag(257, 3, 1, h)            # height
+        ifd += tag(258, 3, 1, 16)           # bits per sample
+        ifd += tag(259, 3, 1, 1)            # compression: none
+        ifd += tag(273, 4, 1, data_off)     # strip offset
+        ifd += tag(277, 3, 1, 1)            # samples per pixel
+        ifd += tag(278, 3, 1, h)            # rows per strip
+        ifd += tag(279, 4, 1, len(px))      # strip byte count
+        ifd += struct.pack(e + "I", 0)      # next IFD
+        magic = b"II*\x00" if bo == b"II" else b"MM\x00*"
+        return magic + struct.pack(e + "I", ifd_off) + ifd + px
+
+    vals = [0, 65535, 32768, 257]
+    exp = np.array([(v * 255 + 32767) // 65535 for v in vals],
+                   dtype=np.uint8).reshape(2, 2)
+    for bo in (b"II", b"MM"):
+        got = decode_image(build(bo, vals, 2, 2))
+        np.testing.assert_array_equal(got, exp)
+
+
+def test_decode_wav_24_and_32_bit():
+    """24-bit (3-byte LE, sign-extended) and 32-bit PCM normalize to the
+    same float positions as their int values / 2^(bits-1)."""
+    import numpy as np
+    from torcdb_spark.operators.multimodal import decode_wav, encode_wav_pcm
+
+    vals = np.array([0, 1 << 22, -(1 << 23), (1 << 23) - 1], dtype="<i4")
+    rate, x = decode_wav(encode_wav_pcm(vals, sample_rate=48000, bits=24))
+    assert rate == 48000
+    np.testing.assert_allclose(
+        x, vals.astype(np.float64) / float(1 << 23)
+    )
+    vals32 = np.array([0, -(1 << 31), (1 << 31) - 1, 12345678], dtype="<i4")
+    rate2, x2 = decode_wav(encode_wav_pcm(vals32, sample_rate=8000, bits=32))
+    np.testing.assert_allclose(
+        x2, vals32.astype(np.float64) / float(1 << 31)
+    )
+    # 24-bit stereo mixes to mono like the other widths
+    st = np.array([100, 300, -200, -400], dtype="<i4")
+    _, x3 = decode_wav(
+        encode_wav_pcm(st, sample_rate=8000, bits=24, channels=2)
+    )
+    np.testing.assert_allclose(
+        x3, [200 / float(1 << 23), -300 / float(1 << 23)]
+    )

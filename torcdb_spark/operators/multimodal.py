@@ -156,9 +156,9 @@ def decode_image(payload: bytes):
 
         return decode_gif(payload)
     raise NotImplementedError(
-        "only PPM(P6), uncompressed 24/32-bit BMP, non-interlaced 8-bit "
-        "gray/RGB/RGBA PNG, uncompressed chunky TIFF, baseline "
-        "sequential JPEG, and single-frame GIF decode "
+        "only PPM(P6 8/16-bit), uncompressed 24/32-bit BMP, non-interlaced "
+        "8-bit gray/RGB/palette/RGBA PNG, uncompressed chunky 8/16-bit "
+        "TIFF, baseline sequential JPEG, and single-frame GIF decode "
         "without codec libraries; install "
         "pillow/opencv for progressive JPEG/WebP and extend dispatch"
     )
@@ -166,9 +166,12 @@ def decode_image(payload: bytes):
 
 def _decode_tiff(payload: bytes):
     """Baseline TIFF decode: uncompressed (Compression=1) chunky 8-bit
-    gray/RGB(A), both byte orders, strip-organized. The full IFD walk —
-    tags 256/257/258/259/273/277/278/279 — per TIFF 6.0 §2; planar,
-    predictor, tiled and LZW variants raise (codec territory)."""
+    OR 16-bit gray/RGB(A), both byte orders, strip-organized. 16-bit
+    samples are rescaled to uint8 with the same integer rounding as the
+    16-bit PPM path ((v*255 + 32767) // 65535), honoring the file's
+    byte order. The full IFD walk — tags 256/257/258/259/273/277/278/
+    279 — per TIFF 6.0 §2; planar, predictor, tiled and LZW variants
+    raise (codec territory)."""
     import numpy as np
 
     bo = "little" if payload[:2] == b"II" else "big"
@@ -205,17 +208,26 @@ def _decode_tiff(payload: bytes):
         raise NotImplementedError(f"TIFF compression={comp} needs a codec")
     spp = tags.get(277, [1])[0]
     bps = tags.get(258, [8])
-    if any(b != 8 for b in bps):
-        raise NotImplementedError(f"TIFF bits-per-sample {bps} != 8")
+    if not (all(b == 8 for b in bps) or all(b == 16 for b in bps)):
+        raise NotImplementedError(
+            f"TIFF bits-per-sample {bps} (uniform 8 or 16 only)"
+        )
+    bytes_per = bps[0] // 8
     offsets = tags[273]
-    counts = tags.get(279, [w * h * spp])
+    counts = tags.get(279, [w * h * spp * bytes_per])
     raw = b"".join(
         payload[o:o + c] for o, c in zip(offsets, counts)
     )
-    need = w * h * spp
+    need = w * h * spp * bytes_per
     if len(raw) < need:
         raise ValueError(f"truncated TIFF: {len(raw)} < {need}")
-    img = np.frombuffer(raw[:need], dtype=np.uint8).reshape(h, w, spp)
+    if bytes_per == 2:
+        dt = "<u2" if bo == "little" else ">u2"
+        wide = np.frombuffer(raw[:need], dtype=dt).astype(np.uint32)
+        flat = ((wide * 255 + 32767) // 65535).astype(np.uint8)
+        img = flat.reshape(h, w, spp)
+    else:
+        img = np.frombuffer(raw[:need], dtype=np.uint8).reshape(h, w, spp)
     return img[:, :, 0] if spp == 1 else img
 
 
@@ -229,19 +241,22 @@ def _decode_png(payload: bytes):
     Up a vectorized add; Average/Paeth have an inherent left-neighbor
     dependency, so those rows fall back to a per-pixel loop (fine for the
     framed fixture images; a deployment swaps in a codec lib for bulk
-    decode). Palette/16-bit/interlaced raise NotImplementedError.
+    decode). Paletted PNGs (color type 3, 8-bit indices) decode via a
+    PLTE lookup to RGB. 16-bit/interlaced raise NotImplementedError.
     """
     import zlib
 
     import numpy as np
 
-    pos, ihdr, idat = 8, None, []
+    pos, ihdr, idat, plte = 8, None, [], None
     while pos + 8 <= len(payload):
         length = int.from_bytes(payload[pos : pos + 4], "big")
         ctype = payload[pos + 4 : pos + 8]
         data = payload[pos + 8 : pos + 8 + length]
         if ctype == b"IHDR":
             ihdr = data
+        elif ctype == b"PLTE":
+            plte = data
         elif ctype == b"IDAT":
             idat.append(data)
         elif ctype == b"IEND":
@@ -252,12 +267,15 @@ def _decode_png(payload: bytes):
     w = int.from_bytes(ihdr[0:4], "big")
     h = int.from_bytes(ihdr[4:8], "big")
     bit_depth, color_type, _comp, _filt, interlace = ihdr[8:13]
-    nch = {0: 1, 2: 3, 6: 4}.get(color_type)
+    nch = {0: 1, 2: 3, 3: 1, 6: 4}.get(color_type)
     if bit_depth != 8 or nch is None or interlace != 0:
         raise NotImplementedError(
             f"PNG bit_depth={bit_depth} color_type={color_type} "
-            f"interlace={interlace} (8-bit gray/RGB/RGBA non-interlaced only)"
+            f"interlace={interlace} "
+            "(8-bit gray/RGB/palette/RGBA non-interlaced only)"
         )
+    if color_type == 3 and plte is None:
+        raise ValueError("paletted PNG missing PLTE chunk")
     raw = zlib.decompress(b"".join(idat))
     stride = w * nch
     if len(raw) < h * (stride + 1):
@@ -293,7 +311,17 @@ def _decode_png(payload: bytes):
             raise ValueError(f"bad PNG filter type {ft}")
         img[r] = cur.astype(np.uint8)
         prev = cur
-    return img.reshape(h, w, nch)
+    out = img.reshape(h, w, nch)
+    if color_type == 3:
+        # palette lookup: the reconstructed bytes are indices into PLTE's
+        # RGB triples — one vectorized gather, output is always (h, w, 3)
+        pal = np.frombuffer(plte, dtype=np.uint8)
+        pal = pal[: len(pal) // 3 * 3].reshape(-1, 3)
+        idx = out[:, :, 0]
+        if idx.max(initial=0) >= pal.shape[0]:
+            raise ValueError("PNG palette index out of range")
+        out = pal[idx]
+    return out
 
 
 def encode_png(img, filter_type: int = 0) -> bytes:
@@ -464,8 +492,9 @@ def encode_wav_pcm(
 ) -> bytes:
     """Minimal canonical RIFF/WAVE writer (PCM; interleaved if stereo) —
     the fixture/test encoder paired with :func:`decode_wav`. ``samples``
-    is a bytes-like of unsigned 8-bit samples (bits=8) or an int16 numpy
-    array (bits=16)."""
+    is a bytes-like of unsigned 8-bit samples (bits=8), an int16 array
+    (bits=16), or an int32 array holding 24-bit-range/full-range values
+    (bits=24/32, little-endian on the wire like every PCM WAV)."""
     import struct
 
     import numpy as np
@@ -476,8 +505,16 @@ def encode_wav_pcm(
     elif bits == 16:
         data = np.asarray(samples, dtype="<i2").tobytes()
         sample_bytes, bps = 2, 16
+    elif bits == 24:
+        v = np.asarray(samples, dtype="<i4")
+        b4 = v.view(np.uint8).reshape(-1, 4)
+        data = np.ascontiguousarray(b4[:, :3]).tobytes()  # drop the MSB pad
+        sample_bytes, bps = 3, 24
+    elif bits == 32:
+        data = np.asarray(samples, dtype="<i4").tobytes()
+        sample_bytes, bps = 4, 32
     else:
-        raise ValueError(f"bits must be 8 or 16, got {bits}")
+        raise ValueError(f"bits must be 8/16/24/32, got {bits}")
     block_align = sample_bytes * channels
     fmt = struct.pack(
         "<HHIIHH", 1, channels, sample_rate,
@@ -527,8 +564,27 @@ def decode_wav(payload: bytes):
     elif bps == 16:
         n = len(data) // 2 * 2
         x = np.frombuffer(data[:n], dtype="<i2").astype(np.float64) / 32768.0
+    elif bps == 24:
+        # 3-byte little-endian signed samples: assemble in int32 and
+        # sign-extend from bit 23 (no 3-byte numpy dtype exists)
+        n = len(data) // 3 * 3
+        b = np.frombuffer(data[:n], dtype=np.uint8).reshape(-1, 3)
+        v = (
+            b[:, 0].astype(np.int32)
+            | (b[:, 1].astype(np.int32) << 8)
+            | (b[:, 2].astype(np.int32) << 16)
+        )
+        v = np.where(v >= 1 << 23, v - (1 << 24), v)
+        x = v.astype(np.float64) / float(1 << 23)
+    elif bps == 32:
+        n = len(data) // 4 * 4
+        x = np.frombuffer(data[:n], dtype="<i4").astype(np.float64) / float(
+            1 << 31
+        )
     else:
-        raise NotImplementedError(f"{bps}-bit PCM not supported (8/16 only)")
+        raise NotImplementedError(
+            f"{bps}-bit PCM not supported (8/16/24/32 only)"
+        )
     if channels > 1:
         n = len(x) // channels * channels
         x = x[:n].reshape(-1, channels).mean(axis=1)
