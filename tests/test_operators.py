@@ -1135,7 +1135,7 @@ def test_jpeg_roundtrip_all_paths():
     assert np.array_equal(with_rst, without)
 
 
-def test_jpeg_rejects_progressive_and_garbage():
+def test_jpeg_rejects_lossless_and_garbage():
     import numpy as np
     import pytest as _pytest
 
@@ -1146,13 +1146,98 @@ def test_jpeg_rejects_progressive_and_garbage():
 
     img = np.zeros((8, 8, 3), dtype=np.uint8)
     payload = bytearray(encode_jpeg_baseline(img))
-    # flip SOF0 (FFC0) to SOF2 (FFC2): progressive must be refused
+    # flip SOF0 (FFC0) to SOF3 (lossless): must be refused (progressive
+    # SOF2 is supported — see the progressive tests below)
     i = payload.index(b"\xff\xc0")
-    payload[i + 1] = 0xC2
+    payload[i + 1] = 0xC3
     with _pytest.raises(NotImplementedError):
         decode_jpeg(bytes(payload))
     with _pytest.raises(ValueError):
         decode_jpeg(b"\x00\x01\x02\x03")
+
+
+def test_jpeg_progressive_bit_identical_to_baseline():
+    """Progressive and baseline encodings of the SAME image share the
+    same quantized coefficients, so both decodes must be EXACTLY equal
+    — pixel-for-pixel, no tolerance. Covers gray + RGB, non-multiple-
+    of-8 dims, flat/gradient/extreme content, and single-high-frequency
+    blocks that force ZRL runs in both first and refinement AC scans."""
+    import numpy as np
+
+    from torcdb_spark.operators.jpeg import (
+        _D,
+        ZIGZAG,
+        decode_jpeg,
+        encode_jpeg_baseline,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(99)
+    cases = [
+        rng.integers(0, 256, size=(16, 24, 3), dtype=np.uint8),
+        rng.integers(0, 256, size=(13, 11), dtype=np.uint8),
+        np.full((17, 19), 130, dtype=np.uint8),
+        rng.choice([0, 255], size=(16, 16, 3)).astype(np.uint8),
+    ]
+    # single high-frequency coefficient per block -> long zero runs
+    for kz in (20, 40, 63):
+        zz = np.zeros(64)
+        zz[kz] = 900.0
+        blk = np.zeros(64)
+        blk[ZIGZAG] = zz
+        pix = _D.T @ blk.reshape(8, 8) @ _D + 128
+        cases.append(
+            np.tile(np.clip(np.round(pix), 0, 255).astype(np.uint8), (2, 3))
+        )
+    for img in cases:
+        for q in (30, 85, 95):
+            b = decode_jpeg(encode_jpeg_baseline(img, quality=q))
+            p = decode_jpeg(encode_jpeg_progressive(img, quality=q))
+            np.testing.assert_array_equal(b, p)
+
+
+def test_jpeg_progressive_eobrun_spans_blocks():
+    """Hand-built progressive stream whose AC-first scan codes an EOBn
+    run covering BOTH blocks (symbol 0x10 + 1 run bit) — the cross-block
+    EOB-run path the layered encoder (which emits per-block EOB0) never
+    produces. Both 8x8 blocks must reconstruct to the identical flat
+    DC-only value."""
+    import numpy as np
+
+    from torcdb_spark.operators.jpeg import _D, decode_jpeg
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") + payload
+
+    qt = bytes([0]) + bytes([1] * 64)  # table 0, all ones
+    sof = bytes([8]) + (8).to_bytes(2, "big") + (16).to_bytes(2, "big") + bytes(
+        [1, 1, 0x11, 0]
+    )
+    # DC table: standard luminance layout (sizes 0..11)
+    from torcdb_spark.operators.jpeg import DC_LUM_BITS, DC_LUM_VALS
+
+    dht_dc = bytes([0x00]) + bytes(DC_LUM_BITS) + bytes(DC_LUM_VALS)
+    # AC table: two 1-bit codes — '0' -> 0x10 (EOB1), '1' -> 0x00 (EOB0)
+    ac_bits = [2] + [0] * 15
+    dht_ac = bytes([0x10]) + bytes(ac_bits) + bytes([0x10, 0x00])
+    # DC-first scan (Ss=Se=0, Ah=0, Al=0): diffs 8 then 0
+    # s=4 -> code '101'; magnitude 8 -> '1000'; s=0 -> code '00'
+    dc_scan = seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x00])) + bytes([0b10110000, 0b01111111])
+    # AC-first scan (Ss=1, Se=63): symbol 0x10 ('0') + 1 run bit (0)
+    # -> EOBRUN = (1<<1)-1+0 = 1: ends block 0, covers block 1 entirely
+    ac_scan = seg(0xDA, bytes([1, 1, 0x10, 1, 63, 0x00])) + bytes([0b00111111])
+    payload = (
+        b"\xff\xd8" + seg(0xDB, qt) + seg(0xC2, sof)
+        + seg(0xC4, dht_dc) + seg(0xC4, dht_ac)
+        + dc_scan + ac_scan + b"\xff\xd9"
+    )
+    got = decode_jpeg(payload)
+    assert got.shape == (8, 16, 1)
+    blk = np.zeros((8, 8))
+    blk[0, 0] = 8.0  # DC 8 x qt 1
+    exp = np.clip(np.round(_D.T @ blk @ _D + 128), 0, 255).astype(np.uint8)
+    np.testing.assert_array_equal(got[:, :8, 0], exp)
+    np.testing.assert_array_equal(got[:, 8:, 0], exp)
 
 
 def test_decode_image_dispatches_jpeg():

@@ -2,20 +2,26 @@
 decode surface's last documented NotImplementedError without any codec
 library.
 
-Decoder: baseline sequential DCT (SOF0), 8-bit, 1 or 3 components,
-sampling factors 1 or 2 (4:4:4 / 4:2:2 / 4:2:0), DHT-defined canonical
-Huffman tables, byte-stuffing (FF 00) and restart markers (DRI/RSTn).
-Progressive (SOF2), arithmetic coding, and 12-bit remain
-NotImplementedError by design.
+Decoder: baseline sequential DCT (SOF0) AND progressive DCT (SOF2),
+8-bit, 1 or 3 components, sampling factors 1 or 2 (4:4:4 / 4:2:2 /
+4:2:0), DHT-defined canonical Huffman tables, byte-stuffing (FF 00) and
+restart markers (DRI/RSTn). Progressive covers the full T.81 Annex G.2
+successive-approximation surface: interleaved/non-interleaved DC first
++ refinement scans, per-component AC band scans with EOB-run coding,
+and AC refinement with buffered correction bits. Arithmetic coding and
+12-bit precision remain NotImplementedError by design.
 
-Encoder (`encode_jpeg_baseline`): the matching baseline writer — Annex-K
-quantization tables scaled by the IJG quality formula, spec-standard
-Huffman tables, optional 4:2:0 subsampling and restart intervals. Its
-purpose here is the same as ``encode_png``/``encode_wav_pcm``: produce
-real compressed bytes so the decoder is testable end-to-end in a container
-with no imaging libraries (round-trip error is bounded by the quantization
-tables, and every structural path — subsampling, restarts, padding — gets
-exercised).
+Encoders (`encode_jpeg_baseline`, `encode_jpeg_progressive`): matching
+writers — Annex-K quantization tables scaled by the IJG quality formula,
+spec-standard Huffman tables, optional 4:2:0 subsampling and restart
+intervals (baseline); the progressive writer emits a DC-first(Al=1) /
+per-component AC band scans(Al=1) / DC-refine / AC-refine scan script so
+every G.2 decode path is exercised. Their purpose here is the same as
+``encode_png``/``encode_wav_pcm``: produce real compressed bytes so the
+decoder is testable end-to-end in a container with no imaging libraries
+(round-trip error is bounded by the quantization tables — and baseline
+vs progressive of the same image must decode BIT-IDENTICALLY, since the
+quantized coefficients are the same).
 
 The entropy loop is scalar Python per 8×8 block: fine for the kernel's
 role (it runs INSIDE an Arrow-batched ``mapInPandas`` over a binary
@@ -408,7 +414,10 @@ def encode_jpeg_baseline(
 
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Baseline JPEG → (h, w, 3) RGB (or (h, w, 1) grayscale) uint8."""
+    """Baseline or progressive JPEG → (h, w, 3) RGB (or (h, w, 1)
+    grayscale) uint8. Baseline decodes its single scan straight to
+    pixels; progressive accumulates every scan's contribution into
+    per-component coefficient arrays and reconstructs once at EOI."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
@@ -417,6 +426,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     frame = None
     restart = 0
     comps: list[dict] = []
+    progressive = False
+    coeffs: dict[int, np.ndarray] = {}
     n = len(payload)
     while pos < n:
         if payload[pos] != 0xFF:
@@ -457,10 +468,11 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                     code <<= 1
                 huff[(tc, th)] = table
                 b = b[17 + nv:]
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             prec = body[0]
             if prec != 8:
                 raise NotImplementedError(f"{prec}-bit JPEG")
+            progressive = marker == 0xC2
             fh = int.from_bytes(body[1:3], "big")
             fw = int.from_bytes(body[3:5], "big")
             nc = body[5]
@@ -471,9 +483,22 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                     "id": cid, "h": sampb >> 4, "v": sampb & 0xF, "q": qid,
                 })
             frame = (fh, fw)
-        elif marker in (0xC2, 0xC3) or (0xC5 <= marker <= 0xCF and marker != 0xC8):
+            if progressive:
+                # per-component zigzag-order coefficient store, sized to
+                # the MCU-padded grid (interleaved DC scans touch the
+                # padding blocks; non-interleaved scans a sub-grid)
+                hmax = max(c["h"] for c in comps)
+                vmax = max(c["v"] for c in comps)
+                mcx = -(-fw // (8 * hmax))
+                mcy = -(-fh // (8 * vmax))
+                for c in comps:
+                    coeffs[c["id"]] = np.zeros(
+                        (mcy * c["v"], mcx * c["h"], 64), dtype=np.int64
+                    )
+        elif marker == 0xC3 or (0xC5 <= marker <= 0xCF and marker != 0xC8):
             raise NotImplementedError(
-                "only baseline sequential (SOF0/1) JPEG is supported"
+                "only baseline (SOF0/1) and progressive (SOF2) JPEG are "
+                "supported (lossless/hierarchical/arithmetic are not)"
             )
         elif marker == 0xDD:  # DRI
             restart = int.from_bytes(body[:2], "big")
@@ -485,10 +510,21 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 comp = next(c for c in comps if c["id"] == cid)
                 scan.append((comp, tt >> 4, tt & 0xF))
             data_start = pos + ln
-            return _decode_scan(
-                payload, data_start, frame, scan, qts, huff, restart
+            if not progressive:
+                return _decode_scan(
+                    payload, data_start, frame, scan, qts, huff, restart
+                )
+            ss = body[1 + 2 * ns]
+            se = body[2 + 2 * ns]
+            ah_al = body[3 + 2 * ns]
+            pos = _decode_progressive_scan(
+                payload, data_start, frame, comps, scan,
+                ss, se, ah_al >> 4, ah_al & 0xF, huff, restart, coeffs,
             )
+            continue
         pos += ln
+    if progressive and frame is not None and coeffs:
+        return _reconstruct_progressive(frame, comps, coeffs, qts)
     raise ValueError("no SOS segment found")
 
 
@@ -577,3 +613,414 @@ def _decode_scan(data, pos, frame, scan, qts, huff, restart):
     b = y + 1.772 * cb
     rgb = np.stack([r, g, b], axis=-1)
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+def _decode_progressive_scan(
+    payload, pos, frame, comps, scan, ss, se, ah, al, huff, restart, coeffs
+):
+    """Decode ONE progressive scan (T.81 Annex G.2) into the zigzag-order
+    coefficient arrays; returns the offset of the next marker.
+
+    Four unit kinds, selected by (ss, ah): DC first (ss=0, ah=0 — the
+    only kind that may be interleaved across components), DC refinement
+    (ss=0, ah>0: one bit per block ORed at weight 2^al), AC first
+    (ss>0, ah=0: band run-length coding with EOB-run counts shared
+    across blocks), and AC refinement (ss>0, ah>0: libjpeg's
+    correction-bit walk — a history-nonzero coefficient consumes one
+    bit whenever the walk passes it, zero-history runs count toward the
+    next newly-nonzero ±2^al placement). Restart markers reset both the
+    DC predictors and the EOB run."""
+    fh, fw = frame
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    br = _BitReader(payload, pos)
+
+    def read_symbol(table):
+        length = 0
+        code = 0
+        while length < 16:
+            code = (code << 1) | br.read_bit()
+            length += 1
+            if (length, code) in table:
+                return table[(length, code)]
+        raise ValueError("invalid Huffman code")
+
+    state = {"eobrun": 0}
+    dc_pred = [0] * len(scan)
+    p1 = 1 << al
+    m1 = -p1
+
+    def dc_first(blk, si, dct):
+        s = read_symbol(dct)
+        diff = _extend(br.read_bits(s), s) if s else 0
+        dc_pred[si] += diff
+        blk[0] = dc_pred[si] << al
+
+    def dc_refine(blk):
+        if br.read_bit():
+            blk[0] = int(blk[0]) | p1
+
+    def ac_first(blk, act):
+        if state["eobrun"] > 0:
+            state["eobrun"] -= 1
+            return
+        k = ss
+        while k <= se:
+            sym = read_symbol(act)
+            r, s = sym >> 4, sym & 0xF
+            if s:
+                k += r
+                if k > se:
+                    raise ValueError("AC band index overflow")
+                blk[k] = _extend(br.read_bits(s), s) << al
+                k += 1
+            else:
+                if r != 15:
+                    state["eobrun"] = (1 << r) - 1
+                    if r:
+                        state["eobrun"] += br.read_bits(r)
+                    break
+                k += 16  # ZRL
+
+    def ac_refine(blk, act):
+        k = ss
+        if state["eobrun"] == 0:
+            while k <= se:
+                sym = read_symbol(act)
+                r, s = sym >> 4, sym & 0xF
+                newval = 0
+                if s:
+                    # spec: s is always 1 in a refinement scan
+                    newval = p1 if br.read_bit() else m1
+                elif r != 15:
+                    state["eobrun"] = 1 << r
+                    if r:
+                        state["eobrun"] += br.read_bits(r)
+                    break
+                # walk forward: correction bits at history-nonzero
+                # positions, zero-history positions consume the run
+                while k <= se:
+                    cur = int(blk[k])
+                    if cur != 0:
+                        if br.read_bit() and (cur & p1) == 0:
+                            blk[k] = cur + (p1 if cur >= 0 else m1)
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if newval and k <= se:
+                    blk[k] = newval
+                k += 1
+        if state["eobrun"] > 0:
+            while k <= se:
+                cur = int(blk[k])
+                if cur != 0:
+                    if br.read_bit() and (cur & p1) == 0:
+                        blk[k] = cur + (p1 if cur >= 0 else m1)
+                k += 1
+            state["eobrun"] -= 1
+
+    def do_unit(blk, si, dct_id, act_id):
+        if ss == 0:
+            if ah == 0:
+                dc_first(blk, si, huff[(0, dct_id)])
+            else:
+                dc_refine(blk)
+        else:
+            if ah == 0:
+                ac_first(blk, huff[(1, act_id)])
+            else:
+                ac_refine(blk, huff[(1, act_id)])
+
+    def at_restart(unit):
+        if restart and unit and unit % restart == 0:
+            br.align_and_expect_rst(unit // restart)
+            for i in range(len(dc_pred)):
+                dc_pred[i] = 0
+            state["eobrun"] = 0
+
+    if len(scan) > 1:
+        if ss != 0:
+            raise ValueError("interleaved progressive AC scan is illegal")
+        mcx = -(-fw // (8 * hmax))
+        mcy = -(-fh // (8 * vmax))
+        unit = 0
+        for my in range(mcy):
+            for mx in range(mcx):
+                at_restart(unit)
+                for si, (c, dct_id, act_id) in enumerate(scan):
+                    arr = coeffs[c["id"]]
+                    for vy in range(c["v"]):
+                        for vx in range(c["h"]):
+                            do_unit(
+                                arr[my * c["v"] + vy, mx * c["h"] + vx],
+                                si, dct_id, act_id,
+                            )
+                unit += 1
+    else:
+        c, dct_id, act_id = scan[0]
+        arr = coeffs[c["id"]]
+        # non-interleaved scans cover the component's OWN block grid
+        # (ceil of its scaled dimensions), not the MCU-padded grid
+        bw_ = -(-(-(-fw * c["h"] // hmax)) // 8)
+        bh_ = -(-(-(-fh * c["v"] // vmax)) // 8)
+        unit = 0
+        for by in range(bh_):
+            for bx in range(bw_):
+                at_restart(unit)
+                do_unit(arr[by, bx], 0, dct_id, act_id)
+                unit += 1
+
+    # the scan's entropy bytes end at the next true marker (skip any
+    # stuffed FF00 and stray restarts the bit reader did not consume)
+    p = br.pos
+    while p + 1 < len(payload):
+        if payload[p] == 0xFF and payload[p + 1] != 0x00 and not (
+            0xD0 <= payload[p + 1] <= 0xD7
+        ):
+            break
+        p += 1
+    return p
+
+
+def _reconstruct_progressive(frame, comps, coeffs, qts):
+    """Dequantize + IDCT every accumulated coefficient block (vectorized
+    over the whole plane), then upsample/crop/color-convert exactly like
+    the baseline path."""
+    fh, fw = frame
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    out_planes = []
+    for c in comps:
+        arr = coeffs[c["id"]]  # (bh, bw, 64) zigzag order
+        bh, bw_ = arr.shape[:2]
+        nat = np.zeros((bh, bw_, 64))
+        nat[:, :, ZIGZAG] = arr
+        deq = nat.reshape(bh, bw_, 8, 8) * qts[c["q"]]
+        # pix = D^T @ block @ D for every block at once
+        pix = np.einsum("ux,ybuw,wv->ybxv", _D, deq, _D)
+        plane = pix.transpose(0, 2, 1, 3).reshape(bh * 8, bw_ * 8)
+        ry, rx = vmax // c["v"], hmax // c["h"]
+        if ry > 1 or rx > 1:
+            plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
+        out_planes.append(plane[:fh, :fw] + 128.0)
+    if len(out_planes) == 1:
+        g = np.clip(np.round(out_planes[0]), 0, 255).astype(np.uint8)
+        return g[:, :, None]
+    y, cb, cr = out_planes
+    cb = cb - 128.0
+    cr = cr - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    rgb = np.stack([r, g, b], axis=-1)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+def encode_jpeg_progressive(img: np.ndarray, quality: int = 90) -> bytes:
+    """Encode as a progressive (SOF2) JPEG with a scan script that
+    exercises every T.81 G.2 decode path: interleaved DC first (Al=1),
+    per-component AC band first scans split at k=5 (Al=1, EOB-run path
+    included via EOB0), interleaved DC refinement, then per-component
+    AC refinements (correction bits + new-coefficient placements).
+
+    Same Annex-K tables, DCT, and quantizer as ``encode_jpeg_baseline``
+    (4:4:4 only), so the quantized coefficients — and therefore the
+    decoded pixels — are bit-identical between the two encodings: the
+    round-trip test asserts exactly that."""
+    img = np.asarray(img)
+    gray = img.ndim == 2
+    h, w = img.shape[:2]
+    if h == 0 or w == 0:
+        raise ValueError("empty image")
+    qt_l = _scaled_qt(QT_LUM, quality)
+    qt_c = _scaled_qt(QT_CHROM, quality)
+    if gray:
+        planes = [img.astype(np.float64) - 128.0]
+        qts = [qt_l]
+    else:
+        rgb = img.astype(np.float64)
+        r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b
+        planes = [y - 128.0, cb, cr]
+        qts = [qt_l, qt_c, qt_c]
+    ncomp = len(planes)
+    mcx, mcy = -(-w // 8), -(-h // 8)
+
+    # quantized zigzag-order coefficients per component: (by, bx, 64)
+    qcoef = []
+    for p, qt in zip(planes, qts):
+        pp = np.pad(
+            p, ((0, mcy * 8 - p.shape[0]), (0, mcx * 8 - p.shape[1])),
+            mode="edge",
+        )
+        blocks = pp.reshape(mcy, 8, mcx, 8).transpose(0, 2, 1, 3)
+        coef = np.einsum("ux,ybxv,wv->ybuw", _D, blocks, _D)
+        q = np.round(coef / qt).astype(np.int64)
+        qcoef.append(q.reshape(mcy, mcx, 64)[..., ZIGZAG])
+    dc_tabs = [
+        _canonical_codes(DC_LUM_BITS, DC_LUM_VALS),
+        _canonical_codes(DC_CHROM_BITS, DC_CHROM_VALS),
+    ]
+    ac_tabs = [
+        _canonical_codes(AC_LUM_BITS, AC_LUM_VALS),
+        _canonical_codes(AC_CHROM_BITS, AC_CHROM_VALS),
+    ]
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") + payload
+
+    def sos_header(comp_ids: list[int], ss: int, se: int, ah: int, al: int) -> bytes:
+        body = bytearray([len(comp_ids)])
+        for cid in comp_ids:
+            t = 0 if cid == 1 or gray else 1
+            body += bytes([cid, (t << 4) | t])
+        body += bytes([ss, se, (ah << 4) | al])
+        return seg(0xDA, bytes(body))
+
+    def emit_dc_first(al: int) -> bytes:
+        bw = _BitWriter()
+        pred = [0] * ncomp
+        for by in range(mcy):
+            for bx in range(mcx):
+                for ci in range(ncomp):
+                    t = 0 if ci == 0 else 1
+                    v = int(qcoef[ci][by, bx, 0]) >> al
+                    diff = v - pred[ci]
+                    pred[ci] = v
+                    s = _size_of(diff)
+                    code, ln = dc_tabs[t][s]
+                    bw.write(code, ln)
+                    if s:
+                        bw.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+        bw.flush()
+        return bytes(bw.out)
+
+    def emit_dc_refine(al: int) -> bytes:
+        bw = _BitWriter()
+        for by in range(mcy):
+            for bx in range(mcx):
+                for ci in range(ncomp):
+                    bw.write((int(qcoef[ci][by, bx, 0]) >> al) & 1, 1)
+        bw.flush()
+        return bytes(bw.out)
+
+    def emit_ac_first(ci: int, ss: int, se: int, al: int) -> bytes:
+        bw = _BitWriter()
+        act = ac_tabs[0 if ci == 0 else 1]
+        for by in range(mcy):
+            for bx in range(mcx):
+                blk = qcoef[ci][by, bx]
+                run = 0
+                emitted = False
+                for k in range(ss, se + 1):
+                    v = int(blk[k])
+                    t = (v if v >= 0 else -v) >> al
+                    if t == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, ln = act[0xF0]
+                        bw.write(code, ln)
+                        run -= 16
+                    s = _size_of(t)
+                    code, ln = act[(run << 4) | s]
+                    bw.write(code, ln)
+                    sv = t if v >= 0 else -t
+                    bw.write(sv if sv >= 0 else sv + (1 << s) - 1, s)
+                    run = 0
+                    emitted = True
+                if run > 0 or not emitted:
+                    code, ln = act[0x00]  # EOB0
+                    bw.write(code, ln)
+        bw.flush()
+        return bytes(bw.out)
+
+    def emit_ac_refine(ci: int, ss: int, se: int, al: int) -> bytes:
+        # libjpeg jcphuff-style: a ZRL is emitted AT the first nonzero
+        # coefficient once the zero-history run exceeds 15 — provided a
+        # newly-nonzero coefficient still lies ahead (k <= eob_idx);
+        # trailing runs fold into the EOB symbol. Buffered correction
+        # bits flush after every emitted symbol, so the decoder's walk
+        # consumes them exactly at the history positions it passes.
+        bw = _BitWriter()
+        act = ac_tabs[0 if ci == 0 else 1]
+        for by in range(mcy):
+            for bx in range(mcx):
+                blk = qcoef[ci][by, bx]
+                eob_idx = -1
+                for k in range(ss, se + 1):
+                    v = int(blk[k])
+                    if ((v if v >= 0 else -v) >> al) == 1:
+                        eob_idx = k
+                run = 0
+                pending: list[int] = []  # buffered correction bits
+                any_symbol = False
+                for k in range(ss, se + 1):
+                    v = int(blk[k])
+                    t = (v if v >= 0 else -v) >> al
+                    if t == 0:
+                        run += 1
+                        continue
+                    while run > 15 and k <= eob_idx:
+                        code, ln = act[0xF0]
+                        bw.write(code, ln)
+                        for bit in pending:
+                            bw.write(bit, 1)
+                        pending = []
+                        run -= 16
+                        any_symbol = True
+                    if t > 1:
+                        # history-nonzero: buffer its correction bit
+                        pending.append(t & 1)
+                        continue
+                    # newly nonzero (t == 1)
+                    code, ln = act[(run << 4) | 1]
+                    bw.write(code, ln)
+                    bw.write(1 if v >= 0 else 0, 1)
+                    for bit in pending:
+                        bw.write(bit, 1)
+                    pending = []
+                    run = 0
+                    any_symbol = True
+                if run > 0 or pending or not any_symbol:
+                    code, ln = act[0x00]  # EOB0
+                    bw.write(code, ln)
+                    for bit in pending:
+                        bw.write(bit, 1)
+        bw.flush()
+        return bytes(bw.out)
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, bytes([0]) + bytes(qt_l.reshape(64)[ZIGZAG].astype(np.uint8)))
+    if not gray:
+        out += seg(0xDB, bytes([1]) + bytes(qt_c.reshape(64)[ZIGZAG].astype(np.uint8)))
+    sof = bytearray([8])
+    sof += h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([ncomp])
+    for ci in range(ncomp):
+        sof += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])
+    out += seg(0xC2, bytes(sof))
+    out += seg(0xC4, bytes([0x00]) + bytes(DC_LUM_BITS) + bytes(DC_LUM_VALS))
+    out += seg(0xC4, bytes([0x10]) + bytes(AC_LUM_BITS) + bytes(AC_LUM_VALS))
+    if not gray:
+        out += seg(0xC4, bytes([0x01]) + bytes(DC_CHROM_BITS) + bytes(DC_CHROM_VALS))
+        out += seg(0xC4, bytes([0x11]) + bytes(AC_CHROM_BITS) + bytes(AC_CHROM_VALS))
+
+    all_ids = [ci + 1 for ci in range(ncomp)]
+    # scan script
+    out += sos_header(all_ids, 0, 0, 0, 1) + emit_dc_first(1)
+    for ci in range(ncomp):
+        if ci == 0:
+            # split comp0's band to exercise multi-band accumulation
+            out += sos_header([1], 1, 5, 0, 1) + emit_ac_first(0, 1, 5, 1)
+            out += sos_header([1], 6, 63, 0, 1) + emit_ac_first(0, 6, 63, 1)
+        else:
+            out += sos_header([ci + 1], 1, 63, 0, 1) + emit_ac_first(ci, 1, 63, 1)
+    out += sos_header(all_ids, 0, 0, 1, 0) + emit_dc_refine(0)
+    for ci in range(ncomp):
+        out += sos_header([ci + 1], 1, 63, 1, 0) + emit_ac_refine(ci, 1, 63, 0)
+    out += b"\xff\xd9"
+    return bytes(out)

@@ -4,12 +4,13 @@ Images/audio/video ride through the engine as ``binary`` columns with a
 metadata struct; transforms run as Arrow-batched Pandas UDFs over
 ``mapInPandas`` so payload bytes never round-trip through Python row
 objects. Decode kernels are REAL for every format decodable without codec
-libraries — PPM(P6), uncompressed BMP, PNG (stdlib zlib), uncompressed
-TIFF, baseline JPEG (operators/jpeg.py), GIF incl. interlaced
-(operators/gif.py LZW), RIFF/WAVE PCM audio, MJPEG-in-AVI video — plus
-FFT spectral audio features; the remaining compressed formats
-(progressive JPEG/WebP/MP3...) raise a documented NotImplementedError
-where a deployment plugs in pillow/opencv/ffmpeg.
+libraries — PPM(P6 8/16-bit), uncompressed BMP, PNG incl. paletted
+(stdlib zlib), uncompressed 8/16-bit TIFF, baseline AND progressive
+JPEG (operators/jpeg.py), GIF incl. interlaced + animated
+(operators/gif.py LZW), RIFF/WAVE PCM audio (8/16/24/32-bit),
+MJPEG-in-AVI video — plus FFT spectral audio features; the remaining
+formats (WebP/MP3/arithmetic-coded JPEG...) raise a documented
+NotImplementedError where a deployment plugs in pillow/opencv/ffmpeg.
 
 At 100 TB: payloads dominate; the operators keep them in Arrow buffers,
 never collect them, and the repartition key is the id — size partitions
@@ -72,12 +73,13 @@ def decode_image(payload: bytes):
       BI_RGB), bottom-up row order with 4-byte row padding, BGR(A) channel
       order.
 
-    Plus pure-numpy decoders for PNG (stdlib zlib), uncompressed chunky
-    TIFF, and **baseline sequential JPEG** (operators/jpeg.py: DHT
-    canonical Huffman, dequant + vectorized IDCT, 4:2:0/4:2:2/4:4:4,
-    restart markers). Progressive JPEG / WebP / arithmetic coding raise
-    NotImplementedError — a deployment installs pillow/opencv and extends
-    the dispatch. The Spark-side plumbing (mapInPandas batching, binary
+    Plus pure-numpy decoders for PNG (stdlib zlib; paletted via PLTE
+    gather), uncompressed chunky 8/16-bit TIFF, and **baseline AND
+    progressive JPEG** (operators/jpeg.py: DHT canonical Huffman,
+    dequant + vectorized IDCT, 4:2:0/4:2:2/4:4:4, restart markers,
+    T.81 G.2 successive-approximation scan accumulation). WebP /
+    arithmetic coding raise NotImplementedError — a deployment installs
+    pillow/opencv and extends the dispatch. The Spark-side plumbing (mapInPandas batching, binary
     Arrow buffers) is format-agnostic.
     """
     import numpy as np
@@ -158,9 +160,9 @@ def decode_image(payload: bytes):
     raise NotImplementedError(
         "only PPM(P6 8/16-bit), uncompressed 24/32-bit BMP, non-interlaced "
         "8-bit gray/RGB/palette/RGBA PNG, uncompressed chunky 8/16-bit "
-        "TIFF, baseline sequential JPEG, and single-frame GIF decode "
-        "without codec libraries; install "
-        "pillow/opencv for progressive JPEG/WebP and extend dispatch"
+        "TIFF, baseline + progressive JPEG, and GIF decode without codec "
+        "libraries; install pillow/opencv for WebP/arithmetic-coded JPEG "
+        "and extend dispatch"
     )
 
 
