@@ -10041,3 +10041,71 @@ def g_gremlin_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
         id_lower(F.col("parent")).alias("parent_key"),
         F.col("n_traversers").cast("long").alias("n_traversers"),
     )
+
+
+@_register(
+    "m11_progressive_jpeg",
+    """SELECT doc_id AS media_id, CAST(16 AS BIGINT) AS width,
+              CAST(16 AS BIGINT) AS height, CAST(3 AS BIGINT) AS channels,
+              TRUE AS identical
+       FROM documents WHERE doc_id % 5 = 0 AND doc_id < 500""",
+)
+def m11_progressive_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Progressive JPEG (SOF2, T.81 Annex G.2) through the Spark
+    multimodal path: per sampled document the m6 deterministic 16×16 RGB
+    test image is encoded BOTH ways — baseline scan script and the
+    progressive DC-first/AC-band/refinement script
+    (operators/jpeg.py encode_jpeg_progressive) — and both payloads are
+    decoded inside one Arrow-batched mapInPandas kernel. The two
+    encodings quantize identical coefficients, so the decodes must be
+    BIT-IDENTICAL: the oracle pins dims + identical=TRUE for every
+    sampled doc — a strictly harder contract than m6's tolerance bound,
+    hash-checking the entire G.2 scan-accumulation machinery end to
+    end."""
+    import pandas as pd
+
+    from torcdb_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg_baseline,
+        encode_jpeg_progressive,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        (F.col("doc_id") % 5 == 0) & (F.col("doc_id") < 500)
+    ).select("doc_id")
+
+    def kernel(batches):
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                yy, xx = np.mgrid[0:16, 0:16]
+                img = np.stack(
+                    [
+                        128 + 100 * np.sin((xx + d) / 5.0) * np.cos(yy / 7.0),
+                        128 + 100 * np.sin((yy + d) / 6.0),
+                        128 + 100 * np.cos((xx + yy + d) / 9.0),
+                    ],
+                    axis=-1,
+                )
+                img = np.clip(np.round(img), 0, 255).astype(np.uint8)
+                base = decode_jpeg(encode_jpeg_baseline(img, quality=90))
+                prog = decode_jpeg(encode_jpeg_progressive(img, quality=90))
+                rows.append(
+                    {
+                        "media_id": d,
+                        "width": prog.shape[1],
+                        "height": prog.shape[0],
+                        "channels": prog.shape[2],
+                        "identical": bool(np.array_equal(base, prog)),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(
+        kernel,
+        "media_id long, width long, height long, channels long, "
+        "identical boolean",
+    )
