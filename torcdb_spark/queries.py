@@ -7892,10 +7892,80 @@ def pt1_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register("mis1_independent_set")  # rows-only: MIS needs Luby's
-# round-until-empty loop — not SQL-expressible; exact set agreement with
-# a sequential replay under identical md5 priorities is pytest-proven
-# (tests/test_mis.py, incl. independence + maximality properties)
+@_register(
+    "mis1_independent_set",
+    """WITH RECURSIVE seq AS (
+         SELECT user_id,
+                CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+                ts, event_id
+         FROM events),
+       tr AS (
+         SELECT k AS src, lead(k) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS dst
+         FROM seq),
+       cnts AS (SELECT src, dst, count(*) AS n FROM tr
+                WHERE dst IS NOT NULL GROUP BY 1, 2),
+       top AS (SELECT src, dst FROM cnts
+               ORDER BY n DESC, src ASC, dst ASC LIMIT 175),
+       sym AS (SELECT DISTINCT a, b FROM (
+                 SELECT src AS a, dst AS b FROM top
+                 UNION ALL SELECT dst AS a, src AS b FROM top)
+               WHERE a <> b),
+       it(rnd, active, mis) AS (
+         SELECT 0, (SELECT list(DISTINCT a ORDER BY a) FROM sym),
+                CAST([] AS BIGINT[])
+         UNION ALL
+         SELECT rnd + 1,
+                list_filter(it.active, v -> NOT list_contains(t.removed, v)),
+                list_concat(it.mis, t.sel)
+         FROM it,
+              (SELECT list(struct_pack(a := a, b := b)) AS es FROM sym) eg,
+              LATERAL (
+           SELECT s.sel AS sel,
+                  flatten([s.sel,
+                    list_transform(
+                      list_filter(eg.es,
+                        e -> list_contains(s.sel, e.a)
+                             AND list_contains(it.active, e.b)),
+                      e -> e.b)]) AS removed
+           FROM (
+             SELECT list_filter(it.active, v ->
+               len(list_filter(eg.es, e ->
+                     e.a = v AND list_contains(it.active, e.b)
+                     AND struct_pack(
+                           p := list_reduce(
+                             list_transform(
+                               regexp_extract_all(
+                                 substr(md5(e.b::VARCHAR || ':'
+                                            || (it.rnd+1)::VARCHAR), 1, 15),
+                                 '.'),
+                               c -> CAST(strpos('0123456789abcdef', c) - 1
+                                         AS BIGINT)),
+                             (x, y) -> x * 16 + y),
+                           i := e.b)
+                         <= struct_pack(
+                           p := list_reduce(
+                             list_transform(
+                               regexp_extract_all(
+                                 substr(md5(v::VARCHAR || ':'
+                                            || (it.rnd+1)::VARCHAR), 1, 15),
+                                 '.'),
+                               c -> CAST(strpos('0123456789abcdef', c) - 1
+                                         AS BIGINT)),
+                             (x, y) -> x * 16 + y),
+                           i := v)
+                   )) = 0
+             ) AS sel
+           ) s
+         ) t
+         WHERE len(it.active) > 0 AND it.rnd < 40
+       )
+       SELECT CAST(len(mis) AS BIGINT) AS n_mis_vertices,
+              CAST(list_aggregate(mis, 'sum') AS BIGINT) AS sum_ids,
+              CAST(list_aggregate(mis, 'min') AS BIGINT) AS min_id,
+              CAST(list_aggregate(mis, 'max') AS BIGINT) AS max_id
+       FROM it WHERE len(active) = 0""",
+)
 def mis1_independent_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maximal independent set via deterministic Luby (analytics
     maximal_independent_set) over the undirected user-navigation core
@@ -7904,6 +7974,14 @@ def mis1_independent_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     landmark selection). Expected O(log n) rounds, each one edge-keyed
     aggregate + two anti-joins; priorities are md5-derived so the set
     is unique and engine-replayable. Returns the MIS summary.
+
+    EXACT-oracled (upgraded from rows-only): the 175-edge core is small
+    enough for DuckDB to REPLAY Luby round by round — a recursive CTE
+    carries the active-vertex list, recomputes the identical
+    md5-hex15→BIGINT priorities per round (Horner list_reduce — DuckDB
+    has no conv()), applies the same strict-(priority, id)-local-min
+    selection and neighbor deactivation, and aggregates the final set.
+    An iterative symmetry-breaking algorithm, hash-checked end to end.
 
     The first cut ran on the full part–supplier bipartite graph (75k
     edges at sf0.1) — correct, but 17+ Luby rounds of fixed job
@@ -8039,10 +8117,65 @@ def d23_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register("gc1_graph_coloring")  # rows-only: iterated-MIS coloring needs
-# the Luby round-until-empty loop per color — not SQL-expressible; exact
-# color-assignment agreement with a sequential replay under identical md5
-# priorities + properness/totality are pytest-proven (tests/test_mis.py)
+@_register(
+    "gc1_graph_coloring",
+    """WITH RECURSIVE seq AS (
+         SELECT user_id,
+                CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+                ts, event_id
+         FROM events),
+       tr AS (
+         SELECT k AS src, lead(k) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS dst
+         FROM seq),
+       cnts AS (SELECT src, dst, count(*) AS n FROM tr
+                WHERE dst IS NOT NULL GROUP BY 1, 2),
+       top AS (SELECT src, dst FROM cnts
+               ORDER BY n DESC, src ASC, dst ASC LIMIT 175),
+       sym AS (SELECT DISTINCT a, b FROM (
+                 SELECT src AS a, dst AS b FROM top
+                 UNION ALL SELECT dst AS a, src AS b FROM top)
+               WHERE a <> b),
+       ordv AS (
+         SELECT list(a ORDER BY list_reduce(
+                  list_transform(
+                    regexp_extract_all(substr(md5(a::VARCHAR), 1, 15), '.'),
+                    c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+                  (x, y) -> x * 16 + y) ASC, a ASC) AS l
+         FROM (SELECT DISTINCT a FROM sym)),
+       it(i, colors) AS (
+         SELECT 0, CAST([] AS STRUCT(v BIGINT, c BIGINT)[])
+         UNION ALL
+         SELECT it.i + 1,
+                list_append(it.colors, struct_pack(v := t.cur, c := t.mex))
+         FROM it,
+              (SELECT list(struct_pack(a := a, b := b)) AS es FROM sym) eg,
+              ordv,
+              LATERAL (
+                SELECT cur,
+                       list_filter(range(1, len(used) + 2),
+                                   c -> NOT list_contains(used, c))[1] AS mex
+                FROM (
+                  SELECT cur,
+                         list_transform(
+                           list_filter(it.colors,
+                             x -> list_contains(
+                                    list_transform(
+                                      list_filter(eg.es, e -> e.a = cur),
+                                      e -> e.b),
+                                    x.v)),
+                           x -> x.c) AS used
+                  FROM (SELECT ordv.l[it.i + 1] AS cur)
+                )
+              ) t
+         WHERE it.i < len(ordv.l)
+       )
+       SELECT c.c AS color, CAST(count(*) AS BIGINT) AS n_vertices,
+              CAST(sum(c.v) AS BIGINT) AS sum_ids
+       FROM (SELECT unnest(colors) AS c
+             FROM it, ordv WHERE i = len(ordv.l))
+       GROUP BY 1""",
+)
 def gc1_graph_coloring(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Proper vertex coloring (analytics.greedy_coloring — iterated
     deterministic Luby MIS, Jones-Plassmann family) of the user-
@@ -8051,7 +8184,13 @@ def gc1_graph_coloring(spark: SparkSession, sf_dir: str) -> DataFrame:
     vertices sharing an edge never share a color, so each color class
     is a conflict-free update round. Emits per-color class size + id
     checksum (deterministic: the full assignment is unique under the
-    md5 priorities)."""
+    md5 priorities).
+    EXACT-oracled (upgraded from rows-only): with a FIXED priority
+    order JP equals the sequential greedy coloring in that order, so
+    the oracle replays it one vertex per recursive-CTE step — same
+    md5-hex15 priorities, same mex rule — and reproduces every
+    (color, count, id-sum) row.
+    """
     from torcdb_spark.analytics import greedy_coloring
 
     events = load_table(spark, sf_dir, "events")
