@@ -8384,17 +8384,64 @@ def tg1_temporal_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register("g_ktruss")  # rows-only: support peeling iterates to a
-# fixpoint with aggregates inside the loop — not SQL-expressible; exact
-# edge-set agreement with a sequential replay is pytest-proven for
-# k=3,4,5 (tests/test_ktruss.py)
+@_register(
+    "g_ktruss",
+    """WITH RECURSIVE seq AS (
+         SELECT user_id,
+                CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+                ts, event_id
+         FROM events),
+       tr AS (
+         SELECT k AS src, lead(k) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS dst
+         FROM seq),
+       cnts AS (SELECT src, dst, count(*) AS n FROM tr
+                WHERE dst IS NOT NULL GROUP BY 1, 2),
+       top AS (SELECT src, dst FROM cnts
+               ORDER BY n DESC, src ASC, dst ASC LIMIT 175),
+       canon AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+                 FROM top WHERE src <> dst),
+       it(rnd, es, changed) AS (
+         SELECT 0, (SELECT list(struct_pack(a := a, b := b) ORDER BY a, b)
+                    FROM canon), TRUE
+         UNION ALL
+         SELECT it.rnd + 1, t.kept, len(t.kept) < len(it.es)
+         FROM it, LATERAL (
+           SELECT list_filter(it.es, e ->
+                    len(list_intersect(
+                      list_transform(
+                        list_filter(it.es, f -> f.a = e.a OR f.b = e.a),
+                        f -> IF(f.a = e.a, f.b, f.a)),
+                      list_transform(
+                        list_filter(it.es, f -> f.a = e.b OR f.b = e.b),
+                        f -> IF(f.a = e.b, f.b, f.a))
+                    )) >= 1
+                  ) AS kept
+         ) t
+         WHERE it.changed AND it.rnd < 30
+       )
+       SELECT CAST(len(es) AS BIGINT) AS n_edges,
+              CAST(list_aggregate(list_transform(es, e -> e.a + e.b), 'sum')
+                AS BIGINT) AS edge_id_sum,
+              CAST(len(list_distinct(flatten(
+                list_transform(es, e -> [e.a, e.b])))) AS BIGINT)
+                AS n_vertices
+       FROM it WHERE NOT changed""",
+)
 def g_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-truss (k=3) of the undirected user-navigation core (analytics
     k_truss; same scale-stable top-support edge construction as scc1/
     gc1): the truss keeps only edges backed by a triangle within the
     surviving subgraph — the edge-wise, triangle-witnessed refinement
     of g_kcore's vertex-wise bound. Per round one canonical wedge-join
-    support count over a shrinking edge set. Emits the truss census."""
+    support count over a shrinking edge set. Emits the truss census.
+
+    EXACT-oracled (upgraded from rows-only): peeling is a FIXPOINT —
+    drop order cannot matter — so DuckDB replays it as a recursive CTE
+    over the packed edge list: per round each edge's support is the
+    adjacency-list intersection (|adj(a) ∩ adj(b)| via list_intersect),
+    edges under k−2 fall, until a round removes nothing. An iterative
+    aggregate-in-the-loop operator, hash-checked end to end."""
     from torcdb_spark.analytics import k_truss
 
     events = load_table(spark, sf_dir, "events")
