@@ -5444,16 +5444,98 @@ def g_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register("gs3_node2vec_walks")  # second-order biased draw: rows-only
-# (the exact md5/Efraimidis rule is replayed in pure Python in
-# tests/test_histogram_sampling.py on a constructed graph)
+@_register(
+    "gs3_node2vec_walks",
+    """WITH li AS (
+         SELECT l_orderkey, l_partkey,
+                l_orderkey * 65536 + row_number() OVER (
+                  PARTITION BY l_orderkey
+                  ORDER BY l_linenumber, l_partkey, l_suppkey, l_quantity,
+                           l_extendedprice) AS l_linekey
+         FROM lineitem),
+       e AS (
+         SELECT DISTINCT upper(printf('%016x%016x', 3, o_custkey)) AS src,
+                         upper(printf('%016x%016x', 6, o_orderkey)) AS dst
+         FROM orders
+         UNION ALL
+         SELECT DISTINCT upper(printf('%016x%016x', 6, l_orderkey)),
+                         upper(printf('%016x%016x', 7, l_linekey))
+         FROM li
+         UNION ALL
+         SELECT DISTINCT upper(printf('%016x%016x', 7, l_linekey)),
+                         upper(printf('%016x%016x', 5, l_partkey))
+         FROM li),
+       seeds AS (
+         SELECT c_custkey AS walk_key,
+                upper(printf('%016x%016x', 3, c_custkey)) AS v0
+         FROM customer WHERE c_custkey BETWEEN 1 AND 50),
+       s1c AS (
+         SELECT walk_key, v0, e.dst AS cand,
+                pow(
+                  (list_reduce(
+                     list_transform(
+                       regexp_extract_all(substr(md5('-' || ':' || v0 || ':' || e.dst || ':' || '1:11'), 1, 13), '.'),
+                       c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+                     (x, y) -> x * 16 + y) + 1.0) / 4503599627370497.0,
+                  1.0 / 0.5) AS k
+         FROM seeds JOIN e ON e.src = seeds.v0),
+       s1 AS (
+         SELECT walk_key, v0, cand AS v1 FROM (
+           SELECT *, row_number() OVER (PARTITION BY walk_key ORDER BY k DESC, cand DESC) AS rn
+           FROM s1c) WHERE rn = 1),
+       s2c AS (
+         SELECT walk_key, v0, v1, e.dst AS cand,
+                pow(
+                  (list_reduce(
+                     list_transform(
+                       regexp_extract_all(substr(md5(v0 || ':' || v1 || ':' || e.dst || ':' || '2:11'), 1, 13), '.'),
+                       c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+                     (x, y) -> x * 16 + y) + 1.0) / 4503599627370497.0,
+                  CASE WHEN e.dst = v0 THEN 1.0 / 2.0
+                       WHEN EXISTS (SELECT 1 FROM e pe WHERE pe.src = v0 AND pe.dst = s2c_e.dst) THEN 1.0
+                       ELSE 1.0 / 0.5 END) AS k
+         FROM s1 JOIN e AS s2c_e ON s2c_e.src = s1.v1, LATERAL (SELECT s2c_e.dst AS dst) e),
+       s2 AS (
+         SELECT walk_key, v1, cand AS v2 FROM (
+           SELECT *, row_number() OVER (PARTITION BY walk_key ORDER BY k DESC, cand DESC) AS rn
+           FROM s2c) WHERE rn = 1),
+       s3c AS (
+         SELECT walk_key, v1, v2, e.dst AS cand,
+                pow(
+                  (list_reduce(
+                     list_transform(
+                       regexp_extract_all(substr(md5(v1 || ':' || v2 || ':' || e.dst || ':' || '3:11'), 1, 13), '.'),
+                       c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+                     (x, y) -> x * 16 + y) + 1.0) / 4503599627370497.0,
+                  CASE WHEN e.dst = v1 THEN 1.0 / 2.0
+                       WHEN EXISTS (SELECT 1 FROM e pe WHERE pe.src = v1 AND pe.dst = s3c_e.dst) THEN 1.0
+                       ELSE 1.0 / 0.5 END) AS k
+         FROM s2 JOIN e AS s3c_e ON s3c_e.src = s2.v2, LATERAL (SELECT s3c_e.dst AS dst) e),
+       s3 AS (
+         SELECT walk_key, cand AS v3 FROM (
+           SELECT *, row_number() OVER (PARTITION BY walk_key ORDER BY k DESC, cand DESC) AS rn
+           FROM s3c) WHERE rn = 1)
+       SELECT walk_key, CAST(0 AS BIGINT) AS step, v0 AS vertex_hex FROM seeds
+       UNION ALL SELECT walk_key, 1, v1 FROM s1
+       UNION ALL SELECT walk_key, 2, v2 FROM s2
+       UNION ALL SELECT walk_key, 3, v3 FROM s3""",
+)
 def gs3_node2vec_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """node2vec-style second-order biased walks (operators/sampling.py
     node2vec_walks): p=0.5 (return-friendly), q=2 (breadth-leaning) over
     the purchase DAG from 50 seed customers, walk length 3 — the
     embedding-training corpus generator. Deterministic md5/Efraimidis
     draw: reproducible walks, per-step cost = one candidate hop join +
-    one neighbor-flag join."""
+    one neighbor-flag join.
+
+    EXACT-oracled (upgraded from rows-only): the oracle replays all
+    three steps as unrolled SQL — rebuilds the binary-id hex space
+    (printf %016x%016x incl. the l_linekey surrogate window), recomputes
+    the md5 52-bit uniform (Horner hex parse) and the Efraimidis
+    pow(u, 1/w) key with the p/q CASE weights, and takes the identical
+    (key, hex) argmax per walk per step. pow() feeds only an argmax, so
+    cross-libm last-ulp drift cannot flip a pick unless two md5 keys
+    collide to within 1 ulp; verified value-exact at all three SFs."""
     from torcdb_spark.graph import LABEL_TAGS
     from torcdb_spark.ids import uint128_pair
     from torcdb_spark.operators.sampling import node2vec_walks
