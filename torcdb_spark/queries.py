@@ -4235,19 +4235,64 @@ def d14_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_dup_pairs(docs, max_hamming=3, bands=4)
 
 
-@_register("e6_quantized_topk")  # rows-only: int8 rounding is exactly
-# reproducible in principle, but float assoc order in the norm makes a SQL
-# oracle brittle; recall vs the exact operator is pytest-asserted instead
+@_register(
+    "e6_quantized_topk",
+    """WITH qz AS (
+         SELECT vec_id,
+                CASE WHEN nrm > 0
+                     THEN list_transform(embedding,
+                            x -> CAST(round(CAST(x AS DOUBLE) / nrm * 127) AS BIGINT))
+                     ELSE list_transform(embedding, x -> CAST(0 AS BIGINT))
+                END AS qv
+         FROM (
+           SELECT vec_id, embedding,
+                  sqrt(list_reduce(
+                    list_transform(embedding,
+                      x -> CAST(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS REAL)
+                                AS DOUBLE)),
+                    (a, b) -> a + b)) AS nrm
+           FROM embeddings)),
+       scored AS (
+         SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                round(
+                  CAST(list_reduce(
+                    list_transform(list_zip(q.qv, c.qv),
+                      s -> s[1] * s[2]),
+                    (a, b) -> a + b) AS DOUBLE) / (127.0 * 127.0),
+                  3) AS score
+         FROM (SELECT * FROM qz WHERE vec_id < 10) q, qz c
+         WHERE q.vec_id <> c.vec_id)
+       SELECT query_id, neighbor_id, score, CAST(rnk AS BIGINT) AS rnk
+       FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                          ORDER BY score DESC, neighbor_id ASC) AS rnk
+             FROM scored)
+       WHERE rnk <= 5""",
+)
 def e6_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar-quantized (int8) cosine top-k over the embeddings table
     (operators/similarity.py cosine_topk_quantized): the 4×-smaller
     integer scan path for 100 TB vector corpora, same broadcast×corpus
-    plan as e1 with recall pytest-asserted >= 0.9 against it."""
+    plan as e1 with recall pytest-asserted >= 0.9 against it.
+
+    EXACT-oracled (upgraded from rows-only): the L2 norm is a SEQUENTIAL
+    array fold, not an unordered SUM — and sequential folds are
+    bit-exact cross-engine (DuckDB list_reduce == Spark F.aggregate when
+    the first step is 0.0+x). The oracle replays the exact pipeline:
+    float32-rounded squares (CAST..AS REAL — the product of two float32s
+    is exactly representable in double, so the double-rounding is a
+    no-op), double-summed fold, sqrt (IEEE correctly rounded), the
+    q=round(x/norm*127) int8 grid, integer dot products via zipped
+    list_reduce, and /127² scores that can never land on a .5e-3
+    boundary (16129 is coprime to 2000). Verified at all three SFs."""
     from torcdb_spark.operators.similarity import cosine_topk_quantized
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries_side = emb.where(F.col("vec_id") < 10)
-    return cosine_topk_quantized(emb, queries_side, k=5)
+    out = cosine_topk_quantized(emb, queries_side, k=5)
+    return out.select(
+        "query_id", "neighbor_id", "score",
+        F.col("rnk").cast("long").alias("rnk"),
+    )
 
 
 @_register(
