@@ -673,3 +673,48 @@ def test_near_dup_queries_have_no_cartesian_product(spark, sf_dir):
         plan = explain_str(queries()[name](spark, sf_dir), "simple")
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_ldbc_is_short_reads_plan_shape(spark, sf_dir):
+    """The IS short-read analogues must keep the point-lookup shape at
+    scale: seed-id IN-list pushed into the parquet scan, label partition
+    pruning on both vertex and edge scans, every join a broadcast (the
+    frontier is a handful of ids — nothing here may shuffle the edge
+    table), and the per-seed top-10 cut inside the shuffle via
+    WindowGroupLimit."""
+    from torcdb_spark.queries import queries
+
+    qs = queries()
+    plan = (
+        qs["ldbc_is_like_recent_msgs"](spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PushedFilters: [In(" in plan  # seed ids reach the scan
+    assert "label#" in plan and "= customer" in plan  # partition pruning
+    assert "WindowGroupLimit" in plan  # top-10 inside the shuffle
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # nothing big enough to merge-join
+
+    plan1 = (
+        qs["ldbc_is_like_profile"](spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PushedFilters: [In(" in plan1
+    assert "SortMergeJoin" not in plan1
+
+
+def test_gremlin_tree_single_shuffle(spark, sf_dir, graph):
+    """tree() is one posexplode + one groupBy over the traversal frame —
+    the aggregation itself must add exactly one exchange on _prefix, not
+    joins (TinkerPop's nested-Map would be a driver materialization)."""
+    from torcdb_spark.gremlin import G
+    from torcdb_spark.plans.explain import explain_str
+
+    t = G(graph).V().has_label("nation").with_path().in_("fromNation")
+    tr = t.tree()
+    plan = explain_str(tr, "simple")
+    assert "posexplode" in plan.lower()
+    # tree() itself adds EXACTLY ONE data shuffle (the prefix groupBy)
+    # on top of whatever the traversal frame already required — no joins
+    base = explain_str(t._df, "simple").count("Exchange hashpartitioning")
+    assert plan.count("Exchange hashpartitioning") == base + 1
