@@ -655,8 +655,12 @@ DRIVER_PRIORITY: list[str] = [
     # cd2_snapshot_diff_rows, scd1_event_type_history,
     # co1_cohort_retention, ws1_weighted_sample, ab1_welch_ttest,
     # ivm2_join_view_maintenance, h1_histogram_price, ev2_error_bursts,
-    # g_gremlin_tree, l2_domain_pagerank (all local exact-green in
-    # tests/test_oracle_parity.py, like every displaced query).
+    # g_gremlin_tree, l2_domain_pagerank — plus the further round-7
+    # additions/upgrades with no driver row yet: m11_progressive_jpeg,
+    # g_diameter, mis1_independent_set, gc1_graph_coloring, g_ktruss,
+    # gs3_node2vec_walks, e6_quantized_topk (all local exact-green in
+    # tests/test_oracle_parity.py at 3 SFs, like every displaced query;
+    # 22 oracled candidates total for the round-8 head).
     #
     # -- window/subquery relational block --
     "q_pivot",
