@@ -1886,3 +1886,36 @@ def test_decode_wav_24_and_32_bit():
     np.testing.assert_allclose(
         x3, [200 / float(1 << 23), -300 / float(1 << 23)]
     )
+
+
+def test_jpeg_progressive_hypothesis_property():
+    """Property: for ANY uint8 image (1-3 channels, arbitrary small
+    dims) and any quality, progressive and baseline encodings decode
+    bit-identically — they quantize the same coefficients, so the G.2
+    scan machinery must be a pure re-serialization."""
+    from hypothesis import given, settings, strategies as st
+    import numpy as np
+
+    from torcdb_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg_baseline,
+        encode_jpeg_progressive,
+    )
+
+    @settings(max_examples=12, deadline=None)
+    @given(
+        h=st.integers(1, 24),
+        w=st.integers(1, 24),
+        color=st.booleans(),
+        q=st.integers(20, 98),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def prop(h, w, color, q, seed):
+        rng = np.random.default_rng(seed)
+        shape = (h, w, 3) if color else (h, w)
+        img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        b = decode_jpeg(encode_jpeg_baseline(img, quality=q))
+        p = decode_jpeg(encode_jpeg_progressive(img, quality=q))
+        np.testing.assert_array_equal(b, p)
+
+    prop()
