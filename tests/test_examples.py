@@ -50,3 +50,18 @@ def test_multimodal_curation_runs(spark, capsys):
                    "embeddings kept after semantic dedup:",
                    "documents flagged contaminated:", "curated corpus size:"):
         assert marker in out, f"missing section {marker!r}:\n{out}"
+
+
+def test_ldbc_validation_runs(spark, capsys):
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "examples", "ldbc_validation.py",
+    )
+    spec = importlib.util.spec_from_file_location("ldbc_validation", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.main("/root/testdata/sf0.001")
+    out = capsys.readouterr().out
+    assert "complex reads: 14 IC analogues" in out
+    assert "short reads: 7 IS analogues" in out
+    assert "updates: wr1_upsert_census" in out
