@@ -431,3 +431,31 @@ def test_adamic_adar_matches_python_reference_property(spark):
         assert got == reference(pairs), (pairs, got)
 
     check()
+
+
+def test_lpa_small_core_finisher_matches_distributed(spark):
+    """label_propagation's sequential finisher and the distributed loop
+    must produce the IDENTICAL assignment (same synchronous update, same
+    min-label tie-break) — pinned on a two-community barbell."""
+    from torcdb_spark.analytics import label_propagation
+
+    # two triangles bridged by one edge
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)],
+        "src long, dst long",
+    )
+    a = sorted(
+        (r["id"], r["community"])
+        for r in label_propagation(edges, max_iter=5,
+                                   local_threshold=10_000).collect()
+    )
+    b = sorted(
+        (r["id"], r["community"])
+        for r in label_propagation(edges, max_iter=5,
+                                   local_threshold=0).collect()
+    )
+    assert a == b
+    comm = dict(a)
+    # the two triangles resolve to distinct communities
+    assert comm[1] == comm[2] == comm[3]
+    assert comm[4] == comm[5] == comm[6]

@@ -1001,11 +1001,40 @@ def betweenness_sampled(
     )
 
 
+def _lpa_local(pairs, max_iter):
+    """Sequential synchronous LPA — the small-core finisher for
+    ``label_propagation``. IDENTICAL update rule (votes from the
+    PREVIOUS state, most-frequent label, ties to the smallest), so both
+    paths produce the same assignment (pytest-pinned)."""
+    nbrs: dict = {}
+    verts = set()
+    for a, b in pairs:
+        nbrs.setdefault(b, []).append(a)
+        verts.add(a)
+        verts.add(b)
+    comm = {v: v for v in verts}
+    for _ in range(max_iter):
+        new = {}
+        for v in verts:
+            ns = nbrs.get(v)
+            if not ns:
+                new[v] = comm[v]
+                continue
+            cnt: dict = {}
+            for u in ns:
+                c = comm[u]
+                cnt[c] = cnt.get(c, 0) + 1
+            new[v] = min(cnt, key=lambda c: (-cnt[c], c))
+        comm = new
+    return comm
+
+
 def label_propagation(
     edges: DataFrame,
     max_iter: int = 5,
     src_col: str = "src",
     dst_col: str = "dst",
+    local_threshold: int = 100_000,
 ) -> DataFrame:
     """Community detection via SYNCHRONOUS label propagation (Raghavan
     et al. 2007) → (id, community): every vertex starts as its own
@@ -1035,6 +1064,39 @@ def label_propagation(
         .dropDuplicates(["a", "b"])
         .persist()
     )
+    # small-core finisher (the MIS/coloring/k-truss/SCC discipline):
+    # max_iter supersteps of fixed job overhead on a one-task graph cost
+    # more than the whole problem — run the IDENTICAL synchronous update
+    # sequentially in one partition (both paths pytest-pinned equal).
+    n_edges = und.count()
+    if n_edges <= local_threshold:
+        id_t = dict(und.dtypes)["a"]
+
+        def _finish_lpa(batches):
+            import pandas as pd
+
+            def norm(x):
+                # binary vertex ids arrive as (unhashable) bytearrays
+                return bytes(x) if isinstance(x, (bytes, bytearray)) else x
+
+            pairs = []
+            for b_ in batches:
+                pairs.extend(
+                    (norm(x), norm(y))
+                    for x, y in zip(b_["a"].tolist(), b_["b"].tolist())
+                )
+            comm = _lpa_local(pairs, max_iter)
+            items = sorted(comm.items())
+            return iter([pd.DataFrame(
+                {"id": [k for k, _ in items],
+                 "community": [v for _, v in items]}
+            )])
+
+        out = und.repartition(1).mapInPandas(
+            _finish_lpa, f"id {id_t}, community {id_t}"
+        )
+        und.unpersist()
+        return out
     state = (
         und.select(F.col("a").alias("id"))
         .dropDuplicates(["id"])
