@@ -10426,3 +10426,195 @@ def m11_progressive_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id long, width long, height long, channels long, "
         "identical boolean",
     )
+
+
+# ---------------------------------------------------------------------------
+# round-7 session-2 additions: relational idioms the §2.5 surface still
+# lacked (gaps-and-islands, cumulative windowed distinct, null-aware
+# anti-join witness, seasonal baseline) — each exact-oracled
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q_gaps_islands",
+    """WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+                     FROM events),
+       grp AS (SELECT user_id, d,
+                      date_diff('day', DATE '1970-01-01', d)
+                        - row_number() OVER (PARTITION BY user_id
+                                             ORDER BY d) AS anchor
+               FROM days),
+       isl AS (SELECT user_id, anchor, count(*) AS len
+               FROM grp GROUP BY 1, 2)
+       SELECT user_id, CAST(count(*) AS BIGINT) AS n_islands,
+              CAST(max(len) AS BIGINT) AS max_streak
+       FROM isl GROUP BY user_id""",
+)
+def q_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands (streak detection): per user, maximal runs of
+    consecutive active days via the classic daynumber − row_number anchor
+    — the anchor is constant within a run, so one groupBy collapses each
+    island. Two shuffles total (distinct day grain, then per-user window
+    + count); the window partitions by user_id so no global sort exists
+    — the 100 TB layout for retention/streak features."""
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.to_date("ts").alias("d")
+    ).dropDuplicates(["user_id", "d"])
+    w = Window.partitionBy("user_id").orderBy("d")
+    grp = days.withColumn(
+        "anchor",
+        F.datediff(F.col("d"), F.lit("1970-01-01")) - F.row_number().over(w),
+    )
+    isl = grp.groupBy("user_id", "anchor").agg(F.count("*").alias("len"))
+    return isl.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_islands"),
+        F.max("len").cast("long").alias("max_streak"),
+    )
+
+
+@_register(
+    "q_window_distinct_count",
+    """WITH daily AS (SELECT DISTINCT event_type, CAST(ts AS DATE) AS d,
+                             user_id
+                      FROM events)
+       SELECT DISTINCT event_type, strftime(d, '%Y-%m-%d') AS d,
+              CAST(count(DISTINCT user_id)
+                   OVER (PARTITION BY event_type ORDER BY d)
+                   AS BIGINT) AS users_to_date
+       FROM daily""",
+)
+def q_window_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative windowed COUNT(DISTINCT) — Spark's window functions
+    reject DISTINCT aggregates, so the engine provides the
+    first-occurrence idiom: a user contributes on exactly their first
+    active day (groupBy min(d)), and a running sum over the per-day
+    new-user counts reconstructs the cumulative distinct total. The
+    oracle cross-checks with DuckDB's native windowed DISTINCT — two
+    independent formulations, one answer. Scale note: the idiom turns an
+    O(days × users) rescan into one groupBy + one tiny per-type window
+    over ≤ |days| rows."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type", F.to_date("ts").alias("d"), "user_id"
+    )
+    firsts = (
+        base.groupBy("event_type", "user_id")
+        .agg(F.min("d").alias("first_d"))
+        .groupBy("event_type", F.col("first_d").alias("d"))
+        .agg(F.count("*").alias("n_new"))
+    )
+    days = base.select("event_type", "d").dropDuplicates()
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        days.join(firsts, ["event_type", "d"], "left")
+        .fillna(0, subset=["n_new"])
+        .withColumn("users_to_date", F.sum("n_new").over(w).cast("long"))
+        .select(
+            "event_type",
+            F.date_format("d", "yyyy-MM-dd").alias("d"),
+            "users_to_date",
+        )
+    )
+
+
+@_register(
+    "q_not_in_nulls",
+    """WITH high AS (SELECT CASE WHEN o_orderstatus = 'P'
+                                 THEN CAST(NULL AS BIGINT)
+                                 ELSE o_custkey END AS k
+                     FROM orders WHERE o_totalprice > 150000)
+       SELECT
+         (SELECT CAST(count(*) AS BIGINT) FROM customer
+          WHERE c_custkey NOT IN (SELECT k FROM high)) AS n_not_in,
+         (SELECT CAST(count(*) AS BIGINT) FROM customer c
+          WHERE NOT EXISTS (SELECT 1 FROM high h
+                            WHERE h.k = c.c_custkey)) AS n_not_exists,
+         (SELECT CAST(count(*) AS BIGINT) FROM customer
+          WHERE c_custkey NOT IN (SELECT k FROM high WHERE k IS NOT NULL)
+         ) AS n_not_in_filtered""",
+)
+def q_not_in_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-aware anti-join witness: NOT IN over a subquery containing a
+    NULL is three-valued-logic empty, while NOT EXISTS and the
+    null-filtered NOT IN are the true anti-join — the classic silent-
+    wrong-answer trap. Runs through spark.sql so Catalyst's
+    NullAwareAntiJoin physical path (not a hand-rolled rewrite) produces
+    the SQL-standard counts; the oracle is the identical statement under
+    DuckDB. At scale the null-filtered form is the one to ship: it
+    broadcasts as a plain left-anti join with no null-check dual."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "q_nin_orders"
+    )
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "q_nin_customer"
+    )
+    return spark.sql(
+        """WITH high AS (SELECT CASE WHEN o_orderstatus = 'P'
+                                     THEN CAST(NULL AS BIGINT)
+                                     ELSE o_custkey END AS k
+                         FROM q_nin_orders WHERE o_totalprice > 150000)
+           SELECT
+             (SELECT CAST(count(*) AS BIGINT) FROM q_nin_customer
+              WHERE c_custkey NOT IN (SELECT k FROM high)) AS n_not_in,
+             (SELECT CAST(count(*) AS BIGINT) FROM q_nin_customer c
+              WHERE NOT EXISTS (SELECT 1 FROM high h
+                                WHERE h.k = c.c_custkey)) AS n_not_exists,
+             (SELECT CAST(count(*) AS BIGINT) FROM q_nin_customer
+              WHERE c_custkey NOT IN (SELECT k FROM high
+                                      WHERE k IS NOT NULL)
+             ) AS n_not_in_filtered"""
+    )
+
+
+@_register(
+    "ts5_seasonal_baseline",
+    """WITH tagged AS (SELECT event_type,
+                              CAST(hour(ts) AS BIGINT) AS hr,
+                              CASE WHEN CAST(ts AS DATE) < DATE '2024-01-22'
+                                   THEN value END AS base_v,
+                              CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-22'
+                                   THEN value END AS act_v
+                       FROM events)
+       SELECT event_type, hr,
+              round(avg(base_v), 2) AS baseline,
+              round(avg(act_v), 2) AS actual,
+              round(abs(round(avg(base_v), 2) - round(avg(act_v), 2)), 2)
+                AS abs_err
+       FROM tagged GROUP BY event_type, hr
+       HAVING count(base_v) > 0 AND count(act_v) > 0""",
+)
+def ts5_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast check: per (event_type, hour-of-day) the
+    training-period mean (days before Jan 22) is the forecast for the
+    holdout period; emit baseline vs holdout actual and the absolute
+    error — the monitoring primitive behind 'is this hour's traffic
+    normal'. Conditional aggregation (avg of a CASE column ignores the
+    other period's rows) keeps it to ONE groupBy over one scan — no
+    self-join of train vs holdout."""
+    ev = load_table(spark, sf_dir, "events")
+    split = F.to_date("ts") < F.lit("2024-01-22")
+    tagged = ev.select(
+        "event_type",
+        F.hour("ts").cast("long").alias("hr"),
+        F.when(split, F.col("value")).alias("base_v"),
+        F.when(~split, F.col("value")).alias("act_v"),
+    )
+    agg = tagged.groupBy("event_type", "hr").agg(
+        F.round(F.avg("base_v"), 2).alias("baseline"),
+        F.round(F.avg("act_v"), 2).alias("actual"),
+        F.count("base_v").alias("_nb"),
+        F.count("act_v").alias("_na"),
+    )
+    return (
+        agg.where((F.col("_nb") > 0) & (F.col("_na") > 0))
+        .withColumn(
+            "abs_err",
+            F.round(F.abs(F.col("baseline") - F.col("actual")), 2),
+        )
+        .drop("_nb", "_na")
+    )
