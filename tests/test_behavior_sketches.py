@@ -902,3 +902,41 @@ def test_content_defined_chunks_shift_resilience(spark):
     c0, c1 = tail_lengths(out[0]), tail_lengths(out[1])
     shared = sum((c0 & c1).values())
     assert shared >= sum(c0.values()) - 2
+
+
+def test_kmv_anotb_exact_when_unsaturated(spark):
+    from torcdb_spark.operators.theta import kmv_anotb_estimate
+
+    a = spark.range(0, 100).withColumnRenamed("id", "k")
+    b = spark.range(60, 160).withColumnRenamed("id", "k")
+    sa = kmv_sketch(a, "k", k=128)
+    sb = kmv_sketch(b, "k", k=128)
+    est = kmv_anotb_estimate(sa, sb, k=128).collect()
+    # both sketches unsaturated → θ = 1.0 and the sample is the EXACT
+    # difference: |{0..99} \ {60..159}| = 60
+    assert len(est) == 1
+    assert est[0].est_anotb == pytest.approx(60.0)
+
+
+def test_kmv_anotb_empty_difference_yields_zero_row(spark):
+    from torcdb_spark.operators.theta import kmv_anotb_estimate
+
+    a = spark.range(0, 50).withColumnRenamed("id", "k")
+    b = spark.range(0, 100).withColumnRenamed("id", "k")
+    est = kmv_anotb_estimate(
+        kmv_sketch(a, "k", k=128), kmv_sketch(b, "k", k=128), k=128
+    ).collect()
+    assert len(est) == 1  # one row even when A ⊆ B
+    assert est[0].est_anotb == 0.0
+
+
+def test_kmv_anotb_saturated_within_error(spark):
+    from torcdb_spark.operators.theta import kmv_anotb_estimate
+
+    a = spark.range(0, 4000).withColumnRenamed("id", "k")
+    b = spark.range(2000, 6000).withColumnRenamed("id", "k")
+    est = kmv_anotb_estimate(
+        kmv_sketch(a, "k", k=256), kmv_sketch(b, "k", k=256), k=256
+    ).collect()[0].est_anotb
+    # true |A\B| = 2000; KMV k=256 relative error ~1/sqrt(k) ≈ 6%
+    assert 1400 <= est <= 2600

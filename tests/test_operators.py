@@ -1919,3 +1919,74 @@ def test_jpeg_progressive_hypothesis_property():
         np.testing.assert_array_equal(b, p)
 
     prop()
+
+
+def test_gopher_rules_hand_computed(spark):
+    from torcdb_spark.operators.text import gopher_rules
+
+    docs = spark.createDataFrame(
+        [
+            # 30 alpha words incl. stopwords, mean len in band → all pass
+            (0, " ".join(["the"] + ["table"] * 14 + ["value"] * 15)),
+            # too short (3 words)
+            (1, "the quick fox"),
+            # numbers only → alpha-word rule fails (0/30 alpha)
+            (2, " ".join(["123"] * 30)),
+            # no stopwords → stop-word rule fails
+            (3, " ".join(["quick"] * 30)),
+            # blank → filtered out entirely
+            (4, "   "),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in gopher_rules(docs).collect()}
+    assert set(rows) == {0, 1, 2, 3}  # blank doc dropped
+    assert rows[0].passes_all
+    assert not rows[1].r_word_count and not rows[1].passes_all
+    assert not rows[2].r_alpha_words and not rows[2].passes_all
+    assert rows[3].r_word_count and not rows[3].r_stop_words
+    # mean word length: doc 0 words are 3/5/5 chars → in [3, 10]
+    assert rows[0].r_mean_word_len
+
+
+def test_mutual_knn_graph_matches_numpy(spark):
+    import numpy as np
+
+    from torcdb_spark.operators.similarity import cosine_topk_bruteforce
+
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(30, 8).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(30)],
+        "vec_id long, embedding array<float>",
+    )
+    k = 3
+    topk = cosine_topk_bruteforce(df, df, k=k).select(
+        F.col("query_id").alias("qid"),
+        F.col("neighbor_id").alias("nid"),
+    )
+    rev = topk.select(F.col("nid").alias("qid"), F.col("qid").alias("nid"))
+    got = {
+        (r.qid, r.nid)
+        for r in topk.join(rev, ["qid", "nid"], "left_semi")
+        .where(F.col("qid") < F.col("nid"))
+        .collect()
+    }
+    # numpy replay with the SAME tie rule (rounded score desc, id asc)
+    v = vecs.astype("float64")
+    norms = np.sqrt((v * v).sum(1))
+    sims = (v @ v.T) / np.outer(norms, norms)
+    neigh = {}
+    for i in range(30):
+        cand = [
+            (round(sims[i, j], 3), j) for j in range(30) if j != i
+        ]
+        cand.sort(key=lambda t: (-t[0], t[1]))
+        neigh[i] = {j for _, j in cand[:k]}
+    want = {
+        (a, b)
+        for a in range(30)
+        for b in neigh[a]
+        if a < b and a in neigh[b]
+    }
+    assert got == want

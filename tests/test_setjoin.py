@@ -57,3 +57,52 @@ def test_exact_dup_and_permutation_found(spark, docs):
     }
     assert (0, 4) in pairs  # exact duplicate
     assert (3, 5) in pairs  # word permutation: same token SET
+
+
+# -- containment (asymmetric) ---------------------------------------------
+
+from torcdb_spark.operators.setjoin import containment_pairs_exact
+
+
+def _brute_containment(tau_num, tau_den):
+    sets = {i: set(t.split()) for i, t in DOCS if t.split()}
+    out = []
+    for a in sorted(sets):
+        for b in sorted(sets):
+            if a == b:
+                continue
+            inter = len(sets[a] & sets[b])
+            if inter * tau_den >= len(sets[a]) * tau_num:
+                out.append((a, b, inter, len(sets[a])))
+    return sorted(out)
+
+
+@pytest.mark.parametrize("tau_num,tau_den", [(1, 2), (2, 3), (9, 10)])
+def test_containment_matches_brute_force(spark, docs, tau_num, tau_den):
+    got = sorted(
+        tuple(r)
+        for r in containment_pairs_exact(
+            docs, tau_num=tau_num, tau_den=tau_den, shingle=1
+        )
+        .select("id_a", "id_b", "inter_size", "size_a")
+        .collect()
+    )
+    assert got == _brute_containment(tau_num, tau_den)
+
+
+def test_containment_is_asymmetric_for_subset(spark, docs):
+    # doc 6 "one two" ⊂ doc 7 "one two three": containment(6→7) = 1
+    # but containment(7→6) = 2/3 — the directed pair (6,7) must appear
+    # at τ=9/10 while (7,6) must not.
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in containment_pairs_exact(docs, 9, 10, shingle=1).collect()
+    }
+    assert (6, 7) in pairs
+    assert (7, 6) not in pairs
+    # ...and at τ=2/3 the reverse direction qualifies too
+    pairs_23 = {
+        (r["id_a"], r["id_b"])
+        for r in containment_pairs_exact(docs, 2, 3, shingle=1).collect()
+    }
+    assert (7, 6) in pairs_23

@@ -143,3 +143,98 @@ def jaccard_pairs_exact(
         )
     )
     return verified
+
+
+def containment_pairs_exact(
+    docs: DataFrame,
+    tau_num: int = 2,
+    tau_den: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle: int = 3,
+    num_partitions: int = 32,
+) -> DataFrame:
+    """All DIRECTED pairs with set containment |A∩B| / |A| ≥
+    tau_num/tau_den → (id_a, id_b, inter_size, size_a), id_a ≠ id_b,
+    exact. The asymmetric cousin of ``jaccard_pairs_exact``: containment
+    is the superset/near-superset test dedup pipelines use when a short
+    document is embedded inside a longer one (quote inclusion, boilerplate
+    wrapping, page-of-a-book) — Jaccard punishes the length mismatch,
+    containment doesn't.
+
+    Prefix filter, asymmetric form: if |A∩B| ≥ τ·|A| then at least one of
+    A's first ``|A| − ⌈τ·|A|⌉ + 1`` rarest-first tokens is in B — but B
+    gets NO prefix (any of its tokens may witness), so candidates are the
+    equi-join of A-prefixes against B's FULL token lists. Still never a
+    cross product: prefixes hold the globally rarest tokens, so the join
+    key is maximally selective. There is no length filter (a tiny A can be
+    contained in a huge B) — the asymmetry is inherent to the predicate.
+    Same integer-rational τ arithmetic as the Jaccard path: bit-exact in
+    any engine."""
+    from torcdb_spark.operators.rank import global_rank
+    from torcdb_spark.operators.text import (
+        word_shingles_from_tokens,
+        word_tokens,
+    )
+
+    staged = docs.select(
+        F.col(id_col).alias("id"),
+        word_tokens(F.col(text_col)).alias("_ws"),
+    )
+    elems = (
+        F.array_distinct(F.col("_ws"))
+        if shingle <= 1
+        else word_shingles_from_tokens(F.col("_ws"), n=shingle)
+    )
+    toks = (
+        staged.select("id", F.explode(elems).alias("term"))
+        .where(F.col("term") != "")
+        .localCheckpoint(eager=True)
+    )
+    vocab = toks.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    ranked = global_rank(
+        vocab, ["df", "term"], "r", num_partitions=num_partitions
+    ).select("term", "r")
+    arrs = (
+        toks.join(ranked, "term")
+        .groupBy("id")
+        .agg(F.array_sort(F.collect_list("r")).alias("rs"))
+        .withColumn("s", F.size("rs").cast("long"))
+        .withColumn(
+            "p",
+            F.col("s")
+            - F.expr(f"(s * {tau_num} + {tau_den - 1}) div {tau_den}")
+            + 1,
+        )
+        .localCheckpoint(eager=True)
+    )
+    pref = arrs.select(
+        F.col("id").alias("id_a"),
+        F.explode(F.slice("rs", 1, F.col("p").cast("int"))).alias("r"),
+    )
+    full = toks.join(ranked, "term").select(
+        F.col("id").alias("id_b"), "r"
+    )
+    cand = (
+        pref.join(full, "r")
+        .where(F.col("id_a") != F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    va = arrs.select(F.col("id").alias("id_a"), F.col("rs").alias("ra"))
+    vb = arrs.select(F.col("id").alias("id_b"), F.col("rs").alias("rb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("ra", "rb")).cast("long").alias(
+                "inter_size"
+            ),
+            F.size("ra").cast("long").alias("size_a"),
+        )
+        .where(
+            F.col("inter_size") * tau_den >= F.col("size_a") * tau_num
+        )
+    )

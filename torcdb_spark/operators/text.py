@@ -1277,3 +1277,47 @@ def scrub_duplicate_spans(
         F.coalesce(F.col("_n_kept"), F.lit(0)).cast("long").alias("n_kept"),
         F.coalesce(F.col("_kept_md5"), F.lit(empty_md5)).alias("kept_md5"),
     )
+
+
+GOPHER_STOPWORDS = ("the", "a", "value", "table", "data")
+
+
+def gopher_rules(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    stopwords: tuple[str, ...] = GOPHER_STOPWORDS,
+) -> DataFrame:
+    """Gopher-style quality-rule verdicts (Rae 2021 §A1.1), one boolean
+    per rule plus the conjunction: word-count band [25, 100000],
+    mean word length in [3, 10], ≥ 0.8 of words containing an alphabetic
+    character, stop-word fraction ≥ 0.05. Every threshold is evaluated in
+    cross-multiplied INTEGER arithmetic (sum_len ≥ 3·n_words, not
+    sum_len/n_words ≥ 3.0) so the verdicts are bit-exact in any engine.
+    One projection of higher-order array expressions over the word split
+    — whole-stage-codegen JVM, zero shuffle, zero Python."""
+    t = F.trim(F.col(text_col))
+    ws = F.split(t, r"\s+")
+    stop_arr = F.array(*[F.lit(s) for s in stopwords])
+    n_words = F.size(ws)
+    sum_len = F.aggregate(
+        F.transform(ws, lambda x: F.length(x).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    n_alpha_w = F.size(F.filter(ws, lambda x: x.rlike("[A-Za-z]")))
+    n_stop = F.size(
+        F.filter(ws, lambda x: F.array_contains(stop_arr, x))
+    )
+    r_wc = (n_words >= 25) & (n_words <= 100000)
+    r_mwl = (sum_len >= 3 * n_words) & (sum_len <= 10 * n_words)
+    r_alpha = n_alpha_w * 5 >= n_words * 4
+    r_stop = n_stop * 20 >= n_words
+    return docs.where(F.length(t) > 0).select(
+        F.col(id_col),
+        r_wc.alias("r_word_count"),
+        r_mwl.alias("r_mean_word_len"),
+        r_alpha.alias("r_alpha_words"),
+        r_stop.alias("r_stop_words"),
+        (r_wc & r_mwl & r_alpha & r_stop).alias("passes_all"),
+    )

@@ -116,3 +116,42 @@ def kmv_intersect_estimate(
         .agg(F.count("*").alias("_m"))
         .select(F.round(F.col("_m") / F.col("theta"), decimals).alias("est_intersection"))
     )
+
+
+def kmv_anotb_estimate(
+    sketch_a: DataFrame,
+    sketch_b: DataFrame,
+    k: int = 128,
+    decimals: int = 4,
+) -> DataFrame:
+    """Theta-style A-NOT-B estimate from two same-k global sketches (the
+    Apache DataSketches set-difference op): θ = min(θ_a, θ_b) with a
+    sketch's θ its k-th value when saturated else 1.0; the surviving
+    sample is {u ∈ A : u < θ, u ∉ B} and the estimate |sample| / θ —
+    'how many users did X but never Y' without a distinct anti-join of
+    the full sets. One broadcast-sized left-anti join on hash values."""
+    def theta(s: DataFrame) -> DataFrame:
+        return s.agg(
+            F.when(F.count("*") >= k, F.max("u"))
+            .otherwise(F.lit(1.0))
+            .alias("theta")
+        )
+
+    th = (
+        theta(sketch_a)
+        .crossJoin(theta(sketch_b).withColumnRenamed("theta", "theta_b"))
+        .select(F.least("theta", "theta_b").alias("theta"))
+    )
+    only_a = sketch_a.select("u").join(
+        sketch_b.select("u"), "u", "left_anti"
+    )
+    # global agg (not groupBy) so an EMPTY surviving sample still yields
+    # the one-row estimate 0.0 — a difference can legitimately be empty
+    m = (
+        only_a.crossJoin(F.broadcast(th))
+        .where(F.col("u") < F.col("theta"))
+        .agg(F.count("*").alias("_m"))
+    )
+    return m.crossJoin(F.broadcast(th)).select(
+        F.round(F.col("_m") / F.col("theta"), decimals).alias("est_anotb")
+    )

@@ -10576,45 +10576,255 @@ def q_not_in_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WITH tagged AS (SELECT event_type,
                               CAST(hour(ts) AS BIGINT) AS hr,
                               CASE WHEN CAST(ts AS DATE) < DATE '2024-01-22'
-                                   THEN value END AS base_v,
+                                   THEN CAST(value AS DECIMAL(18,6)) END
+                                AS base_v,
                               CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-22'
-                                   THEN value END AS act_v
-                       FROM events)
+                                   THEN CAST(value AS DECIMAL(18,6)) END
+                                AS act_v
+                       FROM events),
+       agg AS (SELECT event_type, hr,
+                      CAST(sum(base_v) AS DOUBLE) / count(base_v) AS mb,
+                      CAST(sum(act_v) AS DOUBLE) / count(act_v) AS ma
+               FROM tagged GROUP BY event_type, hr
+               HAVING count(base_v) > 0 AND count(act_v) > 0)
        SELECT event_type, hr,
-              round(avg(base_v), 2) AS baseline,
-              round(avg(act_v), 2) AS actual,
-              round(abs(round(avg(base_v), 2) - round(avg(act_v), 2)), 2)
-                AS abs_err
-       FROM tagged GROUP BY event_type, hr
-       HAVING count(base_v) > 0 AND count(act_v) > 0""",
+              floor(mb * 100 + 0.5) / 100.0 AS baseline,
+              floor(ma * 100 + 0.5) / 100.0 AS actual,
+              floor(abs(floor(mb * 100 + 0.5) - floor(ma * 100 + 0.5)))
+                / 100.0 AS abs_err
+       FROM agg""",
 )
 def ts5_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seasonal-naive forecast check: per (event_type, hour-of-day) the
     training-period mean (days before Jan 22) is the forecast for the
     holdout period; emit baseline vs holdout actual and the absolute
     error — the monitoring primitive behind 'is this hour's traffic
-    normal'. Conditional aggregation (avg of a CASE column ignores the
-    other period's rows) keeps it to ONE groupBy over one scan — no
-    self-join of train vs holdout."""
+    normal'. Conditional aggregation (sum/count of a CASE column ignores
+    the other period's rows) keeps it to ONE groupBy over one scan — no
+    self-join of train vs holdout. Means go through DECIMAL(18,6) sums
+    (order-independent — double sums drift in the last ulp across
+    partitionings) and the portable floor half-up rounding, so the
+    output is bit-identical in any engine."""
     ev = load_table(spark, sf_dir, "events")
     split = F.to_date("ts") < F.lit("2024-01-22")
+    dec = F.col("value").cast("decimal(18,6)")
     tagged = ev.select(
         "event_type",
         F.hour("ts").cast("long").alias("hr"),
-        F.when(split, F.col("value")).alias("base_v"),
-        F.when(~split, F.col("value")).alias("act_v"),
+        F.when(split, dec).alias("base_v"),
+        F.when(~split, dec).alias("act_v"),
     )
-    agg = tagged.groupBy("event_type", "hr").agg(
-        F.round(F.avg("base_v"), 2).alias("baseline"),
-        F.round(F.avg("act_v"), 2).alias("actual"),
-        F.count("base_v").alias("_nb"),
-        F.count("act_v").alias("_na"),
+    agg = (
+        tagged.groupBy("event_type", "hr")
+        .agg(
+            (
+                F.sum("base_v").cast("double") / F.count("base_v")
+            ).alias("mb"),
+            (F.sum("act_v").cast("double") / F.count("act_v")).alias(
+                "ma"
+            ),
+            F.count("base_v").alias("_nb"),
+            F.count("act_v").alias("_na"),
+        )
+        .where((F.col("_nb") > 0) & (F.col("_na") > 0))
+    )
+    rb = F.floor(F.col("mb") * 100 + F.lit(0.5))
+    ra = F.floor(F.col("ma") * 100 + F.lit(0.5))
+    return agg.select(
+        "event_type",
+        "hr",
+        (rb / 100.0).alias("baseline"),
+        (ra / 100.0).alias("actual"),
+        (F.floor(F.abs(rb - ra)) / 100.0).alias("abs_err"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# round-7 session-2 additions: LLM-data-pipeline breadth (containment
+# dedup, mutual-kNN graph, theta set-difference, Gopher-rule gates)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "d26_containment_join",
+    """WITH w AS (
+         SELECT doc_id,
+                string_split_regex(lower(trim(text)), '\\s+') AS ws
+         FROM documents WHERE trim(text) <> ''
+       ),
+       pos AS (
+         SELECT doc_id, unnest(generate_series(1, len(ws) - 2)) AS i, ws
+         FROM w WHERE len(ws) >= 3
+       ),
+       toks AS (
+         SELECT DISTINCT doc_id,
+                ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS term
+         FROM pos
+       ),
+       sz AS (SELECT doc_id, COUNT(*) AS s FROM toks GROUP BY doc_id),
+       inter AS (
+         SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS i
+         FROM toks a JOIN toks b
+           ON a.term = b.term AND a.doc_id <> b.doc_id
+         GROUP BY 1, 2
+       )
+       SELECT ia AS id_a, ib AS id_b,
+              CAST(i AS BIGINT) AS inter_size,
+              CAST(sa.s AS BIGINT) AS size_a
+       FROM inter JOIN sz sa ON ia = sa.doc_id
+       WHERE i * 3 >= sa.s * 2""",
+)
+def d26_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact set-CONTAINMENT self-join (operators/setjoin.py
+    containment_pairs_exact): every directed pair where ≥ 2/3 of A's
+    3-gram shingles appear in B — the superset/near-superset dedup test
+    (quote inclusion, boilerplate wrapping) that Jaccard's union
+    denominator misses for length-mismatched pairs. Asymmetric prefix
+    filter: A's rarest-token prefix equi-joins B's full token list (B
+    cannot be prefixed — any of its tokens may witness), no length
+    filter by design, integer-rational τ so the decision is bit-exact."""
+    from torcdb_spark.operators.setjoin import containment_pairs_exact
+
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return containment_pairs_exact(docs, tau_num=2, tau_den=3, shingle=3)
+
+
+@_register(
+    "th3_kmv_anotb",
+    f"""WITH a_h AS (SELECT DISTINCT {_kmv_u_sql('o_custkey')} AS u
+                     FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'),
+       b_h AS (SELECT DISTINCT {_kmv_u_sql('o_custkey')} AS u
+               FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01'),
+       a_s AS (SELECT u FROM (SELECT u, row_number() OVER (ORDER BY u) AS rk
+                              FROM a_h) WHERE rk <= 128),
+       b_s AS (SELECT u FROM (SELECT u, row_number() OVER (ORDER BY u) AS rk
+                              FROM b_h) WHERE rk <= 128),
+       th AS (SELECT least(
+                (SELECT CASE WHEN count(*) >= 128 THEN max(u) ELSE 1.0 END
+                 FROM a_s),
+                (SELECT CASE WHEN count(*) >= 128 THEN max(u) ELSE 1.0 END
+                 FROM b_s)) AS theta)
+       SELECT round(
+                (SELECT count(*) FROM a_s, th
+                 WHERE u < theta AND u NOT IN (SELECT u FROM b_s))
+                / (SELECT theta FROM th), 4) AS est_anotb""",
+)
+def th3_kmv_anotb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch set DIFFERENCE (operators/theta.py
+    kmv_anotb_estimate — the Apache DataSketches A-NOT-B op): estimated
+    count of customers who ordered before 1998 but never since, from the
+    same two k=128 KMV sketches th2 intersects. Sample = A's values
+    below θ absent from B (one left-anti join over ≤ k rows);
+    deterministic md5 hashing → exact-value oracle. Completes the
+    sketch set algebra: union (th1 merges), intersection (th2),
+    difference (here)."""
+    from torcdb_spark.operators.theta import kmv_anotb_estimate, kmv_sketch
+
+    orders = load_table(spark, sf_dir, "orders")
+    cutoff = F.lit("1998-01-01").cast("timestamp")
+    a = kmv_sketch(
+        orders.where(F.col("o_orderdate") < cutoff), "o_custkey", k=128
+    )
+    b = kmv_sketch(
+        orders.where(F.col("o_orderdate") >= cutoff), "o_custkey", k=128
+    )
+    return kmv_anotb_estimate(a, b, k=128)
+
+
+@_register(
+    "e12_knn_graph",
+    """WITH sub AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                    FROM embeddings WHERE vec_id < 500),
+       scored AS (
+         SELECT a.vec_id AS qid, b.vec_id AS nid,
+                round(list_dot_product(a.v, b.v)
+                      / (sqrt(list_dot_product(a.v, a.v))
+                         * sqrt(list_dot_product(b.v, b.v))), 3) AS score
+         FROM sub a, sub b WHERE a.vec_id <> b.vec_id),
+       topk AS (
+         SELECT qid, nid, score
+         FROM (SELECT *, row_number() OVER (PARTITION BY qid
+                                            ORDER BY score DESC, nid) AS rnk
+               FROM scored)
+         WHERE rnk <= 5)
+       SELECT t.qid AS id_a, t.nid AS id_b, t.score
+       FROM topk t JOIN topk r ON t.qid = r.nid AND t.nid = r.qid
+       WHERE t.qid < t.nid""",
+)
+def e12_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual-kNN graph construction (operators/similarity.py
+    cosine_topk_bruteforce composed with itself): undirected edge (a, b)
+    iff each vector is in the other's cosine top-5 — the symmetric
+    neighborhood graph SemDeDup-style clustering, label propagation and
+    manifold methods run on. Bounded to the first 500 vectors (the graph
+    is the product, not the scan); the mutual filter is a self-join of
+    the top-k edge list on the reversed key pair. At corpus scale the
+    brute scorer swaps for the LSH/IVF candidate generators — the
+    mutual-join stage is unchanged."""
+    from torcdb_spark.operators.similarity import cosine_topk_bruteforce
+
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") < 500)
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    topk = cosine_topk_bruteforce(emb, emb, k=5).select(
+        F.col("query_id").alias("qid"),
+        F.col("neighbor_id").alias("nid"),
+        "score",
+    )
+    rev = topk.select(
+        F.col("nid").alias("qid"), F.col("qid").alias("nid")
     )
     return (
-        agg.where((F.col("_nb") > 0) & (F.col("_na") > 0))
-        .withColumn(
-            "abs_err",
-            F.round(F.abs(F.col("baseline") - F.col("actual")), 2),
+        topk.join(rev, ["qid", "nid"], "left_semi")
+        .where(F.col("qid") < F.col("nid"))
+        .select(
+            F.col("qid").alias("id_a"),
+            F.col("nid").alias("id_b"),
+            "score",
         )
-        .drop("_nb", "_na")
     )
+
+
+@_register(
+    "d28_gopher_rules",
+    """WITH w AS (SELECT doc_id,
+                         string_split_regex(trim(text), '\\s+') AS ws
+                  FROM documents WHERE trim(text) <> ''),
+       m AS (SELECT doc_id,
+                    len(ws) AS n_words,
+                    list_sum(list_transform(ws, x -> length(x))) AS sum_len,
+                    len(list_filter(ws,
+                        x -> regexp_matches(x, '[A-Za-z]'))) AS n_alpha_w,
+                    len(list_filter(ws,
+                        x -> x IN ('the', 'a', 'value', 'table', 'data')))
+                      AS n_stop
+             FROM w)
+       SELECT doc_id,
+              n_words >= 25 AND n_words <= 100000 AS r_word_count,
+              sum_len >= 3 * n_words AND sum_len <= 10 * n_words
+                AS r_mean_word_len,
+              n_alpha_w * 5 >= n_words * 4 AS r_alpha_words,
+              n_stop * 20 >= n_words AS r_stop_words,
+              (n_words >= 25 AND n_words <= 100000)
+                AND (sum_len >= 3 * n_words AND sum_len <= 10 * n_words)
+                AND (n_alpha_w * 5 >= n_words * 4)
+                AND (n_stop * 20 >= n_words) AS passes_all
+       FROM m""",
+)
+def d28_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality-rule gate (Rae 2021 §A1.1 heuristics, the
+    per-rule-verdict form): word-count band, mean-word-length band,
+    alpha-word fraction ≥ 0.8, stop-word fraction ≥ 0.05 — emitted as
+    one boolean PER RULE plus the conjunction, so curation can audit
+    which rule kills a document instead of d6's single blended score.
+    All thresholds in cross-multiplied integer arithmetic (no float
+    boundary), one pass of JVM higher-order array functions, zero
+    shuffle."""
+    from torcdb_spark.operators.text import gopher_rules
+
+    docs = load_table(spark, sf_dir, "documents")
+    return gopher_rules(docs)
