@@ -410,3 +410,18 @@ def test_vertex_induced_subgraph_closure(spark, sf_dir):
     # only customer→nation edges can survive
     labels = {r["label"] for r in sub.edges.select("label").distinct().collect()}
     assert labels == {"fromNation"}
+
+
+def test_delete_edges_removes_only_matching_and_keeps_vertices(spark):
+    import pyspark.sql.functions as F
+
+    g = _mini_graph(spark)
+    n_v = g.vertices.count()
+    n_e = g.edges.count()
+    labels = [r.label for r in g.edges.select("label").distinct().collect()]
+    victim = sorted(labels)[0]
+    n_victim = g.edges.where(F.col("label") == victim).count()
+    g2 = g.delete_edges(F.col("label") == victim)
+    assert g2.vertices.count() == n_v  # vertices untouched
+    assert g2.edges.count() == n_e - n_victim
+    assert g2.edges.where(F.col("label") == victim).count() == 0

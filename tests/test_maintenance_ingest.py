@@ -232,3 +232,61 @@ def test_incremental_backfill_manifest(spark, tmp_path):
     ).write.mode("append").partitionBy("part").parquet(src)
     assert incremental_backfill(spark, src, manifest, process) == ["9"]
     assert seen == [("9", 5)]
+
+
+def test_tar_members_fanout_webdataset_keys(spark):
+    import io
+    import tarfile
+
+    from torcdb_spark.sources.warc import tar_members
+
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w") as tf:
+        for name, body in (
+            ("000/0001.txt", b"hello"),
+            ("000/0001.json", b'{"a":1}'),
+            ("000/0002.txt", b"world!"),
+            ("noext", b"x"),
+        ):
+            info = tarfile.TarInfo(name=name)
+            info.size = len(body)
+            tf.addfile(info, io.BytesIO(body))
+        d = tarfile.TarInfo(name="000/")
+        d.type = tarfile.DIRTYPE
+        tf.addfile(d)  # dir member: skipped
+    files = spark.createDataFrame(
+        [("shard0", buf.getvalue()), ("bad", b"not a tar")],
+        "path string, content binary",
+    )
+    rows = {(r.path, r.member): r for r in tar_members(files).collect()}
+    assert rows[("shard0", "000/0001.txt")].payload == b"hello"
+    assert rows[("shard0", "000/0001.txt")].key == "0001"
+    assert rows[("shard0", "000/0001.json")].key == "0001"  # same sample
+    assert rows[("shard0", "000/0002.txt")].n_bytes == 6
+    assert rows[("shard0", "noext")].key == "noext"
+    assert ("shard0", "000/") not in rows  # directory skipped
+    assert rows[("bad", "_error")].n_bytes == 0  # poisoned archive
+
+
+def test_vectors_from_safetensors_fanout(spark):
+    import numpy as np
+
+    from torcdb_spark.sources.tensors import (
+        vectors_from_safetensors,
+        write_safetensors,
+    )
+
+    a = np.arange(6, dtype=np.float32).reshape(2, 3)
+    b = np.arange(8, dtype=np.float32).reshape(4, 2) * 0.5
+    blob = write_safetensors({"b": b, "a": a})
+    files = spark.createDataFrame(
+        [("f0", blob), ("bad", b"\x00" * 4)], "path string, content binary"
+    )
+    rows = vectors_from_safetensors(files).collect()
+    good = {(r.tensor, r.row_idx): r.vec for r in rows if r.path == "f0"}
+    assert good[("a", 0)] == [0.0, 1.0, 2.0]
+    assert good[("a", 1)] == [3.0, 4.0, 5.0]
+    assert good[("b", 3)] == [3.0, 3.5]
+    assert len(good) == 6  # 2 + 4 vectors
+    err = [r for r in rows if r.path == "bad"]
+    assert len(err) == 1 and err[0].row_idx == -1 and err[0].err

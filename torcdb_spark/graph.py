@@ -516,6 +516,18 @@ class PropertyGraph:
         )
         return PropertyGraph(vertices=self.vertices, edges=merged)
 
+    def delete_edges(self, edge_pred) -> "PropertyGraph":
+        """Batch edge removal (Edge.remove / TorcGraph removeEdge,
+        TorcGraph.java:1054-1113): drop every edge matching ``edge_pred``
+        (a Column predicate over the edge frame); vertices are untouched
+        — unlike :meth:`edge_induced_subgraph`, which keeps only incident
+        vertices (TinkerPop SubgraphStep semantics). A pure filter on the
+        edge scan: the predicate pushes into the parquet read, no shuffle,
+        no vertex-side work."""
+        return PropertyGraph(
+            vertices=self.vertices, edges=self.edges.where(~edge_pred)
+        )
+
     def edge_induced_subgraph(self, edge_pred) -> "PropertyGraph":
         """TinkerPop ``subgraph()`` semantics (SubgraphStep: the subgraph
         is the set of TRAVERSED edges plus their incident vertices): keep

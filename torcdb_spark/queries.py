@@ -10828,3 +10828,269 @@ def d28_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return gopher_rules(docs)
+
+
+# ---------------------------------------------------------------------------
+# round-7 session-2 additions: write path phase 2 (update/delete),
+# archive + tensor ingestion, streaming sliding windows
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "wr2_update_delete_census",
+    """WITH seg AS (SELECT CASE WHEN c_custkey <= 20 THEN 'UPDATED'
+                                ELSE c_mktsegment END AS s
+                    FROM customer)
+       SELECT 'seg_' || s AS metric, CAST(count(*) AS BIGINT) AS value
+       FROM seg GROUP BY s
+       UNION ALL
+       SELECT 'placed_after_delete', CAST(count(*) AS BIGINT)
+       FROM orders WHERE CAST(o_totalprice AS DOUBLE) >= 5000
+       UNION ALL
+       SELECT 'audited_placed_edges', CAST(count(*) AS BIGINT)
+       FROM orders WHERE o_custkey <= 10
+         AND CAST(o_totalprice AS DOUBLE) >= 5000
+       UNION ALL
+       SELECT 'order_vertices_intact', CAST(count(*) AS BIGINT)
+       FROM orders""",
+)
+def wr2_update_delete_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-path census, phase 2 — the UPDATE/DELETE half of the LDBC
+    update workload (wr1 covers insert/upsert): exercises T8
+    set_vertex_property (graph.py:392 — SINGLE-cardinality segment
+    overwrite on 20 customers, read back through the tagged serde form),
+    removeEdge (graph.py delete_edges — every placed edge under a 5000.00
+    total is dropped, vertices intact), and set_edge_property
+    (graph.py:449 — an audit flag stamped onto the surviving placed edges
+    of 10 customers, counted back). Every census value is a BIGINT the
+    oracle re-derives from the base tables, so the driver hash checks the
+    whole update→delete→flag→re-read pipeline."""
+    from torcdb_spark.graph import LABEL_TAGS
+    from torcdb_spark.ids import id_col
+
+    g = _graph(spark, sf_dir)
+
+    # 1. T8 UPDATE: segment overwrite on customers 1-20 (tagged serde)
+    upd = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") <= 20)
+        .select(
+            id_col(LABEL_TAGS["customer"], F.col("c_custkey")).alias("id"),
+            F.lit("UPDATED").alias("value"),
+        )
+    )
+    g2 = g.set_vertex_property(upd, "c_mktsegment")
+
+    # 2. DELETE: placed edges under a 5000.00 total are removed
+    g3 = g2.delete_edges(
+        (F.col("label") == "placed")
+        & (F.col("props")["totalprice"].cast("double") < 5000.0)
+    )
+
+    # 3. set_edge_property: audit-flag surviving placed edges of 10 custs
+    flag = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_custkey") <= 10)
+        .select(
+            id_col(LABEL_TAGS["customer"], F.col("o_custkey")).alias("src"),
+            id_col(LABEL_TAGS["order"], F.col("o_orderkey")).alias("dst"),
+            F.lit("placed").alias("label"),
+            F.lit("1").alias("value"),
+        )
+    )
+    g4 = g3.set_edge_property(flag, "audit")
+
+    # census over the POST-WRITE graph (managed keys read back through
+    # the serde string form: "s:UPDATED" / "s:1")
+    seg_val = F.col("props")["c_mktsegment"]
+    seg = F.when(
+        seg_val.startswith("s:"), F.expr("substring(props['c_mktsegment'], 3)")
+    ).otherwise(seg_val)
+    seg_census = (
+        g4.vertices.where(F.col("label") == "customer")
+        .groupBy(seg.alias("s"))
+        .agg(F.count("*").cast("long").alias("value"))
+        .select(F.concat(F.lit("seg_"), F.col("s")).alias("metric"), "value")
+    )
+    placed = g4.edges.where(F.col("label") == "placed")
+    placed_census = placed.agg(
+        F.count("*").cast("long").alias("value")
+    ).select(F.lit("placed_after_delete").alias("metric"), "value")
+    audited = placed.where(F.col("props")["audit"] == "s:1").agg(
+        F.count("*").cast("long").alias("value")
+    ).select(F.lit("audited_placed_edges").alias("metric"), "value")
+    orders_v = g4.vertices.where(F.col("label") == "order").agg(
+        F.count("*").cast("long").alias("value")
+    ).select(F.lit("order_vertices_intact").alias("metric"), "value")
+    return seg_census.unionByName(placed_census).unionByName(
+        audited
+    ).unionByName(orders_v)
+
+
+@_register(
+    "ar2_tar_webdataset",
+    """SELECT source AS path,
+              CAST(2 * count(*) AS BIGINT) AS n_members,
+              CAST(count(*) AS BIGINT) AS n_samples,
+              CAST(sum(octet_length(encode(text))
+                       + octet_length(encode(lang))) AS BIGINT)
+                AS payload_bytes
+       FROM documents GROUP BY source""",
+)
+def ar2_tar_webdataset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset-style TAR shard ingestion end-to-end
+    (sources/warc.tar_members): each fixture source is packed into one
+    tar shard holding TWO members per document ({doc_id}.txt text +
+    {doc_id}.lang metadata — the multi-modality-per-key layout
+    image/caption corpora actually ship), then fanned back out per
+    member and reassembled per sample via the extension-stripped key.
+    The oracle pins the member census, the per-key sample count (each
+    key must carry exactly its two modalities), and byte-exact payload
+    sizes — the same contract as w1/ar1 over the third archive format."""
+    import io
+    import tarfile
+
+    from torcdb_spark.sources.warc import tar_members
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def build(pdf):
+        import pandas as pd
+
+        buf = io.BytesIO()
+        with tarfile.open(fileobj=buf, mode="w") as tf:
+            for r in pdf.sort_values("doc_id").itertuples():
+                for ext, payload in (
+                    ("txt", r.text.encode()),
+                    ("lang", r.lang.encode()),
+                ):
+                    info = tarfile.TarInfo(name=f"{int(r.doc_id)}.{ext}")
+                    info.size = len(payload)
+                    info.mtime = 0
+                    tf.addfile(info, io.BytesIO(payload))
+        return pd.DataFrame(
+            {"path": [pdf["source"].iloc[0]], "content": [buf.getvalue()]}
+        )
+
+    archives = (
+        docs.select("doc_id", "source", "text", "lang")
+        .groupBy("source")
+        .applyInPandas(build, "path string, content binary")
+    )
+    members = tar_members(archives)
+    per_key = members.groupBy("path", "key").agg(
+        F.count("*").alias("n_mods"), F.sum("n_bytes").alias("kb")
+    )
+    return per_key.groupBy("path").agg(
+        F.sum("n_mods").cast("long").alias("n_members"),
+        F.count("*").cast("long").alias("n_samples"),
+        F.sum("kb").cast("long").alias("payload_bytes"),
+    )
+
+
+@_register(
+    "v2_safetensors_ingest",
+    """SELECT 'shard_' || (label % 2) AS path,
+              'label_' || label AS tensor,
+              CAST(count(*) AS BIGINT) AS n_vecs,
+              CAST(max(len(embedding)) AS BIGINT) AS dim,
+              CAST(count(*) AS BIGINT) AS n_exact
+       FROM embeddings GROUP BY label""",
+)
+def v2_safetensors_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """safetensors shard ingestion end-to-end (sources/tensors.py
+    write_safetensors/parse_safetensors/vectors_from_safetensors): labels
+    are packed TWO-PER-SHARD as independently named tensors (the
+    multi-tensor-per-file layout checkpoint shards actually use), fanned
+    back out one row per (tensor, vector), and joined against the
+    original table by (tensor, rank): the oracle pins n_exact == n_vecs
+    per tensor — byte fidelity through the u64+JSON header framing, the
+    offset-framed buffers, and the fan-out."""
+    from pyspark.sql.window import Window as W
+
+    from torcdb_spark.sources.tensors import (
+        vectors_from_safetensors,
+        write_safetensors,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def pack(pdf):
+        import numpy as np
+        import pandas as pd
+
+        shard = f"shard_{int(pdf['label'].iloc[0]) % 2}"
+        tensors = {}
+        for lbl, grp in pdf.groupby("label"):
+            g = grp.sort_values("vec_id")
+            tensors[f"label_{int(lbl)}"] = np.asarray(
+                g["embedding"].tolist(), dtype=np.float32
+            )
+        return pd.DataFrame(
+            {"path": [shard], "content": [write_safetensors(tensors)]}
+        )
+
+    dumps = (
+        emb.select("vec_id", "label", "embedding")
+        .groupBy(F.col("label") % 2)
+        .applyInPandas(pack, "path string, content binary")
+    )
+    vecs = vectors_from_safetensors(dumps)
+    ranked = emb.select(
+        F.concat(F.lit("shard_"), (F.col("label") % 2).cast("string")).alias(
+            "path"
+        ),
+        F.concat(F.lit("label_"), F.col("label").cast("string")).alias(
+            "tensor"
+        ),
+        (
+            F.row_number().over(W.partitionBy("label").orderBy("vec_id")) - 1
+        ).alias("row_idx"),
+        "embedding",
+    )
+    joined = vecs.join(ranked, ["path", "tensor", "row_idx"])
+    return joined.groupBy("path", "tensor").agg(
+        F.count("*").cast("long").alias("n_vecs"),
+        F.max(F.size("vec")).cast("long").alias("dim"),
+        F.sum(F.when(F.col("vec") == F.col("embedding"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_exact"),
+    )
+
+
+@_register(
+    "st_events_sliding_stream",
+    """SELECT strftime(time_bucket(INTERVAL '10 minutes', ts)
+                       - k * INTERVAL '10 minutes', '%Y-%m-%d %H:%M:%S')
+                  AS window_start,
+              event_type,
+              CAST(count(*) AS BIGINT) AS n_events,
+              round(sum(value), 2) AS sum_value
+       FROM events, (SELECT unnest([0, 1, 2]) AS k) ks
+       GROUP BY 1, 2""",
+)
+def st_events_sliding_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLIDING-window aggregation computed BY THE STREAMING ENGINE
+    (streaming/jobs.py sliding_counts): 30-minute panes sliding every 10
+    — each event incrementally updates 3 overlapping state-store rows —
+    1-hour watermark, availableNow drain to a memory sink. The oracle
+    replays the pane assignment as explicit bucket arithmetic (k ∈
+    {0,1,2}); a hash match proves streaming pane expansion == batch
+    semantics, the sliding complement of st_events_tumbling_stream."""
+    import os
+    import tempfile
+
+    from torcdb_spark.streaming import events_stream
+    from torcdb_spark.streaming.jobs import run_to_memory, sliding_counts
+
+    slug = sf_dir.strip("/").replace("/", "_")
+    d = os.path.join(tempfile.gettempdir(), f"torcdb_stream_src_{slug}")
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(f"{sf_dir}/events.parquet", link)
+    stream = events_stream(spark, d)
+    run_to_memory(
+        sliding_counts(stream), "st_slide", output_mode="complete"
+    )
+    return spark.table("st_slide")

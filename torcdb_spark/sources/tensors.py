@@ -168,3 +168,62 @@ def vectors_from_npy(
     return files.mapInPandas(
         kernel, "path string, row_idx long, vec array<float>, err string"
     )
+
+
+def vectors_from_safetensors(
+    files: DataFrame, path_col: str = "path", content_col: str = "content"
+) -> DataFrame:
+    """Fan (path, content) safetensors dumps out to
+    (path, tensor, row_idx, vec) — one row per vector of each named 2-D
+    float tensor in the file, float32-normalized. The safetensors
+    counterpart of :func:`vectors_from_npy` (checkpoint shards and
+    embedding dumps increasingly ship in this format); one Arrow pass,
+    malformed dumps degrade to a single row_idx=-1 error row."""
+    import pandas as pd
+
+    def kernel(batches):
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf[path_col], pdf[content_col]):
+                try:
+                    tensors = parse_safetensors(bytes(content))
+                    for name in sorted(tensors):
+                        arr = tensors[name]
+                        if arr.ndim != 2:
+                            raise ValueError(
+                                f"tensor {name}: expected 2-D, got "
+                                f"{arr.ndim}-D"
+                            )
+                        for i, v in enumerate(
+                            np.asarray(arr, dtype=np.float32)
+                        ):
+                            rows.append(
+                                {
+                                    "path": path,
+                                    "tensor": name,
+                                    "row_idx": i,
+                                    "vec": v.tolist(),
+                                    "err": None,
+                                }
+                            )
+                except (ValueError, NotImplementedError) as exc:
+                    rows.append(
+                        {
+                            "path": path,
+                            "tensor": "_error",
+                            "row_idx": -1,
+                            "vec": None,
+                            "err": str(exc)[:120],
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=["path", "tensor", "row_idx", "vec", "err"]
+            )
+
+    return files.mapInPandas(
+        kernel,
+        "path string, tensor string, row_idx long, vec array<float>, "
+        "err string",
+    )

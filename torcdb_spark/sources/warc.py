@@ -205,3 +205,69 @@ def zip_members(files: DataFrame, path_col: str = "path", content_col: str = "co
     return files.mapInPandas(
         kernel, "path string, member string, n_bytes long, payload binary"
     )
+
+
+def tar_members(files: DataFrame, path_col: str = "path", content_col: str = "content") -> DataFrame:
+    """Fan a binaryFile-sourced frame of TAR archives out to one row per
+    member: (path, member, key, n_bytes, payload) — the WebDataset shard
+    layout (multimodal training corpora ship as .tar shards whose members
+    share a basename key: ``00042.jpg`` + ``00042.txt`` + ``00042.json``).
+    ``key`` is the member basename with its final extension stripped, so a
+    downstream ``groupBy(path, key)`` reassembles each sample's modalities
+    without a shuffle-heavy parse. stdlib tarfile over an in-memory
+    buffer, one Arrow pass; same poisoned-archive contract as
+    warc_records/zip_members (an unreadable archive yields one '_error'
+    member instead of sinking the job). Non-file members are skipped."""
+    import io
+    import tarfile
+
+    import pandas as pd
+
+    def kernel(batches):
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf[path_col], pdf[content_col]):
+                try:
+                    with tarfile.open(
+                        fileobj=io.BytesIO(bytes(content)), mode="r:*"
+                    ) as tf:
+                        for info in tf:
+                            if not info.isfile():
+                                continue
+                            body = tf.extractfile(info).read()
+                            name = info.name
+                            base = name.rsplit("/", 1)[-1]
+                            key = (
+                                base.rsplit(".", 1)[0]
+                                if "." in base
+                                else base
+                            )
+                            rows.append(
+                                {
+                                    "path": path,
+                                    "member": name,
+                                    "key": key,
+                                    "n_bytes": len(body),
+                                    "payload": body,
+                                }
+                            )
+                except Exception as exc:
+                    rows.append(
+                        {
+                            "path": path,
+                            "member": "_error",
+                            "key": "_error",
+                            "n_bytes": 0,
+                            "payload": str(exc)[:120].encode(),
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["path", "member", "key", "n_bytes", "payload"],
+            )
+
+    return files.mapInPandas(
+        kernel,
+        "path string, member string, key string, n_bytes long, "
+        "payload binary",
+    )

@@ -438,3 +438,32 @@ def dedup_against_history(
     return stream.join(
         history_fps, stream[fp_col] == history_fps[fp_col], "left_anti"
     )
+
+
+def sliding_counts(
+    events: DataFrame,
+    window: str = "30 minutes",
+    slide: str = "10 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """SLIDING-window counts/sums per event_type (window > slide ⇒ each
+    event lands in window/slide overlapping panes — Spark expands the
+    assignment in-plan, no self-join). The streaming counterpart of the
+    batch q_events_sliding; under a stream each pane is incremental
+    state-store rows bounded by the watermark."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
