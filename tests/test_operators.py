@@ -1990,3 +1990,62 @@ def test_mutual_knn_graph_matches_numpy(spark):
         if a < b and a in neigh[b]
     }
     assert got == want
+
+
+def test_resize_bilinear_matches_per_pixel_replay():
+    import numpy as np
+
+    from torcdb_spark.operators.multimodal import resize_bilinear
+
+    rng = np.random.RandomState(11)
+    img = rng.randint(0, 256, size=(13, 9, 3), dtype=np.uint8)
+    out_h, out_w = 7, 5
+    got = resize_bilinear(img, out_h, out_w)
+
+    # independent scalar replay of the half-pixel-center convention
+    h, w = img.shape[:2]
+    f = img.astype(np.float64)
+    want = np.zeros((out_h, out_w, 3))
+    for i in range(out_h):
+        for j in range(out_w):
+            sy = (i + 0.5) * h / out_h - 0.5
+            sx = (j + 0.5) * w / out_w - 0.5
+            y0 = min(max(int(np.floor(sy)), 0), h - 1)
+            x0 = min(max(int(np.floor(sx)), 0), w - 1)
+            y1, x1 = min(y0 + 1, h - 1), min(x0 + 1, w - 1)
+            wy = min(max(sy - y0, 0.0), 1.0)
+            wx = min(max(sx - x0, 0.0), 1.0)
+            want[i, j] = (
+                f[y0, x0] * (1 - wy) * (1 - wx)
+                + f[y0, x1] * (1 - wy) * wx
+                + f[y1, x0] * wy * (1 - wx)
+                + f[y1, x1] * wy * wx
+            )
+    want = np.clip(np.floor(want + 0.5), 0, 255).astype(np.uint8)
+    assert np.array_equal(got, want)
+
+
+def test_resize_bilinear_reproduces_affine_exactly():
+    import numpy as np
+
+    from torcdb_spark.operators.multimodal import resize_bilinear
+
+    yy, xx = np.mgrid[0:16, 0:32]
+    img = (4 * xx + 2 * yy + 7).astype(np.uint8)  # affine, max 185
+    out = resize_bilinear(img, 8, 16)
+    ii, jj = np.mgrid[0:8, 0:16]
+    # source coords (2j+.5, 2i+.5) → 4(2j+.5)+2(2i+.5)+7 = 8j+4i+10
+    want = (8 * jj + 4 * ii + 10).astype(np.uint8)
+    assert np.array_equal(out, want)
+
+
+def test_resize_bilinear_grayscale_and_upscale():
+    import numpy as np
+
+    from torcdb_spark.operators.multimodal import resize_bilinear
+
+    img = np.array([[0, 255]], dtype=np.uint8)  # 1×2 → upscale 1×4
+    out = resize_bilinear(img, 1, 4)
+    assert out.shape == (1, 4)
+    assert out[0, 0] == 0 and out[0, 3] == 255
+    assert np.all(np.diff(out[0].astype(int)) >= 0)  # monotone ramp

@@ -381,6 +381,36 @@ def resize_nearest(img, out_h: int, out_w: int):
     return img[ri][:, ci]
 
 
+def resize_bilinear(img, out_h: int, out_w: int):
+    """Bilinear resize of an (h, w[, c]) uint8 array — the standard
+    training-pipeline downsample kernel (half-pixel center alignment,
+    edge-clamped, the OpenCV/PIL non-align-corners convention: source
+    coordinate = (dst + 0.5)·scale − 0.5). Pure numpy gather + lerp in
+    float64, rounded half-up back to uint8. Exactness property (pytest +
+    m12 oracle): on an image whose intensity is AFFINE in (x, y), the
+    interpolated values are exact — bilinear reproduces affine functions
+    — so clean integer inputs round-trip with zero error."""
+    import numpy as np
+
+    h, w = img.shape[:2]
+    ys = (np.arange(out_h) + 0.5) * (h / out_h) - 0.5
+    xs = (np.arange(out_w) + 0.5) * (w / out_w) - 0.5
+    y0 = np.clip(np.floor(ys).astype(np.int64), 0, h - 1)
+    x0 = np.clip(np.floor(xs).astype(np.int64), 0, w - 1)
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    wy = np.clip(ys - y0, 0.0, 1.0)[:, None]
+    wx = np.clip(xs - x0, 0.0, 1.0)[None, :]
+    if img.ndim == 3:
+        wy = wy[..., None]
+        wx = wx[..., None]
+    f = img.astype(np.float64)
+    top = f[y0][:, x0] * (1 - wx) + f[y0][:, x1] * wx
+    bot = f[y1][:, x0] * (1 - wx) + f[y1][:, x1] * wx
+    out = top * (1 - wy) + bot * wy
+    return np.clip(np.floor(out + 0.5), 0, 255).astype(np.uint8)
+
+
 def decode_and_featurize(media: DataFrame, hist_bins: int = 8) -> DataFrame:
     """REAL image decode → per-image features via mapInPandas: dimensions,
     per-channel means, and a luminance histogram. Undecodable payloads

@@ -11094,3 +11094,76 @@ def st_events_sliding_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         sliding_counts(stream), "st_slide", output_mode="complete"
     )
     return spark.table("st_slide")
+
+
+@_register(
+    "m12_bilinear_resize",
+    """WITH d AS (SELECT doc_id,
+                         doc_id % 32 AS k0, doc_id % 16 AS k1,
+                         doc_id % 8 AS k2
+                  FROM documents WHERE doc_id % 5 = 0 AND doc_id < 500),
+       grid AS (SELECT i.i, j.j
+                FROM (SELECT unnest(generate_series(0, 7)) AS i) i,
+                     (SELECT unnest(generate_series(0, 15)) AS j) j)
+       SELECT doc_id, CAST(16 AS BIGINT) AS width, CAST(8 AS BIGINT) AS height,
+              CAST(sum(8 * j + 4 * i + 3 + k0) AS BIGINT) AS sum_c0,
+              CAST(sum(4 * j + 6 * i + 3 + k1) AS BIGINT) AS sum_c1,
+              CAST(sum(2 * j + 2 * i + 1 + k2) AS BIGINT) AS sum_c2
+       FROM d, grid GROUP BY doc_id""",
+)
+def m12_bilinear_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bilinear resize through the Spark multimodal path
+    (operators/multimodal.py resize_bilinear — the training-pipeline
+    downsample kernel, half-pixel-center convention): per sampled doc a
+    32×16 3-channel image whose intensities are AFFINE in (x, y) is
+    halved to 16×8 inside one Arrow-batched mapInPandas kernel. Bilinear
+    interpolation reproduces affine functions exactly, so every output
+    pixel has the closed form a·(2j+½) + b·(2i+½) + c — the oracle
+    re-derives the per-channel pixel sums symbolically and the driver
+    hash checks the whole gather/lerp/round pipeline. (General-image
+    correctness vs an independent per-pixel replay is pytest-pinned;
+    this witness makes the kernel DRIVER-hashable, which m1/m3's
+    feature paths can't be.)"""
+    import pandas as pd
+
+    from torcdb_spark.operators.multimodal import resize_bilinear
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        (F.col("doc_id") % 5 == 0) & (F.col("doc_id") < 500)
+    ).select("doc_id")
+
+    def kernel(batches):
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                yy, xx = np.mgrid[0:16, 0:32]
+                img = np.stack(
+                    [
+                        4 * xx + 2 * yy + d % 32,
+                        2 * xx + 3 * yy + d % 16,
+                        xx + yy + d % 8,
+                    ],
+                    axis=-1,
+                ).astype(np.uint8)
+                out = resize_bilinear(img, 8, 16)
+                s = out.astype(np.int64).sum(axis=(0, 1))
+                rows.append(
+                    {
+                        "doc_id": d,
+                        "width": out.shape[1],
+                        "height": out.shape[0],
+                        "sum_c0": int(s[0]),
+                        "sum_c1": int(s[1]),
+                        "sum_c2": int(s[2]),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(
+        kernel,
+        "doc_id long, width long, height long, sum_c0 long, "
+        "sum_c1 long, sum_c2 long",
+    )
