@@ -65,3 +65,23 @@ def test_ldbc_validation_runs(spark, capsys):
     assert "complex reads: 14 IC analogues" in out
     assert "short reads: 7 IS analogues" in out
     assert "updates: wr1_upsert_census" in out
+
+
+def test_webdataset_pipeline_runs(spark, capsys):
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "examples", "webdataset_pipeline.py",
+    )
+    spec = importlib.util.spec_from_file_location("webdataset_pipeline", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.main("/root/testdata/sf0.001")
+    out = capsys.readouterr().out
+    for marker in ("shards packed:", "samples reassembled:",
+                   "samples passing gopher gate:",
+                   "samples after containment dedup:",
+                   "thumbnails resized:",
+                   "embedding vectors round-tripped:",
+                   "epoch permutation spans",
+                   "webdataset pipeline complete"):
+        assert marker in out, f"missing section {marker!r}:\n{out}"

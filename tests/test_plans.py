@@ -718,3 +718,67 @@ def test_gremlin_tree_single_shuffle(spark, sf_dir, graph):
     # on top of whatever the traversal frame already required — no joins
     base = explain_str(t._df, "simple").count("Exchange hashpartitioning")
     assert plan.count("Exchange hashpartitioning") == base + 1
+
+
+def test_containment_join_no_cartesian(spark, sf_dir):
+    """d26's candidate generation is the asymmetric prefix × full-token
+    equi-join — must carry no cross product that would go quadratic."""
+    from torcdb_spark.queries import queries
+
+    plan = explain_str(
+        queries()["d26_containment_join"](spark, sf_dir), "simple"
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_gaps_islands_windows_are_user_partitioned(spark, sf_dir):
+    """Streak detection's anchor window must partition by user_id — a
+    global-order window would serialize every user into one task."""
+    from torcdb_spark.queries import queries
+
+    plan = explain_str(queries()["q_gaps_islands"](spark, sf_dir), "simple")
+    wins = [
+        ln for ln in plan.splitlines() if "windowspecdefinition" in ln
+    ]
+    assert wins, plan
+    assert all("user_id" in ln for ln in wins), wins
+
+
+def test_window_distinct_count_windows_are_type_partitioned(spark, sf_dir):
+    """The first-occurrence cumulative sum must partition by event_type,
+    and the whole idiom must stay two shuffles (firsts groupBy + the
+    per-type window/day-distinct exchange family) — never a rescan per
+    day."""
+    from torcdb_spark.queries import queries
+
+    df = queries()["q_window_distinct_count"](spark, sf_dir)
+    plan = explain_str(df, "simple")
+    wins = [ln for ln in plan.splitlines() if "windowspecdefinition" in ln]
+    assert wins, plan
+    assert all("event_type" in ln for ln in wins), wins
+
+
+def test_mutual_knn_broadcasts_query_side(spark, sf_dir):
+    """e12's brute scorer must broadcast the bounded query batch (the
+    corpus side never shuffles for scoring)."""
+    from torcdb_spark.queries import queries
+
+    plan = explain_str(queries()["e12_knn_graph"](spark, sf_dir), "simple")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_delete_edges_prunes_label_branches(spark, sf_dir):
+    """delete_edges is a pure filter: deleting placed edges must not add
+    a shuffle, and scanning the survivors of a non-lineitem label must
+    still constant-fold the lineitem branches away."""
+    g = PropertyGraph.from_tables(spark, sf_dir)
+    g2 = g.delete_edges(
+        (F.col("label") == "placed")
+        & (F.col("props")["totalprice"].cast("double") < 5000.0)
+    )
+    remaining_placed = g2.edges.where(F.col("label") == "placed")
+    assert shuffle_count(remaining_placed) == 0
+    plan = explain_str(remaining_placed, "simple")
+    assert "lineitem.parquet" not in plan

@@ -658,9 +658,15 @@ DRIVER_PRIORITY: list[str] = [
     # g_gremlin_tree, l2_domain_pagerank — plus the further round-7
     # additions/upgrades with no driver row yet: m11_progressive_jpeg,
     # g_diameter, mis1_independent_set, gc1_graph_coloring, g_ktruss,
-    # gs3_node2vec_walks, e6_quantized_topk (all local exact-green in
+    # gs3_node2vec_walks, e6_quantized_topk, and the 14 round-7
+    # session-2 additions: q_gaps_islands, q_window_distinct_count,
+    # q_not_in_nulls, ts5_seasonal_baseline, d26_containment_join,
+    # th3_kmv_anotb, e12_knn_graph, d28_gopher_rules,
+    # wr2_update_delete_census, ar2_tar_webdataset,
+    # v2_safetensors_ingest, st_events_sliding_stream,
+    # m12_bilinear_resize (all local exact-green in
     # tests/test_oracle_parity.py at 3 SFs, like every displaced query;
-    # 22 oracled candidates total for the round-8 head).
+    # 35 oracled candidates total for the round-8 head).
     #
     # -- window/subquery relational block --
     "q_pivot",
