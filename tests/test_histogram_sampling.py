@@ -404,3 +404,57 @@ def test_mixture_downsample_flattens_and_is_deterministic(spark):
         for r in mixture_downsample(df, source_col="source", seed=7).collect()
     )
     assert ids1 != ids3
+
+
+def test_kmv_value_sample_deterministic_and_mergeable(spark):
+    import pyspark.sql.functions as F
+
+    from torcdb_spark.operators.histogram import kmv_value_sample
+
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 3).cast("string").alias("g"),
+        (F.col("id") * 1.5).alias("v"),
+    )
+    a = kmv_value_sample(df, "v", "k", ["g"], k=16)
+    b = kmv_value_sample(df.repartition(7), "v", "k", ["g"], k=16)
+    assert sorted(map(tuple, a.collect())) == sorted(
+        map(tuple, b.collect())
+    )  # partitioning-independent
+    # mergeability: re-taking the k smallest of the two halves' samples
+    # must equal the full-data sample
+    lo = df.where("k < 500")
+    hi = df.where("k >= 500")
+    both = (
+        kmv_value_sample(lo, "v", "k", ["g"], k=16)
+        .unionByName(kmv_value_sample(hi, "v", "k", ["g"], k=16))
+    )
+    from pyspark.sql import Window
+    w = Window.partitionBy("g").orderBy("u")
+    retaken = (
+        both.withColumn("rk", F.row_number().over(w))
+        .where("rk <= 16").drop("rk")
+    )
+    assert sorted(map(tuple, retaken.collect())) == sorted(
+        map(tuple, a.collect())
+    )
+
+
+def test_quantiles_from_sample_lower_value_rule(spark):
+    import pyspark.sql.functions as F
+
+    from torcdb_spark.operators.histogram import (
+        kmv_value_sample,
+        quantiles_from_sample,
+    )
+
+    df = spark.range(0, 50).select(
+        F.col("id").alias("k"), F.lit("g").alias("g"),
+        F.col("id").cast("double").alias("v"),
+    )
+    sample = kmv_value_sample(df, "v", "k", ["g"], k=1000)  # keeps all 50
+    row = quantiles_from_sample(sample, ["g"], (0.5, 0.95)).collect()[0]
+    assert row.n_sample == 50
+    # sorted values are 0..49; floor(q*(n-1)) lower-value rule
+    assert row.p50 == float(int(0.5 * 49))
+    assert row.p95 == float(int(0.95 * 49))

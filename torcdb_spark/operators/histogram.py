@@ -15,7 +15,7 @@ rows. No UDF anywhere.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -123,3 +123,63 @@ def histogram_oracle_sql(
               CAST(COUNT(*) AS BIGINT) AS n
        FROM {table}
        GROUP BY 1"""
+
+
+def kmv_value_sample(
+    df: DataFrame,
+    value_col: str,
+    key_col: str,
+    group_cols: list[str] | None = None,
+    k: int = 128,
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic uniform ROW sample per group, KMV-style: keep the k
+    rows whose md5(key) uniforms are smallest → (group…, u, value).
+    MERGEABLE like every min-hash structure (the k smallest of a union
+    are a subset of each side's k smallest, so partial samples combine
+    by re-taking the k smallest), and deterministic — same rows on any
+    engine/partitioning, which makes estimates built on it exactly
+    reproducible (unlike reservoir sampling, whose content depends on
+    arrival order). The rank window is per-group and Catalyst's
+    WindowGroupLimit pushes the top-k below the exchange, so no group
+    ever materializes fully."""
+    from torcdb_spark.operators.theta import _uniform
+
+    group_cols = group_cols or []
+    hashed = df.select(
+        *group_cols,
+        _uniform(F.col(key_col), seed).alias("u"),
+        F.col(value_col).alias("value"),
+    )
+    w = Window.partitionBy(*group_cols).orderBy("u")
+    return (
+        hashed.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .drop("rk")
+    )
+
+
+def quantiles_from_sample(
+    sample: DataFrame,
+    group_cols: list[str] | None = None,
+    quantiles: tuple[float, ...] = (0.5, 0.95),
+) -> DataFrame:
+    """Quantile estimates from a ``kmv_value_sample``: per group the
+    sorted sample value at index floor(q·(n−1)) (the lower-value rule —
+    integer index arithmetic, no interpolation, so the estimate is one
+    of the sampled values and bit-exact in any engine). Output values
+    go through the portable floor-half-up 2-decimal rounding."""
+    group_cols = group_cols or []
+    agg = sample.groupBy(*group_cols).agg(
+        F.array_sort(F.collect_list("value")).alias("vs"),
+        F.count("*").alias("n"),
+    )
+    cols = [*group_cols, F.col("n").cast("long").alias("n_sample")]
+    for q in quantiles:
+        idx = F.floor(F.lit(q) * (F.col("n") - 1)).cast("int") + 1
+        v = F.element_at("vs", idx)
+        name = f"p{int(round(q * 100)):02d}"
+        cols.append(
+            (F.floor(v * 100 + F.lit(0.5)) / 100.0).alias(name)
+        )
+    return agg.select(*cols)

@@ -11173,3 +11173,47 @@ def m12_bilinear_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, width long, height long, sum_c0 long, "
         "sum_c1 long, sum_c2 long",
     )
+
+
+@_register(
+    "qs1_sample_quantiles",
+    f"""WITH h AS (SELECT event_type, value,
+                          {_kmv_u_sql('event_id')} AS u
+                   FROM events),
+       kept AS (SELECT event_type, value
+                FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+                                                   ORDER BY u) AS rk
+                      FROM h)
+                WHERE rk <= 128),
+       s AS (SELECT event_type, list_sort(list(value)) AS vs,
+                    count(*) AS n
+             FROM kept GROUP BY event_type)
+       SELECT event_type, CAST(n AS BIGINT) AS n_sample,
+              floor(vs[CAST(floor(0.5 * (n - 1)) AS INT) + 1] * 100 + 0.5)
+                / 100.0 AS p50,
+              floor(vs[CAST(floor(0.95 * (n - 1)) AS INT) + 1] * 100 + 0.5)
+                / 100.0 AS p95
+       FROM s""",
+)
+def qs1_sample_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketch (operators/histogram.py
+    kmv_value_sample + quantiles_from_sample): per event type the p50/p95
+    estimated from the 128 rows with the smallest md5(event_id) uniforms
+    — a deterministic uniform sample, so unlike t-digest/reservoir the
+    estimate is bit-reproducible on any engine and partitioning, and the
+    sketch merges like any min-hash structure (k smallest of a union ⊆
+    each side's k smallest). The 100 TB percentile answer without a full
+    sort: one rank-limited window (WindowGroupLimit keeps per-partition
+    top-k below the exchange) + one ≤128-row fold per group. Exact
+    q_percentiles is the full-data complement; h1's histogram the
+    bounded-range one."""
+    from torcdb_spark.operators.histogram import (
+        kmv_value_sample,
+        quantiles_from_sample,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    sample = kmv_value_sample(
+        ev, "value", "event_id", ["event_type"], k=128
+    )
+    return quantiles_from_sample(sample, ["event_type"], (0.5, 0.95))
