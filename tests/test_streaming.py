@@ -305,3 +305,39 @@ def test_history_dedup_across_batches(spark, sf_dir, tmp_path_factory):
         .collect()
     )
     assert got == exp and len(got) > 0
+
+
+def test_streaming_cms_equals_batch_sketch(spark, sf_dir, tmp_path):
+    """CMS is linear: the streaming-maintained counters must EQUAL the
+    batch sketch of the same rows, cell for cell, across micro-batches."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from torcdb_spark.operators.cms import cms_sketch
+    from torcdb_spark.sources.tables import load_table
+    from torcdb_spark.streaming import events_stream
+    from torcdb_spark.streaming.jobs import run_to_memory, streaming_cms
+
+    ev = load_table(spark, sf_dir, "events")
+    # two files → two micro-batches (maxFilesPerTrigger=1)
+    d = str(tmp_path / "src")
+    os.makedirs(d)
+    ev.where("event_id % 2 = 0").coalesce(1).write.parquet(
+        d, mode="append"
+    )
+    ev.where("event_id % 2 = 1").coalesce(1).write.parquet(
+        d, mode="append"
+    )
+    stream = events_stream(spark, d)
+    run_to_memory(
+        streaming_cms(stream, "user_id", d=4, w=256, seed=3),
+        "st_cms_test", output_mode="complete",
+    )
+    got = sorted(
+        map(tuple, spark.table("st_cms_test").collect())
+    )
+    want = sorted(
+        map(tuple, cms_sketch(ev, "user_id", d=4, w=256, seed=3).collect())
+    )
+    assert got == want

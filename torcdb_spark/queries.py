@@ -11217,3 +11217,50 @@ def qs1_sample_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, "value", "event_id", ["event_type"], k=128
     )
     return quantiles_from_sample(sample, ["event_type"], (0.5, 0.95))
+
+
+@_register(
+    "st_cms_heavy_hitters",
+    __import__("torcdb_spark.operators.cms", fromlist=["cms_oracle_sql"])
+    .cms_oracle_sql(
+        "events", "user_id",
+        "SELECT DISTINCT user_id AS k FROM events WHERE user_id < 40",
+        d=4, w=1024, seed=0,
+    ),
+)
+def st_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch maintained BY THE STREAMING ENGINE
+    (streaming/jobs.py streaming_cms): events stream in micro-batches,
+    each updating its d counter cells in the state store; because CMS is
+    a linear sketch the final counters are EXACTLY the batch sketch, so
+    probing the drained state for 40 user keys must hash-match cms1's
+    oracle formulation — real-time heavy hitters with d·w rows of state,
+    stream length and key cardinality irrelevant. The streaming member
+    of the mergeable-sketch family (cms1 batch build, th1/th2/th3 theta
+    algebra, qs1 sample quantiles)."""
+    import os
+    import tempfile
+
+    from torcdb_spark.operators.cms import cms_estimate
+    from torcdb_spark.streaming import events_stream
+    from torcdb_spark.streaming.jobs import run_to_memory, streaming_cms
+
+    slug = sf_dir.strip("/").replace("/", "_")
+    d = os.path.join(tempfile.gettempdir(), f"torcdb_stream_src_{slug}")
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(f"{sf_dir}/events.parquet", link)
+    stream = events_stream(spark, d)
+    run_to_memory(
+        streaming_cms(stream, "user_id", d=4, w=1024, seed=0),
+        "st_cms", output_mode="complete",
+    )
+    sketch = spark.table("st_cms")
+    ev = load_table(spark, sf_dir, "events")
+    keys = (
+        ev.where(F.col("user_id") < 40)
+        .select(F.col("user_id").alias("k"))
+        .dropDuplicates()
+    )
+    return cms_estimate(sketch, keys, "k", d=4, w=1024, seed=0)

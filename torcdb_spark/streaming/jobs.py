@@ -467,3 +467,48 @@ def sliding_counts(
             "sum_value",
         )
     )
+
+
+def streaming_cms(events: DataFrame, key_col: str, d: int = 4,
+                  w: int = 1024, seed: int = 0) -> DataFrame:
+    """Maintain a Count-Min sketch OVER A STREAM: each event projects to
+    its d (row, bucket) cells (the same md5 bucketing as the batch
+    operators/cms.py — pure JVM expressions, streaming-safe) and a
+    streaming groupBy keeps the running counters. CMS is a LINEAR sketch
+    — counters add — so the incrementally maintained state is EXACTLY
+    the batch sketch of everything seen, giving real-time heavy-hitter /
+    frequency queries over the stream with d·w rows of state regardless
+    of key cardinality or stream length (state never grows with data;
+    no watermark needed)."""
+    from torcdb_spark.operators.cms import (
+        _bucket_from_digest,
+        _digest,
+    )
+
+    n_groups = (d + 3) // 4
+    staged = events.select(
+        *[
+            _digest(F.col(key_col), g, seed).alias(f"_dg{g}")
+            for g in range(n_groups)
+        ]
+    )
+    cells = F.explode(
+        F.array(*[
+            F.struct(
+                F.lit(i).alias("row"),
+                _bucket_from_digest(F.col(f"_dg{i // 4}"), i, w).alias(
+                    "bucket"
+                ),
+            )
+            for i in range(d)
+        ])
+    ).alias("_rb")
+    return (
+        staged.select(cells)
+        .select(
+            F.col("_rb.row").alias("row"),
+            F.col("_rb.bucket").alias("bucket"),
+        )
+        .groupBy("row", "bucket")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
