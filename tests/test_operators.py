@@ -2008,19 +2008,20 @@ def test_resize_bilinear_matches_per_pixel_replay():
     want = np.zeros((out_h, out_w, 3))
     for i in range(out_h):
         for j in range(out_w):
-            sy = (i + 0.5) * h / out_h - 0.5
-            sx = (j + 0.5) * w / out_w - 0.5
+            # identical association order to the kernel's
+            # (i+0.5)*(h/out_h): the other order differs by 1 ulp
+            sy = (i + 0.5) * (h / out_h) - 0.5
+            sx = (j + 0.5) * (w / out_w) - 0.5
             y0 = min(max(int(np.floor(sy)), 0), h - 1)
             x0 = min(max(int(np.floor(sx)), 0), w - 1)
             y1, x1 = min(y0 + 1, h - 1), min(x0 + 1, w - 1)
             wy = min(max(sy - y0, 0.0), 1.0)
             wx = min(max(sx - x0, 0.0), 1.0)
-            want[i, j] = (
-                f[y0, x0] * (1 - wy) * (1 - wx)
-                + f[y0, x1] * (1 - wy) * wx
-                + f[y1, x0] * wy * (1 - wx)
-                + f[y1, x1] * wy * wx
-            )
+            # SAME factored lerp form as the kernel (the 4-term sum
+            # differs by 1 ulp near .5 boundaries and would flip rounds)
+            top = f[y0, x0] * (1 - wx) + f[y0, x1] * wx
+            bot = f[y1, x0] * (1 - wx) + f[y1, x1] * wx
+            want[i, j] = top * (1 - wy) + bot * wy
     want = np.clip(np.floor(want + 0.5), 0, 255).astype(np.uint8)
     assert np.array_equal(got, want)
 
@@ -2049,3 +2050,47 @@ def test_resize_bilinear_grayscale_and_upscale():
     assert out.shape == (1, 4)
     assert out[0, 0] == 0 and out[0, 3] == 255
     assert np.all(np.diff(out[0].astype(int)) >= 0)  # monotone ramp
+
+
+def test_resize_bilinear_hypothesis_property():
+    """Property: for ANY uint8 image and output dims, the vectorized
+    kernel equals the scalar per-pixel replay of the half-pixel-center
+    convention (gather/lerp/round agree on every (shape, scale) pair,
+    up- or downscale, gray or color)."""
+    from hypothesis import given, settings, strategies as st
+    import numpy as np
+
+    from torcdb_spark.operators.multimodal import resize_bilinear
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        h=st.integers(1, 20),
+        w=st.integers(1, 20),
+        oh=st.integers(1, 20),
+        ow=st.integers(1, 20),
+        color=st.booleans(),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def prop(h, w, oh, ow, color, seed):
+        rng = np.random.default_rng(seed)
+        shape = (h, w, 3) if color else (h, w)
+        img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        got = resize_bilinear(img, oh, ow)
+        f = img.astype(np.float64)
+        want = np.zeros((oh, ow, 3) if color else (oh, ow))
+        for i in range(oh):
+            for j in range(ow):
+                sy = (i + 0.5) * (h / oh) - 0.5
+                sx = (j + 0.5) * (w / ow) - 0.5
+                y0 = min(max(int(np.floor(sy)), 0), h - 1)
+                x0 = min(max(int(np.floor(sx)), 0), w - 1)
+                y1, x1 = min(y0 + 1, h - 1), min(x0 + 1, w - 1)
+                wy = min(max(sy - y0, 0.0), 1.0)
+                wx = min(max(sx - x0, 0.0), 1.0)
+                top = f[y0, x0] * (1 - wx) + f[y0, x1] * wx
+                bot = f[y1, x0] * (1 - wx) + f[y1, x1] * wx
+                want[i, j] = top * (1 - wy) + bot * wy
+        want = np.clip(np.floor(want + 0.5), 0, 255).astype(np.uint8)
+        np.testing.assert_array_equal(got, want)
+
+    prop()

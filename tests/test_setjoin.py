@@ -106,3 +106,46 @@ def test_containment_is_asymmetric_for_subset(spark, docs):
         for r in containment_pairs_exact(docs, 2, 3, shingle=1).collect()
     }
     assert (7, 6) in pairs_23
+
+
+def test_containment_hypothesis_property(spark):
+    """Property: for ANY small random corpus and rational τ, the
+    prefix-filtered containment join equals brute force — no false
+    negatives from the asymmetric prefix theorem, no false positives
+    from the verify stage."""
+    from hypothesis import given, settings, strategies as st
+
+    vocab = ["a", "b", "c", "d", "e", "f", "g", "h"]
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        corpus=st.lists(
+            st.lists(st.sampled_from(vocab), min_size=0, max_size=8),
+            min_size=2, max_size=8,
+        ),
+        tau=st.sampled_from([(1, 2), (2, 3), (3, 4), (9, 10)]),
+    )
+    def prop(corpus, tau):
+        tn, td = tau
+        docs = spark.createDataFrame(
+            [(i, " ".join(ws)) for i, ws in enumerate(corpus)],
+            "doc_id long, text string",
+        )
+        got = sorted(
+            tuple(r)
+            for r in containment_pairs_exact(
+                docs, tau_num=tn, tau_den=td, shingle=1
+            ).collect()
+        )
+        sets = {
+            i: set(ws) for i, ws in enumerate(corpus) if set(ws) - {""}
+        }
+        want = sorted(
+            (a, b, len(sets[a] & sets[b]), len(sets[a]))
+            for a in sets
+            for b in sets
+            if a != b and len(sets[a] & sets[b]) * td >= len(sets[a]) * tn
+        )
+        assert got == want
+
+    prop()

@@ -81,6 +81,21 @@ def main() -> None:
                          g.edges, "contains", Direction.OUT))),
             run("intersect", lambda: algebra.intersect(one_hop, frontier)),
             run("subtract", lambda: algebra.subtract(one_hop, frontier)),
+            # write-shaped transforms (UPDATE/DELETE — the other half of
+            # the reference's MeasurementClient workload; wr2 holds the
+            # correctness census, this holds the latency)
+            run("set_vertex_property_100", lambda: g.set_vertex_property(
+                frontier.select("id", F.lit("UPDATED").alias("value")),
+                "c_mktsegment").vertices),
+            run("set_edge_property_100", lambda: g.set_edge_property(
+                one_hop.select("src", "dst",
+                               F.lit("placed").alias("label"),
+                               F.lit("1").alias("value")),
+                "audit").edges),
+            run("delete_edges_filter", lambda: g.delete_edges(
+                (F.col("label") == "placed")
+                & (F.col("props")["totalprice"].cast("double") < 5000.0)
+            ).edges),
         ]
     )
 
