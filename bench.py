@@ -192,14 +192,28 @@ def main() -> None:
         for k, v in timings.items()
         if v >= 0 and k in prev
     }
-    # The biggest regressions (>=1.5x AND >=0.5s absolute — ratio alone
-    # flags 0.1s->0.2s noise) get re-timed in a FRESH subprocess
-    # (--isolate): in-suite time vs fresh-JVM time distinguishes suite
-    # contention from a genuinely slower plan, in the artifact itself.
+    # Ambient drift vs per-query regression: a shared-host machine can be
+    # uniformly 1.3-2x slower between runs (observed round 7: median
+    # ratio 1.31 across ~240 UNCHANGED queries). The median cur/prev
+    # ratio estimates that environment factor; regressions are flagged
+    # RELATIVE to it, so a uniformly slow day doesn't spray false
+    # positives and a genuinely slower plan still stands out.
+    ratios = sorted(
+        timings[k] / prev[k]
+        for k in delta
+        if prev[k] > 0.05 and timings[k] >= 0
+    )
+    median_ratio = ratios[len(ratios) // 2] if ratios else 1.0
+    ambient = max(1.0, median_ratio)
+    # The biggest regressions (>=1.5x the ambient factor AND >=0.5s
+    # absolute — ratio alone flags 0.1s->0.2s noise) get re-timed in a
+    # FRESH subprocess (--isolate): in-suite time vs fresh-JVM time
+    # distinguishes suite contention from a genuinely slower plan, in
+    # the artifact itself.
     regressed = {
         k: [prev[k], timings[k]]
         for k in sorted(delta, key=lambda k: -delta[k])[:5]
-        if timings[k] >= prev[k] * 1.5 and delta[k] >= 0.5
+        if timings[k] >= prev[k] * 1.5 * ambient and delta[k] >= 0.5
     }
     isolated: dict[str, float] = {}
     if regressed and not os.environ.get("SPARK_GRAFT_NO_ISOLATE"):
@@ -223,6 +237,7 @@ def main() -> None:
         "queries": timings,
         "delta_vs_prev": delta,
         "prev_total": prev_total,
+        "median_ratio_vs_prev": round(median_ratio, 3),
         "isolated": isolated,
         "runs_per_query": n_runs,
         "sf": sf,
@@ -251,6 +266,7 @@ def main() -> None:
         "runs_per_query": n_runs,
         "sf": sf,
         "prev_total": prev_total,
+        "median_ratio_vs_prev": round(median_ratio, 3),
         "regressed_vs_prev": regressed,
         "isolated": isolated,
         "detail": "bench_detail.json",
