@@ -2094,3 +2094,47 @@ def test_resize_bilinear_hypothesis_property():
         np.testing.assert_array_equal(got, want)
 
     prop()
+
+
+def test_kmeans_lloyd_matches_numpy_replay(spark):
+    import numpy as np
+
+    from torcdb_spark.operators.similarity import kmeans_lloyd_quantized
+
+    rng = np.random.RandomState(3)
+    vecs = rng.randn(40, 6).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        r.id: (r.cid, r.d2)
+        for r in kmeans_lloyd_quantized(df, k=4, iters=2).collect()
+    }
+
+    # independent integer replay
+    q = np.floor(vecs.astype(np.float64) * 1000).astype(np.int64)
+    cents = {c: q[c].copy() for c in range(4)}  # k lowest ids seed
+
+    def assign(cents):
+        out = {}
+        for i in range(40):
+            best = min(
+                (int(((q[i] - cv) ** 2).sum()), cid)
+                for cid, cv in cents.items()
+            )
+            out[i] = (best[1], best[0])
+        return out
+
+    for _ in range(2):
+        a = assign(cents)
+        new = {}
+        for cid in set(c for c, _ in a.values()):
+            members = [q[i] for i, (c, _) in a.items() if c == cid]
+            m = np.stack(members)
+            new[cid] = np.floor(
+                m.sum(axis=0).astype(np.float64) / len(members)
+            ).astype(np.int64)
+        cents = new
+    want = {i: (c, d) for i, (c, d) in assign(cents).items()}
+    assert got == want

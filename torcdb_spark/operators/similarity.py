@@ -1208,3 +1208,92 @@ def embedding_pca(
     return emb.select(id_col, vc).mapInPandas(
         _project, f"{id_col} {id_t}, proj array<double>"
     )
+
+
+def kmeans_lloyd_quantized(
+    vectors: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+) -> DataFrame:
+    """Hash-checkable k-means TRAINING (Lloyd iterations) over
+    integer-quantized vectors → final (id, cluster, d2) assignment.
+
+    Every arithmetic step is engine-exact so an external SQL oracle can
+    replay the whole trajectory (the km1 technique extended from one
+    assignment step to the full loop, like cl1's unrolled perceptron):
+    vectors quantize to floor(x·scale) BIGINTs; the k lowest-id vectors
+    seed the codebook; assignment is integer argmin-L2 with (d2, cell)
+    tie-breaks; the centroid update is floor(sum/n) per dimension —
+    sums of BIGINTs are order-independent, and the floor-of-double
+    division of exact integers is bit-identical everywhere. Cells that
+    lose all members simply drop (standard Lloyd variant), determinism
+    unaffected.
+
+    Plan shape per iteration — the canonical distributed k-means round
+    at any scale: one broadcast of the ≤k-row codebook into a
+    partition-parallel corpus scan (the corpus never shuffles for
+    scoring), one per-vector argmin window bounded by k, and one
+    (cell, dim)-keyed aggregate for the update. State between rounds is
+    k·d integers on the driver-free broadcast path."""
+    q = vectors.select(
+        F.col(id_col).alias("id"),
+        F.transform(
+            F.col(vec_col).cast("array<double>"),
+            lambda x: F.floor(x * scale).cast("long"),
+        ).alias("v"),
+    ).localCheckpoint(eager=True)
+
+    w_seed = Window.orderBy("id")
+    cents = (
+        q.orderBy("id")
+        .limit(k)
+        .withColumn("cid", F.row_number().over(w_seed) - 1)
+        .select("cid", F.col("v").alias("cv"))
+    )
+
+    d2_expr = F.aggregate(
+        F.zip_with(
+            F.col("v"), F.col("cv"), lambda a, b: (a - b) * (a - b)
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    w_arg = Window.partitionBy("id").orderBy(
+        F.asc("d2"), F.asc("cid")
+    )
+
+    def assign(cent_df: DataFrame) -> DataFrame:
+        return (
+            q.crossJoin(F.broadcast(cent_df))
+            .withColumn("d2", d2_expr)
+            .withColumn("rk", F.row_number().over(w_arg))
+            .where(F.col("rk") == 1)
+            .select("id", "v", "cid", "d2")
+        )
+
+    for _ in range(iters):
+        a = assign(cents)
+        dims = a.select(
+            "cid", F.posexplode("v").alias("pos", "val")
+        )
+        cents = (
+            dims.groupBy("cid", "pos")
+            .agg(
+                F.floor(
+                    F.sum("val").cast("double") / F.count("*")
+                ).cast("long").alias("cd")
+            )
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "cd"))
+                    ),
+                    lambda s: s["cd"],
+                ).alias("cv")
+            )
+        )
+    return assign(cents).select("id", "cid", "d2")

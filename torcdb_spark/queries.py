@@ -11264,3 +11264,77 @@ def st_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicates()
     )
     return cms_estimate(sketch, keys, "k", d=4, w=1024, seed=0)
+
+
+def _km2_assign_sql(cent_cte: str, out: str) -> str:
+    """One Lloyd assignment in SQL: integer argmin-L2 vs ``cent_cte``."""
+    return f"""{out}_d AS (
+         SELECT q.id, q.v, c.cid,
+                list_sum(list_transform(
+                  list_zip(q.v, c.cv),
+                  p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d2
+         FROM km2_qv q CROSS JOIN {cent_cte} c),
+       {out} AS (
+         SELECT id, v, cid, d2 FROM (
+           SELECT *, row_number() OVER (PARTITION BY id
+                                        ORDER BY d2 ASC, cid ASC) AS rk
+           FROM {out}_d) WHERE rk = 1)"""
+
+
+def _km2_update_sql(assign_cte: str, out: str) -> str:
+    """One centroid update in SQL: floor(sum/n) per dimension."""
+    return f"""{out}_dims AS (
+         SELECT cid, p.pos,
+                CAST(floor(CAST(sum(v[p.pos]) AS DOUBLE) / count(*))
+                     AS BIGINT) AS cd
+         FROM {assign_cte},
+              (SELECT unnest(range(1, 65)) AS pos) p
+         GROUP BY cid, p.pos),
+       {out} AS (
+         SELECT cid, list(cd ORDER BY pos) AS cv
+         FROM {out}_dims GROUP BY cid)"""
+
+
+@_register(
+    "km2_kmeans_lloyd",
+    f"""WITH km2_qv AS (
+         SELECT vec_id AS id,
+                list_transform(CAST(embedding AS DOUBLE[]),
+                               x -> CAST(floor(x * 1000) AS BIGINT)) AS v
+         FROM embeddings),
+       c0 AS (
+         SELECT row_number() OVER (ORDER BY id) - 1 AS cid, v AS cv
+         FROM (SELECT id, v FROM km2_qv ORDER BY id LIMIT 8)),
+       {_km2_assign_sql('c0', 'a1')},
+       {_km2_update_sql('a1', 'c1')},
+       {_km2_assign_sql('c1', 'a2')},
+       {_km2_update_sql('a2', 'c2')},
+       {_km2_assign_sql('c2', 'a3')}
+       SELECT cid AS cluster,
+              CAST(count(*) AS BIGINT) AS n_members,
+              CAST(sum(d2) AS BIGINT) AS ssd,
+              CAST(sum(id) AS BIGINT) AS member_id_sum
+       FROM a3 GROUP BY cid""",
+)
+def km2_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-means TRAINING with a hash-checked trajectory
+    (operators/similarity.py kmeans_lloyd_quantized): two full Lloyd
+    rounds — integer argmin-L2 assignment, floor(sum/n) centroid update
+    — then the final assignment census. The oracle replays BOTH rounds
+    as unrolled CTEs (km1's integer-quantization technique extended from
+    one assignment step to the whole loop, the way cl1 unrolls the
+    perceptron trajectory), so the driver hash certifies every update's
+    exact centroids, not just the last argmin. The per-round plan is the
+    canonical distributed k-means: broadcast ≤k-row codebook × corpus
+    scan, per-vector argmin window, one (cell, dim) aggregate."""
+    from torcdb_spark.operators.similarity import kmeans_lloyd_quantized
+
+    emb = load_table(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    out = kmeans_lloyd_quantized(emb, k=8, iters=2)
+    return out.groupBy(F.col("cid").alias("cluster")).agg(
+        F.count("*").cast("long").alias("n_members"),
+        F.sum("d2").cast("long").alias("ssd"),
+        F.sum("id").cast("long").alias("member_id_sum"),
+    )
