@@ -1217,7 +1217,8 @@ def kmeans_lloyd_quantized(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     scale: int = 1000,
-) -> DataFrame:
+    return_state: bool = False,
+):
     """Hash-checkable k-means TRAINING (Lloyd iterations) over
     integer-quantized vectors → final (id, cluster, d2) assignment.
 
@@ -1296,4 +1297,90 @@ def kmeans_lloyd_quantized(
                 ).alias("cv")
             )
         )
-    return assign(cents).select("id", "cid", "d2")
+    final = assign(cents)
+    if return_state:
+        # (assignment, trained centroids) — the state an IVF index keeps
+        return final.select("id", "cid", "d2"), cents
+    return final.select("id", "cid", "d2")
+
+
+def ivf_topk_exact_cells(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    num_centroids: int = 8,
+    nprobe: int = 3,
+    lloyd_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+) -> DataFrame:
+    """IVF approximate nearest neighbors whose ENTIRE structure is
+    hash-checkable: the coarse quantizer is the integer-exact Lloyd
+    codebook (``kmeans_lloyd_quantized``), cell assignment and probe
+    selection are integer argmin-L2 with (d2, cell) tie-breaks, and the
+    in-cell ranking is the proven rounded-cosine/(score, id) rule — so
+    unlike the hash-seeded ``ivf_topk`` (recall-bounded, rows-only), an
+    external SQL oracle reproduces this index EXACTLY: which cells
+    exist, which are probed, which candidates score, and the final
+    top-k. Same 100 TB shape as any IVF: the corpus partitions by cell
+    once; a query touches nprobe cells instead of the whole corpus."""
+    assign_df, cents = kmeans_lloyd_quantized(
+        corpus, k=num_centroids, iters=lloyd_iters,
+        id_col=id_col, vec_col=vec_col, scale=scale,
+        return_state=True,
+    )
+    qq = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qraw"),
+        F.transform(
+            F.col(vec_col).cast("array<double>"),
+            lambda x: F.floor(x * scale).cast("long"),
+        ).alias("_qv"),
+    )
+    qd2 = F.aggregate(
+        F.zip_with(
+            F.col("_qv"), F.col("cv"), lambda a, b: (a - b) * (a - b)
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(
+        F.asc("_pd2"), F.asc("cid")
+    )
+    probes = (
+        qq.crossJoin(F.broadcast(cents))
+        .withColumn("_pd2", qd2)
+        .withColumn("_prk", F.row_number().over(w_probe))
+        .where(F.col("_prk") <= nprobe)
+        .select("query_id", "_qraw", "cid")
+    )
+    members = assign_df.select(
+        F.col("id").alias("neighbor_id"), "cid"
+    ).join(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("_craw"),
+        ),
+        "neighbor_id",
+    )
+    cand = probes.join(members, "cid").where(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        F.round(
+            cosine_similarity(F.col("_qraw"), F.col("_craw")), 3
+        ).alias("score"),
+    )
+    w_top = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("neighbor_id")
+    )
+    return (
+        scored.dropDuplicates(["query_id", "neighbor_id"])
+        .withColumn("rnk", F.row_number().over(w_top))
+        .where(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "score",
+                F.col("rnk").cast("long").alias("rnk"))
+    )

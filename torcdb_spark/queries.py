@@ -11338,3 +11338,74 @@ def km2_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("d2").cast("long").alias("ssd"),
         F.sum("id").cast("long").alias("member_id_sum"),
     )
+
+
+@_register(
+    "e13_ivf_exact_cells",
+    f"""WITH km2_qv AS (
+         SELECT vec_id AS id,
+                list_transform(CAST(embedding AS DOUBLE[]),
+                               x -> CAST(floor(x * 1000) AS BIGINT)) AS v
+         FROM embeddings),
+       c0 AS (
+         SELECT row_number() OVER (ORDER BY id) - 1 AS cid, v AS cv
+         FROM (SELECT id, v FROM km2_qv ORDER BY id LIMIT 8)),
+       {_km2_assign_sql('c0', 'a1')},
+       {_km2_update_sql('a1', 'c1')},
+       {_km2_assign_sql('c1', 'a2')},
+       {_km2_update_sql('a2', 'c2')},
+       {_km2_assign_sql('c2', 'a3')},
+       qs AS (
+         SELECT vec_id AS query_id,
+                CAST(embedding AS DOUBLE[]) AS qraw,
+                list_transform(CAST(embedding AS DOUBLE[]),
+                               x -> CAST(floor(x * 1000) AS BIGINT)) AS qv
+         FROM embeddings WHERE vec_id < 10),
+       pd AS (
+         SELECT q.query_id, q.qraw, c.cid,
+                list_sum(list_transform(
+                  list_zip(q.qv, c.cv),
+                  p -> (p[1] - p[2]) * (p[1] - p[2]))) AS pd2
+         FROM qs q CROSS JOIN c2 c),
+       probes AS (
+         SELECT query_id, qraw, cid FROM (
+           SELECT *, row_number() OVER (PARTITION BY query_id
+                                        ORDER BY pd2 ASC, cid ASC) AS prk
+           FROM pd) WHERE prk <= 3),
+       members AS (
+         SELECT a3.id AS neighbor_id, a3.cid,
+                CAST(e.embedding AS DOUBLE[]) AS craw
+         FROM a3 JOIN embeddings e ON e.vec_id = a3.id),
+       scored AS (
+         SELECT p.query_id, m.neighbor_id,
+                round(list_dot_product(p.qraw, m.craw)
+                      / (sqrt(list_dot_product(p.qraw, p.qraw))
+                         * sqrt(list_dot_product(m.craw, m.craw))),
+                      3) AS score
+         FROM probes p JOIN members m USING (cid)
+         WHERE p.query_id <> m.neighbor_id)
+       SELECT query_id, neighbor_id, score, CAST(rnk AS BIGINT) AS rnk
+       FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                          ORDER BY score DESC, neighbor_id)
+                        AS rnk
+             FROM scored) WHERE rnk <= 5""",
+)
+def e13_ivf_exact_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN whose entire index structure is DRIVER-hashable
+    (operators/similarity.py ivf_topk_exact_cells): the coarse quantizer
+    is km2's integer-exact Lloyd codebook, probe selection and cell
+    assignment are integer argmin-L2, the in-cell ranking is e1's
+    rounded-cosine rule — so the oracle reproduces which cells exist,
+    which get probed, which candidates score, and the final top-5,
+    value for value. The structural complement of e4's hash-seeded IVF
+    (recall-bounded, rows-only): same nprobe/cell plan shape, zero
+    unverifiable state."""
+    from torcdb_spark.operators.similarity import ivf_topk_exact_cells
+
+    emb = load_table(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    queries = emb.where(F.col("vec_id") < 10)
+    return ivf_topk_exact_cells(
+        emb, queries, k=5, num_centroids=8, nprobe=3, lloyd_iters=2
+    )
