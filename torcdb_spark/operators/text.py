@@ -160,6 +160,7 @@ def winnowing_fingerprints(
     window: int = 4,
     text_col: str = "text",
     id_col: str = "doc_id",
+    hash_fn: str = "xxhash64",
 ) -> "DataFrame":
     """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken):
     k-gram rolling hashes → per-window minimum → distinct selected
@@ -189,11 +190,23 @@ def winnowing_fingerprints(
             out.append(np.unique(wins.min(axis=1)).tolist())
         return pd.Series(out)
 
+    if hash_fn == "xxhash64":
+        # fastest JVM hash — the production default (wrapped: transform
+        # rejects varargs callables like F.xxhash64 itself)
+        def _gram_hash(s):
+            return F.xxhash64(s)
+    elif hash_fn == "md5":
+        # portable 52-bit md5 prefix: ~2x the hash cost, but identical in
+        # any engine, so the WHOLE sketch is SQL-oracle-replayable (d29)
+        def _gram_hash(s):
+            return F.conv(F.substring(F.md5(s), 1, 13), 16, 10).cast("long")
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
     normed = docs.select(F.col(id_col), normalize_text(F.col(text_col)).alias("_nt"))
     hashed = normed.select(
         F.col(id_col),
         F.transform(
-            shingles(F.col("_nt"), k, distinct=False), lambda s: F.xxhash64(s)
+            shingles(F.col("_nt"), k, distinct=False), _gram_hash
         ).alias("_hs"),
     )
     return (

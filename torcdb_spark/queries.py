@@ -664,9 +664,11 @@ DRIVER_PRIORITY: list[str] = [
     # th3_kmv_anotb, e12_knn_graph, d28_gopher_rules,
     # wr2_update_delete_census, ar2_tar_webdataset,
     # v2_safetensors_ingest, st_events_sliding_stream,
-    # m12_bilinear_resize (all local exact-green in
-    # tests/test_oracle_parity.py at 3 SFs, like every displaced query;
-    # 35 oracled candidates total for the round-8 head).
+    # m12_bilinear_resize, qs1_sample_quantiles, st_cms_heavy_hitters,
+    # km2_kmeans_lloyd, e13_ivf_exact_cells, d29_winnowing_md5 (all
+    # local exact-green in tests/test_oracle_parity.py at 3 SFs, like
+    # every displaced query; 40 oracled candidates total for the
+    # round-8 head).
     #
     # -- window/subquery relational block --
     "q_pivot",
@@ -11409,3 +11411,45 @@ def e13_ivf_exact_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk_exact_cells(
         emb, queries, k=5, num_centroids=8, nprobe=3, lloyd_iters=2
     )
+
+
+@_register(
+    "d29_winnowing_md5",
+    """WITH n AS (SELECT doc_id,
+                         lower(regexp_replace(text, '\\s+', ' ', 'g')) AS nt
+                  FROM documents),
+       g AS (SELECT doc_id, t.i AS i,
+                    CAST(('0x' || substring(
+                        md5(substring(nt, CAST(t.i AS INT), 5)), 1, 13))
+                      AS BIGINT) AS h,
+                    greatest(length(nt) - 4, 1) AS ng
+             FROM n,
+                  unnest(generate_series(
+                      1, greatest(length(nt) - 4, 1))) AS t(i)),
+       wm AS (SELECT doc_id, i, ng,
+                     min(h) OVER (PARTITION BY doc_id ORDER BY i
+                                  ROWS BETWEEN CURRENT ROW
+                                       AND 3 FOLLOWING) AS fp
+              FROM g WHERE ng > 4),
+       fps AS (
+         SELECT doc_id, fp FROM wm WHERE i <= ng - 3
+         UNION ALL
+         SELECT doc_id, min(h) AS fp FROM g WHERE ng <= 4
+         GROUP BY doc_id)
+       SELECT DISTINCT doc_id, fp FROM fps""",
+)
+def d29_winnowing_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints, DRIVER-hashable form
+    (operators/text.winnowing_fingerprints with the portable md5-prefix
+    gram hash): identical k=5/window=4 selection to d8's xxhash64
+    production sketch, but every fingerprint value is reproducible in
+    SQL — the oracle replays normalization, 5-gram hashing, the
+    4-window minima (a plain window-min over gram positions) and the
+    short-document single-min case. d8 keeps the cheaper JVM hash for
+    100 TB; this witness hash-checks the ALGORITHM the pair shares."""
+    from torcdb_spark.operators.text import winnowing_fingerprints
+
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return winnowing_fingerprints(docs, hash_fn="md5")
