@@ -51,6 +51,7 @@ def minhash_signatures(
     id_col: str = "doc_id",
     num_perm: int = 64,
     shingle_n: int = 5,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """(id, sig array<long>) — per-permutation minimum of a universal hash
     family over the shingle set: h_i(x) = (a_i·x + b_i) mod p, with
@@ -65,11 +66,24 @@ def minhash_signatures(
     normed = docs.select(
         F.col(id_col), normalize_text(F.col(text_col)).alias("_nt")
     )
+    if hash_fn == "xxhash64":
+        # fastest JVM hash — the production default
+        def _gram(sh):
+            return F.pmod(F.xxhash64(sh), F.lit(_P))
+    elif hash_fn == "md5":
+        # portable 52-bit md5 prefix mod p: ~2x the hash cost, identical
+        # in any engine, so the signature family is SQL-replayable (d30)
+        def _gram(sh):
+            return F.pmod(
+                F.conv(F.substring(F.md5(sh), 1, 13), 16, 10).cast("long"),
+                F.lit(_P),
+            )
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
     hashed = normed.select(
         F.col(id_col),
         F.transform(
-            shingles(F.col("_nt"), shingle_n, distinct=False),
-            lambda s: F.pmod(F.xxhash64(s), F.lit(_P)),
+            shingles(F.col("_nt"), shingle_n, distinct=False), _gram
         ).alias("_hs"),
     )
     return hashed.select(
@@ -109,7 +123,8 @@ def _minhash_pandas_udf(num_perm: int):
 
 
 def minhash_lsh_candidates(
-    sigs: DataFrame, id_col: str = "doc_id", bands: int = 16, rows: int = 4
+    sigs: DataFrame, id_col: str = "doc_id", bands: int = 16, rows: int = 4,
+    bucket_hash: bool = True,
 ) -> DataFrame:
     """LSH banding: split each signature into ``bands`` bands of ``rows``
     values, bucket by xxhash64(band values), self-join per bucket → candidate
@@ -122,7 +137,7 @@ def minhash_lsh_candidates(
                 *[
                     F.struct(
                         F.lit(bi).alias("band"),
-                        F.xxhash64(
+                        (F.xxhash64 if bucket_hash else (lambda c: c))(
                             F.concat_ws(
                                 ",", *[F.element_at(F.col("sig"), bi * rows + r + 1).cast("string") for r in range(rows)]
                             )
@@ -157,6 +172,7 @@ def minhash_lsh_dedup(
     bands: int = 16,
     shingle_n: int = 5,
     jaccard_threshold: float = 0.8,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs with estimated Jaccard ≥ threshold.
 
@@ -167,8 +183,15 @@ def minhash_lsh_dedup(
     # signatures feed three plan branches (banding + both sides of the
     # verification join) — materialize once; at warehouse scale this would
     # be a written intermediate table instead.
-    sigs = minhash_signatures(docs, text_col, id_col, num_perm, shingle_n).persist()
-    cand = minhash_lsh_candidates(sigs, id_col, bands, rows)
+    sigs = minhash_signatures(
+        docs, text_col, id_col, num_perm, shingle_n, hash_fn
+    ).persist()
+    # with the portable hash the raw band-value string IS the bucket key
+    # (equality semantics identical; skipping the bucket re-hash keeps
+    # the whole pipeline SQL-replayable)
+    cand = minhash_lsh_candidates(
+        sigs, id_col, bands, rows, bucket_hash=(hash_fn == "xxhash64")
+    )
     sa = sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
     sb = sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
     est = F.aggregate(
@@ -239,19 +262,36 @@ def _simhash_pandas_udf(num_bits: int = 64):
 
 
 def simhash_dedup(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
-    """Conservative SimHash dedup: documents sharing the identical 64-bit
+    """Conservative SimHash dedup: documents sharing the identical
     simhash. Returns (id, group_size) keeping the lowest id per bucket.
 
-    Shingle hashing stays JVM-side (xxhash64); the 64-bit sign-vote runs as
-    an Arrow-batched numpy UDF (see _simhash_pandas_udf)."""
+    Shingle hashing stays JVM-side; the sign-vote runs as an
+    Arrow-batched numpy UDF (see _simhash_pandas_udf). ``hash_fn``:
+    'xxhash64' (production default, full 64 vote bits, rows-only
+    checkable) or 'md5' (portable 52-bit prefix — identical in any
+    engine, so the whole sketch is SQL-replayable, d31; votes run over
+    the 52 meaningful bits)."""
+    if hash_fn == "xxhash64":
+        num_bits = 64
+
+        def _gram(sh):
+            return F.xxhash64(sh)
+    elif hash_fn == "md5":
+        num_bits = 52
+
+        def _gram(sh):
+            return F.conv(F.substring(F.md5(sh), 1, 13), 16, 10).cast("long")
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
     normed = docs.select(F.col(id_col), normalize_text(F.col(text_col)).alias("_nt"))
     hashed = normed.select(
         F.col(id_col),
-        F.transform(shingles(F.col("_nt"), distinct=False), lambda s: F.xxhash64(s)).alias("_hs"),
+        F.transform(shingles(F.col("_nt"), distinct=False), _gram).alias("_hs"),
     )
-    vote = _simhash_pandas_udf()
+    vote = _simhash_pandas_udf(num_bits)
     return (
         hashed.select(F.col(id_col), vote(F.col("_hs")).alias("_sh"))
         .groupBy("_sh")

@@ -347,6 +347,7 @@ def hash_sample(
     rate_pct: int = 10,
     id_col: str = "doc_id",
     strata_col: str | None = None,
+    hash_fn: str = "xxhash64",
 ) -> "DataFrame":
     """Deterministic hash-mod sampling: keep rows whose xxhash64(id) mod
     100 falls under ``rate_pct`` — reproducible across runs, partitionings
@@ -355,7 +356,18 @@ def hash_sample(
     (stratum, id) so each stratum is sampled at the same rate
     independently — stratified sampling without a shuffle."""
     cols = [F.col(strata_col), F.col(id_col)] if strata_col else [F.col(id_col)]
-    bucket = F.pmod(F.xxhash64(*cols), F.lit(100))
+    if hash_fn == "xxhash64":
+        bucket = F.pmod(F.xxhash64(*cols), F.lit(100))
+    elif hash_fn == "md5":
+        # portable: md5 over ':'-joined key parts — identical in any
+        # engine, so the kept set is SQL-replayable (d32)
+        key = F.concat_ws(":", *[c.cast("string") for c in cols])
+        bucket = F.pmod(
+            F.conv(F.substring(F.md5(key), 1, 13), 16, 10).cast("long"),
+            F.lit(100),
+        )
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
     return docs.where(bucket < rate_pct)
 
 

@@ -11453,3 +11453,125 @@ def d29_winnowing_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.sparkContext.defaultParallelism
     )
     return winnowing_fingerprints(docs, hash_fn="md5")
+
+
+@_register(
+    "d30_minhash_md5",
+    """WITH n AS (SELECT doc_id,
+                         lower(regexp_replace(text, '\\s+', ' ', 'g')) AS nt
+                  FROM documents),
+       g AS (SELECT DISTINCT doc_id,
+                    CAST(('0x' || substring(
+                        md5(substring(nt, CAST(t.i AS INT), 5)), 1, 13))
+                      AS BIGINT) % 2147483647 AS x
+             FROM n,
+                  unnest(generate_series(
+                      1, greatest(length(nt) - 4, 1))) AS t(i)),
+       perm AS (SELECT unnest(range(0, 32)) AS pi),
+       sigs AS (SELECT doc_id, pi,
+                       min((x * (2 * pi + 1)
+                            + (pi * 2654435769) % 2147483647)
+                           % 2147483647) AS m
+                FROM g, perm GROUP BY doc_id, pi),
+       bands AS (SELECT doc_id, pi // 4 AS band,
+                        string_agg(CAST(m AS VARCHAR), ','
+                                   ORDER BY pi) AS bkey
+                 FROM sigs GROUP BY doc_id, pi // 4),
+       pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                 FROM bands a JOIN bands b
+                   ON a.band = b.band AND a.bkey = b.bkey
+                      AND a.doc_id < b.doc_id),
+       est AS (SELECT p.id_a, p.id_b,
+                      sum(CASE WHEN sa.m = sb.m THEN 1 ELSE 0 END) AS hits
+               FROM pairs p
+               JOIN sigs sa ON sa.doc_id = p.id_a
+               JOIN sigs sb ON sb.doc_id = p.id_b AND sb.pi = sa.pi
+               GROUP BY p.id_a, p.id_b)
+       SELECT id_a, id_b, round(hits / 32.0, 4) AS est_jaccard
+       FROM est WHERE hits * 2 >= 32""",
+)
+def d30_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs, DRIVER-hashable form
+    (operators/dedup.minhash_lsh_dedup with the portable md5-prefix gram
+    hash and raw band-string buckets): identical 32-perm/8-band pipeline
+    to x_minhash's xxhash64 production sketch, but the oracle replays
+    EVERYTHING — shingle hashing, the (2i+1)x+b_i mod p permutation
+    family, per-band bucket keys, candidate generation, and the
+    signature-agreement Jaccard estimate. x_minhash keeps the cheaper
+    JVM hash at 100 TB; this witness hash-checks the shared algorithm
+    end to end (completing the fingerprint-family conversions d29
+    started)."""
+    from torcdb_spark.operators.dedup import minhash_lsh_dedup
+
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return minhash_lsh_dedup(
+        docs, num_perm=32, bands=8, jaccard_threshold=0.5, hash_fn="md5"
+    )
+
+
+@_register(
+    "d31_simhash_md5",
+    """WITH n AS (SELECT doc_id,
+                         lower(regexp_replace(text, '\\s+', ' ', 'g')) AS nt
+                  FROM documents),
+       g AS (SELECT doc_id,
+                    CAST(('0x' || substring(
+                        md5(substring(nt, CAST(t.i AS INT), 5)), 1, 13))
+                      AS BIGINT) AS x
+             FROM n,
+                  unnest(generate_series(
+                      1, greatest(length(nt) - 4, 1))) AS t(i)),
+       votes AS (SELECT doc_id, b.b,
+                        sum(CASE WHEN (x >> b.b) & 1 = 1
+                                 THEN 1 ELSE -1 END) AS v
+                 FROM g, (SELECT unnest(range(0, 52)) AS b) b
+                 GROUP BY doc_id, b.b),
+       sh AS (SELECT doc_id,
+                     sum(CASE WHEN v > 0 THEN 1::BIGINT << b
+                              ELSE 0 END) AS simhash
+              FROM votes GROUP BY doc_id)
+       SELECT CAST(min(doc_id) AS BIGINT) AS doc_id,
+              CAST(count(*) AS BIGINT) AS group_size
+       FROM sh GROUP BY simhash""",
+)
+def d31_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash bucketing, DRIVER-hashable form
+    (operators/dedup.simhash_dedup with the portable 52-bit md5-prefix
+    gram hash): identical multiset sign-vote to d4's 64-bit xxhash64
+    production sketch, but the oracle replays shingle hashing, all 52
+    bit votes (weighted by shingle multiplicity — no dedup), the sign
+    rule, and the bucket census value-for-value. d4 keeps the cheaper
+    full-width JVM hash at 100 TB; this witness hash-checks the shared
+    algorithm (third of the fingerprint-family conversions after
+    d29/d30)."""
+    from torcdb_spark.operators.dedup import simhash_dedup
+
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return simhash_dedup(docs, hash_fn="md5")
+
+
+@_register(
+    "d32_hash_sample_md5",
+    """SELECT doc_id, lang FROM documents
+       WHERE CAST(('0x' || substring(
+                 md5(lang || ':' || CAST(doc_id AS VARCHAR)), 1, 13))
+               AS BIGINT) % 100 < 10""",
+)
+def d32_hash_sample_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sampling, DRIVER-hashable form
+    (operators/text.hash_sample with the portable md5 key hash): the
+    exact kept set — 10% per language by md5(lang:doc_id) mod 100 — is
+    reproduced by the oracle row for row. d12 keeps the cheaper xxhash64
+    at 100 TB (rows-only, determinism pytest-asserted); this witness
+    hash-checks the mechanism itself (last of the hash-family
+    conversions d29/d30/d31 — every deterministic-hash algorithm in the
+    engine now has a driver-hashed witness)."""
+    from torcdb_spark.operators.text import hash_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = hash_sample(docs, rate_pct=10, strata_col="lang", hash_fn="md5")
+    return out.select("doc_id", "lang")
