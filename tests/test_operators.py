@@ -2163,3 +2163,26 @@ def test_ivf_exact_cells_recall_vs_bruteforce(spark, sf_dir):
     # same floor as e4's hash-seeded IVF: the structure is exact, the
     # recall is still approximate by nature
     assert hits / max(len(exact1), 1) >= 0.5
+
+
+def test_lsh_rademacher_recall_vs_bruteforce(spark, sf_dir):
+    from torcdb_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        lsh_rademacher_topk,
+    )
+    from torcdb_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where("vec_id < 10")
+    exact1 = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk_bruteforce(emb, q, k=1).collect()
+    }
+    lsh = {
+        (r.query_id, r.neighbor_id)
+        for r in lsh_rademacher_topk(
+            emb, q, k=5, num_bits=4, num_tables=8
+        ).collect()
+    }
+    hits = sum(1 for pair in exact1 if pair in lsh)
+    assert hits / max(len(exact1), 1) >= 0.5

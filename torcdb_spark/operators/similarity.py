@@ -1384,3 +1384,109 @@ def ivf_topk_exact_cells(
         .select("query_id", "neighbor_id", "score",
                 F.col("rnk").cast("long").alias("rnk"))
     )
+
+
+def _rademacher_plane(table: int, bit: int, dim: int) -> list[int]:
+    """±1 hyperplane entries from md5 parity — data-independent constants
+    any engine reproduces: sign(t,b,d) = +1 iff the first hex digit of
+    md5('t:b:d') is odd."""
+    import hashlib
+
+    return [
+        1 if int(
+            hashlib.md5(f"{table}:{bit}:{d}".encode()).hexdigest()[0], 16
+        ) % 2 == 1 else -1
+        for d in range(dim)
+    ]
+
+
+def lsh_rademacher_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    num_bits: int = 8,
+    num_tables: int = 4,
+    scale: int = 1000,
+) -> DataFrame:
+    """Sign-random-projection LSH (Charikar) with RADEMACHER (±1)
+    hyperplanes — the cosine-LSH variant whose ENTIRE index is
+    hash-checkable: planes are md5-parity constants, vectors quantize to
+    floor(x·scale) BIGINTs, and a sketch bit is the integer sign of
+    Σ ±v_d (ties at 0 → 1) — no float anywhere until the final rounded-
+    cosine re-rank (e1's proven rule). Same guarantees as Gaussian
+    hyperplanes (sign-projection collision probability 1 − θ/π holds
+    for any symmetric subgaussian family), and integer-only sketching is
+    the cheaper 100 TB scan anyway. The exact-witness complement of the
+    float-plane ``cosine_topk_lsh`` (e2, rows-only), like e13 is for e4."""
+    planes = {
+        (t, b): _rademacher_plane(t, b, dim)
+        for t in range(num_tables)
+        for b in range(num_bits)
+    }
+
+    def bucketize(df: DataFrame, role: str) -> DataFrame:
+        q = df.select(
+            F.col(id_col).alias(f"{role}_id"),
+            F.col(vec_col).alias(f"_{role}v"),
+            F.transform(
+                F.col(vec_col).cast("array<double>"),
+                lambda x: F.floor(x * scale).cast("long"),
+            ).alias("_qv"),
+        )
+        buckets = []
+        for t in range(num_tables):
+            acc = F.lit(0).cast("long")
+            for b in range(num_bits):
+                plane = F.array(
+                    *[F.lit(s).cast("long") for s in planes[(t, b)]]
+                )
+                dot = F.aggregate(
+                    F.zip_with(
+                        F.col("_qv"), plane, lambda v, s: v * s
+                    ),
+                    F.lit(0).cast("long"),
+                    lambda a, x: a + x,
+                )
+                acc = acc + F.when(dot >= 0, F.lit(1 << b)).otherwise(
+                    F.lit(0)
+                ).cast("long")
+            buckets.append(
+                F.struct(F.lit(t).alias("table"), acc.alias("bucket"))
+            )
+        return q.select(
+            f"{role}_id",
+            f"_{role}v",
+            F.explode(F.array(*buckets)).alias("_tb"),
+        ).select(
+            f"{role}_id", f"_{role}v",
+            F.col("_tb.table").alias("table"),
+            F.col("_tb.bucket").alias("bucket"),
+        )
+
+    cq = bucketize(queries, "query")
+    cc = bucketize(corpus, "neighbor")
+    cand = (
+        cq.join(cc, ["table", "bucket"])
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                cosine_similarity(F.col("_queryv"), F.col("_neighborv")),
+                3,
+            ).alias("score"),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("neighbor_id")
+    )
+    return (
+        cand.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "score",
+                F.col("rnk").cast("long").alias("rnk"))
+    )

@@ -11575,3 +11575,71 @@ def d32_hash_sample_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     out = hash_sample(docs, rate_pct=10, strata_col="lang", hash_fn="md5")
     return out.select("doc_id", "lang")
+
+
+@_register(
+    "e14_lsh_rademacher",
+    """WITH planes AS (
+         SELECT t.t, b.b, d.d,
+                CASE WHEN CAST(('0x' || substring(
+                         md5(CAST(t.t AS VARCHAR) || ':'
+                             || CAST(b.b AS VARCHAR) || ':'
+                             || CAST(d.d AS VARCHAR)), 1, 1)) AS INT)
+                         % 2 = 1
+                     THEN 1 ELSE -1 END AS s
+         FROM (SELECT unnest(range(0, 4)) AS t) t,
+              (SELECT unnest(range(0, 8)) AS b) b,
+              (SELECT unnest(range(0, 64)) AS d) d),
+       qv AS (SELECT vec_id,
+                     CAST(embedding AS DOUBLE[]) AS raw,
+                     list_transform(CAST(embedding AS DOUBLE[]),
+                                    x -> CAST(floor(x * 1000) AS BIGINT))
+                       AS v
+              FROM embeddings),
+       bits AS (SELECT q.vec_id, p.t, p.b,
+                       CASE WHEN sum(p.s * q.v[p.d + 1]) >= 0
+                            THEN 1::BIGINT << p.b ELSE 0 END AS bv
+                FROM qv q, planes p
+                GROUP BY q.vec_id, p.t, p.b),
+       buckets AS (SELECT vec_id, t, sum(bv) AS bucket
+                   FROM bits GROUP BY vec_id, t),
+       cand AS (
+         SELECT DISTINCT a.vec_id AS query_id, c.vec_id AS neighbor_id
+         FROM buckets a JOIN buckets c
+           ON a.t = c.t AND a.bucket = c.bucket
+              AND a.vec_id <> c.vec_id
+         WHERE a.vec_id < 10),
+       scored AS (
+         SELECT cand.query_id, cand.neighbor_id,
+                round(list_dot_product(qa.raw, qc.raw)
+                      / (sqrt(list_dot_product(qa.raw, qa.raw))
+                         * sqrt(list_dot_product(qc.raw, qc.raw))),
+                      3) AS score
+         FROM cand
+         JOIN qv qa ON qa.vec_id = cand.query_id
+         JOIN qv qc ON qc.vec_id = cand.neighbor_id)
+       SELECT query_id, neighbor_id, score, CAST(rnk AS BIGINT) AS rnk
+       FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                          ORDER BY score DESC, neighbor_id)
+                        AS rnk
+             FROM scored) WHERE rnk <= 5""",
+)
+def e14_lsh_rademacher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine LSH whose entire index is DRIVER-hashable
+    (operators/similarity.py lsh_rademacher_topk): ±1 hyperplanes from
+    md5 parity, integer sign-projection sketches over floor(x·1000)
+    quantized vectors, per-table bucket equi-join, e1's rounded-cosine
+    re-rank — the oracle reproduces planes, sketch bits, buckets,
+    candidates and the top-5 value-for-value. Completes the
+    exact-witness ANN family: brute (e1), int8 grid (e6), IVF (e13),
+    sign-projection LSH (here) — each pairing a rows-only production
+    form with a hash-checked structural twin."""
+    from torcdb_spark.operators.similarity import lsh_rademacher_topk
+
+    emb = load_table(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    queries = emb.where(F.col("vec_id") < 10)
+    return lsh_rademacher_topk(
+        emb, queries, k=5, num_bits=8, num_tables=4
+    )
