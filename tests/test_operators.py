@@ -2186,3 +2186,26 @@ def test_lsh_rademacher_recall_vs_bruteforce(spark, sf_dir):
     }
     hits = sum(1 for pair in exact1 if pair in lsh)
     assert hits / max(len(exact1), 1) >= 0.5
+
+
+def test_pq_adc_exact_recall_vs_bruteforce(spark, sf_dir):
+    from torcdb_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        pq_adc_exact,
+    )
+    from torcdb_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where("vec_id < 10")
+    # L2 brute ground truth approximated by cosine top-1 on the
+    # near-unit-norm fixture vectors
+    exact1 = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk_bruteforce(emb, q, k=1).collect()
+    }
+    pq = {
+        (r.query_id, r.neighbor_id)
+        for r in pq_adc_exact(emb, q, k=5, m=4, ksub=8).collect()
+    }
+    hits = sum(1 for pair in exact1 if pair in pq)
+    assert hits / max(len(exact1), 1) >= 0.4

@@ -1490,3 +1490,110 @@ def lsh_rademacher_topk(
         .select("query_id", "neighbor_id", "score",
                 F.col("rnk").cast("long").alias("rnk"))
     )
+
+
+def pq_adc_exact(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 4,
+    ksub: int = 8,
+    lloyd_iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    scale: int = 1000,
+) -> DataFrame:
+    """Product-quantization ADC top-k whose ENTIRE index is
+    hash-checkable: vectors quantize to floor(x·scale) BIGINTs and split
+    into ``m`` subspaces; each subspace trains an integer-exact Lloyd
+    codebook (``kmeans_lloyd_quantized``); corpus vectors encode as m
+    uint codes (integer argmin, (d2, code) tie-break); a query builds an
+    m×ksub integer LUT of subspace distances and the ADC estimate is the
+    LUT sum over each vector's codes — integers end to end, so the
+    oracle reproduces codebooks, codes, LUTs and the final
+    (est_d2, neighbor) top-k value-for-value. The exact-witness twin of
+    ``pq_topk`` (e7, rows-only): same m-subspace ADC plan shape — the
+    corpus scan reads m small ints per vector instead of the full
+    vector, the LUT broadcast is m·ksub rows."""
+    sub_dim = dim // m
+    code_frames = []
+    cent_frames = []
+    for s in range(m):
+        sub = corpus.select(
+            F.col(id_col),
+            F.slice(F.col(vec_col), s * sub_dim + 1, sub_dim).alias(
+                "embedding"
+            ),
+        )
+        assign_df, cents = kmeans_lloyd_quantized(
+            sub, k=ksub, iters=lloyd_iters,
+            id_col=id_col, vec_col="embedding", scale=scale,
+            return_state=True,
+        )
+        code_frames.append(
+            assign_df.select(
+                F.col("id").alias("nid"),
+                F.lit(s).alias("s"),
+                F.col("cid").alias("code"),
+            )
+        )
+        cent_frames.append(
+            cents.select(
+                F.lit(s).alias("s"), "cid", "cv"
+            )
+        )
+    codes = code_frames[0]
+    for f in code_frames[1:]:
+        codes = codes.unionByName(f)
+    cents = cent_frames[0]
+    for f in cent_frames[1:]:
+        cents = cents.unionByName(f)
+
+    qsubs = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(s).alias("s"),
+                    F.transform(
+                        F.slice(
+                            F.col(vec_col).cast("array<double>"),
+                            s * sub_dim + 1, sub_dim,
+                        ),
+                        lambda x: F.floor(x * scale).cast("long"),
+                    ).alias("qv"),
+                )
+                for s in range(m)
+            ])
+        ).alias("_sq"),
+    ).select("query_id", F.col("_sq.s").alias("s"), F.col("_sq.qv").alias("qv"))
+    lut = qsubs.join(F.broadcast(cents), "s").select(
+        "query_id", "s", F.col("cid").alias("code"),
+        F.aggregate(
+            F.zip_with(
+                F.col("qv"), F.col("cv"), lambda a, b: (a - b) * (a - b)
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("d2"),
+    )
+    est = (
+        codes.join(F.broadcast(lut), ["s", "code"])
+        .groupBy("query_id", "nid")
+        .agg(F.sum("d2").alias("est_d2"))
+        .where(F.col("query_id") != F.col("nid"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("est_d2"), F.asc("nid")
+    )
+    return (
+        est.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select(
+            "query_id",
+            F.col("nid").alias("neighbor_id"),
+            F.col("est_d2").cast("long").alias("est_d2"),
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+    )

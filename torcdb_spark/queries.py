@@ -11643,3 +11643,98 @@ def e14_lsh_rademacher(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_rademacher_topk(
         emb, queries, k=5, num_bits=8, num_tables=4
     )
+
+
+def _pq_sub_sql(s: int, sub_dim: int = 16, ksub: int = 8) -> str:
+    """Per-subspace CTE chain for e15: sliced quantized vectors, seed
+    codebook, ONE Lloyd round, final encode — all integer arithmetic."""
+    lo, hi = s * sub_dim + 1, (s + 1) * sub_dim
+    return f"""qv{s} AS (
+         SELECT vec_id AS id,
+                (list_transform(CAST(embedding AS DOUBLE[]),
+                                x -> CAST(floor(x * 1000) AS BIGINT))
+                )[{lo}:{hi}] AS v
+         FROM embeddings),
+       c0_{s} AS (
+         SELECT row_number() OVER (ORDER BY id) - 1 AS cid, v AS cv
+         FROM (SELECT id, v FROM qv{s} ORDER BY id LIMIT {ksub})),
+       a1d_{s} AS (
+         SELECT q.id, q.v, c.cid,
+                list_sum(list_transform(
+                  list_zip(q.v, c.cv),
+                  p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d2
+         FROM qv{s} q CROSS JOIN c0_{s} c),
+       a1_{s} AS (
+         SELECT id, v, cid FROM (
+           SELECT *, row_number() OVER (PARTITION BY id
+                                        ORDER BY d2 ASC, cid ASC) AS rk
+           FROM a1d_{s}) WHERE rk = 1),
+       c1dims_{s} AS (
+         SELECT cid, p.pos,
+                CAST(floor(CAST(sum(v[p.pos]) AS DOUBLE) / count(*))
+                     AS BIGINT) AS cd
+         FROM a1_{s},
+              (SELECT unnest(range(1, {sub_dim + 1})) AS pos) p
+         GROUP BY cid, p.pos),
+       c1_{s} AS (
+         SELECT cid, list(cd ORDER BY pos) AS cv
+         FROM c1dims_{s} GROUP BY cid),
+       encd_{s} AS (
+         SELECT q.id, c.cid,
+                list_sum(list_transform(
+                  list_zip(q.v, c.cv),
+                  p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d2
+         FROM qv{s} q CROSS JOIN c1_{s} c),
+       codes_{s} AS (
+         SELECT id AS nid, {s} AS s, cid AS code FROM (
+           SELECT *, row_number() OVER (PARTITION BY id
+                                        ORDER BY d2 ASC, cid ASC) AS rk
+           FROM encd_{s}) WHERE rk = 1),
+       lut_{s} AS (
+         SELECT q.id AS query_id, {s} AS s, c.cid AS code,
+                list_sum(list_transform(
+                  list_zip(q.v, c.cv),
+                  p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d2
+         FROM qv{s} q CROSS JOIN c1_{s} c
+         WHERE q.id < 10)"""
+
+
+@_register(
+    "e15_pq_adc_exact",
+    "WITH "
+    + ",\n       ".join(_pq_sub_sql(s) for s in range(4))
+    + """,
+       codes AS (SELECT * FROM codes_0 UNION ALL SELECT * FROM codes_1
+                 UNION ALL SELECT * FROM codes_2
+                 UNION ALL SELECT * FROM codes_3),
+       lut AS (SELECT * FROM lut_0 UNION ALL SELECT * FROM lut_1
+               UNION ALL SELECT * FROM lut_2 UNION ALL SELECT * FROM lut_3),
+       est AS (
+         SELECT l.query_id, c.nid, sum(l.d2) AS est_d2
+         FROM codes c JOIN lut l ON l.s = c.s AND l.code = c.code
+         WHERE l.query_id <> c.nid
+         GROUP BY l.query_id, c.nid)
+       SELECT query_id, nid AS neighbor_id,
+              CAST(est_d2 AS BIGINT) AS est_d2, CAST(rnk AS BIGINT) AS rnk
+       FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                          ORDER BY est_d2 ASC, nid ASC)
+                        AS rnk
+             FROM est) WHERE rnk <= 5""",
+)
+def e15_pq_adc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-k whose entire index is
+    DRIVER-hashable (operators/similarity.py pq_adc_exact): 4 subspaces
+    × 16 dims, each with an integer-exact one-round Lloyd codebook (the
+    km2 machinery on sliced vectors), integer argmin encoding, integer
+    LUT sums as the ADC estimate — the oracle reproduces codebooks,
+    codes, LUTs and the (est_d2, neighbor) top-5 value-for-value.
+    Closes the exact-witness ANN family begun by e13/e14: every
+    production ANN layout (IVF e4, LSH e2, PQ e7) now has a structural
+    twin the driver hash-checks."""
+    from torcdb_spark.operators.similarity import pq_adc_exact
+
+    emb = load_table(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    queries = emb.where(F.col("vec_id") < 10)
+    return pq_adc_exact(emb, queries, k=5, m=4, ksub=8, lloyd_iters=1)
