@@ -11738,3 +11738,90 @@ def e15_pq_adc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     queries = emb.where(F.col("vec_id") < 10)
     return pq_adc_exact(emb, queries, k=5, m=4, ksub=8, lloyd_iters=1)
+
+
+@_register(
+    "e16_semantic_dedup_exact",
+    f"""WITH RECURSIVE km2_qv AS (
+         SELECT vec_id AS id,
+                list_transform(CAST(embedding AS DOUBLE[]),
+                               x -> CAST(floor(x * 1000) AS BIGINT)) AS v
+         FROM embeddings),
+       c0 AS (
+         SELECT row_number() OVER (ORDER BY id) - 1 AS cid, v AS cv
+         FROM (SELECT id, v FROM km2_qv ORDER BY id LIMIT 8)),
+       {_km2_assign_sql('c0', 'a1')},
+       {_km2_update_sql('a1', 'c1')},
+       {_km2_assign_sql('c1', 'a2')},
+       {_km2_update_sql('a2', 'c2')},
+       {_km2_assign_sql('c2', 'a3')},
+       raw AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS r
+               FROM embeddings),
+       pairs AS (
+         SELECT x.id AS pa, y.id AS pb
+         FROM a3 x JOIN a3 y ON x.cid = y.cid AND x.id < y.id
+         JOIN raw rx ON rx.vec_id = x.id
+         JOIN raw ry ON ry.vec_id = y.id
+         WHERE round(list_dot_product(rx.r, ry.r)
+                     / (sqrt(list_dot_product(rx.r, rx.r))
+                        * sqrt(list_dot_product(ry.r, ry.r))), 3) >= 0.3),
+       edges AS (
+         SELECT pa AS a, pb AS b FROM pairs
+         UNION SELECT pb, pa FROM pairs
+         UNION SELECT id, id FROM km2_qv),
+       reach(s, t) AS (
+         SELECT a, b FROM edges
+         UNION
+         SELECT r.s, e.b FROM reach r JOIN edges e ON r.t = e.a)
+       SELECT s AS vec_id, CAST(min(t) AS BIGINT) AS cluster_id,
+              s = min(t) AS is_representative
+       FROM reach GROUP BY s""",
+)
+def e16_semantic_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with a DRIVER-hashable trajectory: km2's integer-exact
+    Lloyd cells bound the quadratic (the SemDeDup design), within-cell
+    pairs score by e1's rounded-cosine rule at τ=0.3, and
+    connected-components closure assigns min-id representatives — the
+    oracle replays cells, pairs and the transitive closure (recursive
+    CTE), so the whole embedding-dedup pipeline e8 runs with checked
+    invariants is here checked value-for-value. Same plan: one
+    broadcast-codebook assignment, one cid-keyed self-join (never a
+    global cross product), one Pregel CC."""
+    from torcdb_spark.analytics import connected_components
+    from torcdb_spark.operators.similarity import (
+        cosine_similarity,
+        kmeans_lloyd_quantized,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    cells = kmeans_lloyd_quantized(emb, k=8, iters=2)
+    raw = emb.select("vec_id", F.col("embedding").alias("_r"))
+    a = (
+        cells.select(F.col("id").alias("ia"), "cid")
+        .join(raw.selectExpr("vec_id AS ia", "_r AS ra"), "ia")
+    )
+    b = (
+        cells.select(F.col("id").alias("ib"), "cid")
+        .join(raw.selectExpr("vec_id AS ib", "_r AS rb"), "ib")
+    )
+    pairs = (
+        a.join(b, "cid")
+        .where(F.col("ia") < F.col("ib"))
+        .where(
+            F.round(
+                cosine_similarity(F.col("ra"), F.col("rb")), 3
+            ) >= 0.3
+        )
+        .select(F.col("ia").alias("src"), F.col("ib").alias("dst"))
+    )
+    singles = emb.select(
+        F.col("vec_id").alias("src"), F.col("vec_id").alias("dst")
+    )
+    cc = connected_components(pairs.unionByName(singles))
+    return cc.select(
+        F.col("id").cast("long").alias("vec_id"),
+        F.col("component").cast("long").alias("cluster_id"),
+        (F.col("id") == F.col("component")).alias("is_representative"),
+    )
