@@ -782,3 +782,39 @@ def test_delete_edges_prunes_label_branches(spark, sf_dir):
     assert shuffle_count(remaining_placed) == 0
     plan = explain_str(remaining_placed, "simple")
     assert "lineitem.parquet" not in plan
+
+
+def test_exact_twin_ann_queries_plan_shape(spark, sf_dir):
+    """The hash-checkable ANN/dedup twins must keep their production
+    plan shapes: codebooks/LUTs broadcast, candidates come from
+    equi-joins — never a CartesianProduct."""
+    from torcdb_spark.queries import queries
+
+    qs = queries()
+    # (e16 is excluded: its CC stage localCheckpoints, so the declared
+    # frame's plan is a checkpoint scan — its pair stage reuses km2 +
+    # the e1 scorer, both asserted here and via their own queries)
+    for name in (
+        "e13_ivf_exact_cells",
+        "e15_pq_adc_exact",
+        "km2_kmeans_lloyd",
+    ):
+        plan = explain_str(qs[name](spark, sf_dir), "simple")
+        assert "CartesianProduct" not in plan, name
+        # the ≤k-row codebook/LUT side must ride a broadcast
+        assert "BroadcastExchange" in plan, name
+
+
+def test_lsh_rademacher_candidates_are_equi_join(spark, sf_dir):
+    """e14's candidates must come from the (table, bucket) hash join —
+    integer sketching must not degrade to a nested-loop scan."""
+    from torcdb_spark.queries import queries
+
+    plan = explain_str(
+        queries()["e14_lsh_rademacher"](spark, sf_dir), "simple"
+    )
+    assert "CartesianProduct" not in plan
+    joins = [ln for ln in plan.splitlines() if "Join" in ln]
+    assert any(
+        "table" in ln and "bucket" in ln for ln in joins
+    ), joins

@@ -665,10 +665,13 @@ DRIVER_PRIORITY: list[str] = [
     # wr2_update_delete_census, ar2_tar_webdataset,
     # v2_safetensors_ingest, st_events_sliding_stream,
     # m12_bilinear_resize, qs1_sample_quantiles, st_cms_heavy_hitters,
-    # km2_kmeans_lloyd, e13_ivf_exact_cells, d29_winnowing_md5 (all
-    # local exact-green in tests/test_oracle_parity.py at 3 SFs, like
-    # every displaced query; 40 oracled candidates total for the
-    # round-8 head).
+    # km2_kmeans_lloyd, e13_ivf_exact_cells, d29_winnowing_md5,
+    # d30_minhash_md5, d31_simhash_md5, d32_hash_sample_md5,
+    # e14_lsh_rademacher, e15_pq_adc_exact, e16_semantic_dedup_exact
+    # (all local exact-green in tests/test_oracle_parity.py at 3 SFs,
+    # like every displaced query; 46 oracled candidates total for the
+    # round-8 head — only 4 never-checked exact-oracled queries would
+    # remain after a full round-8 rotation).
     #
     # -- window/subquery relational block --
     "q_pivot",
