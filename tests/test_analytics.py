@@ -459,3 +459,27 @@ def test_lpa_small_core_finisher_matches_distributed(spark):
     # the two triangles resolve to distinct communities
     assert comm[1] == comm[2] == comm[3]
     assert comm[4] == comm[5] == comm[6]
+
+
+def test_pagerank_fixedpoint_matches_python_replay(spark):
+    from torcdb_spark.analytics import pagerank_fixedpoint
+
+    E = [(1, 10), (1, 11), (2, 10), (3, 11), (10, 1), (11, 3)]
+    edges = spark.createDataFrame(E, "src long, dst long")
+    got = {
+        r.id: r.rank_fp
+        for r in pagerank_fixedpoint(edges, num_iter=3).collect()
+    }
+
+    import math
+    nodes = sorted({x for e in E for x in e})
+    deg = {}
+    for s, _ in E:
+        deg[s] = deg.get(s, 0) + 1
+    r = {v: 1_000_000 for v in nodes}
+    for _ in range(3):
+        nxt = {v: 150_000 for v in nodes}
+        for s, d in E:
+            nxt[d] += int(math.floor((85 * r[s]) / (100 * deg[s])))
+        r = nxt
+    assert got == r

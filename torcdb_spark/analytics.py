@@ -2549,3 +2549,69 @@ def ifub_diameter(
         [(lb, ub, lb >= ub, n_bfs)],
         "diameter_lb long, diameter_ub long, exact boolean, n_bfs long",
     )
+
+
+def pagerank_fixedpoint(
+    edges: DataFrame,
+    num_iter: int = 3,
+    scale: int = 1_000_000,
+    damp_num: int = 85,
+    damp_den: int = 100,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """PageRank in FIXED-POINT integer arithmetic → (id, rank_fp) with
+    rank_fp the scaled-integer rank after ``num_iter`` unrolled rounds —
+    the hash-checkable witness for the float ``pagerank`` (g_pagerank,
+    rows-only): every update is
+
+        r'(v) = floor(scale·(1−d)) + Σ_{u→v} floor(d·r(u) / deg(u))
+
+    with d = damp_num/damp_den applied as integer cross-multiplication
+    (floor((num·r)/(den·deg)) over exact BIGINTs — identical in any
+    engine), so an unrolled-CTE SQL oracle replays the whole trajectory
+    value-for-value (the km2/cl1 treatment applied to PageRank; dangling
+    mass simply evaporates — a documented, equally deterministic
+    convention). Per round the plan is the float version's: edges ⋈
+    ranks (one shuffle) → sum by dst (one shuffle) — nothing about
+    fixed-point changes the 100 TB shape."""
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).dropDuplicates(["src", "dst"]).localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .dropDuplicates(["id"])
+        .localCheckpoint(eager=True)
+    )
+    deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    base = int(scale * (damp_den - damp_num) // damp_den)
+    ranks = nodes.withColumn("rank_fp", F.lit(scale).cast("long"))
+    for _ in range(num_iter):
+        contrib = (
+            e.join(ranks.withColumnRenamed("id", "src"), "src")
+            .join(deg, "src")
+            .select(
+                "dst",
+                F.floor(
+                    (F.lit(damp_num) * F.col("rank_fp")).cast("double")
+                    / (F.lit(damp_den) * F.col("deg"))
+                ).cast("long").alias("c"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("c").alias("in_sum"))
+        )
+        ranks = (
+            nodes.join(
+                contrib.withColumnRenamed("dst", "id"), "id", "left"
+            )
+            .select(
+                "id",
+                (
+                    F.lit(base)
+                    + F.coalesce(F.col("in_sum"), F.lit(0))
+                ).cast("long").alias("rank_fp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks

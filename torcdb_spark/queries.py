@@ -667,11 +667,10 @@ DRIVER_PRIORITY: list[str] = [
     # m12_bilinear_resize, qs1_sample_quantiles, st_cms_heavy_hitters,
     # km2_kmeans_lloyd, e13_ivf_exact_cells, d29_winnowing_md5,
     # d30_minhash_md5, d31_simhash_md5, d32_hash_sample_md5,
-    # e14_lsh_rademacher, e15_pq_adc_exact, e16_semantic_dedup_exact
-    # (all local exact-green in tests/test_oracle_parity.py at 3 SFs,
-    # like every displaced query; 46 oracled candidates total for the
-    # round-8 head — only 4 never-checked exact-oracled queries would
-    # remain after a full round-8 rotation).
+    # e14_lsh_rademacher, e15_pq_adc_exact, e16_semantic_dedup_exact,
+    # g_pr3_fixedpoint (all local exact-green in
+    # tests/test_oracle_parity.py at 3 SFs, like every displaced query;
+    # 47 oracled candidates total for the round-8 head).
     #
     # -- window/subquery relational block --
     "q_pivot",
@@ -11827,4 +11826,66 @@ def e16_semantic_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id").cast("long").alias("vec_id"),
         F.col("component").cast("long").alias("cluster_id"),
         (F.col("id") == F.col("component")).alias("is_representative"),
+    )
+
+
+def _pr_fp_iter_sql(prev: str, out: str) -> str:
+    """One unrolled fixed-point PageRank round for g_pr3's oracle."""
+    return f"""{out} AS (
+         SELECT n.id, CAST(150000 + COALESCE(s.m, 0) AS BIGINT) AS r
+         FROM pr_nodes n LEFT JOIN (
+           SELECT e.dst AS id,
+                  sum(CAST(floor(CAST(85 * r.r AS DOUBLE)
+                                 / (100 * d.deg)) AS BIGINT)) AS m
+           FROM pr_e e
+           JOIN {prev} r ON r.id = e.src
+           JOIN pr_deg d ON d.src = e.src
+           GROUP BY e.dst) s ON s.id = n.id)"""
+
+
+@_register(
+    "g_pr3_fixedpoint",
+    f"""WITH pr_e AS (SELECT DISTINCT l_partkey AS src,
+                             l_suppkey + 10000000 AS dst
+                      FROM lineitem),
+       pr_nodes AS (SELECT DISTINCT id FROM (
+           SELECT src AS id FROM pr_e
+           UNION ALL SELECT dst FROM pr_e)),
+       pr_deg AS (SELECT src, count(*) AS deg FROM pr_e GROUP BY src),
+       r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS r FROM pr_nodes),
+       {_pr_fp_iter_sql('r0', 'r1')},
+       {_pr_fp_iter_sql('r1', 'r2')},
+       {_pr_fp_iter_sql('r2', 'r3')}
+       SELECT id, r AS rank_fp, CAST(rnk AS BIGINT) AS rnk
+       FROM (SELECT *, row_number() OVER (ORDER BY r DESC, id) AS rnk
+             FROM r3) WHERE rnk <= 20""",
+)
+def g_pr3_fixedpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank with a DRIVER-hashable trajectory (analytics.py
+    pagerank_fixedpoint): three fixed-point rounds over the part→supplier
+    supply graph — every update floor((85·r)/(100·deg)) over exact
+    integers, so the unrolled-CTE oracle replays the whole trajectory
+    (the km2/cl1 treatment applied to the iterative-float graph family;
+    g_pagerank keeps the float/dangling-redistribution production form,
+    g_pagerank_exact the closed-form star case — this witness
+    hash-checks the general-graph ITERATION itself). Top-20 suppliers by
+    fixed-point rank, (rank, id) tie-broken."""
+    from torcdb_spark.analytics import pagerank_fixedpoint
+    from pyspark.sql.window import Window as W
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.col("l_partkey").alias("src"),
+        (F.col("l_suppkey") + 10_000_000).alias("dst"),
+    )
+    ranks = pagerank_fixedpoint(edges, num_iter=3)
+    w = W.orderBy(F.desc("rank_fp"), F.asc("id"))
+    return (
+        ranks.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 20)
+        .select(
+            F.col("id").cast("long").alias("id"),
+            F.col("rank_fp"),
+            F.col("rnk").cast("long").alias("rnk"),
+        )
     )
