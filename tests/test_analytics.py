@@ -483,3 +483,41 @@ def test_pagerank_fixedpoint_matches_python_replay(spark):
             nxt[d] += int(math.floor((85 * r[s]) / (100 * deg[s])))
         r = nxt
     assert got == r
+
+
+def test_hits_integer_matches_python_replay_and_float_ranking(spark):
+    from torcdb_spark.analytics import hits, hits_integer
+
+    E = [(1, 10), (1, 11), (2, 10), (3, 11), (3, 12), (4, 12), (4, 10)]
+    edges = spark.createDataFrame(E, "src long, dst long")
+    got = {
+        r.id: (r.hub, r.auth)
+        for r in hits_integer(edges, num_iter=2).collect()
+    }
+    # python replay
+    h = {s: 1 for s, _ in E}
+    a = {}
+    for _ in range(2):
+        a = {}
+        for s, d in E:
+            a[d] = a.get(d, 0) + h.get(s, 0)
+        h = {}
+        for s, d in E:
+            h[s] = h.get(s, 0) + a.get(d, 0)
+    want = {
+        v: (h.get(v, 0), a.get(v, 0))
+        for v in set(h) | set(a)
+    }
+    assert got == want
+    # ordering agreement with the normalized float iteration
+    fa = {
+        r.id: r.auth
+        for r in hits(edges, num_iter=2).collect()
+        if r.auth > 0
+    }
+    int_order = sorted(
+        (v for v in want if want[v][1] > 0),
+        key=lambda v: (-want[v][1], v),
+    )
+    float_order = sorted(fa, key=lambda v: (-fa[v], v))
+    assert int_order == float_order

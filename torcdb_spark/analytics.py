@@ -2615,3 +2615,57 @@ def pagerank_fixedpoint(
             .localCheckpoint(eager=True)
         )
     return ranks
+
+
+def hits_integer(
+    edges: DataFrame,
+    num_iter: int = 2,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """HITS hubs/authorities WITHOUT per-round normalization →
+    (id, hub_i, auth_i) integer scores after ``num_iter`` mutual-
+    reinforcement rounds — the hash-checkable witness for the float
+    ``hits`` (g_hits_parts, rows-only): starting from all-ones,
+    a'(v) = Σ_{u→v} h(u) and h'(u) = Σ_{u→v} a'(v) are pure BIGINT
+    sums, and since L2 normalization is a positive scalar per round the
+    top-k ORDERING is identical to the normalized iteration — the
+    witness checks the same ranking the production operator serves,
+    with an unrolled-CTE oracle replaying every score exactly. Bounded:
+    scores grow ≤ (max_deg²)^iter — two rounds on a degree-10⁴ graph
+    stay < 2⁶³ with orders of magnitude to spare."""
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).dropDuplicates(["src", "dst"]).localCheckpoint(eager=True)
+    hubs = (
+        e.select(F.col("src").alias("id"))
+        .dropDuplicates(["id"])
+        .withColumn("h", F.lit(1).cast("long"))
+    )
+    auths = None
+    for _ in range(num_iter):
+        auths = (
+            e.join(hubs.withColumnRenamed("id", "src"), "src")
+            .groupBy("dst")
+            .agg(F.sum("h").alias("a"))
+            .withColumnRenamed("dst", "id")
+            .localCheckpoint(eager=True)
+        )
+        hubs = (
+            e.join(auths.withColumnRenamed("id", "dst"), "dst")
+            .groupBy("src")
+            .agg(F.sum("a").alias("h"))
+            .withColumnRenamed("src", "id")
+            .localCheckpoint(eager=True)
+        )
+    return (
+        hubs.withColumnRenamed("id", "hid")
+        .join(
+            auths.withColumnRenamed("id", "hid"), "hid", "full"
+        )
+        .select(
+            F.col("hid").alias("id"),
+            F.coalesce(F.col("h"), F.lit(0)).cast("long").alias("hub"),
+            F.coalesce(F.col("a"), F.lit(0)).cast("long").alias("auth"),
+        )
+    )

@@ -668,9 +668,9 @@ DRIVER_PRIORITY: list[str] = [
     # km2_kmeans_lloyd, e13_ivf_exact_cells, d29_winnowing_md5,
     # d30_minhash_md5, d31_simhash_md5, d32_hash_sample_md5,
     # e14_lsh_rademacher, e15_pq_adc_exact, e16_semantic_dedup_exact,
-    # g_pr3_fixedpoint (all local exact-green in
+    # g_pr3_fixedpoint, g_hits2_integer (all local exact-green in
     # tests/test_oracle_parity.py at 3 SFs, like every displaced query;
-    # 47 oracled candidates total for the round-8 head).
+    # 48 oracled candidates total for the round-8 head).
     #
     # -- window/subquery relational block --
     "q_pivot",
@@ -11886,6 +11886,58 @@ def g_pr3_fixedpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("id").cast("long").alias("id"),
             F.col("rank_fp"),
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+    )
+
+
+@_register(
+    "g_hits2_integer",
+    """WITH he AS (SELECT DISTINCT l_partkey AS src,
+                          l_suppkey + 10000000 AS dst
+                   FROM lineitem),
+       h0 AS (SELECT DISTINCT src AS id, CAST(1 AS BIGINT) AS h FROM he),
+       a1 AS (SELECT e.dst AS id, sum(h.h) AS a
+              FROM he e JOIN h0 h ON h.id = e.src GROUP BY e.dst),
+       h1 AS (SELECT e.src AS id, sum(a.a) AS h
+              FROM he e JOIN a1 a ON a.id = e.dst GROUP BY e.src),
+       a2 AS (SELECT e.dst AS id, sum(h.h) AS a
+              FROM he e JOIN h1 h ON h.id = e.src GROUP BY e.dst),
+       h2 AS (SELECT e.src AS id, sum(a.a) AS h
+              FROM he e JOIN a2 a ON a.id = e.dst GROUP BY e.src),
+       scores AS (
+         SELECT COALESCE(h2.id, a2.id) AS id,
+                CAST(COALESCE(h2.h, 0) AS BIGINT) AS hub,
+                CAST(COALESCE(a2.a, 0) AS BIGINT) AS auth
+         FROM h2 FULL JOIN a2 ON h2.id = a2.id)
+       SELECT id, hub, auth, CAST(rnk AS BIGINT) AS rnk
+       FROM (SELECT *, row_number() OVER (ORDER BY auth DESC, id) AS rnk
+             FROM scores) WHERE rnk <= 20""",
+)
+def g_hits2_integer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS with a DRIVER-hashable trajectory (analytics.py
+    hits_integer): two unnormalized mutual-reinforcement rounds over the
+    part→supplier graph — pure BIGINT sums, and because per-round L2
+    normalization is a positive scalar the authority ORDERING equals the
+    normalized iteration's, so this witness hash-checks the same
+    ranking g_hits_parts serves (rows-only float production form). The
+    oracle unrolls both rounds as CTEs; top-20 authorities, (auth, id)
+    tie-broken."""
+    from torcdb_spark.analytics import hits_integer
+    from pyspark.sql.window import Window as W
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.col("l_partkey").alias("src"),
+        (F.col("l_suppkey") + 10_000_000).alias("dst"),
+    )
+    scores = hits_integer(edges, num_iter=2)
+    w = W.orderBy(F.desc("auth"), F.asc("id"))
+    return (
+        scores.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 20)
+        .select(
+            F.col("id").cast("long").alias("id"), "hub", "auth",
             F.col("rnk").cast("long").alias("rnk"),
         )
     )
