@@ -2559,6 +2559,7 @@ def pagerank_fixedpoint(
     damp_den: int = 100,
     src_col: str = "src",
     dst_col: str = "dst",
+    seeds: DataFrame | None = None,
 ) -> DataFrame:
     """PageRank in FIXED-POINT integer arithmetic → (id, rank_fp) with
     rank_fp the scaled-integer rank after ``num_iter`` unrolled rounds —
@@ -2586,7 +2587,23 @@ def pagerank_fixedpoint(
     )
     deg = e.groupBy("src").agg(F.count("*").alias("deg"))
     base = int(scale * (damp_den - damp_num) // damp_den)
-    ranks = nodes.withColumn("rank_fp", F.lit(scale).cast("long"))
+    if seeds is not None:
+        # personalized variant: start mass and teleport land ONLY on the
+        # seed set (PPR semantics) — same integer update otherwise
+        seed_ids = seeds.select(F.col(seeds.columns[0]).alias("id"))
+        is_seed = nodes.join(seed_ids, "id", "left_semi").withColumn(
+            "_b", F.lit(base).cast("long")
+        ).withColumn("_r0", F.lit(scale).cast("long"))
+        base_df = nodes.join(is_seed.select("id", "_b", "_r0"), "id", "left")
+        ranks = base_df.select(
+            "id", F.coalesce(F.col("_r0"), F.lit(0)).cast("long").alias("rank_fp")
+        )
+        bases = base_df.select(
+            "id", F.coalesce(F.col("_b"), F.lit(0)).cast("long").alias("_base")
+        ).localCheckpoint(eager=True)
+    else:
+        ranks = nodes.withColumn("rank_fp", F.lit(scale).cast("long"))
+        bases = nodes.withColumn("_base", F.lit(base).cast("long"))
     for _ in range(num_iter):
         contrib = (
             e.join(ranks.withColumnRenamed("id", "src"), "src")
@@ -2602,13 +2619,13 @@ def pagerank_fixedpoint(
             .agg(F.sum("c").alias("in_sum"))
         )
         ranks = (
-            nodes.join(
+            bases.join(
                 contrib.withColumnRenamed("dst", "id"), "id", "left"
             )
             .select(
                 "id",
                 (
-                    F.lit(base)
+                    F.col("_base")
                     + F.coalesce(F.col("in_sum"), F.lit(0))
                 ).cast("long").alias("rank_fp"),
             )

@@ -668,9 +668,10 @@ DRIVER_PRIORITY: list[str] = [
     # km2_kmeans_lloyd, e13_ivf_exact_cells, d29_winnowing_md5,
     # d30_minhash_md5, d31_simhash_md5, d32_hash_sample_md5,
     # e14_lsh_rademacher, e15_pq_adc_exact, e16_semantic_dedup_exact,
-    # g_pr3_fixedpoint, g_hits2_integer (all local exact-green in
-    # tests/test_oracle_parity.py at 3 SFs, like every displaced query;
-    # 48 oracled candidates total for the round-8 head).
+    # g_pr3_fixedpoint, g_hits2_integer, g_ppr2_fixedpoint (all local
+    # exact-green in tests/test_oracle_parity.py at 3 SFs, like every
+    # displaced query; 49 oracled candidates total for the round-8
+    # head).
     #
     # -- window/subquery relational block --
     "q_pivot",
@@ -11938,6 +11939,73 @@ def g_hits2_integer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rnk") <= 20)
         .select(
             F.col("id").cast("long").alias("id"), "hub", "auth",
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+    )
+
+
+def _ppr_fp_iter_sql(prev: str, out: str) -> str:
+    """One unrolled fixed-point PPR round (teleport only to seeds)."""
+    return f"""{out} AS (
+         SELECT n.id,
+                CAST(CASE WHEN n.id BETWEEN 1 AND 5 THEN 150000 ELSE 0 END
+                     + COALESCE(s.m, 0) AS BIGINT) AS r
+         FROM pr_nodes n LEFT JOIN (
+           SELECT e.dst AS id,
+                  sum(CAST(floor(CAST(85 * r.r AS DOUBLE)
+                                 / (100 * d.deg)) AS BIGINT)) AS m
+           FROM pr_e e
+           JOIN {prev} r ON r.id = e.src
+           JOIN pr_deg d ON d.src = e.src
+           GROUP BY e.dst) s ON s.id = n.id)"""
+
+
+@_register(
+    "g_ppr2_fixedpoint",
+    f"""WITH pr_e AS (SELECT DISTINCT l_partkey AS src,
+                             l_suppkey + 10000000 AS dst
+                      FROM lineitem),
+       pr_nodes AS (SELECT DISTINCT id FROM (
+           SELECT src AS id FROM pr_e
+           UNION ALL SELECT dst FROM pr_e)),
+       pr_deg AS (SELECT src, count(*) AS deg FROM pr_e GROUP BY src),
+       p0 AS (SELECT id, CAST(CASE WHEN id BETWEEN 1 AND 5 THEN 1000000 ELSE 0 END
+                              AS BIGINT) AS r
+              FROM pr_nodes),
+       {_ppr_fp_iter_sql('p0', 'p1')},
+       {_ppr_fp_iter_sql('p1', 'p2')},
+       {_ppr_fp_iter_sql('p2', 'p3')}
+       SELECT id, r AS rank_fp, CAST(rnk AS BIGINT) AS rnk
+       FROM (SELECT *, row_number() OVER (ORDER BY r DESC, id) AS rnk
+             FROM p3 WHERE r > 0) WHERE rnk <= 20""",
+)
+def g_ppr2_fixedpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank with a DRIVER-hashable trajectory
+    (analytics.py pagerank_fixedpoint with a seed set): start mass and
+    teleport land only on parts 1-5, three fixed-point integer rounds
+    over the part→supplier graph, the oracle unrolls the trajectory —
+    the recommendation ranking g_ppr_recommend serves (rows-only float
+    production form), hash-checked. Top-20 positive-mass vertices,
+    (rank, id) tie-broken; zero-mass vertices (unreachable from the
+    seeds) excluded — the locality PPR exists to exploit."""
+    from torcdb_spark.analytics import pagerank_fixedpoint
+    from pyspark.sql.window import Window as W
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.col("l_partkey").alias("src"),
+        (F.col("l_suppkey") + 10_000_000).alias("dst"),
+    )
+    seeds = spark.range(1, 6).select(F.col("id"))
+    ranks = pagerank_fixedpoint(edges, num_iter=3, seeds=seeds)
+    w = W.orderBy(F.desc("rank_fp"), F.asc("id"))
+    return (
+        ranks.where(F.col("rank_fp") > 0)
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 20)
+        .select(
+            F.col("id").cast("long").alias("id"),
+            "rank_fp",
             F.col("rnk").cast("long").alias("rnk"),
         )
     )
