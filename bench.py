@@ -249,6 +249,22 @@ def main() -> None:
     # compact summary (slowest queries only) guaranteed to fit.
     with open(detail_path, "w") as f:
         json.dump(full, f)
+    # Archive the full per-query map per ROUND (bench_detail_r{N}.json,
+    # N inferred as max existing BENCH_r{K}+1 — the driver writes
+    # BENCH_r{N} only after this run), so cross-round per-query
+    # comparisons ("what was ivm2 at r6?") stop depending on the
+    # overwritten working file / git archaeology.
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
+    rounds = [
+        int(mm.group(1))
+        for fn in os.listdir(repo_dir)
+        if (mm := re.match(r"BENCH_r(\d+)\.json$", fn))
+    ]
+    round_no = (max(rounds) + 1) if rounds else 1
+    with open(
+        os.path.join(repo_dir, f"bench_detail_r{round_no:02d}.json"), "w"
+    ) as f:
+        json.dump(full, f)
     print(json.dumps(full))  # full record, for human/file consumers
 
     slowest = dict(

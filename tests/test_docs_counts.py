@@ -33,18 +33,26 @@ def test_readme_counts_match_inventory():
 
 
 def test_driver_gate_head_is_50_registered_oracled():
+    from torcdb_spark.queries import HEAD_ROWS_ONLY
+
     qs, oracles, head = _inventory()
     assert len(head) == 50, "driver gate head must pin exactly 50 slots"
     assert len(set(head)) == 50, "duplicate names in DRIVER_PRIORITY"
     missing = [n for n in head if n not in qs]
     assert not missing, f"DRIVER_PRIORITY names not registered: {missing}"
-    unoracled = [n for n in head if n not in oracles]
+    # Every head entry carries an exact oracle unless it is explicitly
+    # documented rows-only (HEAD_ROWS_ONLY — the driver still records a
+    # rows/schema row for those).
+    unoracled = [n for n in head if n not in oracles and n not in HEAD_ROWS_ONLY]
     assert not unoracled, (
         f"driver gate head entries without an exact oracle: {unoracled}"
     )
+    stale = [n for n in HEAD_ROWS_ONLY if n in oracles or n not in head]
+    assert not stale, f"HEAD_ROWS_ONLY entries oracled or not in head: {stale}"
     # queries()/oracle_sql() iteration order must actually lead with the head
     assert list(qs)[:50] == head
-    assert [n for n in oracles][:50] == [n for n in head if n in oracles]
+    head_oracled = [n for n in head if n in oracles]
+    assert list(oracles)[: len(head_oracled)] == head_oracled
 
 
 def test_every_query_name_unique_and_callable():

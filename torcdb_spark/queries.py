@@ -643,93 +643,84 @@ def x_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 # its registration order after slot 50 and stays covered by the local
 # exact-value gate (tests/test_oracle_parity.py).
 DRIVER_PRIORITY: list[str] = [
-    # ROUND-7 ROTATION: the entire r6 head (50/50 hash-green, listed in
-    # CORRECTNESS_r06.json) cedes its slots at once — every entry below
-    # is a FIRST-TIME driver row: 42 of the 55 never-checked exact-
-    # oracled queries (the window/subquery relational block, the LLM-ops
-    # block, the full multimodal block, and the four round-6 additions)
-    # plus the 8 new-this-round queries (LDBC IS1-IS7 short-read
-    # analogues + the wr1 write-path census). Deferred to round 8 for
-    # lack of slots: t9_props_list_roundtrip, gs2_random_walks,
-    # v1_npy_ingest, ar1_zip_ingest, sql1_adhoc_views,
-    # cd2_snapshot_diff_rows, scd1_event_type_history,
-    # co1_cohort_retention, ws1_weighted_sample, ab1_welch_ttest,
-    # ivm2_join_view_maintenance, h1_histogram_price, ev2_error_bursts,
-    # g_gremlin_tree, l2_domain_pagerank — plus the further round-7
-    # additions/upgrades with no driver row yet: m11_progressive_jpeg,
-    # g_diameter, mis1_independent_set, gc1_graph_coloring, g_ktruss,
-    # gs3_node2vec_walks, e6_quantized_topk, and the 14 round-7
-    # session-2 additions: q_gaps_islands, q_window_distinct_count,
-    # q_not_in_nulls, ts5_seasonal_baseline, d26_containment_join,
-    # th3_kmv_anotb, e12_knn_graph, d28_gopher_rules,
-    # wr2_update_delete_census, ar2_tar_webdataset,
-    # v2_safetensors_ingest, st_events_sliding_stream,
-    # m12_bilinear_resize, qs1_sample_quantiles, st_cms_heavy_hitters,
-    # km2_kmeans_lloyd, e13_ivf_exact_cells, d29_winnowing_md5,
-    # d30_minhash_md5, d31_simhash_md5, d32_hash_sample_md5,
-    # e14_lsh_rademacher, e15_pq_adc_exact, e16_semantic_dedup_exact,
-    # g_pr3_fixedpoint, g_hits2_integer, g_ppr2_fixedpoint (all local
-    # exact-green in tests/test_oracle_parity.py at 3 SFs, like every
-    # displaced query; 49 oracled candidates total for the round-8
-    # head).
+    # ROUND-8 ROTATION — the coverage-closing head.  The entire r7 head
+    # (50/50 hash-green, CORRECTNESS_r07.json) cedes its slots at once.
+    # Below are ALL 49 exact-oracled queries that have never had a driver
+    # CORRECTNESS row (the r7 deferrals + the r7 additions/upgrades; each
+    # local exact-green at 3 SFs in tests/test_oracle_parity.py), plus one
+    # rows-only slot (m3_image_decode, HEAD_ROWS_ONLY) so the driver
+    # records at least a rows/schema row for the multimodal decode path.
+    # After this round every oracled query has hard driver signal
+    # (cumulative 258/269 + m3's rows-row = 259).
     #
-    # -- window/subquery relational block --
-    "q_pivot",
-    "q_percentiles",
-    "q_lead_lag",
-    "q_salted_join",
-    "q_scalar_subquery",
-    "q_exists_subquery",
-    "q_set_ops",
-    "q_having",
-    "q_date_parts",
-    "q_range_frame_trailing",
-    "q_udtf_top_terms",
-    "q_hll_mergeable_sketch",
-    "q_aqp_sampled_revenue",
-    # -- LLM-ops block --
-    "p1_clean_corpus",
-    "d10_chunking",
-    "d11_redact_pii",
-    "d15_bm25_rank",
-    "d17_vocab_oov",
-    "e9_hard_negatives",
-    "e11_matryoshka_topk",
-    "fe1_feature_hash_embed",
-    "h2_html_extract",
-    "lp1_adamic_adar",
-    "cdc3_content_chunks",
-    "cv1_conversation_assembly",
-    "se1_event_sessions",
-    "sg1_subgraph_counts",
-    "ts1_rollup_hourly",
-    "ts3_zscore_anomalies",
-    "u1_url_domain_stats",
-    "th2_kmv_intersection",
-    "rj2_value_bands",
-    "l1_link_graph",
-    # -- multimodal block (full) --
-    "m2_frame_sample",
-    "m5_audio_spectral",
-    "m8_video_frames",
-    "m9_gif_roundtrip",
-    "m10_gif_animation",
-    # -- round-6 additions --
-    "sh1_epoch_shuffle",
-    "pca1_embedding_covariance",
-    "g_gremlin_sack",
-    "g_gremlin_value_stats",
-    # -- NEW round-7: LDBC SNB short reads (reference README validation
-    # workload) + the write-path census --
-    "ldbc_is_like_profile",
-    "ldbc_is_like_recent_msgs",
-    "ldbc_is_like_friends",
-    "ldbc_is_like_msg_content",
-    "ldbc_is_like_msg_creator",
-    "ldbc_is_like_msg_forum",
-    "ldbc_is_like_replies",
-    "wr1_upsert_census",
+    # Round-9 head candidates (everything still without a driver row
+    # after this round): the 10 remaining rows-only queries
+    # (d12_hash_sample, d14_simhash_near_dups, e7_pq_topk, e8_semantic_dedup,
+    # g_ppr_recommend, g_hits_parts, g_betweenness, g_mst,
+    # g_lpa_communities, m7_phash_near_dups) plus every query added in
+    # round 8 (see the r8 commits).
+    #
+    # -- r7 deferrals --
+    "t9_props_list_roundtrip",
+    "sql1_adhoc_views",
+    "e6_quantized_topk",
+    "h1_histogram_price",
+    "gs2_random_walks",
+    "cd2_snapshot_diff_rows",
+    "ws1_weighted_sample",
+    "co1_cohort_retention",
+    "scd1_event_type_history",
+    "gs3_node2vec_walks",
+    "ev2_error_bursts",
+    "v1_npy_ingest",
+    "ar1_zip_ingest",
+    "l2_domain_pagerank",
+    "ab1_welch_ttest",
+    "ivm2_join_view_maintenance",
+    "g_gremlin_tree",
+    # -- r7 exact-oracle upgrades of former rows-only queries --
+    "mis1_independent_set",
+    "gc1_graph_coloring",
+    "g_ktruss",
+    "g_diameter",
+    # -- r7 session-2 additions --
+    "m11_progressive_jpeg",
+    "q_gaps_islands",
+    "q_window_distinct_count",
+    "q_not_in_nulls",
+    "ts5_seasonal_baseline",
+    "d26_containment_join",
+    "th3_kmv_anotb",
+    "e12_knn_graph",
+    "d28_gopher_rules",
+    "wr2_update_delete_census",
+    "ar2_tar_webdataset",
+    "v2_safetensors_ingest",
+    "st_events_sliding_stream",
+    "m12_bilinear_resize",
+    "qs1_sample_quantiles",
+    "st_cms_heavy_hitters",
+    # -- r7 exact-witness twin family --
+    "km2_kmeans_lloyd",
+    "e13_ivf_exact_cells",
+    "d29_winnowing_md5",
+    "d30_minhash_md5",
+    "d31_simhash_md5",
+    "d32_hash_sample_md5",
+    "e14_lsh_rademacher",
+    "e15_pq_adc_exact",
+    "e16_semantic_dedup_exact",
+    "g_pr3_fixedpoint",
+    "g_hits2_integer",
+    "g_ppr2_fixedpoint",
+    # -- rows-only 50th slot (documented in HEAD_ROWS_ONLY) --
+    "m3_image_decode",
 ]
+
+# Head entries that ship WITHOUT a DuckDB oracle by documented design (the
+# driver records a rows/schema-only row for these).  test_docs_counts pins
+# every other head entry to an exact oracle.
+HEAD_ROWS_ONLY: frozenset[str] = frozenset({"m3_image_decode"})
 
 
 def _priority_order(mapping: dict[str, object]) -> dict[str, object]:
