@@ -818,3 +818,44 @@ def test_lsh_rademacher_candidates_are_equi_join(spark, sf_dir):
     assert any(
         "table" in ln and "bucket" in ln for ln in joins
     ), joins
+
+
+def test_lpa_witness_distributed_superstep_shape(spark, sf_dir):
+    """g_lpa2 forces the distributed LPA path (local_threshold=0). The
+    declared frame's own plan is a checkpoint scan (state checkpoints
+    every superstep — the e16 situation), so assert the superstep shape
+    on an inline-built first superstep over the same core: the vote is
+    a hash-aggregate fed by a broadcast state join — the |V|-sized
+    state rides a BroadcastExchange so the superstep is a map-only pass
+    over the edge set, never a CartesianProduct."""
+    from torcdb_spark.queries import _nav_core_undirected
+
+    core = _nav_core_undirected(spark, sf_dir).select("a", "b")
+    und = core.unionByName(
+        core.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).dropDuplicates(["a", "b"])
+    state = (
+        und.select(F.col("a").alias("id"))
+        .dropDuplicates(["id"])
+        .withColumn("community", F.col("id"))
+    )
+    votes = (
+        und.join(F.broadcast(state), und["a"] == state["id"])
+        .groupBy(F.col("b").alias("v"), F.col("community").alias("lbl"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    plan = explain_str(votes, "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan
+    assert "HashAggregate" in plan
+
+
+def test_mst_witness_no_cartesian(spark, sf_dir):
+    """g_mst2's hybrid Borůvka (one distributed round + the one-task
+    Kruskal finisher) must stay equi-join shaped end to end."""
+    from torcdb_spark.queries import queries
+
+    plan = explain_str(
+        queries()["g_mst2_kruskal_witness"](spark, sf_dir), "simple"
+    )
+    assert "CartesianProduct" not in plan

@@ -12000,3 +12000,166 @@ def g_ppr2_fixedpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rnk").cast("long").alias("rnk"),
         )
     )
+
+
+# Shared navigation-core SQL for the g_mst2/g_lpa2 witnesses: the mis1/gc1
+# high-support construction, undirected with summed transition counts as
+# integer weights.
+_NAV_CORE_SQL = """
+  seq AS (SELECT user_id,
+                 CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+                 ts, event_id
+          FROM events),
+  tr AS (SELECT k AS src, lead(k) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS dst
+         FROM seq),
+  cnts AS (SELECT src, dst, count(*) AS n FROM tr
+           WHERE dst IS NOT NULL GROUP BY 1, 2),
+  und AS (SELECT least(src, dst) AS a, greatest(src, dst) AS b,
+                 CAST(sum(n) AS BIGINT) AS w
+          FROM cnts WHERE src <> dst GROUP BY 1, 2),
+  core AS (SELECT a, b, w FROM und ORDER BY w DESC, a ASC, b ASC LIMIT 175)
+"""
+
+
+def _nav_core_undirected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events-navigation core as an UNDIRECTED weighted edge set
+    (a < b, w = summed transition count, top-175 by (w desc, a, b)) —
+    the mis1/gc1/g_ktruss scale-stable construction, shared by the
+    g_mst2/g_lpa2 witnesses."""
+    events = load_table(spark, sf_dir, "events")
+    seq = events.select(
+        "user_id",
+        F.get_json_object(F.col("props"), "$.k").cast("long").alias("k"),
+        "ts",
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tr = seq.select(
+        F.col("k").alias("src"), F.lead("k").over(w).alias("dst")
+    ).where(F.col("dst").isNotNull())
+    cnts = tr.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("n"))
+    und = (
+        cnts.where(F.col("src") != F.col("dst"))
+        .groupBy(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .agg(F.sum("n").cast("long").alias("w"))
+    )
+    return und.orderBy(F.desc("w"), F.asc("a"), F.asc("b")).limit(175)
+
+
+@_register(
+    "g_mst2_kruskal_witness",
+    """WITH RECURSIVE """ + _NAV_CORE_SQL + """,
+       es AS (SELECT list(struct_pack(w := w, u := a, v := b)
+                          ORDER BY w, a, b) AS es
+              FROM core),
+       vs AS (SELECT list(DISTINCT x ORDER BY x) AS vs FROM (
+                SELECT a AS x FROM core UNION SELECT b FROM core)),
+       it(i, comp, mst) AS (
+         SELECT 0,
+                (SELECT list_transform(vs, x -> struct_pack(id := x, c := x))
+                 FROM vs),
+                CAST([] AS STRUCT(w BIGINT, u BIGINT, v BIGINT)[])
+         UNION ALL
+         SELECT it.i + 1,
+                CASE WHEN t.cu <> t.cv
+                     THEN list_transform(it.comp, x -> struct_pack(id := x.id,
+                            c := CASE WHEN x.c = t.cv THEN t.cu
+                                 ELSE x.c END))
+                     ELSE it.comp END,
+                CASE WHEN t.cu <> t.cv THEN list_append(it.mst, t.e)
+                     ELSE it.mst END
+         FROM it, es, LATERAL (
+            SELECT es.es[it.i + 1] AS e,
+                   list_filter(it.comp,
+                               x -> x.id = es.es[it.i + 1].u)[1].c AS cu,
+                   list_filter(it.comp,
+                               x -> x.id = es.es[it.i + 1].v)[1].c AS cv
+         ) t
+         WHERE it.i < len(es.es)
+       )
+       SELECT CAST(m.u AS BIGINT) AS src, CAST(m.v AS BIGINT) AS dst,
+              CAST(m.w AS BIGINT) AS w
+       FROM (SELECT unnest(mst) AS m FROM it, es WHERE it.i = len(es.es))""",
+)
+def g_mst2_kruskal_witness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum spanning forest with a DRIVER-hashable edge set — the
+    exact-witness twin of rows-only g_mst (VERDICT r7 ask #5; the
+    GraphComputer surface the reference refuses, TorcGraph.java:315-324).
+
+    Integer weights + the strict (w, src, dst) total order make the
+    forest UNIQUE (cut property under lexicographic distinctification),
+    so distributed Borůvka and sequential Kruskal must pick the SAME
+    edges. The Spark side runs analytics.boruvka_mst over the 175-edge
+    navigation core with local_threshold=60, which exercises BOTH paths
+    in one hash: round 0 is a full distributed round (component
+    re-keying, per-component struct-min pick, 2-cycle break, pointer
+    doubling, contraction), after which the shrunken remainder drops
+    under the threshold and the one-task Kruskal finisher completes the
+    forest under the same order. The oracle replays sequential Kruskal
+    edge-by-edge as a recursive CTE carrying the (vertex → component)
+    list — every chosen (src, dst, w) row value-hashed."""
+    from torcdb_spark.analytics import boruvka_mst
+
+    core = _nav_core_undirected(spark, sf_dir)
+    mst = boruvka_mst(
+        core, src_col="a", dst_col="b", weight_col="w", local_threshold=60
+    )
+    return mst.select(
+        F.col("a").cast("long").alias("src"),
+        F.col("b").cast("long").alias("dst"),
+        F.col("w").cast("long").alias("w"),
+    )
+
+
+@_register(
+    "g_lpa2_integer_votes",
+    """WITH """ + _NAV_CORE_SQL + """,
+       sym AS (SELECT a, b FROM core UNION SELECT b AS a, a AS b FROM core),
+       l0 AS (SELECT DISTINCT a AS id, a AS lab FROM sym),
+       l1 AS (SELECT id, lab FROM (
+                SELECT s.b AS id, l.lab AS lab,
+                       row_number() OVER (PARTITION BY s.b
+                           ORDER BY count(*) DESC, l.lab ASC) AS rn
+                FROM sym s JOIN l0 l ON l.id = s.a
+                GROUP BY s.b, l.lab) WHERE rn = 1),
+       l2 AS (SELECT id, lab FROM (
+                SELECT s.b AS id, l.lab AS lab,
+                       row_number() OVER (PARTITION BY s.b
+                           ORDER BY count(*) DESC, l.lab ASC) AS rn
+                FROM sym s JOIN l1 l ON l.id = s.a
+                GROUP BY s.b, l.lab) WHERE rn = 1),
+       l3 AS (SELECT id, lab FROM (
+                SELECT s.b AS id, l.lab AS lab,
+                       row_number() OVER (PARTITION BY s.b
+                           ORDER BY count(*) DESC, l.lab ASC) AS rn
+                FROM sym s JOIN l2 l ON l.id = s.a
+                GROUP BY s.b, l.lab) WHERE rn = 1)
+       SELECT CAST(id AS BIGINT) AS id, CAST(lab AS BIGINT) AS community
+       FROM l3""",
+)
+def g_lpa2_integer_votes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label propagation with a DRIVER-hashable per-vertex label map —
+    the exact-witness twin of rows-only g_lpa_communities (VERDICT r7
+    ask #6). Synchronous LPA is all-integer: frequency votes are
+    counts, ties break toward the SMALLEST label, updates are
+    simultaneous — so a fixed 3-superstep run has exactly one possible
+    trajectory. The Spark side runs analytics.label_propagation with
+    local_threshold=0, forcing the DISTRIBUTED superstep (edge⋈state
+    join → (vertex, label) count → struct-min argmax, broadcast state)
+    rather than the small-core finisher, so the hash certifies the
+    production plan shape; the oracle unrolls the three supersteps as
+    chained CTEs with the identical (count DESC, label ASC) vote."""
+    from torcdb_spark.analytics import label_propagation
+
+    core = _nav_core_undirected(spark, sf_dir).select("a", "b")
+    out = label_propagation(
+        core, max_iter=3, src_col="a", dst_col="b", local_threshold=0
+    )
+    return out.select(
+        F.col("id").cast("long").alias("id"),
+        F.col("community").cast("long").alias("community"),
+    )
