@@ -334,6 +334,63 @@ def test_betweenness_matches_pure_python_brandes(spark):
         assert b == pytest.approx(expected[v], abs=1e-9), v
 
 
+def test_betweenness_integer_grid_matches_pure_python(spark):
+    """scale= mode: the dependency push-back on the 10^6 integer grid has
+    exactly one possible trajectory (σ exact BIGINT, per-successor term
+    (σ_v·(SCALE+Δ_w)) div σ_w with truncating division) — the Spark run
+    must equal a pure-Python replay bit-for-bit, no approx."""
+    from collections import defaultdict, deque
+
+    from torcdb_spark.analytics import betweenness_sampled
+
+    SCALE = 1_000_000
+    edges = [
+        (0, 1), (0, 2), (1, 3), (2, 3), (3, 4), (1, 4), (4, 5), (2, 6),
+        (6, 4),
+    ]
+    sources = [0, 1]
+
+    def brandes_grid(edge_list, srcs):
+        adj = defaultdict(list)
+        for s, d in edge_list:
+            adj[s].append(d)
+        bc = defaultdict(int)
+        for s in srcs:
+            dist = {s: 0}
+            sigma = defaultdict(int)
+            sigma[s] = 1
+            order = []
+            q = deque([s])
+            while q:
+                v = q.popleft()
+                order.append(v)
+                for w in adj[v]:
+                    if w not in dist:
+                        dist[w] = dist[v] + 1
+                        q.append(w)
+                    if dist[w] == dist[v] + 1:
+                        sigma[w] += sigma[v]
+            delta = defaultdict(int)
+            for v in reversed(order):
+                for w in adj[v]:
+                    if dist.get(w) == dist[v] + 1:
+                        delta[v] += (sigma[v] * (SCALE + delta[w])) // sigma[w]
+                if v != s:
+                    bc[v] += delta[v]
+        return bc
+
+    expected = brandes_grid(edges, sources)
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    sdf = spark.createDataFrame([(s,) for s in sources], ["id"])
+    got = {
+        r.id: r.bc
+        for r in betweenness_sampled(df, sdf, scale=SCALE).collect()
+    }
+    for v, b in got.items():
+        assert isinstance(b, int)
+        assert b == expected[v], v
+
+
 def test_label_propagation_matches_pure_python(spark):
     from collections import Counter
 

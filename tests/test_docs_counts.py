@@ -55,6 +55,41 @@ def test_driver_gate_head_is_50_registered_oracled():
     assert list(oracles)[: len(head_oracled)] == head_oracled
 
 
+def test_head_follows_staleness_policy():
+    """Round 9+ rotation policy: the head must be exactly the 50 declared
+    queries with the OLDEST driver signal (never-checked first) under the
+    committed CORRECTNESS_r{K}.json artifacts up to ROTATION_BASIS_ROUND —
+    so each round's head is a deterministic function of the recorded
+    driver history, and signal freshness is guaranteed to improve (a
+    checked query can't re-enter the head until everything staler has
+    had its turn)."""
+    import glob
+    import re as _re
+
+    from torcdb_spark.queries import (
+        DRIVER_PRIORITY,
+        ROTATION_BASIS_ROUND,
+        staleness_head,
+    )
+
+    assert DRIVER_PRIORITY == staleness_head(50), (
+        "DRIVER_PRIORITY diverges from the staleness ranking — re-run "
+        "staleness_head(50) and paste its result"
+    )
+    rounds = [
+        int(_re.search(r"r(\d+)", p).group(1))
+        for p in glob.glob(str(REPO / "CORRECTNESS_r*.json"))
+    ]
+    # The basis must track the newest committed driver record; `- 1`
+    # tolerates the in-flight round the driver appends AFTER the head was
+    # staged (its record lands in the same commit as the next session's
+    # starting tree), while still forcing a bump every round.
+    assert ROTATION_BASIS_ROUND >= max(rounds) - 1, (
+        "ROTATION_BASIS_ROUND is stale: bump it to the latest "
+        "CORRECTNESS_r{K}.json round and re-derive DRIVER_PRIORITY"
+    )
+
+
 def test_every_query_name_unique_and_callable():
     qs, oracles, _ = _inventory()
     assert set(oracles) <= set(qs), "oracle without a registered query"

@@ -895,6 +895,7 @@ def betweenness_sampled(
     max_depth: int = 10,
     src_col: str = "src",
     dst_col: str = "dst",
+    scale: int | None = None,
 ) -> DataFrame:
     """Source-sampled betweenness centrality (Brandes 2001) → (id, bc):
     for each sample source s, count shortest paths (σ) with a forward BFS,
@@ -912,12 +913,22 @@ def betweenness_sampled(
     σ-accumulating message sum; backward phase walks the recorded BFS
     levels deepest-first, one join per level. All levels are eager
     localCheckpoints (the lineage discipline every iterative operator here
-    uses)."""
+    uses).
+
+    ``scale``: when set, dependency accumulation runs on a FIXED INTEGER
+    GRID instead of doubles — σ stays the exact BIGINT path count and the
+    per-successor contribution becomes ``(σ_v · (scale + Δ_w)) div σ_w``
+    (truncating integer division, identical in Spark/DuckDB/Python), so
+    the whole trajectory has exactly one possible value and ``bc`` comes
+    back as a driver-hashable BIGINT ≈ δ·scale. Same joins, same levels,
+    same plan shape — only the arithmetic domain changes (the
+    g_pr3/g_hits2 exact-witness pattern)."""
     e = (
         edges.select(F.col(src_col).alias("es"), F.col(dst_col).alias("ed"))
         .dropDuplicates()
         .persist()
     )
+    one = F.lit(1).cast("long") if scale else F.lit(1.0)
     id_c = sources.columns[0]
     lvl0 = _checkpointed(
         sources.select(F.col(id_c).alias("s"))
@@ -925,7 +936,7 @@ def betweenness_sampled(
         .select(
             "s",
             F.col("s").alias("v"),
-            F.lit(1.0).alias("sigma"),
+            one.alias("sigma"),
         )
     )
     # The (s, v) state tables are k-bounded while the edge set is the
@@ -959,7 +970,8 @@ def betweenness_sampled(
         level_sizes.append(n_new)
         visited = visited.unionByName(new.select("s", "v"))
     # backward accumulation, deepest level first (its delta is 0)
-    delta = levels[-1].select("s", "v", F.lit(0.0).alias("delta"))
+    zero = F.lit(0).cast("long") if scale else F.lit(0.0)
+    delta = levels[-1].select("s", "v", zero.alias("delta"))
     acc = [delta]
     for li in range(len(levels) - 2, -1, -1):
         succ = (
@@ -973,21 +985,22 @@ def betweenness_sampled(
         succ = _maybe_bcast(succ, level_sizes[li + 1])
         cur = levels[li]
         cur_b = _maybe_bcast(cur, level_sizes[li])
+        per_succ = (
+            F.expr(f"(sigma * ({scale} + delta)) div sw")
+            if scale
+            else F.col("sigma") / F.col("sw") * (F.lit(1.0) + F.col("delta"))
+        )
         contrib = (
             cur_b.join(e, cur_b["v"] == e["es"])
             .select("s", "v", "sigma", F.col("ed").alias("w"))
             .join(succ, ["s", "w"])
             .groupBy("s", "v")
-            .agg(
-                F.sum(
-                    F.col("sigma") / F.col("sw") * (F.lit(1.0) + F.col("delta"))
-                ).alias("_c")
-            )
+            .agg(F.sum(per_succ).alias("_c"))
         )
         delta = _checkpointed(
             cur.select("s", "v")
             .join(_maybe_bcast(contrib, level_sizes[li]), ["s", "v"], "left")
-            .select("s", "v", F.coalesce(F.col("_c"), F.lit(0.0)).alias("delta"))
+            .select("s", "v", F.coalesce(F.col("_c"), zero).alias("delta"))
         )
         acc.append(delta)
     res = acc[0]
