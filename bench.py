@@ -19,6 +19,24 @@ import time
 
 import pandas as pd  # module-level: pandas_udf resolves stringified type hints
 
+# Queries re-timed in a FRESH JVM (--isolate) EVERY run, in addition to
+# whatever the regression detector flags: the round-8 regressed set
+# (VERDICT r8 ask #4 — none crossed the auto-isolate threshold, so the
+# r8 artifact shipped an empty isolated map) plus ivm2, whose r7 4.21 s →
+# r8 0.83 s swing is the standing example of suite-contention variance
+# (post-mortem: PERF_NOTES.md). In-suite vs fresh-JVM is the arbiter
+# between "suite got crowded" and "plan got slower"; keeping these in the
+# map every round makes the variance visible instead of episodic.
+FORCE_ISOLATE = (
+    "g_pagerank_exact",
+    "e12_knn_graph",
+    "e8_semantic_dedup",
+    "g_path_pair",
+    "e11_matryoshka_topk",
+    "bl1_bloom_semijoin",
+    "ivm2_join_view_maintenance",
+)
+
 
 def _warmup(spark, sf_dir: str) -> None:
     # Warm-up (not counted), mirroring a production steady state:
@@ -96,6 +114,16 @@ def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--isolate":
         _isolate_main(sys.argv[2:])
         return
+    # --round N: label for the per-round archive (bench_detail_r{N}.json).
+    # Without it the round is inferred as max(BENCH_r{K})+1 — correct for
+    # the driver's in-round run, but a MANUAL re-run after the driver has
+    # written this round's BENCH_r{N} would mislabel the archive one round
+    # ahead (indistinguishable by file state); pass --round explicitly
+    # when re-running by hand.
+    explicit_round = None
+    if "--round" in sys.argv:
+        i = sys.argv.index("--round")
+        explicit_round = int(sys.argv[i + 1])
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
@@ -155,18 +183,25 @@ def main() -> None:
     )[:n_recheck]
     qmap = dict(queries().items())
     for name in recheck:
-        try:
-            t0 = time.perf_counter()
-            qmap[name](spark, sf_dir).write.format("noop").mode(
-                "overwrite"
-            ).save()
-            timings[name] = round(
-                min(timings[name], time.perf_counter() - t0), 3
-            )
-        except Exception as exc:
-            print(f"bench: recheck {name} FAILED: {exc}", file=sys.stderr)
-        spark.catalog.clearCache()
-        gc.collect()
+        # The >2 s tail gets TWO recheck samples (effective min-of-4):
+        # iterative/embedding queries there show the largest run-to-run
+        # jitter and have generated every false regression flag so far —
+        # bounded extra wall time (~10 queries x ~3 s) buys flag stability.
+        extra = 2 if timings[name] > 2.0 else 1
+        for _ in range(extra):
+            try:
+                t0 = time.perf_counter()
+                qmap[name](spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                timings[name] = round(
+                    min(timings[name], time.perf_counter() - t0), 3
+                )
+            except Exception as exc:
+                print(f"bench: recheck {name} FAILED: {exc}", file=sys.stderr)
+                break
+            spark.catalog.clearCache()
+            gc.collect()
         print(f"bench: recheck {name} {timings[name]}s", file=sys.stderr)
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
@@ -216,13 +251,16 @@ def main() -> None:
         if timings[k] >= prev[k] * 1.5 * ambient and delta[k] >= 0.5
     }
     isolated: dict[str, float] = {}
-    if regressed and not os.environ.get("SPARK_GRAFT_NO_ISOLATE"):
+    to_isolate = sorted(
+        set(regressed) | {q for q in FORCE_ISOLATE if q in timings}
+    )
+    if to_isolate and not os.environ.get("SPARK_GRAFT_NO_ISOLATE"):
         import subprocess
 
         try:
             r = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--isolate",
-                 *regressed],
+                 *to_isolate],
                 capture_output=True, text=True, timeout=1800,
                 cwd=os.path.dirname(os.path.abspath(__file__)),
             )
@@ -260,11 +298,29 @@ def main() -> None:
         for fn in os.listdir(repo_dir)
         if (mm := re.match(r"BENCH_r(\d+)\.json$", fn))
     ]
-    round_no = (max(rounds) + 1) if rounds else 1
+    round_no = explicit_round or ((max(rounds) + 1) if rounds else 1)
     with open(
         os.path.join(repo_dir, f"bench_detail_r{round_no:02d}.json"), "w"
     ) as f:
         json.dump(full, f)
+    # Regenerate PLAN_AUDIT.md from THIS run's top-10 (VERDICT r8 ask #2:
+    # the artifact went stale whenever plan_audit wasn't re-run by hand
+    # after a bench; wiring it here makes staleness impossible). Fresh
+    # subprocess after spark.stop() so the audit session owns the JVM
+    # memory; failure/timeout must not sink the bench record.
+    spark.stop()
+    if not os.environ.get("SPARK_GRAFT_NO_PLAN_AUDIT"):
+        import subprocess
+
+        try:
+            subprocess.run(
+                [sys.executable, os.path.join(repo_dir, "tools",
+                                              "plan_audit.py"), "10"],
+                capture_output=True, text=True, timeout=1200, cwd=repo_dir,
+            )
+            print("bench: PLAN_AUDIT.md regenerated", file=sys.stderr)
+        except Exception as exc:
+            print(f"bench: plan audit failed: {exc}", file=sys.stderr)
     print(json.dumps(full))  # full record, for human/file consumers
 
     slowest = dict(
