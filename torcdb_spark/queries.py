@@ -3889,8 +3889,10 @@ def d13_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTERING — the end deliverable of dedup: exact 5-gram
     Jaccard pairs (bounded candidate set, threshold 0.2) become an edge
     list, connected_components assigns each doc its min-doc-id cluster
-    representative. At 100 TB the candidate stage is the LSH bucket join
-    (x_minhash_near_dups) and the CC stage is the same Pregel operator —
+    representative (the label flood: dup graphs here are shallow near-
+    cliques, its best case; singletons restored by a left join). At
+    100 TB the candidate stage is the LSH bucket join
+    (x_minhash_near_dups) and the CC stage is the same operator e8 uses —
     this query verifies the composition exactly against a recursive-CTE
     transitive closure."""
     from torcdb_spark.analytics import connected_components
@@ -3912,13 +3914,12 @@ def d13_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("jaccard") >= 0.2)
         .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     )
-    singletons = ids.select(
-        F.col("doc_id").alias("src"), F.col("doc_id").alias("dst")
-    )
-    cc = connected_components(edges.unionByName(singletons))
-    return cc.select(
-        F.col("id").cast("long").alias("doc_id"),
-        F.col("component").cast("long").alias("cluster_id"),
+    cc = connected_components(edges)
+    return ids.join(cc, ids["doc_id"] == cc["id"], "left").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.coalesce(F.col("component"), F.col("doc_id"))
+        .cast("long")
+        .alias("cluster_id"),
     )
 
 
@@ -11829,46 +11830,63 @@ def e16_semantic_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     connected-components closure assigns min-id representatives — the
     oracle replays cells, pairs and the transitive closure (recursive
     CTE), so the whole embedding-dedup pipeline e8 runs with checked
-    invariants is here checked value-for-value. Same plan: one
-    broadcast-codebook assignment, one cid-keyed self-join (never a
-    global cross product), one Pregel CC."""
-    from torcdb_spark.analytics import connected_components
-    from torcdb_spark.operators.similarity import (
-        cosine_similarity,
-        kmeans_lloyd_quantized,
-    )
+    invariants is here checked value-for-value. Plan: one
+    broadcast-codebook assignment, the assignment materialized ONCE
+    before fanning into both sides of the cid-keyed self-join (never a
+    global cross product), per-VECTOR norms computed before the join so
+    the per-pair predicate is a single dot product (float-identical to
+    cosine_similarity — same left-fold dot, same na·nb denominator — at
+    a third of the per-pair lambda work), and star-contraction CC with
+    singletons restored by a left join (τ=0.3 gives a CHAIN-shaped pair
+    graph — O(log n) contraction rounds beat the O(diameter) label
+    flood here; e8's τ≈0.95 near-clique graphs keep the flood, both CC
+    operators being independently driver-certified)."""
+    from torcdb_spark.analytics import connected_components_doubling
+    from torcdb_spark.functions.vector import dot, l2_norm
+    from torcdb_spark.operators.similarity import kmeans_lloyd_quantized
 
     emb = load_table(spark, sf_dir, "embeddings").repartition(
         spark.sparkContext.defaultParallelism
     )
-    cells = kmeans_lloyd_quantized(emb, k=8, iters=2)
-    raw = emb.select("vec_id", F.col("embedding").alias("_r"))
+    # one materialization of the assignment: both self-join branches and
+    # the CC otherwise re-run the full Lloyd lineage (2 windows + 2
+    # two-level aggregates) per reference
+    cells = kmeans_lloyd_quantized(emb, k=8, iters=2).localCheckpoint(
+        eager=True
+    )
+    raw = emb.select(
+        "vec_id",
+        F.col("embedding").alias("_r"),
+        l2_norm(F.col("embedding")).alias("_n"),
+    )
     a = (
         cells.select(F.col("id").alias("ia"), "cid")
-        .join(raw.selectExpr("vec_id AS ia", "_r AS ra"), "ia")
+        .join(raw.selectExpr("vec_id AS ia", "_r AS ra", "_n AS na"), "ia")
     )
     b = (
         cells.select(F.col("id").alias("ib"), "cid")
-        .join(raw.selectExpr("vec_id AS ib", "_r AS rb"), "ib")
+        .join(raw.selectExpr("vec_id AS ib", "_r AS rb", "_n AS nb"), "ib")
     )
+    denom = F.col("na") * F.col("nb")
+    cos = F.when(denom != 0.0, dot(F.col("ra"), F.col("rb")) / denom)
     pairs = (
         a.join(b, "cid")
         .where(F.col("ia") < F.col("ib"))
-        .where(
-            F.round(
-                cosine_similarity(F.col("ra"), F.col("rb")), 3
-            ) >= 0.3
-        )
+        .where(F.round(cos, 3) >= 0.3)
         .select(F.col("ia").alias("src"), F.col("ib").alias("dst"))
     )
-    singles = emb.select(
-        F.col("vec_id").alias("src"), F.col("vec_id").alias("dst")
-    )
-    cc = connected_components(pairs.unionByName(singles))
-    return cc.select(
-        F.col("id").cast("long").alias("vec_id"),
-        F.col("component").cast("long").alias("cluster_id"),
-        (F.col("id") == F.col("component")).alias("is_representative"),
+    cc = connected_components_doubling(pairs)
+    return emb.select(F.col("vec_id").cast("long").alias("vec_id")).join(
+        cc, F.col("vec_id") == F.col("id"), "left"
+    ).select(
+        "vec_id",
+        F.coalesce(F.col("component"), F.col("vec_id"))
+        .cast("long")
+        .alias("cluster_id"),
+        (
+            F.col("vec_id")
+            == F.coalesce(F.col("component"), F.col("vec_id"))
+        ).alias("is_representative"),
     )
 
 
