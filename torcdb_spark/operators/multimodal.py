@@ -4,8 +4,8 @@ Images/audio/video ride through the engine as ``binary`` columns with a
 metadata struct; transforms run as Arrow-batched Pandas UDFs over
 ``mapInPandas`` so payload bytes never round-trip through Python row
 objects. Decode kernels are REAL for every format decodable without codec
-libraries — PPM(P6 8/16-bit), uncompressed BMP, PNG incl. paletted
-(stdlib zlib), uncompressed 8/16-bit TIFF, baseline AND progressive
+libraries — PPM(P6 8/16-bit), uncompressed BMP, PNG incl. paletted +
+Adam7 interlaced (stdlib zlib), uncompressed 8/16-bit TIFF, baseline AND progressive
 JPEG (operators/jpeg.py), GIF incl. interlaced + animated
 (operators/gif.py LZW), RIFF/WAVE PCM audio (8/16/24/32-bit),
 MJPEG-in-AVI video — plus FFT spectral audio features; the remaining
@@ -158,8 +158,9 @@ def decode_image(payload: bytes):
 
         return decode_gif(payload)
     raise NotImplementedError(
-        "only PPM(P6 8/16-bit), uncompressed 24/32-bit BMP, non-interlaced "
-        "8-bit gray/RGB/palette/RGBA PNG, uncompressed chunky 8/16-bit "
+        "only PPM(P6 8/16-bit), uncompressed 24/32-bit BMP, "
+        "8-bit gray/RGB/palette/RGBA PNG (incl. Adam7 interlaced), "
+        "uncompressed chunky 8/16-bit "
         "TIFF, baseline + progressive JPEG, and GIF decode without codec "
         "libraries; install pillow/opencv for WebP/arithmetic-coded JPEG "
         "and extend dispatch"
@@ -233,59 +234,36 @@ def _decode_tiff(payload: bytes):
     return img[:, :, 0] if spp == 1 else img
 
 
-def _decode_png(payload: bytes):
-    """Pure-stdlib PNG decode (zlib inflate + numpy unfilter) →
-    (h, w, channels) uint8 array.
+# Adam7 pass geometry: (x0, y0, dx, dy) per pass — pass p covers pixels
+# (x0 + i·dx, y0 + j·dy), stored as an independently-filtered sub-image.
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
 
-    Supports the common crawl-image subset: 8-bit depth, color types
-    0 (gray), 2 (RGB), 6 (RGBA), non-interlaced, all five scanline filter
-    types (None/Sub/Up/Average/Paeth). Sub is a per-channel-lane cumsum and
-    Up a vectorized add; Average/Paeth have an inherent left-neighbor
-    dependency, so those rows fall back to a per-pixel loop (fine for the
-    framed fixture images; a deployment swaps in a codec lib for bulk
-    decode). Paletted PNGs (color type 3, 8-bit indices) decode via a
-    PLTE lookup to RGB. 16-bit/interlaced raise NotImplementedError.
-    """
-    import zlib
 
+def _png_unfilter(raw, off: int, w: int, h: int, nch: int):
+    """Unfilter ``h`` PNG scanlines of ``w`` pixels × ``nch`` starting at
+    ``raw[off]`` → ((h, w, nch) uint8 array, bytes consumed). All five
+    filter types; Sub is a per-channel-lane cumsum and Up a vectorized
+    add; Average/Paeth have an inherent left-neighbor dependency, so
+    those rows fall back to a per-pixel loop (fine for the framed fixture
+    images; a deployment swaps in a codec lib for bulk decode)."""
     import numpy as np
 
-    pos, ihdr, idat, plte = 8, None, [], None
-    while pos + 8 <= len(payload):
-        length = int.from_bytes(payload[pos : pos + 4], "big")
-        ctype = payload[pos + 4 : pos + 8]
-        data = payload[pos + 8 : pos + 8 + length]
-        if ctype == b"IHDR":
-            ihdr = data
-        elif ctype == b"PLTE":
-            plte = data
-        elif ctype == b"IDAT":
-            idat.append(data)
-        elif ctype == b"IEND":
-            break
-        pos += 12 + length  # length + type + data + crc
-    if ihdr is None or not idat:
-        raise ValueError("PNG missing IHDR/IDAT")
-    w = int.from_bytes(ihdr[0:4], "big")
-    h = int.from_bytes(ihdr[4:8], "big")
-    bit_depth, color_type, _comp, _filt, interlace = ihdr[8:13]
-    nch = {0: 1, 2: 3, 3: 1, 6: 4}.get(color_type)
-    if bit_depth != 8 or nch is None or interlace != 0:
-        raise NotImplementedError(
-            f"PNG bit_depth={bit_depth} color_type={color_type} "
-            f"interlace={interlace} "
-            "(8-bit gray/RGB/palette/RGBA non-interlaced only)"
-        )
-    if color_type == 3 and plte is None:
-        raise ValueError("paletted PNG missing PLTE chunk")
-    raw = zlib.decompress(b"".join(idat))
     stride = w * nch
-    if len(raw) < h * (stride + 1):
+    need = h * (stride + 1)
+    if len(raw) - off < need:
         raise ValueError("truncated PNG pixel data")
     img = np.zeros((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.int32)
     for r in range(h):
-        base = r * (stride + 1)
+        base = off + r * (stride + 1)
         ft = raw[base]
         line = np.frombuffer(
             raw[base + 1 : base + 1 + stride], dtype=np.uint8
@@ -313,7 +291,69 @@ def _decode_png(payload: bytes):
             raise ValueError(f"bad PNG filter type {ft}")
         img[r] = cur.astype(np.uint8)
         prev = cur
-    out = img.reshape(h, w, nch)
+    return img.reshape(h, w, nch), need
+
+
+def _decode_png(payload: bytes):
+    """Pure-stdlib PNG decode (zlib inflate + numpy unfilter) →
+    (h, w, channels) uint8 array.
+
+    Supports the common crawl-image subset: 8-bit depth, color types
+    0 (gray), 2 (RGB), 6 (RGBA), all five scanline filter types
+    (None/Sub/Up/Average/Paeth; see ``_png_unfilter``), and BOTH
+    interlace modes — Adam7 streams decode pass-by-pass (each pass is an
+    independently-filtered sub-image) and scatter into place with one
+    strided assignment per pass. Paletted PNGs (color type 3, 8-bit
+    indices) decode via a PLTE lookup to RGB, interlaced or not (indices
+    deinterlace before the lookup). 16-bit depth raises
+    NotImplementedError.
+    """
+    import zlib
+
+    import numpy as np
+
+    pos, ihdr, idat, plte = 8, None, [], None
+    while pos + 8 <= len(payload):
+        length = int.from_bytes(payload[pos : pos + 4], "big")
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        if ctype == b"IHDR":
+            ihdr = data
+        elif ctype == b"PLTE":
+            plte = data
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # length + type + data + crc
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w = int.from_bytes(ihdr[0:4], "big")
+    h = int.from_bytes(ihdr[4:8], "big")
+    bit_depth, color_type, _comp, _filt, interlace = ihdr[8:13]
+    nch = {0: 1, 2: 3, 3: 1, 6: 4}.get(color_type)
+    if bit_depth != 8 or nch is None or interlace not in (0, 1):
+        raise NotImplementedError(
+            f"PNG bit_depth={bit_depth} color_type={color_type} "
+            f"interlace={interlace} "
+            "(8-bit gray/RGB/palette/RGBA, interlace 0/Adam7 only)"
+        )
+    if color_type == 3 and plte is None:
+        raise ValueError("paletted PNG missing PLTE chunk")
+    raw = zlib.decompress(b"".join(idat))
+    if interlace == 0:
+        out, _ = _png_unfilter(raw, 0, w, h, nch)
+    else:  # Adam7: seven independently-filtered passes, strided scatter
+        out = np.zeros((h, w, nch), dtype=np.uint8)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue  # pass is empty for this image size: zero bytes
+            sub, used = _png_unfilter(raw, off, pw, ph, nch)
+            off += used
+            out[y0::dy, x0::dx] = sub
     if color_type == 3:
         # palette lookup: the reconstructed bytes are indices into PLTE's
         # RGB triples — one vectorized gather, output is always (h, w, 3)
@@ -326,11 +366,13 @@ def _decode_png(payload: bytes):
     return out
 
 
-def encode_png(img, filter_type: int = 0) -> bytes:
+def encode_png(img, filter_type: int = 0, interlace: int = 0) -> bytes:
     """Minimal PNG encoder (test support + payload framing): 8-bit
-    gray/RGB/RGBA, non-interlaced, one filter type for every scanline
-    (0=None default; 1/2 exercised by the decoder tests — Sub/Up are
-    invertible from the recon rows directly)."""
+    gray/RGB/RGBA, one filter type for every scanline (0=None default;
+    1/2 exercised by the decoder tests — Sub/Up are invertible from the
+    recon rows directly). ``interlace=1`` emits Adam7: the image splits
+    into the seven strided sub-images, each filtered independently in
+    pass order — the exact stream layout ``_decode_png`` deinterlaces."""
     import struct
     import zlib
 
@@ -341,28 +383,41 @@ def encode_png(img, filter_type: int = 0) -> bytes:
         a = a[:, :, None]
     h, w, nch = a.shape
     color_type = {1: 0, 3: 2, 4: 6}[nch]
-    flat = a.reshape(h, w * nch).astype(np.int32)
+
+    def filter_rows(sub) -> list:
+        sh, sw = sub.shape[:2]
+        flat = sub.reshape(sh, sw * nch).astype(np.int32)
+        rows = []
+        for r in range(sh):
+            recon = flat[r]
+            if filter_type == 0:
+                filt = recon
+            elif filter_type == 1:  # Sub
+                left = np.concatenate([np.zeros(nch, dtype=np.int32),
+                                       recon[:-nch]])
+                filt = (recon - left) % 256
+            elif filter_type == 2:  # Up
+                up = flat[r - 1] if r > 0 else np.zeros_like(recon)
+                filt = (recon - up) % 256
+            else:
+                raise NotImplementedError("encoder emits filter 0/1/2 only")
+            rows.append(bytes([filter_type]) + filt.astype(np.uint8).tobytes())
+        return rows
+
     lines = []
-    for r in range(h):
-        recon = flat[r]
-        if filter_type == 0:
-            filt = recon
-        elif filter_type == 1:  # Sub
-            left = np.concatenate([np.zeros(nch, dtype=np.int32),
-                                   recon[:-nch]])
-            filt = (recon - left) % 256
-        elif filter_type == 2:  # Up
-            up = flat[r - 1] if r > 0 else np.zeros_like(recon)
-            filt = (recon - up) % 256
-        else:
-            raise NotImplementedError("encoder emits filter 0/1/2 only")
-        lines.append(bytes([filter_type]) + filt.astype(np.uint8).tobytes())
+    if interlace == 0:
+        lines = filter_rows(a)
+    else:
+        for x0, y0, dx, dy in _ADAM7:
+            sub = a[y0::dy, x0::dx]
+            if sub.shape[0] and sub.shape[1]:
+                lines += filter_rows(sub)
 
     def chunk(ctype: bytes, data: bytes) -> bytes:
         return (struct.pack(">I", len(data)) + ctype + data
                 + struct.pack(">I", zlib.crc32(ctype + data)))
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, interlace)
     return (b"\x89PNG\r\n\x1a\n"
             + chunk(b"IHDR", ihdr)
             + chunk(b"IDAT", zlib.compress(b"".join(lines)))
