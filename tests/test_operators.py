@@ -461,6 +461,52 @@ def test_decode_png_adam7_palette_and_scatter_order():
     assert encode_png(idx[:, :, None], interlace=1).count(b"IDAT") == 1
 
 
+def test_whash64_matches_pure_python_replay():
+    """whash64 is integer-exact by construction: a numpy-free pure-Python
+    replay (nested loops, int arithmetic, explicit 32nd-smallest AC
+    threshold, two's-complement packing) must reproduce it bit-for-bit on
+    seeded random images — gray 2D, RGB, RGBA, and non-square sizes."""
+    import numpy as np
+    from torcdb_spark.operators.multimodal import whash64
+
+    def replay(img):
+        hh = len(img)
+        ww = len(img[0])
+        ch = len(img[0][0]) if isinstance(img[0][0], (list, tuple)) else 0
+        luma = [
+            [
+                (299 * px[0] + 587 * px[1] + 114 * px[2])
+                if ch >= 3 else 1000 * (px[0] if ch else px)
+                for px in row
+            ]
+            for row in img
+        ]
+        l8 = [
+            [luma[(y * hh) // 8][(x * ww) // 8] for x in range(8)]
+            for y in range(8)
+        ]
+        coeffs = []
+        for u in range(8):
+            for v in range(8):
+                s = 0
+                for y in range(8):
+                    for x in range(8):
+                        par = (bin(y & u).count("1")
+                               + bin(x & v).count("1")) % 2
+                        s += -l8[y][x] if par else l8[y][x]
+                coeffs.append(s)
+        med = sorted(coeffs[1:])[31]
+        h = 0
+        for c in coeffs:
+            h = (h << 1) | (1 if c > med else 0)
+        return h - (1 << 64) if h >= 1 << 63 else h
+
+    rng = np.random.default_rng(11)
+    for shape in ((8, 16, 3), (8, 8), (5, 9, 4), (32, 32, 3)):
+        px = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        assert whash64(px) == replay(px.tolist()), shape
+
+
 def test_decode_png_average_and_paeth_hand_computed():
     """Average/Paeth scanlines hand-built + hand-unfiltered (RFC 2083
     filter definitions) — the decoder must reproduce the manual recon."""

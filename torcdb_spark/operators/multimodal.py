@@ -892,6 +892,69 @@ def phash64(img) -> int:
     return h
 
 
+def whash64(img) -> int:
+    """INTEGER-EXACT perceptual hash — the Walsh-Hadamard sibling of
+    ``phash64``: scaled integer luma (299·R + 587·G + 114·B, the 601
+    weights ×1000 so no float enters), nearest-resize to 8×8, 2-D
+    natural-ordered Walsh-Hadamard transform (H[j,i] = (−1)^popcount(i&j)
+    — ±1 entries, so every coefficient is an exact BIGINT), threshold
+    each of the 64 coefficients against the 32nd-smallest of the 63 AC
+    coefficients (DC excluded, strict >), bits packed row-major into a
+    signed int64. Same frequency-domain dedup idea as pHash (WHT is the
+    ±1 orthogonal transform family; 'wHash' in the imagehash library),
+    but every step is integer arithmetic an external SQL engine can
+    replay bit-for-bit — the exact-witness complement of the float-DCT
+    ``phash64`` (m7, rows-only), like e14 is for e2."""
+    import numpy as np
+
+    arr = np.asarray(img, dtype=np.int64)
+    if arr.ndim == 3:
+        if arr.shape[2] >= 3:
+            luma = 299 * arr[:, :, 0] + 587 * arr[:, :, 1] + 114 * arr[:, :, 2]
+        else:
+            luma = 1000 * arr[:, :, 0]
+    else:
+        luma = 1000 * arr
+    l8 = resize_nearest(luma, 8, 8).astype(np.int64)
+    ij = np.arange(8, dtype=np.int64)
+    # popcount parity of i&j via the 3-bit domain (values 0..7)
+    pc = np.array([bin(v).count("1") for v in range(8)], dtype=np.int64)
+    h_mat = 1 - 2 * (pc[ij[:, None] & ij[None, :]] % 2)
+    coeffs = h_mat @ l8 @ h_mat.T
+    flat = coeffs.ravel()
+    med = int(np.sort(flat[1:])[31])  # 32nd smallest of the 63 AC terms
+    bits = flat > med
+    h = 0
+    for bit in bits:
+        h = (h << 1) | int(bit)
+    if h >= 1 << 63:
+        h -= 1 << 64
+    return h
+
+
+def image_whash(media: DataFrame) -> DataFrame:
+    """(media_id, whash): integer WHT perceptual hash per image via the
+    real decode path in one Arrow-batched mapInPandas pass (the
+    ``image_phash`` layout with the hash kernel swapped). Undecodable
+    payloads yield NULL."""
+    import numpy as np  # noqa: F401  (kernel dependency, imported eagerly)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    img = decode_image(bytes(payload))
+                    out.append({"media_id": mid, "whash": whash64(img)})
+                except Exception:
+                    out.append({"media_id": mid, "whash": None})
+            yield pd.DataFrame(out, columns=["media_id", "whash"])
+
+    return media.select("media_id", "payload").mapInPandas(
+        kernel, "media_id long, whash long"
+    )
+
+
 def image_phash(media: DataFrame) -> DataFrame:
     """(media_id, phash): perceptual hash per image via the real decode
     path inside one Arrow-batched mapInPandas pass — payload bytes never

@@ -650,12 +650,12 @@ def x_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ROTATION_BASIS_ROUND to the round the driver just recorded, re-run the
 # test, and paste the list it expects.
 #
-# ROUND-9 HEAD under that policy = the 14 never-checked queries (the 10
+# ROUND-9 HEAD under that policy = the 15 never-checked queries (the 10
 # rows-only production forms — driver records rows/schema rows, the m3
 # pattern — plus r8's post-rotation exact witnesses g_mst2/g_lpa2 and
-# round 9's g_bc2_integer_grid/m3b_image_decode_census) + the 36 stalest:
-# the entire round-2 block (35, last signal 7 rounds old) and the
-# alphabetically-first round-4 entry.  Everything not listed keeps its
+# round 9's g_bc2_integer_grid/m3b_image_decode_census/m7b_whash_exact)
+# + the 35 stalest: the entire round-2 block (last signal 7 rounds
+# old).  Everything not listed keeps its
 # registration order after slot 50 and stays covered by the local
 # exact-value gate (tests/test_oracle_parity.py, 3 SFs, every round).
 ROTATION_BASIS_ROUND = 8
@@ -708,6 +708,7 @@ DRIVER_PRIORITY: list[str] = [
     "g_ppr_recommend",
     "m3b_image_decode_census",
     "m7_phash_near_dups",
+    "m7b_whash_exact",
     # -- oldest driver signal: last checked round 2 --
     "a2_intersect",
     "a3_subtract",
@@ -744,8 +745,6 @@ DRIVER_PRIORITY: list[str] = [
     "q_topk_orders_per_customer",
     "t1_traverse_in",
     "t1_traverse_out",
-    # -- oldest driver signal: last checked round 4 --
-    "a4_remove_edge_if",
 ]
 
 # Head entries that ship WITHOUT a DuckDB oracle by documented design (the
@@ -12388,4 +12387,88 @@ def m3b_image_decode_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(1)
         .cast("long")
         .alias("err"),
+    )
+
+
+@_register(
+    "m7b_whash_exact",
+    """WITH px AS MATERIALIZED (
+         SELECT doc_id,
+                CAST(t.i AS BIGINT) AS i,
+                CAST(ascii(substr(rpad(text, 384, ' '),
+                                  CAST(t.i AS INT) + 1, 1)) AS BIGINT) AS b
+         FROM documents, range(384) t(i)),
+       lum AS MATERIALIZED (
+         SELECT doc_id, i // 3 AS p,
+                CAST(sum(CASE i % 3 WHEN 0 THEN 299 * b
+                                    WHEN 1 THEN 587 * b
+                                    ELSE 114 * b END) AS BIGINT) AS l
+         FROM px GROUP BY doc_id, i // 3),
+       l8 AS MATERIALIZED (
+         SELECT doc_id, p // 16 AS y, (p % 16) // 2 AS j, l
+         FROM lum WHERE (p % 16) % 2 = 0),
+       wht AS MATERIALIZED (
+         SELECT doc_id, u.u AS u, v.v AS v,
+                CAST(sum(CASE WHEN (bit_count(y & u.u)
+                                    + bit_count(j & v.v)) % 2 = 0
+                              THEN l ELSE -l END) AS BIGINT) AS c
+         FROM l8, range(8) u(u), range(8) v(v)
+         GROUP BY doc_id, u.u, v.v),
+       med AS MATERIALIZED (
+         SELECT doc_id, c AS m FROM (
+           SELECT doc_id, c,
+                  row_number() OVER (PARTITION BY doc_id ORDER BY c) AS rn
+           FROM wht WHERE NOT (u = 0 AND v = 0)) WHERE rn = 32),
+       hashes AS MATERIALIZED (
+         SELECT w.doc_id,
+                CAST(sum(CASE WHEN w.c > m.m THEN
+                           CASE WHEN w.u = 0 AND w.v = 0
+                                THEN -9223372036854775807 - 1
+                                ELSE CAST(1 AS BIGINT)
+                                     << (63 - (w.u * 8 + w.v)) END
+                         ELSE 0 END) AS BIGINT) AS h
+         FROM wht w JOIN med m USING (doc_id)
+         GROUP BY w.doc_id)
+       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              CAST(bit_count(xor(a.h, b.h)) AS BIGINT) AS hamming
+       FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+       WHERE bit_count(xor(a.h, b.h)) <= 3""",
+)
+def m7b_whash_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image near-dup PAIRS with a DRIVER-hashable pair
+    set — the exact-witness twin of rows-only m7_phash_near_dups, closing
+    the last twin-less rows-only family. Same framing (each document's
+    text bytes as a 16×8 P6 PPM), same real decode path, same banded-
+    pigeonhole hamming equi-join (operators/dedup.hamming_near_dup_pairs,
+    bands=4 > max_hamming=3 ⇒ ZERO false negatives, so the banded join
+    must equal the oracle's brute-force pair scan exactly) — but the hash
+    is ``whash64``: scaled-integer luma, nearest 8×8 resize, 2-D
+    Walsh-Hadamard transform (±1 entries ⇒ exact BIGINT coefficients,
+    sign = popcount parity DuckDB replays with bit_count(i & j)),
+    32nd-smallest-AC threshold, two's-complement bit packing. Every pair
+    (id_a, id_b, hamming) value-hashes against the SQL replay."""
+    from torcdb_spark.operators.dedup import hamming_near_dup_pairs
+    from torcdb_spark.operators.multimodal import image_whash
+
+    docs = load_table(spark, sf_dir, "documents")
+    w, h = 16, 8
+    header = F.encode(F.lit(f"P6\n{w} {h}\n255\n"), "utf-8")
+    body = F.encode(F.rpad(F.col("text"), w * h * 3, " "), "utf-8")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.concat(header, body).alias("payload"),
+    )
+    par = spark.sparkContext.defaultParallelism
+    hashes = (
+        image_whash(media.repartition(par))
+        .where(F.col("whash").isNotNull())
+        .persist()
+    )
+    pairs = hamming_near_dup_pairs(
+        hashes, max_hamming=3, bands=4, id_col="media_id", hash_col="whash"
+    )
+    return pairs.select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.col("hamming").cast("long").alias("hamming"),
     )
