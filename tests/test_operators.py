@@ -1239,6 +1239,65 @@ def test_jpeg_roundtrip_all_paths():
     assert np.array_equal(with_rst, without)
 
 
+def test_jpeg_12bit_extended_sequential():
+    """12-bit (SOF1) frames: level shift 2048, 16-bit DQT entries, the
+    extended DC0..15/AC1..14 Huffman tables, and rescale-to-uint8 on
+    output with the round-half-up rule the 16-bit PPM path uses."""
+    import numpy as np
+
+    from torcdb_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg_baseline,
+    )
+
+    h, w = 40, 56
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = yy * 30 + xx * 20  # smooth ramp, max 1720 < 4096
+    img12 = np.stack([base, base + 800, 4095 - base], axis=-1).astype(
+        np.int64
+    )
+    ref = ((img12 * 255 + 2047) // 4095).astype(np.int64)
+
+    payload = encode_jpeg_baseline(img12, quality=95, precision=12)
+    head = payload.split(b"\xff\xda")[0]
+    assert b"\xff\xc1" in head and b"\xff\xc0" not in head  # SOF1, not SOF0
+    sof = head[head.index(b"\xff\xc1") + 4 :]
+    assert sof[0] == 12  # sample precision byte
+    dec = decode_jpeg(payload)
+    assert dec.shape == (h, w, 3)
+    # 12-bit carries 4 extra bits through the quantizer: tighter than the
+    # 8-bit q95 bound
+    assert int(np.abs(dec.astype(int) - ref).max()) <= 2
+
+    # 4:2:0 + restart markers on the 12-bit path
+    dec420 = decode_jpeg(
+        encode_jpeg_baseline(
+            img12,
+            quality=95,
+            precision=12,
+            subsample_420=True,
+            restart_interval=3,
+        )
+    )
+    assert int(np.abs(dec420.astype(int) - ref).max()) <= 8
+
+    # grayscale 12-bit
+    g12 = base.astype(np.int64)
+    refg = (g12 * 255 + 2047) // 4095
+    decg = decode_jpeg(encode_jpeg_baseline(g12, quality=95, precision=12))
+    assert decg.shape == (h, w, 1)
+    assert int(np.abs(decg[:, :, 0].astype(int) - refg).max()) <= 2
+
+    # an 8-bit image and its 12-bit x16 upscale decode to (nearly) the
+    # same uint8 pixels — the rescale contract
+    img8 = (img12 >> 4).astype(np.uint8)
+    d8 = decode_jpeg(encode_jpeg_baseline(img8, quality=95))
+    d12 = decode_jpeg(
+        encode_jpeg_baseline(img12 & ~0xF | 0x8, quality=95, precision=12)
+    )
+    assert float(np.abs(d8.astype(int) - d12.astype(int)).mean()) < 2.0
+
+
 def test_jpeg_rejects_lossless_and_garbage():
     import numpy as np
     import pytest as _pytest

@@ -2,14 +2,18 @@
 decode surface's last documented NotImplementedError without any codec
 library.
 
-Decoder: baseline sequential DCT (SOF0) AND progressive DCT (SOF2),
-8-bit, 1 or 3 components, sampling factors 1 or 2 (4:4:4 / 4:2:2 /
-4:2:0), DHT-defined canonical Huffman tables, byte-stuffing (FF 00) and
-restart markers (DRI/RSTn). Progressive covers the full T.81 Annex G.2
-successive-approximation surface: interleaved/non-interleaved DC first
-+ refinement scans, per-component AC band scans with EOB-run coding,
-and AC refinement with buffered correction bits. Arithmetic coding and
-12-bit precision remain NotImplementedError by design.
+Decoder: baseline sequential DCT (SOF0), extended sequential DCT
+(SOF1), AND progressive DCT (SOF2), 8-bit or 12-bit sample precision,
+1 or 3 components, sampling factors 1 or 2 (4:4:4 / 4:2:2 / 4:2:0),
+DHT-defined canonical Huffman tables (8-bit and 16-bit DQT entries),
+byte-stuffing (FF 00) and restart markers (DRI/RSTn). Progressive
+covers the full T.81 Annex G.2 successive-approximation surface:
+interleaved/non-interleaved DC first + refinement scans, per-component
+AC band scans with EOB-run coding, and AC refinement with buffered
+correction bits. 12-bit frames level-shift by 2048 and rescale to the
+engine's uint8 pixel contract with round-half-up (the same rule the
+16-bit PPM/TIFF paths use). Arithmetic coding remains
+NotImplementedError by design.
 
 Encoders (`encode_jpeg_baseline`, `encode_jpeg_progressive`): matching
 writers — Annex-K quantization tables scaled by the IJG quality formula,
@@ -112,6 +116,21 @@ AC_CHROM_VALS = [
     0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
     0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
 ]
+
+
+# Extended-sequential (12-bit) Huffman specs. Annex K's tables stop at
+# SSSS 11 (DC) / 10 (AC) — enough for 8-bit samples only. At 12-bit
+# precision T.81 Tables F.1/F.7 allow DC difference categories 0..15 and
+# AC magnitude categories 1..14, so the writer installs its own complete
+# canonical codes: DC = fifteen 4-bit codes + one 5-bit (Kraft 31/32,
+# all-ones codeword unassigned as K.2 requires); AC = all 226 reachable
+# symbols (EOB, ZRL, RRRRSSSS for SSSS 1..14) at 8 bits (226/256).
+DC_EXT_BITS = [0, 0, 0, 15, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+DC_EXT_VALS = list(range(16))
+AC_EXT_BITS = [0, 0, 0, 0, 0, 0, 0, 226, 0, 0, 0, 0, 0, 0, 0, 0]
+AC_EXT_VALS = sorted(
+    [0x00, 0xF0] + [(r << 4) | s for r in range(16) for s in range(1, 15)]
+)
 
 
 def _dct_matrix() -> np.ndarray:
@@ -242,27 +261,34 @@ def encode_jpeg_baseline(
     quality: int = 90,
     subsample_420: bool = False,
     restart_interval: int = 0,
+    precision: int = 8,
 ) -> bytes:
-    """Encode an (h, w, 3) RGB or (h, w) grayscale uint8 array as a
-    baseline sequential JPEG (Annex-K quant + Huffman tables)."""
+    """Encode an (h, w, 3) RGB or (h, w) grayscale array as a sequential
+    JPEG (Annex-K quant tables). ``precision=8`` (uint8 samples) emits
+    baseline SOF0 with the Annex-K Huffman tables; ``precision=12``
+    (integer samples in 0..4095) emits extended-sequential SOF1 with the
+    complete DC0..15/AC1..14 tables and 16-bit (Pq=1) DQT entries."""
     img = np.asarray(img)
     gray = img.ndim == 2
     h, w = img.shape[:2]
     if h == 0 or w == 0:
         raise ValueError("empty image")
+    if precision not in (8, 12):
+        raise ValueError(f"precision must be 8 or 12, got {precision}")
+    shift = float(1 << (precision - 1))
     qt_l = _scaled_qt(QT_LUM, quality)
     qt_c = _scaled_qt(QT_CHROM, quality)
 
     if gray:
-        planes = [img.astype(np.float64) - 128.0]
+        planes = [img.astype(np.float64) - shift]
         samp = [(1, 1)]
         qts = [qt_l]
     else:
         rgb = img.astype(np.float64)
         r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
         y = 0.299 * r + 0.587 * g + 0.114 * b
-        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
-        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + shift
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + shift
         if subsample_420:
             def down2(p):
                 ph, pw = p.shape
@@ -271,10 +297,10 @@ def encode_jpeg_baseline(
                     p.reshape(p.shape[0] // 2, 2, p.shape[1] // 2, 2)
                     .mean(axis=(1, 3))
                 )
-            planes = [y - 128.0, down2(cb) - 128.0, down2(cr) - 128.0]
+            planes = [y - shift, down2(cb) - shift, down2(cr) - shift]
             samp = [(2, 2), (1, 1), (1, 1)]
         else:
-            planes = [y - 128.0, cb - 128.0, cr - 128.0]
+            planes = [y - shift, cb - shift, cr - shift]
             samp = [(1, 1), (1, 1), (1, 1)]
         qts = [qt_l, qt_c, qt_c]
 
@@ -295,14 +321,16 @@ def encode_jpeg_baseline(
             )
         )
 
-    dc_tabs = [
-        _canonical_codes(DC_LUM_BITS, DC_LUM_VALS),
-        _canonical_codes(DC_CHROM_BITS, DC_CHROM_VALS),
-    ]
-    ac_tabs = [
-        _canonical_codes(AC_LUM_BITS, AC_LUM_VALS),
-        _canonical_codes(AC_CHROM_BITS, AC_CHROM_VALS),
-    ]
+    if precision == 12:
+        # one shared table pair: the extended specs cover every category
+        # either channel class can produce
+        dc_specs = [(DC_EXT_BITS, DC_EXT_VALS)] * 2
+        ac_specs = [(AC_EXT_BITS, AC_EXT_VALS)] * 2
+    else:
+        dc_specs = [(DC_LUM_BITS, DC_LUM_VALS), (DC_CHROM_BITS, DC_CHROM_VALS)]
+        ac_specs = [(AC_LUM_BITS, AC_LUM_VALS), (AC_CHROM_BITS, AC_CHROM_VALS)]
+    dc_tabs = [_canonical_codes(*s) for s in dc_specs]
+    ac_tabs = [_canonical_codes(*s) for s in ac_specs]
 
     # quantized coefficients per plane, vectorized: (blocks_y, blocks_x, 64)
     qcoef = []
@@ -376,25 +404,33 @@ def encode_jpeg_baseline(
         return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") + payload
 
     out = bytearray(b"\xff\xd8")  # SOI
-    out += seg(0xDB, bytes([0]) + bytes(qt_l.reshape(64)[ZIGZAG].astype(np.uint8)))
+
+    def dqt(tid: int, qt: np.ndarray) -> bytes:
+        zz = qt.reshape(64)[ZIGZAG]
+        if precision == 12:  # Pq=1: 16-bit entries (T.81 B.2.4.1)
+            return seg(0xDB, bytes([0x10 | tid]) + zz.astype(">u2").tobytes())
+        return seg(0xDB, bytes([tid]) + bytes(zz.astype(np.uint8)))
+
+    out += dqt(0, qt_l)
     if not gray:
-        out += seg(0xDB, bytes([1]) + bytes(qt_c.reshape(64)[ZIGZAG].astype(np.uint8)))
+        out += dqt(1, qt_c)
     ncomp = 1 if gray else 3
-    sof = bytearray([8])
+    sof = bytearray([precision])
     sof += h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([ncomp])
     for ci in range(ncomp):
         sh, sv = samp[ci]
         sof += bytes([ci + 1, (sh << 4) | sv, 0 if ci == 0 else 1])
-    out += seg(0xC0, bytes(sof))
+    # SOF0 baseline for 8-bit, SOF1 extended sequential for 12-bit
+    out += seg(0xC0 if precision == 8 else 0xC1, bytes(sof))
 
     def dht(tc: int, th: int, bits: list[int], vals: list[int]) -> bytes:
         return seg(0xC4, bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals))
 
-    out += dht(0, 0, DC_LUM_BITS, DC_LUM_VALS)
-    out += dht(1, 0, AC_LUM_BITS, AC_LUM_VALS)
+    out += dht(0, 0, *dc_specs[0])
+    out += dht(1, 0, *ac_specs[0])
     if not gray:
-        out += dht(0, 1, DC_CHROM_BITS, DC_CHROM_VALS)
-        out += dht(1, 1, AC_CHROM_BITS, AC_CHROM_VALS)
+        out += dht(0, 1, *dc_specs[1])
+        out += dht(1, 1, *ac_specs[1])
     if restart_interval:
         out += seg(0xDD, restart_interval.to_bytes(2, "big"))
     sos = bytearray([ncomp])
@@ -427,6 +463,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     restart = 0
     comps: list[dict] = []
     progressive = False
+    sample_prec = 8
     coeffs: dict[int, np.ndarray] = {}
     n = len(payload)
     while pos < n:
@@ -443,13 +480,15 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         if marker == 0xDB:  # DQT (possibly several tables)
             b = body
             while b:
-                prec, tid = b[0] >> 4, b[0] & 0xF
-                if prec:
-                    raise NotImplementedError("16-bit quant tables")
+                pq, tid = b[0] >> 4, b[0] & 0xF
                 tbl = np.zeros(64, dtype=np.int64)
-                tbl[ZIGZAG] = np.frombuffer(b[1:65], dtype=np.uint8)
+                if pq:  # Pq=1: 16-bit entries (12-bit frames)
+                    tbl[ZIGZAG] = np.frombuffer(b[1:129], dtype=">u2")
+                    b = b[129:]
+                else:
+                    tbl[ZIGZAG] = np.frombuffer(b[1:65], dtype=np.uint8)
+                    b = b[65:]
                 qts[tid] = tbl.reshape(8, 8)
-                b = b[65:]
         elif marker == 0xC4:  # DHT (possibly several tables)
             b = body
             while b:
@@ -468,10 +507,10 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                     code <<= 1
                 huff[(tc, th)] = table
                 b = b[17 + nv:]
-        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
-            prec = body[0]
-            if prec != 8:
-                raise NotImplementedError(f"{prec}-bit JPEG")
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 progressive
+            sample_prec = body[0]
+            if sample_prec not in (8, 12):
+                raise NotImplementedError(f"{sample_prec}-bit JPEG")
             progressive = marker == 0xC2
             fh = int.from_bytes(body[1:3], "big")
             fw = int.from_bytes(body[3:5], "big")
@@ -512,7 +551,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             data_start = pos + ln
             if not progressive:
                 return _decode_scan(
-                    payload, data_start, frame, scan, qts, huff, restart
+                    payload, data_start, frame, scan, qts, huff, restart,
+                    sample_prec,
                 )
             ss = body[1 + 2 * ns]
             se = body[2 + 2 * ns]
@@ -524,11 +564,35 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             continue
         pos += ln
     if progressive and frame is not None and coeffs:
-        return _reconstruct_progressive(frame, comps, coeffs, qts)
+        return _reconstruct_progressive(frame, comps, coeffs, qts, sample_prec)
     raise ValueError("no SOS segment found")
 
 
-def _decode_scan(data, pos, frame, scan, qts, huff, restart):
+def _finish_planes(out_planes, prec):
+    """Shared sequential/progressive tail: clip to the sample range,
+    color-convert, and rescale 12-bit samples to the engine's uint8
+    contract with round-half-up (the 16-bit PPM/TIFF rule)."""
+    maxval = (1 << prec) - 1
+    shift = float(1 << (prec - 1))
+
+    def to_u8(x):
+        v = np.clip(np.round(x), 0, maxval).astype(np.int64)
+        if prec > 8:
+            v = (v * 255 + maxval // 2) // maxval
+        return v.astype(np.uint8)
+
+    if len(out_planes) == 1:
+        return to_u8(out_planes[0])[:, :, None]
+    y, cb, cr = out_planes
+    cb = cb - shift
+    cr = cr - shift
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return to_u8(np.stack([r, g, b], axis=-1))
+
+
+def _decode_scan(data, pos, frame, scan, qts, huff, restart, prec=8):
     fh, fw = frame
     hmax = max(c["h"] for c, _, _ in scan)
     vmax = max(c["v"] for c, _, _ in scan)
@@ -601,18 +665,8 @@ def _decode_scan(data, pos, frame, scan, qts, huff, restart):
         ry, rx = vmax // c["v"], hmax // c["h"]
         if ry > 1 or rx > 1:
             p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
-        out_planes.append(p[:fh, :fw] + 128.0)
-    if len(out_planes) == 1:
-        g = np.clip(np.round(out_planes[0]), 0, 255).astype(np.uint8)
-        return g[:, :, None]
-    y, cb, cr = out_planes
-    cb = cb - 128.0
-    cr = cr - 128.0
-    r = y + 1.402 * cr
-    g = y - 0.344136 * cb - 0.714136 * cr
-    b = y + 1.772 * cb
-    rgb = np.stack([r, g, b], axis=-1)
-    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+        out_planes.append(p[:fh, :fw] + float(1 << (prec - 1)))
+    return _finish_planes(out_planes, prec)
 
 
 def _decode_progressive_scan(
@@ -784,7 +838,7 @@ def _decode_progressive_scan(
     return p
 
 
-def _reconstruct_progressive(frame, comps, coeffs, qts):
+def _reconstruct_progressive(frame, comps, coeffs, qts, prec=8):
     """Dequantize + IDCT every accumulated coefficient block (vectorized
     over the whole plane), then upsample/crop/color-convert exactly like
     the baseline path."""
@@ -804,18 +858,8 @@ def _reconstruct_progressive(frame, comps, coeffs, qts):
         ry, rx = vmax // c["v"], hmax // c["h"]
         if ry > 1 or rx > 1:
             plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
-        out_planes.append(plane[:fh, :fw] + 128.0)
-    if len(out_planes) == 1:
-        g = np.clip(np.round(out_planes[0]), 0, 255).astype(np.uint8)
-        return g[:, :, None]
-    y, cb, cr = out_planes
-    cb = cb - 128.0
-    cr = cr - 128.0
-    r = y + 1.402 * cr
-    g = y - 0.344136 * cb - 0.714136 * cr
-    b = y + 1.772 * cb
-    rgb = np.stack([r, g, b], axis=-1)
-    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+        out_planes.append(plane[:fh, :fw] + float(1 << (prec - 1)))
+    return _finish_planes(out_planes, prec)
 
 
 def encode_jpeg_progressive(img: np.ndarray, quality: int = 90) -> bytes:

@@ -5,7 +5,8 @@ metadata struct; transforms run as Arrow-batched Pandas UDFs over
 ``mapInPandas`` so payload bytes never round-trip through Python row
 objects. Decode kernels are REAL for every format decodable without codec
 libraries — PPM(P6 8/16-bit), uncompressed BMP, PNG incl. paletted +
-Adam7 interlaced (stdlib zlib), uncompressed 8/16-bit TIFF, baseline AND progressive
+Adam7 interlaced (stdlib zlib), uncompressed 8/16-bit TIFF, baseline +
+extended-sequential (12-bit) + progressive
 JPEG (operators/jpeg.py), GIF incl. interlaced + animated
 (operators/gif.py LZW), RIFF/WAVE PCM audio (8/16/24/32-bit),
 MJPEG-in-AVI video — plus FFT spectral audio features; the remaining
@@ -74,8 +75,9 @@ def decode_image(payload: bytes):
       order.
 
     Plus pure-numpy decoders for PNG (stdlib zlib; paletted via PLTE
-    gather), uncompressed chunky 8/16-bit TIFF, and **baseline AND
-    progressive JPEG** (operators/jpeg.py: DHT canonical Huffman,
+    gather), uncompressed chunky 8/16-bit TIFF, and **baseline,
+    extended-sequential (12-bit), AND progressive JPEG**
+    (operators/jpeg.py: DHT canonical Huffman, 8/16-bit DQT,
     dequant + vectorized IDCT, 4:2:0/4:2:2/4:4:4, restart markers,
     T.81 G.2 successive-approximation scan accumulation). WebP /
     arithmetic coding raise NotImplementedError — a deployment installs
