@@ -1298,6 +1298,129 @@ def test_jpeg_12bit_extended_sequential():
     assert float(np.abs(d8.astype(int) - d12.astype(int)).mean()) < 2.0
 
 
+def test_webp_lossless_roundtrip_all_paths():
+    """VP8L encode→decode is bit-exact through every transform and
+    entropy feature: all 14 predictor modes, cross-color,
+    subtract-green, color-indexing at every bundling width, color
+    cache, LZ77 (incl. the close-neighborhood distance map), a
+    one-group entropy image, and simple/normal prefix codes."""
+    import numpy as np
+
+    from torcdb_spark.operators.webp import (
+        decode_webp,
+        encode_webp_lossless,
+    )
+
+    rng = np.random.default_rng(5)
+    h, w = 33, 29
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack(
+        [(yy * 3 + xx * 2) % 256, (yy * 5) % 256, (xx * 7) % 256], axis=-1
+    ).astype(np.uint8)
+
+    assert np.array_equal(decode_webp(encode_webp_lossless(img)), img)
+    assert np.array_equal(
+        decode_webp(encode_webp_lossless(img, use_subtract_green=True)), img
+    )
+    for mode in range(14):
+        assert np.array_equal(
+            decode_webp(encode_webp_lossless(img, predictor_mode=mode)), img
+        ), f"predictor mode {mode}"
+    assert np.array_equal(
+        decode_webp(encode_webp_lossless(img, color_transform=(17, 250, 5))),
+        img,
+    )
+    # all three pixel transforms stacked
+    assert np.array_equal(
+        decode_webp(
+            encode_webp_lossless(
+                img,
+                predictor_mode=11,
+                color_transform=(200, 3, 130),
+                use_subtract_green=True,
+            )
+        ),
+        img,
+    )
+    assert np.array_equal(
+        decode_webp(encode_webp_lossless(img, cache_bits=4)), img
+    )
+    assert np.array_equal(
+        decode_webp(encode_webp_lossless(img, use_meta=True)), img
+    )
+
+    # LZ77 over a stripey image (distance-1 runs use the mapped code)
+    stripes = np.repeat(
+        rng.integers(0, 256, (8, 1, 3), dtype=np.uint8), 40, axis=1
+    )
+    stripes = np.repeat(stripes, 3, axis=0)
+    assert np.array_equal(
+        decode_webp(encode_webp_lossless(stripes, use_rle=True)), stripes
+    )
+    assert np.array_equal(
+        decode_webp(
+            encode_webp_lossless(stripes, use_rle=True, cache_bits=5)
+        ),
+        stripes,
+    )
+
+    # color indexing at 1/2/4-bit bundling and the unbundled widths
+    for n in (2, 4, 13, 40, 250):
+        pal = rng.integers(0, 256, (n, 3), dtype=np.uint8)
+        pimg = pal[rng.integers(0, n, (19, 23))]
+        assert np.array_equal(
+            decode_webp(encode_webp_lossless(pimg, palette=True)), pimg
+        ), f"palette n={n}"
+
+    # RGBA with a live alpha channel stays 4-channel
+    rgba = rng.integers(0, 256, (14, 11, 4), dtype=np.uint8)
+    rgba[0, 0, 3] = 7  # ensure alpha isn't uniformly 255
+    out = decode_webp(encode_webp_lossless(rgba, predictor_mode=12,
+                                           cache_bits=3))
+    assert out.shape == (14, 11, 4)
+    assert np.array_equal(out, rgba)
+
+    # degenerate shapes
+    for shape in [(1, 1, 3), (1, 7, 3), (9, 1, 3)]:
+        im = rng.integers(0, 256, shape, dtype=np.uint8)
+        assert np.array_equal(decode_webp(encode_webp_lossless(im)), im)
+
+
+def test_webp_container_and_rejects():
+    """RIFF parsing: a VP8X extended container wrapping VP8L decodes;
+    lossy VP8 raises the documented NotImplementedError; garbage raises
+    ValueError; decode_image dispatches on the RIFF/WEBP magic."""
+    import numpy as np
+    import pytest as _pytest
+
+    from torcdb_spark.operators.multimodal import decode_image
+    from torcdb_spark.operators.webp import (
+        decode_webp,
+        encode_webp_lossless,
+    )
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (5, 6, 3), dtype=np.uint8)
+    plain = encode_webp_lossless(img)
+    assert np.array_equal(decode_image(plain), img)  # dispatch hit
+
+    # wrap the VP8L chunk in a VP8X extended container
+    vp8l_chunk = plain[12:]
+    vp8x = b"VP8X" + (10).to_bytes(4, "little") + bytes(10)
+    body = b"WEBP" + vp8x + vp8l_chunk
+    wrapped = b"RIFF" + len(body).to_bytes(4, "little") + body
+    assert np.array_equal(decode_webp(wrapped), img)
+
+    lossy_body = b"WEBP" + b"VP8 " + (4).to_bytes(4, "little") + bytes(4)
+    lossy = b"RIFF" + len(lossy_body).to_bytes(4, "little") + lossy_body
+    with _pytest.raises(NotImplementedError):
+        decode_webp(lossy)
+    with _pytest.raises(ValueError):
+        decode_webp(b"RIFF\x00\x00\x00\x00JUNK" + bytes(8))
+    with _pytest.raises(ValueError):
+        decode_webp(b"not a webp")
+
+
 def test_jpeg_rejects_lossless_and_garbage():
     import numpy as np
     import pytest as _pytest

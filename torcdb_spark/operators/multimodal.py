@@ -8,9 +8,10 @@ libraries — PPM(P6 8/16-bit), uncompressed BMP, PNG incl. paletted +
 Adam7 interlaced (stdlib zlib), uncompressed 8/16-bit TIFF, baseline +
 extended-sequential (12-bit) + progressive
 JPEG (operators/jpeg.py), GIF incl. interlaced + animated
-(operators/gif.py LZW), RIFF/WAVE PCM audio (8/16/24/32-bit),
+(operators/gif.py LZW), lossless WebP/VP8L incl. all four transforms
+(operators/webp.py), RIFF/WAVE PCM audio (8/16/24/32-bit),
 MJPEG-in-AVI video — plus FFT spectral audio features; the remaining
-formats (WebP/MP3/arithmetic-coded JPEG...) raise a documented
+formats (lossy WebP-VP8/MP3/arithmetic-coded JPEG) raise a documented
 NotImplementedError where a deployment plugs in pillow/opencv/ffmpeg.
 
 At 100 TB: payloads dominate; the operators keep them in Arrow buffers,
@@ -79,9 +80,12 @@ def decode_image(payload: bytes):
     extended-sequential (12-bit), AND progressive JPEG**
     (operators/jpeg.py: DHT canonical Huffman, 8/16-bit DQT,
     dequant + vectorized IDCT, 4:2:0/4:2:2/4:4:4, restart markers,
-    T.81 G.2 successive-approximation scan accumulation). WebP /
-    arithmetic coding raise NotImplementedError — a deployment installs
-    pillow/opencv and extends the dispatch. The Spark-side plumbing (mapInPandas batching, binary
+    T.81 G.2 successive-approximation scan accumulation), plus GIF
+    (operators/gif.py) and lossless WebP (operators/webp.py: full VP8L
+    incl. predictor/cross-color/subtract-green/color-indexing
+    transforms, color cache, LZ77, meta prefix codes). Lossy WebP
+    (VP8) / arithmetic coding raise NotImplementedError — a deployment
+    installs pillow/opencv and extends the dispatch. The Spark-side plumbing (mapInPandas batching, binary
     Arrow buffers) is format-agnostic.
     """
     import numpy as np
@@ -159,13 +163,18 @@ def decode_image(payload: bytes):
         from torcdb_spark.operators.gif import decode_gif
 
         return decode_gif(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        from torcdb_spark.operators.webp import decode_webp
+
+        return decode_webp(payload)  # lossless VP8L; VP8 lossy raises
     raise NotImplementedError(
         "only PPM(P6 8/16-bit), uncompressed 24/32-bit BMP, "
         "8-bit gray/RGB/palette/RGBA PNG (incl. Adam7 interlaced), "
         "uncompressed chunky 8/16-bit "
-        "TIFF, baseline + progressive JPEG, and GIF decode without codec "
-        "libraries; install pillow/opencv for WebP/arithmetic-coded JPEG "
-        "and extend dispatch"
+        "TIFF, baseline + 12-bit + progressive JPEG, GIF, and lossless "
+        "WebP (VP8L) decode without codec "
+        "libraries; install pillow/opencv for lossy WebP (VP8) / "
+        "arithmetic-coded JPEG and extend dispatch"
     )
 
 

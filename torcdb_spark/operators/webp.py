@@ -1,0 +1,815 @@
+"""Pure-Python WebP **lossless** (VP8L) codec — closes the multimodal
+decode surface's WebP NotImplementedError for the lossless half of the
+format without any codec library.
+
+Decoder (`decode_webp`): RIFF/WEBP container (raw ``VP8L`` chunk or a
+``VP8X`` extended container wrapping one), full VP8L bitstream per the
+public spec (RFC 9649 / the WebP Lossless Bitstream Specification):
+
+- all four transforms — predictor (14 modes incl. Select and the two
+  clamp-add-subtract modes), cross-color, subtract-green, and
+  color-indexing with pixel bundling (1/2/4-bit packed indices);
+- entropy-coded images at every level: color cache (the
+  ``0x1e35a7bd``-multiplier hash), meta prefix codes via a recursively
+  decoded entropy image, simple (1/2-symbol) AND normal prefix codes
+  (code-length codes with 16/17/18 repeats and the max_symbol cap);
+- LZ77 backward references: length/distance prefix+extra-bit coding and
+  the 120-entry close-neighborhood distance mapping (generated from the
+  spec's ordering rule — offsets (x, y), y in 0..7, x in -8..7, past
+  pixels only, sorted by (x²+y², -y, x) — and verified against the spec
+  table's published head and tail).
+
+VP8 (lossy) payloads raise NotImplementedError by documented design — a
+deployment installs pillow/libwebp for those; the framing cited in
+decode_image keeps the dispatch format-agnostic.
+
+Encoder (`encode_webp_lossless`): a matching writer whose purpose —
+like ``encode_png`` / ``encode_jpeg_baseline`` — is to produce real
+compressed bytes so the decoder is testable end-to-end in a container
+with no imaging libraries. It is complete-code simple, not
+rate-optimal: every prefix code is a two-length complete canonical code
+(or a zero-bit simple code for constant channels), but it can apply
+each transform, maintain a color cache, emit greedy run-length LZ77
+references, palettize with bundling, and write a trivial one-group
+entropy image — exercising every decoder path above in round trips.
+
+The entropy loops are scalar Python per pixel: fine for the kernel's
+role (it runs INSIDE an Arrow-batched ``mapInPandas`` over a binary
+column — parallelism comes from partitions, operators/multimodal.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# constants
+# ---------------------------------------------------------------------------
+
+# code-length-code read order (spec 5.2.4)
+_CL_ORDER = [17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15]
+
+_NUM_LENGTH_CODES = 24
+_NUM_DISTANCE_CODES = 40
+_CACHE_MUL = 0x1E35A7BD
+
+
+def _distance_map() -> list[tuple[int, int]]:
+    """The 120 close-neighborhood (dx, dy) offsets for distance codes
+    1..120: every already-decoded offset with dy in 0..7, dx in -8..7
+    (dy > 0, or dy == 0 and dx < 0), ordered by squared distance, then
+    larger dy first, then dx ascending — the generation rule behind the
+    spec's published table (its head (0,1),(1,0)→clamp,(−1,1),(1,1),…
+    and tail …,(−7,7),(7,7),(−8,6),(−8,7) match)."""
+    cand = [
+        (dx, dy)
+        for dy in range(8)
+        for dx in range(-8, 8)
+        if dy > 0 or dx < 0
+    ]
+    cand.sort(key=lambda p: (p[0] * p[0] + p[1] * p[1], -p[1], p[0]))
+    return cand
+
+
+_DIST_MAP = _distance_map()
+
+
+# ---------------------------------------------------------------------------
+# bit I/O (LSB-first stream; prefix codes packed MSB-first like DEFLATE)
+# ---------------------------------------------------------------------------
+
+
+class _LsbReader:
+    def __init__(self, data: bytes, pos: int = 0):
+        self.data = data
+        self.byte = pos
+        self.bit = 0
+
+    def read(self, n: int) -> int:
+        v = 0
+        for i in range(n):
+            if self.byte >= len(self.data):
+                raise ValueError("truncated VP8L stream")
+            v |= ((self.data[self.byte] >> self.bit) & 1) << i
+            self.bit += 1
+            if self.bit == 8:
+                self.bit = 0
+                self.byte += 1
+        return v
+
+
+class _LsbWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.cur = 0
+        self.nbits = 0
+
+    def write(self, value: int, n: int) -> None:
+        for i in range(n):
+            self.cur |= ((value >> i) & 1) << self.nbits
+            self.nbits += 1
+            if self.nbits == 8:
+                self.out.append(self.cur)
+                self.cur = 0
+                self.nbits = 0
+
+    def write_code(self, code: int, length: int) -> None:
+        """Prefix codes go MSB-first into the LSB-first stream."""
+        for i in range(length - 1, -1, -1):
+            self.write((code >> i) & 1, 1)
+
+    def finish(self) -> bytes:
+        if self.nbits:
+            self.out.append(self.cur)
+            self.cur = 0
+            self.nbits = 0
+        return bytes(self.out)
+
+
+# ---------------------------------------------------------------------------
+# canonical prefix codes
+# ---------------------------------------------------------------------------
+
+
+def _canonical_table(lengths):
+    """Code lengths → decode table {(length, code): symbol}; a lone
+    nonzero-length symbol becomes a zero-bit code (returned as int)."""
+    nz = [(l, s) for s, l in enumerate(lengths) if l > 0]
+    if not nz:
+        raise ValueError("empty prefix code")
+    if len(nz) == 1:
+        return nz[0][1]
+    max_len = max(l for l, _ in nz)
+    bl_count = [0] * (max_len + 1)
+    for l, _ in nz:
+        bl_count[l] += 1
+    next_code = [0] * (max_len + 2)
+    code = 0
+    for l in range(1, max_len + 1):
+        code = (code + bl_count[l - 1]) << 1
+        next_code[l] = code
+    table = {}
+    for s, l in enumerate(lengths):
+        if l > 0:
+            table[(l, next_code[l])] = s
+            next_code[l] += 1
+    return table
+
+
+def _canonical_codes(lengths):
+    """Code lengths → emit map {symbol: (code, length)} (writer side)."""
+    table = _canonical_table(lengths)
+    if isinstance(table, int):
+        return {table: (0, 0)}
+    return {s: (c, l) for (l, c), s in table.items()}
+
+
+def _read_symbol(br: _LsbReader, table) -> int:
+    if isinstance(table, int):  # zero-bit code
+        return table
+    code = 0
+    for length in range(1, 16):
+        code = (code << 1) | br.read(1)
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid VP8L prefix code")
+
+
+def _read_prefix_code(br: _LsbReader, alphabet_size: int):
+    """One prefix code: simple (1-2 symbols) or normal (code-length
+    coded lengths with 16/17/18 repeats and the max_symbol cap)."""
+    if br.read(1):  # simple
+        num_symbols = br.read(1) + 1
+        s0 = br.read(8) if br.read(1) else br.read(1)
+        if num_symbols == 1:
+            return s0
+        s1 = br.read(8)
+        lengths = [0] * alphabet_size
+        lengths[s0] = 1
+        lengths[s1] = 1
+        return _canonical_table(lengths)
+    num_codes = 4 + br.read(4)
+    cl_lengths = [0] * 19
+    for i in range(num_codes):
+        cl_lengths[_CL_ORDER[i]] = br.read(3)
+    cl_table = _canonical_table(cl_lengths)
+    if br.read(1):  # limited number of coded lengths
+        length_nbits = 2 + 2 * br.read(3)
+        max_symbol = 2 + br.read(length_nbits)
+    else:
+        max_symbol = alphabet_size
+    lengths = [0] * alphabet_size
+    prev = 8
+    i = 0
+    while i < alphabet_size:
+        if max_symbol <= 0:
+            break  # remaining lengths stay 0
+        max_symbol -= 1
+        s = _read_symbol(br, cl_table)
+        if s < 16:
+            lengths[i] = s
+            i += 1
+            if s:
+                prev = s
+        elif s == 16:
+            rep = 3 + br.read(2)
+            for _ in range(rep):
+                if i < alphabet_size:
+                    lengths[i] = prev
+                    i += 1
+        elif s == 17:
+            i += 3 + br.read(3)
+        else:
+            i += 11 + br.read(7)
+    return _canonical_table(lengths)
+
+
+def _prefix_encode(v: int) -> tuple[int, int, int]:
+    """Length/distance value ≥ 1 → (prefix code, n extra bits, extra)."""
+    x = v - 1
+    if x < 4:
+        return x, 0, 0
+    b = x.bit_length() - 1
+    s = (x >> (b - 1)) & 1
+    return 2 * b + s, b - 1, x - ((2 + s) << (b - 1))
+
+
+def _prefix_decode(code: int, br: _LsbReader) -> int:
+    if code < 4:
+        return code + 1
+    extra = (code - 2) >> 1
+    offset = (2 + (code & 1)) << extra
+    return offset + br.read(extra) + 1
+
+
+# ---------------------------------------------------------------------------
+# decoder
+# ---------------------------------------------------------------------------
+
+
+def _tiles(size: int, bits: int) -> int:
+    return (size + (1 << bits) - 1) >> bits
+
+
+def _read_pixels(br, w, h, level0):
+    """One spatially-coded ARGB image → (h*w, 4) uint8 array in ARGB
+    channel order. Sub-images (entropy image, transform tiles, palette)
+    decode with level0=False: no meta prefix codes of their own."""
+    cache_bits = 0
+    if br.read(1):
+        cache_bits = br.read(4)
+        if not 1 <= cache_bits <= 11:
+            raise ValueError(f"bad color cache bits {cache_bits}")
+    cache_size = (1 << cache_bits) if cache_bits else 0
+    meta_idx = None
+    meta_bits = 0
+    num_groups = 1
+    if level0 and br.read(1):  # entropy image → per-tile code groups
+        meta_bits = br.read(3) + 2
+        sub = _read_pixels(br, _tiles(w, meta_bits), _tiles(h, meta_bits), False)
+        meta_idx = (
+            sub[:, 1].astype(np.int64) << 8 | sub[:, 2].astype(np.int64)
+        ).reshape(_tiles(h, meta_bits), _tiles(w, meta_bits))
+        num_groups = int(meta_idx.max()) + 1
+    green_size = 256 + _NUM_LENGTH_CODES + cache_size
+    groups = [
+        tuple(
+            _read_prefix_code(br, n)
+            for n in (green_size, 256, 256, 256, _NUM_DISTANCE_CODES)
+        )
+        for _ in range(num_groups)
+    ]
+    cache = [0] * cache_size
+    cache_shift = 32 - cache_bits if cache_bits else 0
+    px = np.zeros((h * w, 4), dtype=np.uint8)  # ARGB
+    pos = 0
+    n = h * w
+    while pos < n:
+        if meta_idx is not None:
+            y, x = divmod(pos, w)
+            g_code, r_code, b_code, a_code, d_code = groups[
+                int(meta_idx[y >> meta_bits, x >> meta_bits])
+            ]
+        else:
+            g_code, r_code, b_code, a_code, d_code = groups[0]
+        s = _read_symbol(br, g_code)
+        if s < 256:  # literal
+            g = s
+            r = _read_symbol(br, r_code)
+            b = _read_symbol(br, b_code)
+            a = _read_symbol(br, a_code)
+            px[pos] = (a, r, g, b)
+            if cache_size:
+                argb = (a << 24) | (r << 16) | (g << 8) | b
+                cache[(_CACHE_MUL * argb & 0xFFFFFFFF) >> cache_shift] = argb
+            pos += 1
+        elif s < 256 + _NUM_LENGTH_CODES:  # LZ77 backward reference
+            length = _prefix_decode(s - 256, br)
+            dist_code = _prefix_decode(_read_symbol(br, d_code), br)
+            if dist_code > 120:
+                dist = dist_code - 120
+            else:
+                dx, dy = _DIST_MAP[dist_code - 1]
+                dist = max(dy * w + dx, 1)
+            if dist > pos or pos + length > n:
+                raise ValueError("VP8L backward reference out of range")
+            for _ in range(length):
+                px[pos] = px[pos - dist]
+                if cache_size:
+                    a, r, g, b = (int(v) for v in px[pos])
+                    argb = (a << 24) | (r << 16) | (g << 8) | b
+                    cache[
+                        (_CACHE_MUL * argb & 0xFFFFFFFF) >> cache_shift
+                    ] = argb
+                pos += 1
+        else:  # color cache hit
+            argb = cache[s - 256 - _NUM_LENGTH_CODES]
+            px[pos] = (
+                argb >> 24 & 0xFF,
+                argb >> 16 & 0xFF,
+                argb >> 8 & 0xFF,
+                argb & 0xFF,
+            )
+            pos += 1
+    return px
+
+
+def _ctd(t: int, c: int) -> int:
+    """ColorTransformDelta: both args as signed int8, product >> 5."""
+    if t >= 128:
+        t -= 256
+    if c >= 128:
+        c -= 256
+    return (t * c) >> 5
+
+
+def _avg2(a, b):
+    return tuple((int(x) + int(y)) >> 1 for x, y in zip(a, b))
+
+
+def _predict(mode: int, left, top, top_left, top_right):
+    if mode == 0:
+        return (255, 0, 0, 0)
+    if mode == 1:
+        return left
+    if mode == 2:
+        return top
+    if mode == 3:
+        return top_right
+    if mode == 4:
+        return top_left
+    if mode == 5:
+        return _avg2(_avg2(left, top_right), top)
+    if mode == 6:
+        return _avg2(left, top_left)
+    if mode == 7:
+        return _avg2(left, top)
+    if mode == 8:
+        return _avg2(top_left, top)
+    if mode == 9:
+        return _avg2(top, top_right)
+    if mode == 10:
+        return _avg2(_avg2(left, top_left), _avg2(top, top_right))
+    if mode == 11:  # Select: whichever of T/L the gradient favors
+        d = sum(
+            abs(int(l) - int(tl)) - abs(int(t) - int(tl))
+            for l, t, tl in zip(left, top, top_left)
+        )
+        return top if d <= 0 else left
+    if mode == 12:  # ClampAddSubtractFull
+        return tuple(
+            min(255, max(0, int(l) + int(t) - int(tl)))
+            for l, t, tl in zip(left, top, top_left)
+        )
+    if mode == 13:  # ClampAddSubtractHalf (C truncating division)
+        ave = _avg2(left, top)
+        return tuple(
+            min(255, max(0, a + int((a - int(tl)) / 2)))
+            for a, tl in zip(ave, top_left)
+        )
+    raise ValueError(f"bad predictor mode {mode}")
+
+
+def _inv_predictor(px, w, h, tile_modes, bits):
+    flat = px  # (h*w, 4) residuals, reconstructed in place
+    for pos in range(h * w):
+        y, x = divmod(pos, w)
+        if pos == 0:
+            pred = (255, 0, 0, 0)
+        elif y == 0:
+            pred = tuple(flat[pos - 1])
+        elif x == 0:
+            pred = tuple(flat[pos - w])
+        else:
+            mode = int(tile_modes[y >> bits, x >> bits])
+            pred = _predict(
+                mode,
+                tuple(flat[pos - 1]),
+                tuple(flat[pos - w]),
+                tuple(flat[pos - w - 1]),
+                # for the last column this flat index IS the leftmost
+                # pixel of the current row — the spec's TR rule
+                tuple(flat[pos - w + 1]),
+            )
+        flat[pos] = [
+            (int(r) + int(p)) & 0xFF for r, p in zip(flat[pos], pred)
+        ]
+
+
+def _inv_color_transform(px, w, h, tile_px, bits):
+    for pos in range(h * w):
+        y, x = divmod(pos, w)
+        t = tile_px[(y >> bits) * _tiles(w, bits) + (x >> bits)]
+        g2r, g2b, r2b = int(t[3]), int(t[2]), int(t[1])  # b, g, r channels
+        a, r, g, b = (int(v) for v in px[pos])
+        r = (r + _ctd(g2r, g)) & 0xFF
+        b = (b + _ctd(g2b, g) + _ctd(r2b, r)) & 0xFF
+        px[pos, 1] = r
+        px[pos, 3] = b
+
+
+def _decode_vp8l(payload: bytes) -> np.ndarray:
+    if len(payload) < 5 or payload[0] != 0x2F:
+        raise ValueError("bad VP8L signature")
+    br = _LsbReader(payload, 1)
+    w = br.read(14) + 1
+    h = br.read(14) + 1
+    br.read(1)  # alpha hint
+    if br.read(3) != 0:
+        raise ValueError("unknown VP8L version")
+
+    transforms = []  # (type, data...) in stream order
+    cur_w = w
+    seen = set()
+    while br.read(1):
+        ttype = br.read(2)
+        if ttype in seen:
+            raise ValueError("duplicate VP8L transform")
+        seen.add(ttype)
+        if ttype == 0:  # predictor
+            bits = br.read(3) + 2
+            tw, th = _tiles(cur_w, bits), _tiles(h, bits)
+            sub = _read_pixels(br, tw, th, False)
+            transforms.append(("pred", bits, sub[:, 2].reshape(th, tw), cur_w))
+        elif ttype == 1:  # cross-color
+            bits = br.read(3) + 2
+            sub = _read_pixels(br, _tiles(cur_w, bits), _tiles(h, bits), False)
+            transforms.append(("color", bits, sub, cur_w))
+        elif ttype == 2:  # subtract green
+            transforms.append(("sub_green",))
+        else:  # color indexing
+            n_colors = br.read(8) + 1
+            pal_px = _read_pixels(br, n_colors, 1, False)
+            palette = np.cumsum(
+                pal_px.astype(np.int64), axis=0
+            ).astype(np.uint8)  # delta-coded entries
+            width_bits = (
+                3 if n_colors <= 2 else 2 if n_colors <= 4
+                else 1 if n_colors <= 16 else 0
+            )
+            transforms.append(("palette", width_bits, palette, cur_w))
+            cur_w = _tiles(cur_w, width_bits)
+
+    px = _read_pixels(br, cur_w, h, True)
+
+    for t in reversed(transforms):
+        if t[0] == "palette":
+            _, width_bits, palette, full_w = t
+            if width_bits:
+                per = 1 << width_bits
+                idx_bits = 8 >> width_bits
+                mask = (1 << idx_bits) - 1
+                packed = px[:, 2].reshape(h, cur_w)
+                idx = np.zeros((h, full_w), dtype=np.int64)
+                for i in range(per):
+                    cols = np.arange(i, full_w, per)
+                    idx[:, cols] = (
+                        packed[:, : len(cols)] >> (i * idx_bits)
+                    ) & mask
+            else:
+                idx = px[:, 2].reshape(h, cur_w).astype(np.int64)
+            out = np.zeros((h, full_w, 4), dtype=np.uint8)
+            ok = idx < palette.shape[0]  # out-of-range → transparent black
+            out[ok] = palette[idx[ok]]
+            px = out.reshape(h * full_w, 4)
+            cur_w = full_w
+        elif t[0] == "sub_green":
+            g = px[:, 2].astype(np.int64)
+            px[:, 1] = (px[:, 1].astype(np.int64) + g) & 0xFF
+            px[:, 3] = (px[:, 3].astype(np.int64) + g) & 0xFF
+        elif t[0] == "color":
+            _inv_color_transform(px, t[3], h, t[2], t[1])
+        else:
+            _inv_predictor(px, t[3], h, t[2], t[1])
+
+    argb = px.reshape(h, w, 4)
+    rgba = argb[:, :, [1, 2, 3, 0]]
+    if np.all(rgba[:, :, 3] == 255):
+        return rgba[:, :, :3].copy()
+    return rgba.copy()
+
+
+def decode_webp(payload: bytes) -> np.ndarray:
+    """RIFF/WEBP container → (h, w, 3|4) uint8 (RGB when alpha is
+    uniformly 255, RGBA otherwise — the PNG decoder's convention).
+    Lossless (VP8L) only; VP8 lossy raises NotImplementedError."""
+    if len(payload) < 20 or payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
+        raise ValueError("not a RIFF/WEBP payload")
+    pos = 12
+    saw_lossy = False
+    while pos + 8 <= len(payload):
+        fourcc = payload[pos : pos + 4]
+        size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        body = payload[pos + 8 : pos + 8 + size]
+        if fourcc == b"VP8L":
+            return _decode_vp8l(body)
+        if fourcc == b"VP8 ":
+            saw_lossy = True
+        pos += 8 + size + (size & 1)  # chunks pad to even
+    if saw_lossy:
+        raise NotImplementedError(
+            "lossy WebP (VP8) needs a codec library; only lossless "
+            "(VP8L) decodes here"
+        )
+    raise ValueError("no VP8L chunk in WebP container")
+
+
+# ---------------------------------------------------------------------------
+# encoder
+# ---------------------------------------------------------------------------
+
+
+def _two_length_code(n: int):
+    """A complete canonical code over ALL n symbols using two adjacent
+    lengths l/l+1 (Kraft sum exactly 1): a = 2^(l+1) - n symbols at l."""
+    l = n.bit_length() - 1
+    if 1 << l == n:
+        lengths = [l] * n
+    else:
+        a = (1 << (l + 1)) - n
+        lengths = [l] * a + [l + 1] * (n - a)
+    return lengths
+
+
+def _write_code_spec(bw: _LsbWriter, lengths):
+    """Emit a normal prefix code whose symbol lengths are `lengths`
+    (drawn from at most two distinct nonzero values), via a 1-bit
+    code-length code."""
+    bw.write(0, 1)  # not simple
+    used = sorted(set(lengths))
+    if len(used) == 1:
+        used = [0, used[0]]  # pad the cl code to two symbols
+    cl_lengths = [0] * 19
+    for u in used:
+        cl_lengths[u] = 1
+    num_codes = max(_CL_ORDER.index(u) for u in used) + 1
+    num_codes = max(num_codes, 4)
+    bw.write(num_codes - 4, 4)
+    for i in range(num_codes):
+        bw.write(cl_lengths[_CL_ORDER[i]], 3)
+    bw.write(0, 1)  # no max_symbol cap
+    cl_codes = _canonical_codes(cl_lengths)
+    for l in lengths:
+        c, n = cl_codes[l]
+        bw.write_code(c, n)
+    return _canonical_codes(lengths)
+
+
+def _write_single_symbol(bw: _LsbWriter, sym: int):
+    """Simple prefix code with one symbol: zero bits per use."""
+    bw.write(1, 1)  # simple
+    bw.write(0, 1)  # num_symbols - 1 = 0
+    if sym < 2:
+        bw.write(0, 1)
+        bw.write(sym, 1)
+    else:
+        bw.write(1, 1)
+        bw.write(sym, 8)
+    return {sym: (0, 0)}
+
+
+def _write_pixels(bw, px, w, h, cache_bits, use_rle, level0, use_meta=False):
+    bw.write(1 if cache_bits else 0, 1)
+    if cache_bits:
+        bw.write(cache_bits, 4)
+    if level0:
+        if use_meta:  # trivial one-group entropy image (exercises the path)
+            bw.write(1, 1)
+            meta_bits = 4
+            bw.write(meta_bits - 2, 3)
+            tile_px = np.zeros(
+                (_tiles(h, meta_bits) * _tiles(w, meta_bits), 4),
+                dtype=np.uint8,
+            )
+            _write_pixels(bw, tile_px, _tiles(w, meta_bits),
+                          _tiles(h, meta_bits), 0, False, False)
+        else:
+            bw.write(0, 1)
+    cache_size = (1 << cache_bits) if cache_bits else 0
+    green = _write_code_spec(
+        bw, _two_length_code(256 + _NUM_LENGTH_CODES + cache_size)
+    )
+    red = _write_code_spec(bw, _two_length_code(256))
+    blue = _write_code_spec(bw, _two_length_code(256))
+    alphas = set(int(a) for a in px[:, 0])
+    if len(alphas) == 1:
+        alpha = _write_single_symbol(bw, alphas.pop())
+    else:
+        alpha = _write_code_spec(bw, _two_length_code(256))
+    if use_rle:
+        dist = _write_code_spec(bw, _two_length_code(_NUM_DISTANCE_CODES))
+    else:
+        dist = _write_single_symbol(bw, 0)
+
+    cache = [None] * cache_size
+    cache_shift = 32 - cache_bits if cache_bits else 0
+    n = px.shape[0]
+    pos = 0
+    while pos < n:
+        a, r, g, b = (int(v) for v in px[pos])
+        argb = (a << 24) | (r << 16) | (g << 8) | b
+        if use_rle and pos > 0:
+            run = 0
+            while pos + run < n and run < 4096 and np.array_equal(
+                px[pos + run], px[pos - 1]
+            ):
+                run += 1
+            if run >= 4:  # emit a distance-1 reference
+                code, nb, extra = _prefix_encode(run)
+                c, ln = green[256 + code]
+                bw.write_code(c, ln)
+                bw.write(extra, nb)
+                # distance 1 is (dx=-1, dy=0) = close-neighborhood code 2
+                # (exercises the decoder's distance map); the plain form
+                # would be 1 + 120
+                dcode, dnb, dextra = _prefix_encode(2)
+                c, ln = dist[dcode]
+                bw.write_code(c, ln)
+                bw.write(dextra, dnb)
+                if cache_size:
+                    pa, pr, pg, pb = (int(v) for v in px[pos - 1])
+                    pargb = (pa << 24) | (pr << 16) | (pg << 8) | pb
+                    cache[
+                        (_CACHE_MUL * pargb & 0xFFFFFFFF) >> cache_shift
+                    ] = pargb
+                pos += run
+                continue
+        if cache_size:
+            slot = (_CACHE_MUL * argb & 0xFFFFFFFF) >> cache_shift
+            if cache[slot] == argb:
+                c, ln = green[256 + _NUM_LENGTH_CODES + slot]
+                bw.write_code(c, ln)
+                pos += 1
+                continue
+            cache[slot] = argb
+        c, ln = green[g]
+        bw.write_code(c, ln)
+        c, ln = red[r]
+        bw.write_code(c, ln)
+        c, ln = blue[b]
+        bw.write_code(c, ln)
+        c, ln = alpha[a]
+        bw.write_code(c, ln)
+        pos += 1
+
+
+def _fwd_predictor(px, w, h, mode, bits):
+    """Residuals for a constant predictor mode, scanning in decode
+    order against the original pixels (= what the decoder will have
+    reconstructed)."""
+    out = px.copy()
+    for pos in range(h * w):
+        y, x = divmod(pos, w)
+        if pos == 0:
+            pred = (255, 0, 0, 0)
+        elif y == 0:
+            pred = tuple(px[pos - 1])
+        elif x == 0:
+            pred = tuple(px[pos - w])
+        else:
+            pred = _predict(
+                mode,
+                tuple(px[pos - 1]),
+                tuple(px[pos - w]),
+                tuple(px[pos - w - 1]),
+                tuple(px[pos - w + 1]),
+            )
+        out[pos] = [
+            (int(v) - int(p)) & 0xFF for v, p in zip(px[pos], pred)
+        ]
+    return out
+
+
+def encode_webp_lossless(
+    img: np.ndarray,
+    use_subtract_green: bool = False,
+    predictor_mode: int | None = None,
+    color_transform: tuple[int, int, int] | None = None,
+    palette: bool = False,
+    cache_bits: int = 0,
+    use_rle: bool = False,
+    use_meta: bool = False,
+) -> bytes:
+    """(h, w, 3|4) uint8 → lossless WebP bytes. Transform flags apply
+    (and stream) in the fixed order predictor → cross-color →
+    subtract-green, or color-indexing alone when ``palette=True``."""
+    img = np.asarray(img, dtype=np.uint8)
+    h, w = img.shape[:2]
+    if h == 0 or w == 0 or h > 1 << 14 or w > 1 << 14:
+        raise ValueError("bad WebP dimensions")
+    if img.ndim == 2:
+        img = np.stack([img] * 3, axis=-1)
+    if img.shape[2] == 3:
+        alpha = np.full((h, w, 1), 255, dtype=np.uint8)
+        img = np.concatenate([img, alpha], axis=2)
+    px = img[:, :, [3, 0, 1, 2]].reshape(h * w, 4).copy()  # → ARGB
+
+    bw = _LsbWriter()
+    bw.write(w - 1, 14)
+    bw.write(h - 1, 14)
+    bw.write(0, 1)  # alpha hint
+    bw.write(0, 3)  # version
+
+    cur_w = w
+    if palette:
+        if predictor_mode is not None or color_transform or use_subtract_green:
+            raise ValueError("palette composes alone in this writer")
+        colors, inverse = np.unique(px, axis=0, return_inverse=True)
+        n_colors = colors.shape[0]
+        if n_colors > 256:
+            raise ValueError("too many colors to palettize")
+        bw.write(1, 1)
+        bw.write(3, 2)
+        bw.write(n_colors - 1, 8)
+        deltas = np.diff(
+            np.vstack([np.zeros((1, 4), np.int64), colors.astype(np.int64)]),
+            axis=0,
+        ).astype(np.uint8)
+        _write_pixels(bw, deltas, n_colors, 1, 0, False, False)
+        width_bits = (
+            3 if n_colors <= 2 else 2 if n_colors <= 4
+            else 1 if n_colors <= 16 else 0
+        )
+        idx = inverse.reshape(h, w).astype(np.int64)
+        if width_bits:
+            per = 1 << width_bits
+            idx_bits = 8 >> width_bits
+            cur_w = _tiles(w, width_bits)
+            packed = np.zeros((h, cur_w), dtype=np.int64)
+            for i in range(per):
+                cols = np.arange(i, w, per)
+                packed[:, : len(cols)] |= idx[:, cols] << (i * idx_bits)
+            green = packed
+        else:
+            green = idx
+        px = np.zeros((h * cur_w, 4), dtype=np.uint8)
+        px[:, 0] = 255
+        px[:, 2] = green.reshape(-1)
+    else:
+        if predictor_mode is not None:
+            bits = 4
+            bw.write(1, 1)
+            bw.write(0, 2)
+            bw.write(bits - 2, 3)
+            tw, th = _tiles(cur_w, bits), _tiles(h, bits)
+            tile_px = np.zeros((tw * th, 4), dtype=np.uint8)
+            tile_px[:, 0] = 255
+            tile_px[:, 2] = predictor_mode
+            _write_pixels(bw, tile_px, tw, th, 0, False, False)
+            px = _fwd_predictor(px, cur_w, h, predictor_mode, bits)
+        if color_transform is not None:
+            g2r, g2b, r2b = color_transform
+            bits = 4
+            bw.write(1, 1)
+            bw.write(1, 2)
+            bw.write(bits - 2, 3)
+            tw, th = _tiles(cur_w, bits), _tiles(h, bits)
+            tile_px = np.zeros((tw * th, 4), dtype=np.uint8)
+            tile_px[:, 0] = 255
+            tile_px[:, 1] = r2b & 0xFF
+            tile_px[:, 2] = g2b & 0xFF
+            tile_px[:, 3] = g2r & 0xFF
+            _write_pixels(bw, tile_px, tw, th, 0, False, False)
+            for pos in range(h * cur_w):
+                a, r, g, b = (int(v) for v in px[pos])
+                new_r = (r - _ctd(g2r & 0xFF, g)) & 0xFF
+                new_b = (b - _ctd(g2b & 0xFF, g) - _ctd(r2b & 0xFF, r)) & 0xFF
+                px[pos, 1] = new_r
+                px[pos, 3] = new_b
+        if use_subtract_green:
+            bw.write(1, 1)
+            bw.write(2, 2)
+            g = px[:, 2].astype(np.int64)
+            px[:, 1] = (px[:, 1].astype(np.int64) - g) & 0xFF
+            px[:, 3] = (px[:, 3].astype(np.int64) - g) & 0xFF
+    bw.write(0, 1)  # end of transforms
+
+    _write_pixels(bw, px, cur_w, h, cache_bits, use_rle, True, use_meta)
+    stream = b"\x2f" + bw.finish()
+
+    chunk = b"VP8L" + len(stream).to_bytes(4, "little") + stream
+    if len(stream) & 1:
+        chunk += b"\x00"
+    riff = b"WEBP" + chunk
+    return b"RIFF" + len(riff).to_bytes(4, "little") + riff

@@ -650,12 +650,12 @@ def x_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ROTATION_BASIS_ROUND to the round the driver just recorded, re-run the
 # test, and paste the list it expects.
 #
-# ROUND-9 HEAD under that policy = the 15 never-checked queries (the 10
+# ROUND-9 HEAD under that policy = the 16 never-checked queries (the 10
 # rows-only production forms — driver records rows/schema rows, the m3
 # pattern — plus r8's post-rotation exact witnesses g_mst2/g_lpa2 and
-# round 9's g_bc2_integer_grid/m3b_image_decode_census/m7b_whash_exact)
-# + the 35 stalest: the entire round-2 block (last signal 7 rounds
-# old).  Everything not listed keeps its
+# round 9's g_bc2_integer_grid/m3b_image_decode_census/m7b_whash_exact/
+# m13_webp_roundtrip) + the 34 stalest: the round-2 block (last signal
+# 7 rounds old).  Everything not listed keeps its
 # registration order after slot 50 and stays covered by the local
 # exact-value gate (tests/test_oracle_parity.py, 3 SFs, every round).
 ROTATION_BASIS_ROUND = 8
@@ -706,6 +706,7 @@ DRIVER_PRIORITY: list[str] = [
     "g_mst",
     "g_mst2_kruskal_witness",
     "g_ppr_recommend",
+    "m13_webp_roundtrip",
     "m3b_image_decode_census",
     "m7_phash_near_dups",
     "m7b_whash_exact",
@@ -744,7 +745,6 @@ DRIVER_PRIORITY: list[str] = [
     "q_string_predicates",
     "q_topk_orders_per_customer",
     "t1_traverse_in",
-    "t1_traverse_out",
 ]
 
 # Head entries that ship WITHOUT a DuckDB oracle by documented design (the
@@ -6398,6 +6398,98 @@ def m6_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         kernel,
         "media_id long, width long, height long, channels long, "
         "within_tol boolean",
+    )
+
+
+@_register(
+    "m13_webp_roundtrip",
+    """SELECT doc_id AS media_id,
+              CAST(16 AS BIGINT) AS width, CAST(16 AS BIGINT) AS height,
+              CAST(3 AS BIGINT) AS channels,
+              CAST(sum((3 * doc_id + 7 * x.i + 11 * y.i) % 256) AS BIGINT)
+                AS sum_r,
+              CAST(sum((5 * doc_id + 13 * x.i + 3 * y.i) % 256) AS BIGINT)
+                AS sum_g,
+              CAST(sum((doc_id + x.i * y.i) % 256) AS BIGINT) AS sum_b,
+              TRUE AS exact
+       FROM documents, range(16) x(i), range(16) y(i)
+       WHERE doc_id < 200 GROUP BY doc_id""",
+)
+def m13_webp_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lossless-WebP (VP8L) codec through the Spark multimodal path
+    (operators/webp.py): per document a deterministic 16×16 integer RGB
+    image ((3d+7x+11y)%256, (5d+13x+3y)%256, (d+xy)%256) is ENCODED to
+    real VP8L bytes and DECODED back inside one Arrow-batched
+    mapInPandas kernel — with the transform set rotating by doc_id
+    (plain literals / subtract-green / per-mode predictor / color cache
+    + LZ77), so the driver hash pins every encoder-decoder path, not
+    one. Because VP8L is lossless the decode is bit-exact, and the
+    oracle replays the per-channel byte sums of the SOURCE grid in pure
+    SQL — a stronger contract than m6's bounded-error JPEG check.
+    (Reference media-column surface; this engine's multimodal suite —
+    SURVEY §2 m-family.)"""
+    import pandas as pd
+
+    from torcdb_spark.operators.webp import (
+        decode_webp,
+        encode_webp_lossless,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") < 200
+    ).select("doc_id")
+
+    def kernel(batches):
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                yy, xx = np.mgrid[0:16, 0:16]
+                img = np.stack(
+                    [
+                        (3 * d + 7 * xx + 11 * yy) % 256,
+                        (5 * d + 13 * xx + 3 * yy) % 256,
+                        (d + xx * yy) % 256,
+                    ],
+                    axis=-1,
+                ).astype(np.uint8)
+                variant = d % 4
+                if variant == 1:
+                    payload = encode_webp_lossless(
+                        img, use_subtract_green=True
+                    )
+                elif variant == 2:
+                    payload = encode_webp_lossless(
+                        img, predictor_mode=d % 14
+                    )
+                elif variant == 3:
+                    payload = encode_webp_lossless(
+                        img, cache_bits=4, use_rle=True
+                    )
+                else:
+                    payload = encode_webp_lossless(img)
+                dec = decode_webp(payload)
+                s = dec.astype(np.int64).sum(axis=(0, 1))
+                rows.append(
+                    {
+                        "media_id": d,
+                        "width": dec.shape[1],
+                        "height": dec.shape[0],
+                        "channels": dec.shape[2],
+                        "sum_r": int(s[0]),
+                        "sum_g": int(s[1]),
+                        "sum_b": int(s[2]),
+                        "exact": bool(np.array_equal(dec, img)),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(
+        kernel,
+        "media_id long, width long, height long, channels long, "
+        "sum_r long, sum_g long, sum_b long, exact boolean",
     )
 
 
