@@ -730,6 +730,27 @@ def test_redact_pii_counts(spark):
     assert out[3].n_redactions == 3
 
 
+def test_unicode_nfc_census(spark):
+    from torcdb_spark.operators.text import unicode_nfc
+
+    decomposed = "cafe\u0301"  # 'cafe' + combining acute: 5 cps
+    composed = "caf\u00e9"  # 'caf' + e-acute: 4 cps, already NFC
+    no_compose = "b\u0327"  # b + combining cedilla: no composed form
+    docs = spark.createDataFrame(
+        [(1, decomposed), (2, composed), (3, "plain ascii"),
+         (4, "a\u030a " + no_compose)],  # a+ring composes, b+cedilla stays
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in unicode_nfc(docs).collect()}
+    assert out[1].nfc_text == composed
+    assert (out[1].n_chars_in, out[1].n_chars_nfc) == (5, 4)
+    assert out[1].changed
+    assert out[2].nfc_text == composed and not out[2].changed
+    assert out[3].nfc_text == "plain ascii" and not out[3].changed
+    assert out[4].nfc_text == "\u00e5 " + no_compose
+    assert (out[4].n_chars_in, out[4].n_chars_nfc) == (5, 4)
+
+
 def test_hash_sample_deterministic_and_stratified(spark, sf_dir):
     import pyspark.sql.functions as F
     from torcdb_spark.operators.text import hash_sample

@@ -342,6 +342,45 @@ def redact_pii(
     )
 
 
+def unicode_nfc(
+    docs: "DataFrame",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> "DataFrame":
+    """Unicode NFC normalization census → (id, nfc_text, n_chars_in,
+    n_chars_nfc, changed): canonical composition of combining sequences
+    (e + U+0301 → é), the normalization pass a multilingual corpus runs
+    before dedup/tokenization so that canonically-equivalent strings
+    hash identically. Kernel is stdlib ``unicodedata`` inside one
+    Arrow-batched mapInPandas (no JVM builtin covers normalization);
+    lengths count code points, matching SQL ``length()`` semantics.
+
+    At 100 TB: embarrassingly parallel over partitions, no shuffle."""
+    import pandas as pd
+
+    def kernel(batches):
+        import unicodedata
+
+        for pdf in batches:
+            src = pdf[text_col].astype(str)
+            nfc = src.map(lambda s: unicodedata.normalize("NFC", s))
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "nfc_text": nfc,
+                    "n_chars_in": src.str.len().astype("int64"),
+                    "n_chars_nfc": nfc.str.len().astype("int64"),
+                    "changed": (src != nfc),
+                }
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(
+        kernel,
+        f"{id_col} long, nfc_text string, n_chars_in long, "
+        "n_chars_nfc long, changed boolean",
+    )
+
+
 def hash_sample(
     docs: "DataFrame",
     rate_pct: int = 10,

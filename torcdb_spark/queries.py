@@ -650,12 +650,12 @@ def x_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ROTATION_BASIS_ROUND to the round the driver just recorded, re-run the
 # test, and paste the list it expects.
 #
-# ROUND-9 HEAD under that policy = the 16 never-checked queries (the 10
+# ROUND-9 HEAD under that policy = the 17 never-checked queries (the 10
 # rows-only production forms — driver records rows/schema rows, the m3
 # pattern — plus r8's post-rotation exact witnesses g_mst2/g_lpa2 and
 # round 9's g_bc2_integer_grid/m3b_image_decode_census/m7b_whash_exact/
-# m13_webp_roundtrip) + the 34 stalest: the round-2 block (last signal
-# 7 rounds old).  Everything not listed keeps its
+# m13_webp_roundtrip/d33_unicode_nfc) + the 33 stalest: the round-2
+# block (last signal 7 rounds old).  Everything not listed keeps its
 # registration order after slot 50 and stays covered by the local
 # exact-value gate (tests/test_oracle_parity.py, 3 SFs, every round).
 ROTATION_BASIS_ROUND = 8
@@ -696,6 +696,7 @@ DRIVER_PRIORITY: list[str] = [
     # -- two r8 post-rotation witnesses, and the two r9 additions --
     "d12_hash_sample",
     "d14_simhash_near_dups",
+    "d33_unicode_nfc",
     "e7_pq_topk",
     "e8_semantic_dedup",
     "g_bc2_integer_grid",
@@ -744,7 +745,6 @@ DRIVER_PRIORITY: list[str] = [
     "q_running_total",
     "q_string_predicates",
     "q_topk_orders_per_customer",
-    "t1_traverse_in",
 ]
 
 # Head entries that ship WITHOUT a DuckDB oracle by documented design (the
@@ -6490,6 +6490,40 @@ def m13_webp_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         kernel,
         "media_id long, width long, height long, channels long, "
         "sum_r long, sum_g long, sum_b long, exact boolean",
+    )
+
+
+@_register(
+    "d33_unicode_nfc",
+    """WITH deco AS (
+         SELECT doc_id,
+                replace(text, 'e', 'e' || chr(769)) AS d
+         FROM documents)
+       SELECT doc_id,
+              CAST(length(d) AS BIGINT) AS n_chars_in,
+              CAST(length(nfc_normalize(d)) AS BIGINT) AS n_chars_nfc,
+              d <> nfc_normalize(d) AS changed
+       FROM deco""",
+)
+def d33_unicode_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization census (operators/text.py unicode_nfc):
+    the fixtures are pure ASCII (already NFC), so the query first
+    synthesizes canonically-decomposed text deterministically — every
+    'e' becomes 'e' + U+0301 COMBINING ACUTE — then normalizes; NFC
+    composes each pair back to 'é', so code-point counts and the
+    changed flag are exactly replayable by DuckDB's nfc_normalize.
+    (Text-hygiene family alongside d11 PII scrub / d28 Gopher rules:
+    the pass that makes canonically-equivalent strings hash identically
+    before dedup.)"""
+    from torcdb_spark.operators.text import unicode_nfc
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        # decomposed sequence: 'e' + U+0301 COMBINING ACUTE
+        F.regexp_replace(F.col("text"), "e", "e\u0301").alias("text"),
+    )
+    return unicode_nfc(docs).select(
+        "doc_id", "n_chars_in", "n_chars_nfc", "changed"
     )
 
 
