@@ -382,8 +382,14 @@ def test_decode_image_rejects_unknown_format():
 
     with pytest.raises(ValueError):
         decode_image(b"GIF89a not supported")  # dispatches, malformed body
+    # well-formed container holding a LOSSY VP8 chunk: dispatches to the
+    # WebP decoder, which refuses lossy by documented design
+    lossy_body = b"WEBP" + b"VP8 " + (4).to_bytes(4, "little") + bytes(4)
+    lossy = b"RIFF" + len(lossy_body).to_bytes(4, "little") + lossy_body
     with pytest.raises(NotImplementedError):
-        decode_image(b"RIFFxxxxWEBPVP8 ")  # genuinely undispatched format
+        decode_image(lossy)
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x00\x01 genuinely unknown format")
     with pytest.raises(ValueError):
         decode_image(b"\x89PNG\r\n\x1a\n....")  # PNG magic, no chunks
     with pytest.raises(ValueError):
@@ -1319,6 +1325,46 @@ def test_jpeg_12bit_extended_sequential():
     assert float(np.abs(d8.astype(int) - d12.astype(int)).mean()) < 2.0
 
 
+def test_jpeg_lossless_sof3_exact():
+    """Lossless process (SOF3): bit-exact round trips across all seven
+    predictors, RGB, restart markers, 12/16-bit precision (rescaled to
+    the uint8 contract with round-half-up), and the point transform."""
+    import numpy as np
+
+    from torcdb_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg_lossless,
+    )
+
+    rng = np.random.default_rng(13)
+    g = rng.integers(0, 256, (23, 31), dtype=np.uint8)
+    for p in range(1, 8):
+        dec = decode_jpeg(encode_jpeg_lossless(g, predictor=p))
+        assert np.array_equal(dec[:, :, 0], g), f"predictor {p}"
+
+    rgb = rng.integers(0, 256, (17, 13, 3), dtype=np.uint8)
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg_lossless(rgb, predictor=7)), rgb
+    )
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg_lossless(rgb, predictor=4,
+                                         restart_interval=5)),
+        rgb,
+    )
+
+    g16 = rng.integers(0, 65536, (11, 9)).astype(np.int64)
+    dec = decode_jpeg(encode_jpeg_lossless(g16, predictor=4, precision=16))
+    assert np.array_equal(dec[:, :, 0], (g16 * 255 + 32767) // 65535)
+
+    g12 = rng.integers(0, 4096, (11, 9)).astype(np.int64)
+    dec = decode_jpeg(encode_jpeg_lossless(g12, predictor=6, precision=12))
+    assert np.array_equal(dec[:, :, 0], (g12 * 255 + 2047) // 4095)
+
+    # point transform drops pt low bits before prediction
+    dec = decode_jpeg(encode_jpeg_lossless(g, predictor=4, pt=1))
+    assert np.array_equal(dec[:, :, 0], (g.astype(np.int64) >> 1) << 1)
+
+
 def test_webp_lossless_roundtrip_all_paths():
     """VP8L encode→decode is bit-exact through every transform and
     entropy feature: all 14 predictor modes, cross-color,
@@ -1453,10 +1499,11 @@ def test_jpeg_rejects_lossless_and_garbage():
 
     img = np.zeros((8, 8, 3), dtype=np.uint8)
     payload = bytearray(encode_jpeg_baseline(img))
-    # flip SOF0 (FFC0) to SOF3 (lossless): must be refused (progressive
-    # SOF2 is supported — see the progressive tests below)
+    # flip SOF0 (FFC0) to SOF5 (differential sequential): must be
+    # refused (progressive SOF2 and lossless SOF3 are supported — see
+    # their tests)
     i = payload.index(b"\xff\xc0")
-    payload[i + 1] = 0xC3
+    payload[i + 1] = 0xC5
     with _pytest.raises(NotImplementedError):
         decode_jpeg(bytes(payload))
     with _pytest.raises(ValueError):

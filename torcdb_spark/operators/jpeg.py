@@ -12,7 +12,11 @@ interleaved/non-interleaved DC first + refinement scans, per-component
 AC band scans with EOB-run coding, and AC refinement with buffered
 correction bits. 12-bit frames level-shift by 2048 and rescale to the
 engine's uint8 pixel contract with round-half-up (the same rule the
-16-bit PPM/TIFF paths use). Arithmetic coding remains
+16-bit PPM/TIFF paths use). The LOSSLESS process (SOF3, T.81 Annex H)
+also decodes: per-sample Huffman-coded prediction differences over
+predictors 1..7, mod-2^16 reconstruction, point transform, 2..16-bit
+precision, restart markers — bit-exact round trips with
+``encode_jpeg_lossless``. Arithmetic coding and hierarchical remain
 NotImplementedError by design.
 
 Encoders (`encode_jpeg_baseline`, `encode_jpeg_progressive`): matching
@@ -463,6 +467,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     restart = 0
     comps: list[dict] = []
     progressive = False
+    lossless = False
     sample_prec = 8
     coeffs: dict[int, np.ndarray] = {}
     n = len(payload)
@@ -507,9 +512,13 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                     code <<= 1
                 huff[(tc, th)] = table
                 b = b[17 + nv:]
-        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 progressive
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3):  # SOF0/1 seq, SOF2 prog, SOF3 lossless
             sample_prec = body[0]
-            if sample_prec not in (8, 12):
+            lossless = marker == 0xC3
+            if lossless:
+                if not 2 <= sample_prec <= 16:
+                    raise ValueError(f"bad lossless precision {sample_prec}")
+            elif sample_prec not in (8, 12):
                 raise NotImplementedError(f"{sample_prec}-bit JPEG")
             progressive = marker == 0xC2
             fh = int.from_bytes(body[1:3], "big")
@@ -534,10 +543,10 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                     coeffs[c["id"]] = np.zeros(
                         (mcy * c["v"], mcx * c["h"], 64), dtype=np.int64
                     )
-        elif marker == 0xC3 or (0xC5 <= marker <= 0xCF and marker != 0xC8):
+        elif 0xC5 <= marker <= 0xCF and marker != 0xC8:
             raise NotImplementedError(
-                "only baseline (SOF0/1) and progressive (SOF2) JPEG are "
-                "supported (lossless/hierarchical/arithmetic are not)"
+                "only sequential (SOF0/1), progressive (SOF2) and lossless "
+                "(SOF3) JPEG are supported (hierarchical/arithmetic are not)"
             )
         elif marker == 0xDD:  # DRI
             restart = int.from_bytes(body[:2], "big")
@@ -549,14 +558,19 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 comp = next(c for c in comps if c["id"] == cid)
                 scan.append((comp, tt >> 4, tt & 0xF))
             data_start = pos + ln
+            ss = body[1 + 2 * ns]
+            se = body[2 + 2 * ns]
+            ah_al = body[3 + 2 * ns]
+            if lossless:
+                return _decode_lossless_scan(
+                    payload, data_start, frame, scan, huff, restart,
+                    sample_prec, ss, ah_al & 0xF,
+                )
             if not progressive:
                 return _decode_scan(
                     payload, data_start, frame, scan, qts, huff, restart,
                     sample_prec,
                 )
-            ss = body[1 + 2 * ns]
-            se = body[2 + 2 * ns]
-            ah_al = body[3 + 2 * ns]
             pos = _decode_progressive_scan(
                 payload, data_start, frame, comps, scan,
                 ss, se, ah_al >> 4, ah_al & 0xF, huff, restart, coeffs,
@@ -667,6 +681,192 @@ def _decode_scan(data, pos, frame, scan, qts, huff, restart, prec=8):
             p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
         out_planes.append(p[:fh, :fw] + float(1 << (prec - 1)))
     return _finish_planes(out_planes, prec)
+
+
+def _lossless_predict(sel, a, b, c):
+    """T.81 Table H.1 predictors (a=left, b=above, c=above-left)."""
+    if sel == 1:
+        return a
+    if sel == 2:
+        return b
+    if sel == 3:
+        return c
+    if sel == 4:
+        return a + b - c
+    if sel == 5:
+        return a + ((b - c) >> 1)
+    if sel == 6:
+        return b + ((a - c) >> 1)
+    if sel == 7:
+        return (a + b) >> 1
+    raise ValueError(f"bad lossless predictor {sel}")
+
+
+def _decode_lossless_scan(data, pos, frame, scan, huff, restart, prec,
+                          psel, pt):
+    """Lossless-process scan (T.81 Annex H): per-sample Huffman-coded
+    prediction differences, mod-2^16 reconstruction, predictors 1..7,
+    default prediction 2^(P-Pt-1) at scan/restart starts. 1x1 sampling
+    only (the overwhelmingly common lossless layout)."""
+    fh, fw = frame
+    if any(c["h"] != 1 or c["v"] != 1 for c, _, _ in scan):
+        raise NotImplementedError("lossless JPEG with subsampling")
+    br = _BitReader(data, pos)
+
+    def read_symbol(table) -> int:
+        length = 0
+        code = 0
+        while length < 16:
+            code = (code << 1) | br.read_bit()
+            length += 1
+            if (length, code) in table:
+                return table[(length, code)]
+        raise ValueError("invalid Huffman code")
+
+    default = 1 << (prec - pt - 1)
+    planes = [np.zeros((fh, fw), dtype=np.int64) for _ in scan]
+    tabs = [huff[(0, dct_id)] for _, dct_id, _ in scan]
+    count = 0
+    fresh = True  # scan start / just after a restart: default prediction
+    for y in range(fh):
+        for x in range(fw):
+            if restart and count and count % restart == 0:
+                br.align_and_expect_rst(count // restart)
+                fresh = True
+            for p, tab in zip(planes, tabs):
+                s = read_symbol(tab)
+                if s == 16:  # SSSS 16: diff is 32768, no extra bits
+                    diff = 32768
+                else:
+                    diff = _extend(br.read_bits(s), s) if s else 0
+                if fresh:
+                    pred = default
+                elif y == 0:
+                    pred = int(p[0, x - 1])
+                elif x == 0:
+                    pred = int(p[y - 1, 0])
+                else:
+                    pred = _lossless_predict(
+                        psel,
+                        int(p[y, x - 1]),
+                        int(p[y - 1, x]),
+                        int(p[y - 1, x - 1]),
+                    )
+                p[y, x] = (pred + diff) & 0xFFFF
+            fresh = False
+            count += 1
+
+    maxval = (1 << prec) - 1
+    out = np.stack(planes, axis=-1) << pt
+    out = np.clip(out, 0, maxval)
+    if prec > 8:
+        out = (out * 255 + maxval // 2) // maxval
+    return out.astype(np.uint8)
+
+
+# SSSS categories 0..16 for lossless diffs: fourteen 4-bit + three 5-bit
+# codes (Kraft 14/16 + 3/32 = 31/32; the all-ones codeword stays
+# unassigned as K.2 requires)
+DC_LL_BITS = [0, 0, 0, 14, 3, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+DC_LL_VALS = list(range(17))
+
+
+def encode_jpeg_lossless(
+    img: np.ndarray,
+    predictor: int = 4,
+    precision: int = 8,
+    pt: int = 0,
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode (h, w) grayscale or (h, w, 3) integer samples as a
+    lossless-process JPEG (SOF3): predictor ``predictor`` (1..7),
+    ``precision``-bit samples (2..16), point transform ``pt`` (samples
+    are shifted right by pt before prediction — pt=0 is bit-exact).
+    Matching writer for `_decode_lossless_scan`, same role as the other
+    encoders here: real bytes so the decoder tests end-to-end."""
+    img = np.asarray(img)
+    if not 2 <= precision <= 16:
+        raise ValueError(f"precision must be 2..16, got {precision}")
+    if not 1 <= predictor <= 7:
+        raise ValueError(f"predictor must be 1..7, got {predictor}")
+    gray = img.ndim == 2
+    h, w = img.shape[:2]
+    if h == 0 or w == 0:
+        raise ValueError("empty image")
+    planes = (
+        [img.astype(np.int64) >> pt]
+        if gray
+        else [img[:, :, i].astype(np.int64) >> pt for i in range(3)]
+    )
+    tab = _canonical_codes(DC_LL_BITS, DC_LL_VALS)
+    bw = _BitWriter()
+    default = 1 << (precision - pt - 1)
+    count = 0
+    rst_idx = 0
+    fresh = True
+    for y in range(h):
+        for x in range(w):
+            if restart_interval and count and count % restart_interval == 0:
+                bw.flush()
+                bw.out += bytes([0xFF, 0xD0 + rst_idx])
+                rst_idx = (rst_idx + 1) % 8
+                fresh = True
+            for p in planes:
+                if fresh:
+                    pred = default
+                elif y == 0:
+                    pred = int(p[0, x - 1])
+                elif x == 0:
+                    pred = int(p[y - 1, 0])
+                else:
+                    pred = _lossless_predict(
+                        predictor,
+                        int(p[y, x - 1]),
+                        int(p[y - 1, x]),
+                        int(p[y - 1, x - 1]),
+                    )
+                v = (int(p[y, x]) - pred) & 0xFFFF
+                if v == 32768:  # SSSS 16, no extra bits
+                    code, ln = tab[16]
+                    bw.write(code, ln)
+                    continue
+                diff = v if v <= 32767 else v - 65536
+                s = _size_of(diff)
+                code, ln = tab[s]
+                bw.write(code, ln)
+                if s:
+                    bw.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+            fresh = False
+            count += 1
+    bw.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return (
+            bytes([0xFF, marker])
+            + (len(payload) + 2).to_bytes(2, "big")
+            + payload
+        )
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(
+        0xC4, bytes([0x00]) + bytes(DC_LL_BITS) + bytes(DC_LL_VALS)
+    )
+    ncomp = 1 if gray else 3
+    sof = bytearray([precision])
+    sof += h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([ncomp])
+    for ci in range(ncomp):
+        sof += bytes([ci + 1, 0x11, 0])  # 1x1 sampling, Tq ignored
+    out += seg(0xC3, bytes(sof))
+    if restart_interval:
+        out += seg(0xDD, restart_interval.to_bytes(2, "big"))
+    sos = bytearray([ncomp])
+    for ci in range(ncomp):
+        sos += bytes([ci + 1, 0x00])  # DC table 0
+    sos += bytes([predictor, 0, pt])  # Ss=predictor, Se=0, Ah=0/Al=Pt
+    out += seg(0xDA, bytes(sos))
+    out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)
 
 
 def _decode_progressive_scan(

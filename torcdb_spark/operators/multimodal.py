@@ -6,7 +6,7 @@ metadata struct; transforms run as Arrow-batched Pandas UDFs over
 objects. Decode kernels are REAL for every format decodable without codec
 libraries — PPM(P6 8/16-bit), uncompressed BMP, PNG incl. paletted +
 Adam7 interlaced (stdlib zlib), uncompressed 8/16-bit TIFF, baseline +
-extended-sequential (12-bit) + progressive
+extended-sequential (12-bit) + progressive + lossless (SOF3)
 JPEG (operators/jpeg.py), GIF incl. interlaced + animated
 (operators/gif.py LZW), lossless WebP/VP8L incl. all four transforms
 (operators/webp.py), RIFF/WAVE PCM audio (8/16/24/32-bit),
@@ -77,7 +77,7 @@ def decode_image(payload: bytes):
 
     Plus pure-numpy decoders for PNG (stdlib zlib; paletted via PLTE
     gather), uncompressed chunky 8/16-bit TIFF, and **baseline,
-    extended-sequential (12-bit), AND progressive JPEG**
+    extended-sequential (12-bit), progressive, AND lossless (SOF3) JPEG**
     (operators/jpeg.py: DHT canonical Huffman, 8/16-bit DQT,
     dequant + vectorized IDCT, 4:2:0/4:2:2/4:4:4, restart markers,
     T.81 G.2 successive-approximation scan accumulation), plus GIF
@@ -171,7 +171,8 @@ def decode_image(payload: bytes):
         "only PPM(P6 8/16-bit), uncompressed 24/32-bit BMP, "
         "8-bit gray/RGB/palette/RGBA PNG (incl. Adam7 interlaced), "
         "uncompressed chunky 8/16-bit "
-        "TIFF, baseline + 12-bit + progressive JPEG, GIF, and lossless "
+        "TIFF, baseline + 12-bit + progressive + lossless JPEG, GIF, "
+        "and lossless "
         "WebP (VP8L) decode without codec "
         "libraries; install pillow/opencv for lossy WebP (VP8) / "
         "arithmetic-coded JPEG and extend dispatch"
