@@ -396,6 +396,32 @@ def test_decode_image_rejects_unknown_format():
         decode_image(_ppm_bytes(_test_pixels())[:-3])  # truncated body
 
 
+def test_png_16bit_roundtrip():
+    """16-bit PNG: uint16 input → big-endian samples, byte-level
+    filters with the left neighbor bpp back, round-half-up rescale to
+    the uint8 contract — exact across gray/RGB/RGBA × filters 0/1/2 ×
+    both interlace modes."""
+    import numpy as np
+
+    from torcdb_spark.operators.multimodal import decode_image, encode_png
+
+    rng = np.random.default_rng(21)
+    for nch in (1, 3, 4):
+        shape = (19, 23) if nch == 1 else (19, 23, nch)
+        im16 = rng.integers(0, 65536, shape).astype(np.uint16)
+        ref = (
+            (im16.astype(np.uint32) * 255 + 32767) // 65535
+        ).astype(np.uint8)
+        if nch == 1:
+            ref = ref[:, :, None]
+        for ft in (0, 1, 2):
+            for il in (0, 1):
+                out = decode_image(
+                    encode_png(im16, filter_type=ft, interlace=il)
+                )
+                assert np.array_equal(out, ref), (nch, ft, il)
+
+
 def test_decode_png_roundtrip_all_encoder_filters():
     """encode_png(filter 0/1/2) → _decode_png is the identity on seeded
     random gray/RGB/RGBA images (exercises None/Sub/Up unfiltering and
@@ -553,10 +579,22 @@ def test_decode_png_rejects_unsupported_variants():
         return (struct.pack(">I", len(data)) + ctype + data
                 + struct.pack(">I", zlib.crc32(ctype + data)))
 
-    # 16-bit depth still raises (palette is now supported — see
-    # test_decode_png_palette_lookup)
+    # 16-bit gray decodes now (see test_png_16bit_roundtrip); 1x1 with
+    # sample 0xFFFF → 255 after the round-half-up rescale
     png = (b"\x89PNG\r\n\x1a\n"
            + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 16, 0, 0, 0, 0))
+           + chunk(b"IDAT", zlib.compress(b"\x00\xff\xff"))
+           + chunk(b"IEND", b""))
+    assert decode_image(png)[0, 0, 0] == 255
+    # sub-8-bit depth raises; so does 16-bit with a palette
+    png = (b"\x89PNG\r\n\x1a\n"
+           + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 4, 0, 0, 0, 0))
+           + chunk(b"IDAT", zlib.compress(b"\x00\x00"))
+           + chunk(b"IEND", b""))
+    with pytest.raises(NotImplementedError):
+        decode_image(png)
+    png = (b"\x89PNG\r\n\x1a\n"
+           + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 16, 3, 0, 0, 0))
            + chunk(b"IDAT", zlib.compress(b"\x00\x00\x00"))
            + chunk(b"IEND", b""))
     with pytest.raises(NotImplementedError):

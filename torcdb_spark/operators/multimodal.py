@@ -4,7 +4,8 @@ Images/audio/video ride through the engine as ``binary`` columns with a
 metadata struct; transforms run as Arrow-batched Pandas UDFs over
 ``mapInPandas`` so payload bytes never round-trip through Python row
 objects. Decode kernels are REAL for every format decodable without codec
-libraries — PPM(P6 8/16-bit), uncompressed BMP, PNG incl. paletted +
+libraries — PPM(P6 8/16-bit), uncompressed BMP, 8/16-bit PNG incl.
+paletted +
 Adam7 interlaced (stdlib zlib), uncompressed 8/16-bit TIFF, baseline +
 extended-sequential (12-bit) + progressive + lossless (SOF3)
 JPEG (operators/jpeg.py), GIF incl. interlaced + animated
@@ -259,16 +260,21 @@ _ADAM7 = (
 )
 
 
-def _png_unfilter(raw, off: int, w: int, h: int, nch: int):
+def _png_unfilter(raw, off: int, w: int, h: int, nch: int,
+                  sample_bytes: int = 1):
     """Unfilter ``h`` PNG scanlines of ``w`` pixels × ``nch`` starting at
-    ``raw[off]`` → ((h, w, nch) uint8 array, bytes consumed). All five
-    filter types; Sub is a per-channel-lane cumsum and Up a vectorized
-    add; Average/Paeth have an inherent left-neighbor dependency, so
-    those rows fall back to a per-pixel loop (fine for the framed fixture
+    ``raw[off]`` → ((h, w, nch) array, bytes consumed) — uint8 for 8-bit
+    samples, uint16 (big-endian pairs joined) for 16-bit. PNG filters
+    operate on BYTES with the left neighbor ``bpp = nch·sample_bytes``
+    back, so one byte-level pass covers both depths. All five filter
+    types; Sub is a per-byte-lane cumsum and Up a vectorized add;
+    Average/Paeth have an inherent left-neighbor dependency, so those
+    rows fall back to a per-byte loop (fine for the framed fixture
     images; a deployment swaps in a codec lib for bulk decode)."""
     import numpy as np
 
-    stride = w * nch
+    bpp = nch * sample_bytes
+    stride = w * bpp
     need = h * (stride + 1)
     if len(raw) - off < need:
         raise ValueError("truncated PNG pixel data")
@@ -283,18 +289,18 @@ def _png_unfilter(raw, off: int, w: int, h: int, nch: int):
         if ft == 0:  # None
             cur = line
         elif ft == 1:  # Sub: recon[x] = line[x] + recon[x-bpp] → lane cumsum
-            cur = np.cumsum(line.reshape(w, nch), axis=0).reshape(stride) % 256
+            cur = np.cumsum(line.reshape(w, bpp), axis=0).reshape(stride) % 256
         elif ft == 2:  # Up
             cur = (line + prev) % 256
         elif ft in (3, 4):  # Average / Paeth: left-neighbor dependency
             cur = np.zeros(stride, dtype=np.int32)
             for x in range(stride):
-                a = cur[x - nch] if x >= nch else 0  # left
+                a = cur[x - bpp] if x >= bpp else 0  # left
                 b = prev[x]                          # up
                 if ft == 3:
                     cur[x] = (line[x] + (a + b) // 2) % 256
                 else:
-                    c = prev[x - nch] if x >= nch else 0  # upper-left
+                    c = prev[x - bpp] if x >= bpp else 0  # upper-left
                     p = a + b - c
                     pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
                     pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
@@ -303,6 +309,9 @@ def _png_unfilter(raw, off: int, w: int, h: int, nch: int):
             raise ValueError(f"bad PNG filter type {ft}")
         img[r] = cur.astype(np.uint8)
         prev = cur
+    if sample_bytes == 2:  # big-endian 16-bit samples
+        wide = img.reshape(h, w, nch, 2).astype(np.uint16)
+        return (wide[..., 0] << 8) | wide[..., 1], need
     return img.reshape(h, w, nch), need
 
 
@@ -310,15 +319,17 @@ def _decode_png(payload: bytes):
     """Pure-stdlib PNG decode (zlib inflate + numpy unfilter) →
     (h, w, channels) uint8 array.
 
-    Supports the common crawl-image subset: 8-bit depth, color types
-    0 (gray), 2 (RGB), 6 (RGBA), all five scanline filter types
-    (None/Sub/Up/Average/Paeth; see ``_png_unfilter``), and BOTH
-    interlace modes — Adam7 streams decode pass-by-pass (each pass is an
-    independently-filtered sub-image) and scatter into place with one
-    strided assignment per pass. Paletted PNGs (color type 3, 8-bit
-    indices) decode via a PLTE lookup to RGB, interlaced or not (indices
-    deinterlace before the lookup). 16-bit depth raises
-    NotImplementedError.
+    Supports the common crawl-image subset: 8-bit AND 16-bit depth,
+    color types 0 (gray), 2 (RGB), 6 (RGBA), all five scanline filter
+    types (None/Sub/Up/Average/Paeth; see ``_png_unfilter`` — filters
+    act on bytes with the left neighbor bpp back, so one pass covers
+    both depths), and BOTH interlace modes — Adam7 streams decode
+    pass-by-pass (each pass is an independently-filtered sub-image) and
+    scatter into place with one strided assignment per pass. 16-bit
+    samples rescale to the uint8 contract with round-half-up (the
+    PPM/TIFF rule). Paletted PNGs (color type 3, 8-bit indices) decode
+    via a PLTE lookup to RGB, interlaced or not (indices deinterlace
+    before the lookup). Sub-8-bit depths raise NotImplementedError.
     """
     import zlib
 
@@ -344,28 +355,38 @@ def _decode_png(payload: bytes):
     h = int.from_bytes(ihdr[4:8], "big")
     bit_depth, color_type, _comp, _filt, interlace = ihdr[8:13]
     nch = {0: 1, 2: 3, 3: 1, 6: 4}.get(color_type)
-    if bit_depth != 8 or nch is None or interlace not in (0, 1):
+    ok_depth = bit_depth == 8 or (bit_depth == 16 and color_type != 3)
+    if not ok_depth or nch is None or interlace not in (0, 1):
         raise NotImplementedError(
             f"PNG bit_depth={bit_depth} color_type={color_type} "
             f"interlace={interlace} "
-            "(8-bit gray/RGB/palette/RGBA, interlace 0/Adam7 only)"
+            "(8/16-bit gray/RGB/RGBA, 8-bit palette, interlace 0/Adam7 "
+            "only)"
         )
     if color_type == 3 and plte is None:
         raise ValueError("paletted PNG missing PLTE chunk")
+    sample_bytes = bit_depth // 8
     raw = zlib.decompress(b"".join(idat))
     if interlace == 0:
-        out, _ = _png_unfilter(raw, 0, w, h, nch)
+        out, _ = _png_unfilter(raw, 0, w, h, nch, sample_bytes)
     else:  # Adam7: seven independently-filtered passes, strided scatter
-        out = np.zeros((h, w, nch), dtype=np.uint8)
+        out = np.zeros(
+            (h, w, nch), dtype=np.uint16 if sample_bytes == 2 else np.uint8
+        )
         off = 0
         for x0, y0, dx, dy in _ADAM7:
             pw = (w - x0 + dx - 1) // dx
             ph = (h - y0 + dy - 1) // dy
             if pw <= 0 or ph <= 0:
                 continue  # pass is empty for this image size: zero bytes
-            sub, used = _png_unfilter(raw, off, pw, ph, nch)
+            sub, used = _png_unfilter(raw, off, pw, ph, nch, sample_bytes)
             off += used
             out[y0::dy, x0::dx] = sub
+    if sample_bytes == 2:
+        # rescale to the uint8 contract with round-half-up (PPM/TIFF rule)
+        out = (
+            (out.astype(np.uint32) * 255 + 32767) // 65535
+        ).astype(np.uint8)
     if color_type == 3:
         # palette lookup: the reconstructed bytes are indices into PLTE's
         # RGB triples — one vectorized gather, output is always (h, w, 3)
@@ -380,33 +401,43 @@ def _decode_png(payload: bytes):
 
 def encode_png(img, filter_type: int = 0, interlace: int = 0) -> bytes:
     """Minimal PNG encoder (test support + payload framing): 8-bit
+    (uint8 input) or 16-bit (uint16 input, big-endian samples)
     gray/RGB/RGBA, one filter type for every scanline (0=None default;
     1/2 exercised by the decoder tests — Sub/Up are invertible from the
-    recon rows directly). ``interlace=1`` emits Adam7: the image splits
-    into the seven strided sub-images, each filtered independently in
-    pass order — the exact stream layout ``_decode_png`` deinterlaces."""
+    recon BYTES directly, left neighbor bpp back, both depths).
+    ``interlace=1`` emits Adam7: the image splits into the seven strided
+    sub-images, each filtered independently in pass order — the exact
+    stream layout ``_decode_png`` deinterlaces."""
     import struct
     import zlib
 
     import numpy as np
 
-    a = np.asarray(img, dtype=np.uint8)
+    a = np.asarray(img)
+    sample_bytes = 2 if a.dtype == np.uint16 else 1
+    a = a.astype(np.uint16 if sample_bytes == 2 else np.uint8)
     if a.ndim == 2:
         a = a[:, :, None]
     h, w, nch = a.shape
     color_type = {1: 0, 3: 2, 4: 6}[nch]
+    bpp = nch * sample_bytes
 
     def filter_rows(sub) -> list:
         sh, sw = sub.shape[:2]
-        flat = sub.reshape(sh, sw * nch).astype(np.int32)
+        if sample_bytes == 2:
+            flat = np.frombuffer(
+                sub.astype(">u2").tobytes(), dtype=np.uint8
+            ).reshape(sh, sw * bpp).astype(np.int32)
+        else:
+            flat = sub.reshape(sh, sw * bpp).astype(np.int32)
         rows = []
         for r in range(sh):
             recon = flat[r]
             if filter_type == 0:
                 filt = recon
             elif filter_type == 1:  # Sub
-                left = np.concatenate([np.zeros(nch, dtype=np.int32),
-                                       recon[:-nch]])
+                left = np.concatenate([np.zeros(bpp, dtype=np.int32),
+                                       recon[:-bpp]])
                 filt = (recon - left) % 256
             elif filter_type == 2:  # Up
                 up = flat[r - 1] if r > 0 else np.zeros_like(recon)
@@ -429,7 +460,9 @@ def encode_png(img, filter_type: int = 0, interlace: int = 0) -> bytes:
         return (struct.pack(">I", len(data)) + ctype + data
                 + struct.pack(">I", zlib.crc32(ctype + data)))
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, interlace)
+    ihdr = struct.pack(
+        ">IIBBBBB", w, h, 8 * sample_bytes, color_type, 0, 0, interlace
+    )
     return (b"\x89PNG\r\n\x1a\n"
             + chunk(b"IHDR", ihdr)
             + chunk(b"IDAT", zlib.compress(b"".join(lines)))
