@@ -422,6 +422,50 @@ def test_png_16bit_roundtrip():
                 assert np.array_equal(out, ref), (nch, ft, il)
 
 
+def test_png_sub_byte_depths():
+    """1/2/4-bit PNG: byte-level filters + MSB-first unpacking, exact
+    gray expansion (255/(2^d-1) is a whole number), and a handcrafted
+    4-bit PALETTE stream (independent of the encoder) decoding through
+    the PLTE lookup."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from torcdb_spark.operators.multimodal import decode_image, encode_png
+
+    rng = np.random.default_rng(31)
+    for d in (1, 2, 4):
+        im = rng.integers(0, 1 << d, (13, 21)).astype(np.uint8)
+        ref = (im * (255 // ((1 << d) - 1)))[:, :, None].astype(np.uint8)
+        for ft in (0, 1, 2):
+            for il in (0, 1):
+                out = decode_image(
+                    encode_png(im, filter_type=ft, interlace=il,
+                               bit_depth=d)
+                )
+                assert np.array_equal(out, ref), (d, ft, il)
+
+    def chunk(ctype, data):
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data)))
+
+    pal = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 10, 20, 30])
+    # 3x2, 4-bit indices: row0 = 0,1,2; row1 = 3,0,1 (2 bytes/row + pad)
+    rows = bytes([0, 0x01, 0x20]) + bytes([0, 0x30, 0x10])
+    png = (b"\x89PNG\r\n\x1a\n"
+           + chunk(b"IHDR", struct.pack(">IIBBBBB", 3, 2, 4, 3, 0, 0, 0))
+           + chunk(b"PLTE", pal)
+           + chunk(b"IDAT", zlib.compress(rows))
+           + chunk(b"IEND", b""))
+    exp = np.array(
+        [[[255, 0, 0], [0, 255, 0], [0, 0, 255]],
+         [[10, 20, 30], [255, 0, 0], [0, 255, 0]]],
+        dtype=np.uint8,
+    )
+    assert np.array_equal(decode_image(png), exp)
+
+
 def test_decode_png_roundtrip_all_encoder_filters():
     """encode_png(filter 0/1/2) → _decode_png is the identity on seeded
     random gray/RGB/RGBA images (exercises None/Sub/Up unfiltering and
@@ -586,9 +630,11 @@ def test_decode_png_rejects_unsupported_variants():
            + chunk(b"IDAT", zlib.compress(b"\x00\xff\xff"))
            + chunk(b"IEND", b""))
     assert decode_image(png)[0, 0, 0] == 255
-    # sub-8-bit depth raises; so does 16-bit with a palette
+    # sub-byte RGB is not a legal/supported combination; nor is 16-bit
+    # with a palette (sub-byte gray/palette ARE supported — see
+    # test_png_sub_byte_depths)
     png = (b"\x89PNG\r\n\x1a\n"
-           + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 4, 0, 0, 0, 0))
+           + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 2, 2, 0, 0, 0))
            + chunk(b"IDAT", zlib.compress(b"\x00\x00"))
            + chunk(b"IEND", b""))
     with pytest.raises(NotImplementedError):
@@ -641,7 +687,10 @@ def test_decode_and_featurize_spark_path(spark):
     rows = [
         (1, bytearray(_ppm_bytes(px)), "image/x-portable-pixmap", None, None, None),
         (2, bytearray(_bmp_bytes(px)), "image/bmp", None, None, None),
-        (3, bytearray(b"RIFFxxxxWEBPVP8 "), "image/webp", None, None, None),
+        (3, bytearray(  # well-formed container, LOSSY VP8 chunk: raises
+            b"RIFF" + (16).to_bytes(4, "little") + b"WEBP"
+            + b"VP8 " + (4).to_bytes(4, "little") + bytes(4)
+        ), "image/webp", None, None, None),
         (4, bytearray(encode_png(px, filter_type=2)), "image/png",
          None, None, None),
         (5, bytearray(encode_png(px, filter_type=1, interlace=1)),

@@ -4,8 +4,8 @@ Images/audio/video ride through the engine as ``binary`` columns with a
 metadata struct; transforms run as Arrow-batched Pandas UDFs over
 ``mapInPandas`` so payload bytes never round-trip through Python row
 objects. Decode kernels are REAL for every format decodable without codec
-libraries — PPM(P6 8/16-bit), uncompressed BMP, 8/16-bit PNG incl.
-paletted +
+libraries — PPM(P6 8/16-bit), uncompressed BMP, 1/2/4/8/16-bit PNG
+incl. paletted +
 Adam7 interlaced (stdlib zlib), uncompressed 8/16-bit TIFF, baseline +
 extended-sequential (12-bit) + progressive + lossless (SOF3)
 JPEG (operators/jpeg.py), GIF incl. interlaced + animated
@@ -170,7 +170,8 @@ def decode_image(payload: bytes):
         return decode_webp(payload)  # lossless VP8L; VP8 lossy raises
     raise NotImplementedError(
         "only PPM(P6 8/16-bit), uncompressed 24/32-bit BMP, "
-        "8-bit gray/RGB/palette/RGBA PNG (incl. Adam7 interlaced), "
+        "1/2/4/8/16-bit gray/palette + 8/16-bit RGB/RGBA PNG (incl. "
+        "Adam7 interlaced), "
         "uncompressed chunky 8/16-bit "
         "TIFF, baseline + 12-bit + progressive + lossless JPEG, GIF, "
         "and lossless "
@@ -327,9 +328,11 @@ def _decode_png(payload: bytes):
     pass-by-pass (each pass is an independently-filtered sub-image) and
     scatter into place with one strided assignment per pass. 16-bit
     samples rescale to the uint8 contract with round-half-up (the
-    PPM/TIFF rule). Paletted PNGs (color type 3, 8-bit indices) decode
-    via a PLTE lookup to RGB, interlaced or not (indices deinterlace
-    before the lookup). Sub-8-bit depths raise NotImplementedError.
+    PPM/TIFF rule). Paletted PNGs (color type 3) decode via a
+    PLTE lookup to RGB, interlaced or not (indices deinterlace before
+    the lookup). Sub-byte depths (1/2/4-bit gray and palette) filter at
+    the byte level per the spec and unpack MSB-first; gray expands by
+    the exact 255/(2^d-1) factor.
     """
     import zlib
 
@@ -355,23 +358,42 @@ def _decode_png(payload: bytes):
     h = int.from_bytes(ihdr[4:8], "big")
     bit_depth, color_type, _comp, _filt, interlace = ihdr[8:13]
     nch = {0: 1, 2: 3, 3: 1, 6: 4}.get(color_type)
-    ok_depth = bit_depth == 8 or (bit_depth == 16 and color_type != 3)
+    sub_byte = bit_depth in (1, 2, 4) and color_type in (0, 3)
+    ok_depth = (
+        bit_depth == 8 or (bit_depth == 16 and color_type != 3) or sub_byte
+    )
     if not ok_depth or nch is None or interlace not in (0, 1):
         raise NotImplementedError(
             f"PNG bit_depth={bit_depth} color_type={color_type} "
             f"interlace={interlace} "
-            "(8/16-bit gray/RGB/RGBA, 8-bit palette, interlace 0/Adam7 "
-            "only)"
+            "(8/16-bit gray/RGB/RGBA, 1/2/4/8-bit gray/palette, "
+            "interlace 0/Adam7 only)"
         )
     if color_type == 3 and plte is None:
         raise ValueError("paletted PNG missing PLTE chunk")
-    sample_bytes = bit_depth // 8
     raw = zlib.decompress(b"".join(idat))
+
+    def unfilter_pass(off, pw, ph):
+        """One (sub-)image → ((ph, pw, nch) samples, bytes consumed).
+        Sub-byte rows filter at the BYTE level (bpp=1 per the spec) and
+        then unpack MSB-first."""
+        if not sub_byte:
+            return _png_unfilter(raw, off, pw, ph, nch, bit_depth // 8)
+        row_bytes = (pw * bit_depth + 7) // 8
+        packed, used = _png_unfilter(raw, off, row_bytes, ph, 1, 1)
+        per = 8 // bit_depth
+        mask = (1 << bit_depth) - 1
+        shifts = np.arange(per - 1, -1, -1) * bit_depth  # MSB-first
+        vals = (
+            (packed.reshape(ph, row_bytes, 1) >> shifts) & mask
+        ).reshape(ph, row_bytes * per)[:, :pw]
+        return vals[:, :, None].astype(np.uint8), used
+
     if interlace == 0:
-        out, _ = _png_unfilter(raw, 0, w, h, nch, sample_bytes)
+        out, _ = unfilter_pass(0, w, h)
     else:  # Adam7: seven independently-filtered passes, strided scatter
         out = np.zeros(
-            (h, w, nch), dtype=np.uint16 if sample_bytes == 2 else np.uint8
+            (h, w, nch), dtype=np.uint16 if bit_depth == 16 else np.uint8
         )
         off = 0
         for x0, y0, dx, dy in _ADAM7:
@@ -379,14 +401,17 @@ def _decode_png(payload: bytes):
             ph = (h - y0 + dy - 1) // dy
             if pw <= 0 or ph <= 0:
                 continue  # pass is empty for this image size: zero bytes
-            sub, used = _png_unfilter(raw, off, pw, ph, nch, sample_bytes)
+            sub, used = unfilter_pass(off, pw, ph)
             off += used
             out[y0::dy, x0::dx] = sub
-    if sample_bytes == 2:
+    if bit_depth == 16:
         # rescale to the uint8 contract with round-half-up (PPM/TIFF rule)
         out = (
             (out.astype(np.uint32) * 255 + 32767) // 65535
         ).astype(np.uint8)
+    elif sub_byte and color_type == 0:
+        # 1/2/4-bit gray: exact integer expansion (255/(2^d-1) is whole)
+        out = (out * (255 // ((1 << bit_depth) - 1))).astype(np.uint8)
     if color_type == 3:
         # palette lookup: the reconstructed bytes are indices into PLTE's
         # RGB triples — one vectorized gather, output is always (h, w, 3)
@@ -399,21 +424,27 @@ def _decode_png(payload: bytes):
     return out
 
 
-def encode_png(img, filter_type: int = 0, interlace: int = 0) -> bytes:
+def encode_png(img, filter_type: int = 0, interlace: int = 0,
+               bit_depth: int | None = None) -> bytes:
     """Minimal PNG encoder (test support + payload framing): 8-bit
     (uint8 input) or 16-bit (uint16 input, big-endian samples)
-    gray/RGB/RGBA, one filter type for every scanline (0=None default;
-    1/2 exercised by the decoder tests — Sub/Up are invertible from the
-    recon BYTES directly, left neighbor bpp back, both depths).
-    ``interlace=1`` emits Adam7: the image splits into the seven strided
-    sub-images, each filtered independently in pass order — the exact
-    stream layout ``_decode_png`` deinterlaces."""
+    gray/RGB/RGBA, plus 1/2/4-bit grayscale via ``bit_depth`` (2-D
+    input holding raw sample values, packed MSB-first). One filter type
+    for every scanline (0=None default; 1/2 exercised by the decoder
+    tests — Sub/Up are invertible from the recon BYTES directly, left
+    neighbor bpp back, every depth). ``interlace=1`` emits Adam7: the
+    image splits into the seven strided sub-images, each filtered
+    independently in pass order — the exact stream layout
+    ``_decode_png`` deinterlaces."""
     import struct
     import zlib
 
     import numpy as np
 
     a = np.asarray(img)
+    sub_bits = bit_depth if bit_depth in (1, 2, 4) else None
+    if sub_bits and (a.ndim != 2 or int(a.max(initial=0)) >> sub_bits):
+        raise ValueError("sub-byte PNG needs 2-D samples < 2^bit_depth")
     sample_bytes = 2 if a.dtype == np.uint16 else 1
     a = a.astype(np.uint16 if sample_bytes == 2 else np.uint8)
     if a.ndim == 2:
@@ -424,7 +455,16 @@ def encode_png(img, filter_type: int = 0, interlace: int = 0) -> bytes:
 
     def filter_rows(sub) -> list:
         sh, sw = sub.shape[:2]
-        if sample_bytes == 2:
+        if sub_bits:  # pack MSB-first, then filter the packed bytes
+            per = 8 // sub_bits
+            row_bytes = (sw * sub_bits + 7) // 8
+            padded = np.zeros((sh, row_bytes * per), dtype=np.int32)
+            padded[:, :sw] = sub[:, :, 0]
+            shifts = np.arange(per - 1, -1, -1) * sub_bits
+            flat = (
+                (padded.reshape(sh, row_bytes, per) << shifts).sum(axis=2)
+            ).astype(np.int32)
+        elif sample_bytes == 2:
             flat = np.frombuffer(
                 sub.astype(">u2").tobytes(), dtype=np.uint8
             ).reshape(sh, sw * bpp).astype(np.int32)
@@ -461,7 +501,8 @@ def encode_png(img, filter_type: int = 0, interlace: int = 0) -> bytes:
                 + struct.pack(">I", zlib.crc32(ctype + data)))
 
     ihdr = struct.pack(
-        ">IIBBBBB", w, h, 8 * sample_bytes, color_type, 0, 0, interlace
+        ">IIBBBBB", w, h, sub_bits or 8 * sample_bytes, color_type, 0, 0,
+        interlace,
     )
     return (b"\x89PNG\r\n\x1a\n"
             + chunk(b"IHDR", ihdr)
