@@ -2258,6 +2258,45 @@ def test_decode_png_palette_lookup():
         decode_image(bad)
 
 
+def test_tiff_compressed_variants_roundtrip():
+    """TIFF Compression 5 (LZW w/ EarlyChange + table resets),
+    8 (Deflate), 32773 (PackBits), each with and without Predictor 2
+    (horizontal differencing) — exact round trips on random, smooth,
+    and run-heavy images, gray and RGB."""
+    import numpy as np
+
+    from torcdb_spark.operators.multimodal import (
+        decode_image,
+        encode_tiff_rgb,
+    )
+
+    rng = np.random.default_rng(41)
+    img = rng.integers(0, 256, (21, 17, 3), dtype=np.uint8)
+    gray = rng.integers(0, 256, (9, 30), dtype=np.uint8)
+    smooth = np.cumsum(rng.integers(0, 3, (15, 40, 3)), axis=1).astype(
+        np.uint8
+    )
+    stripes = np.repeat(
+        rng.integers(0, 256, (6, 1, 3), dtype=np.uint8), 50, axis=1
+    )
+    for comp in (1, 5, 8, 32773):
+        for pred in (1, 2):
+            for im in (img, smooth, stripes):
+                out = decode_image(
+                    encode_tiff_rgb(im, compression=comp, predictor=pred)
+                )
+                assert np.array_equal(out, im), (comp, pred)
+            outg = decode_image(
+                encode_tiff_rgb(gray, compression=comp, predictor=pred)
+            )
+            assert np.array_equal(outg, gray), (comp, pred, "gray")
+    # enough data to force LZW 12-bit table resets mid-stream
+    big = rng.integers(0, 256, (120, 200, 3), dtype=np.uint8)
+    assert np.array_equal(
+        decode_image(encode_tiff_rgb(big, compression=5)), big
+    )
+
+
 def test_decode_tiff_16bit_both_byte_orders():
     """16-bit TIFF samples rescale to uint8 with PPM-style integer
     rounding, honoring II/MM byte order; hand-built single-strip files."""

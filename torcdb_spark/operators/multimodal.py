@@ -6,7 +6,8 @@ metadata struct; transforms run as Arrow-batched Pandas UDFs over
 objects. Decode kernels are REAL for every format decodable without codec
 libraries — PPM(P6 8/16-bit), uncompressed BMP, 1/2/4/8/16-bit PNG
 incl. paletted +
-Adam7 interlaced (stdlib zlib), uncompressed 8/16-bit TIFF, baseline +
+Adam7 interlaced (stdlib zlib), 8/16-bit TIFF incl. LZW/Deflate/
+PackBits strips + horizontal predictor, baseline +
 extended-sequential (12-bit) + progressive + lossless (SOF3)
 JPEG (operators/jpeg.py), GIF incl. interlaced + animated
 (operators/gif.py LZW), lossless WebP/VP8L incl. all four transforms
@@ -172,7 +173,7 @@ def decode_image(payload: bytes):
         "only PPM(P6 8/16-bit), uncompressed 24/32-bit BMP, "
         "1/2/4/8/16-bit gray/palette + 8/16-bit RGB/RGBA PNG (incl. "
         "Adam7 interlaced), "
-        "uncompressed chunky 8/16-bit "
+        "chunky 8/16-bit (none/LZW/Deflate/PackBits) "
         "TIFF, baseline + 12-bit + progressive + lossless JPEG, GIF, "
         "and lossless "
         "WebP (VP8L) decode without codec "
@@ -181,14 +182,170 @@ def decode_image(payload: bytes):
     )
 
 
+def _tiff_lzw_decode(data: bytes) -> bytes:
+    """TIFF 6.0 §13 LZW: MSB-first codes, Clear=256, EOI=257, first
+    table slot 258, EarlyChange width bumps at 511/1023/2047."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    acc = nbits = pos = 0
+    strings: list[bytes] = []
+    width = 9
+    next_code = 258
+    prev: bytes | None = None
+
+    def reset():
+        nonlocal strings, width, next_code, prev
+        strings = [bytes([i]) for i in range(256)] + [b"", b""]
+        width = 9
+        next_code = 258
+        prev = None
+
+    reset()
+    while True:
+        while nbits < width:
+            if pos >= len(data):
+                return bytes(out)  # missing EOI: tolerate
+            acc = (acc << 8) | data[pos]
+            pos += 1
+            nbits += 8
+        nbits -= width
+        code = (acc >> nbits) & ((1 << width) - 1)
+        if code == CLEAR:
+            reset()
+            continue
+        if code == EOI:
+            return bytes(out)
+        if prev is None:
+            entry = strings[code]
+        elif code < next_code:
+            entry = strings[code]
+            strings.append(prev + entry[:1])
+            next_code += 1
+        elif code == next_code:
+            entry = prev + prev[:1]
+            strings.append(entry)
+            next_code += 1
+        else:
+            raise ValueError("bad TIFF LZW code")
+        out += entry
+        prev = entry
+        # EarlyChange, decoder side: the reader's table is one entry
+        # behind the writer's, so the width bump lands at 2^w - 2
+        # (510/1022/2046) — one code before the writer's 2^w - 1
+        if next_code == (1 << width) - 2 and width < 12:
+            width += 1
+
+
+def _tiff_lzw_encode(data: bytes) -> bytes:
+    """Matching TIFF LZW writer (EarlyChange, table reset near 12-bit
+    capacity) — fixture synthesis for `_tiff_lzw_decode`."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def put(code: int, width: int):
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            out.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+        acc &= (1 << nbits) - 1
+
+    table: dict[bytes, int] = {}
+    width = 9
+    next_code = 258
+
+    def reset():
+        nonlocal table, width, next_code
+        table = {bytes([i]): i for i in range(256)}
+        width = 9
+        next_code = 258
+
+    reset()
+    put(CLEAR, width)
+    cur = b""
+    for b in data:
+        cand = cur + bytes([b])
+        if cand in table:
+            cur = cand
+            continue
+        put(table[cur], width)
+        table[cand] = next_code
+        next_code += 1
+        if next_code == (1 << width) - 1 and width < 12:  # EarlyChange
+            width += 1
+        cur = bytes([b])
+        if next_code >= 4093:  # reset before the 12-bit table fills
+            put(table[cur], width)
+            put(CLEAR, width)
+            reset()
+            cur = b""
+    if cur:
+        put(table[cur], width)
+    put(EOI, width)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def _packbits_decode(data: bytes) -> bytes:
+    """TIFF PackBits (Compression=32773): byte-RLE per TIFF 6.0 §9."""
+    out = bytearray()
+    i = 0
+    while i < len(data):
+        n = data[i]
+        i += 1
+        if n < 128:  # n+1 literal bytes
+            out += data[i : i + n + 1]
+            i += n + 1
+        elif n > 128:  # next byte repeats 257-n times
+            out += bytes([data[i]]) * (257 - n)
+            i += 1
+        # n == 128: no-op
+    return bytes(out)
+
+
+def _packbits_encode(data: bytes) -> bytes:
+    """Matching PackBits writer: replicate runs ≥ 3, literal chunks
+    otherwise (≤ 128 per control byte)."""
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and data[i + run] == data[i]:
+            run += 1
+        if run >= 3:
+            out += bytes([257 - run, data[i]])
+            i += run
+            continue
+        start = i
+        i += run
+        while i < n and i - start < 128:
+            run = 1
+            while i + run < n and run < 3 and data[i + run] == data[i]:
+                run += 1
+            if run >= 3:
+                break
+            i += 1
+        out += bytes([i - start - 1]) + data[start:i]
+    return bytes(out)
+
+
 def _decode_tiff(payload: bytes):
-    """Baseline TIFF decode: uncompressed (Compression=1) chunky 8-bit
-    OR 16-bit gray/RGB(A), both byte orders, strip-organized. 16-bit
-    samples are rescaled to uint8 with the same integer rounding as the
-    16-bit PPM path ((v*255 + 32767) // 65535), honoring the file's
-    byte order. The full IFD walk — tags 256/257/258/259/273/277/278/
-    279 — per TIFF 6.0 §2; planar, predictor, tiled and LZW variants
-    raise (codec territory)."""
+    """TIFF decode: chunky 8- or 16-bit gray/RGB(A), both byte orders,
+    strip-organized, Compression 1 (none), 5 (LZW, EarlyChange),
+    8/32946 (Deflate) or 32773 (PackBits) — each strip decompresses
+    independently — plus Predictor 2 (horizontal differencing, undone
+    by a per-row cumulative sum in the sample domain). 16-bit samples
+    are rescaled to uint8 with the same integer rounding as the 16-bit
+    PPM path ((v*255 + 32767) // 65535), honoring the file's byte
+    order. The IFD walk covers tags 256/257/258/259/273/277/278/279/317
+    per TIFF 6.0 §2; planar and tiled layouts raise."""
+    import zlib
+
     import numpy as np
 
     bo = "little" if payload[:2] == b"II" else "big"
@@ -221,30 +378,46 @@ def _decode_tiff(payload: bytes):
 
     w, h = tags[256][0], tags[257][0]
     comp = tags.get(259, [1])[0]
-    if comp != 1:
-        raise NotImplementedError(f"TIFF compression={comp} needs a codec")
+    pred = tags.get(317, [1])[0]
     spp = tags.get(277, [1])[0]
     bps = tags.get(258, [8])
     if not (all(b == 8 for b in bps) or all(b == 16 for b in bps)):
         raise NotImplementedError(
             f"TIFF bits-per-sample {bps} (uniform 8 or 16 only)"
         )
+    if pred not in (1, 2):
+        raise NotImplementedError(f"TIFF predictor={pred}")
     bytes_per = bps[0] // 8
     offsets = tags[273]
     counts = tags.get(279, [w * h * spp * bytes_per])
-    raw = b"".join(
-        payload[o:o + c] for o, c in zip(offsets, counts)
-    )
+    strips = [payload[o:o + c] for o, c in zip(offsets, counts)]
+    if comp == 1:
+        pass
+    elif comp == 5:
+        strips = [_tiff_lzw_decode(s) for s in strips]
+    elif comp in (8, 32946):
+        strips = [zlib.decompress(s) for s in strips]
+    elif comp == 32773:
+        strips = [_packbits_decode(s) for s in strips]
+    else:
+        raise NotImplementedError(f"TIFF compression={comp} needs a codec")
+    raw = b"".join(strips)
     need = w * h * spp * bytes_per
     if len(raw) < need:
         raise ValueError(f"truncated TIFF: {len(raw)} < {need}")
     if bytes_per == 2:
         dt = "<u2" if bo == "little" else ">u2"
-        wide = np.frombuffer(raw[:need], dtype=dt).astype(np.uint32)
-        flat = ((wide * 255 + 32767) // 65535).astype(np.uint8)
-        img = flat.reshape(h, w, spp)
+        samples = np.frombuffer(raw[:need], dtype=dt).astype(np.uint32)
     else:
-        img = np.frombuffer(raw[:need], dtype=np.uint8).reshape(h, w, spp)
+        samples = np.frombuffer(raw[:need], dtype=np.uint8).astype(np.uint32)
+    samples = samples.reshape(h, w, spp)
+    if pred == 2:  # horizontal differencing: per-row, per-channel cumsum
+        mod = 1 << (bytes_per * 8)
+        samples = np.cumsum(samples, axis=1) % mod
+    if bytes_per == 2:
+        img = ((samples * 255 + 32767) // 65535).astype(np.uint8)
+    else:
+        img = samples.astype(np.uint8)
     return img[:, :, 0] if spp == 1 else img
 
 
@@ -825,17 +998,36 @@ def wav_wrap_udf(sample_rate: int = 8000, bits: int = 8):
     return wrap
 
 
-def encode_tiff_rgb(img) -> bytes:
-    """Minimal little-endian uncompressed TIFF writer (single strip) —
-    the fixture-synthesis counterpart of :func:`_decode_tiff`, mirroring
-    encode_png/encode_wav_pcm for the other formats."""
+def encode_tiff_rgb(img, compression: int = 1, predictor: int = 1) -> bytes:
+    """Minimal little-endian TIFF writer (single strip) — the
+    fixture-synthesis counterpart of :func:`_decode_tiff`, mirroring
+    encode_png/encode_wav_pcm for the other formats. ``compression``:
+    1 none, 5 LZW, 8 Deflate, 32773 PackBits; ``predictor=2`` applies
+    horizontal differencing before compression (8-bit samples)."""
+    import zlib
+
     import numpy as np
 
     arr = np.ascontiguousarray(img, dtype=np.uint8)
     if arr.ndim == 2:
         arr = arr[:, :, None]
     h, w, spp = arr.shape
-    data = arr.tobytes()
+    if predictor == 2:
+        diffed = arr.astype(np.int16)
+        diffed[:, 1:] = (diffed[:, 1:] - diffed[:, :-1]) % 256
+        data = diffed.astype(np.uint8).tobytes()
+    elif predictor == 1:
+        data = arr.tobytes()
+    else:
+        raise ValueError(f"predictor must be 1 or 2, got {predictor}")
+    if compression == 5:
+        data = _tiff_lzw_encode(data)
+    elif compression == 8:
+        data = zlib.compress(data)
+    elif compression == 32773:
+        data = _packbits_encode(data)
+    elif compression != 1:
+        raise ValueError(f"unsupported compression {compression}")
     # layout: header(8) + pixel data + IFD
     data_off = 8
     ifd_off = data_off + len(data)
@@ -850,12 +1042,13 @@ def encode_tiff_rgb(img) -> bytes:
         entry(256, 4, 1, w),            # ImageWidth
         entry(257, 4, 1, h),            # ImageLength
         entry(258, 3, 1, 8) if spp == 1 else None,  # BitsPerSample (inline)
-        entry(259, 3, 1, 1),            # Compression = none
+        entry(259, 3, 1, compression),  # Compression
         entry(262, 3, 1, 1 if spp == 1 else 2),  # Photometric
         entry(273, 4, 1, data_off),     # StripOffsets
         entry(277, 3, 1, spp),          # SamplesPerPixel
         entry(278, 4, 1, h),            # RowsPerStrip
         entry(279, 4, 1, len(data)),    # StripByteCounts
+        entry(317, 3, 1, 2) if predictor == 2 else None,  # Predictor
     ]
     if spp != 1:
         # BitsPerSample array for multi-sample lives after the IFD
