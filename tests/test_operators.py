@@ -2258,6 +2258,56 @@ def test_decode_png_palette_lookup():
         decode_image(bad)
 
 
+def test_bmp_palette_and_rle8():
+    """Handcrafted 8-bit/4-bit palette BMPs (bottom-up, padded strides,
+    MSB-first nibbles) and an RLE8 stream exercising runs, absolute
+    mode with word alignment, end-of-line and end-of-bitmap escapes."""
+    import struct
+
+    import numpy as np
+
+    from torcdb_spark.operators.multimodal import decode_image
+
+    def bmp(w, h, bpp, comp, n_pal, img_bytes):
+        pal_rgb = [(i * 37 % 256, i * 11 % 256, i * 73 % 256)
+                   for i in range(n_pal)]
+        pal = b"".join(bytes([b, g, r, 0]) for r, g, b in pal_rgb)
+        off = 14 + 40 + len(pal)
+        hdr = b"BM" + struct.pack("<IHHI", off + len(img_bytes), 0, 0, off)
+        hdr += struct.pack("<IiiHHIIiiII", 40, w, h, 1, bpp, comp,
+                           len(img_bytes), 0, 0, n_pal, 0)
+        return hdr + pal + img_bytes, pal_rgb
+
+    rows = [[0, 1, 2, 3, 4], [4, 3, 2, 1, 0], [1, 1, 2, 2, 3]]
+    img_bytes = b"".join(bytes(r) + bytes(3) for r in reversed(rows))
+    payload, pal = bmp(5, 3, 8, 0, 8, img_bytes)
+    exp = np.array([[pal[i] for i in r] for r in rows], dtype=np.uint8)
+    assert np.array_equal(decode_image(payload), exp)
+
+    rows4 = [[0, 1, 2, 3, 4], [4, 2, 0, 1, 3]]
+
+    def pack4(r):
+        b = bytearray()
+        for i in range(0, len(r), 2):
+            b.append((r[i] << 4) | (r[i + 1] if i + 1 < len(r) else 0))
+        return bytes(b) + bytes(4 - len(b))
+
+    payload, pal = bmp(5, 2, 4, 0, 16,
+                       b"".join(pack4(r) for r in reversed(rows4)))
+    exp = np.array([[pal[i] for i in r] for r in rows4], dtype=np.uint8)
+    assert np.array_equal(decode_image(payload), exp)
+
+    # RLE8 bottom-up: row0 = run 6x7 + EOL; row1 = run 3x5 + absolute
+    # [1,2,3] (odd count → pad byte) + EOB
+    rle = bytes([6, 7, 0, 0, 3, 5, 0, 3, 1, 2, 3, 0, 0, 1])
+    payload, pal = bmp(6, 2, 8, 1, 8, rle)
+    exp = np.array(
+        [[pal[5]] * 3 + [pal[1], pal[2], pal[3]], [pal[7]] * 6],
+        dtype=np.uint8,
+    )
+    assert np.array_equal(decode_image(payload), exp)
+
+
 def test_tiff_compressed_variants_roundtrip():
     """TIFF Compression 5 (LZW w/ EarlyChange + table resets),
     8 (Deflate), 32773 (PackBits), each with and without Predictor 2

@@ -4,7 +4,7 @@ Images/audio/video ride through the engine as ``binary`` columns with a
 metadata struct; transforms run as Arrow-batched Pandas UDFs over
 ``mapInPandas`` so payload bytes never round-trip through Python row
 objects. Decode kernels are REAL for every format decodable without codec
-libraries — PPM(P6 8/16-bit), uncompressed BMP, 1/2/4/8/16-bit PNG
+libraries — PPM(P6 8/16-bit), BMP incl. 4/8-bit palette + RLE8, 1/2/4/8/16-bit PNG
 incl. paletted +
 Adam7 interlaced (stdlib zlib), 8/16-bit TIFF incl. LZW/Deflate/
 PackBits strips + horizontal predictor, baseline +
@@ -73,9 +73,10 @@ def decode_image(payload: bytes):
 
     - **PPM (P6)**: binary Portable PixMap — ASCII header
       ``P6 <w> <h> <maxval>`` then raw RGB bytes;
-    - **BMP**: uncompressed 24/32-bit Windows bitmaps (BITMAPINFOHEADER,
-      BI_RGB), bottom-up row order with 4-byte row padding, BGR(A) channel
-      order.
+    - **BMP**: 24/32-bit BI_RGB Windows bitmaps (BITMAPINFOHEADER),
+      bottom-up row order with 4-byte row padding, BGR(A) channel order,
+      plus 4/8-bit palette (BGRA quads, MSB-first nibbles) and RLE8
+      (runs, absolute mode, EOL/EOB/delta escapes).
 
     Plus pure-numpy decoders for PNG (stdlib zlib; paletted via PLTE
     gather), uncompressed chunky 8/16-bit TIFF, and **baseline,
@@ -140,13 +141,66 @@ def decode_image(payload: bytes):
         h = int.from_bytes(payload[22:26], "little", signed=True)
         bpp = int.from_bytes(payload[28:30], "little")
         comp = int.from_bytes(payload[30:34], "little")
-        if comp != 0 or bpp not in (24, 32):
+        clr_used = int.from_bytes(payload[46:50], "little")
+        ok = (comp == 0 and bpp in (4, 8, 24, 32)) or (
+            comp == 1 and bpp == 8
+        )
+        if not ok:
             raise NotImplementedError(f"BMP bpp={bpp} compression={comp}")
+        flip = h > 0  # positive height = bottom-up storage
+        h = abs(h)
+        if bpp in (4, 8):  # palette indices → BGRA quads after the header
+            n_pal = clr_used or (1 << bpp)
+            pal_off = 14 + hdr_size
+            pal = np.frombuffer(
+                payload[pal_off : pal_off + 4 * n_pal], dtype=np.uint8
+            ).reshape(-1, 4)[:, [2, 1, 0]]  # BGRA → RGB
+            idx = np.zeros((h, w), dtype=np.int64)
+            if comp == 1:  # RLE8 (BI_RLE8), bottom-up by definition
+                x = y = 0
+                i = off
+                while i + 1 < len(payload):
+                    n, v = payload[i], payload[i + 1]
+                    i += 2
+                    if n:  # encoded run
+                        idx[y, x : x + n] = v
+                        x += n
+                    elif v == 0:  # end of line
+                        x, y = 0, y + 1
+                    elif v == 1:  # end of bitmap
+                        break
+                    elif v == 2:  # delta
+                        x += payload[i]
+                        y += payload[i + 1]
+                        i += 2
+                    else:  # absolute mode, word-aligned
+                        idx[y, x : x + v] = np.frombuffer(
+                            payload[i : i + v], dtype=np.uint8
+                        )
+                        x += v
+                        i += v + (v & 1)
+                idx = idx[::-1]
+            else:
+                per = 8 // bpp
+                row_bytes = (w * bpp + 7) // 8
+                stride = (row_bytes + 3) & ~3
+                shifts = np.arange(per - 1, -1, -1) * bpp  # MSB-first
+                for r in range(h):
+                    s = off + r * stride
+                    rb = np.frombuffer(
+                        payload[s : s + row_bytes], dtype=np.uint8
+                    )
+                    idx[r] = (
+                        (rb.reshape(-1, 1) >> shifts) & ((1 << bpp) - 1)
+                    ).reshape(-1)[:w]
+                if flip:
+                    idx = idx[::-1]
+            if idx.max(initial=0) >= pal.shape[0]:
+                raise ValueError("BMP palette index out of range")
+            return pal[idx]
         nch = bpp // 8
         stride = (w * nch + 3) & ~3  # rows pad to 4 bytes
         rows = []
-        flip = h > 0  # positive height = bottom-up storage
-        h = abs(h)
         for r in range(h):
             s = off + r * stride
             rows.append(np.frombuffer(payload[s : s + w * nch], dtype=np.uint8)
@@ -170,7 +224,7 @@ def decode_image(payload: bytes):
 
         return decode_webp(payload)  # lossless VP8L; VP8 lossy raises
     raise NotImplementedError(
-        "only PPM(P6 8/16-bit), uncompressed 24/32-bit BMP, "
+        "only PPM(P6 8/16-bit), 24/32-bit + 4/8-bit-palette/RLE8 BMP, "
         "1/2/4/8/16-bit gray/palette + 8/16-bit RGB/RGBA PNG (incl. "
         "Adam7 interlaced), "
         "chunky 8/16-bit (none/LZW/Deflate/PackBits) "
