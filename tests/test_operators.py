@@ -2258,6 +2258,71 @@ def test_decode_png_palette_lookup():
         decode_image(bad)
 
 
+def test_wav_float_and_g711_companding():
+    """WAVE format tags 3 (IEEE float 32/64), 6 (A-law), 7 (µ-law):
+    float round trips are (near-)exact; the G.711 companders are
+    validated BIT-FOR-BIT against stdlib audioop over the full int16
+    range where available (Python < 3.13), and the encode→decode chain
+    matches audioop's chain exactly."""
+    import numpy as np
+
+    from torcdb_spark.operators.multimodal import (
+        _alaw_to_linear,
+        _linear_to_alaw,
+        _linear_to_mulaw,
+        _mulaw_to_linear,
+        decode_wav,
+        encode_wav_pcm,
+    )
+
+    rng = np.random.default_rng(51)
+    lin = rng.normal(0, 8000, 500).clip(-32768, 32767).astype(np.int32)
+    f = lin / 32768.0
+    for bits, tol in ((32, 1e-6), (64, 0.0)):
+        dt = "<f4" if bits == 32 else "<f8"
+        rate, x = decode_wav(
+            encode_wav_pcm(f.astype(dt), 16000, bits=bits, fmt_tag=3)
+        )
+        assert rate == 16000
+        assert float(np.abs(x - f).max()) <= tol
+
+    # companded round trip: error bounded by the largest segment step
+    for tag in (6, 7):
+        _, x = decode_wav(encode_wav_pcm(lin, 8000, fmt_tag=tag))
+        assert float(np.abs(x - f).max()) < 0.04
+
+    try:
+        import warnings
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            import audioop  # removed in Python 3.13
+    except ImportError:
+        return
+    xs = np.arange(-32768, 32768, dtype=np.int32)
+    allb = bytes(range(256))
+    assert np.array_equal(
+        _mulaw_to_linear(np.frombuffer(allb, np.uint8)),
+        np.frombuffer(audioop.ulaw2lin(allb, 2), "<i2").astype(np.int32),
+    )
+    assert np.array_equal(
+        _alaw_to_linear(np.frombuffer(allb, np.uint8)),
+        np.frombuffer(audioop.alaw2lin(allb, 2), "<i2").astype(np.int32),
+    )
+    assert np.array_equal(
+        _linear_to_mulaw(xs),
+        np.frombuffer(
+            audioop.lin2ulaw(xs.astype("<i2").tobytes(), 2), np.uint8
+        ),
+    )
+    assert np.array_equal(
+        _linear_to_alaw(xs),
+        np.frombuffer(
+            audioop.lin2alaw(xs.astype("<i2").tobytes(), 2), np.uint8
+        ),
+    )
+
+
 def test_bmp_palette_and_rle8():
     """Handcrafted 8-bit/4-bit palette BMPs (bottom-up, padded strides,
     MSB-first nibbles) and an RLE8 stream exercising runs, absolute

@@ -11,7 +11,8 @@ PackBits strips + horizontal predictor, baseline +
 extended-sequential (12-bit) + progressive + lossless (SOF3)
 JPEG (operators/jpeg.py), GIF incl. interlaced + animated
 (operators/gif.py LZW), lossless WebP/VP8L incl. all four transforms
-(operators/webp.py), RIFF/WAVE PCM audio (8/16/24/32-bit),
+(operators/webp.py), RIFF/WAVE audio (PCM 8/16/24/32-bit, IEEE
+float, G.711 A-law/mu-law),
 MJPEG-in-AVI video — plus FFT spectral audio features; the remaining
 formats (lossy WebP-VP8/MP3/arithmetic-coded JPEG) raise a documented
 NotImplementedError where a deployment plugs in pillow/opencv/ffmpeg.
@@ -888,18 +889,34 @@ def frame_sample(media: DataFrame, every_n: int = 10) -> DataFrame:
 
 
 def encode_wav_pcm(
-    samples, sample_rate: int = 8000, bits: int = 8, channels: int = 1
+    samples, sample_rate: int = 8000, bits: int = 8, channels: int = 1,
+    fmt_tag: int = 1,
 ) -> bytes:
     """Minimal canonical RIFF/WAVE writer (PCM; interleaved if stereo) —
     the fixture/test encoder paired with :func:`decode_wav`. ``samples``
     is a bytes-like of unsigned 8-bit samples (bits=8), an int16 array
     (bits=16), or an int32 array holding 24-bit-range/full-range values
-    (bits=24/32, little-endian on the wire like every PCM WAV)."""
+    (bits=24/32, little-endian on the wire like every PCM WAV).
+    ``fmt_tag``: 1 PCM (default), 3 IEEE float (samples float32/float64,
+    bits 32/64), 6 A-law / 7 µ-law (samples int16 linear, companded on
+    write with the audioop-exact formulas)."""
     import struct
 
     import numpy as np
 
-    if bits == 8:
+    if fmt_tag == 3:
+        dt = "<f4" if bits == 32 else "<f8"
+        data = np.asarray(samples, dtype=dt).tobytes()
+        sample_bytes, bps = bits // 8, bits
+    elif fmt_tag == 6:
+        data = _linear_to_alaw(np.asarray(samples, dtype=np.int32)).tobytes()
+        sample_bytes, bps = 1, 8
+    elif fmt_tag == 7:
+        data = _linear_to_mulaw(np.asarray(samples, dtype=np.int32)).tobytes()
+        sample_bytes, bps = 1, 8
+    elif fmt_tag != 1:
+        raise ValueError(f"unsupported fmt_tag {fmt_tag}")
+    elif bits == 8:
         data = bytes(samples)
         sample_bytes, bps = 1, 8
     elif bits == 16:
@@ -917,7 +934,7 @@ def encode_wav_pcm(
         raise ValueError(f"bits must be 8/16/24/32, got {bits}")
     block_align = sample_bytes * channels
     fmt = struct.pack(
-        "<HHIIHH", 1, channels, sample_rate,
+        "<HHIIHH", fmt_tag, channels, sample_rate,
         sample_rate * block_align, block_align, bps,
     )
     body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
@@ -925,14 +942,74 @@ def encode_wav_pcm(
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+def _mulaw_to_linear(u):
+    """G.711 µ-law byte → 14-bit-range linear (the standard CCITT
+    expansion formula — pure arithmetic, no lookup table)."""
+    import numpy as np
+
+    u = (~np.asarray(u, dtype=np.uint8)).astype(np.int32)
+    t = (((u & 0x0F) << 3) + 0x84) << ((u & 0x70) >> 4)
+    return np.where(u & 0x80, 0x84 - t, t - 0x84)
+
+
+def _alaw_to_linear(a):
+    """G.711 A-law byte → 13-bit-range linear (CCITT expansion)."""
+    import numpy as np
+
+    a = np.asarray(a, dtype=np.uint8).astype(np.int32) ^ 0x55
+    seg = (a & 0x70) >> 4
+    t = (a & 0x0F) << 4
+    t = np.where(seg == 0, t + 8, np.where(seg == 1, t + 0x108,
+                 (t + 0x108) << np.maximum(seg - 1, 0)))
+    return np.where(a & 0x80, t, -t)
+
+
+def _linear_to_mulaw(x):
+    """Inverse companding for the writer: int16 linear → µ-law bytes
+    (the CCITT/Sun linear2ulaw algorithm: truncate to the 14-bit
+    domain, bias by 33, segment by magnitude — bit-identical to the
+    classic reference implementation)."""
+    import numpy as np
+
+    x = np.asarray(x, dtype=np.int32) >> 2  # 16 → 14 bit, arithmetic
+    mask = np.where(x < 0, 0x7F, 0xFF)
+    mag = np.minimum(np.where(x < 0, -x, x), 8159) + 33
+    seg = np.clip(np.floor(np.log2(mag)).astype(np.int32) - 5, 0, 8)
+    uval = (seg << 4) | ((mag >> (seg + 1)) & 0x0F)
+    return np.where(seg >= 8, 0x7F ^ mask, uval ^ mask).astype(np.uint8)
+
+
+def _linear_to_alaw(x):
+    """Inverse companding for the writer: int16 linear → A-law bytes
+    (Sun linear2alaw: truncate to the 13-bit domain, -v-1 for
+    negatives, segment search — bit-identical to the reference)."""
+    import numpy as np
+
+    x = np.asarray(x, dtype=np.int32) >> 3  # 16 → 13 bit, arithmetic
+    mask = np.where(x >= 0, 0xD5, 0x55)
+    v = np.where(x >= 0, x, -x - 1)
+    seg = np.where(
+        v <= 0x1F,
+        0,
+        np.floor(np.log2(np.maximum(v, 1))).astype(np.int32) - 4,
+    )
+    aval = (seg << 4) | np.where(
+        seg < 2, (v >> 1) & 0x0F, (v >> np.maximum(seg, 1)) & 0x0F
+    )
+    return np.where(seg >= 8, 0x7F ^ mask, aval ^ mask).astype(np.uint8)
+
+
 def decode_wav(payload: bytes):
     """REAL RIFF/WAVE parser → (sample_rate, samples float64 ndarray in
     [-1, 1], mono-mixed). Walks the chunk list properly (skips LIST/fact/
     any unknown chunk, honors word alignment), supports uncompressed PCM
     (format tag 1) at 8-bit unsigned and 16-bit signed, mono or stereo
-    (stereo averaged to mono). Compressed codecs (MP3/AAC/ADPCM/float)
-    raise NotImplementedError by documented design — no codec libraries in
-    this container; the contract mirrors decode_image's PPM/BMP/PNG split."""
+    (stereo averaged to mono), IEEE float 32/64 (tag 3), and the G.711
+    companded formats (tag 6 A-law, tag 7 µ-law — expanded with the
+    CCITT formulas, normalized /32768 like 16-bit linear). Perceptual
+    codecs (MP3/AAC/ADPCM) raise NotImplementedError by documented
+    design — no codec libraries in this container; the contract mirrors
+    decode_image's PPM/BMP/PNG split."""
     import struct
 
     import numpy as np
@@ -954,12 +1031,30 @@ def decode_wav(payload: bytes):
     if fmt is None or data is None:
         raise ValueError("WAVE missing fmt or data chunk")
     tag, channels, rate, _, _, bps = fmt
-    if tag != 1:
+    if tag not in (1, 3, 6, 7):
         raise NotImplementedError(
             f"compressed WAVE (format tag {tag}) not supported: no codec "
-            "libraries in this container; PCM (tag 1) is fully decoded"
+            "libraries in this container; PCM (1), IEEE float (3), "
+            "A-law (6) and mu-law (7) are fully decoded"
         )
-    if bps == 8:
+    if tag == 3:  # IEEE float
+        if bps == 32:
+            n = len(data) // 4 * 4
+            x = np.frombuffer(data[:n], dtype="<f4").astype(np.float64)
+        elif bps == 64:
+            n = len(data) // 8 * 8
+            x = np.frombuffer(data[:n], dtype="<f8").astype(np.float64)
+        else:
+            raise ValueError(f"IEEE-float WAVE with bps={bps}")
+    elif tag == 6:  # G.711 A-law (expansion is already 16-bit range)
+        x = _alaw_to_linear(
+            np.frombuffer(data, dtype=np.uint8)
+        ).astype(np.float64) / 32768.0
+    elif tag == 7:  # G.711 mu-law (expansion is already 16-bit range)
+        x = _mulaw_to_linear(
+            np.frombuffer(data, dtype=np.uint8)
+        ).astype(np.float64) / 32768.0
+    elif bps == 8:
         x = (np.frombuffer(data, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
     elif bps == 16:
         n = len(data) // 2 * 2
