@@ -2323,6 +2323,77 @@ def test_wav_float_and_g711_companding():
     )
 
 
+def test_wav_ima_adpcm():
+    """IMA ADPCM (WAVE tag 17): the quantizer core is validated
+    bit-for-bit (samples AND end state) against stdlib audioop's
+    adpcm2lin where available, including clamp-saturating streams; the
+    WAV block framing (header predictor as sample 0, low-nibble-first)
+    decodes a hand-built two-block file exactly."""
+    import struct
+
+    import numpy as np
+
+    from torcdb_spark.operators.multimodal import (
+        _ima_adpcm_core,
+        decode_wav,
+    )
+
+    rng = np.random.default_rng(61)
+
+    try:
+        import warnings
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            import audioop  # removed in Python 3.13
+    except ImportError:
+        audioop = None
+    if audioop is not None:
+        # random + saturating streams, audioop order = high nibble first
+        for raw in (
+            bytes(rng.integers(0, 256, 400, dtype=np.uint8)),
+            bytes([0x77] * 200),  # drive predictor to +clamp
+            bytes([0xFF] * 200),  # drive predictor to -clamp
+        ):
+            nibs = []
+            for b in raw:
+                nibs.append(b >> 4)
+                nibs.append(b & 0x0F)
+            mine, pred, idx = _ima_adpcm_core(nibs, 0, 0)
+            ref, state = audioop.adpcm2lin(raw, 2, None)
+            assert np.array_equal(
+                np.array(mine), np.frombuffer(ref, "<i2").astype(int)
+            )
+            assert (pred, idx) == state
+
+    # hand-built 2-block mono IMA WAV (65 samples per 36-byte block);
+    # decoder state chains across blocks via each block's header
+    block_align = 36
+    blocks = b""
+    expect = []
+    pred, index = 1234, 20
+    for _ in range(2):
+        body_bytes = bytes(rng.integers(0, 256, 32, dtype=np.uint8))
+        nibs = []
+        for b in body_bytes:
+            nibs.append(b & 0x0F)
+            nibs.append(b >> 4)
+        blocks += struct.pack("<hBB", pred, index, 0) + body_bytes
+        expect.append(pred)
+        dec, pred, index = _ima_adpcm_core(nibs, pred, index)
+        expect.extend(dec)
+    fmt = struct.pack(
+        "<HHIIHH", 17, 1, 8000, 8000, block_align, 4
+    ) + struct.pack("<HH", 2, 65)
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(blocks)) + blocks)
+    rate, x = decode_wav(b"RIFF" + struct.pack("<I", len(body)) + body)
+    assert rate == 8000 and len(x) == 130
+    assert np.array_equal(
+        np.round(x * 32768).astype(int), np.array(expect)
+    )
+
+
 def test_bmp_palette_and_rle8():
     """Handcrafted 8-bit/4-bit palette BMPs (bottom-up, padded strides,
     MSB-first nibbles) and an RLE8 stream exercising runs, absolute

@@ -12,9 +12,9 @@ extended-sequential (12-bit) + progressive + lossless (SOF3)
 JPEG (operators/jpeg.py), GIF incl. interlaced + animated
 (operators/gif.py LZW), lossless WebP/VP8L incl. all four transforms
 (operators/webp.py), RIFF/WAVE audio (PCM 8/16/24/32-bit, IEEE
-float, G.711 A-law/mu-law),
+float, G.711 A-law/mu-law, IMA ADPCM),
 MJPEG-in-AVI video — plus FFT spectral audio features; the remaining
-formats (lossy WebP-VP8/MP3/arithmetic-coded JPEG) raise a documented
+formats (lossy WebP-VP8/MP3/AAC/arithmetic-coded JPEG) raise a documented
 NotImplementedError where a deployment plugs in pillow/opencv/ffmpeg.
 
 At 100 TB: payloads dominate; the operators keep them in Arrow buffers,
@@ -999,6 +999,40 @@ def _linear_to_alaw(x):
     return np.where(seg >= 8, 0x7F ^ mask, aval ^ mask).astype(np.uint8)
 
 
+# IMA/DVI ADPCM tables (IMA ADPCM reference algorithm; validated
+# bit-for-bit against stdlib audioop.adpcm2lin in the tests)
+_IMA_INDEX = [-1, -1, -1, -1, 2, 4, 6, 8]
+_IMA_STEP = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+]
+
+
+def _ima_adpcm_core(nibbles, pred: int, index: int):
+    """IMA ADPCM inner loop: 4-bit codes → int16 samples given the
+    (predictor, step-index) state. Returns (samples list, pred, index)."""
+    out = []
+    for nib in nibbles:
+        step = _IMA_STEP[index]
+        diff = step >> 3
+        if nib & 1:
+            diff += step >> 2
+        if nib & 2:
+            diff += step >> 1
+        if nib & 4:
+            diff += step
+        pred = pred - diff if nib & 8 else pred + diff
+        pred = max(-32768, min(32767, pred))
+        index = max(0, min(88, index + _IMA_INDEX[nib & 7]))
+        out.append(pred)
+    return out, pred, index
+
+
 def decode_wav(payload: bytes):
     """REAL RIFF/WAVE parser → (sample_rate, samples float64 ndarray in
     [-1, 1], mono-mixed). Walks the chunk list properly (skips LIST/fact/
@@ -1030,13 +1064,30 @@ def decode_wav(payload: bytes):
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if fmt is None or data is None:
         raise ValueError("WAVE missing fmt or data chunk")
-    tag, channels, rate, _, _, bps = fmt
-    if tag not in (1, 3, 6, 7):
+    tag, channels, rate, _, block_align, bps = fmt
+    if tag not in (1, 3, 6, 7, 17):
         raise NotImplementedError(
             f"compressed WAVE (format tag {tag}) not supported: no codec "
             "libraries in this container; PCM (1), IEEE float (3), "
-            "A-law (6) and mu-law (7) are fully decoded"
+            "A-law (6), mu-law (7) and IMA ADPCM (17) are fully decoded"
         )
+    if tag == 17:  # IMA ADPCM, mono block layout
+        if channels != 1:
+            raise NotImplementedError("stereo IMA-ADPCM WAVE")
+        samples: list[int] = []
+        for b0 in range(0, len(data) - 3, block_align):
+            block = data[b0 : b0 + block_align]
+            pred = int.from_bytes(block[0:2], "little", signed=True)
+            index = min(block[2], 88)
+            samples.append(pred)  # header predictor IS sample 0
+            nibs = []
+            for byte in block[4:]:
+                nibs.append(byte & 0x0F)  # WAV order: low nibble first
+                nibs.append(byte >> 4)
+            dec, pred, index = _ima_adpcm_core(nibs, pred, index)
+            samples.extend(dec)
+        x = np.asarray(samples, dtype=np.float64) / 32768.0
+        return rate, x
     if tag == 3:  # IEEE float
         if bps == 32:
             n = len(data) // 4 * 4
