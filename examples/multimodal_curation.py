@@ -73,6 +73,58 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     n_ok = feats.where(F.col("decode_err").isNull()).count()
     log(f"images decoded: {n_ok}")
 
+    # -- 1b. mixed-format ingest: the SAME pixels through every codec ----
+    # (what a real crawl delivers: one logical image arriving as PNG on
+    # one site, WebP on another, TIFF from a scanner, lossless JPEG from
+    # a medical archive — decode_image dispatches on magic bytes and the
+    # downstream pipeline never branches on format)
+    def reencode(batches):
+        import numpy as np
+
+        from torcdb_spark.operators.jpeg import encode_jpeg_lossless
+        from torcdb_spark.operators.multimodal import (
+            decode_image,
+            encode_png,
+            encode_tiff_rgb,
+        )
+        from torcdb_spark.operators.webp import encode_webp_lossless
+
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                src = decode_image(bytes(payload))
+                encoded = {
+                    "png16": encode_png(
+                        (src.astype(np.uint16) * 257), filter_type=1
+                    ),
+                    "webp": encode_webp_lossless(
+                        src, use_subtract_green=True, cache_bits=4
+                    ),
+                    "tiff_lzw": encode_tiff_rgb(
+                        src, compression=5, predictor=2
+                    ),
+                    "jpeg_ll": encode_jpeg_lossless(src, predictor=4),
+                }
+                ok = sum(
+                    int(np.array_equal(decode_image(p), src))
+                    for p in encoded.values()
+                )
+                rows.append({"media_id": int(mid), "formats_exact": ok})
+            yield pd.DataFrame(rows)
+
+    import pandas as pd
+
+    fmt_ok = (
+        media.limit(64)
+        .mapInPandas(reencode, "media_id long, formats_exact long")
+        .agg(F.sum("formats_exact"))
+        .collect()[0][0]
+    )
+    log(f"mixed-format re-encode/decode exact: {fmt_ok}/256 "
+        "(16-bit PNG, lossless WebP, LZW TIFF, lossless JPEG)")
+
     # -- 2. image near-dup census via pHash ------------------------------
     pairs = phash_near_dup_pairs(media, max_hamming=3, bands=4)
     dup_images = pairs.select("id_a").union(pairs.select("id_b")).distinct().count()
