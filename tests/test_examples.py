@@ -45,7 +45,9 @@ def test_multimodal_curation_runs(spark, capsys):
     spec.loader.exec_module(mod)
     mod.main("/root/testdata/sf0.001")
     out = capsys.readouterr().out
-    for marker in ("images decoded:", "images in near-dup pairs:",
+    for marker in ("images decoded:",
+                   "mixed-format re-encode/decode exact: 256/256",
+                   "images in near-dup pairs:",
                    "audio clips with rms:", "video frames sampled:",
                    "embeddings kept after semantic dedup:",
                    "documents flagged contaminated:", "curated corpus size:"):
