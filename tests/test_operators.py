@@ -2258,6 +2258,52 @@ def test_decode_png_palette_lookup():
         decode_image(bad)
 
 
+def test_pdf_text_extraction():
+    """Minimal PDF writer → extractor round trips: escaping (parens,
+    backslashes), multi-page, multi-line (T* line moves), FlateDecode
+    streams sliced by /Length (compressed bytes may contain 'endstream'
+    or end in EOL bytes), plus hand-built content exercising TJ arrays,
+    octal escapes, and hex strings."""
+    import numpy as np
+
+    from torcdb_spark.operators.pdf import (
+        _extract_content_text,
+        encode_pdf_text,
+        extract_pdf_text,
+    )
+
+    pages = [
+        ["Hello (world) \\ back\\slash", "second line"],
+        ["page two"],
+    ]
+    expected = "Hello (world) \\ back\\slash\nsecond line\npage two"
+    for compress in (False, True):
+        assert extract_pdf_text(
+            encode_pdf_text(pages, compress=compress)
+        ) == expected
+
+    # stress /Length slicing: many random-ish texts whose compressed
+    # bytes will hit EOL-final and arbitrary binary content
+    rng = np.random.default_rng(71)
+    for _ in range(60):
+        n = int(rng.integers(1, 400))
+        txt = "".join(
+            chr(int(c)) for c in rng.integers(32, 127, n)
+        )
+        assert extract_pdf_text(
+            encode_pdf_text([[txt]], compress=True)
+        ) == txt
+
+    c = (b"BT [(ab) -120 (cd)] TJ T* (\\101\\102) Tj T* "
+         b"<48454C4C4F> Tj (x\\ny) Tj ET")
+    assert _extract_content_text(c) == "abcd\nAB\nHELLOx\ny"
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        extract_pdf_text(b"not a pdf")
+
+
 def test_wav_float_and_g711_companding():
     """WAVE format tags 3 (IEEE float 32/64), 6 (A-law), 7 (µ-law):
     float round trips are (near-)exact; the G.711 companders are

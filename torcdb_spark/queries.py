@@ -650,12 +650,13 @@ def x_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ROTATION_BASIS_ROUND to the round the driver just recorded, re-run the
 # test, and paste the list it expects.
 #
-# ROUND-9 HEAD under that policy = the 17 never-checked queries (the 10
+# ROUND-9 HEAD under that policy = the 18 never-checked queries (the 10
 # rows-only production forms — driver records rows/schema rows, the m3
 # pattern — plus r8's post-rotation exact witnesses g_mst2/g_lpa2 and
 # round 9's g_bc2_integer_grid/m3b_image_decode_census/m7b_whash_exact/
-# m13_webp_roundtrip/d33_unicode_nfc) + the 33 stalest: the round-2
-# block (last signal 7 rounds old).  Everything not listed keeps its
+# m13_webp_roundtrip/d33_unicode_nfc/p2_pdf_text_extract) + the 32
+# stalest: the round-2 block (last signal 7 rounds old).  Everything
+# not listed keeps its
 # registration order after slot 50 and stays covered by the local
 # exact-value gate (tests/test_oracle_parity.py, 3 SFs, every round).
 ROTATION_BASIS_ROUND = 8
@@ -711,6 +712,7 @@ DRIVER_PRIORITY: list[str] = [
     "m3b_image_decode_census",
     "m7_phash_near_dups",
     "m7b_whash_exact",
+    "p2_pdf_text_extract",
     # -- oldest driver signal: last checked round 2 --
     "a2_intersect",
     "a3_subtract",
@@ -744,7 +746,6 @@ DRIVER_PRIORITY: list[str] = [
     "q_rollup_region_nation",
     "q_running_total",
     "q_string_predicates",
-    "q_topk_orders_per_customer",
 ]
 
 # Head entries that ship WITHOUT a DuckDB oracle by documented design (the
@@ -2607,6 +2608,52 @@ def e5_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cents.join(counts, "label").select(
         "label", "n_vecs", F.round(norm, 4).alias("centroid_norm")
     )
+
+
+@_register(
+    "p2_pdf_text_extract",
+    """SELECT doc_id,
+              CAST(length(text) AS BIGINT) AS n_chars,
+              TRUE AS exact
+       FROM documents""",
+)
+def p2_pdf_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF→text extraction (operators/pdf.py): each document's text is
+    written into a real single-page PDF — correct xref/trailer, literal
+    strings with the paren/backslash escaping, FlateDecode content
+    streams for odd doc ids — and extracted back inside one
+    Arrow-batched mapInPandas kernel (BT/ET scan, Tj/TJ/quote
+    operators, full string unescaping). Extraction is exact on this
+    shape, so the oracle replays character counts and the match flag
+    straight from the documents table — the pdf-corpus ingestion stage
+    every pre-training pipeline runs, with the m13/m9 lossless
+    verification contract. (Reference has no document-format surface;
+    LLM-pipeline extension, SURVEY §2.5.)"""
+    import pandas as pd
+
+    from torcdb_spark.operators.pdf import encode_pdf_text, extract_pdf_text
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def kernel(batches):
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                t = str(text)
+                payload = encode_pdf_text(
+                    [[t]], compress=bool(int(did) % 2)
+                )
+                out = extract_pdf_text(payload)
+                rows.append(
+                    {
+                        "doc_id": int(did),
+                        "n_chars": len(out),
+                        "exact": out == t,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(kernel, "doc_id long, n_chars long, exact boolean")
 
 
 # ---------------------------------------------------------------------------
