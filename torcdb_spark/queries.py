@@ -650,13 +650,13 @@ def x_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ROTATION_BASIS_ROUND to the round the driver just recorded, re-run the
 # test, and paste the list it expects.
 #
-# ROUND-9 HEAD under that policy = the 18 never-checked queries (the 10
+# ROUND-9 HEAD under that policy = the 19 never-checked queries (the 10
 # rows-only production forms — driver records rows/schema rows, the m3
 # pattern — plus r8's post-rotation exact witnesses g_mst2/g_lpa2 and
 # round 9's g_bc2_integer_grid/m3b_image_decode_census/m7b_whash_exact/
-# m13_webp_roundtrip/d33_unicode_nfc/p2_pdf_text_extract) + the 32
-# stalest: the round-2 block (last signal 7 rounds old).  Everything
-# not listed keeps its
+# m13_webp_roundtrip/d33_unicode_nfc/p2_pdf_text_extract/
+# p3_epub_extract) + the 31 stalest: the round-2 block (last signal 7
+# rounds old).  Everything not listed keeps its
 # registration order after slot 50 and stays covered by the local
 # exact-value gate (tests/test_oracle_parity.py, 3 SFs, every round).
 ROTATION_BASIS_ROUND = 8
@@ -713,6 +713,7 @@ DRIVER_PRIORITY: list[str] = [
     "m7_phash_near_dups",
     "m7b_whash_exact",
     "p2_pdf_text_extract",
+    "p3_epub_extract",
     # -- oldest driver signal: last checked round 2 --
     "a2_intersect",
     "a3_subtract",
@@ -745,7 +746,6 @@ DRIVER_PRIORITY: list[str] = [
     "q_json_extract",
     "q_rollup_region_nation",
     "q_running_total",
-    "q_string_predicates",
 ]
 
 # Head entries that ship WITHOUT a DuckDB oracle by documented design (the
@@ -2654,6 +2654,97 @@ def p2_pdf_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return docs.mapInPandas(kernel, "doc_id long, n_chars long, exact boolean")
+
+
+@_register(
+    "p3_epub_extract",
+    r"""SELECT doc_id,
+              CAST(length(trim(regexp_replace(text, '\s+', ' ', 'g')))
+                AS BIGINT) AS n_chars,
+              TRUE AS exact
+       FROM documents""",
+)
+def p3_epub_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EPUB ingestion as OPERATOR COMPOSITION — the book-corpus stage of
+    a pre-training pipeline built from three existing layers with no new
+    kernel: each document becomes a real EPUB (a ZIP with stored
+    mimetype, META-INF/container.xml, an OPF manifest, and an XHTML
+    chapter with entity-escaped text and a <style> block), fans out
+    through sources.warc.zip_members (stdlib zipfile over Arrow
+    batches), and the chapter extracts through text.html_to_text (the
+    JVM-regex trafilatura-lite chain: style-drop, tag-strip, entity
+    decode, whitespace collapse). Escape → archive → unzip → de-markup
+    is lossless up to whitespace collapse, so the oracle replays
+    character counts with one regexp from the documents table."""
+    import pandas as pd
+
+    from torcdb_spark.operators.text import html_to_text
+    from torcdb_spark.sources.warc import zip_members
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def build(batches):
+        import io
+        import zipfile
+
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                esc = (
+                    str(text)
+                    .replace("&", "&amp;")
+                    .replace("<", "&lt;")
+                    .replace(">", "&gt;")
+                )
+                xhtml = (
+                    "<html><head><title></title>"
+                    "<style>p { margin: 0 }</style></head>"
+                    f"<body><p>{esc}</p></body></html>"
+                )
+                buf = io.BytesIO()
+                with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+                    zf.writestr(
+                        "mimetype", "application/epub+zip",
+                        compress_type=zipfile.ZIP_STORED,
+                    )
+                    zf.writestr(
+                        "META-INF/container.xml",
+                        '<?xml version="1.0"?><container><rootfiles>'
+                        '<rootfile full-path="OEBPS/content.opf"/>'
+                        "</rootfiles></container>",
+                    )
+                    zf.writestr(
+                        "OEBPS/content.opf",
+                        "<package><manifest>"
+                        '<item href="text.xhtml"/>'
+                        "</manifest></package>",
+                    )
+                    zf.writestr("OEBPS/text.xhtml", xhtml)
+                rows.append(
+                    {"path": f"doc_{int(did)}.epub",
+                     "content": buf.getvalue()}
+                )
+            yield pd.DataFrame(rows)
+
+    archives = docs.mapInPandas(build, "path string, content binary")
+    chapters = zip_members(archives).where(
+        F.col("member").endswith(".xhtml")
+    )
+    texts = chapters.select(
+        F.regexp_extract("path", r"doc_(\d+)\.epub", 1)
+        .cast("long")
+        .alias("doc_id"),
+        html_to_text(F.decode("payload", "utf-8")).alias("extracted"),
+    )
+    orig = docs.select(
+        "doc_id",
+        F.trim(F.regexp_replace("text", r"\s+", " ")).alias("norm"),
+    )
+    return texts.join(orig, "doc_id").select(
+        "doc_id",
+        F.length("extracted").cast("long").alias("n_chars"),
+        (F.col("extracted") == F.col("norm")).alias("exact"),
+    )
 
 
 # ---------------------------------------------------------------------------
