@@ -2258,6 +2258,30 @@ def test_decode_png_palette_lookup():
         decode_image(bad)
 
 
+def test_parse_srt_cues(spark):
+    """SubRip parser: multi-line cue text collapses, VTT-style dot
+    milliseconds accepted, hour overflow (>= 100h) parsed, non-cue
+    blocks (WEBVTT header, stray notes) drop."""
+    from torcdb_spark.operators.text import parse_srt
+
+    srt = (
+        "WEBVTT\n\n"
+        "1\n00:00:01,000 --> 00:00:02,500\nhello world\n\n"
+        "2\n00:01:00.000 --> 00:01:03.250\nline one\nline two\n\n"
+        "NOTE a comment block\n\n"
+        "3\n101:02:03,004 --> 101:02:04,005\nlong movie\n"
+    )
+    df = spark.createDataFrame([(7, srt)], "doc_id long, srt string")
+    rows = {r.cue_idx: r for r in parse_srt(df).collect()}
+    assert sorted(rows) == [1, 2, 3]
+    assert rows[1].start_ms == 1000 and rows[1].end_ms == 2500
+    assert rows[1].cue_text == "hello world"
+    assert rows[2].start_ms == 60000 and rows[2].end_ms == 63250
+    assert rows[2].cue_text == "line one line two"
+    assert rows[3].start_ms == 101 * 3600000 + 2 * 60000 + 3004
+    assert rows[3].doc_id == 7
+
+
 def test_pdf_text_extraction():
     """Minimal PDF writer → extractor round trips: escaping (parens,
     backslashes), multi-page, multi-line (T* line moves), FlateDecode

@@ -342,6 +342,67 @@ def redact_pii(
     )
 
 
+def srt_timestamp(ms: Column) -> Column:
+    """Milliseconds → ``HH:MM:SS,mmm`` SubRip timestamp, pure JVM."""
+
+    def two(c: Column) -> Column:
+        return F.lpad(c.cast("long").cast("string"), 2, "0")
+
+    return F.concat(
+        two(F.floor(ms / 3600000)),
+        F.lit(":"),
+        two(F.floor(ms / 60000) % 60),
+        F.lit(":"),
+        two(F.floor(ms / 1000) % 60),
+        F.lit(","),
+        F.lpad((ms % 1000).cast("long").cast("string"), 3, "0"),
+    )
+
+
+def parse_srt(cues_df: "DataFrame", srt_col: str = "srt") -> "DataFrame":
+    """SubRip (.srt) parser, zero Python: split the document on blank
+    lines, regexp-extract each cue's index / start / end / text, and
+    convert ``HH:MM:SS,mmm`` timestamps to milliseconds — one exploded
+    row per cue with (cue_idx, start_ms, end_ms, cue_text). Rows whose
+    block doesn't match the cue shape (e.g. a WEBVTT header) drop.
+
+    At 100 TB of caption files this is a per-row expression chain —
+    whole-stage codegen, no shuffle until the caller aggregates."""
+    ts = r"(\d{2,}):(\d{2}):(\d{2})[,.](\d{3})"
+    cue_re = rf"(?s)^\s*(\d+)\s*\n{ts} --> {ts}\s*\n(.*)$"
+
+    def to_ms(base: int) -> Column:
+        return (
+            F.regexp_extract("_block", cue_re, base + 1).cast("long")
+            * 3600000
+            + F.regexp_extract("_block", cue_re, base + 2).cast("long")
+            * 60000
+            + F.regexp_extract("_block", cue_re, base + 3).cast("long")
+            * 1000
+            + F.regexp_extract("_block", cue_re, base + 4).cast("long")
+        )
+
+    blocks = cues_df.withColumn(
+        "_block", F.explode(F.split(F.col(srt_col), r"\n\s*\n"))
+    )
+    return (
+        blocks.where(F.regexp_extract("_block", cue_re, 1) != "")
+        .select(
+            *[c for c in cues_df.columns if c != srt_col],
+            F.regexp_extract("_block", cue_re, 1)
+            .cast("long")
+            .alias("cue_idx"),
+            to_ms(1).alias("start_ms"),
+            to_ms(5).alias("end_ms"),
+            F.trim(
+                F.regexp_replace(
+                    F.regexp_extract("_block", cue_re, 10), r"\s+", " "
+                )
+            ).alias("cue_text"),
+        )
+    )
+
+
 def unicode_nfc(
     docs: "DataFrame",
     text_col: str = "text",

@@ -650,13 +650,13 @@ def x_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ROTATION_BASIS_ROUND to the round the driver just recorded, re-run the
 # test, and paste the list it expects.
 #
-# ROUND-9 HEAD under that policy = the 19 never-checked queries (the 10
+# ROUND-9 HEAD under that policy = the 20 never-checked queries (the 10
 # rows-only production forms — driver records rows/schema rows, the m3
 # pattern — plus r8's post-rotation exact witnesses g_mst2/g_lpa2 and
 # round 9's g_bc2_integer_grid/m3b_image_decode_census/m7b_whash_exact/
 # m13_webp_roundtrip/d33_unicode_nfc/p2_pdf_text_extract/
-# p3_epub_extract) + the 31 stalest: the round-2 block (last signal 7
-# rounds old).  Everything not listed keeps its
+# p3_epub_extract/p4_srt_cues) + the 30 stalest: the round-2 block
+# (last signal 7 rounds old).  Everything not listed keeps its
 # registration order after slot 50 and stays covered by the local
 # exact-value gate (tests/test_oracle_parity.py, 3 SFs, every round).
 ROTATION_BASIS_ROUND = 8
@@ -714,6 +714,7 @@ DRIVER_PRIORITY: list[str] = [
     "m7b_whash_exact",
     "p2_pdf_text_extract",
     "p3_epub_extract",
+    "p4_srt_cues",
     # -- oldest driver signal: last checked round 2 --
     "a2_intersect",
     "a3_subtract",
@@ -745,7 +746,6 @@ DRIVER_PRIORITY: list[str] = [
     "q_grouping_sets",
     "q_json_extract",
     "q_rollup_region_nation",
-    "q_running_total",
 ]
 
 # Head entries that ship WITHOUT a DuckDB oracle by documented design (the
@@ -2654,6 +2654,66 @@ def p2_pdf_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return docs.mapInPandas(kernel, "doc_id long, n_chars long, exact boolean")
+
+
+@_register(
+    "p4_srt_cues",
+    r"""WITH w AS (
+         SELECT doc_id,
+                len(regexp_split_to_array(
+                      trim(regexp_replace(text, '\s+', ' ', 'g')), ' '))
+                  AS nw,
+                length(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS L
+         FROM documents)
+       SELECT doc_id,
+              CAST(ceil(nw / 8.0) AS BIGINT) AS n_cues,
+              CAST(1500 * ceil(nw / 8.0) AS BIGINT) AS total_dur_ms,
+              CAST(L - (ceil(nw / 8.0) - 1) AS BIGINT) AS parsed_chars,
+              CAST(2000 * (ceil(nw / 8.0) - 1) + 1500 AS BIGINT)
+                AS last_end_ms
+       FROM w""",
+)
+def p4_srt_cues(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subtitle/caption ingestion (video-text corpora ship as .srt/.vtt
+    next to the media): each document's words become a REAL SubRip file
+    — 8-word cues, ``HH:MM:SS,mmm --> …`` timestamp lines, blank-line
+    separators, all built JVM-side (text.srt_timestamp) — and
+    text.parse_srt parses it back with zero Python: blank-line split,
+    one cue regex, timestamp→ms arithmetic, whole-stage codegen
+    throughout. The per-document census (cue count, summed durations,
+    summed cue-text lengths, last end timestamp) is replayed by the
+    oracle in closed form from the word counts, so the hash pins the
+    builder AND the parser (a timestamp-conversion bug shifts
+    total_dur_ms; a cue-split bug shifts parsed_chars)."""
+    from torcdb_spark.operators.text import parse_srt, srt_timestamp
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    words = F.split(F.trim(F.regexp_replace("text", r"\s+", " ")), " ")
+    n_cues = F.ceil(F.size(words) / F.lit(8)).cast("int")
+    cue = lambda i: F.concat(  # noqa: E731
+        (i + 1).cast("string"),
+        F.lit("\n"),
+        srt_timestamp(i.cast("long") * 2000),
+        F.lit(" --> "),
+        srt_timestamp(i.cast("long") * 2000 + 1500),
+        F.lit("\n"),
+        F.array_join(F.slice(words, i * 8 + 1, 8), " "),
+    )
+    srt = docs.select(
+        "doc_id",
+        F.array_join(
+            F.transform(F.sequence(F.lit(0), n_cues - 1), cue), "\n\n"
+        ).alias("srt"),
+    )
+    cues = parse_srt(srt)
+    return cues.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_cues"),
+        F.sum(F.col("end_ms") - F.col("start_ms"))
+        .cast("long")
+        .alias("total_dur_ms"),
+        F.sum(F.length("cue_text")).cast("long").alias("parsed_chars"),
+        F.max("end_ms").cast("long").alias("last_end_ms"),
+    )
 
 
 @_register(
