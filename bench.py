@@ -313,12 +313,19 @@ def main() -> None:
         import subprocess
 
         try:
-            subprocess.run(
+            r = subprocess.run(
                 [sys.executable, os.path.join(repo_dir, "tools",
                                               "plan_audit.py"), "10"],
                 capture_output=True, text=True, timeout=1200, cwd=repo_dir,
             )
-            print("bench: PLAN_AUDIT.md regenerated", file=sys.stderr)
+            if r.returncode == 0:
+                print("bench: PLAN_AUDIT.md regenerated", file=sys.stderr)
+            else:  # don't claim a regenerated artifact on failure
+                print(
+                    "bench: plan audit FAILED "
+                    f"(rc={r.returncode}): {r.stderr.strip()[-400:]}",
+                    file=sys.stderr,
+                )
         except Exception as exc:
             print(f"bench: plan audit failed: {exc}", file=sys.stderr)
     print(json.dumps(full))  # full record, for human/file consumers

@@ -2322,6 +2322,10 @@ def test_pdf_text_extraction():
          b"<48454C4C4F> Tj (x\\ny) Tj ET")
     assert _extract_content_text(c) == "abcd\nAB\nHELLOx\ny"
 
+    # ' and " show-next-line operators: the operand string PRECEDES the
+    # operator, so the break lands before it, not after
+    assert _extract_content_text(b"BT (a) Tj (b) ' (c) \" ET") == "a\nb\nc"
+
     import pytest as _pytest
 
     with _pytest.raises(ValueError):

@@ -582,6 +582,19 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     raise ValueError("no SOS segment found")
 
 
+def _read_symbol(br: "_BitReader", table) -> int:
+    """Canonical-Huffman symbol decode shared by the sequential,
+    lossless, and progressive scan loops."""
+    length = 0
+    code = 0
+    while length < 16:
+        code = (code << 1) | br.read_bit()
+        length += 1
+        if (length, code) in table:
+            return table[(length, code)]
+    raise ValueError("invalid Huffman code")
+
+
 def _finish_planes(out_planes, prec):
     """Shared sequential/progressive tail: clip to the sample range,
     color-convert, and rescale 12-bit samples to the engine's uint8
@@ -621,16 +634,6 @@ def _decode_scan(data, pos, frame, scan, qts, huff, restart, prec=8):
         )
     br = _BitReader(data, pos)
 
-    def read_symbol(table) -> int:
-        length = 0
-        code = 0
-        while length < 16:
-            code = (code << 1) | br.read_bit()
-            length += 1
-            if (length, code) in table:
-                return table[(length, code)]
-        raise ValueError("invalid Huffman code")
-
     dc_pred = [0] * len(scan)
     mcu_count = 0
     for my in range(mcus_y):
@@ -646,13 +649,13 @@ def _decode_scan(data, pos, frame, scan, qts, huff, restart, prec=8):
                 for vy in range(c["v"]):
                     for vx in range(c["h"]):
                         zz = np.zeros(64, dtype=np.int64)
-                        s = read_symbol(dct)
+                        s = _read_symbol(br, dct)
                         diff = _extend(br.read_bits(s), s) if s else 0
                         dc_pred[ci] += diff
                         zz[0] = dc_pred[ci]
                         k = 1
                         while k < 64:
-                            sym = read_symbol(act)
+                            sym = _read_symbol(br, act)
                             if sym == 0x00:  # EOB
                                 break
                             run, size = sym >> 4, sym & 0xF
@@ -713,16 +716,6 @@ def _decode_lossless_scan(data, pos, frame, scan, huff, restart, prec,
         raise NotImplementedError("lossless JPEG with subsampling")
     br = _BitReader(data, pos)
 
-    def read_symbol(table) -> int:
-        length = 0
-        code = 0
-        while length < 16:
-            code = (code << 1) | br.read_bit()
-            length += 1
-            if (length, code) in table:
-                return table[(length, code)]
-        raise ValueError("invalid Huffman code")
-
     default = 1 << (prec - pt - 1)
     planes = [np.zeros((fh, fw), dtype=np.int64) for _ in scan]
     tabs = [huff[(0, dct_id)] for _, dct_id, _ in scan]
@@ -734,7 +727,7 @@ def _decode_lossless_scan(data, pos, frame, scan, huff, restart, prec,
                 br.align_and_expect_rst(count // restart)
                 fresh = True
             for p, tab in zip(planes, tabs):
-                s = read_symbol(tab)
+                s = _read_symbol(br, tab)
                 if s == 16:  # SSSS 16: diff is 32768, no extra bits
                     diff = 32768
                 else:
@@ -889,23 +882,13 @@ def _decode_progressive_scan(
     vmax = max(c["v"] for c in comps)
     br = _BitReader(payload, pos)
 
-    def read_symbol(table):
-        length = 0
-        code = 0
-        while length < 16:
-            code = (code << 1) | br.read_bit()
-            length += 1
-            if (length, code) in table:
-                return table[(length, code)]
-        raise ValueError("invalid Huffman code")
-
     state = {"eobrun": 0}
     dc_pred = [0] * len(scan)
     p1 = 1 << al
     m1 = -p1
 
     def dc_first(blk, si, dct):
-        s = read_symbol(dct)
+        s = _read_symbol(br, dct)
         diff = _extend(br.read_bits(s), s) if s else 0
         dc_pred[si] += diff
         blk[0] = dc_pred[si] << al
@@ -920,7 +903,7 @@ def _decode_progressive_scan(
             return
         k = ss
         while k <= se:
-            sym = read_symbol(act)
+            sym = _read_symbol(br, act)
             r, s = sym >> 4, sym & 0xF
             if s:
                 k += r
@@ -940,7 +923,7 @@ def _decode_progressive_scan(
         k = ss
         if state["eobrun"] == 0:
             while k <= se:
-                sym = read_symbol(act)
+                sym = _read_symbol(br, act)
                 r, s = sym >> 4, sym & 0xF
                 newval = 0
                 if s:

@@ -2,8 +2,8 @@
 pipeline, pure stdlib (zlib for FlateDecode).
 
 `extract_pdf_text` handles the text-bearing subset of PDF a corpus
-pipeline meets: object scanning (``N 0 obj … endobj``), stream objects
-with optional ``/FlateDecode``, page content streams in document order,
+pipeline meets: stream-object scanning with /Length-bounded slicing,
+optional ``/FlateDecode``, page content streams in document order,
 and the text-showing operators inside BT…ET blocks — ``Tj``, the
 ``TJ`` array form (kerning numbers skipped), and the ``'``/``\"``
 next-line forms — with full literal-string unescaping (``\\(``, ``\\)``,
@@ -95,7 +95,6 @@ def encode_pdf_text(
     return bytes(out)
 
 
-_OBJ_RE = re.compile(rb"(\d+)\s+\d+\s+obj(.*?)endobj", re.S)
 _STREAM_HDR_RE = re.compile(rb"<<(.*?)>>\s*stream(\r\n|\n|\r)", re.S)
 
 
@@ -178,11 +177,6 @@ def _extract_content_text(content: bytes) -> str:
         c = content[i]
         if c == 0x28 and in_text:  # literal string
             s, i = _read_literal(content, i)
-            # operator after the string decides placement; peek ahead
-            j = i
-            while j < n and content[j] in b" \t\r\n":
-                j += 1
-            # TJ arrays close with ']'; strings inside accumulate
             pending.append(s.decode("latin-1"))
             continue
         if c == 0x3C and in_text and i + 1 < n and content[i + 1] != 0x3C:
@@ -212,7 +206,12 @@ def _extract_content_text(content: bytes) -> str:
             i += 2
             continue
         if in_text and c in (0x27, 0x22):  # ' and " show-next-line ops
+            # the operand STRING precedes the operator, so it is already
+            # in pending: the line break belongs before it, not after
+            last = pending.pop() if pending else None
             flush_line()
+            if last is not None:
+                pending.append(last)
             i += 1
             continue
         i += 1

@@ -348,8 +348,13 @@ def srt_timestamp(ms: Column) -> Column:
     def two(c: Column) -> Column:
         return F.lpad(c.cast("long").cast("string"), 2, "0")
 
+    # hours can exceed two digits (SubRip permits it; parse_srt reads
+    # \d{2,}) and Spark's lpad TRUNCATES longer strings — pad without
+    # truncating
+    hs = F.floor(ms / 3600000).cast("long").cast("string")
+    hours = F.when(F.length(hs) < 2, F.concat(F.lit("0"), hs)).otherwise(hs)
     return F.concat(
-        two(F.floor(ms / 3600000)),
+        hours,
         F.lit(":"),
         two(F.floor(ms / 60000) % 60),
         F.lit(":"),
@@ -361,43 +366,52 @@ def srt_timestamp(ms: Column) -> Column:
 
 def parse_srt(cues_df: "DataFrame", srt_col: str = "srt") -> "DataFrame":
     """SubRip (.srt) parser, zero Python: split the document on blank
-    lines, regexp-extract each cue's index / start / end / text, and
-    convert ``HH:MM:SS,mmm`` timestamps to milliseconds — one exploded
-    row per cue with (cue_idx, start_ms, end_ms, cue_text). Rows whose
-    block doesn't match the cue shape (e.g. a WEBVTT header) drop.
+    lines, split each block into index / timestamp line / text, and
+    convert ``HH:MM:SS,mmm`` (or VTT's dot-millisecond) timestamps to
+    milliseconds — one exploded row per cue with (cue_idx, start_ms,
+    end_ms, cue_text). Blocks that don't match the cue shape (a WEBVTT
+    header, NOTE comments) drop.
 
-    At 100 TB of caption files this is a per-row expression chain —
-    whole-stage codegen, no shuffle until the caller aggregates."""
-    ts = r"(\d{2,}):(\d{2}):(\d{2})[,.](\d{3})"
-    cue_re = rf"(?s)^\s*(\d+)\s*\n{ts} --> {ts}\s*\n(.*)$"
+    Each block is decomposed ONCE (a 3-way line split + a ``-->`` split
+    + numeric field splits) rather than re-running one large cue regex
+    per extracted field — Spark does not common-subexpression-eliminate
+    regexp_extract calls that differ only in group index, and at 100 TB
+    of caption files that would be ~10× redundant regex work. The whole
+    chain is per-row expressions: whole-stage codegen, no shuffle until
+    the caller aggregates."""
+    ts_re = r"^\d{2,}:\d{2}:\d{2}[,.]\d{3} --> \d{2,}:\d{2}:\d{2}[,.]\d{3}\s*$"
 
-    def to_ms(base: int) -> Column:
+    def ts_ms(s: Column) -> Column:
+        seg = F.split(F.trim(s), "[:,.]")
         return (
-            F.regexp_extract("_block", cue_re, base + 1).cast("long")
-            * 3600000
-            + F.regexp_extract("_block", cue_re, base + 2).cast("long")
-            * 60000
-            + F.regexp_extract("_block", cue_re, base + 3).cast("long")
-            * 1000
-            + F.regexp_extract("_block", cue_re, base + 4).cast("long")
+            seg[0].cast("long") * 3600000
+            + seg[1].cast("long") * 60000
+            + seg[2].cast("long") * 1000
+            + seg[3].cast("long")
         )
 
-    blocks = cues_df.withColumn(
-        "_block", F.explode(F.split(F.col(srt_col), r"\n\s*\n"))
+    blocks = (
+        cues_df.withColumn(
+            "_block", F.explode(F.split(F.col(srt_col), r"\n\s*\n"))
+        )
+        .withColumn("_parts", F.split("_block", "\n", 3))
+        .withColumn("_idx", F.trim(F.element_at("_parts", 1)))
+        .withColumn("_ts", F.element_at("_parts", 2))
     )
+    arrow = F.split("_ts", " --> ")
     return (
-        blocks.where(F.regexp_extract("_block", cue_re, 1) != "")
+        blocks.where(
+            (F.size("_parts") >= 3)
+            & F.col("_idx").rlike(r"^\d+$")
+            & F.col("_ts").rlike(ts_re)
+        )
         .select(
             *[c for c in cues_df.columns if c != srt_col],
-            F.regexp_extract("_block", cue_re, 1)
-            .cast("long")
-            .alias("cue_idx"),
-            to_ms(1).alias("start_ms"),
-            to_ms(5).alias("end_ms"),
+            F.col("_idx").cast("long").alias("cue_idx"),
+            ts_ms(arrow[0]).alias("start_ms"),
+            ts_ms(arrow[1]).alias("end_ms"),
             F.trim(
-                F.regexp_replace(
-                    F.regexp_extract("_block", cue_re, 10), r"\s+", " "
-                )
+                F.regexp_replace(F.element_at("_parts", 3), r"\s+", " ")
             ).alias("cue_text"),
         )
     )
@@ -423,15 +437,19 @@ def unicode_nfc(
         import unicodedata
 
         for pdf in batches:
-            src = pdf[text_col].astype(str)
-            nfc = src.map(lambda s: unicodedata.normalize("NFC", s))
+            src = pdf[text_col]
+            nfc = src.map(
+                lambda s: None
+                if s is None
+                else unicodedata.normalize("NFC", str(s))
+            )
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col],
                     "nfc_text": nfc,
-                    "n_chars_in": src.str.len().astype("int64"),
-                    "n_chars_nfc": nfc.str.len().astype("int64"),
-                    "changed": (src != nfc),
+                    "n_chars_in": src.str.len().astype("Int64"),
+                    "n_chars_nfc": nfc.str.len().astype("Int64"),
+                    "changed": (src != nfc).where(src.notna(), None),
                 }
             )
 

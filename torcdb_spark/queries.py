@@ -2615,7 +2615,7 @@ def e5_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SELECT doc_id,
               CAST(length(text) AS BIGINT) AS n_chars,
               TRUE AS exact
-       FROM documents""",
+       FROM documents WHERE text IS NOT NULL""",
 )
 def p2_pdf_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PDF→text extraction (operators/pdf.py): each document's text is
@@ -2633,7 +2633,11 @@ def p2_pdf_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from torcdb_spark.operators.pdf import encode_pdf_text, extract_pdf_text
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())  # symmetric with the oracle
+        .select("doc_id", "text")
+    )
 
     def kernel(batches):
         for pdf in batches:
@@ -2664,7 +2668,7 @@ def p2_pdf_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                       trim(regexp_replace(text, '\s+', ' ', 'g')), ' '))
                   AS nw,
                 length(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS L
-         FROM documents)
+         FROM documents WHERE text IS NOT NULL)
        SELECT doc_id,
               CAST(ceil(nw / 8.0) AS BIGINT) AS n_cues,
               CAST(1500 * ceil(nw / 8.0) AS BIGINT) AS total_dur_ms,
@@ -2687,7 +2691,11 @@ def p4_srt_cues(spark: SparkSession, sf_dir: str) -> DataFrame:
     total_dur_ms; a cue-split bug shifts parsed_chars)."""
     from torcdb_spark.operators.text import parse_srt, srt_timestamp
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())  # symmetric with the oracle
+        .select("doc_id", "text")
+    )
     words = F.split(F.trim(F.regexp_replace("text", r"\s+", " ")), " ")
     n_cues = F.ceil(F.size(words) / F.lit(8)).cast("int")
     cue = lambda i: F.concat(  # noqa: E731
@@ -2722,7 +2730,7 @@ def p4_srt_cues(spark: SparkSession, sf_dir: str) -> DataFrame:
               CAST(length(trim(regexp_replace(text, '\s+', ' ', 'g')))
                 AS BIGINT) AS n_chars,
               TRUE AS exact
-       FROM documents""",
+       FROM documents WHERE text IS NOT NULL""",
 )
 def p3_epub_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EPUB ingestion as OPERATOR COMPOSITION — the book-corpus stage of
@@ -2741,7 +2749,11 @@ def p3_epub_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     from torcdb_spark.operators.text import html_to_text
     from torcdb_spark.sources.warc import zip_members
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())  # symmetric with the oracle
+        .select("doc_id", "text")
+    )
 
     def build(batches):
         import io
