@@ -859,3 +859,25 @@ def test_mst_witness_no_cartesian(spark, sf_dir):
         queries()["g_mst2_kruskal_witness"](spark, sf_dir), "simple"
     )
     assert "CartesianProduct" not in plan
+
+
+def test_srt_pipeline_is_jvm_only(spark, sf_dir):
+    """p4's build→parse→aggregate chain must contain NO Python eval
+    node — the whole SubRip round trip is codegen-able JVM expressions
+    (the claim the query docstring makes)."""
+    from torcdb_spark.queries import queries
+
+    plan = explain_str(queries()["p4_srt_cues"](spark, sf_dir), "simple")
+    assert "Python" not in plan  # no BatchEvalPython / ArrowEvalPython
+    assert "CartesianProduct" not in plan
+
+
+def test_epub_pipeline_single_arrow_stage_each(spark, sf_dir):
+    """p3 composes two Arrow kernels (EPUB builder, zip fan-out) and a
+    JVM extraction chain — the plan carries exactly those two Python
+    stages and equi-joins only."""
+    from torcdb_spark.queries import queries
+
+    plan = explain_str(queries()["p3_epub_extract"](spark, sf_dir), "simple")
+    assert plan.count("MapInPandas") == 2
+    assert "CartesianProduct" not in plan
