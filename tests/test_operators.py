@@ -1452,6 +1452,74 @@ def test_jpeg_lossless_sof3_exact():
     assert np.array_equal(dec[:, :, 0], (g.astype(np.int64) >> 1) << 1)
 
 
+def test_jpeg_lossless_restart_h11_fixed_stream():
+    """T.81 H.1.1: a restart interval begins like a scan start — the
+    first sample predicts from 2^(P-Pt-1) and the REMAINDER of that
+    sample line uses the 1-D predictor Ra, with the selected (2-D)
+    predictor resuming on the next line.  This stream is hand-built
+    (diffs computed by hand per H.1.1, independent of
+    encode_jpeg_lossless) with the restart landing MID-ROW; the pre-fix
+    decoder applied the 2-D predictor across the restart boundary and
+    decoded (1,3) as 50 instead of 80."""
+    import numpy as np
+
+    from torcdb_spark.operators.jpeg import (
+        DC_LL_BITS,
+        DC_LL_VALS,
+        _BitWriter,
+        _canonical_codes,
+        _size_of,
+        decode_jpeg,
+    )
+
+    img = np.array([[10, 20, 30, 40], [50, 60, 70, 80]], np.int64)
+    # predictor 2 (Rb), restart_interval 6 -> RST before sample (1, 2).
+    # H.1.1 predictions: (0,0) default 128; (0,1..3) Ra; (1,0) Rb=10;
+    # (1,1) Rb=20; restart; (1,2) default 128; (1,3) Ra=70.
+    diffs = [-118, 10, 10, 10, 40, 40, None, -58, 10]  # None = RST0
+    tab = _canonical_codes(DC_LL_BITS, DC_LL_VALS)
+    bw = _BitWriter()
+    for d in diffs:
+        if d is None:
+            bw.flush()
+            bw.out += bytes([0xFF, 0xD0])
+            continue
+        s = _size_of(d)
+        code, ln = tab[s]
+        bw.write(code, ln)
+        if s:
+            bw.write(d if d >= 0 else d + (1 << s) - 1, s)
+    bw.flush()
+
+    def seg(marker, payload):
+        return (
+            bytes([0xFF, marker])
+            + (len(payload) + 2).to_bytes(2, "big")
+            + payload
+        )
+
+    data = bytearray(b"\xff\xd8")
+    data += seg(0xC4, bytes([0x00]) + bytes(DC_LL_BITS) + bytes(DC_LL_VALS))
+    sof = bytes([8]) + (2).to_bytes(2, "big") + (4).to_bytes(2, "big")
+    sof += bytes([1, 1, 0x11, 0])
+    data += seg(0xC3, sof)
+    data += seg(0xDD, (6).to_bytes(2, "big"))
+    data += seg(0xDA, bytes([1, 1, 0x00, 2, 0, 0]))  # Ss=predictor 2
+    data += bw.out + b"\xff\xd9"
+
+    out = decode_jpeg(bytes(data))
+    assert np.array_equal(out[:, :, 0], img)
+
+    # encoder/decoder stay in lockstep with mid-row restarts
+    from torcdb_spark.operators.jpeg import encode_jpeg_lossless
+
+    rng = np.random.default_rng(29)
+    g = rng.integers(0, 256, (9, 7), dtype=np.uint8)
+    for p in (1, 2, 4, 7):
+        enc = encode_jpeg_lossless(g, predictor=p, restart_interval=3)
+        assert np.array_equal(decode_jpeg(enc)[:, :, 0], g), f"pred {p}"
+
+
 def test_webp_lossless_roundtrip_all_paths():
     """VP8L encode→decode is bit-exact through every transform and
     entropy feature: all 14 predictor modes, cross-color,
@@ -1573,6 +1641,106 @@ def test_webp_container_and_rejects():
         decode_webp(b"RIFF\x00\x00\x00\x00JUNK" + bytes(8))
     with _pytest.raises(ValueError):
         decode_webp(b"not a webp")
+
+
+def test_webp_distance_map_spec_semantics():
+    """Pin the LZ77 close-neighborhood mapping to the published spec
+    semantics (RFC 9649 §5.2.3 / libwebp PlaneCodeToDistance): the spec
+    stores (xoffset, yoffset) with dist = xoffset + yoffset*xsize, the
+    repo map stores dx = -xoffset, so dist MUST be dy*w - dx.  The old
+    dy*w + dx made all 8 same-row codes ((1,0)..(8,0), distances 2..8)
+    clamp to 1 and mirrored every diagonal left/right — invisible to
+    encoder round trips because encode_webp_lossless only emits code 2."""
+    from torcdb_spark.operators.webp import _DIST_MAP
+
+    # The spec table's published head (codes 1..10) and the same-row
+    # codes, verbatim from the normative table in (xoffset, yoffset)
+    # convention: (1,0) is the left neighbor, code 2.
+    spec_head = [
+        (0, 1), (1, 0), (1, 1), (-1, 1), (0, 2),
+        (2, 0), (1, 2), (-1, 2), (2, 1), (-2, 1),
+    ]
+    for code, (xoff, yoff) in enumerate(spec_head, start=1):
+        dx, dy = _DIST_MAP[code - 1]
+        assert (-dx, dy) == (xoff, yoff), f"code {code}"
+    # Same-row references: spec code -> xoffset (distance on any width).
+    same_row = {2: 1, 6: 2, 14: 3, 24: 4, 40: 5, 56: 6, 74: 7, 97: 8}
+    for w in (1, 7, 64, 16384):
+        for code, xoff in same_row.items():
+            dx, dy = _DIST_MAP[code - 1]
+            dist = max(dy * w - dx, 1)
+            assert dist == xoff, f"code {code} width {w}: {dist} != {xoff}"
+    # Every code must agree with the spec formula incl. the <1 clamp.
+    for w in (1, 3, 8, 100):
+        for code in range(1, 121):
+            dx, dy = _DIST_MAP[code - 1]
+            want = max((-dx) + dy * w, 1)
+            got = max(dy * w - dx, 1)
+            assert got == want
+    # Tail of the table (codes 117..120).
+    assert [(-dx, dy) for dx, dy in _DIST_MAP[-4:]] == [
+        (7, 7), (-7, 7), (8, 6), (8, 7)
+    ]
+
+
+def test_webp_decode_2d_backward_reference_fixed_stream():
+    """Decode a hand-built VP8L byte string whose LZ77 reference uses
+    distance code 4 = spec offset (-1, 1): on a 4-wide image that is
+    dist = w - 1 = 3, i.e. copy from one row up, one column RIGHT.  The
+    expected pixels are computed by hand from the spec, independent of
+    encode_webp_lossless (which never emits dx != 0 codes); the
+    pre-fix decoder read this as dist = w + 1 = 5 and produced mirrored
+    pixels."""
+    import numpy as np
+
+    from torcdb_spark.operators.webp import (
+        _LsbWriter,
+        _write_code_spec,
+        _write_single_symbol,
+        decode_webp,
+    )
+
+    w, h = 4, 2
+    bw = _LsbWriter()
+    bw.write(w - 1, 14)
+    bw.write(h - 1, 14)
+    bw.write(0, 1)  # alpha hint
+    bw.write(0, 3)  # version
+    bw.write(0, 1)  # no transforms
+    bw.write(0, 1)  # no color cache
+    bw.write(0, 1)  # no entropy image (meta prefix codes)
+    # Prefix codes, decoder read order: green+len, r, b, a, distance.
+    greens = [10, 20, 30, 40, 50]
+    g_lengths = [0] * (256 + 24)
+    for s in greens:
+        g_lengths[s] = 3
+    g_lengths[256 + 2] = 3  # length-prefix symbol 2 => length 3
+    g_codes = _write_code_spec(bw, g_lengths)
+    r_codes = _write_single_symbol(bw, 0)
+    b_codes = _write_single_symbol(bw, 0)
+    a_codes = _write_single_symbol(bw, 255)
+    d_codes = _write_single_symbol(bw, 3)  # dist-prefix sym 3 => code 4
+    del r_codes, b_codes, a_codes  # zero-bit codes: nothing to emit
+
+    def emit_green(sym):
+        c, n = g_codes[sym]
+        bw.write_code(c, n)
+
+    for g in greens:  # row 0: literals 10 20 30 40; row 1 pos 4: 50
+        emit_green(g)
+    emit_green(256 + 2)  # LZ77: length 3 ...
+    c, n = d_codes[3]
+    bw.write_code(c, n)  # ... distance code 4 (zero-bit symbol)
+    payload = b"\x2f" + bw.finish()
+    body = b"WEBP" + b"VP8L" + len(payload).to_bytes(4, "little") + payload
+    data = b"RIFF" + len(body).to_bytes(4, "little") + body
+
+    out = decode_webp(data)
+    # dist = 3: pos 5<-pos 2 (30), pos 6<-pos 3 (40), pos 7<-pos 4 (50)
+    want_green = np.array([[10, 20, 30, 40], [50, 30, 40, 50]], np.uint8)
+    assert out.shape == (2, 4, 3)
+    assert np.array_equal(out[:, :, 1], want_green)
+    assert np.all(out[:, :, 0] == 0) and np.all(out[:, :, 2] == 0)
 
 
 def test_jpeg_rejects_lossless_and_garbage():
@@ -2516,6 +2684,47 @@ def test_bmp_palette_and_rle8():
         dtype=np.uint8,
     )
     assert np.array_equal(decode_image(payload), exp)
+
+    # malformed RLE8 follows the ValueError contract (not IndexError):
+    # run past the row, delta past the bitmap, absolute past the payload
+    import pytest as _pytest
+
+    for bad in (
+        bytes([7, 7, 0, 1]),               # run of 7 on a 6-wide row
+        bytes([0, 2, 10, 10, 0, 1]),       # delta to (10, 10) on 6x2
+        bytes([0, 0, 0, 0, 0, 0, 1, 1]),   # EOLs past the last row + run
+        bytes([0, 5, 1, 2]),               # absolute run past payload end
+    ):
+        payload, _ = bmp(6, 2, 8, 1, 8, bad)
+        with _pytest.raises(ValueError):
+            decode_image(payload)
+
+
+def test_tiff_lzw_bad_code_contract():
+    """A corrupt LZW stream that emits a not-yet-defined code right
+    after Clear raises the decoders' malformed-payload ValueError, not
+    an IndexError."""
+    import pytest as _pytest
+
+    from torcdb_spark.operators.multimodal import _tiff_lzw_decode
+
+    def pack(codes, width=9):
+        acc = nbits = 0
+        out = bytearray()
+        for c in codes:
+            acc = (acc << width) | c
+            nbits += width
+            while nbits >= 8:
+                out.append((acc >> (nbits - 8)) & 0xFF)
+                nbits -= 8
+        if nbits:
+            out.append((acc << (8 - nbits)) & 0xFF)
+        return bytes(out)
+
+    with _pytest.raises(ValueError):
+        _tiff_lzw_decode(pack([256, 300]))  # Clear then undefined code
+    # sanity: a well-formed stream still decodes
+    assert _tiff_lzw_decode(pack([256, 65, 66, 257])) == b"AB"
 
 
 def test_tiff_compressed_variants_roundtrip():

@@ -721,11 +721,17 @@ def _decode_lossless_scan(data, pos, frame, scan, huff, restart, prec,
     tabs = [huff[(0, dct_id)] for _, dct_id, _ in scan]
     count = 0
     fresh = True  # scan start / just after a restart: default prediction
+    # T.81 H.1.1: each restart interval starts like a scan — the first
+    # sample predicts from the default, and the REMAINDER of that sample
+    # line uses the 1-D predictor Ra (no 2-D prediction across the
+    # restart boundary); the selected predictor resumes on later lines.
+    first_line = True
     for y in range(fh):
         for x in range(fw):
             if restart and count and count % restart == 0:
                 br.align_and_expect_rst(count // restart)
                 fresh = True
+                first_line = True
             for p, tab in zip(planes, tabs):
                 s = _read_symbol(br, tab)
                 if s == 16:  # SSSS 16: diff is 32768, no extra bits
@@ -734,8 +740,8 @@ def _decode_lossless_scan(data, pos, frame, scan, huff, restart, prec,
                     diff = _extend(br.read_bits(s), s) if s else 0
                 if fresh:
                     pred = default
-                elif y == 0:
-                    pred = int(p[0, x - 1])
+                elif first_line:
+                    pred = int(p[y, x - 1])
                 elif x == 0:
                     pred = int(p[y - 1, 0])
                 else:
@@ -748,6 +754,7 @@ def _decode_lossless_scan(data, pos, frame, scan, huff, restart, prec,
                 p[y, x] = (pred + diff) & 0xFFFF
             fresh = False
             count += 1
+        first_line = False
 
     maxval = (1 << prec) - 1
     out = np.stack(planes, axis=-1) << pt
@@ -797,6 +804,7 @@ def encode_jpeg_lossless(
     count = 0
     rst_idx = 0
     fresh = True
+    first_line = True  # mirrors _decode_lossless_scan's H.1.1 handling
     for y in range(h):
         for x in range(w):
             if restart_interval and count and count % restart_interval == 0:
@@ -804,11 +812,12 @@ def encode_jpeg_lossless(
                 bw.out += bytes([0xFF, 0xD0 + rst_idx])
                 rst_idx = (rst_idx + 1) % 8
                 fresh = True
+                first_line = True
             for p in planes:
                 if fresh:
                     pred = default
-                elif y == 0:
-                    pred = int(p[0, x - 1])
+                elif first_line:
+                    pred = int(p[y, x - 1])
                 elif x == 0:
                     pred = int(p[y - 1, 0])
                 else:
@@ -831,6 +840,7 @@ def encode_jpeg_lossless(
                     bw.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
             fresh = False
             count += 1
+        first_line = False
     bw.flush()
 
     def seg(marker: int, payload: bytes) -> bytes:

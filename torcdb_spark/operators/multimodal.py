@@ -164,6 +164,8 @@ def decode_image(payload: bytes):
                     n, v = payload[i], payload[i + 1]
                     i += 2
                     if n:  # encoded run
+                        if y >= h or x + n > w:
+                            raise ValueError("BMP RLE8 run out of bounds")
                         idx[y, x : x + n] = v
                         x += n
                     elif v == 0:  # end of line
@@ -174,7 +176,13 @@ def decode_image(payload: bytes):
                         x += payload[i]
                         y += payload[i + 1]
                         i += 2
+                        if x > w or y > h:  # == is legal until next write
+                            raise ValueError("BMP RLE8 delta out of bounds")
                     else:  # absolute mode, word-aligned
+                        if y >= h or x + v > w or i + v > len(payload):
+                            raise ValueError(
+                                "BMP RLE8 absolute run out of bounds"
+                            )
                         idx[y, x : x + v] = np.frombuffer(
                             payload[i : i + v], dtype=np.uint8
                         )
@@ -271,6 +279,8 @@ def _tiff_lzw_decode(data: bytes) -> bytes:
         if code == EOI:
             return bytes(out)
         if prev is None:
+            if code > 255:  # only literals are defined right after Clear
+                raise ValueError("bad TIFF LZW code")
             entry = strings[code]
         elif code < next_code:
             entry = strings[code]
@@ -1038,12 +1048,13 @@ def decode_wav(payload: bytes):
     [-1, 1], mono-mixed). Walks the chunk list properly (skips LIST/fact/
     any unknown chunk, honors word alignment), supports uncompressed PCM
     (format tag 1) at 8-bit unsigned and 16-bit signed, mono or stereo
-    (stereo averaged to mono), IEEE float 32/64 (tag 3), and the G.711
+    (stereo averaged to mono), IEEE float 32/64 (tag 3), the G.711
     companded formats (tag 6 A-law, tag 7 µ-law — expanded with the
-    CCITT formulas, normalized /32768 like 16-bit linear). Perceptual
-    codecs (MP3/AAC/ADPCM) raise NotImplementedError by documented
-    design — no codec libraries in this container; the contract mirrors
-    decode_image's PPM/BMP/PNG split."""
+    CCITT formulas, normalized /32768 like 16-bit linear), and IMA
+    ADPCM (tag 17, block-wise nibble prediction). Perceptual codecs
+    (MP3/AAC) raise NotImplementedError by documented design — no codec
+    libraries in this container; the contract mirrors decode_image's
+    PPM/BMP/PNG split."""
     import struct
 
     import numpy as np

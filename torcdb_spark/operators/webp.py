@@ -59,8 +59,14 @@ def _distance_map() -> list[tuple[int, int]]:
     1..120: every already-decoded offset with dy in 0..7, dx in -8..7
     (dy > 0, or dy == 0 and dx < 0), ordered by squared distance, then
     larger dy first, then dx ascending — the generation rule behind the
-    spec's published table (its head (0,1),(1,0)→clamp,(−1,1),(1,1),…
-    and tail …,(−7,7),(7,7),(−8,6),(−8,7) match)."""
+    spec's published table.  NOTE the sign convention: the spec table
+    stores (xoffset, yoffset) with dist = xoffset + yoffset*xsize, i.e.
+    xoffset = -dx of this map (spec (1,0) = left neighbor = our (-1,0));
+    spec head (0,1),(1,0),(1,1),(-1,1),(0,2),(2,0) and tail
+    (7,7),(-7,7),(8,7) correspond to this map's
+    (0,1),(-1,0),(-1,1),(1,1),(0,2),(-2,0) … (-7,7),(7,7),(-8,7).
+    tests/test_multimodal.py pins the mapping against libwebp's
+    PlaneCodeToDistance semantics."""
     cand = [
         (dx, dy)
         for dy in range(8)
@@ -311,7 +317,12 @@ def _read_pixels(br, w, h, level0):
                 dist = dist_code - 120
             else:
                 dx, dy = _DIST_MAP[dist_code - 1]
-                dist = max(dy * w + dx, 1)
+                # Spec convention: dist = xoffset + yoffset * xsize with
+                # xoffset = -dx (the map stores dx so that "left neighbor"
+                # is dx=-1); libwebp PlaneCodeToDistance clamps dist < 1
+                # to 1.  dy*w + dx would mirror every diagonal reference
+                # and clamp all 8 same-row codes to distance 1.
+                dist = max(dy * w - dx, 1)
             if dist > pos or pos + length > n:
                 raise ValueError("VP8L backward reference out of range")
             for _ in range(length):
