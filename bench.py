@@ -20,13 +20,16 @@ import time
 import pandas as pd  # module-level: pandas_udf resolves stringified type hints
 
 # Queries re-timed in a FRESH JVM (--isolate) EVERY run, in addition to
-# whatever the regression detector flags: the round-8 regressed set
-# (VERDICT r8 ask #4 — none crossed the auto-isolate threshold, so the
-# r8 artifact shipped an empty isolated map) plus ivm2, whose r7 4.21 s →
-# r8 0.83 s swing is the standing example of suite-contention variance
-# (post-mortem: PERF_NOTES.md). In-suite vs fresh-JVM is the arbiter
-# between "suite got crowded" and "plan got slower"; keeping these in the
-# map every round makes the variance visible instead of episodic.
+# whatever the regression detector flags: the standing contention
+# sentinels (ivm2's r7 4.21 s → r8 0.83 s swing is the canonical example
+# — post-mortem: PERF_NOTES.md), plus the r9 watch-list cluster VERDICT
+# r9 ask #2 sends to clean-window arbitration (d21/d24/d23/d19/d7 — git
+# shows none of their code changed in r9; the isolate record decides
+# drift vs regression). g_pagerank_exact stays listed so its r9
+# burst-contaminated 27.5 s entry gets re-recorded (ask #4). In-suite vs
+# fresh-JVM is the arbiter between "suite got crowded" and "plan got
+# slower"; keeping these in the map every round makes the variance
+# visible instead of episodic.
 FORCE_ISOLATE = (
     "g_pagerank_exact",
     "e12_knn_graph",
@@ -35,7 +38,43 @@ FORCE_ISOLATE = (
     "e11_matryoshka_topk",
     "bl1_bloom_semijoin",
     "ivm2_join_view_maintenance",
+    # r9 regression-cluster arbitration (VERDICT r9 ask #2)
+    "d21_lm_perplexity",
+    "d24_span_scrub",
+    "d23_kneser_ney",
+    "d19_span_dedup_stats",
+    "d7_embedding_near_dups",
 )
+
+# Samples per query in the --isolate pass (min reported). VERDICT r9 ask
+# #2 asks for min-of-3 on the arbitration cluster; applying it to the
+# whole isolate pass keeps one estimator and makes the committed map
+# self-describing (the sample count is published in isolated_meta).
+ISOLATE_RUNS = 3
+
+
+def _calibrate(spark, sf_dir: str) -> float:
+    """Fixed calibration probe (VERDICT r9 ask #7): one mid-weight
+    scan+aggregate that never changes across rounds — lineitem grouped
+    by returnflag/status with sum/avg — timed min-of-3.  Run at suite
+    start and again at suite end; the ratio is the WITHIN-run ambient
+    drift factor this host exhibits (PERF_NOTES.md quantifies 8-10% per
+    suite pass at identical code), published in the bench JSON so raw
+    per-query seconds can be read against it."""
+    from pyspark.sql import functions as SF
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    probe = li.groupBy("l_returnflag", "l_linestatus").agg(
+        SF.sum("l_quantity"), SF.avg("l_extendedprice"),
+        SF.count("*"),
+    )
+    best = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        probe.write.format("noop").mode("overwrite").save()
+        took = time.perf_counter() - t0
+        best = took if best is None else min(best, took)
+    return best
 
 
 def _warmup(spark, sf_dir: str) -> None:
@@ -85,7 +124,9 @@ def _isolate_main(names: list[str]) -> None:
     spark = get_spark(app_name="torcdb_spark-bench-isolate")
     spark.sparkContext.setLogLevel("ERROR")
     _warmup(spark, sf_dir)
-    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
+    n_runs = max(
+        1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", str(ISOLATE_RUNS)))
+    )
     qmap = dict(queries().items())
     out: dict[str, float] = {}
     for name in names:
@@ -107,7 +148,9 @@ def _isolate_main(names: list[str]) -> None:
                 break
         out[name] = round(best, 3)
         spark.catalog.clearCache()
-    print(json.dumps(out))
+    # self-describing artifact (VERDICT r9 ask #4): the sample count
+    # rides along so a committed isolated value can be judged
+    print(json.dumps({"timings": out, "samples": n_runs}))
 
 
 def main() -> None:
@@ -134,6 +177,7 @@ def main() -> None:
     spark = get_spark(app_name="torcdb_spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
     _warmup(spark, sf_dir)
+    cal_start = _calibrate(spark, sf_dir)
 
     # n runs per query, min reported: a single sample conflates query work
     # with JVM noise (GC pauses, first-compile of a new codegen class); the
@@ -204,6 +248,15 @@ def main() -> None:
             gc.collect()
         print(f"bench: recheck {name} {timings[name]}s", file=sys.stderr)
 
+    # End-of-suite calibration re-run: cal_end / cal_start is the
+    # within-run drift this pass experienced (the suite runs queries in
+    # sorted order, so position is stable round-over-round and the
+    # factor mostly cancels in cross-round deltas — it is published so
+    # raw seconds are readable, and it widens the absolute-delta floor
+    # of the regression flags below).
+    cal_end = _calibrate(spark, sf_dir)
+    drift_factor = round(cal_end / cal_start, 3) if cal_start else 1.0
+
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     # Per-query delta vs the previous recorded run (bench_detail.json from
     # the last round), so regressions surface in the artifact itself
@@ -222,6 +275,34 @@ def main() -> None:
         prev_total = prev_full.get("value")
     except (OSError, ValueError):
         pass
+    # ALSO compare against the last completed ROUND's archive
+    # (bench_detail_r{K}.json for the max K on disk): comparing only
+    # against the working file masks round-over-round creep whenever an
+    # intra-round re-run lands in between (VERDICT r9 "what's wrong" #2:
+    # d21 went 1.16 s → 2.57 s across r8→r9 driver runs yet appeared in
+    # no flag list because the builder's closing run absorbed the
+    # drift).  The flag sets are computed with the same ambient-
+    # normalized criteria and unioned into the isolate pass.
+    repo_dir_early = os.path.dirname(os.path.abspath(__file__))
+    prev_round: dict[str, float] = {}
+    prev_round_no = None
+    round_archives = sorted(
+        (int(mm.group(1)), fn)
+        for fn in os.listdir(repo_dir_early)
+        if (mm := re.match(r"bench_detail_r(\d+)\.json$", fn))
+    )
+    if round_archives:
+        prev_round_no, fn = round_archives[-1]
+        try:
+            with open(os.path.join(repo_dir_early, fn)) as f:
+                pr_full = json.load(f)
+            prev_round = {
+                k: v
+                for k, v in pr_full.get("queries", {}).items()
+                if v >= 0
+            }
+        except (OSError, ValueError):
+            prev_round = {}
     delta = {
         k: round(v - prev[k], 3)
         for k, v in timings.items()
@@ -240,19 +321,44 @@ def main() -> None:
     )
     median_ratio = ratios[len(ratios) // 2] if ratios else 1.0
     ambient = max(1.0, median_ratio)
-    # The biggest regressions (>=1.5x the ambient factor AND >=0.5s
-    # absolute — ratio alone flags 0.1s->0.2s noise) get re-timed in a
-    # FRESH subprocess (--isolate): in-suite time vs fresh-JVM time
-    # distinguishes suite contention from a genuinely slower plan, in
-    # the artifact itself.
+    # The biggest regressions (>=1.5x the ambient factor AND a >=0.5s
+    # absolute delta, widened by the measured within-run drift — ratio
+    # alone flags 0.1s->0.2s noise) get re-timed in a FRESH subprocess
+    # (--isolate): in-suite time vs fresh-JVM time distinguishes suite
+    # contention from a genuinely slower plan, in the artifact itself.
+    abs_floor = 0.5 * max(1.0, drift_factor)
     regressed = {
         k: [prev[k], timings[k]]
         for k in sorted(delta, key=lambda k: -delta[k])[:5]
-        if timings[k] >= prev[k] * 1.5 * ambient and delta[k] >= 0.5
+        if timings[k] >= prev[k] * 1.5 * ambient and delta[k] >= abs_floor
+    }
+    # Same criteria against the prior ROUND's archive, with its own
+    # ambient estimate (the environment factor between driver rounds is
+    # independent of the one between working-file runs).
+    round_ratios = sorted(
+        timings[k] / prev_round[k]
+        for k in prev_round
+        if prev_round[k] > 0.05 and timings.get(k, -1) >= 0
+    )
+    round_median = (
+        round_ratios[len(round_ratios) // 2] if round_ratios else 1.0
+    )
+    round_ambient = max(1.0, round_median)
+    regressed_vs_round = {
+        k: [prev_round[k], timings[k]]
+        for k in sorted(
+            (k for k in prev_round if timings.get(k, -1) >= 0),
+            key=lambda k: prev_round[k] - timings[k],
+        )[:5]
+        if timings[k] >= prev_round[k] * 1.5 * round_ambient
+        and timings[k] - prev_round[k] >= abs_floor
     }
     isolated: dict[str, float] = {}
+    isolate_samples = None
     to_isolate = sorted(
-        set(regressed) | {q for q in FORCE_ISOLATE if q in timings}
+        set(regressed)
+        | set(regressed_vs_round)
+        | {q for q in FORCE_ISOLATE if q in timings}
     )
     if to_isolate and not os.environ.get("SPARK_GRAFT_NO_ISOLATE"):
         import subprocess
@@ -261,10 +367,15 @@ def main() -> None:
             r = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--isolate",
                  *to_isolate],
-                capture_output=True, text=True, timeout=1800,
+                capture_output=True, text=True, timeout=2400,
                 cwd=os.path.dirname(os.path.abspath(__file__)),
             )
-            isolated = json.loads(r.stdout.strip().splitlines()[-1])
+            payload = json.loads(r.stdout.strip().splitlines()[-1])
+            if isinstance(payload, dict) and "timings" in payload:
+                isolated = payload["timings"]
+                isolate_samples = payload.get("samples")
+            else:  # pre-r10 shape
+                isolated = payload
         except Exception as exc:
             print(f"bench: isolate pass failed: {exc}", file=sys.stderr)
 
@@ -276,7 +387,13 @@ def main() -> None:
         "delta_vs_prev": delta,
         "prev_total": prev_total,
         "median_ratio_vs_prev": round(median_ratio, 3),
+        "regressed_vs_round": regressed_vs_round,
+        "prev_round_compared": prev_round_no,
+        "median_ratio_vs_round": round(round_median, 3),
         "isolated": isolated,
+        "isolate_samples": isolate_samples,
+        "calibration_sec": [round(cal_start, 3), round(cal_end, 3)],
+        "drift_factor": drift_factor,
         "runs_per_query": n_runs,
         "sf": sf,
     }
@@ -347,7 +464,10 @@ def main() -> None:
         "prev_total": prev_total,
         "median_ratio_vs_prev": round(median_ratio, 3),
         "regressed_vs_prev": regressed,
+        "regressed_vs_round": regressed_vs_round,
         "isolated": isolated,
+        "isolate_samples": isolate_samples,
+        "drift_factor": drift_factor,
         "detail": "bench_detail.json",
     }
     budget = 1500 - len(json.dumps(compact, separators=(",", ":")))

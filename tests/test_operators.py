@@ -1091,6 +1091,85 @@ def test_decode_wav_rejects_non_pcm_and_garbage():
         decode_wav(bytes(raw))
 
 
+def test_mp3_frame_census():
+    """Header-walk census against hand-computed ISO 11172-3/13818-3
+    arithmetic: frame lengths per layer/version, ID3v2 syncsafe skip
+    (incl. the footer flag), padding bit, VBR (bitrate varies
+    per-frame), truncated-final-frame exclusion, ID3v1 trailer stop,
+    junk tolerance before the first frame, and the ValueError contract
+    on streams with no valid frame."""
+    import pytest as _pytest
+
+    from torcdb_spark.operators.multimodal import (
+        encode_mp3_stream,
+        mp3_frame_census,
+    )
+
+    # MPEG1 Layer III, 128 kbps @ 44100: frame = 144000*128//44100 = 417
+    c = mp3_frame_census(encode_mp3_stream(5, bitrate_idx=9))
+    assert c["n_frames"] == 5
+    assert c["bitrate_kbps"] == 128 and c["sample_rate"] == 44100
+    assert c["total_bytes"] == 5 * 417
+    assert c["duration_ms"] == 5 * 1152 * 1000 // 44100
+    assert c["version"] == 1 and c["layer"] == 3
+
+    # padding bit adds one byte per frame
+    cp = mp3_frame_census(encode_mp3_stream(3, bitrate_idx=9, padding=1))
+    assert cp["total_bytes"] == 3 * 418
+
+    # MPEG2 Layer III halves samples/frame and uses the 72-factor
+    c2 = mp3_frame_census(
+        encode_mp3_stream(4, bitrate_idx=5, samplerate_idx=1, version=2)
+    )
+    assert c2["sample_rate"] == 24000 and c2["bitrate_kbps"] == 40
+    assert c2["total_bytes"] == 4 * (72000 * 40 // 24000)
+    assert c2["duration_ms"] == 4 * 576 * 1000 // 24000
+
+    # MPEG2.5 and the other layers
+    c25 = mp3_frame_census(
+        encode_mp3_stream(2, bitrate_idx=1, samplerate_idx=2, version=25)
+    )
+    assert c25["version"] == 25 and c25["sample_rate"] == 8000
+    cl1 = mp3_frame_census(encode_mp3_stream(2, bitrate_idx=4, layer=1))
+    assert cl1["layer"] == 1
+    assert cl1["total_bytes"] == 2 * (12000 * 128 // 44100) * 4
+    assert cl1["duration_ms"] == 2 * 384 * 1000 // 44100
+    cl2 = mp3_frame_census(encode_mp3_stream(2, bitrate_idx=4, layer=2))
+    assert cl2["layer"] == 2
+    assert cl2["total_bytes"] == 2 * (144000 * 64 // 44100)
+
+    # ID3v2 skip: 10-byte header + body, syncsafe size
+    big = encode_mp3_stream(3, bitrate_idx=9, id3_body=300)
+    ci = mp3_frame_census(big)
+    assert ci["id3v2_bytes"] == 310 and ci["n_frames"] == 3
+    assert ci["total_bytes"] == 310 + 3 * 417
+    # footer flag adds 10 more bytes to the skip
+    withf = bytearray(big)
+    withf[5] |= 0x10
+    withf[10 + 300 : 10 + 300] = bytes(10)
+    assert mp3_frame_census(bytes(withf))["n_frames"] == 3
+
+    # VBR: same version/layer/rate, different bitrate per frame
+    vbr = encode_mp3_stream(1, bitrate_idx=9) + encode_mp3_stream(
+        1, bitrate_idx=11
+    )
+    cv = mp3_frame_census(vbr)
+    assert cv["n_frames"] == 2 and cv["bitrate_kbps"] == 128
+    assert cv["total_bytes"] == 417 + 144000 * 192 // 44100
+
+    # truncated final frame is not counted; ID3v1 trailer stops the walk
+    tr = encode_mp3_stream(2, bitrate_idx=9)
+    assert mp3_frame_census(tr[:-1])["n_frames"] == 1
+    assert mp3_frame_census(tr + b"TAG" + bytes(125))["n_frames"] == 2
+    # junk before the first frame is scanned past
+    assert mp3_frame_census(b"\x00junk" + tr)["n_frames"] == 2
+
+    for bad in (b"", b"\xff", b"no frames here at all" * 3,
+                b"ID3" + bytes([4, 0, 0, 0, 0, 0, 0])):
+        with _pytest.raises(ValueError):
+            mp3_frame_census(bad)
+
+
 def test_range_join_equals_naive_join_property(spark):
     """Property test: the bin-bucketed range join produces EXACTLY the
     rows of the naive BETWEEN join for randomized points/intervals across

@@ -881,3 +881,32 @@ def test_epub_pipeline_single_arrow_stage_each(spark, sf_dir):
     plan = explain_str(queries()["p3_epub_extract"](spark, sf_dir), "simple")
     assert plan.count("MapInPandas") == 2
     assert "CartesianProduct" not in plan
+
+
+def test_mp3_census_two_python_stages_no_shuffle(spark, sf_dir):
+    """m14 is synth (pandas_udf) → census (mapInPandas) over a single
+    scan of documents: exactly those two Python stages, no join, no
+    exchange — the per-row pipeline a 100 TB crawl would map over
+    partitions unchanged."""
+    from torcdb_spark.queries import queries
+
+    plan = explain_str(queries()["m14_mp3_frame_census"](spark, sf_dir),
+                       "simple")
+    assert plan.count("MapInPandas") == 1
+    assert plan.count("ArrowEvalPython") == 1
+    assert "Exchange" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_media_features_twin_single_arrow_stage(spark, sf_dir):
+    """m1b is one Arrow kernel over one scan: a single MapInPandas, no
+    shuffle — the integer inversion of the float features is pure JVM
+    projection on top."""
+    from torcdb_spark.queries import queries
+
+    plan = explain_str(
+        queries()["m1b_media_features_exact"](spark, sf_dir), "simple"
+    )
+    assert plan.count("MapInPandas") == 1
+    assert "Exchange" not in plan
+    assert "CartesianProduct" not in plan

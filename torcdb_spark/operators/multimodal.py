@@ -1209,6 +1209,249 @@ def wav_wrap_udf(sample_rate: int = 8000, bits: int = 8):
     return wrap
 
 
+# ---------------------------------------------------------------------------
+# MP3: structural frame-header walk (no PCM decode — documented scope:
+# full MPEG audio synthesis needs a codec library; the header walk alone
+# turns a real crawl's dominant audio format from error rows into
+# structural metadata rows). Public spec: ISO/IEC 11172-3 / 13818-3.
+# ---------------------------------------------------------------------------
+
+# bitrate (kbps) tables by (version-group, layer); index 1..14, 0=free,
+# 15=invalid. version-group 1 = MPEG1, 2 = MPEG2 and MPEG2.5 (they share
+# tables).
+_MP3_BITRATES = {
+    (1, 1): [0, 32, 64, 96, 128, 160, 192, 224, 256, 288,
+             320, 352, 384, 416, 448],
+    (1, 2): [0, 32, 48, 56, 64, 80, 96, 112, 128, 160,
+             192, 224, 256, 320, 384],
+    (1, 3): [0, 32, 40, 48, 56, 64, 80, 96, 112, 128,
+             160, 192, 224, 256, 320],
+    (2, 1): [0, 32, 48, 56, 64, 80, 96, 112, 128, 144,
+             160, 176, 192, 224, 256],
+    (2, 2): [0, 8, 16, 24, 32, 40, 48, 56, 64, 80,
+             96, 112, 128, 144, 160],
+}
+_MP3_BITRATES[(2, 3)] = _MP3_BITRATES[(2, 2)]
+
+# sample-rate (Hz) tables by version: 1 = MPEG1, 2 = MPEG2, 25 = MPEG2.5
+_MP3_SAMPLERATES = {
+    1: [44100, 48000, 32000],
+    2: [22050, 24000, 16000],
+    25: [11025, 12000, 8000],
+}
+
+
+def _mp3_frame_info(b0: int, b1: int, b2: int):
+    """Validate a 4-byte header's first 3 bytes → (version, layer,
+    bitrate_kbps, sample_rate, frame_bytes, samples_per_frame) or None.
+    ``version`` is 1/2/25 (25 = MPEG2.5); free-format (bitrate index 0)
+    returns None — frame length is not computable without scanning."""
+    if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
+        return None
+    vbits = (b1 >> 3) & 3  # 0=2.5, 1=reserved, 2=MPEG2, 3=MPEG1
+    lbits = (b1 >> 1) & 3  # 0=reserved, 1=III, 2=II, 3=I
+    if vbits == 1 or lbits == 0:
+        return None
+    version = {0: 25, 2: 2, 3: 1}[vbits]
+    layer = 4 - lbits
+    bri = (b2 >> 4) & 0xF
+    sri = (b2 >> 2) & 3
+    if bri in (0, 15) or sri == 3:
+        return None
+    vgroup = 1 if version == 1 else 2
+    kbps = _MP3_BITRATES[(vgroup, layer)][bri]
+    sr = _MP3_SAMPLERATES[version][sri]
+    pad = (b2 >> 1) & 1
+    if layer == 1:
+        frame_bytes = (12000 * kbps // sr + pad) * 4
+        spf = 384
+    else:
+        # Layer II always 144; Layer III halves for MPEG2/2.5
+        factor = 144 if (layer == 2 or version == 1) else 72
+        frame_bytes = factor * 1000 * kbps // sr + pad
+        spf = 1152 if (layer == 2 or version == 1) else 576
+    return version, layer, kbps, sr, frame_bytes, spf
+
+
+def mp3_frame_census(payload: bytes) -> dict:
+    """Walk an MPEG audio stream's frame headers → structural metadata:
+    ``{n_frames, version, layer, bitrate_kbps, sample_rate, total_bytes,
+    total_samples, duration_ms, id3v2_bytes}``.  Skips a leading ID3v2
+    tag (syncsafe size, footer flag honored), requires every subsequent
+    frame header to agree with the first on version/layer/sample-rate
+    (bitrate may vary — VBR), and stops cleanly at EOF or a trailing
+    ID3v1 'TAG' block.  version/bitrate/duration reflect the FIRST
+    frame; duration_ms = total_samples * 1000 // sample_rate (floor,
+    SQL-replayable).  Raises ValueError when no valid frame exists —
+    decode of the audio itself stays NotImplemented by documented scope
+    (see decode_wav)."""
+    if payload is None or len(payload) < 4:
+        raise ValueError("empty or truncated MP3 payload")
+    pos = 0
+    id3v2 = 0
+    if payload[:3] == b"ID3" and len(payload) >= 10:
+        flags = payload[5]
+        size = 0
+        for by in payload[6:10]:
+            if by & 0x80:
+                raise ValueError("bad ID3v2 syncsafe size")
+            size = (size << 7) | by
+        id3v2 = 10 + size + (10 if flags & 0x10 else 0)
+        pos = id3v2
+    # scan forward to the first valid header (real streams may carry
+    # junk between the tag and the first frame)
+    first = None
+    while pos + 4 <= len(payload):
+        first = _mp3_frame_info(payload[pos], payload[pos + 1],
+                                payload[pos + 2])
+        if first is not None:
+            break
+        pos += 1
+    if first is None:
+        raise ValueError("no MPEG audio frame found")
+    version, layer, kbps, sr, _, spf = first
+    n_frames = 0
+    total_samples = 0
+    end = pos
+    while pos + 4 <= len(payload):
+        if payload[pos : pos + 3] == b"TAG":  # ID3v1 trailer
+            break
+        info = _mp3_frame_info(payload[pos], payload[pos + 1],
+                               payload[pos + 2])
+        if info is None:
+            break
+        v2, l2, _, sr2, frame_bytes, spf2 = info
+        if (v2, l2, sr2) != (version, layer, sr):
+            break  # header desync: stop, do not mix streams
+        if pos + frame_bytes > len(payload):
+            break  # truncated final frame: not counted
+        n_frames += 1
+        total_samples += spf2
+        pos += frame_bytes
+        end = pos
+    if n_frames == 0:
+        raise ValueError("no complete MPEG audio frame")
+    return {
+        "n_frames": n_frames,
+        "version": version,
+        "layer": layer,
+        "bitrate_kbps": kbps,
+        "sample_rate": sr,
+        "total_bytes": end,
+        "total_samples": total_samples,
+        "duration_ms": total_samples * 1000 // sr,
+        "id3v2_bytes": id3v2,
+    }
+
+
+def encode_mp3_stream(
+    n_frames: int,
+    bitrate_idx: int = 9,
+    samplerate_idx: int = 0,
+    version: int = 1,
+    layer: int = 3,
+    id3_body: int = 0,
+    padding: int = 0,
+) -> bytes:
+    """Structurally valid MPEG audio stream writer (headers + zero-fill
+    frame bodies, optional ID3v2 tag) — the fixture-synthesis
+    counterpart of :func:`mp3_frame_census`, same role as
+    encode_wav_pcm/encode_tiff_rgb.  Produces no decodable audio by
+    design; the census only reads headers."""
+    if not 1 <= bitrate_idx <= 14:
+        raise ValueError("bitrate_idx must be 1..14")
+    vbits = {1: 3, 2: 2, 25: 0}[version]
+    lbits = 4 - layer
+    b1 = 0xE0 | (vbits << 3) | (lbits << 1) | 1  # protection off
+    b2 = (bitrate_idx << 4) | (samplerate_idx << 2) | (padding << 1)
+    b3 = 0xC4  # mono, no emphasis
+    vgroup = 1 if version == 1 else 2
+    kbps = _MP3_BITRATES[(vgroup, layer)][bitrate_idx]
+    sr = _MP3_SAMPLERATES[version][samplerate_idx]
+    if layer == 1:
+        frame_bytes = (12000 * kbps // sr + padding) * 4
+    else:
+        factor = 144 if (layer == 2 or version == 1) else 72
+        frame_bytes = factor * 1000 * kbps // sr + padding
+    out = bytearray()
+    if id3_body:
+        if id3_body >= 1 << 28:
+            raise ValueError("ID3v2 body too large")
+        size = bytes(
+            (id3_body >> s) & 0x7F for s in (21, 14, 7, 0)
+        )
+        out += b"ID3" + bytes([4, 0, 0]) + size + bytes(id3_body)
+    frame = bytes([0xFF, b1, b2, b3]) + bytes(frame_bytes - 4)
+    out += frame * n_frames
+    return bytes(out)
+
+
+MP3_CENSUS_SCHEMA = (
+    "media_id long, n_frames long, bitrate_kbps long, sample_rate long, "
+    "total_bytes long, duration_ms long"
+)
+
+
+def mp3_census(media: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Arrow-batched :func:`mp3_frame_census` over opaque MP3 payloads —
+    the same mapInPandas shape as audio_features, with the same
+    skip-malformed degradation (undecodable rows dropped)."""
+    import pandas as pd  # noqa: F401
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = {
+                "media_id": [], "n_frames": [], "bitrate_kbps": [],
+                "sample_rate": [], "total_bytes": [], "duration_ms": [],
+            }
+            for mid, payload in zip(pdf["media_id"], pdf[payload_col]):
+                try:
+                    c = mp3_frame_census(bytes(payload))
+                except ValueError:
+                    continue
+                out["media_id"].append(mid)
+                out["n_frames"].append(c["n_frames"])
+                out["bitrate_kbps"].append(c["bitrate_kbps"])
+                out["sample_rate"].append(c["sample_rate"])
+                out["total_bytes"].append(c["total_bytes"])
+                out["duration_ms"].append(c["duration_ms"])
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(kernel, schema=MP3_CENSUS_SCHEMA)
+
+
+def mp3_synth_udf():
+    """pandas_udf synthesizing structurally valid MP3 streams from
+    per-row parameter columns via :func:`encode_mp3_stream` — the
+    fixture-synthesis step for the MP3 census pipeline (defined here so
+    the stringified type hints resolve against this module's pandas
+    import, same as wav_wrap_udf)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def synth(
+        n_frames: pd.Series,
+        bitrate_idx: pd.Series,
+        samplerate_idx: pd.Series,
+        version: pd.Series,
+        id3_body: pd.Series,
+    ) -> pd.Series:
+        return pd.Series(
+            [
+                encode_mp3_stream(
+                    int(n), int(b), int(s), int(v), 3, int(t)
+                )
+                for n, b, s, v, t in zip(
+                    n_frames, bitrate_idx, samplerate_idx, version, id3_body
+                )
+            ]
+        )
+
+    return synth
+
+
 def encode_tiff_rgb(img, compression: int = 1, predictor: int = 1) -> bytes:
     """Minimal little-endian TIFF writer (single strip) — the
     fixture-synthesis counterpart of :func:`_decode_tiff`, mirroring

@@ -65,7 +65,7 @@ def _distance_map() -> list[tuple[int, int]]:
     spec head (0,1),(1,0),(1,1),(-1,1),(0,2),(2,0) and tail
     (7,7),(-7,7),(8,7) correspond to this map's
     (0,1),(-1,0),(-1,1),(1,1),(0,2),(-2,0) … (-7,7),(7,7),(-8,7).
-    tests/test_multimodal.py pins the mapping against libwebp's
+    tests/test_operators.py pins the mapping against libwebp's
     PlaneCodeToDistance semantics."""
     cand = [
         (dx, dy)

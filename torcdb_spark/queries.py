@@ -650,16 +650,16 @@ def x_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ROTATION_BASIS_ROUND to the round the driver just recorded, re-run the
 # test, and paste the list it expects.
 #
-# ROUND-9 HEAD under that policy = the 20 never-checked queries (the 10
-# rows-only production forms — driver records rows/schema rows, the m3
-# pattern — plus r8's post-rotation exact witnesses g_mst2/g_lpa2 and
-# round 9's g_bc2_integer_grid/m3b_image_decode_census/m7b_whash_exact/
-# m13_webp_roundtrip/d33_unicode_nfc/p2_pdf_text_extract/
-# p3_epub_extract/p4_srt_cues) + the 30 stalest: the round-2 block
-# (last signal 7 rounds old).  Everything not listed keeps its
-# registration order after slot 50 and stays covered by the local
-# exact-value gate (tests/test_oracle_parity.py, 3 SFs, every round).
-ROTATION_BASIS_ROUND = 8
+# ROUND-10 HEAD under that policy = the 2 never-checked round-10 additions
+# (m14 MP3 census, m1b media-features exact twin), then the stalest
+# driver signals: the round-3 block (q_running_total through
+# zo1_zorder_cells, last checked 7 rounds ago) and the oldest of the
+# round-5 block — which happens to sweep in the r9 watch-list cluster
+# (d19/d21/d23/d24) for fresh driver hashes alongside bench arbitration.
+# Everything not listed keeps its registration order after slot 50 and
+# stays covered by the local exact-value gate
+# (tests/test_oracle_parity.py, 3 SFs, every round).
+ROTATION_BASIS_ROUND = 9
 
 
 def staleness_head(n: int = 50, basis: int | None = None) -> list[str]:
@@ -693,59 +693,61 @@ def staleness_head(n: int = 50, basis: int | None = None) -> list[str]:
 
 
 DRIVER_PRIORITY: list[str] = [
-    # -- never driver-checked: the 10 rows-only production forms, the
-    # -- two r8 post-rotation witnesses, and the two r9 additions --
-    "d12_hash_sample",
-    "d14_simhash_near_dups",
-    "d33_unicode_nfc",
-    "e7_pq_topk",
-    "e8_semantic_dedup",
-    "g_bc2_integer_grid",
-    "g_betweenness",
-    "g_hits_parts",
-    "g_lpa2_integer_votes",
-    "g_lpa_communities",
-    "g_mst",
-    "g_mst2_kruskal_witness",
-    "g_ppr_recommend",
-    "m13_webp_roundtrip",
-    "m3b_image_decode_census",
-    "m7_phash_near_dups",
-    "m7b_whash_exact",
-    "p2_pdf_text_extract",
-    "p3_epub_extract",
-    "p4_srt_cues",
-    # -- oldest driver signal: last checked round 2 --
-    "a2_intersect",
-    "a3_subtract",
-    "a5_keylist",
-    "d3_ngram_jaccard",
-    "d4_simhash_groups",
-    "d5_lang_id",
-    "d6_quality_score",
-    "d7_embedding_near_dups",
-    "d8_winnowing",
-    "e2_cosine_lsh",
-    "e3_events_asof",
-    "e4_ivf_topk",
-    "g_bfs_counts",
-    "g_connected_components",
-    "g_gremlin_2hop",
-    "g_pagerank",
-    "m1_media_features",
-    "q22_no_orders_antijoin",
-    "q3_shipping_priority",
-    "q4_priority_semijoin",
-    "q5_nation_revenue",
-    "q_approx_distinct",
-    "q_cube_status_priority",
-    "q_distinct_users",
-    "q_events_sessions",
-    "q_events_sliding",
-    "q_events_tumbling",
-    "q_grouping_sets",
-    "q_json_extract",
-    "q_rollup_region_nation",
+    # -- never driver-checked: the two round-10 additions --
+    "m14_mp3_frame_census",
+    "m1b_media_features_exact",
+    # -- oldest driver signal: last checked round 3 --
+    "q_running_total",
+    "q_string_predicates",
+    "q_topk_orders_per_customer",
+    "t1_traverse_in",
+    "t1_traverse_out",
+    "a4_remove_edge_if",
+    "cd1_snapshot_diff",
+    "cms1_frequency_estimates",
+    "d16_repetition_signals",
+    "d2_text_stats",
+    "d9_tfidf",
+    "e5_label_centroids",
+    "er1_part_name_pairs",
+    "fu1_funnel_stages",
+    "g_gremlin_edge_filter",
+    "gs1_neighbor_sample",
+    "q18_large_volume_customers",
+    "s5_vertex_lookup",
+    "st_events_sessions_stream",
+    "t10_props_map_roundtrip",
+    "t2_fill_properties",
+    "t3_vertex_neighbors",
+    "t4_vertex_edges",
+    "t6_edge_vertices",
+    "t7_label_counts",
+    "th1_kmv_distinct",
+    "ts2_gap_fill_locf",
+    "x_minhash_near_dups",
+    "zo1_zorder_cells",
+    # -- next-oldest: the round-5 block (incl. the r9 bench
+    # -- watch-list d19/d21/d23/d24, re-hashed while bench.py
+    # -- arbitrates their timings under FORCE_ISOLATE) --
+    "a1_fuse",
+    "bl1_bloom_semijoin",
+    "cl1_perceptron_train",
+    "cl2_naive_bayes",
+    "cur1_curriculum_stages",
+    "d13_dedup_clusters",
+    "d18_bpe_merges",
+    "d19_span_dedup_stats",
+    "d1_dedup_exact",
+    "d20_bpe_encode",
+    "d21_lm_perplexity",
+    "d23_kneser_ney",
+    "d24_span_scrub",
+    "dc1_benchmark_decontam",
+    "dq1_constraint_audit",
+    "dr1_distribution_drift",
+    "e10_mmr_rerank",
+    "e1_cosine_topk",
+    "g_gremlin_simple_path",
 ]
 
 # Head entries that ship WITHOUT a DuckDB oracle by documented design (the
@@ -754,23 +756,7 @@ DRIVER_PRIORITY: list[str] = [
 # a driver-hashed structural twin — see README).  test_docs_counts pins
 # every other head entry to an exact oracle.
 HEAD_ROWS_ONLY: frozenset[str] = frozenset({
-    "d12_hash_sample",
-    "d14_simhash_near_dups",
-    "d4_simhash_groups",
-    "d8_winnowing",
-    "e2_cosine_lsh",
-    "e4_ivf_topk",
-    "e7_pq_topk",
-    "e8_semantic_dedup",
-    "g_betweenness",
-    "g_hits_parts",
-    "g_lpa_communities",
-    "g_mst",
-    "g_pagerank",
-    "g_ppr_recommend",
-    "m1_media_features",
-    "m7_phash_near_dups",
-    "q_approx_distinct",
+    "x_minhash_near_dups",
 })
 
 
@@ -12808,3 +12794,139 @@ def m7b_whash_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id_b").cast("long").alias("id_b"),
         F.col("hamming").cast("long").alias("hamming"),
     )
+
+
+@_register(
+    "m1b_media_features_exact",
+    """WITH px AS (
+         SELECT doc_id,
+                CAST(ascii(substr(text, CAST(i AS INT) + 1, 1))
+                     AS BIGINT) AS b
+         FROM (SELECT doc_id, text,
+                      unnest(range(length(text))) AS i
+               FROM documents))
+       SELECT d.doc_id AS media_id,
+              CAST(length(d.text) AS BIGINT) AS n_bytes,
+              CAST(COALESCE(sum(p.b), 0) AS BIGINT) AS byte_sum,
+              CAST(COALESCE(sum(CASE WHEN p.b // 32 = 0 THEN 1 END), 0)
+                   AS BIGINT) AS h0,
+              CAST(COALESCE(sum(CASE WHEN p.b // 32 = 1 THEN 1 END), 0)
+                   AS BIGINT) AS h1,
+              CAST(COALESCE(sum(CASE WHEN p.b // 32 = 2 THEN 1 END), 0)
+                   AS BIGINT) AS h2,
+              CAST(COALESCE(sum(CASE WHEN p.b // 32 = 3 THEN 1 END), 0)
+                   AS BIGINT) AS h3,
+              CAST(COALESCE(sum(CASE WHEN p.b // 32 = 4 THEN 1 END), 0)
+                   AS BIGINT) AS h4,
+              CAST(COALESCE(sum(CASE WHEN p.b // 32 = 5 THEN 1 END), 0)
+                   AS BIGINT) AS h5,
+              CAST(COALESCE(sum(CASE WHEN p.b // 32 = 6 THEN 1 END), 0)
+                   AS BIGINT) AS h6,
+              CAST(COALESCE(sum(CASE WHEN p.b // 32 = 7 THEN 1 END), 0)
+                   AS BIGINT) AS h7
+       FROM documents d LEFT JOIN px p ON d.doc_id = p.doc_id
+       GROUP BY d.doc_id, length(d.text)""",
+)
+def m1b_media_features_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-witness twin of rows-only m1_media_features (VERDICT r9 ask
+    #5 — the last twin-less rows-only query): the SAME plumbing
+    (documents_as_media → extract_features, the Arrow-batched
+    mapInPandas feature kernel of operators/multimodal.py:845) with its
+    float outputs inverted back to driver-hashable integers.  byte_mean
+    times n_bytes recovers the exact byte SUM (sum < 2^21 and float64
+    has 2^-52 relative error, so the rounding error is < 0.5), and each
+    float32 histogram fraction times n_bytes recovers the exact bucket
+    COUNT (n ≤ 577 in the fixtures, so the 2^-24 float32 error scales to
+    < 10^-4).  The oracle replays the kernel byte-for-byte in SQL —
+    np.histogram(bins=8, range=(0,256)) buckets are exactly b // 32
+    (the closed last edge folds 255 into bucket 7) — pinning batch
+    iteration, binary Arrow transfer, and the result schema to a value
+    hash.  Fixture texts are pure ASCII (verified at all three SFs), so
+    ascii(substr(...)) equals the UTF-8 byte the kernel sees."""
+    from torcdb_spark.operators.multimodal import (
+        documents_as_media,
+        extract_features,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = extract_features(documents_as_media(docs))
+    n = F.col("n_bytes").cast("double")
+    sel = [
+        F.col("media_id"),
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+        F.round(F.col("byte_mean") * n).cast("long").alias("byte_sum"),
+    ]
+    for k in range(8):
+        sel.append(
+            F.round(F.element_at("feature", k + 1).cast("double") * n)
+            .cast("long")
+            .alias(f"h{k}")
+        )
+    return feats.select(*sel)
+
+
+@_register(
+    "m14_mp3_frame_census",
+    """WITH params AS (
+         SELECT doc_id,
+                CAST(1 + length(text) % 7 AS BIGINT) AS nf,
+                CAST(doc_id % 14 + 1 AS INT) AS bri,
+                CAST(doc_id % 3 + 1 AS INT) AS sri,
+                doc_id % 2 = 0 AS v1,
+                CAST(doc_id % 5 AS BIGINT) * 17 AS id3_body
+         FROM documents),
+       derived AS (
+         SELECT doc_id, nf, v1, id3_body,
+                CASE WHEN v1
+                     THEN list_extract([32,40,48,56,64,80,96,112,128,
+                                        160,192,224,256,320], bri)
+                     ELSE list_extract([8,16,24,32,40,48,56,64,80,
+                                        96,112,128,144,160], bri)
+                END AS kbps,
+                CASE WHEN v1
+                     THEN list_extract([44100,48000,32000], sri)
+                     ELSE list_extract([22050,24000,16000], sri)
+                END AS sr
+         FROM params)
+       SELECT doc_id AS media_id,
+              nf AS n_frames,
+              CAST(kbps AS BIGINT) AS bitrate_kbps,
+              CAST(sr AS BIGINT) AS sample_rate,
+              CAST(CASE WHEN id3_body = 0 THEN 0
+                        ELSE 10 + id3_body END
+                   + nf * ((CASE WHEN v1 THEN 144000 ELSE 72000 END
+                            * kbps) // sr)
+                   AS BIGINT) AS total_bytes,
+              CAST(nf * (CASE WHEN v1 THEN 1152 ELSE 576 END)
+                   * 1000 // sr AS BIGINT) AS duration_ms
+       FROM derived""",
+)
+def m14_mp3_frame_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MP3 structural metadata at scale (VERDICT r9 ask #6, the lossy-
+    decode on-ramp): synthesize a structurally valid MPEG audio stream
+    per document (frame count / bitrate index / sample-rate index /
+    MPEG version / ID3v2 tag size all derived from fixture columns),
+    then walk the real bytes with the frame-header census
+    (operators/multimodal.py mp3_frame_census via Arrow-batched
+    mapInPandas) — ID3v2 syncsafe skip, per-frame length arithmetic
+    (144·kbps/sr MPEG1 Layer III, 72·kbps/sr MPEG2), floor-division
+    duration.  The oracle replays the ISO 11172-3/13818-3 arithmetic in
+    SQL from the same fixture columns, so every census column is value-
+    hashed; PCM decode stays documented out-of-scope (decode_wav)."""
+    from torcdb_spark.operators.multimodal import mp3_census, mp3_synth_udf
+
+    docs = load_table(spark, sf_dir, "documents")
+    synth = mp3_synth_udf()
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        synth(
+            (F.lit(1) + F.length("text") % 7).cast("int"),
+            (F.col("doc_id") % 14 + 1).cast("int"),
+            (F.col("doc_id") % 3).cast("int"),
+            F.when(F.col("doc_id") % 2 == 0, F.lit(1))
+            .otherwise(F.lit(2))
+            .cast("int"),
+            ((F.col("doc_id") % 5) * 17).cast("int"),
+        ).alias("payload"),
+    )
+    return mp3_census(media)
