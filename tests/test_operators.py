@@ -1170,6 +1170,116 @@ def test_mp3_frame_census():
             mp3_frame_census(bad)
 
 
+def test_aac_adts_census():
+    """ADTS header-walk census against hand-computed ISO 13818-7 §6.2
+    arithmetic: 13-bit frame length, profile/rate/channel extraction,
+    multi-raw-data-block sample counting, CRC-header (protection
+    absent=0) walking, truncation, junk tolerance, and the ValueError
+    contract."""
+    import pytest as _pytest
+
+    from torcdb_spark.operators.multimodal import (
+        aac_adts_census,
+        encode_adts_stream,
+    )
+
+    # LC profile @ 44100 stereo, 3 frames of 7+64 bytes
+    c = aac_adts_census(encode_adts_stream(3))
+    assert c["n_frames"] == 3 and c["profile"] == 1
+    assert c["sample_rate"] == 44100 and c["channels"] == 2
+    assert c["total_bytes"] == 3 * 71
+    assert c["duration_ms"] == 3 * 1024 * 1000 // 44100
+
+    # every samplerate index and channel config round-trips
+    for sri in range(13):
+        for ch in (1, 3, 7):
+            ci = aac_adts_census(
+                encode_adts_stream(2, 0, sri, ch, body_bytes=10)
+            )
+            assert ci["channels"] == ch and ci["n_frames"] == 2
+
+    # CRC variant: protection_absent=0 (header 9 bytes, len includes CRC)
+    raw = bytearray(encode_adts_stream(2, body_bytes=20))
+    for off in (27, 0):  # back to front: the CRC insert shifts offsets
+        raw[off + 1] &= 0xFE  # clear protection_absent
+        # bump frame_length 27 -> 29 for the CRC word
+        fl = 29
+        raw[off + 3] = (raw[off + 3] & 0xFC) | ((fl >> 11) & 3)
+        raw[off + 4] = (fl >> 3) & 0xFF
+        raw[off + 5] = (raw[off + 5] & 0x1F) | ((fl & 7) << 5)
+        raw[off + 7 : off + 7] = b"\x00\x00"  # the CRC word itself
+    cc = aac_adts_census(bytes(raw))
+    assert cc["n_frames"] == 2 and cc["total_bytes"] == 58
+
+    # multiple raw data blocks multiply the sample count
+    multi = bytearray(encode_adts_stream(1, body_bytes=12))
+    multi[6] |= 0x02  # number_of_raw_data_blocks field = 2 -> 3 blocks
+    cm = aac_adts_census(bytes(multi))
+    assert cm["total_bytes"] == 19
+    assert cm["duration_ms"] == 3 * 1024 * 1000 // 44100
+
+    # truncated final frame excluded; junk prefix scanned past
+    two = encode_adts_stream(2, body_bytes=16)
+    assert aac_adts_census(two[:-1])["n_frames"] == 1
+    assert aac_adts_census(b"junk!" + two)["n_frames"] == 2
+
+    for bad in (b"", b"\xff\xf1", b"definitely not audio" * 4):
+        with _pytest.raises(ValueError):
+            aac_adts_census(bad)
+
+
+def test_webp_lossy_info():
+    """VP8 keyframe header parse per RFC 6386 §9.1: frame-tag bit
+    unpacking (inverted keyframe flag, version, show_frame, 19-bit
+    first-partition size), start-code check, 14-bit dims + scale codes,
+    and the ValueError / VP8L-vs-VP8 dispatch contract."""
+    import numpy as np
+    import pytest as _pytest
+
+    from torcdb_spark.operators.webp import (
+        decode_webp,
+        encode_webp_lossless,
+        encode_webp_lossy_stub,
+        webp_lossy_info,
+    )
+
+    info = webp_lossy_info(encode_webp_lossy_stub(640, 480, version=2,
+                                                  body_fill=5))
+    assert info["width"] == 640 and info["height"] == 480
+    assert info["version"] == 2 and info["show_frame"] == 1
+    assert info["first_part_size"] == 21 and info["vp8_bytes"] == 31
+    assert info["hscale"] == 0 and info["vscale"] == 0
+
+    # extremes of the 14-bit dimension fields
+    big = webp_lossy_info(encode_webp_lossy_stub(16383, 1))
+    assert big["width"] == 16383 and big["height"] == 1
+
+    # scale codes live in the top 2 bits
+    raw = bytearray(encode_webp_lossy_stub(100, 200))
+    raw[20 + 7] |= 0x40  # hscale code 1 on the width word
+    sc = webp_lossy_info(bytes(raw))
+    assert sc["width"] == 100 and sc["hscale"] == 1
+
+    # a lossless container is not a lossy one, and vice versa
+    img = np.zeros((4, 5, 3), np.uint8)
+    with _pytest.raises(ValueError):
+        webp_lossy_info(encode_webp_lossless(img))
+    with _pytest.raises(NotImplementedError):
+        decode_webp(encode_webp_lossy_stub(8, 8))
+
+    bad_start = bytearray(encode_webp_lossy_stub(8, 8))
+    bad_start[20 + 3] = 0x00
+    with _pytest.raises(ValueError):
+        webp_lossy_info(bytes(bad_start))
+    # interframe (keyframe bit set to 1 = not a keyframe)
+    inter = bytearray(encode_webp_lossy_stub(8, 8))
+    inter[20] |= 1
+    with _pytest.raises(ValueError):
+        webp_lossy_info(bytes(inter))
+    with _pytest.raises(ValueError):
+        webp_lossy_info(b"not webp")
+
+
 def test_range_join_equals_naive_join_property(spark):
     """Property test: the bin-bucketed range join produces EXACTLY the
     rows of the naive BETWEEN join for randomized points/intervals across

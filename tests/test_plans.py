@@ -910,3 +910,16 @@ def test_media_features_twin_single_arrow_stage(spark, sf_dir):
     assert plan.count("MapInPandas") == 1
     assert "Exchange" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_lossy_censuses_two_python_stages_no_shuffle(spark, sf_dir):
+    """m15/m16 mirror m14's shape: synth (pandas_udf) → census
+    (mapInPandas) over a single documents scan — no join, no exchange."""
+    from torcdb_spark.queries import queries
+
+    for name in ("m15_aac_adts_census", "m16_webp_lossy_dims"):
+        plan = explain_str(queries()[name](spark, sf_dir), "simple")
+        assert plan.count("MapInPandas") == 1, name
+        assert plan.count("ArrowEvalPython") == 1, name
+        assert "Exchange" not in plan, name
+        assert "CartesianProduct" not in plan, name

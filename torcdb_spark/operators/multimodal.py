@@ -1422,6 +1422,135 @@ def mp3_census(media: DataFrame, payload_col: str = "payload") -> DataFrame:
     return media.mapInPandas(kernel, schema=MP3_CENSUS_SCHEMA)
 
 
+# ADTS sampling-frequency table (ISO/IEC 13818-7 / 14496-3), index 0..12
+_ADTS_RATES = [96000, 88200, 64000, 48000, 44100, 32000, 24000, 22050,
+               16000, 12000, 11025, 8000, 7350]
+
+
+def aac_adts_census(payload: bytes) -> dict:
+    """Walk an AAC ADTS stream's 7/9-byte frame headers → structural
+    metadata: ``{n_frames, profile, sample_rate, channels, total_bytes,
+    total_samples, duration_ms}`` — the AAC companion of
+    :func:`mp3_frame_census` (same contract: header arithmetic only,
+    no spectral decode; ISO/IEC 13818-7 §6.2).  Every frame must agree
+    with the first on profile/rate/channels; the 13-bit frame_length
+    field advances the walk; each frame carries 1024 samples per raw
+    data block.  Raises ValueError when no complete valid frame
+    exists."""
+    if payload is None or len(payload) < 7:
+        raise ValueError("empty or truncated ADTS payload")
+    pos = 0
+    # tolerate leading junk: scan to the first plausible header
+    first = None
+    while pos + 7 <= len(payload):
+        if payload[pos] == 0xFF and (payload[pos + 1] & 0xF6) == 0xF0:
+            sfi = (payload[pos + 2] >> 2) & 0xF
+            if sfi < len(_ADTS_RATES):
+                first = pos
+                break
+        pos += 1
+    if first is None:
+        raise ValueError("no ADTS frame found")
+    h = payload[pos : pos + 7]
+    profile = (h[2] >> 6) & 3
+    sfi = (h[2] >> 2) & 0xF
+    channels = ((h[2] & 1) << 2) | (h[3] >> 6)
+    sr = _ADTS_RATES[sfi]
+    n_frames = 0
+    total_samples = 0
+    end = pos
+    while pos + 7 <= len(payload):
+        h = payload[pos : pos + 7]
+        if not (h[0] == 0xFF and (h[1] & 0xF6) == 0xF0):
+            break
+        if ((h[2] >> 6) & 3, (h[2] >> 2) & 0xF,
+                ((h[2] & 1) << 2) | (h[3] >> 6)) != (profile, sfi, channels):
+            break
+        frame_len = ((h[3] & 3) << 11) | (h[4] << 3) | (h[5] >> 5)
+        hdr_len = 7 if (h[1] & 1) else 9  # protection_absent=0 adds CRC
+        if frame_len < hdr_len or pos + frame_len > len(payload):
+            break
+        blocks = (h[6] & 3) + 1
+        n_frames += 1
+        total_samples += 1024 * blocks
+        pos += frame_len
+        end = pos
+    if n_frames == 0:
+        raise ValueError("no complete ADTS frame")
+    return {
+        "n_frames": n_frames,
+        "profile": profile,
+        "sample_rate": sr,
+        "channels": channels,
+        "total_bytes": end,
+        "total_samples": total_samples,
+        "duration_ms": total_samples * 1000 // sr,
+    }
+
+
+def encode_adts_stream(
+    n_frames: int,
+    profile: int = 1,
+    samplerate_idx: int = 4,
+    channels: int = 2,
+    body_bytes: int = 64,
+) -> bytes:
+    """Structurally valid ADTS writer (headers + zero-fill raw data) —
+    fixture synthesis for :func:`aac_adts_census`; no decodable audio
+    by design, same role as encode_mp3_stream."""
+    if not 0 <= samplerate_idx < len(_ADTS_RATES):
+        raise ValueError("bad sampling frequency index")
+    if not 1 <= channels <= 7:
+        raise ValueError("channels must be 1..7")
+    frame_len = 7 + body_bytes
+    h = bytes([
+        0xFF,
+        0xF1,  # MPEG-4, layer 00, protection absent
+        ((profile & 3) << 6) | (samplerate_idx << 2) | ((channels >> 2) & 1),
+        ((channels & 3) << 6) | ((frame_len >> 11) & 3),
+        (frame_len >> 3) & 0xFF,
+        ((frame_len & 7) << 5) | 0x1F,  # buffer fullness high bits (VBR)
+        0xFC,  # fullness low + 1 raw data block (field 00 = one block)
+    ])
+    return (h + bytes(body_bytes)) * n_frames
+
+
+def aac_census(media: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Arrow-batched :func:`aac_adts_census` over opaque ADTS payloads —
+    same mapInPandas shape and skip-malformed contract as mp3_census."""
+    import pandas as pd  # noqa: F401
+
+    schema = (
+        "media_id long, n_frames long, profile long, sample_rate long, "
+        "channels long, total_bytes long, duration_ms long"
+    )
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = {
+                "media_id": [], "n_frames": [], "profile": [],
+                "sample_rate": [], "channels": [], "total_bytes": [],
+                "duration_ms": [],
+            }
+            for mid, payload in zip(pdf["media_id"], pdf[payload_col]):
+                try:
+                    c = aac_adts_census(bytes(payload))
+                except ValueError:
+                    continue
+                out["media_id"].append(mid)
+                out["n_frames"].append(c["n_frames"])
+                out["profile"].append(c["profile"])
+                out["sample_rate"].append(c["sample_rate"])
+                out["channels"].append(c["channels"])
+                out["total_bytes"].append(c["total_bytes"])
+                out["duration_ms"].append(c["duration_ms"])
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(kernel, schema=schema)
+
+
 def mp3_synth_udf():
     """pandas_udf synthesizing structurally valid MP3 streams from
     per-row parameter columns via :func:`encode_mp3_stream` — the
@@ -1450,6 +1579,94 @@ def mp3_synth_udf():
         )
 
     return synth
+
+
+def adts_synth_udf():
+    """pandas_udf building structurally valid ADTS streams from per-row
+    parameter columns via :func:`encode_adts_stream` (see
+    mp3_synth_udf for the pattern and the pandas-import note)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def synth(
+        n_frames: pd.Series,
+        profile: pd.Series,
+        samplerate_idx: pd.Series,
+        channels: pd.Series,
+        body_bytes: pd.Series,
+    ) -> pd.Series:
+        return pd.Series(
+            [
+                encode_adts_stream(int(n), int(p), int(s), int(c), int(b))
+                for n, p, s, c, b in zip(
+                    n_frames, profile, samplerate_idx, channels, body_bytes
+                )
+            ]
+        )
+
+    return synth
+
+
+def webp_lossy_synth_udf():
+    """pandas_udf building structurally valid lossy-WebP containers from
+    per-row dimension columns (operators/webp.encode_webp_lossy_stub)."""
+    from pyspark.sql.functions import pandas_udf
+
+    from torcdb_spark.operators.webp import encode_webp_lossy_stub
+
+    @pandas_udf("binary")
+    def synth(
+        width: pd.Series,
+        height: pd.Series,
+        version: pd.Series,
+        body_fill: pd.Series,
+    ) -> pd.Series:
+        return pd.Series(
+            [
+                encode_webp_lossy_stub(int(w), int(h), int(v), int(b))
+                for w, h, v, b in zip(width, height, version, body_fill)
+            ]
+        )
+
+    return synth
+
+
+def webp_lossy_census(media: DataFrame,
+                      payload_col: str = "payload") -> DataFrame:
+    """Arrow-batched :func:`torcdb_spark.operators.webp.webp_lossy_info`
+    over opaque WebP payloads — same mapInPandas shape and
+    skip-malformed contract as mp3_census/aac_census."""
+    import pandas as pd  # noqa: F401
+
+    from torcdb_spark.operators.webp import webp_lossy_info
+
+    schema = (
+        "media_id long, width long, height long, version long, "
+        "first_part_size long, vp8_bytes long"
+    )
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = {
+                "media_id": [], "width": [], "height": [], "version": [],
+                "first_part_size": [], "vp8_bytes": [],
+            }
+            for mid, payload in zip(pdf["media_id"], pdf[payload_col]):
+                try:
+                    c = webp_lossy_info(bytes(payload))
+                except (ValueError, NotImplementedError):
+                    continue
+                out["media_id"].append(mid)
+                out["width"].append(c["width"])
+                out["height"].append(c["height"])
+                out["version"].append(c["version"])
+                out["first_part_size"].append(c["first_part_size"])
+                out["vp8_bytes"].append(c["vp8_bytes"])
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(kernel, schema=schema)
 
 
 def encode_tiff_rgb(img, compression: int = 1, predictor: int = 1) -> bytes:

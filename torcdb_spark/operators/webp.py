@@ -546,6 +546,76 @@ def decode_webp(payload: bytes) -> np.ndarray:
     raise ValueError("no VP8L chunk in WebP container")
 
 
+def webp_lossy_info(payload: bytes) -> dict:
+    """Structural census of a LOSSY (VP8) WebP: the uncompressed frame
+    header of RFC 6386 §9.1 — keyframe bit, bitstream version,
+    show_frame, first-partition size, start code, and the 14-bit
+    width/height with their 2-bit upscale codes.  This is the lossy
+    on-ramp companion to :func:`decode_webp` (same pattern as the MP3
+    frame census, operators/multimodal.py): pixel decode needs a codec
+    library and stays NotImplemented, but a real crawl's lossy WebPs
+    yield metadata rows instead of error rows.  Raises ValueError on
+    non-WebP payloads, containers with no VP8 chunk (use decode_webp
+    for VP8L), truncated headers, or a bad start code."""
+    if len(payload) < 20 or payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
+        raise ValueError("not a RIFF/WEBP payload")
+    pos = 12
+    body = None
+    while pos + 8 <= len(payload):
+        fourcc = payload[pos : pos + 4]
+        size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        if fourcc == b"VP8 ":
+            body = payload[pos + 8 : pos + 8 + size]
+            break
+        pos += 8 + size + (size & 1)
+    if body is None:
+        raise ValueError("no VP8 chunk in WebP container")
+    if len(body) < 10:
+        raise ValueError("truncated VP8 frame header")
+    tag = body[0] | body[1] << 8 | body[2] << 16
+    keyframe = (tag & 1) == 0  # inverted flag per RFC 6386
+    version = (tag >> 1) & 7
+    show_frame = (tag >> 4) & 1
+    first_part_size = tag >> 5
+    if not keyframe:
+        raise ValueError("VP8 chunk is not a keyframe")
+    if body[3:6] != b"\x9d\x01\x2a":
+        raise ValueError("bad VP8 keyframe start code")
+    wcode = body[6] | body[7] << 8
+    hcode = body[8] | body[9] << 8
+    return {
+        "width": wcode & 0x3FFF,
+        "height": hcode & 0x3FFF,
+        "hscale": wcode >> 14,
+        "vscale": hcode >> 14,
+        "version": version,
+        "show_frame": show_frame,
+        "first_part_size": first_part_size,
+        "vp8_bytes": len(body),
+    }
+
+
+def encode_webp_lossy_stub(
+    width: int, height: int, version: int = 0, body_fill: int = 0
+) -> bytes:
+    """Structurally valid lossy-WebP writer (RIFF container + VP8
+    keyframe header + zero-filled partitions) — fixture synthesis for
+    :func:`webp_lossy_info`; produces no decodable pixels by design."""
+    if not 1 <= width <= 0x3FFF or not 1 <= height <= 0x3FFF:
+        raise ValueError("VP8 dimensions must be 1..16383")
+    first_part = 16 + body_fill
+    tag = (first_part << 5) | (1 << 4) | ((version & 7) << 1) | 0
+    vp8 = bytes([tag & 0xFF, (tag >> 8) & 0xFF, (tag >> 16) & 0xFF])
+    vp8 += b"\x9d\x01\x2a"
+    vp8 += bytes([width & 0xFF, width >> 8, height & 0xFF, height >> 8])
+    vp8 += bytes(first_part)
+    chunk = b"VP8 " + len(vp8).to_bytes(4, "little") + vp8
+    if len(vp8) & 1:
+        chunk += b"\x00"
+    body = b"WEBP" + chunk
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
 # ---------------------------------------------------------------------------
 # encoder
 # ---------------------------------------------------------------------------

@@ -650,8 +650,9 @@ def x_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ROTATION_BASIS_ROUND to the round the driver just recorded, re-run the
 # test, and paste the list it expects.
 #
-# ROUND-10 HEAD under that policy = the 2 never-checked round-10 additions
-# (m14 MP3 census, m1b media-features exact twin), then the stalest
+# ROUND-10 HEAD under that policy = the 4 never-checked round-10 additions
+# (m14/m15/m16 lossy-format censuses, m1b media-features exact twin),
+# then the stalest
 # driver signals: the round-3 block (q_running_total through
 # zo1_zorder_cells, last checked 7 rounds ago) and the oldest of the
 # round-5 block — which happens to sweep in the r9 watch-list cluster
@@ -693,8 +694,10 @@ def staleness_head(n: int = 50, basis: int | None = None) -> list[str]:
 
 
 DRIVER_PRIORITY: list[str] = [
-    # -- never driver-checked: the two round-10 additions --
+    # -- never driver-checked: the four round-10 additions --
     "m14_mp3_frame_census",
+    "m15_aac_adts_census",
+    "m16_webp_lossy_dims",
     "m1b_media_features_exact",
     # -- oldest driver signal: last checked round 3 --
     "q_running_total",
@@ -746,8 +749,6 @@ DRIVER_PRIORITY: list[str] = [
     "dq1_constraint_audit",
     "dr1_distribution_drift",
     "e10_mmr_rerank",
-    "e1_cosine_topk",
-    "g_gremlin_simple_path",
 ]
 
 # Head entries that ship WITHOUT a DuckDB oracle by documented design (the
@@ -12930,3 +12931,88 @@ def m14_mp3_frame_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("payload"),
     )
     return mp3_census(media)
+
+
+@_register(
+    "m15_aac_adts_census",
+    """SELECT doc_id AS media_id,
+              CAST(1 + length(text) % 5 AS BIGINT) AS n_frames,
+              CAST(doc_id % 4 AS BIGINT) AS profile,
+              CAST(list_extract([96000,88200,64000,48000,44100,32000,
+                                 24000,22050,16000,12000,11025,8000,7350],
+                                CAST(doc_id % 13 AS INT) + 1)
+                   AS BIGINT) AS sample_rate,
+              CAST(1 + doc_id % 7 AS BIGINT) AS channels,
+              CAST((1 + length(text) % 5)
+                   * (7 + 32 + length(text) % 100) AS BIGINT) AS total_bytes,
+              CAST((1 + length(text) % 5) * 1024 * 1000
+                   // list_extract([96000,88200,64000,48000,44100,32000,
+                                    24000,22050,16000,12000,11025,8000,7350],
+                                   CAST(doc_id % 13 AS INT) + 1)
+                   AS BIGINT) AS duration_ms
+       FROM documents""",
+)
+def m15_aac_adts_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AAC ADTS structural census — the second lossy on-ramp beside m14:
+    per-document ADTS streams (frame count / profile / sampling index /
+    channel config / payload size all fixture-derived) walked by the
+    7-byte-header arithmetic of ISO/IEC 13818-7 §6.2
+    (operators/multimodal.py aac_adts_census, Arrow-batched
+    mapInPandas); the oracle replays the table lookups and the
+    1024-samples-per-frame duration floor-division in SQL.  Spectral
+    decode stays documented out-of-scope, same contract as decode_wav's
+    MP3/AAC raise."""
+    from torcdb_spark.operators.multimodal import aac_census, adts_synth_udf
+
+    docs = load_table(spark, sf_dir, "documents")
+    synth = adts_synth_udf()
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        synth(
+            (F.lit(1) + F.length("text") % 5).cast("int"),
+            (F.col("doc_id") % 4).cast("int"),
+            (F.col("doc_id") % 13).cast("int"),
+            (F.lit(1) + F.col("doc_id") % 7).cast("int"),
+            (F.lit(32) + F.length("text") % 100).cast("int"),
+        ).alias("payload"),
+    )
+    return aac_census(media)
+
+
+@_register(
+    "m16_webp_lossy_dims",
+    """SELECT doc_id AS media_id,
+              CAST(16 + doc_id % 1200 AS BIGINT) AS width,
+              CAST(16 + length(text) % 800 AS BIGINT) AS height,
+              CAST(doc_id % 4 AS BIGINT) AS version,
+              CAST(16 + doc_id % 50 AS BIGINT) AS first_part_size,
+              CAST(26 + doc_id % 50 AS BIGINT) AS vp8_bytes
+       FROM documents""",
+)
+def m16_webp_lossy_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lossy-WebP structural census (the third lossy on-ramp): VP8
+    keyframe headers per RFC 6386 §9.1 — frame tag (keyframe/version/
+    show_frame/first-partition size), 0x9d012a start code, 14-bit
+    dimensions — parsed from per-document synthesized containers by
+    operators/webp.webp_lossy_info via Arrow-batched mapInPandas.
+    Pixel decode of VP8 stays the documented NotImplementedError in
+    decode_webp; this query pins that a real crawl's lossy WebPs
+    produce metadata rows, with every column replayed by the oracle
+    from the same fixture arithmetic."""
+    from torcdb_spark.operators.multimodal import (
+        webp_lossy_census,
+        webp_lossy_synth_udf,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    synth = webp_lossy_synth_udf()
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        synth(
+            (F.lit(16) + F.col("doc_id") % 1200).cast("int"),
+            (F.lit(16) + F.length("text") % 800).cast("int"),
+            (F.col("doc_id") % 4).cast("int"),
+            (F.col("doc_id") % 50).cast("int"),
+        ).alias("payload"),
+    )
+    return webp_lossy_census(media)
