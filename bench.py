@@ -38,12 +38,19 @@ FORCE_ISOLATE = (
     "e11_matryoshka_topk",
     "bl1_bloom_semijoin",
     "ivm2_join_view_maintenance",
-    # r9 regression-cluster arbitration (VERDICT r9 ask #2)
+    # r9 regression-cluster arbitration (VERDICT r9 ask #2) — the r10
+    # session's min-of-3 fresh-JVM samples already came back at r8
+    # levels (PERF_NOTES r10 section); kept for the driver's r10 record,
+    # rotate out in r11
     "d21_lm_perplexity",
     "d24_span_scrub",
     "d23_kneser_ney",
     "d19_span_dedup_stats",
     "d7_embedding_near_dups",
+    # r10 watch items: elevated ~1.5x vs r9 with zero code change on a
+    # visibly degraded host (see PERF_NOTES r10) — arbitrate next round
+    "e16_semantic_dedup_exact",
+    "d26_containment_join",
 )
 
 # Samples per query in the --isolate pass (min reported). VERDICT r9 ask
@@ -68,6 +75,10 @@ def _calibrate(spark, sf_dir: str) -> float:
         SF.sum("l_quantity"), SF.avg("l_extendedprice"),
         SF.count("*"),
     )
+    # one untimed execution first: the probe's own codegen compile and
+    # JIT state must not masquerade as drift (r10 run 1 measured
+    # cal_start 0.506 vs cal_end 0.163 purely from cold-start bias)
+    probe.write.format("noop").mode("overwrite").save()
     best = None
     for _ in range(3):
         t0 = time.perf_counter()

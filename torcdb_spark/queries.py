@@ -753,7 +753,7 @@ DRIVER_PRIORITY: list[str] = [
 
 # Head entries that ship WITHOUT a DuckDB oracle by documented design (the
 # driver records a rows/schema-only row for these; every one is exact-
-# tested in pytest against a pure-Python/numpy replay, and nearly all have
+# tested in pytest against a pure-Python/numpy replay, and ALL have
 # a driver-hashed structural twin — see README).  test_docs_counts pins
 # every other head entry to an exact oracle.
 HEAD_ROWS_ONLY: frozenset[str] = frozenset({
