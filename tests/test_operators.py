@@ -1280,6 +1280,96 @@ def test_webp_lossy_info():
         webp_lossy_info(b"not webp")
 
 
+def test_lossy_census_roundtrip_property():
+    """Property test over the three structural censuses: for ANY valid
+    parameter combination, synth → census recovers exactly the
+    parameters and the closed-form totals (lengths per ISO 11172-3 /
+    13818-7 / RFC 6386), including with random trailing garbage that
+    must stop the walk without corrupting the counts."""
+    from hypothesis import given, settings, strategies as st
+
+    from torcdb_spark.operators.multimodal import (
+        _ADTS_RATES,
+        _MP3_BITRATES,
+        _MP3_SAMPLERATES,
+        aac_adts_census,
+        encode_adts_stream,
+        encode_mp3_stream,
+        mp3_frame_census,
+    )
+    from torcdb_spark.operators.webp import (
+        encode_webp_lossy_stub,
+        webp_lossy_info,
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        nf=st.integers(1, 9),
+        bri=st.integers(1, 14),
+        sri=st.integers(0, 2),
+        version=st.sampled_from([1, 2, 25]),
+        layer=st.integers(1, 3),
+        id3=st.integers(0, 200),
+        pad=st.integers(0, 1),
+        junk=st.binary(max_size=3),
+    )
+    def check_mp3(nf, bri, sri, version, layer, id3, pad, junk):
+        data = encode_mp3_stream(nf, bri, sri, version, layer, id3, pad)
+        c = mp3_frame_census(data + junk)
+        vg = 1 if version == 1 else 2
+        kbps = _MP3_BITRATES[(vg, layer)][bri]
+        sr = _MP3_SAMPLERATES[version][sri]
+        if layer == 1:
+            flen, spf = (12000 * kbps // sr + pad) * 4, 384
+        else:
+            factor = 144 if (layer == 2 or version == 1) else 72
+            flen = factor * 1000 * kbps // sr + pad
+            spf = 1152 if (layer == 2 or version == 1) else 576
+        # trailing junk may only ADD frames if it happens to be a valid
+        # same-stream header — with <=3 junk bytes it can't complete one
+        assert c["n_frames"] == nf
+        assert c["bitrate_kbps"] == kbps and c["sample_rate"] == sr
+        assert c["total_bytes"] == (10 + id3 if id3 else 0) + nf * flen
+        assert c["duration_ms"] == nf * spf * 1000 // sr
+
+    check_mp3()
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        nf=st.integers(1, 6),
+        profile=st.integers(0, 3),
+        sri=st.integers(0, 12),
+        ch=st.integers(1, 7),
+        body=st.integers(0, 300),
+        junk=st.binary(max_size=5),
+    )
+    def check_adts(nf, profile, sri, ch, body, junk):
+        data = encode_adts_stream(nf, profile, sri, ch, body)
+        c = aac_adts_census(data + junk)
+        assert c["n_frames"] == nf and c["profile"] == profile
+        assert c["sample_rate"] == _ADTS_RATES[sri] and c["channels"] == ch
+        assert c["total_bytes"] == nf * (7 + body)
+        assert c["duration_ms"] == nf * 1024 * 1000 // _ADTS_RATES[sri]
+
+    check_adts()
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        w=st.integers(1, 16383),
+        h=st.integers(1, 16383),
+        version=st.integers(0, 7),
+        fill=st.integers(0, 100),
+    )
+    def check_vp8(w, h, version, fill):
+        info = webp_lossy_info(encode_webp_lossy_stub(w, h, version, fill))
+        assert info["width"] == w and info["height"] == h
+        assert info["version"] == version
+        assert info["first_part_size"] == 16 + fill
+        assert info["vp8_bytes"] == 26 + fill
+
+    check_vp8()
+
+
 def test_range_join_equals_naive_join_property(spark):
     """Property test: the bin-bucketed range join produces EXACTLY the
     rows of the naive BETWEEN join for randomized points/intervals across
