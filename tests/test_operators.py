@@ -1370,6 +1370,77 @@ def test_lossy_census_roundtrip_property():
     check_vp8()
 
 
+def test_mp4_box_census():
+    """ISO-BMFF box walk against hand-computed 14496-12 arithmetic:
+    nested box recursion, mvhd v0/v1 timescale offsets, tkhd 16.16
+    dimensions, handler-type track classification, largesize and
+    size==0 forms, and the ValueError contracts."""
+    import pytest as _pytest
+
+    from torcdb_spark.operators.multimodal import (
+        encode_mp4_stub,
+        mp4_box_census,
+    )
+
+    c = mp4_box_census(encode_mp4_stub(1000, 5000, 1, 2, 1280, 720, 40))
+    assert c["major_brand"] == "isom"
+    assert c["timescale"] == 1000 and c["duration"] == 5000
+    assert c["duration_ms"] == 5000
+    assert c["n_tracks"] == 3 and c["n_video"] == 1 and c["n_audio"] == 2
+    assert c["width"] == 1280 and c["height"] == 720
+    assert c["total_bytes"] == 148 + 173 * 3 + 40
+
+    # no video track: dims stay None, duration still floor-divides
+    c0 = mp4_box_census(encode_mp4_stub(600, 1001, 0, 1))
+    assert c0["n_video"] == 0 and c0["width"] is None
+    assert c0["duration_ms"] == 1001 * 1000 // 600
+
+    # 64-bit largesize form on the mdat box
+    raw = bytearray(encode_mp4_stub(1000, 100, 1, 0, 32, 16, 8))
+    mdat_at = raw.rindex(b"mdat") - 4
+    body = raw[mdat_at + 8 :]
+    large = (
+        (1).to_bytes(4, "big") + b"mdat"
+        + (16 + len(body)).to_bytes(8, "big") + body
+    )
+    cl = mp4_box_census(bytes(raw[:mdat_at]) + large)
+    assert cl["n_tracks"] == 1
+    assert cl["total_bytes"] == mdat_at + len(large)
+
+    # size==0 (extends to EOF) on the final box
+    zero = bytearray(raw)
+    zero[mdat_at : mdat_at + 4] = (0).to_bytes(4, "big")
+    assert mp4_box_census(bytes(zero))["n_tracks"] == 1
+
+    # mvhd version 1 (64-bit times) parses at the shifted offsets
+    v1 = bytearray(encode_mp4_stub(1000, 7, 0, 0))
+    mvhd_at = v1.index(b"mvhd")
+    v1_body = (
+        bytes([1, 0, 0, 0]) + bytes(16)
+        + (250).to_bytes(4, "big") + (1000).to_bytes(8, "big")
+        + v1[mvhd_at + 4 + 4 + 8 + 4 + 4 :  mvhd_at + 4 + 100]
+    )
+    new_mvhd = (8 + len(v1_body)).to_bytes(4, "big") + b"mvhd" + v1_body
+    old_len = 108
+    moov_at = v1.index(b"moov") - 4
+    old_moov_size = int.from_bytes(v1[moov_at : moov_at + 4], "big")
+    rebuilt = (
+        bytes(v1[: moov_at])
+        + (old_moov_size - old_len + len(new_mvhd) + 8 - 8).to_bytes(4, "big")
+        + b"moov" + new_mvhd
+        + bytes(v1[moov_at + 8 + old_len : ])
+    )
+    cv1 = mp4_box_census(rebuilt)
+    assert cv1["timescale"] == 250 and cv1["duration"] == 1000
+    assert cv1["duration_ms"] == 4000
+
+    with _pytest.raises(ValueError):
+        mp4_box_census(b"not an mp4 at all!!")
+    with _pytest.raises(ValueError):  # box overruns payload
+        trunc = encode_mp4_stub(1000, 100, 1, 0)
+        mp4_box_census(trunc[: len(trunc) - 20])
+
+
 def test_range_join_equals_naive_join_property(spark):
     """Property test: the bin-bucketed range join produces EXACTLY the
     rows of the naive BETWEEN join for randomized points/intervals across

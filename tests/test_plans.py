@@ -923,3 +923,16 @@ def test_lossy_censuses_two_python_stages_no_shuffle(spark, sf_dir):
         assert plan.count("ArrowEvalPython") == 1, name
         assert "Exchange" not in plan, name
         assert "CartesianProduct" not in plan, name
+
+
+def test_mp4_census_two_python_stages_no_shuffle(spark, sf_dir):
+    """m17 mirrors the census shape: synth (pandas_udf) → box walk
+    (mapInPandas) over a single documents scan — no join, no exchange."""
+    from torcdb_spark.queries import queries
+
+    plan = explain_str(queries()["m17_mp4_box_census"](spark, sf_dir),
+                       "simple")
+    assert plan.count("MapInPandas") == 1
+    assert plan.count("ArrowEvalPython") == 1
+    assert "Exchange" not in plan
+    assert "CartesianProduct" not in plan

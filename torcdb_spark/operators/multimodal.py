@@ -1581,6 +1581,247 @@ def mp3_synth_udf():
     return synth
 
 
+# ---------------------------------------------------------------------------
+# MP4 / ISO-BMFF: structural box walk (ISO/IEC 14496-12). Same on-ramp
+# contract as the MP3/ADTS/VP8 censuses: the container structure —
+# movie timescale/duration, per-track dimensions and handler types —
+# parses without any codec; sample decode stays out of scope.
+# ---------------------------------------------------------------------------
+
+
+def mp4_box_census(payload: bytes) -> dict:
+    """Walk an ISO-BMFF (MP4/MOV) box tree → structural metadata:
+    ``{major_brand, timescale, duration, duration_ms, n_tracks,
+    n_video, n_audio, width, height, total_bytes}`` (width/height from
+    the FIRST video track's tkhd 16.16 fixed-point fields; box sizes
+    honor the 64-bit largesize form and size==0 extends-to-EOF).
+    Raises ValueError when the payload is not BMFF (no ftyp/moov) or a
+    box overruns the payload."""
+    if payload is None or len(payload) < 16:
+        raise ValueError("empty or truncated MP4 payload")
+
+    def boxes(buf, start, end):
+        pos = start
+        while pos + 8 <= end:
+            size = int.from_bytes(buf[pos : pos + 4], "big")
+            btype = buf[pos + 4 : pos + 8]
+            body = pos + 8
+            if size == 1:
+                if pos + 16 > end:
+                    raise ValueError("truncated largesize box header")
+                size = int.from_bytes(buf[pos + 8 : pos + 16], "big")
+                body = pos + 16
+            elif size == 0:  # extends to end of enclosing scope
+                size = end - pos
+            if size < body - pos or pos + size > end:
+                raise ValueError("MP4 box overruns payload")
+            yield btype, body, pos + size
+            pos += size
+
+    major = None
+    timescale = None
+    duration = None
+    n_tracks = n_video = n_audio = 0
+    width = height = None
+    for btype, body, bend in boxes(payload, 0, len(payload)):
+        if btype == b"ftyp":
+            major = payload[body : body + 4].decode("latin-1")
+        elif btype == b"moov":
+            for t2, b2, e2 in boxes(payload, body, bend):
+                if t2 == b"mvhd":
+                    ver = payload[b2]
+                    if ver == 1:
+                        timescale = int.from_bytes(
+                            payload[b2 + 20 : b2 + 24], "big")
+                        duration = int.from_bytes(
+                            payload[b2 + 24 : b2 + 32], "big")
+                    else:
+                        timescale = int.from_bytes(
+                            payload[b2 + 12 : b2 + 16], "big")
+                        duration = int.from_bytes(
+                            payload[b2 + 16 : b2 + 20], "big")
+                elif t2 == b"trak":
+                    n_tracks += 1
+                    tw = th = None
+                    handler = None
+                    for t3, b3, e3 in boxes(payload, b2, e2):
+                        if t3 == b"tkhd":
+                            ver = payload[b3]
+                            off = b3 + (32 if ver == 0 else 44)
+                            # 8 reserved/layer/group/volume bytes + 36
+                            # matrix bytes precede width/height
+                            wh = off + 8 + 36 + 4
+                            tw = int.from_bytes(
+                                payload[wh - 4 : wh - 2], "big")
+                            th = int.from_bytes(
+                                payload[wh : wh + 2], "big")
+                        elif t3 == b"mdia":
+                            for t4, b4, _e4 in boxes(payload, b3, e3):
+                                if t4 == b"hdlr":
+                                    handler = payload[b4 + 8 : b4 + 12]
+                    if handler == b"vide":
+                        n_video += 1
+                        if width is None:
+                            width, height = tw, th
+                    elif handler == b"soun":
+                        n_audio += 1
+    if major is None or timescale is None:
+        raise ValueError("not an ISO-BMFF payload (ftyp/moov missing)")
+    return {
+        "major_brand": major,
+        "timescale": timescale,
+        "duration": duration,
+        "duration_ms": (duration or 0) * 1000 // timescale
+        if timescale else 0,
+        "n_tracks": n_tracks,
+        "n_video": n_video,
+        "n_audio": n_audio,
+        "width": width,
+        "height": height,
+        "total_bytes": len(payload),
+    }
+
+
+def encode_mp4_stub(
+    timescale: int = 1000,
+    duration: int = 5000,
+    n_video: int = 1,
+    n_audio: int = 1,
+    width: int = 640,
+    height: int = 360,
+    mdat_bytes: int = 32,
+) -> bytes:
+    """Structurally valid ISO-BMFF writer (ftyp + moov(mvhd + trak
+    (tkhd + mdia(mdhd + hdlr))) + mdat, zero-filled samples) — fixture
+    synthesis for :func:`mp4_box_census`; no decodable media by
+    design."""
+
+    def box(btype: bytes, body: bytes) -> bytes:
+        return (8 + len(body)).to_bytes(4, "big") + btype + body
+
+    ftyp = box(b"ftyp", b"isom" + (512).to_bytes(4, "big") + b"isomiso2")
+    mvhd = box(
+        b"mvhd",
+        bytes(4)  # version 0 + flags
+        + bytes(8)  # creation/modification
+        + timescale.to_bytes(4, "big")
+        + duration.to_bytes(4, "big")
+        + (0x00010000).to_bytes(4, "big")  # rate 1.0
+        + (0x0100).to_bytes(2, "big")  # volume 1.0
+        + bytes(10)  # reserved
+        + b"".join(
+            v.to_bytes(4, "big")
+            for v in (0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        )
+        + bytes(24)  # predefined
+        + (n_video + n_audio + 1).to_bytes(4, "big"),  # next track id
+    )
+    traks = []
+    for i in range(n_video + n_audio):
+        vid = i < n_video
+        tkhd = box(
+            b"tkhd",
+            bytes([0, 0, 0, 7])  # version 0, enabled|in_movie|in_preview
+            + bytes(8)
+            + (i + 1).to_bytes(4, "big")  # track id
+            + bytes(4)
+            + duration.to_bytes(4, "big")
+            + bytes(8)  # reserved
+            + bytes(8)  # layer/group/volume/reserved
+            + b"".join(
+                v.to_bytes(4, "big")
+                for v in (0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+            )
+            + ((width if vid else 0) << 16).to_bytes(4, "big")
+            + ((height if vid else 0) << 16).to_bytes(4, "big"),
+        )
+        mdhd = box(
+            b"mdhd",
+            bytes(4) + bytes(8) + timescale.to_bytes(4, "big")
+            + duration.to_bytes(4, "big")
+            + (0x55C4).to_bytes(2, "big")  # language 'und'
+            + bytes(2),
+        )
+        hdlr = box(
+            b"hdlr",
+            bytes(4) + bytes(4)
+            + (b"vide" if vid else b"soun")
+            + bytes(12) + b"\x00",
+        )
+        traks.append(box(b"trak", tkhd + box(b"mdia", mdhd + hdlr)))
+    moov = box(b"moov", mvhd + b"".join(traks))
+    mdat = box(b"mdat", bytes(mdat_bytes))
+    return ftyp + moov + mdat
+
+
+def mp4_census(media: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Arrow-batched :func:`mp4_box_census` over opaque BMFF payloads —
+    same mapInPandas shape and skip-malformed contract as mp3_census."""
+    import pandas as pd  # noqa: F401
+
+    schema = (
+        "media_id long, n_tracks long, n_video long, n_audio long, "
+        "width long, height long, duration_ms long, total_bytes long"
+    )
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = {
+                "media_id": [], "n_tracks": [], "n_video": [],
+                "n_audio": [], "width": [], "height": [],
+                "duration_ms": [], "total_bytes": [],
+            }
+            for mid, payload in zip(pdf["media_id"], pdf[payload_col]):
+                try:
+                    c = mp4_box_census(bytes(payload))
+                except ValueError:
+                    continue
+                out["media_id"].append(mid)
+                out["n_tracks"].append(c["n_tracks"])
+                out["n_video"].append(c["n_video"])
+                out["n_audio"].append(c["n_audio"])
+                out["width"].append(c["width"] or 0)
+                out["height"].append(c["height"] or 0)
+                out["duration_ms"].append(c["duration_ms"])
+                out["total_bytes"].append(c["total_bytes"])
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(kernel, schema=schema)
+
+
+def mp4_synth_udf():
+    """pandas_udf building structurally valid MP4 containers from
+    per-row parameter columns via :func:`encode_mp4_stub` (see
+    mp3_synth_udf for the pandas-import note)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def synth(
+        timescale: pd.Series,
+        duration: pd.Series,
+        n_video: pd.Series,
+        n_audio: pd.Series,
+        width: pd.Series,
+        height: pd.Series,
+        mdat_bytes: pd.Series,
+    ) -> pd.Series:
+        return pd.Series(
+            [
+                encode_mp4_stub(
+                    int(t), int(d), int(nv), int(na), int(w), int(h), int(m)
+                )
+                for t, d, nv, na, w, h, m in zip(
+                    timescale, duration, n_video, n_audio, width, height,
+                    mdat_bytes,
+                )
+            ]
+        )
+
+    return synth
+
+
 def adts_synth_udf():
     """pandas_udf building structurally valid ADTS streams from per-row
     parameter columns via :func:`encode_adts_stream` (see

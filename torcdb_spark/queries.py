@@ -650,9 +650,9 @@ def x_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ROTATION_BASIS_ROUND to the round the driver just recorded, re-run the
 # test, and paste the list it expects.
 #
-# ROUND-10 HEAD under that policy = the 4 never-checked round-10 additions
-# (m14/m15/m16 lossy-format censuses, m1b media-features exact twin),
-# then the stalest
+# ROUND-10 HEAD under that policy = the 5 never-checked round-10 additions
+# (m14/m15/m16/m17 lossy-format + container censuses, m1b media-features
+# exact twin), then the stalest
 # driver signals: the round-3 block (q_running_total through
 # zo1_zorder_cells, last checked 7 rounds ago) and the oldest of the
 # round-5 block — which happens to sweep in the r9 watch-list cluster
@@ -694,10 +694,11 @@ def staleness_head(n: int = 50, basis: int | None = None) -> list[str]:
 
 
 DRIVER_PRIORITY: list[str] = [
-    # -- never driver-checked: the four round-10 additions --
+    # -- never driver-checked: the five round-10 additions --
     "m14_mp3_frame_census",
     "m15_aac_adts_census",
     "m16_webp_lossy_dims",
+    "m17_mp4_box_census",
     "m1b_media_features_exact",
     # -- oldest driver signal: last checked round 3 --
     "q_running_total",
@@ -748,7 +749,6 @@ DRIVER_PRIORITY: list[str] = [
     "dc1_benchmark_decontam",
     "dq1_constraint_audit",
     "dr1_distribution_drift",
-    "e10_mmr_rerank",
 ]
 
 # Head entries that ship WITHOUT a DuckDB oracle by documented design (the
@@ -13016,3 +13016,57 @@ def m16_webp_lossy_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("payload"),
     )
     return webp_lossy_census(media)
+
+
+@_register(
+    "m17_mp4_box_census",
+    """WITH params AS (
+         SELECT doc_id,
+                CAST(600 + (doc_id % 5) * 100 AS BIGINT) AS ts,
+                CAST(length(text) * 37 AS BIGINT) AS dur,
+                CAST(doc_id % 2 AS BIGINT) AS nv,
+                CAST(doc_id % 3 AS BIGINT) AS na,
+                CAST(160 + (doc_id % 8) * 80 AS BIGINT) AS w,
+                CAST(90 + (length(text) % 6) * 90 AS BIGINT) AS h,
+                CAST(16 + doc_id % 64 AS BIGINT) AS mdat
+         FROM documents)
+       SELECT doc_id AS media_id,
+              nv + na AS n_tracks,
+              nv AS n_video,
+              na AS n_audio,
+              CASE WHEN nv > 0 THEN w ELSE 0 END AS width,
+              CASE WHEN nv > 0 THEN h ELSE 0 END AS height,
+              CAST(dur * 1000 // ts AS BIGINT) AS duration_ms,
+              CAST(148 + 173 * (nv + na) + mdat AS BIGINT) AS total_bytes
+       FROM params""",
+)
+def m17_mp4_box_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ISO-BMFF (MP4) structural census — the video-container on-ramp
+    completing the lossy family (m14 MP3, m15 ADTS, m16 VP8): walk the
+    box tree of per-document synthesized containers (ftyp + moov(mvhd +
+    n traks(tkhd + mdia(mdhd + hdlr))) + mdat, ISO/IEC 14496-12) for
+    movie duration, track counts by handler type, and the first video
+    track's 16.16 fixed-point dimensions
+    (operators/multimodal.py mp4_box_census via Arrow-batched
+    mapInPandas).  The oracle replays the closed-form box-size
+    arithmetic (trak = 173 bytes at this layout) and the
+    floor-division duration from the same fixture columns; sample
+    decode is out of scope by the same contract as the other
+    censuses."""
+    from torcdb_spark.operators.multimodal import mp4_census, mp4_synth_udf
+
+    docs = load_table(spark, sf_dir, "documents")
+    synth = mp4_synth_udf()
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        synth(
+            (F.lit(600) + (F.col("doc_id") % 5) * 100).cast("int"),
+            (F.length("text") * 37).cast("int"),
+            (F.col("doc_id") % 2).cast("int"),
+            (F.col("doc_id") % 3).cast("int"),
+            (F.lit(160) + (F.col("doc_id") % 8) * 80).cast("int"),
+            (F.lit(90) + (F.length("text") % 6) * 90).cast("int"),
+            (F.lit(16) + F.col("doc_id") % 64).cast("int"),
+        ).alias("payload"),
+    )
+    return mp4_census(media)
