@@ -1441,6 +1441,53 @@ def test_mp4_box_census():
         mp4_box_census(trunc[: len(trunc) - 20])
 
 
+def test_flac_streaminfo_census():
+    """FLAC metadata-chain walk against the 20/3/5/36-bit STREAMINFO
+    packing (RFC 9639): field extraction at the extremes, PADDING-block
+    chaining with the last-block flag, floor-division duration, and the
+    ValueError contracts."""
+    import pytest as _pytest
+
+    from torcdb_spark.operators.multimodal import (
+        encode_flac_stub,
+        flac_streaminfo_census,
+    )
+
+    c = flac_streaminfo_census(
+        encode_flac_stub(16000, 1, 16, 160000, padding=0, frame_bytes=20)
+    )
+    assert c["sample_rate"] == 16000 and c["channels"] == 1
+    assert c["bits_per_sample"] == 16
+    assert c["total_samples"] == 160000 and c["duration_ms"] == 10000
+    assert c["n_metadata_blocks"] == 1
+    assert c["total_bytes"] == 4 + 4 + 34 + 20
+
+    # padding block joins the chain; last-flag moves to it
+    cp = flac_streaminfo_census(
+        encode_flac_stub(44100, 2, 24, 44101, padding=7, frame_bytes=0)
+    )
+    assert cp["n_metadata_blocks"] == 2
+    assert cp["duration_ms"] == 44101 * 1000 // 44100
+    assert cp["total_bytes"] == 4 + 38 + 4 + 7
+
+    # bit-field extremes: 8-channel 32-bit at a 2^20-1 rate, 36-bit count
+    ce = flac_streaminfo_census(
+        encode_flac_stub((1 << 20) - 1, 8, 32, (1 << 36) - 1)
+    )
+    assert ce["sample_rate"] == (1 << 20) - 1
+    assert ce["channels"] == 8 and ce["bits_per_sample"] == 32
+    assert ce["total_samples"] == (1 << 36) - 1
+
+    for bad in (b"", b"fLaC", b"not flac at all" * 4,
+                encode_flac_stub()[:30]):
+        with _pytest.raises(ValueError):
+            flac_streaminfo_census(bad)
+    # a chain whose only block is PADDING (no STREAMINFO) is invalid
+    no_si = b"fLaC" + bytes([0x81]) + (4).to_bytes(3, "big") + bytes(4)
+    with _pytest.raises(ValueError):
+        flac_streaminfo_census(no_si + bytes(8))
+
+
 def test_range_join_equals_naive_join_property(spark):
     """Property test: the bin-bucketed range join produces EXACTLY the
     rows of the naive BETWEEN join for randomized points/intervals across

@@ -936,3 +936,16 @@ def test_mp4_census_two_python_stages_no_shuffle(spark, sf_dir):
     assert plan.count("ArrowEvalPython") == 1
     assert "Exchange" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_flac_census_two_python_stages_no_shuffle(spark, sf_dir):
+    """m18 mirrors the census shape: synth (pandas_udf) → STREAMINFO
+    walk (mapInPandas) over a single documents scan — no exchange."""
+    from torcdb_spark.queries import queries
+
+    plan = explain_str(queries()["m18_flac_streaminfo"](spark, sf_dir),
+                       "simple")
+    assert plan.count("MapInPandas") == 1
+    assert plan.count("ArrowEvalPython") == 1
+    assert "Exchange" not in plan
+    assert "CartesianProduct" not in plan

@@ -1791,6 +1791,157 @@ def mp4_census(media: DataFrame, payload_col: str = "payload") -> DataFrame:
     return media.mapInPandas(kernel, schema=schema)
 
 
+def flac_streaminfo_census(payload: bytes) -> dict:
+    """Parse a FLAC container's metadata-block chain and its mandatory
+    STREAMINFO block (the format's public spec / RFC 9639): →
+    ``{sample_rate, channels, bits_per_sample, total_samples,
+    duration_ms, n_metadata_blocks, total_bytes}``.  Speech corpora
+    (LibriSpeech-style) ship FLAC; the header census gives the
+    pipeline duration/channel metadata without a codec — frame decode
+    stays out of scope like the other lossy/lossless-compressed
+    censuses.  Raises ValueError on non-FLAC payloads, a missing or
+    short STREAMINFO, or a block overrunning the payload."""
+    if payload is None or len(payload) < 42 or payload[:4] != b"fLaC":
+        raise ValueError("not a FLAC payload")
+    pos = 4
+    n_blocks = 0
+    info = None
+    while pos + 4 <= len(payload):
+        hdr = payload[pos]
+        btype = hdr & 0x7F
+        size = int.from_bytes(payload[pos + 1 : pos + 4], "big")
+        body = pos + 4
+        if body + size > len(payload):
+            raise ValueError("FLAC metadata block overruns payload")
+        n_blocks += 1
+        if btype == 0:  # STREAMINFO
+            if size < 34:
+                raise ValueError("short STREAMINFO block")
+            b = payload[body : body + 34]
+            packed = int.from_bytes(b[10:18], "big")
+            info = {
+                "sample_rate": packed >> 44,
+                "channels": ((packed >> 41) & 0x7) + 1,
+                "bits_per_sample": ((packed >> 36) & 0x1F) + 1,
+                "total_samples": packed & ((1 << 36) - 1),
+            }
+        pos = body + size
+        if hdr & 0x80:  # last-metadata-block flag
+            break
+    if info is None:
+        raise ValueError("FLAC stream has no STREAMINFO block")
+    if not info["sample_rate"]:
+        raise ValueError("STREAMINFO sample rate is zero")
+    info["duration_ms"] = (
+        info["total_samples"] * 1000 // info["sample_rate"]
+    )
+    info["n_metadata_blocks"] = n_blocks
+    info["total_bytes"] = len(payload)
+    return info
+
+
+def encode_flac_stub(
+    sample_rate: int = 16000,
+    channels: int = 1,
+    bits: int = 16,
+    total_samples: int = 16000,
+    padding: int = 0,
+    frame_bytes: int = 64,
+) -> bytes:
+    """Structurally valid FLAC writer (fLaC magic + STREAMINFO +
+    optional PADDING block + zero-fill frame section) — fixture
+    synthesis for :func:`flac_streaminfo_census`; no decodable audio
+    by design."""
+    if not 1 <= channels <= 8 or not 4 <= bits <= 32:
+        raise ValueError("bad channels/bits")
+    if total_samples >= 1 << 36 or sample_rate >= 1 << 20:
+        raise ValueError("field overflow")
+    packed = (
+        (sample_rate << 44)
+        | ((channels - 1) << 41)
+        | ((bits - 1) << 36)
+        | total_samples
+    )
+    streaminfo = (
+        (4096).to_bytes(2, "big") * 2  # min/max blocksize
+        + bytes(6)  # min/max framesize unknown
+        + packed.to_bytes(8, "big")
+        + bytes(16)  # md5 unset
+    )
+    last = 0x80 if padding == 0 else 0
+    out = b"fLaC" + bytes([last]) + len(streaminfo).to_bytes(3, "big")
+    out += streaminfo
+    if padding:
+        out += bytes([0x81]) + padding.to_bytes(3, "big") + bytes(padding)
+    return out + bytes(frame_bytes)
+
+
+def flac_census(media: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Arrow-batched :func:`flac_streaminfo_census` over opaque FLAC
+    payloads — same mapInPandas shape and skip-malformed contract as
+    the other censuses."""
+    import pandas as pd  # noqa: F401
+
+    schema = (
+        "media_id long, sample_rate long, channels long, "
+        "bits_per_sample long, total_samples long, duration_ms long, "
+        "n_metadata_blocks long, total_bytes long"
+    )
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = {
+                "media_id": [], "sample_rate": [], "channels": [],
+                "bits_per_sample": [], "total_samples": [],
+                "duration_ms": [], "n_metadata_blocks": [],
+                "total_bytes": [],
+            }
+            for mid, payload in zip(pdf["media_id"], pdf[payload_col]):
+                try:
+                    c = flac_streaminfo_census(bytes(payload))
+                except ValueError:
+                    continue
+                out["media_id"].append(mid)
+                for k in ("sample_rate", "channels", "bits_per_sample",
+                          "total_samples", "duration_ms",
+                          "n_metadata_blocks", "total_bytes"):
+                    out[k].append(c[k])
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(kernel, schema=schema)
+
+
+def flac_synth_udf():
+    """pandas_udf building structurally valid FLAC containers from
+    per-row parameter columns via :func:`encode_flac_stub`."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def synth(
+        sample_rate: pd.Series,
+        channels: pd.Series,
+        bits: pd.Series,
+        total_samples: pd.Series,
+        padding: pd.Series,
+        frame_bytes: pd.Series,
+    ) -> pd.Series:
+        return pd.Series(
+            [
+                encode_flac_stub(
+                    int(sr), int(ch), int(b), int(ts), int(p), int(fb)
+                )
+                for sr, ch, b, ts, p, fb in zip(
+                    sample_rate, channels, bits, total_samples, padding,
+                    frame_bytes,
+                )
+            ]
+        )
+
+    return synth
+
+
 def mp4_synth_udf():
     """pandas_udf building structurally valid MP4 containers from
     per-row parameter columns via :func:`encode_mp4_stub` (see

@@ -650,9 +650,9 @@ def x_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ROTATION_BASIS_ROUND to the round the driver just recorded, re-run the
 # test, and paste the list it expects.
 #
-# ROUND-10 HEAD under that policy = the 5 never-checked round-10 additions
-# (m14/m15/m16/m17 lossy-format + container censuses, m1b media-features
-# exact twin), then the stalest
+# ROUND-10 HEAD under that policy = the 6 never-checked round-10 additions
+# (m14/m15/m16/m17/m18 lossy-format + container censuses, m1b
+# media-features exact twin), then the stalest
 # driver signals: the round-3 block (q_running_total through
 # zo1_zorder_cells, last checked 7 rounds ago) and the oldest of the
 # round-5 block — which happens to sweep in the r9 watch-list cluster
@@ -699,6 +699,7 @@ DRIVER_PRIORITY: list[str] = [
     "m15_aac_adts_census",
     "m16_webp_lossy_dims",
     "m17_mp4_box_census",
+    "m18_flac_streaminfo",
     "m1b_media_features_exact",
     # -- oldest driver signal: last checked round 3 --
     "q_running_total",
@@ -748,7 +749,6 @@ DRIVER_PRIORITY: list[str] = [
     "d24_span_scrub",
     "dc1_benchmark_decontam",
     "dq1_constraint_audit",
-    "dr1_distribution_drift",
 ]
 
 # Head entries that ship WITHOUT a DuckDB oracle by documented design (the
@@ -13070,3 +13070,66 @@ def m17_mp4_box_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("payload"),
     )
     return mp4_census(media)
+
+
+@_register(
+    "m18_flac_streaminfo",
+    """WITH params AS (
+         SELECT doc_id,
+                CAST(list_extract([8000,16000,22050,44100,48000],
+                                  CAST(doc_id % 5 AS INT) + 1)
+                     AS BIGINT) AS sr,
+                CAST(1 + doc_id % 2 AS BIGINT) AS ch,
+                CAST(CASE WHEN doc_id % 3 = 0 THEN 16
+                          WHEN doc_id % 3 = 1 THEN 24 ELSE 8 END
+                     AS BIGINT) AS bits,
+                CAST(length(text) AS BIGINT) * 997 AS ts,
+                CAST((doc_id % 4) * 11 AS BIGINT) AS pad,
+                CAST(32 + length(text) % 50 AS BIGINT) AS fb
+         FROM documents)
+       SELECT doc_id AS media_id,
+              sr AS sample_rate,
+              ch AS channels,
+              bits AS bits_per_sample,
+              ts AS total_samples,
+              CAST(ts * 1000 // sr AS BIGINT) AS duration_ms,
+              CAST(CASE WHEN pad = 0 THEN 1 ELSE 2 END
+                   AS BIGINT) AS n_metadata_blocks,
+              CAST(4 + 4 + 34
+                   + CASE WHEN pad = 0 THEN 0 ELSE 4 + pad END + fb
+                   AS BIGINT) AS total_bytes
+       FROM params""",
+)
+def m18_flac_streaminfo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAC STREAMINFO census (RFC 9639) — the lossless-audio container
+    walked structurally like the other censuses: per-document
+    synthesized streams (fixture-derived rate/channels/bit-depth/sample
+    count, optional PADDING block exercising the metadata chain) parsed
+    by operators/multimodal.py flac_streaminfo_census via Arrow-batched
+    mapInPandas — the 20/3/5/36-bit packed STREAMINFO fields and the
+    last-metadata-block walk.  The oracle replays the bit-field inputs
+    and the closed-form block-size arithmetic; frame decode stays out
+    of scope by the same contract as the other compressed formats."""
+    from torcdb_spark.operators.multimodal import flac_census, flac_synth_udf
+
+    docs = load_table(spark, sf_dir, "documents")
+    synth = flac_synth_udf()
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        synth(
+            F.element_at(
+                F.array(*[F.lit(v) for v in
+                          (8000, 16000, 22050, 44100, 48000)]),
+                (F.col("doc_id") % 5 + 1).cast("int"),
+            ).cast("int"),
+            (F.lit(1) + F.col("doc_id") % 2).cast("int"),
+            F.when(F.col("doc_id") % 3 == 0, 16)
+            .when(F.col("doc_id") % 3 == 1, 24)
+            .otherwise(8)
+            .cast("int"),
+            (F.length("text").cast("long") * 997).cast("long").cast("int"),
+            ((F.col("doc_id") % 4) * 11).cast("int"),
+            (F.lit(32) + F.length("text") % 50).cast("int"),
+        ).alias("payload"),
+    )
+    return flac_census(media)
