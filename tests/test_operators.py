@@ -1488,6 +1488,62 @@ def test_flac_streaminfo_census():
         flac_streaminfo_census(no_si + bytes(8))
 
 
+def test_id3v2_text_frames():
+    """ID3v2 tag walk against the id3.org layouts: v3 plain vs v4
+    syncsafe frame sizes, all four text encodings, NUL-terminator
+    stripping, padding stop, non-text frame skip, extended headers,
+    census interop (the MP3 walk skips the same tag), and the
+    ValueError contracts."""
+    import pytest as _pytest
+
+    from torcdb_spark.operators.multimodal import (
+        encode_id3v2,
+        encode_mp3_stream,
+        id3v2_text_frames,
+        mp3_frame_census,
+    )
+
+    frames = [("TIT2", "A Title", 0), ("TPE1", "Someone", 3)]
+    for ver in (3, 4):
+        tag = encode_id3v2(frames, version=ver, padding=13)
+        got = id3v2_text_frames(tag + b"trailing audio bytes")
+        assert got == [("TIT2", "A Title"), ("TPE1", "Someone")], ver
+
+    # every encoding round-trips, including non-latin text where legal
+    for enc, text in ((0, "caf\xe9"), (1, "ناب — ütf16"), (2, "✓ BE"),
+                      (3, "emoji 🙂")):
+        tag = encode_id3v2([("TALB", text, enc)])
+        assert id3v2_text_frames(tag) == [("TALB", text)], enc
+
+    # trailing NUL terminator is stripped; embedded text survives
+    tag = bytearray(encode_id3v2([("TCON", "Rock", 0)]))
+    tag[6:10] = bytes([(len(tag) - 10 + 1 >> s) & 0x7F
+                       for s in (21, 14, 7, 0)])
+    nul = bytes(tag) + b"\x00"
+    assert id3v2_text_frames(nul) == [("TCON", "Rock")]
+
+    # a non-text frame (PRIV) is skipped, following frames still parse
+    priv = b"PRIV" + (4).to_bytes(4, "big") + b"\x00\x00" + b"data"
+    t2 = encode_id3v2([("TIT2", "after", 0)])
+    body = priv + t2[10:]
+    size = bytes(((len(body) >> s) & 0x7F) for s in (21, 14, 7, 0))
+    mixed = b"ID3" + bytes([3, 0, 0]) + size + body
+    assert id3v2_text_frames(mixed) == [("TIT2", "after")]
+
+    # interop: mp3_frame_census skips the same tag
+    full = encode_id3v2(frames, version=4) + encode_mp3_stream(2, 9)
+    c = mp3_frame_census(full)
+    assert c["n_frames"] == 2 and c["id3v2_bytes"] == len(
+        encode_id3v2(frames, version=4)
+    )
+
+    assert id3v2_text_frames(b"no tag here") == []
+    with _pytest.raises(ValueError):  # frame overruns the tag
+        bad = bytearray(encode_id3v2([("TIT2", "x", 0)]))
+        bad[14] = 0x7F  # inflate the frame size
+        id3v2_text_frames(bytes(bad))
+
+
 def test_range_join_equals_naive_join_property(spark):
     """Property test: the bin-bucketed range join produces EXACTLY the
     rows of the naive BETWEEN join for randomized points/intervals across

@@ -949,3 +949,16 @@ def test_flac_census_two_python_stages_no_shuffle(spark, sf_dir):
     assert plan.count("ArrowEvalPython") == 1
     assert "Exchange" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_id3_tags_two_python_stages_no_shuffle(spark, sf_dir):
+    """m19 mirrors the census shape: tag synth (pandas_udf) → frame
+    walk (mapInPandas, one row per text frame) over a single documents
+    scan — no exchange."""
+    from torcdb_spark.queries import queries
+
+    plan = explain_str(queries()["m19_id3_tags"](spark, sf_dir), "simple")
+    assert plan.count("MapInPandas") == 1
+    assert plan.count("ArrowEvalPython") == 1
+    assert "Exchange" not in plan
+    assert "CartesianProduct" not in plan

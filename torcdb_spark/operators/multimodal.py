@@ -1551,6 +1551,164 @@ def aac_census(media: DataFrame, payload_col: str = "payload") -> DataFrame:
     return media.mapInPandas(kernel, schema=schema)
 
 
+def id3v2_text_frames(payload: bytes) -> list:
+    """Extract the TEXT frames of a leading ID3v2.3/2.4 tag →
+    ``[(frame_id, text), ...]`` in frame order (id3.org spec): 10-byte
+    header with syncsafe tag size, 10-byte frame headers (v4 syncsafe /
+    v3 plain frame sizes), 'T___' text frames decoded per their
+    encoding byte (0 latin-1, 1 utf-16 with BOM, 2 utf-16-be, 3 utf-8)
+    with the trailing NUL terminator stripped.  Non-text frames are
+    skipped structurally; returns [] when no ID3v2 tag leads the
+    payload; raises ValueError on a corrupt tag (bad syncsafe byte,
+    frame overruns the tag)."""
+    if payload is None or len(payload) < 10 or payload[:3] != b"ID3":
+        return []
+    ver = payload[3]
+    size = 0
+    for by in payload[6:10]:
+        if by & 0x80:
+            raise ValueError("bad ID3v2 syncsafe size")
+        size = (size << 7) | by
+    end = 10 + size
+    if end > len(payload):
+        raise ValueError("ID3v2 tag overruns payload")
+    pos = 10
+    if payload[5] & 0x40:  # extended header: skip by its own size field
+        ext = int.from_bytes(payload[10:14], "big")
+        if ver == 4:  # syncsafe in v4
+            ext = ((ext & 0x7F000000) >> 3 | (ext & 0x7F0000) >> 2
+                   | (ext & 0x7F00) >> 1 | (ext & 0x7F))
+            pos += ext
+        else:  # v3: size excludes the 4 size bytes
+            pos += 4 + ext
+    out = []
+    while pos + 10 <= end:
+        fid = payload[pos : pos + 4]
+        if fid == b"\x00\x00\x00\x00":  # padding reached
+            break
+        raw = int.from_bytes(payload[pos + 4 : pos + 8], "big")
+        if ver == 4:
+            if raw & 0x80808080:
+                raise ValueError("bad ID3v2.4 syncsafe frame size")
+            fsize = ((raw & 0x7F000000) >> 3 | (raw & 0x7F0000) >> 2
+                     | (raw & 0x7F00) >> 1 | (raw & 0x7F))
+        else:
+            fsize = raw
+        body = pos + 10
+        if body + fsize > end:
+            raise ValueError("ID3v2 frame overruns tag")
+        if fid[0:1] == b"T" and fsize >= 1:
+            enc = payload[body]
+            data = payload[body + 1 : body + fsize]
+            try:
+                if enc == 0:
+                    text = data.decode("latin-1")
+                elif enc == 1:
+                    text = data.decode("utf-16")
+                elif enc == 2:
+                    text = data.decode("utf-16-be")
+                elif enc == 3:
+                    text = data.decode("utf-8")
+                else:
+                    raise ValueError(f"bad ID3v2 text encoding {enc}")
+            except UnicodeDecodeError as exc:
+                raise ValueError(f"undecodable ID3v2 text frame: {exc}")
+            out.append((fid.decode("latin-1"), text.rstrip("\x00")))
+        pos = body + fsize
+    return out
+
+
+def encode_id3v2(frames, version: int = 4, padding: int = 0) -> bytes:
+    """ID3v2.3/2.4 tag writer for ``[(frame_id, text, encoding), ...]``
+    — fixture synthesis for :func:`id3v2_text_frames`; prepend the
+    result to an MP3 stream (mp3_frame_census skips it by the same
+    syncsafe arithmetic)."""
+    body = bytearray()
+    for fid, text, enc in frames:
+        if enc == 0:
+            data = text.encode("latin-1")
+        elif enc == 1:
+            data = text.encode("utf-16")  # emits the BOM
+        elif enc == 2:
+            data = text.encode("utf-16-be")
+        elif enc == 3:
+            data = text.encode("utf-8")
+        else:
+            raise ValueError(f"bad encoding {enc}")
+        payload = bytes([enc]) + data
+        n = len(payload)
+        if version == 4:
+            sz = bytes(((n >> s) & 0x7F) for s in (21, 14, 7, 0))
+        else:
+            sz = n.to_bytes(4, "big")
+        body += fid.encode("latin-1") + sz + b"\x00\x00" + payload
+    body += bytes(padding)
+    total = len(body)
+    if total >= 1 << 28:
+        raise ValueError("tag too large")
+    size = bytes(((total >> s) & 0x7F) for s in (21, 14, 7, 0))
+    return b"ID3" + bytes([version, 0, 0]) + size + bytes(body)
+
+
+def id3_tags(media: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Arrow-batched :func:`id3v2_text_frames` over opaque MP3
+    payloads, one row per text frame — the metadata-enrichment step a
+    crawl pipeline runs before audio decode (same mapInPandas shape
+    and skip-malformed contract as the censuses)."""
+    import pandas as pd  # noqa: F401
+
+    schema = "media_id long, frame_id string, value string"
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"media_id": [], "frame_id": [], "value": []}
+            for mid, payload in zip(pdf["media_id"], pdf[payload_col]):
+                try:
+                    frames = id3v2_text_frames(bytes(payload))
+                except ValueError:
+                    continue
+                for fid, text in frames:
+                    out["media_id"].append(mid)
+                    out["frame_id"].append(fid)
+                    out["value"].append(text)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(kernel, schema=schema)
+
+
+def id3_synth_udf():
+    """pandas_udf prepending a real ID3v2 tag (TIT2/TPE1/TALB text
+    frames, per-row encodings) to a structurally valid MP3 stream —
+    fixture synthesis for the id3_tags pipeline."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def synth(
+        title: pd.Series,
+        artist: pd.Series,
+        album: pd.Series,
+        encoding: pd.Series,
+        version: pd.Series,
+    ) -> pd.Series:
+        return pd.Series(
+            [
+                encode_id3v2(
+                    [("TIT2", t, int(e)), ("TPE1", a, int(e)),
+                     ("TALB", al, int(e))],
+                    version=int(v),
+                )
+                + encode_mp3_stream(1, 9, 0, 1, 3, 0)
+                for t, a, al, e, v in zip(
+                    title, artist, album, encoding, version
+                )
+            ]
+        )
+
+    return synth
+
+
 def mp3_synth_udf():
     """pandas_udf synthesizing structurally valid MP3 streams from
     per-row parameter columns via :func:`encode_mp3_stream` — the

@@ -650,9 +650,9 @@ def x_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ROTATION_BASIS_ROUND to the round the driver just recorded, re-run the
 # test, and paste the list it expects.
 #
-# ROUND-10 HEAD under that policy = the 6 never-checked round-10 additions
-# (m14/m15/m16/m17/m18 lossy-format + container censuses, m1b
-# media-features exact twin), then the stalest
+# ROUND-10 HEAD under that policy = the 7 never-checked round-10 additions
+# (m14/m15/m16/m17/m18 lossy-format + container censuses, m19 ID3v2 tag
+# extraction, m1b media-features exact twin), then the stalest
 # driver signals: the round-3 block (q_running_total through
 # zo1_zorder_cells, last checked 7 rounds ago) and the oldest of the
 # round-5 block — which happens to sweep in the r9 watch-list cluster
@@ -700,6 +700,7 @@ DRIVER_PRIORITY: list[str] = [
     "m16_webp_lossy_dims",
     "m17_mp4_box_census",
     "m18_flac_streaminfo",
+    "m19_id3_tags",
     "m1b_media_features_exact",
     # -- oldest driver signal: last checked round 3 --
     "q_running_total",
@@ -748,7 +749,6 @@ DRIVER_PRIORITY: list[str] = [
     "d23_kneser_ney",
     "d24_span_scrub",
     "dc1_benchmark_decontam",
-    "dq1_constraint_audit",
 ]
 
 # Head entries that ship WITHOUT a DuckDB oracle by documented design (the
@@ -13133,3 +13133,42 @@ def m18_flac_streaminfo(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("payload"),
     )
     return flac_census(media)
+
+
+@_register(
+    "m19_id3_tags",
+    """SELECT doc_id AS media_id, 'TIT2' AS frame_id,
+              substr(text, 1, 24) AS value FROM documents
+       UNION ALL
+       SELECT doc_id, 'TPE1', 'artist_' || CAST(doc_id % 7 AS VARCHAR)
+       FROM documents
+       UNION ALL
+       SELECT doc_id, 'TALB', 'album ' || CAST(length(text) AS VARCHAR)
+       FROM documents""",
+)
+def m19_id3_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ID3v2 text-frame extraction — the metadata-enrichment pass a
+    crawl pipeline runs over its audio before any decode: per-document
+    MP3 streams carrying REAL ID3v2.3/2.4 tags (TIT2/TPE1/TALB, the
+    text encoding rotating through latin-1 / utf-16+BOM / utf-16-be /
+    utf-8 by doc id, tag version alternating v3 plain / v4 syncsafe
+    frame sizes) parsed back by operators/multimodal.py
+    id3v2_text_frames via Arrow-batched mapInPandas.  One row per
+    frame; the oracle replays the three tag strings per document in
+    plain SQL, so a wrong syncsafe shift, encoding mix-up, or
+    terminator-handling bug hash-mismatches immediately."""
+    from torcdb_spark.operators.multimodal import id3_synth_udf, id3_tags
+
+    docs = load_table(spark, sf_dir, "documents")
+    synth = id3_synth_udf()
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        synth(
+            F.substring("text", 1, 24),
+            F.concat(F.lit("artist_"), (F.col("doc_id") % 7).cast("string")),
+            F.concat(F.lit("album "), F.length("text").cast("string")),
+            (F.col("doc_id") % 4).cast("int"),
+            (F.lit(3) + F.col("doc_id") % 2).cast("int"),
+        ).alias("payload"),
+    )
+    return id3_tags(media)
