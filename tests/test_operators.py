@@ -1278,6 +1278,14 @@ def test_webp_lossy_info():
         webp_lossy_info(bytes(inter))
     with _pytest.raises(ValueError):
         webp_lossy_info(b"not webp")
+    # ADVICE r10: a chunk whose declared size overruns the payload must
+    # raise (not silently truncate vp8_bytes/first_part_size)
+    over = bytearray(encode_webp_lossy_stub(8, 8))
+    over[16:20] = (10_000).to_bytes(4, "little")  # inflate VP8 size
+    with _pytest.raises(ValueError):
+        webp_lossy_info(bytes(over))
+    with _pytest.raises(ValueError):
+        decode_webp(bytes(over))
 
 
 def test_lossy_census_roundtrip_property():
@@ -1440,6 +1448,27 @@ def test_mp4_box_census():
         trunc = encode_mp4_stub(1000, 100, 1, 0)
         mp4_box_census(trunc[: len(trunc) - 20])
 
+    # ADVICE r10: mvhd/tkhd/hdlr bodies shorter than the fields read
+    # must raise, not decode the next sibling's bytes as timescale/dims
+    def box(btype, body):
+        return (8 + len(body)).to_bytes(4, "big") + btype + body
+
+    ftyp = box(b"ftyp", b"isom" + bytes(8))
+    with _pytest.raises(ValueError):  # 10-byte mvhd body (v0 needs 20)
+        mp4_box_census(ftyp + box(b"moov", box(b"mvhd", bytes(10))
+                                  + box(b"free", bytes(20))))
+    good_mvhd = box(b"mvhd", bytes(100))  # v0, all-zero — timescale 0
+    with _pytest.raises(ValueError):  # 40-byte tkhd body (v0 needs 84)
+        mp4_box_census(ftyp + box(b"moov", good_mvhd
+                                  + box(b"trak", box(b"tkhd", bytes(40))
+                                        + box(b"free", bytes(50)))))
+    with _pytest.raises(ValueError):  # 6-byte hdlr body (needs 12)
+        mp4_box_census(ftyp + box(b"moov", good_mvhd
+                                  + box(b"trak", box(b"tkhd", bytes(84))
+                                        + box(b"mdia",
+                                              box(b"hdlr", bytes(6))
+                                              + box(b"free", bytes(8))))))
+
 
 def test_flac_streaminfo_census():
     """FLAC metadata-chain walk against the 20/3/5/36-bit STREAMINFO
@@ -1542,6 +1571,67 @@ def test_id3v2_text_frames():
         bad = bytearray(encode_id3v2([("TIT2", "x", 0)]))
         bad[14] = 0x7F  # inflate the frame size
         id3v2_text_frames(bytes(bad))
+
+
+def test_id3v22_and_unsynchronisation():
+    """ADVICE r10: v2.2 tags (6-byte frame headers, 3-char IDs) must
+    parse as v2.2, not be mis-walked with 10-byte v3 headers; tag-wide
+    unsynchronisation (flag 0x80) must be reversed; unsupported
+    versions raise instead of yielding garbage rows."""
+    import pytest as _pytest
+
+    from torcdb_spark.operators.multimodal import (
+        encode_id3v2,
+        encode_mp3_stream,
+        id3v2_text_frames,
+        mp3_frame_census,
+    )
+
+    # v2.2 round trip: 3-char IDs, 3-byte plain sizes, encodings 0/1
+    frames = [("TT2", "Old Title", 0), ("TP1", "Söme\xff1", 1),
+              ("TAL", "Album\xff", 0)]
+    tag = encode_id3v2(frames, version=2, padding=7)
+    got = id3v2_text_frames(tag + b"audio")
+    assert got == [(f, t) for f, t, _ in frames]
+
+    # tag-wide unsync (v2.2 and v2.3): the 'ÿ' bytes force real
+    # 0xFF→0xFF00 stuffing, and the flagged tag de-unsyncs back
+    for ver in (2, 3):
+        fr = [(("TT2" if ver == 2 else "TIT2"), "a\xffb\xff", 1)]
+        syn = encode_id3v2(fr, version=ver, unsync=True)
+        assert syn[5] & 0x80
+        assert len(syn) > len(encode_id3v2(fr, version=ver))
+        assert id3v2_text_frames(syn) == [(fr[0][0], fr[0][1])]
+        # the MP3 census skips the unsynced tag by its on-disk size
+        c = mp3_frame_census(syn + encode_mp3_stream(1, 9))
+        assert c["n_frames"] == 1 and c["id3v2_bytes"] == len(syn)
+
+    # v2.4 per-frame unsync: frame format flag 0x02, on-disk sizes
+    data = b"\x00a\xff\x00b"  # latin-1 'aÿb' with stuffing after FF
+    body = b"TIT2" + bytes(((len(data) >> s) & 0x7F)
+                           for s in (21, 14, 7, 0)) + b"\x00\x02" + data
+    size = bytes(((len(body) >> s) & 0x7F) for s in (21, 14, 7, 0))
+    v4 = b"ID3" + bytes([4, 0, 0]) + size + body
+    assert id3v2_text_frames(v4) == [("TIT2", "a\xffb")]
+
+    # v2.2 compression bit: spec says ignore the whole tag
+    comp = bytearray(encode_id3v2([("TT2", "x", 0)], version=2))
+    comp[5] |= 0x40
+    assert id3v2_text_frames(bytes(comp)) == []
+
+    # unsupported versions raise (no garbage rows)
+    fut = bytearray(encode_id3v2([("TIT2", "x", 0)], version=3))
+    fut[3] = 5
+    with _pytest.raises(ValueError):
+        id3v2_text_frames(bytes(fut))
+
+    # encoder contracts: id length pinned to version, v2.2 enc 0/1 only
+    with _pytest.raises(ValueError):
+        encode_id3v2([("TIT2", "x", 0)], version=2)
+    with _pytest.raises(ValueError):
+        encode_id3v2([("TT2", "x", 2)], version=2)
+    with _pytest.raises(ValueError):
+        encode_id3v2([("TIT2", "x", 0)], version=4, unsync=True)
 
 
 def test_range_join_equals_naive_join_property(spark):

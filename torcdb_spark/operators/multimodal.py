@@ -1551,42 +1551,69 @@ def aac_census(media: DataFrame, payload_col: str = "payload") -> DataFrame:
     return media.mapInPandas(kernel, schema=schema)
 
 
+def _id3_deunsync(data: bytes) -> bytes:
+    """Reverse ID3v2 unsynchronisation: drop the 0x00 inserted after
+    every 0xFF (id3.org §5 — the non-overlapping scan removes exactly
+    one inserted NUL per FF, so FF 00 00 correctly yields FF 00)."""
+    return data.replace(b"\xff\x00", b"\xff")
+
+
 def id3v2_text_frames(payload: bytes) -> list:
-    """Extract the TEXT frames of a leading ID3v2.3/2.4 tag →
+    """Extract the TEXT frames of a leading ID3v2.2/2.3/2.4 tag →
     ``[(frame_id, text), ...]`` in frame order (id3.org spec): 10-byte
-    header with syncsafe tag size, 10-byte frame headers (v4 syncsafe /
-    v3 plain frame sizes), 'T___' text frames decoded per their
-    encoding byte (0 latin-1, 1 utf-16 with BOM, 2 utf-16-be, 3 utf-8)
-    with the trailing NUL terminator stripped.  Non-text frames are
+    tag header with syncsafe size; v2.2 frames carry 6-byte headers
+    (3-char IDs, 3-byte plain sizes), v2.3/2.4 10-byte headers (v4
+    syncsafe / v3 plain frame sizes); 'T...' text frames decoded per
+    their encoding byte (0 latin-1, 1 utf-16 with BOM, 2 utf-16-be,
+    3 utf-8 — v2.2 allows only 0/1) with the trailing NUL terminator
+    stripped.  Tag-level unsynchronisation (flag 0x80) is reversed
+    before the walk for v2.2/2.3 (applied tag-wide there); for v2.4 it
+    is reversed per-frame (the flag means every frame is unsynced, and
+    frame sizes count the on-disk, still-synced bytes), as is a
+    frame-level unsync format flag (0x02).  Non-text frames are
     skipped structurally; returns [] when no ID3v2 tag leads the
-    payload; raises ValueError on a corrupt tag (bad syncsafe byte,
-    frame overruns the tag)."""
+    payload or a v2.2 tag sets the compression bit (the spec's
+    "ignore the tag" escape); raises ValueError on an unsupported
+    version or a corrupt tag (bad syncsafe byte, frame overruns the
+    tag)."""
     if payload is None or len(payload) < 10 or payload[:3] != b"ID3":
         return []
     ver = payload[3]
+    if ver not in (2, 3, 4):
+        raise ValueError(f"unsupported ID3v2.{ver} tag")
+    flags = payload[5]
+    if ver == 2 and flags & 0x40:
+        # v2.2 bit 6 is "compression" with no defined scheme; the spec
+        # directs readers to ignore the whole tag
+        return []
     size = 0
     for by in payload[6:10]:
         if by & 0x80:
             raise ValueError("bad ID3v2 syncsafe size")
         size = (size << 7) | by
-    end = 10 + size
-    if end > len(payload):
+    if 10 + size > len(payload):
         raise ValueError("ID3v2 tag overruns payload")
-    pos = 10
-    if payload[5] & 0x40:  # extended header: skip by its own size field
-        ext = int.from_bytes(payload[10:14], "big")
-        if ver == 4:  # syncsafe in v4
+    buf = payload[10 : 10 + size]
+    if flags & 0x80 and ver in (2, 3):
+        buf = _id3_deunsync(buf)  # v2.2/2.3: unsync spans the whole tag
+    end = len(buf)
+    pos = 0
+    if ver >= 3 and flags & 0x40:  # extended header: skip by its size field
+        ext = int.from_bytes(buf[0:4], "big")
+        if ver == 4:  # syncsafe in v4, size includes itself
             ext = ((ext & 0x7F000000) >> 3 | (ext & 0x7F0000) >> 2
                    | (ext & 0x7F00) >> 1 | (ext & 0x7F))
             pos += ext
         else:  # v3: size excludes the 4 size bytes
             pos += 4 + ext
+    hlen = 6 if ver == 2 else 10
+    idlen = 3 if ver == 2 else 4
     out = []
-    while pos + 10 <= end:
-        fid = payload[pos : pos + 4]
-        if fid == b"\x00\x00\x00\x00":  # padding reached
+    while pos + hlen <= end:
+        fid = buf[pos : pos + idlen]
+        if fid[0] == 0:  # padding reached
             break
-        raw = int.from_bytes(payload[pos + 4 : pos + 8], "big")
+        raw = int.from_bytes(buf[pos + idlen : pos + idlen * 2], "big")
         if ver == 4:
             if raw & 0x80808080:
                 raise ValueError("bad ID3v2.4 syncsafe frame size")
@@ -1594,23 +1621,29 @@ def id3v2_text_frames(payload: bytes) -> list:
                      | (raw & 0x7F00) >> 1 | (raw & 0x7F))
         else:
             fsize = raw
-        body = pos + 10
+        body = pos + hlen
         if body + fsize > end:
             raise ValueError("ID3v2 frame overruns tag")
-        if fid[0:1] == b"T" and fsize >= 1:
-            enc = payload[body]
-            data = payload[body + 1 : body + fsize]
+        frame = buf[body : body + fsize]
+        if ver == 4 and fsize:
+            fmt_flags = buf[pos + 9]
+            if flags & 0x80 or fmt_flags & 0x02:
+                frame = _id3_deunsync(frame)
+        if fid[0:1] == b"T" and len(frame) >= 1:
+            enc = frame[0]
+            data = frame[1:]
             try:
                 if enc == 0:
                     text = data.decode("latin-1")
                 elif enc == 1:
                     text = data.decode("utf-16")
-                elif enc == 2:
+                elif enc == 2 and ver >= 3:
                     text = data.decode("utf-16-be")
-                elif enc == 3:
+                elif enc == 3 and ver >= 3:
                     text = data.decode("utf-8")
                 else:
-                    raise ValueError(f"bad ID3v2 text encoding {enc}")
+                    raise ValueError(
+                        f"bad ID3v2.{ver} text encoding {enc}")
             except UnicodeDecodeError as exc:
                 raise ValueError(f"undecodable ID3v2 text frame: {exc}")
             out.append((fid.decode("latin-1"), text.rstrip("\x00")))
@@ -1618,36 +1651,58 @@ def id3v2_text_frames(payload: bytes) -> list:
     return out
 
 
-def encode_id3v2(frames, version: int = 4, padding: int = 0) -> bytes:
-    """ID3v2.3/2.4 tag writer for ``[(frame_id, text, encoding), ...]``
-    — fixture synthesis for :func:`id3v2_text_frames`; prepend the
-    result to an MP3 stream (mp3_frame_census skips it by the same
-    syncsafe arithmetic)."""
+def encode_id3v2(
+    frames, version: int = 4, padding: int = 0, unsync: bool = False
+) -> bytes:
+    """ID3v2.2/2.3/2.4 tag writer for ``[(frame_id, text, encoding),
+    ...]`` — fixture synthesis for :func:`id3v2_text_frames`; prepend
+    the result to an MP3 stream (mp3_frame_census skips it by the same
+    syncsafe arithmetic).  version=2 emits 6-byte frame headers
+    (3-char IDs, 3-byte sizes, encodings 0/1 only); unsync=True
+    (v2.2/2.3 only — v2.4 unsyncs per-frame, which this fixture writer
+    does not emit) applies tag-wide unsynchronisation (a 0x00 after
+    every 0xFF) and sets header flag 0x80, with the header size field
+    counting the on-disk, post-unsync bytes per the spec."""
+    if version not in (2, 3, 4):
+        raise ValueError(f"bad ID3v2 version {version}")
+    if unsync and version == 4:
+        raise ValueError("unsync fixture writer supports v2.2/2.3 only")
+    idlen = 3 if version == 2 else 4
     body = bytearray()
     for fid, text, enc in frames:
+        if len(fid) != idlen:
+            raise ValueError(
+                f"ID3v2.{version} frame id must be {idlen} chars: {fid!r}")
         if enc == 0:
             data = text.encode("latin-1")
         elif enc == 1:
             data = text.encode("utf-16")  # emits the BOM
-        elif enc == 2:
+        elif enc == 2 and version >= 3:
             data = text.encode("utf-16-be")
-        elif enc == 3:
+        elif enc == 3 and version >= 3:
             data = text.encode("utf-8")
         else:
-            raise ValueError(f"bad encoding {enc}")
+            raise ValueError(f"bad ID3v2.{version} encoding {enc}")
         payload = bytes([enc]) + data
         n = len(payload)
         if version == 4:
             sz = bytes(((n >> s) & 0x7F) for s in (21, 14, 7, 0))
-        else:
+        elif version == 3:
             sz = n.to_bytes(4, "big")
-        body += fid.encode("latin-1") + sz + b"\x00\x00" + payload
+        else:
+            sz = n.to_bytes(3, "big")
+        hdr_flags = b"" if version == 2 else b"\x00\x00"
+        body += fid.encode("latin-1") + sz + hdr_flags + payload
     body += bytes(padding)
+    flags = 0
+    if unsync:
+        body = bytearray(body.replace(b"\xff", b"\xff\x00"))
+        flags |= 0x80
     total = len(body)
     if total >= 1 << 28:
         raise ValueError("tag too large")
     size = bytes(((total >> s) & 0x7F) for s in (21, 14, 7, 0))
-    return b"ID3" + bytes([version, 0, 0]) + size + bytes(body)
+    return b"ID3" + bytes([version, 0, flags]) + size + bytes(body)
 
 
 def id3_tags(media: DataFrame, payload_col: str = "payload") -> DataFrame:
@@ -1679,9 +1734,13 @@ def id3_tags(media: DataFrame, payload_col: str = "payload") -> DataFrame:
 
 
 def id3_synth_udf():
-    """pandas_udf prepending a real ID3v2 tag (TIT2/TPE1/TALB text
+    """pandas_udf prepending a real ID3v2 tag (title/artist/album text
     frames, per-row encodings) to a structurally valid MP3 stream —
-    fixture synthesis for the id3_tags pipeline."""
+    fixture synthesis for the id3_tags pipeline.  version=2 rows emit
+    v2.2 tags (TT2/TP1/TAL three-char IDs, encoding clamped to the
+    0/1 the old spec allows); the unsync column sets tag-wide
+    unsynchronisation on v2.2/2.3 rows (ignored for v2.4, whose
+    fixture writer does not emit per-frame unsync)."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("binary")
@@ -1691,20 +1750,28 @@ def id3_synth_udf():
         album: pd.Series,
         encoding: pd.Series,
         version: pd.Series,
+        unsync: pd.Series,
     ) -> pd.Series:
-        return pd.Series(
-            [
+        out = []
+        for t, a, al, e, v, u in zip(
+            title, artist, album, encoding, version, unsync
+        ):
+            v = int(v)
+            e = int(e)
+            if v == 2:
+                ids = ("TT2", "TP1", "TAL")
+                e = e % 2
+            else:
+                ids = ("TIT2", "TPE1", "TALB")
+            out.append(
                 encode_id3v2(
-                    [("TIT2", t, int(e)), ("TPE1", a, int(e)),
-                     ("TALB", al, int(e))],
-                    version=int(v),
+                    [(ids[0], t, e), (ids[1], a, e), (ids[2], al, e)],
+                    version=v,
+                    unsync=bool(u) and v < 4,
                 )
                 + encode_mp3_stream(1, 9, 0, 1, 3, 0)
-                for t, a, al, e, v in zip(
-                    title, artist, album, encoding, version
-                )
-            ]
-        )
+            )
+        return pd.Series(out)
 
     return synth
 
@@ -1787,7 +1854,14 @@ def mp4_box_census(payload: bytes) -> dict:
         elif btype == b"moov":
             for t2, b2, e2 in boxes(payload, body, bend):
                 if t2 == b"mvhd":
+                    if b2 + 1 > e2:
+                        raise ValueError("short mvhd box")
                     ver = payload[b2]
+                    # fields read end at duration: 32 bytes into a v1
+                    # body, 20 into a v0 body — a shorter box would
+                    # read the next sibling's bytes as timescale
+                    if b2 + (32 if ver == 1 else 20) > e2:
+                        raise ValueError("short mvhd box")
                     if ver == 1:
                         timescale = int.from_bytes(
                             payload[b2 + 20 : b2 + 24], "big")
@@ -1804,7 +1878,12 @@ def mp4_box_census(payload: bytes) -> dict:
                     handler = None
                     for t3, b3, e3 in boxes(payload, b2, e2):
                         if t3 == b"tkhd":
+                            if b3 + 1 > e3:
+                                raise ValueError("short tkhd box")
                             ver = payload[b3]
+                            # spec body spans: 84 bytes v0 / 96 v1
+                            if b3 + (96 if ver == 1 else 84) > e3:
+                                raise ValueError("short tkhd box")
                             off = b3 + (32 if ver == 0 else 44)
                             # 8 reserved/layer/group/volume bytes + 36
                             # matrix bytes precede width/height
@@ -1816,6 +1895,8 @@ def mp4_box_census(payload: bytes) -> dict:
                         elif t3 == b"mdia":
                             for t4, b4, _e4 in boxes(payload, b3, e3):
                                 if t4 == b"hdlr":
+                                    if b4 + 12 > _e4:
+                                        raise ValueError("short hdlr box")
                                     handler = payload[b4 + 8 : b4 + 12]
                     if handler == b"vide":
                         n_video += 1

@@ -532,6 +532,8 @@ def decode_webp(payload: bytes) -> np.ndarray:
     while pos + 8 <= len(payload):
         fourcc = payload[pos : pos + 4]
         size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        if pos + 8 + size > len(payload):
+            raise ValueError("WebP chunk size overruns payload")
         body = payload[pos + 8 : pos + 8 + size]
         if fourcc == b"VP8L":
             return _decode_vp8l(body)
@@ -564,6 +566,8 @@ def webp_lossy_info(payload: bytes) -> dict:
     while pos + 8 <= len(payload):
         fourcc = payload[pos : pos + 4]
         size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        if pos + 8 + size > len(payload):
+            raise ValueError("WebP chunk size overruns payload")
         if fourcc == b"VP8 ":
             body = payload[pos + 8 : pos + 8 + size]
             break

@@ -13137,38 +13137,59 @@ def m18_flac_streaminfo(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "m19_id3_tags",
-    """SELECT doc_id AS media_id, 'TIT2' AS frame_id,
-              substr(text, 1, 24) AS value FROM documents
+    """WITH p AS (
+         SELECT doc_id,
+                doc_id % 3 = 0 AS v22,
+                doc_id % 5 = 0 AND doc_id % 3 < 2 AS unsync,
+                substr(text, 1, 24) AS title
+         FROM documents)
+       SELECT doc_id AS media_id,
+              CASE WHEN v22 THEN 'TT2' ELSE 'TIT2' END AS frame_id,
+              CASE WHEN unsync THEN title || 'ÿ' ELSE title END AS value
+       FROM p
        UNION ALL
-       SELECT doc_id, 'TPE1', 'artist_' || CAST(doc_id % 7 AS VARCHAR)
-       FROM documents
+       SELECT doc_id, CASE WHEN v22 THEN 'TP1' ELSE 'TPE1' END,
+              'artist_' || CAST(doc_id % 7 AS VARCHAR)
+       FROM p
        UNION ALL
-       SELECT doc_id, 'TALB', 'album ' || CAST(length(text) AS VARCHAR)
-       FROM documents""",
+       SELECT doc_id, CASE WHEN v22 THEN 'TAL' ELSE 'TALB' END,
+              'album ' || CAST(length(text) AS VARCHAR)
+       FROM (SELECT doc_id, doc_id % 3 = 0 AS v22, text
+             FROM documents) q""",
 )
 def m19_id3_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ID3v2 text-frame extraction — the metadata-enrichment pass a
     crawl pipeline runs over its audio before any decode: per-document
-    MP3 streams carrying REAL ID3v2.3/2.4 tags (TIT2/TPE1/TALB, the
-    text encoding rotating through latin-1 / utf-16+BOM / utf-16-be /
-    utf-8 by doc id, tag version alternating v3 plain / v4 syncsafe
-    frame sizes) parsed back by operators/multimodal.py
-    id3v2_text_frames via Arrow-batched mapInPandas.  One row per
-    frame; the oracle replays the three tag strings per document in
-    plain SQL, so a wrong syncsafe shift, encoding mix-up, or
-    terminator-handling bug hash-mismatches immediately."""
+    MP3 streams carrying REAL ID3v2.2/2.3/2.4 tags (title/artist/album
+    text frames — TT2/TP1/TAL three-char v2.2 IDs on every third doc,
+    TIT2/TPE1/TALB otherwise; text encoding rotating through latin-1 /
+    utf-16+BOM / utf-16-be / utf-8 by doc id, clamped to the 0/1 the
+    v2.2 spec allows; tag version rotating v2 six-byte-header / v3
+    plain / v4 syncsafe frame sizes; every fifth v2.2/2.3 doc written
+    with tag-wide UNSYNCHRONISATION and a 'ÿ' appended to the title so
+    the 0xFF→0xFF00 stuffing is actually present in the bytes) parsed
+    back by operators/multimodal.py id3v2_text_frames via
+    Arrow-batched mapInPandas.  One row per frame; the oracle replays
+    the three tag strings per document in plain SQL, so a wrong
+    syncsafe shift, six-byte-header walk, encoding mix-up, unsync
+    reversal, or terminator-handling bug hash-mismatches
+    immediately."""
     from torcdb_spark.operators.multimodal import id3_synth_udf, id3_tags
 
     docs = load_table(spark, sf_dir, "documents")
     synth = id3_synth_udf()
+    unsync = (F.col("doc_id") % 5 == 0) & (F.col("doc_id") % 3 < 2)
     media = docs.select(
         F.col("doc_id").alias("media_id"),
         synth(
-            F.substring("text", 1, 24),
+            F.when(
+                unsync, F.concat(F.substring("text", 1, 24), F.lit("ÿ"))
+            ).otherwise(F.substring("text", 1, 24)),
             F.concat(F.lit("artist_"), (F.col("doc_id") % 7).cast("string")),
             F.concat(F.lit("album "), F.length("text").cast("string")),
             (F.col("doc_id") % 4).cast("int"),
-            (F.lit(3) + F.col("doc_id") % 2).cast("int"),
+            (F.lit(2) + F.col("doc_id") % 3).cast("int"),
+            unsync.cast("boolean"),
         ).alias("payload"),
     )
     return id3_tags(media)
