@@ -1634,6 +1634,137 @@ def test_id3v22_and_unsynchronisation():
         encode_id3v2([("TIT2", "x", 0)], version=4, unsync=True)
 
 
+def test_ogg_page_census():
+    """Ogg page walk against RFC 3533 arithmetic: capture pattern /
+    BOS / version checks, lacing→packet counts, Opus 48 kHz-clock vs
+    Vorbis own-rate duration, granule -1 skip, real page CRCs, and the
+    ValueError contracts."""
+    import pytest as _pytest
+
+    from torcdb_spark.operators.multimodal import (
+        _ogg_crc,
+        encode_ogg_stub,
+        ogg_page_census,
+    )
+
+    # Opus: 3 audio pages x 2 packets of 960 samples at 48 kHz clock
+    c = ogg_page_census(encode_ogg_stub(
+        "opus", channels=2, sample_rate=44100, pre_skip=356,
+        n_audio_pages=3, packets_per_page=2, packet_size=40))
+    assert c["codec"] == "opus" and c["channels"] == 2
+    assert c["sample_rate"] == 44100 and c["pre_skip"] == 356
+    assert c["n_pages"] == 4 and c["n_packets"] == 7
+    assert c["last_granule"] == 356 + 3 * 2 * 960
+    assert c["duration_ms"] == 3 * 2 * 960 * 1000 // 48000
+    assert c["total_bytes"] == 47 + 3 * (27 + 2 + 2 * 40)
+
+    # Vorbis: duration over its own sample rate, pre_skip pinned 0
+    v = ogg_page_census(encode_ogg_stub(
+        "vorbis", channels=1, sample_rate=16000, pre_skip=0,
+        n_audio_pages=2, packets_per_page=3, packet_size=25))
+    assert v["codec"] == "vorbis" and v["pre_skip"] == 0
+    assert v["n_pages"] == 3 and v["n_packets"] == 7
+    assert v["last_granule"] == 2 * 3 * 1024
+    assert v["duration_ms"] == 2 * 3 * 1024 * 1000 // 16000
+    assert v["total_bytes"] == 58 + 2 * (27 + 3 + 3 * 25)
+
+    # the fixture writes REAL page CRCs (RFC 3533 §6 non-reflected poly)
+    raw = encode_ogg_stub("opus")
+    page0_len = 27 + 1 + 19
+    page0 = bytearray(raw[:page0_len])
+    stored = int.from_bytes(page0[22:26], "little")
+    page0[22:26] = bytes(4)
+    assert stored == _ogg_crc(bytes(page0))
+
+    # a granule of -1 (no packet ends) must not clobber last_granule
+    g = bytearray(encode_ogg_stub("opus", n_audio_pages=2,
+                                  packets_per_page=1, packet_size=10))
+    last_at = len(g) - (27 + 1 + 10)
+    g[last_at + 6 : last_at + 14] = (-1).to_bytes(8, "little", signed=True)
+    gc = ogg_page_census(bytes(g))
+    assert gc["last_granule"] == 312 + 1 * 1 * 960  # page 1's granule
+
+    # contracts: not ogg / no BOS / bad version / truncation / bad ident
+    with _pytest.raises(ValueError):
+        ogg_page_census(b"not an ogg stream at all, honest")
+    nobos = bytearray(encode_ogg_stub("opus"))
+    nobos[5] = 0
+    with _pytest.raises(ValueError):
+        ogg_page_census(bytes(nobos))
+    badver = bytearray(encode_ogg_stub("opus"))
+    badver[4] = 1
+    with _pytest.raises(ValueError):
+        ogg_page_census(bytes(badver))
+    with _pytest.raises(ValueError):
+        ogg_page_census(encode_ogg_stub("vorbis")[:-5])
+    badid = bytearray(encode_ogg_stub("opus"))
+    badid[28:36] = b"FLACHEAD"
+    with _pytest.raises(ValueError):
+        ogg_page_census(bytes(badid))
+    with _pytest.raises(ValueError):
+        encode_ogg_stub("speex")
+    with _pytest.raises(ValueError):
+        encode_ogg_stub("opus", packet_size=255)
+
+
+def test_h264_nal_census():
+    """H.264 NAL walk + real Exp-Golomb SPS decode: Annex-B vs AVCC
+    framing equivalence, type histogram / IDR counts, macroblock-grid
+    dimensions with 4:2:0 frame cropping, emulation-prevention strip,
+    and the ValueError contracts."""
+    import pytest as _pytest
+
+    from torcdb_spark.operators.h264 import (
+        _add_emulation,
+        _strip_emulation,
+        encode_h264_stream,
+        encode_sps,
+        h264_nal_census,
+        parse_sps,
+    )
+
+    # Annex-B: 2 GOPs x (1 IDR + 2 P); 100x52 forces crop_r=6, crop_b=6
+    c = h264_nal_census(encode_h264_stream(100, 52, n_gops=2,
+                                           p_per_gop=2, level_idc=31))
+    assert c["width"] == 100 and c["height"] == 52
+    assert c["profile_idc"] == 66 and c["level_idc"] == 31
+    assert c["n_nalus"] == 8 and c["n_slices"] == 6
+    assert c["n_idr"] == 2 and c["n_sps"] == 1 and c["n_pps"] == 1
+
+    # AVCC framing yields the identical census (minus framing bytes)
+    a = h264_nal_census(encode_h264_stream(100, 52, n_gops=2,
+                                           p_per_gop=2, level_idc=31,
+                                           avcc=True))
+    for k in ("width", "height", "n_nalus", "n_slices", "n_idr",
+              "n_sps", "n_pps", "profile_idc", "level_idc"):
+        assert a[k] == c[k], k
+
+    # exact multiples of 16 carry no cropping flag and round-trip
+    e = h264_nal_census(encode_h264_stream(1280, 720, n_gops=1,
+                                           p_per_gop=0))
+    assert e["width"] == 1280 and e["height"] == 720
+    assert e["n_nalus"] == 3 and e["n_idr"] == 1
+
+    # emulation prevention: a ue-heavy SPS with 00 00 runs survives
+    sps = encode_sps(0, 0)  # tiny dims → long zero runs in the RBSP
+    assert parse_sps(_strip_emulation(sps[1:]))["width"] == 16
+    rb = b"\x00\x00\x01\x00\x00\x02\xff\x00\x00\x00"
+    assert _strip_emulation(_add_emulation(rb)) == rb
+    assert b"\x00\x00\x01" not in _add_emulation(rb)
+
+    # contracts
+    with _pytest.raises(ValueError):
+        h264_nal_census(b"")
+    with _pytest.raises(ValueError):  # forbidden_zero_bit
+        h264_nal_census(b"\x00\x00\x01" + b"\xe5" + bytes(8))
+    with _pytest.raises(ValueError):  # AVCC length overruns
+        h264_nal_census((500).to_bytes(4, "big") + b"\x67" + bytes(10))
+    with _pytest.raises(ValueError):  # no SPS anywhere
+        h264_nal_census(b"\x00\x00\x01\x65" + b"\x11" * 8)
+    with _pytest.raises(ValueError):  # odd crop remainder
+        encode_h264_stream(101, 52)
+
+
 def test_range_join_equals_naive_join_property(spark):
     """Property test: the bin-bucketed range join produces EXACTLY the
     rows of the naive BETWEEN join for randomized points/intervals across

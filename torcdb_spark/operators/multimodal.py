@@ -2300,6 +2300,245 @@ def webp_lossy_census(media: DataFrame,
     return media.mapInPandas(kernel, schema=schema)
 
 
+# ---------------------------------------------------------------------------
+# Ogg (RFC 3533) page walk + Opus (RFC 7845) / Vorbis (Xiph spec §4.2)
+# identification headers.  Same on-ramp contract as the MP3/ADTS/MP4/
+# FLAC censuses: a crawl's dominant open-audio container yields
+# structural metadata rows (codec, channels, pre-skip, granule-derived
+# duration, packet counts) without any codec library; PCM decode stays
+# the documented out-of-scope step.
+# ---------------------------------------------------------------------------
+
+_OGG_CRC_TABLE: list | None = None
+
+
+def _ogg_crc(data: bytes) -> int:
+    """Ogg page CRC-32 (RFC 3533 §6): polynomial 0x04C11DB7, no bit
+    reflection, zero init and zero final XOR — NOT the zlib CRC."""
+    global _OGG_CRC_TABLE
+    if _OGG_CRC_TABLE is None:
+        table = []
+        for i in range(256):
+            r = i << 24
+            for _ in range(8):
+                r = ((r << 1) ^ 0x04C11DB7 if r & 0x80000000
+                     else r << 1) & 0xFFFFFFFF
+            table.append(r)
+        _OGG_CRC_TABLE = table
+    crc = 0
+    for b in data:
+        crc = ((crc << 8) & 0xFFFFFFFF) ^ _OGG_CRC_TABLE[(crc >> 24) ^ b]
+    return crc
+
+
+def ogg_page_census(payload: bytes) -> dict:
+    """Walk an Ogg container's page chain (RFC 3533: 'OggS' capture
+    pattern, version-0 header, 64-bit granule position, segment-table
+    lacing) and the first page's codec identification header → ``{codec,
+    n_pages, n_packets, channels, pre_skip, sample_rate, last_granule,
+    duration_ms, total_bytes}``.  A lacing value < 255 terminates a
+    packet, so the per-page packet count is the number of sub-255
+    entries; granule -1 pages (no packet ends) don't advance
+    last_granule.  Opus (RFC 7845 'OpusHead': channel count, 48
+    kHz-clock pre-skip, input sample rate) and Vorbis (0x01'vorbis':
+    channels, sample rate) ID headers are recognized; duration_ms uses
+    the Opus 48 kHz granule clock minus pre-skip, or the Vorbis granule
+    over its own sample rate.  Page CRCs are carried, not verified
+    (same cheap-walk contract as the MP4 box census).  Raises
+    ValueError on a non-Ogg payload, a non-zero structure version, a
+    missing BOS flag, a truncated page, or an unrecognized ID
+    header."""
+    if payload is None or len(payload) < 28 or payload[:4] != b"OggS":
+        raise ValueError("not an Ogg payload")
+    pos = 0
+    n_pages = 0
+    n_packets = 0
+    last_granule = 0
+    first_payload = None
+    while pos < len(payload):
+        if payload[pos : pos + 4] != b"OggS":
+            raise ValueError("bad Ogg capture pattern")
+        if pos + 27 > len(payload):
+            raise ValueError("truncated Ogg page header")
+        if payload[pos + 4] != 0:
+            raise ValueError("unsupported Ogg structure version")
+        htype = payload[pos + 5]
+        if n_pages == 0 and not htype & 0x02:
+            raise ValueError("first Ogg page lacks BOS flag")
+        granule = int.from_bytes(
+            payload[pos + 6 : pos + 14], "little", signed=True)
+        nseg = payload[pos + 26]
+        seg = payload[pos + 27 : pos + 27 + nseg]
+        if len(seg) < nseg:
+            raise ValueError("truncated Ogg segment table")
+        body_start = pos + 27 + nseg
+        body_len = sum(seg)
+        if body_start + body_len > len(payload):
+            raise ValueError("Ogg page body overruns payload")
+        n_packets += sum(1 for v in seg if v < 255)
+        if n_pages == 0:
+            first_payload = payload[body_start : body_start + body_len]
+        if granule != -1:
+            last_granule = granule
+        n_pages += 1
+        pos = body_start + body_len
+    if first_payload is None:
+        raise ValueError("empty Ogg container")
+    if first_payload[:8] == b"OpusHead":
+        if len(first_payload) < 19:
+            raise ValueError("short OpusHead identification header")
+        codec = "opus"
+        channels = first_payload[9]
+        pre_skip = int.from_bytes(first_payload[10:12], "little")
+        sample_rate = int.from_bytes(first_payload[12:16], "little")
+        # Opus granules tick at 48 kHz regardless of input rate
+        duration_ms = max(last_granule - pre_skip, 0) * 1000 // 48000
+    elif first_payload[:7] == b"\x01vorbis":
+        if len(first_payload) < 30:
+            raise ValueError("short Vorbis identification header")
+        codec = "vorbis"
+        channels = first_payload[11]
+        sample_rate = int.from_bytes(first_payload[12:16], "little")
+        pre_skip = 0
+        duration_ms = (last_granule * 1000 // sample_rate
+                       if sample_rate else 0)
+    else:
+        raise ValueError("unrecognized Ogg codec identification header")
+    return {
+        "codec": codec,
+        "n_pages": n_pages,
+        "n_packets": n_packets,
+        "channels": channels,
+        "pre_skip": pre_skip,
+        "sample_rate": sample_rate,
+        "last_granule": last_granule,
+        "duration_ms": duration_ms,
+        "total_bytes": len(payload),
+    }
+
+
+def _ogg_page(htype: int, granule: int, serial: int, seq: int,
+              segments: list) -> bytes:
+    """One spec-valid Ogg page (real RFC 3533 CRC) from a list of
+    segment payloads, each < 255 bytes (one lacing value per packet)."""
+    lacing = bytes(len(s) for s in segments)
+    body = b"".join(segments)
+    page = bytearray(
+        b"OggS" + bytes([0, htype])
+        + granule.to_bytes(8, "little", signed=True)
+        + serial.to_bytes(4, "little") + seq.to_bytes(4, "little")
+        + bytes(4) + bytes([len(lacing)]) + lacing + body
+    )
+    page[22:26] = _ogg_crc(bytes(page)).to_bytes(4, "little")
+    return bytes(page)
+
+
+def encode_ogg_stub(
+    codec: str = "opus",
+    channels: int = 2,
+    sample_rate: int = 48000,
+    pre_skip: int = 312,
+    n_audio_pages: int = 3,
+    packets_per_page: int = 2,
+    packet_size: int = 40,
+) -> bytes:
+    """Structurally valid Ogg writer (BOS identification-header page +
+    zero-filled audio pages with correct granule progression and real
+    page CRCs; 960-sample Opus / 1024-sample Vorbis packets) — fixture
+    synthesis for :func:`ogg_page_census`; no decodable audio by
+    design."""
+    if not 1 <= packet_size < 255:
+        raise ValueError("packet_size must fit one lacing value")
+    if codec == "opus":
+        ident = (b"OpusHead" + bytes([1, channels])
+                 + pre_skip.to_bytes(2, "little")
+                 + sample_rate.to_bytes(4, "little")
+                 + bytes(2) + bytes([0]))
+        spp, base = 960, pre_skip
+    elif codec == "vorbis":
+        ident = (b"\x01vorbis" + bytes(4) + bytes([channels])
+                 + sample_rate.to_bytes(4, "little")
+                 + bytes(12) + bytes([0xB8, 0x01]))
+        spp, base = 1024, 0
+    else:
+        raise ValueError(f"unsupported codec {codec!r}")
+    serial = 0x5049_4B45
+    out = [_ogg_page(0x02, 0, serial, 0, [ident])]
+    for i in range(1, n_audio_pages + 1):
+        htype = 0x04 if i == n_audio_pages else 0x00
+        granule = base + i * packets_per_page * spp
+        out.append(_ogg_page(
+            htype, granule, serial, i,
+            [bytes(packet_size)] * packets_per_page,
+        ))
+    return b"".join(out)
+
+
+def ogg_census(media: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Arrow-batched :func:`ogg_page_census` over opaque Ogg payloads —
+    same mapInPandas shape and skip-malformed contract as
+    mp3_census/flac_census."""
+    import pandas as pd  # noqa: F401
+
+    schema = (
+        "media_id long, codec string, n_pages long, n_packets long, "
+        "channels long, pre_skip long, sample_rate long, "
+        "last_granule long, duration_ms long, total_bytes long"
+    )
+    cols = ("codec", "n_pages", "n_packets", "channels", "pre_skip",
+            "sample_rate", "last_granule", "duration_ms", "total_bytes")
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"media_id": []}
+            for c in cols:
+                out[c] = []
+            for mid, payload in zip(pdf["media_id"], pdf[payload_col]):
+                try:
+                    c = ogg_page_census(bytes(payload))
+                except ValueError:
+                    continue
+                out["media_id"].append(mid)
+                for k in cols:
+                    out[k].append(c[k])
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(kernel, schema=schema)
+
+
+def ogg_synth_udf():
+    """pandas_udf synthesizing structurally valid Ogg Opus/Vorbis
+    containers from per-row parameter columns via
+    :func:`encode_ogg_stub` — the fixture-synthesis step for the Ogg
+    census pipeline."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def synth(
+        codec: pd.Series,
+        channels: pd.Series,
+        sample_rate: pd.Series,
+        pre_skip: pd.Series,
+        n_audio_pages: pd.Series,
+        packets_per_page: pd.Series,
+        packet_size: pd.Series,
+    ) -> pd.Series:
+        return pd.Series(
+            [
+                encode_ogg_stub(str(c), int(ch), int(sr), int(ps),
+                                int(np_), int(pp), int(sz))
+                for c, ch, sr, ps, np_, pp, sz in zip(
+                    codec, channels, sample_rate, pre_skip,
+                    n_audio_pages, packets_per_page, packet_size
+                )
+            ]
+        )
+
+    return synth
+
+
 def encode_tiff_rgb(img, compression: int = 1, predictor: int = 1) -> bytes:
     """Minimal little-endian TIFF writer (single strip) — the
     fixture-synthesis counterpart of :func:`_decode_tiff`, mirroring

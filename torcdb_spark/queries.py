@@ -650,17 +650,19 @@ def x_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ROTATION_BASIS_ROUND to the round the driver just recorded, re-run the
 # test, and paste the list it expects.
 #
-# ROUND-10 HEAD under that policy = the 7 never-checked round-10 additions
-# (m14/m15/m16/m17/m18 lossy-format + container censuses, m19 ID3v2 tag
-# extraction, m1b media-features exact twin), then the stalest
-# driver signals: the round-3 block (q_running_total through
-# zo1_zorder_cells, last checked 7 rounds ago) and the oldest of the
-# round-5 block — which happens to sweep in the r9 watch-list cluster
-# (d19/d21/d23/d24) for fresh driver hashes alongside bench arbitration.
-# Everything not listed keeps its registration order after slot 50 and
-# stays covered by the local exact-value gate
-# (tests/test_oracle_parity.py, 3 SFs, every round).
-ROTATION_BASIS_ROUND = 9
+# ROUND-11 HEAD under that policy = the 2 never-checked round-11
+# additions (m20 Ogg page census, m21 H.264 NAL census), then the
+# stalest driver signals: the full round-5 block (36 queries —
+# t1_traverse_both, t8, q1_pricing_summary, e1, s6, g_pagerank_exact,
+# g_triangle_count, g_shortest_paths, ssj1, w1, dq1, dr1, pf1, ivm1,
+# scc1, tg1, orc1/pt1, the LDBC/stream/split utilities — exactly the
+# list VERDICT r10 ask #1 names) and the oldest 12 of the round-6
+# block (the gremlin-step family).  With this head every declared
+# query's driver record is <= 5 rounds old again.  Everything not
+# listed keeps its registration order after slot 50 and stays covered
+# by the local exact-value gate (tests/test_oracle_parity.py, 3 SFs,
+# every round).
+ROTATION_BASIS_ROUND = 10
 
 
 def staleness_head(n: int = 50, basis: int | None = None) -> list[str]:
@@ -694,61 +696,62 @@ def staleness_head(n: int = 50, basis: int | None = None) -> list[str]:
 
 
 DRIVER_PRIORITY: list[str] = [
-    # -- never driver-checked: the five round-10 additions --
-    "m14_mp3_frame_census",
-    "m15_aac_adts_census",
-    "m16_webp_lossy_dims",
-    "m17_mp4_box_census",
-    "m18_flac_streaminfo",
-    "m19_id3_tags",
-    "m1b_media_features_exact",
-    # -- oldest driver signal: last checked round 3 --
-    "q_running_total",
-    "q_string_predicates",
-    "q_topk_orders_per_customer",
-    "t1_traverse_in",
-    "t1_traverse_out",
-    "a4_remove_edge_if",
-    "cd1_snapshot_diff",
-    "cms1_frequency_estimates",
-    "d16_repetition_signals",
-    "d2_text_stats",
-    "d9_tfidf",
-    "e5_label_centroids",
-    "er1_part_name_pairs",
-    "fu1_funnel_stages",
-    "g_gremlin_edge_filter",
-    "gs1_neighbor_sample",
-    "q18_large_volume_customers",
-    "s5_vertex_lookup",
-    "st_events_sessions_stream",
-    "t10_props_map_roundtrip",
-    "t2_fill_properties",
-    "t3_vertex_neighbors",
-    "t4_vertex_edges",
-    "t6_edge_vertices",
-    "t7_label_counts",
-    "th1_kmv_distinct",
-    "ts2_gap_fill_locf",
-    "x_minhash_near_dups",
-    "zo1_zorder_cells",
-    # -- next-oldest: the round-5 block (incl. the r9 bench
-    # -- watch-list d19/d21/d23/d24, re-hashed while bench.py
-    # -- arbitrates their timings under FORCE_ISOLATE) --
-    "a1_fuse",
-    "bl1_bloom_semijoin",
-    "cl1_perceptron_train",
-    "cl2_naive_bayes",
-    "cur1_curriculum_stages",
-    "d13_dedup_clusters",
-    "d18_bpe_merges",
-    "d19_span_dedup_stats",
-    "d1_dedup_exact",
-    "d20_bpe_encode",
-    "d21_lm_perplexity",
-    "d23_kneser_ney",
-    "d24_span_scrub",
-    "dc1_benchmark_decontam",
+    # -- never driver-checked: the two round-11 additions --
+    "m20_ogg_page_census",
+    "m21_h264_nal_census",
+    # -- oldest driver signal: the round-5 block (36 queries, last
+    # -- checked 6 rounds ago — the exact set VERDICT r10 ask #1
+    # -- names, incl. the st_interval bench-arbitration subject) --
+    "dq1_constraint_audit",
+    "dr1_distribution_drift",
+    "e10_mmr_rerank",
+    "e1_cosine_topk",
+    "g_gremlin_simple_path",
+    "g_pagerank_exact",
+    "g_shortest_paths",
+    "g_triangle_count",
+    "ivm1_view_maintenance",
+    "jl1_jsonl_roundtrip",
+    "km1_kmeans_assign",
+    "ldbc_ic_like_foaf_copurchase",
+    "m4_audio_features",
+    "m6_jpeg_roundtrip",
+    "mx1_domain_mixture",
+    "ns1_negative_sampling",
+    "orc1_roundtrip",
+    "pf1_table_profile",
+    "pk1_sequence_packing",
+    "pp1_preference_pairs",
+    "pt1_partition_prune",
+    "q1_pricing_summary",
+    "rj1_attribution_window",
+    "s6_edges_by_key",
+    "scc1_navigation_core",
+    "sm1_schema_evolution",
+    "sp1_stratified_split",
+    "ssj1_jaccard_join",
+    "st_docs_history_dedup",
+    "st_interval_join_stream",
+    "t1_traverse_both",
+    "t8_degree_out",
+    "tg1_temporal_reachability",
+    "tp1_token_budget_selection",
+    "ts4_ewma_smoothing",
+    "w1_warc_ingest",
+    # -- next-oldest: the first 12 (by name) of the round-6 block,
+    # -- the gremlin step family --
+    "g_cc_doubling",
+    "g_gremlin_both_e",
+    "g_gremlin_choose",
+    "g_gremlin_cyclic_path",
+    "g_gremlin_edge_start",
+    "g_gremlin_group",
+    "g_gremlin_match",
+    "g_gremlin_order_by_prop",
+    "g_gremlin_project",
+    "g_gremlin_range",
+    "g_gremlin_repeat",
+    "g_gremlin_select",
 ]
 
 # Head entries that ship WITHOUT a DuckDB oracle by documented design (the
@@ -756,9 +759,7 @@ DRIVER_PRIORITY: list[str] = [
 # tested in pytest against a pure-Python/numpy replay, and ALL have
 # a driver-hashed structural twin — see README).  test_docs_counts pins
 # every other head entry to an exact oracle.
-HEAD_ROWS_ONLY: frozenset[str] = frozenset({
-    "x_minhash_near_dups",
-})
+HEAD_ROWS_ONLY: frozenset[str] = frozenset()
 
 
 def _priority_order(mapping: dict[str, object]) -> dict[str, object]:
@@ -13193,3 +13194,136 @@ def m19_id3_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("payload"),
     )
     return id3_tags(media)
+
+
+@_register(
+    "m20_ogg_page_census",
+    """WITH p AS (
+         SELECT doc_id,
+                doc_id % 2 = 0 AS opus,
+                CAST(1 + doc_id % 7 AS BIGINT) AS channels,
+                CAST(list_extract([48000,44100,16000,8000],
+                                  CAST(doc_id % 4 AS INT) + 1)
+                     AS BIGINT) AS sample_rate,
+                CASE WHEN doc_id % 2 = 0
+                     THEN CAST(312 + doc_id % 100 AS BIGINT)
+                     ELSE 0 END AS pre_skip,
+                CAST(1 + length(text) % 6 AS BIGINT) AS nap,
+                CAST(1 + doc_id % 4 AS BIGINT) AS ppp,
+                CAST(20 + length(text) % 50 AS BIGINT) AS psz
+         FROM documents)
+       SELECT doc_id AS media_id,
+              CASE WHEN opus THEN 'opus' ELSE 'vorbis' END AS codec,
+              1 + nap AS n_pages,
+              1 + nap * ppp AS n_packets,
+              channels,
+              pre_skip,
+              sample_rate,
+              pre_skip + nap * ppp
+                * (CASE WHEN opus THEN 960 ELSE 1024 END)
+                AS last_granule,
+              CASE WHEN opus THEN nap * ppp * 20
+                   ELSE nap * ppp * 1024 * 1000 // sample_rate
+              END AS duration_ms,
+              (CASE WHEN opus THEN 47 ELSE 58 END)
+                + nap * (27 + ppp + ppp * psz) AS total_bytes
+       FROM p""",
+)
+def m20_ogg_page_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ogg container census (VERDICT r10 ask #5 — the one major crawl
+    audio container that had no on-ramp): per-document Ogg Opus/Vorbis
+    streams (codec, channel count, sample rate, Opus pre-skip, audio
+    page count, packets per page, packet size all fixture-derived;
+    real RFC 3533 page CRCs and granule progression) walked by
+    operators/multimodal.py ogg_page_census via Arrow-batched
+    mapInPandas — capture-pattern/BOS validation, segment-table lacing
+    → packet counts, OpusHead (RFC 7845) / Vorbis identification-
+    header field extraction, 48 kHz-clock minus pre-skip (Opus) vs
+    own-rate (Vorbis) duration.  The oracle replays the page-size and
+    granule arithmetic in closed-form SQL from the same fixture
+    columns, so every census column is value-hashed; PCM decode stays
+    documented out-of-scope (decode_wav's contract)."""
+    from torcdb_spark.operators.multimodal import ogg_census, ogg_synth_udf
+
+    docs = load_table(spark, sf_dir, "documents")
+    synth = ogg_synth_udf()
+    opus = F.col("doc_id") % 2 == 0
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        synth(
+            F.when(opus, F.lit("opus")).otherwise(F.lit("vorbis")),
+            (F.lit(1) + F.col("doc_id") % 7).cast("int"),
+            F.element_at(
+                F.array(F.lit(48000), F.lit(44100),
+                        F.lit(16000), F.lit(8000)),
+                (F.col("doc_id") % 4 + 1).cast("int"),
+            ).cast("int"),
+            F.when(opus, F.lit(312) + F.col("doc_id") % 100)
+            .otherwise(F.lit(0)).cast("int"),
+            (F.lit(1) + F.length("text") % 6).cast("int"),
+            (F.lit(1) + F.col("doc_id") % 4).cast("int"),
+            (F.lit(20) + F.length("text") % 50).cast("int"),
+        ).alias("payload"),
+    )
+    return ogg_census(media)
+
+
+@_register(
+    "m21_h264_nal_census",
+    """WITH p AS (
+         SELECT doc_id,
+                CAST(16 + 2 * (doc_id % 620) AS BIGINT) AS w,
+                CAST(16 + 2 * (length(text) % 350) AS BIGINT) AS h,
+                CAST(1 + length(text) % 4 AS BIGINT) AS gops,
+                CAST(doc_id % 3 AS BIGINT) AS p_per_gop,
+                CAST(list_extract([30, 31, 40, 42],
+                                  CAST(doc_id % 4 AS INT) + 1)
+                     AS BIGINT) AS lvl
+         FROM documents)
+       SELECT doc_id AS media_id,
+              2 + gops * (1 + p_per_gop) AS n_nalus,
+              gops * (1 + p_per_gop) AS n_slices,
+              gops AS n_idr,
+              CAST(1 AS BIGINT) AS n_sps,
+              CAST(1 AS BIGINT) AS n_pps,
+              w AS width,
+              h AS height,
+              CAST(66 AS BIGINT) AS profile_idc,
+              lvl AS level_idc
+       FROM p""",
+)
+def m21_h264_nal_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H.264 NAL-unit census (VERDICT r10 stretch #8 — doing for video
+    essence what m14 did for audio): per-document H.264 elementary
+    streams (display dimensions, GOP count, non-IDR slices per GOP,
+    level_idc all fixture-derived; framing alternating Annex-B start
+    codes / AVCC length prefixes by doc id; non-multiple-of-16
+    dimensions encoded via SPS frame cropping) walked by
+    operators/h264.py h264_nal_census via Arrow-batched mapInPandas —
+    NAL-type histogram, IDR count, and a REAL Exp-Golomb SPS decode
+    (macroblock grid minus 4:2:0 crop units, ITU-T H.264 §7.3.2.1.1/
+    §7.4.2.1.1) with emulation-prevention stripping.  The oracle
+    replays the stream-shape arithmetic in closed-form SQL from the
+    same fixture columns, so a wrong ue(v) shift, crop-unit factor, or
+    framing walk hash-mismatches immediately; slice decode stays
+    documented out-of-scope like every census's codec boundary."""
+    from torcdb_spark.operators.h264 import h264_census, h264_synth_udf
+
+    docs = load_table(spark, sf_dir, "documents")
+    synth = h264_synth_udf()
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        synth(
+            (F.lit(16) + F.lit(2) * (F.col("doc_id") % 620)).cast("int"),
+            (F.lit(16) + F.lit(2) * (F.length("text") % 350)).cast("int"),
+            (F.lit(1) + F.length("text") % 4).cast("int"),
+            (F.col("doc_id") % 3).cast("int"),
+            (F.lit(16) + F.col("doc_id") % 40).cast("int"),
+            F.element_at(
+                F.array(F.lit(30), F.lit(31), F.lit(40), F.lit(42)),
+                (F.col("doc_id") % 4 + 1).cast("int"),
+            ).cast("int"),
+            (F.col("doc_id") % 2 == 1).cast("boolean"),
+        ).alias("payload"),
+    )
+    return h264_census(media).drop("total_bytes")
