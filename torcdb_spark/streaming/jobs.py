@@ -21,6 +21,40 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+# Summed micro-batch processing time (durationMs.triggerExecution) of
+# every drain since the last pop_drain_ms() call.  bench.py times st_*
+# queries by this instead of wall-clock (VERDICT r10 ask #3): a bounded
+# availableNow drain's wall time is dominated by query startup and
+# trigger latency — the most host-drift-sensitive cost in the suite —
+# while triggerExecution measures the plan actually running.
+_DRAIN_MS: list = []
+
+
+def pop_drain_ms() -> float:
+    """Return and clear the accumulated micro-batch processing
+    milliseconds recorded by :func:`run_to_memory` drains."""
+    total = float(sum(_DRAIN_MS))
+    _DRAIN_MS.clear()
+    return total
+
+
+def _record_drain(query) -> None:
+    """Accumulate a finished StreamingQuery's summed per-micro-batch
+    triggerExecution millis into the pop_drain_ms() register."""
+    import json as _json
+
+    total = 0.0
+    try:
+        for p in query.recentProgress:
+            if not isinstance(p, dict):  # StreamingQueryProgress object
+                p = _json.loads(p.json)
+            total += float(p.get("durationMs", {}).get(
+                "triggerExecution", 0))
+    except Exception:
+        return
+    _DRAIN_MS.append(total)
+
+
 EVENT_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
@@ -250,6 +284,7 @@ def run_to_memory(
             .start()
         )
         q.awaitTermination()
+        _record_drain(q)
     finally:
         # restore only after the drain: the conf is latched by the FIRST
         # micro-batch, which may plan after start() returns
