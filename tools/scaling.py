@@ -197,13 +197,238 @@ def main() -> None:
         "d26, ssj1, m7b — would see every row gain 10 near-identical "
         "twins, inflating candidate-pair counts quadratically inside "
         "LSH buckets and measuring the synthetic duplication, not the "
-        "operator's scaling). If a future round ships sf1 fixtures, "
-        "adding the column is one entry in SFS above.\n"
+        "operator's scaling). For the families that DON'T share that "
+        "objection (relational aggregates, graph algorithms over keyed "
+        "edges) a key-shifted TEXT-FREE decade exists — see the "
+        "'Synthetic text-free decade' section (tools/scaling.py "
+        "--synth-decade).\n"
     )
-    with open(os.path.join(REPO, "SCALING.md"), "w") as f:
+    path = os.path.join(REPO, "SCALING.md")
+    synth_block = _read_synth_block(path)
+    with open(path, "w") as f:
         f.write("\n".join(out) + "\n")
+        if synth_block:
+            f.write(synth_block)
     print(f"wrote SCALING.md ({len(names)} queries)")
 
 
+# ---------------------------------------------------------------------------
+# Synthetic text-free scale decade (VERDICT r10 ask #6)
+# ---------------------------------------------------------------------------
+
+SYNTH_MARK = "## Synthetic text-free decade"
+
+# Relational/graph queries whose inputs are the key-shifted fact tables
+# (lineitem/orders) and the graph built over them — NO document text,
+# embeddings, or similarity family (their replicated-text objection is
+# documented in the 'Why no sf1 column' section: ssj1/d26/d13/m7b would
+# measure the synthetic duplication, not the operator).
+SYNTH_QUERIES = (
+    "q1_pricing_summary",
+    "q9_profit_by_nation_year",
+    "q18_large_volume_customers",
+    "g_pagerank_exact",
+    "g_triangle_count",
+    "g_connected_components",
+    "g_mst",
+    "g_betweenness",
+    "scc1_navigation_core",
+    "t1_traverse_both",
+)
+
+
+def _read_synth_block(path: str) -> str:
+    """Return the marker-delimited synth-decade section of SCALING.md
+    (so the main regeneration preserves it, and the synth mode replaces
+    only its own block)."""
+    try:
+        with open(path) as f:
+            txt = f.read()
+    except OSError:
+        return ""
+    i = txt.find(SYNTH_MARK)
+    return txt[i:] if i >= 0 else ""
+
+
+def _build_synth_decade(spark, base_dir: str, out_dir: str) -> None:
+    """Materialize the synthetic ~sf1 fixture: lineitem and orders
+    replicated 10x with ORDER KEYS SHIFTED per replica (FK integrity
+    kept — every replica references the ORIGINAL dims, the realistic
+    shape of a fact table growing against slowly-changing dimensions);
+    every other table copied as-is.  No text column is replicated: the
+    dedup/similarity family is excluded by design (see SCALING.md)."""
+    from pyspark.sql import functions as F
+
+    from torcdb_spark.sources.tables import TABLE_NAMES
+
+    os.makedirs(out_dir, exist_ok=True)
+    orders = spark.read.parquet(f"{base_dir}/orders.parquet")
+    lineitem = spark.read.parquet(f"{base_dir}/lineitem.parquet")
+    offset = max(
+        orders.agg(F.max("o_orderkey")).first()[0],
+        lineitem.agg(F.max("l_orderkey")).first()[0],
+    ) + 1
+    reps = spark.range(10).select(F.col("id").alias("_rep"))
+    (
+        orders.crossJoin(F.broadcast(reps))
+        .withColumn("o_orderkey",
+                    F.col("o_orderkey") + F.col("_rep") * offset)
+        .drop("_rep")
+        .write.mode("overwrite")
+        .parquet(f"{out_dir}/orders.parquet")
+    )
+    (
+        lineitem.crossJoin(F.broadcast(reps))
+        .withColumn("l_orderkey",
+                    F.col("l_orderkey") + F.col("_rep") * offset)
+        .drop("_rep")
+        .write.mode("overwrite")
+        .parquet(f"{out_dir}/lineitem.parquet")
+    )
+    for t in TABLE_NAMES:
+        if t in ("orders", "lineitem"):
+            continue
+        spark.read.parquet(f"{base_dir}/{t}.parquet").write.mode(
+            "overwrite"
+        ).parquet(f"{out_dir}/{t}.parquet")
+
+
+def synth_decade_main() -> None:
+    """--synth-decade: extend the scaling series one decade past sf0.1
+    for the relational/graph subset only, against a key-shifted
+    text-free 10x replication of lineitem/orders (VERDICT r10 ask #6).
+    Rewrites ONLY the synth section of SCALING.md."""
+    from torcdb_spark.queries import queries
+    from torcdb_spark.session import get_spark
+    from torcdb_spark.sources.tables import TABLE_NAMES, load_table
+
+    base_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    out_dir = os.environ.get(
+        "SPARK_GRAFT_SYNTH_DIR", "/tmp/torcdb_synth_sf1"
+    )
+    spark = get_spark(app_name="torcdb_spark-synth-decade")
+    spark.sparkContext.setLogLevel("ERROR")
+    if not os.path.exists(f"{out_dir}/lineitem.parquet"):
+        print(f"synth-decade: building {out_dir} from {base_dir}",
+              file=sys.stderr)
+        _build_synth_decade(spark, base_dir, out_dir)
+
+    qs = queries()
+    names = [n for n in SYNTH_QUERIES if n in qs]
+    import gc
+
+    fact_rows: dict[str, int] = {}
+    result: dict[str, dict[str, float]] = {k: {} for k in names}
+    for tag, sf_dir in (("sf0.1", base_dir), ("sf~1", out_dir)):
+        fact_rows[tag] = sum(
+            spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
+            for t in ("lineitem", "orders")
+        )
+        for t in TABLE_NAMES:  # per-dir warmup (footers, page cache)
+            load_table(spark, sf_dir, t).write.format("noop").mode(
+                "overwrite"
+            ).save()
+        for name in names:
+            best = None
+            try:
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    qs[name](spark, sf_dir).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
+                    took = time.perf_counter() - t0
+                    best = took if best is None else min(best, took)
+            except Exception as exc:
+                print(f"synth-decade: {name}@{tag} FAILED: {exc}",
+                      file=sys.stderr)
+                best = -1.0
+            result[name][tag] = round(best, 3)
+            spark.catalog.clearCache()
+            gc.collect()
+            print(f"synth-decade: {name}@{tag} {result[name][tag]}s",
+                  file=sys.stderr)
+
+    # burst re-measurement, same taxonomy as the main series: a sf~1
+    # cell is suspect when it exceeds 3x its own sf0.1 cell (a 10x data
+    # step with slope <=0.5 predicts <=3.2x) — two sweeps, min kept
+    for sweep in range(2):
+        flagged = [
+            n for n in names
+            if result[n]["sf~1"] > 0 and result[n]["sf0.1"] > 0
+            and result[n]["sf~1"] > 3 * result[n]["sf0.1"]
+        ]
+        if not flagged:
+            break
+        for name in flagged:
+            try:
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    qs[name](spark, out_dir).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
+                    result[name]["sf~1"] = round(
+                        min(result[name]["sf~1"],
+                            time.perf_counter() - t0), 3
+                    )
+            except Exception as exc:
+                print(f"synth-decade: recheck {name} FAILED: {exc}",
+                      file=sys.stderr)
+            spark.catalog.clearCache()
+            gc.collect()
+            print(f"synth-decade: recheck[{sweep}] {name} "
+                  f"{result[name]['sf~1']}s", file=sys.stderr)
+
+    ratio = fact_rows["sf~1"] / fact_rows["sf0.1"]
+    lines = [
+        SYNTH_MARK + " (sf0.1 → key-shifted sf~1, VERDICT r10 ask #6)",
+        "",
+        f"Generated by `tools/scaling.py --synth-decade`: lineitem + "
+        f"orders replicated 10× with per-replica order-key shifts "
+        f"(fact rows {fact_rows['sf0.1']:,} → {fact_rows['sf~1']:,}, "
+        f"{ratio:.1f}×; dims/documents/embeddings unscaled), min-of-2 "
+        f"per cell with burst re-measurement.  slope = "
+        "log(t_sf1/t_sf0.1)/log(fact-row ratio), comparable to the main "
+        "table's definition.  **Scope**: relational aggregates + graph "
+        "algorithms only — the text/dedup/similarity family (ssj1, d26, "
+        "d13, m7b, e-family) is excluded BY DESIGN because replicated "
+        "text gives every row 10 near-identical twins and the "
+        "measurement becomes the synthetic duplication, not the "
+        "operator (see 'Why no sf1 column' above).",
+        "",
+        "| query | sf0.1 s | sf~1 s | slope (this decade) |",
+        "|---|---|---|---|",
+    ]
+    for name in names:
+        r = result[name]
+        if min(r.values()) < 0:
+            lines.append(f"| {name} | {r['sf0.1']} | {r['sf~1']} "
+                         "| (failed) |")
+            continue
+        slope = (
+            math.log(max(r["sf~1"], 1e-3) / max(r["sf0.1"], 1e-3))
+            / math.log(ratio)
+        )
+        lines.append(
+            f"| {name} | {r['sf0.1']} | {r['sf~1']} | {slope:.2f} |"
+        )
+    lines.append("")
+    block = "\n".join(lines) + "\n"
+
+    path = os.path.join(REPO, "SCALING.md")
+    try:
+        with open(path) as f:
+            txt = f.read()
+    except OSError:
+        txt = ""
+    i = txt.find(SYNTH_MARK)
+    txt = (txt[:i] if i >= 0 else txt.rstrip() + "\n\n") + block
+    with open(path, "w") as f:
+        f.write(txt)
+    print(f"wrote SCALING.md synth-decade section ({len(names)} queries)")
+
+
 if __name__ == "__main__":
-    main()
+    if "--synth-decade" in sys.argv:
+        synth_decade_main()
+    else:
+        main()

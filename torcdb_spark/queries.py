@@ -12168,15 +12168,22 @@ def e16_semantic_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from torcdb_spark.functions.vector import dot, l2_norm
     from torcdb_spark.operators.similarity import kmeans_lloyd_quantized
 
-    emb = load_table(spark, sf_dir, "embeddings").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    # repartition ONLY the Lloyd input (the sf fixtures are one row
+    # group; the iterative assignment is the parallel work) — the r10
+    # plan audit showed the old whole-query repartition surviving as
+    # pure waste everywhere else: an Exchange under each
+    # BroadcastExchange (shuffling rows that are about to be collected
+    # to the driver anyway) and a back-to-back Exchange pair under the
+    # final vec_id join (plan nodes 2/3, re-shuffled immediately by the
+    # join's own hash exchange)
+    cells = kmeans_lloyd_quantized(
+        emb.repartition(spark.sparkContext.defaultParallelism),
+        k=8, iters=2,
+    ).localCheckpoint(eager=True)
     # one materialization of the assignment: both self-join branches and
     # the CC otherwise re-run the full Lloyd lineage (2 windows + 2
     # two-level aggregates) per reference
-    cells = kmeans_lloyd_quantized(emb, k=8, iters=2).localCheckpoint(
-        eager=True
-    )
     raw = emb.select(
         "vec_id",
         F.col("embedding").alias("_r"),
