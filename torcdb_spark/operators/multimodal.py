@@ -2441,12 +2441,17 @@ def encode_ogg_stub(
     n_audio_pages: int = 3,
     packets_per_page: int = 2,
     packet_size: int = 40,
+    comments: list | None = None,
+    vendor: str = "torcdb",
 ) -> bytes:
     """Structurally valid Ogg writer (BOS identification-header page +
-    zero-filled audio pages with correct granule progression and real
-    page CRCs; 960-sample Opus / 1024-sample Vorbis packets) — fixture
-    synthesis for :func:`ogg_page_census`; no decodable audio by
-    design."""
+    optional comment-header page + zero-filled audio pages with correct
+    granule progression and real page CRCs; 960-sample Opus /
+    1024-sample Vorbis packets) — fixture synthesis for
+    :func:`ogg_page_census` / :func:`ogg_comment_tags`; no decodable
+    audio by design.  ``comments`` is ``[(key, value), ...]`` emitted
+    as an OpusTags / 0x03'vorbis' header on its own page (granule 0, no
+    packet ends in audio terms), the layout real encoders write."""
     if not 1 <= packet_size < 255:
         raise ValueError("packet_size must fit one lacing value")
     if codec == "opus":
@@ -2454,24 +2459,178 @@ def encode_ogg_stub(
                  + pre_skip.to_bytes(2, "little")
                  + sample_rate.to_bytes(4, "little")
                  + bytes(2) + bytes([0]))
+        tags_magic = b"OpusTags"
         spp, base = 960, pre_skip
     elif codec == "vorbis":
         ident = (b"\x01vorbis" + bytes(4) + bytes([channels])
                  + sample_rate.to_bytes(4, "little")
                  + bytes(12) + bytes([0xB8, 0x01]))
+        tags_magic = b"\x03vorbis"
         spp, base = 1024, 0
     else:
         raise ValueError(f"unsupported codec {codec!r}")
     serial = 0x5049_4B45
     out = [_ogg_page(0x02, 0, serial, 0, [ident])]
+    seq = 1
+    if comments is not None:
+        vb = vendor.encode("utf-8")
+        body = tags_magic + len(vb).to_bytes(4, "little") + vb
+        body += len(comments).to_bytes(4, "little")
+        for k, v in comments:
+            entry = f"{k}={v}".encode("utf-8")
+            body += len(entry).to_bytes(4, "little") + entry
+        # comment packets routinely exceed 255 bytes: real lacing —
+        # floor(n/255) 255-values then the sub-255 terminator
+        segs = [body[i : i + 255] for i in range(0, len(body), 255)]
+        if len(body) % 255 == 0:
+            segs.append(b"")
+        out.append(_ogg_page(0x00, 0, serial, seq, segs))
+        seq += 1
     for i in range(1, n_audio_pages + 1):
         htype = 0x04 if i == n_audio_pages else 0x00
         granule = base + i * packets_per_page * spp
         out.append(_ogg_page(
-            htype, granule, serial, i,
+            htype, granule, serial, seq,
             [bytes(packet_size)] * packets_per_page,
         ))
+        seq += 1
     return b"".join(out)
+
+
+def _ogg_packets(payload: bytes):
+    """Yield logical packets from an Ogg page chain by segment-table
+    lacing (RFC 3533 §5: a 255 value continues the packet — possibly
+    across pages via the continuation flag — a sub-255 value ends it).
+    Shares the page-walk validation contracts of
+    :func:`ogg_page_census`."""
+    if payload is None or len(payload) < 28 or payload[:4] != b"OggS":
+        raise ValueError("not an Ogg payload")
+    pos = 0
+    buf = bytearray()
+    while pos < len(payload):
+        if payload[pos : pos + 4] != b"OggS":
+            raise ValueError("bad Ogg capture pattern")
+        if pos + 27 > len(payload):
+            raise ValueError("truncated Ogg page header")
+        nseg = payload[pos + 26]
+        seg = payload[pos + 27 : pos + 27 + nseg]
+        if len(seg) < nseg:
+            raise ValueError("truncated Ogg segment table")
+        body = pos + 27 + nseg
+        if body + sum(seg) > len(payload):
+            raise ValueError("Ogg page body overruns payload")
+        for v in seg:
+            buf += payload[body : body + v]
+            body += v
+            if v < 255:
+                yield bytes(buf)
+                buf.clear()
+        pos = body
+
+
+def ogg_comment_tags(payload: bytes) -> list:
+    """Extract the user-comment list of an Ogg Opus/Vorbis stream's
+    comment header (packet #2: 'OpusTags' per RFC 7845 §5.2 /
+    0x03'vorbis' per the Xiph Vorbis-comment spec) →
+    ``[(key, value), ...]`` in list order — the audio analogue of the
+    ID3v2 text-frame walk, with packets reassembled across lacing
+    boundaries (comment packets routinely span multiple 255-byte
+    segments).  Keys are reported as written (the spec says
+    case-insensitive ASCII 0x20-0x7D minus '='); values are UTF-8.
+    Raises ValueError on a missing/foreign second packet, a truncated
+    length field, an entry with no '=' separator, or undecodable
+    UTF-8."""
+    packets = _ogg_packets(payload)
+    try:
+        next(packets)  # identification header (validated by the census)
+        comment = next(packets)
+    except StopIteration:
+        raise ValueError("Ogg stream has no comment packet")
+    if comment[:8] == b"OpusTags":
+        pos = 8
+    elif comment[:7] == b"\x03vorbis":
+        pos = 7
+    else:
+        raise ValueError("second Ogg packet is not a comment header")
+
+    def u32(at: int) -> int:
+        if at + 4 > len(comment):
+            raise ValueError("truncated comment header")
+        return int.from_bytes(comment[at : at + 4], "little")
+
+    vlen = u32(pos)
+    pos += 4 + vlen  # vendor string skipped (not user metadata)
+    n = u32(pos)
+    pos += 4
+    out = []
+    for _ in range(n):
+        ln = u32(pos)
+        pos += 4
+        if pos + ln > len(comment):
+            raise ValueError("comment entry overruns packet")
+        try:
+            entry = comment[pos : pos + ln].decode("utf-8")
+        except UnicodeDecodeError as exc:
+            raise ValueError(f"undecodable comment entry: {exc}")
+        pos += ln
+        k, sep, v = entry.partition("=")
+        if not sep:
+            raise ValueError("comment entry has no '=' separator")
+        out.append((k, v))
+    return out
+
+
+def ogg_tags(media: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Arrow-batched :func:`ogg_comment_tags` over opaque Ogg payloads,
+    one row per user comment — same mapInPandas shape and
+    skip-malformed contract as id3_tags."""
+    import pandas as pd  # noqa: F401
+
+    schema = "media_id long, tag string, value string"
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"media_id": [], "tag": [], "value": []}
+            for mid, payload in zip(pdf["media_id"], pdf[payload_col]):
+                try:
+                    tags = ogg_comment_tags(bytes(payload))
+                except ValueError:
+                    continue
+                for k, v in tags:
+                    out["media_id"].append(mid)
+                    out["tag"].append(k)
+                    out["value"].append(v)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(kernel, schema=schema)
+
+
+def ogg_tags_synth_udf():
+    """pandas_udf synthesizing Ogg streams carrying real comment
+    headers (title/artist/date entries) — fixture synthesis for the
+    ogg_tags pipeline."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def synth(
+        codec: pd.Series,
+        title: pd.Series,
+        artist: pd.Series,
+        date: pd.Series,
+    ) -> pd.Series:
+        return pd.Series(
+            [
+                encode_ogg_stub(
+                    str(c),
+                    comments=[("TITLE", t), ("ARTIST", a), ("DATE", d)],
+                )
+                for c, t, a, d in zip(codec, title, artist, date)
+            ]
+        )
+
+    return synth
 
 
 def ogg_census(media: DataFrame, payload_col: str = "payload") -> DataFrame:

@@ -650,15 +650,16 @@ def x_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ROTATION_BASIS_ROUND to the round the driver just recorded, re-run the
 # test, and paste the list it expects.
 #
-# ROUND-11 HEAD under that policy = the 2 never-checked round-11
-# additions (m20 Ogg page census, m21 H.264 NAL census), then the
-# stalest driver signals: the full round-5 block (36 queries —
-# t1_traverse_both, t8, q1_pricing_summary, e1, s6, g_pagerank_exact,
-# g_triangle_count, g_shortest_paths, ssj1, w1, dq1, dr1, pf1, ivm1,
-# scc1, tg1, orc1/pt1, the LDBC/stream/split utilities — exactly the
-# list VERDICT r10 ask #1 names) and the oldest 12 of the round-6
-# block (the gremlin-step family).  With this head every declared
-# query's driver record is <= 5 rounds old again.  Everything not
+# ROUND-11 HEAD under that policy = the 4 never-checked round-11
+# additions (m20 Ogg page census, m21 H.264 NAL census, m22 Vorbis
+# comments, m23 WebM/EBML census), then the stalest driver signals:
+# the full round-5 block (36 queries — t1_traverse_both, t8,
+# q1_pricing_summary, e1, s6, g_pagerank_exact, g_triangle_count,
+# g_shortest_paths, ssj1, w1, dq1, dr1, pf1, ivm1, scc1, tg1,
+# orc1/pt1, the LDBC/stream/split utilities — exactly the list VERDICT
+# r10 ask #1 names) and the oldest 10 of the round-6 block (the
+# gremlin-step family).  With this head every declared query's driver
+# record is <= 5 rounds old again.  Everything not
 # listed keeps its registration order after slot 50 and stays covered
 # by the local exact-value gate (tests/test_oracle_parity.py, 3 SFs,
 # every round).
@@ -696,9 +697,11 @@ def staleness_head(n: int = 50, basis: int | None = None) -> list[str]:
 
 
 DRIVER_PRIORITY: list[str] = [
-    # -- never driver-checked: the two round-11 additions --
+    # -- never driver-checked: the four round-11 additions --
     "m20_ogg_page_census",
     "m21_h264_nal_census",
+    "m22_ogg_comment_tags",
+    "m23_webm_census",
     # -- oldest driver signal: the round-5 block (36 queries, last
     # -- checked 6 rounds ago — the exact set VERDICT r10 ask #1
     # -- names, incl. the st_interval bench-arbitration subject) --
@@ -738,7 +741,7 @@ DRIVER_PRIORITY: list[str] = [
     "tp1_token_budget_selection",
     "ts4_ewma_smoothing",
     "w1_warc_ingest",
-    # -- next-oldest: the first 12 (by name) of the round-6 block,
+    # -- next-oldest: the first 10 (by name) of the round-6 block,
     # -- the gremlin step family --
     "g_cc_doubling",
     "g_gremlin_both_e",
@@ -750,8 +753,6 @@ DRIVER_PRIORITY: list[str] = [
     "g_gremlin_order_by_prop",
     "g_gremlin_project",
     "g_gremlin_range",
-    "g_gremlin_repeat",
-    "g_gremlin_select",
 ]
 
 # Head entries that ship WITHOUT a DuckDB oracle by documented design (the
@@ -13334,3 +13335,99 @@ def m21_h264_nal_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("payload"),
     )
     return h264_census(media).drop("total_bytes")
+
+
+@_register(
+    "m22_ogg_comment_tags",
+    """SELECT doc_id AS media_id, 'TITLE' AS tag,
+              substr(text, 1, 20) AS value FROM documents
+       UNION ALL
+       SELECT doc_id, 'ARTIST', 'artist_' || CAST(doc_id % 7 AS VARCHAR)
+       FROM documents
+       UNION ALL
+       SELECT doc_id, 'DATE',
+              CAST(1960 + doc_id % 60 AS VARCHAR) FROM documents""",
+)
+def m22_ogg_comment_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vorbis-comment extraction — the Ogg world's ID3 (m19's audio-
+    metadata analogue): per-document Opus/Vorbis streams carrying REAL
+    comment headers (OpusTags per RFC 7845 §5.2 / 0x03'vorbis' per the
+    Xiph spec, TITLE/ARTIST/DATE entries, codec alternating by doc id)
+    parsed back by operators/multimodal.py ogg_comment_tags via
+    Arrow-batched mapInPandas — logical-packet reassembly across
+    RFC 3533 lacing boundaries (comment packets legitimately span
+    multiple 255-byte segments), little-endian length-prefixed entry
+    walk, first-'=' key/value split.  One row per comment; the oracle
+    replays the three tag strings per document in plain SQL, so a
+    wrong lacing reassembly, length offset, or separator split
+    hash-mismatches immediately."""
+    from torcdb_spark.operators.multimodal import (
+        ogg_tags,
+        ogg_tags_synth_udf,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    synth = ogg_tags_synth_udf()
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        synth(
+            F.when(F.col("doc_id") % 2 == 0, F.lit("opus"))
+            .otherwise(F.lit("vorbis")),
+            F.substring("text", 1, 20),
+            F.concat(F.lit("artist_"), (F.col("doc_id") % 7).cast("string")),
+            (F.lit(1960) + F.col("doc_id") % 60).cast("string"),
+        ).alias("payload"),
+    )
+    return ogg_tags(media)
+
+
+@_register(
+    "m23_webm_census",
+    """SELECT doc_id AS media_id,
+              CASE WHEN doc_id % 2 = 0 THEN 'webm'
+                   ELSE 'matroska' END AS doctype,
+              CAST(1000000 AS BIGINT) AS timescale,
+              CAST(1000 + doc_id % 100000 AS BIGINT) AS duration_ms,
+              CAST(doc_id % 2 + 1 + doc_id % 3 AS BIGINT) AS n_tracks,
+              CAST(doc_id % 2 AS BIGINT) AS n_video,
+              CAST(1 + doc_id % 3 AS BIGINT) AS n_audio,
+              CASE WHEN doc_id % 2 = 1
+                   THEN CAST(16 + doc_id % 1904 AS BIGINT)
+                   ELSE 0 END AS width,
+              CASE WHEN doc_id % 2 = 1
+                   THEN CAST(16 + length(text) % 1064 AS BIGINT)
+                   ELSE 0 END AS height,
+              CAST(1 + length(text) % 5 AS BIGINT) AS n_clusters
+       FROM documents""",
+)
+def m23_webm_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matroska/WebM container census — the EBML half of crawl video
+    beside m17's ISO-BMFF walk: per-document WebM/Matroska containers
+    (doctype, duration, video/audio track mix, first-video dimensions,
+    cluster count all fixture-derived) walked by operators/ebml.py
+    webm_census via Arrow-batched mapInPandas — real RFC 8794 vint
+    decoding (marker-retaining IDs, marker-stripped sizes, unknown-size
+    escape), DocType from the EBML header, Segment>Info TimestampScale
+    + float64 Duration → floor-division milliseconds, TrackEntry
+    type classification with Video>PixelWidth/PixelHeight.  The oracle
+    replays every census column in closed-form SQL from the same
+    fixture arithmetic; block/codec payload decode stays documented
+    out-of-scope like m17's mdat."""
+    from torcdb_spark.operators.ebml import webm_media_census, webm_synth_udf
+
+    docs = load_table(spark, sf_dir, "documents")
+    synth = webm_synth_udf()
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        synth(
+            F.when(F.col("doc_id") % 2 == 0, F.lit("webm"))
+            .otherwise(F.lit("matroska")),
+            (F.lit(1000) + F.col("doc_id") % 100000).cast("long"),
+            (F.col("doc_id") % 2).cast("int"),
+            (F.lit(1) + F.col("doc_id") % 3).cast("int"),
+            (F.lit(16) + F.col("doc_id") % 1904).cast("int"),
+            (F.lit(16) + F.length("text") % 1064).cast("int"),
+            (F.lit(1) + F.length("text") % 5).cast("int"),
+        ).alias("payload"),
+    )
+    return webm_media_census(media)
