@@ -137,3 +137,100 @@ def test_stream_to_table_exactly_once_drain(spark, tmp_path):
     assert spark.read.parquet(out).count() == 500
     drain()  # same checkpoint: nothing new to process
     assert spark.read.parquet(out).count() == 500
+
+
+def test_tfrecord_framing_and_example_wire():
+    """TFRecord framing (masked CRC32C on length AND data words) and
+    the tf.train.Example wire walk: packed/unpacked int64 lists, float
+    lists, bytes lists, unknown-field skip, and the ValueError
+    contracts for truncation and CRC corruption."""
+    import struct as _struct
+
+    import pytest as _pytest
+
+    from torcdb_spark.sources.tfrecord import (
+        _masked_crc,
+        _varint,
+        encode_example,
+        parse_example,
+        parse_tfrecords,
+        write_tfrecords,
+    )
+
+    # framing round trip, multiple records
+    recs = [b"alpha", b"", b"\x00" * 300, "unicode ✓".encode()]
+    assert parse_tfrecords(write_tfrecords(recs)) == recs
+
+    # the masked CRC matches TensorFlow's published test vector shape:
+    # masking is rotate-right-15 plus the fixed constant
+    ln = _struct.pack("<Q", 5)
+    raw = write_tfrecords([b"hello"])
+    assert raw[8:12] == _struct.pack("<I", _masked_crc(ln))
+
+    # CRC corruption surfaces, both words
+    bad = bytearray(write_tfrecords([b"payload"]))
+    bad[-1] ^= 0xFF
+    with _pytest.raises(ValueError):
+        parse_tfrecords(bytes(bad))
+    bad2 = bytearray(write_tfrecords([b"payload"]))
+    bad2[9] ^= 0x01
+    with _pytest.raises(ValueError):
+        parse_tfrecords(bytes(bad2))
+    with _pytest.raises(ValueError):
+        parse_tfrecords(write_tfrecords([b"abc"])[:-2])
+
+    # Example wire round trip, all three kinds
+    ex = encode_example({
+        "tokens": [0, 1, 127, 128, 300, 2**40],
+        "scores": [1.5, -2.0],
+        "text": ["héllo", b"\x01\x02"],
+    })
+    got = parse_example(ex)
+    assert got["tokens"] == ("int64", [0, 1, 127, 128, 300, 2**40])
+    assert got["scores"][0] == "float"
+    assert got["scores"][1] == [1.5, -2.0]
+    assert got["text"] == ("bytes", ["héllo".encode(), b"\x01\x02"])
+
+    # UNPACKED int64 repetition (legal wire form) decodes identically
+    unpacked_list = b"".join(
+        _varint(1 << 3 | 0) + _varint(v) for v in (7, 8)
+    )
+    feat = _varint(3 << 3 | 2) + _varint(len(unpacked_list)) + unpacked_list
+    key = b"\x0a\x01x"  # map key 'x'
+    val = _varint(2 << 3 | 2) + _varint(len(feat)) + feat
+    entry = key + val
+    feats = _varint(1 << 3 | 2) + _varint(len(entry)) + entry
+    example = _varint(1 << 3 | 2) + _varint(len(feats)) + feats
+    assert parse_example(example)["x"] == ("int64", [7, 8])
+
+    # unknown top-level fields skip structurally
+    noisy = _varint(9 << 3 | 0) + _varint(42) + ex
+    assert parse_example(noisy)["tokens"][1][:2] == [0, 1]
+
+
+def test_tfrecord_examples_dataframe(spark):
+    """The Spark fan-out: one row per (record, feature), int sums and
+    text slices exact, poisoned shards degrade to an _error row."""
+    from pyspark.sql import Row
+
+    from torcdb_spark.sources.tfrecord import (
+        encode_example,
+        tfrecord_examples,
+        write_tfrecords,
+    )
+
+    good = write_tfrecords([
+        encode_example({"tokens": [1, 2, 3], "text": ["hello"]}),
+        encode_example({"tokens": [10], "text": ["world"]}),
+    ])
+    shards = spark.createDataFrame([
+        Row(path="a", content=bytearray(good)),
+        Row(path="b", content=bytearray(b"not a tfrecord file")),
+    ])
+    rows = {(r.path, r.rec_idx, r.feature): r
+            for r in tfrecord_examples(shards).collect()}
+    assert rows[("a", 0, "tokens")].int_sum == 6
+    assert rows[("a", 0, "tokens")].n_values == 3
+    assert rows[("a", 0, "text")].text == "hello"
+    assert rows[("a", 1, "text")].text == "world"
+    assert "CRC mismatch" in rows[("b", -1, "_error")].kind

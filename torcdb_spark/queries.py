@@ -650,14 +650,15 @@ def x_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ROTATION_BASIS_ROUND to the round the driver just recorded, re-run the
 # test, and paste the list it expects.
 #
-# ROUND-11 HEAD under that policy = the 4 never-checked round-11
+# ROUND-11 HEAD under that policy = the 5 never-checked round-11
 # additions (m20 Ogg page census, m21 H.264 NAL census, m22 Vorbis
-# comments, m23 WebM/EBML census), then the stalest driver signals:
+# comments, m23 WebM/EBML census, tf1 TFRecord/Example ingestion),
+# then the stalest driver signals:
 # the full round-5 block (36 queries — t1_traverse_both, t8,
 # q1_pricing_summary, e1, s6, g_pagerank_exact, g_triangle_count,
 # g_shortest_paths, ssj1, w1, dq1, dr1, pf1, ivm1, scc1, tg1,
 # orc1/pt1, the LDBC/stream/split utilities — exactly the list VERDICT
-# r10 ask #1 names) and the oldest 10 of the round-6 block (the
+# r10 ask #1 names) and the oldest 9 of the round-6 block (the
 # gremlin-step family).  With this head every declared query's driver
 # record is <= 5 rounds old again.  Everything not
 # listed keeps its registration order after slot 50 and stays covered
@@ -702,6 +703,7 @@ DRIVER_PRIORITY: list[str] = [
     "m21_h264_nal_census",
     "m22_ogg_comment_tags",
     "m23_webm_census",
+    "tf1_tfrecord_examples",
     # -- oldest driver signal: the round-5 block (36 queries, last
     # -- checked 6 rounds ago — the exact set VERDICT r10 ask #1
     # -- names, incl. the st_interval bench-arbitration subject) --
@@ -752,7 +754,6 @@ DRIVER_PRIORITY: list[str] = [
     "g_gremlin_match",
     "g_gremlin_order_by_prop",
     "g_gremlin_project",
-    "g_gremlin_range",
 ]
 
 # Head entries that ship WITHOUT a DuckDB oracle by documented design (the
@@ -13431,3 +13432,63 @@ def m23_webm_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("payload"),
     )
     return webm_media_census(media)
+
+
+@_register(
+    "tf1_tfrecord_examples",
+    """WITH p AS (
+         SELECT doc_id,
+                CAST(doc_id % 1000 AS BIGINT) AS b,
+                CAST(1 + doc_id % 4 AS BIGINT) AS n,
+                CAST(1 + length(text) % 6 AS BIGINT) AS m,
+                substr(text, 1, 40) AS t40
+         FROM documents),
+       r AS (SELECT p.*, CAST(g.i AS BIGINT) AS i
+             FROM p, range(0, 4) AS g(i) WHERE g.i < n)
+       SELECT 'doc_' || CAST(doc_id AS VARCHAR) AS path,
+              i AS rec_idx, 'text' AS feature, 'bytes' AS kind,
+              CAST(1 AS BIGINT) AS n_values,
+              CAST(0 AS BIGINT) AS int_sum,
+              CASE WHEN substr(t40, CAST(i * 8 + 1 AS INT), 8) = ''
+                   THEN 'pad'
+                   ELSE substr(t40, CAST(i * 8 + 1 AS INT), 8)
+              END AS text
+       FROM r
+       UNION ALL
+       SELECT 'doc_' || CAST(doc_id AS VARCHAR), i, 'tokens', 'int64',
+              m, m * (b + i * m) + m * (m - 1) // 2, NULL
+       FROM r""",
+)
+def tf1_tfrecord_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TFRecord + tf.train.Example ingestion — the ML world's dominant
+    training-data container, decoded stdlib-only: per-document TFRecord
+    shards (record count, token counts, text slices all
+    fixture-derived) framed with REAL masked-CRC32C length/data words
+    and real protobuf wire format (packed Int64List varints, BytesList
+    submessages, map entries), parsed back by sources/tfrecord.py
+    parse_tfrecords + parse_example via Arrow-batched mapInPandas —
+    both CRCs verified per record, unknown fields skipped per the
+    protobuf contract, one row per (record, feature).  The oracle
+    replays the token arithmetic (m·(b+i·m)+m(m−1)/2) and text slices
+    in closed-form SQL, so a wrong varint shift, CRC mask, or map-entry
+    walk hash-mismatches immediately; poisoned shards degrade to
+    '_error' rows (pytest-pinned), the WARC-path contract."""
+    from torcdb_spark.sources.tfrecord import (
+        tfrecord_examples,
+        tfrecord_synth_udf,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    synth = tfrecord_synth_udf()
+    shards = docs.select(
+        F.concat(F.lit("doc_"), F.col("doc_id").cast("string")).alias(
+            "path"
+        ),
+        synth(
+            (F.col("doc_id") % 1000).cast("long"),
+            (F.lit(1) + F.col("doc_id") % 4).cast("int"),
+            (F.lit(1) + F.length("text") % 6).cast("int"),
+            F.substring("text", 1, 40),
+        ).alias("content"),
+    )
+    return tfrecord_examples(shards)
