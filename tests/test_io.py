@@ -234,3 +234,88 @@ def test_tfrecord_examples_dataframe(spark):
     assert rows[("a", 0, "text")].text == "hello"
     assert rows[("a", 1, "text")].text == "world"
     assert "CRC mismatch" in rows[("b", -1, "_error")].kind
+
+
+def test_avro_container_roundtrip():
+    """Avro OCF framing + schema-driven binary decode: zigzag varints,
+    every scalar type, arrays/maps/enums/fixed, nullable unions, both
+    codecs, multi-block files, sync verification, and the ValueError
+    contracts."""
+    import pytest as _pytest
+
+    from torcdb_spark.sources.avro import parse_avro, write_avro
+
+    schema = {
+        "type": "record", "name": "r", "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "neg", "type": "int"},
+            {"name": "ok", "type": "boolean"},
+            {"name": "score", "type": "double"},
+            {"name": "ratio", "type": "float"},
+            {"name": "name", "type": "string"},
+            {"name": "blob", "type": "bytes"},
+            {"name": "tag", "type": {"type": "enum", "name": "e",
+                                     "symbols": ["A", "B", "C"]}},
+            {"name": "fx", "type": {"type": "fixed", "name": "f",
+                                    "size": 3}},
+            {"name": "xs", "type": {"type": "array", "items": "long"}},
+            {"name": "kv", "type": {"type": "map", "values": "string"}},
+            {"name": "maybe", "type": ["null", "string"]},
+        ],
+    }
+    recs = [
+        {"id": 2**45, "neg": -17, "ok": True, "score": 2.5,
+         "ratio": 0.5, "name": "ünïcode ✓", "blob": b"\x00\xff",
+         "tag": "B", "fx": b"abc", "xs": [1, -2, 300], "kv": {"k": "v"},
+         "maybe": "yes"},
+        {"id": 0, "neg": 0, "ok": False, "score": -1.25, "ratio": 2.0,
+         "name": "", "blob": b"", "tag": "C", "fx": b"xyz", "xs": [],
+         "kv": {}, "maybe": None},
+    ] * 3
+    for codec in ("null", "deflate"):
+        raw = write_avro(schema, recs, codec=codec, records_per_block=4)
+        assert parse_avro(raw) == recs, codec
+
+    # contracts: magic, sync mismatch, truncation, trailing bytes
+    with _pytest.raises(ValueError):
+        parse_avro(b"Obj\x02" + bytes(40))
+    good = bytearray(write_avro(schema, recs[:1]))
+    good[-1] ^= 0xFF  # corrupt the final sync marker
+    with _pytest.raises(ValueError):
+        parse_avro(bytes(good))
+    with _pytest.raises(ValueError):
+        parse_avro(write_avro(schema, recs[:1])[:-10])
+
+
+def test_avro_records_dataframe(spark):
+    """The Spark fan-out: typed per-field rows, union null branch,
+    deflate codec, corrupt files degrade to an _error row."""
+    from pyspark.sql import Row
+
+    from torcdb_spark.sources.avro import avro_records, write_avro
+
+    schema = {
+        "type": "record", "name": "d", "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "score", "type": "double"},
+            {"name": "text", "type": ["null", "string"]},
+        ],
+    }
+    good = write_avro(
+        schema,
+        [{"id": 7, "score": 1.25, "text": "hi"},
+         {"id": 8, "score": 2.0, "text": None}],
+        codec="deflate",
+    )
+    shards = spark.createDataFrame([
+        Row(path="a", content=bytearray(good)),
+        Row(path="b", content=bytearray(b"Objx not avro")),
+    ])
+    rows = {(r.path, r.rec_idx, r.field): r
+            for r in avro_records(shards).collect()}
+    assert rows[("a", 0, "id")].long_value == 7
+    assert rows[("a", 0, "score")].double_value == 1.25
+    assert rows[("a", 0, "text")].text == "hi"
+    assert rows[("a", 1, "text")].kind == "null"
+    assert rows[("a", 1, "text")].text is None
+    assert ("b", -1, "_error") in rows

@@ -650,15 +650,15 @@ def x_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ROTATION_BASIS_ROUND to the round the driver just recorded, re-run the
 # test, and paste the list it expects.
 #
-# ROUND-11 HEAD under that policy = the 5 never-checked round-11
+# ROUND-11 HEAD under that policy = the 6 never-checked round-11
 # additions (m20 Ogg page census, m21 H.264 NAL census, m22 Vorbis
-# comments, m23 WebM/EBML census, tf1 TFRecord/Example ingestion),
-# then the stalest driver signals:
+# comments, m23 WebM/EBML census, tf1 TFRecord/Example ingestion,
+# av1 Avro OCF ingestion), then the stalest driver signals:
 # the full round-5 block (36 queries — t1_traverse_both, t8,
 # q1_pricing_summary, e1, s6, g_pagerank_exact, g_triangle_count,
 # g_shortest_paths, ssj1, w1, dq1, dr1, pf1, ivm1, scc1, tg1,
 # orc1/pt1, the LDBC/stream/split utilities — exactly the list VERDICT
-# r10 ask #1 names) and the oldest 9 of the round-6 block (the
+# r10 ask #1 names) and the oldest 8 of the round-6 block (the
 # gremlin-step family).  With this head every declared query's driver
 # record is <= 5 rounds old again.  Everything not
 # listed keeps its registration order after slot 50 and stays covered
@@ -698,7 +698,9 @@ def staleness_head(n: int = 50, basis: int | None = None) -> list[str]:
 
 
 DRIVER_PRIORITY: list[str] = [
-    # -- never driver-checked: the four round-11 additions --
+    # -- never driver-checked: the six round-11 additions (name-sorted,
+    # -- the -1 tie-break) --
+    "av1_avro_ingest",
     "m20_ogg_page_census",
     "m21_h264_nal_census",
     "m22_ogg_comment_tags",
@@ -753,7 +755,6 @@ DRIVER_PRIORITY: list[str] = [
     "g_gremlin_group",
     "g_gremlin_match",
     "g_gremlin_order_by_prop",
-    "g_gremlin_project",
 ]
 
 # Head entries that ship WITHOUT a DuckDB oracle by documented design (the
@@ -13492,3 +13493,70 @@ def tf1_tfrecord_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("content"),
     )
     return tfrecord_examples(shards)
+
+
+@_register(
+    "av1_avro_ingest",
+    """WITH p AS (
+         SELECT doc_id,
+                CAST(1 + doc_id % 3 AS BIGINT) AS n,
+                CAST(doc_id % 100 AS BIGINT) AS sb,
+                substr(text, 1, 30) AS t30,
+                doc_id % 7 = 0 AS nully
+         FROM documents),
+       r AS (SELECT p.*, CAST(g.i AS BIGINT) AS i
+             FROM p, range(0, 3) AS g(i) WHERE g.i < n)
+       SELECT 'doc_' || CAST(doc_id AS VARCHAR) AS path,
+              i AS rec_idx, 'id' AS field, 'long' AS kind,
+              CAST(doc_id * 10 + i AS BIGINT) AS long_value,
+              CAST(NULL AS DOUBLE) AS double_value,
+              CAST(NULL AS VARCHAR) AS text
+       FROM r
+       UNION ALL
+       SELECT 'doc_' || CAST(doc_id AS VARCHAR), i, 'score', 'double',
+              NULL, CAST(sb + i AS DOUBLE) / 4.0, NULL
+       FROM r
+       UNION ALL
+       SELECT 'doc_' || CAST(doc_id AS VARCHAR), i, 'text',
+              CASE WHEN nully THEN 'null' ELSE 'string' END,
+              NULL, NULL,
+              CASE WHEN nully THEN NULL
+                   WHEN substr(t30, CAST(i * 6 + 1 AS INT), 6) = ''
+                   THEN 'pad'
+                   ELSE substr(t30, CAST(i * 6 + 1 AS INT), 6)
+              END
+       FROM r""",
+)
+def av1_avro_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro Object Container File ingestion — the data lake's row-
+    interchange format, decoded stdlib-only: per-document OCF shards
+    ({id: long, score: double, text: ["null","string"]} records, codec
+    alternating null / raw-deflate, every-seventh doc exercising the
+    union's null branch) parsed back by sources/avro.py parse_avro via
+    Arrow-batched mapInPandas — header metadata-map walk, embedded
+    JSON writer schema, zigzag-varint block framing with per-block
+    sync-marker verification, RFC 1951 inflate, schema-driven
+    recursive record decode.  One row per (record, field) with typed
+    value columns; the oracle replays ids, quarter-valued doubles, and
+    text slices in closed-form SQL, so a wrong zigzag shift, union
+    index, or block frame hash-mismatches immediately; corrupt files
+    degrade to '_error' rows (pytest-pinned), the WARC-path
+    contract."""
+    from torcdb_spark.sources.avro import avro_records, avro_synth_udf
+
+    docs = load_table(spark, sf_dir, "documents")
+    synth = avro_synth_udf()
+    shards = docs.select(
+        F.concat(F.lit("doc_"), F.col("doc_id").cast("string")).alias(
+            "path"
+        ),
+        synth(
+            F.col("doc_id").cast("long"),
+            (F.lit(1) + F.col("doc_id") % 3).cast("int"),
+            (F.col("doc_id") % 100).cast("long"),
+            F.substring("text", 1, 30),
+            (F.col("doc_id") % 7 == 0).cast("boolean"),
+            (F.col("doc_id") % 2 == 1).cast("boolean"),
+        ).alias("content"),
+    )
+    return avro_records(shards)
