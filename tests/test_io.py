@@ -319,3 +319,46 @@ def test_avro_records_dataframe(spark):
     assert rows[("a", 1, "text")].kind == "null"
     assert rows[("a", 1, "text")].text is None
     assert ("b", -1, "_error") in rows
+
+
+def test_delta_log_replay(spark):
+    """Delta protocol snapshot rule: latest action per path wins,
+    within-commit remove supersedes add, removes of never-added paths
+    no-op, re-adds resurrect, and time travel caps the replay."""
+    from torcdb_spark.sources.delta_log import (
+        delta_active_files,
+        delta_log_lines,
+    )
+
+    log = delta_log_lines(spark, [
+        (0, [{"metaData": {"id": "t1", "schemaString": "{}"}},
+             {"add": {"path": "a.parquet", "size": 10,
+                      "partitionValues": {"d": "1"}, "dataChange": True}},
+             {"add": {"path": "b.parquet", "size": 20,
+                      "partitionValues": {"d": "1"}, "dataChange": True}}]),
+        (1, [{"remove": {"path": "a.parquet", "dataChange": True}},
+             {"add": {"path": "c.parquet", "size": 30,
+                      "partitionValues": {"d": "2"}, "dataChange": True}}]),
+        # within one commit: add then remove of the SAME path -> gone
+        (2, [{"add": {"path": "d.parquet", "size": 40,
+                      "partitionValues": {}, "dataChange": True}},
+             {"remove": {"path": "d.parquet", "dataChange": True}},
+             # remove of a never-added path must no-op
+             {"remove": {"path": "ghost.parquet", "dataChange": True}}]),
+        # re-add of a previously removed path resurrects it
+        (3, [{"add": {"path": "a.parquet", "size": 11,
+                      "partitionValues": {"d": "9"}, "dataChange": True}}]),
+    ])
+
+    latest = {r.path: r for r in delta_active_files(log).collect()}
+    assert set(latest) == {"a.parquet", "b.parquet", "c.parquet"}
+    assert latest["a.parquet"].size == 11  # the v3 re-add, not the v0 add
+    assert latest["a.parquet"].added_version == 3
+    assert latest["a.parquet"].partition_values == {"d": "9"}
+
+    # time travel: at v1 the original a.parquet is gone, c present
+    at1 = {r.path: r for r in delta_active_files(log, version=1).collect()}
+    assert set(at1) == {"b.parquet", "c.parquet"}
+    # at v0 both original files are active
+    at0 = {r.path for r in delta_active_files(log, version=0).collect()}
+    assert at0 == {"a.parquet", "b.parquet"}

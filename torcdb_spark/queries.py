@@ -650,15 +650,16 @@ def x_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ROTATION_BASIS_ROUND to the round the driver just recorded, re-run the
 # test, and paste the list it expects.
 #
-# ROUND-11 HEAD under that policy = the 6 never-checked round-11
+# ROUND-11 HEAD under that policy = the 7 never-checked round-11
 # additions (m20 Ogg page census, m21 H.264 NAL census, m22 Vorbis
 # comments, m23 WebM/EBML census, tf1 TFRecord/Example ingestion,
-# av1 Avro OCF ingestion), then the stalest driver signals:
+# av1 Avro OCF ingestion, dl1 Delta-log replay), then the stalest
+# driver signals:
 # the full round-5 block (36 queries — t1_traverse_both, t8,
 # q1_pricing_summary, e1, s6, g_pagerank_exact, g_triangle_count,
 # g_shortest_paths, ssj1, w1, dq1, dr1, pf1, ivm1, scc1, tg1,
 # orc1/pt1, the LDBC/stream/split utilities — exactly the list VERDICT
-# r10 ask #1 names) and the oldest 8 of the round-6 block (the
+# r10 ask #1 names) and the oldest 7 of the round-6 block (the
 # gremlin-step family).  With this head every declared query's driver
 # record is <= 5 rounds old again.  Everything not
 # listed keeps its registration order after slot 50 and stays covered
@@ -698,9 +699,10 @@ def staleness_head(n: int = 50, basis: int | None = None) -> list[str]:
 
 
 DRIVER_PRIORITY: list[str] = [
-    # -- never driver-checked: the six round-11 additions (name-sorted,
-    # -- the -1 tie-break) --
+    # -- never driver-checked: the seven round-11 additions
+    # -- (name-sorted, the -1 tie-break) --
     "av1_avro_ingest",
+    "dl1_delta_log_replay",
     "m20_ogg_page_census",
     "m21_h264_nal_census",
     "m22_ogg_comment_tags",
@@ -754,7 +756,6 @@ DRIVER_PRIORITY: list[str] = [
     "g_gremlin_edge_start",
     "g_gremlin_group",
     "g_gremlin_match",
-    "g_gremlin_order_by_prop",
 ]
 
 # Head entries that ship WITHOUT a DuckDB oracle by documented design (the
@@ -13560,3 +13561,75 @@ def av1_avro_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("content"),
     )
     return avro_records(shards)
+
+
+@_register(
+    "dl1_delta_log_replay",
+    """SELECT 'part-' || CAST(doc_id AS VARCHAR) || '.parquet' AS path,
+              CAST(1000 + doc_id % 5000 AS BIGINT) AS size,
+              lang,
+              CAST(doc_id AS BIGINT) AS added_version
+       FROM documents d
+       WHERE NOT EXISTS (SELECT 1 FROM documents r
+                         WHERE r.doc_id = d.doc_id + 30
+                           AND r.doc_id % 3 = 0)""",
+)
+def dl1_delta_log_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-Lake transaction-log replay (sources/delta_log.py) — the
+    lakehouse-metadata operation every Delta reader performs, without a
+    Delta runtime: a protocol-shaped action log (one add per commit,
+    every third commit also removing the file added 30 commits
+    earlier — including removes of never-added paths, which the
+    protocol says must no-op) built from fixture columns with
+    JVM-only to_json, then replayed to the ACTIVE file snapshot by
+    from_json + a per-path latest-action window — whole-stage-codegen
+    end to end, one shuffle on path, no driver-side state.  The oracle
+    replays the add/remove reconciliation as a NOT EXISTS in
+    closed-form SQL, so a wrong window order, action precedence, or
+    JSON schema tolerance hash-mismatches immediately."""
+    from torcdb_spark.sources.delta_log import delta_active_files
+
+    docs = load_table(spark, sf_dir, "documents")
+    adds = docs.select(
+        F.col("doc_id").alias("version"),
+        F.to_json(
+            F.struct(
+                F.struct(
+                    F.concat(
+                        F.lit("part-"),
+                        F.col("doc_id").cast("string"),
+                        F.lit(".parquet"),
+                    ).alias("path"),
+                    (F.lit(1000) + F.col("doc_id") % 5000)
+                    .cast("long")
+                    .alias("size"),
+                    F.create_map(F.lit("lang"), F.col("lang")).alias(
+                        "partitionValues"
+                    ),
+                    F.lit(True).alias("dataChange"),
+                ).alias("add")
+            )
+        ).alias("line"),
+    )
+    removes = docs.where(F.col("doc_id") % 3 == 0).select(
+        F.col("doc_id").alias("version"),
+        F.to_json(
+            F.struct(
+                F.struct(
+                    F.concat(
+                        F.lit("part-"),
+                        (F.col("doc_id") - 30).cast("string"),
+                        F.lit(".parquet"),
+                    ).alias("path"),
+                    F.lit(True).alias("dataChange"),
+                ).alias("remove")
+            )
+        ).alias("line"),
+    )
+    snap = delta_active_files(adds.unionByName(removes))
+    return snap.select(
+        "path",
+        "size",
+        F.col("partition_values")["lang"].alias("lang"),
+        "added_version",
+    )
