@@ -13,6 +13,7 @@ from __future__ import annotations
 import pandas as pd  # module-level: pandas_udf resolves stringified type hints
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 # BPE-ish word/punct tokenizer: words, numbers, or single punctuation marks.
 TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
@@ -1463,4 +1464,44 @@ def gopher_rules(
         r_alpha.alias("r_alpha_words"),
         r_stop.alias("r_stop_words"),
         (r_wc & r_mwl & r_alpha & r_stop).alias("passes_all"),
+    )
+
+
+def ipynb_cells(
+    notebooks: DataFrame,
+    json_col: str = "notebook",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Jupyter-notebook cell extraction — code corpora (The-Stack-style)
+    ship .ipynb files, and the training-data pass pulls their markdown
+    prose and code sources out of the nbformat-4 JSON: ``from_json``
+    under a partial cells schema (unknown notebook fields tolerated,
+    the same contract as the Delta action schema), ``posexplode`` to
+    one row per cell, sources joined line-array → text.  JVM
+    expressions end to end — a notebook corpus parses inside
+    whole-stage codegen with zero Python.  Output: (id, cell_idx,
+    cell_type, n_lines, source).  Notebooks whose JSON fails to parse
+    yield NULL cells and are dropped (count them upstream via
+    ``from_json`` null checks if the pipeline needs an error census).
+    """
+    schema = T.StructType([
+        T.StructField("nbformat", T.LongType()),
+        T.StructField("cells", T.ArrayType(T.StructType([
+            T.StructField("cell_type", T.StringType()),
+            T.StructField("source", T.ArrayType(T.StringType())),
+        ]))),
+    ])
+    parsed = notebooks.select(
+        F.col(id_col),
+        F.from_json(F.col(json_col), schema).alias("_nb"),
+    )
+    return parsed.select(
+        F.col(id_col),
+        F.posexplode("_nb.cells").alias("cell_idx", "_c"),
+    ).select(
+        F.col(id_col),
+        F.col("cell_idx").cast("long").alias("cell_idx"),
+        F.col("_c.cell_type").alias("cell_type"),
+        F.size("_c.source").cast("long").alias("n_lines"),
+        F.concat_ws("", F.col("_c.source")).alias("source"),
     )

@@ -650,16 +650,16 @@ def x_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ROTATION_BASIS_ROUND to the round the driver just recorded, re-run the
 # test, and paste the list it expects.
 #
-# ROUND-11 HEAD under that policy = the 7 never-checked round-11
+# ROUND-11 HEAD under that policy = the 8 never-checked round-11
 # additions (m20 Ogg page census, m21 H.264 NAL census, m22 Vorbis
 # comments, m23 WebM/EBML census, tf1 TFRecord/Example ingestion,
-# av1 Avro OCF ingestion, dl1 Delta-log replay), then the stalest
-# driver signals:
+# av1 Avro OCF ingestion, dl1 Delta-log replay, p5 notebook-cell
+# extraction), then the stalest driver signals:
 # the full round-5 block (36 queries — t1_traverse_both, t8,
 # q1_pricing_summary, e1, s6, g_pagerank_exact, g_triangle_count,
 # g_shortest_paths, ssj1, w1, dq1, dr1, pf1, ivm1, scc1, tg1,
 # orc1/pt1, the LDBC/stream/split utilities — exactly the list VERDICT
-# r10 ask #1 names) and the oldest 7 of the round-6 block (the
+# r10 ask #1 names) and the oldest 6 of the round-6 block (the
 # gremlin-step family).  With this head every declared query's driver
 # record is <= 5 rounds old again.  Everything not
 # listed keeps its registration order after slot 50 and stays covered
@@ -707,6 +707,7 @@ DRIVER_PRIORITY: list[str] = [
     "m21_h264_nal_census",
     "m22_ogg_comment_tags",
     "m23_webm_census",
+    "p5_ipynb_cells",
     "tf1_tfrecord_examples",
     # -- oldest driver signal: the round-5 block (36 queries, last
     # -- checked 6 rounds ago — the exact set VERDICT r10 ask #1
@@ -755,7 +756,6 @@ DRIVER_PRIORITY: list[str] = [
     "g_gremlin_cyclic_path",
     "g_gremlin_edge_start",
     "g_gremlin_group",
-    "g_gremlin_match",
 ]
 
 # Head entries that ship WITHOUT a DuckDB oracle by documented design (the
@@ -13633,3 +13633,62 @@ def dl1_delta_log_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("partition_values")["lang"].alias("lang"),
         "added_version",
     )
+
+
+@_register(
+    "p5_ipynb_cells",
+    """WITH p AS (SELECT doc_id, 1 + doc_id % 4 AS n, text
+                  FROM documents),
+       r AS (SELECT p.*, CAST(g.i AS BIGINT) AS i
+             FROM p, range(0, 4) AS g(i) WHERE g.i < n)
+       SELECT doc_id, i AS cell_idx,
+              CASE WHEN i % 2 = 0 THEN 'markdown'
+                   ELSE 'code' END AS cell_type,
+              CAST(2 AS BIGINT) AS n_lines,
+              substr(text, CAST(i * 5 + 1 AS INT), 5)
+                || 'x' || CAST(i AS VARCHAR) AS source
+       FROM r""",
+)
+def p5_ipynb_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jupyter-notebook cell extraction (operators/text.py ipynb_cells)
+    — the ingestion pass a code corpus runs over .ipynb files:
+    per-document nbformat-4 JSON (cell count, alternating
+    markdown/code types, two-line sources, plus metadata fields the
+    parser must tolerate, all fixture-derived and built JVM-side with
+    to_json) parsed back by from_json under a partial cells schema +
+    posexplode + line-array join — whole-stage codegen end to end,
+    zero Python.  One row per cell; the oracle replays types, line
+    counts and joined sources in closed-form SQL."""
+    from torcdb_spark.operators.text import ipynb_cells
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = F.lit(1) + F.col("doc_id") % 4
+    cells = F.transform(
+        F.sequence(F.lit(0).cast("long"), (n - 1).cast("long")),
+        lambda i: F.struct(
+            F.when(i % 2 == 0, F.lit("markdown"))
+            .otherwise(F.lit("code"))
+            .alias("cell_type"),
+            F.array(
+                F.col("text").substr(
+                    (i * 5 + 1).cast("int"), F.lit(5)
+                ),
+                F.concat(F.lit("x"), i.cast("string")),
+            ).alias("source"),
+            F.struct(F.lit(False).alias("collapsed")).alias("metadata"),
+        ),
+    )
+    notebooks = docs.select(
+        "doc_id",
+        F.to_json(
+            F.struct(
+                F.lit(4).alias("nbformat"),
+                F.lit(5).alias("nbformat_minor"),
+                cells.alias("cells"),
+                F.struct(F.lit("python3").alias("kernel")).alias(
+                    "metadata"
+                ),
+            )
+        ).alias("notebook"),
+    )
+    return ipynb_cells(notebooks)
