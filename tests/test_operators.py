@@ -3948,3 +3948,35 @@ def test_pq_adc_exact_recall_vs_bruteforce(spark, sf_dir):
     }
     hits = sum(1 for pair in exact1 if pair in pq)
     assert hits / max(len(exact1), 1) >= 0.4
+
+
+def test_robots_directives(spark):
+    """RFC 9309 grouping: consecutive UA lines stack into one group, a
+    UA after a directive starts a new group, comments strip, directives
+    before any UA are invalid and dropped."""
+    from pyspark.sql import Row
+
+    from torcdb_spark.operators.text import robots_directives
+
+    txt = (
+        "Disallow: /orphan   # invalid: precedes every User-agent\n"
+        "User-agent: a\n"
+        "User-agent: b\n"
+        "Disallow: /x\n"
+        "Allow: /y  # comment\n"
+        "\n"
+        "User-agent: c\n"
+        "Crawl-delay: 7\n"
+        "not a directive line\n"
+        "User-agent: d\n"
+        "Disallow: /z\n"
+    )
+    df = spark.createDataFrame([Row(doc_id=1, robots=txt)])
+    rows = {(r.group_idx, r.directive, r.value): r.agents
+            for r in robots_directives(df).collect()}
+    assert rows[(0, "disallow", "/x")] == "a,b"
+    assert rows[(0, "allow", "/y")] == "a,b"
+    assert rows[(1, "crawl-delay", "7")] == "c"
+    assert rows[(2, "disallow", "/z")] == "d"
+    assert not any(v == "/orphan" for (_, _, v) in rows)
+    assert len(rows) == 4

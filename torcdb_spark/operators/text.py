@@ -1505,3 +1505,70 @@ def ipynb_cells(
         F.size("_c.source").cast("long").alias("n_lines"),
         F.concat_ws("", F.col("_c.source")).alias("source"),
     )
+
+
+def robots_directives(
+    docs: DataFrame,
+    robots_col: str = "robots",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """robots.txt parsing — the politeness layer every crawl pipeline
+    evaluates before fetching (REP, RFC 9309): lines split and
+    posexploded, comments (#) and blanks dropped, ``directive: value``
+    pairs extracted by regex, and directives assigned to their
+    governing User-agent GROUP per the spec's stacking rule —
+    consecutive User-agent lines open ONE group that every following
+    non-UA directive belongs to, and a UA line after a directive line
+    starts a new group.  The group walk is a lag + running-sum window
+    partitioned by document (one shuffle on the id, scales to a
+    billion-host robots corpus).  Output: (id, group_idx, agents
+    [comma-joined, sorted], directive [lowercased], value); directives
+    before any User-agent line are invalid per the RFC and dropped.
+    JVM expressions end to end."""
+    from pyspark.sql import Window
+
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(robots_col), "\n")).alias(
+            "_pos", "_line"
+        ),
+    ).select(
+        F.col(id_col),
+        "_pos",
+        F.trim(F.regexp_replace("_line", "#.*$", "")).alias("_line"),
+    ).where(F.col("_line") != "")
+    parsed = lines.select(
+        F.col(id_col),
+        "_pos",
+        F.lower(
+            F.regexp_extract("_line", r"^([A-Za-z][A-Za-z-]*)\s*:", 1)
+        ).alias("directive"),
+        F.trim(F.regexp_extract("_line", r":(.*)$", 1)).alias("value"),
+    ).where(F.col("directive") != "")
+    w = Window.partitionBy(id_col).orderBy("_pos")
+    grouped = parsed.withColumn(
+        "_is_ua", (F.col("directive") == "user-agent").cast("int")
+    ).withColumn(
+        "_new_group",
+        (
+            (F.col("_is_ua") == 1)
+            & (F.coalesce(F.lag("_is_ua").over(w), F.lit(0)) == 0)
+        ).cast("int"),
+    ).withColumn(
+        "group_idx",
+        F.sum("_new_group").over(w).cast("long") - 1,
+    ).where(F.col("group_idx") >= 0)
+    agents = (
+        grouped.where(F.col("_is_ua") == 1)
+        .groupBy(id_col, "group_idx")
+        .agg(
+            F.concat_ws(
+                ",", F.array_sort(F.collect_list("value"))
+            ).alias("agents")
+        )
+    )
+    return (
+        grouped.where(F.col("_is_ua") == 0)
+        .join(agents, [id_col, "group_idx"])
+        .select(id_col, "group_idx", "agents", "directive", "value")
+    )

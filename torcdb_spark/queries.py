@@ -650,16 +650,17 @@ def x_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ROTATION_BASIS_ROUND to the round the driver just recorded, re-run the
 # test, and paste the list it expects.
 #
-# ROUND-11 HEAD under that policy = the 8 never-checked round-11
+# ROUND-11 HEAD under that policy = the 9 never-checked round-11
 # additions (m20 Ogg page census, m21 H.264 NAL census, m22 Vorbis
 # comments, m23 WebM/EBML census, tf1 TFRecord/Example ingestion,
 # av1 Avro OCF ingestion, dl1 Delta-log replay, p5 notebook-cell
-# extraction), then the stalest driver signals:
+# extraction, rb1 robots.txt parsing), then the stalest driver
+# signals:
 # the full round-5 block (36 queries — t1_traverse_both, t8,
 # q1_pricing_summary, e1, s6, g_pagerank_exact, g_triangle_count,
 # g_shortest_paths, ssj1, w1, dq1, dr1, pf1, ivm1, scc1, tg1,
 # orc1/pt1, the LDBC/stream/split utilities — exactly the list VERDICT
-# r10 ask #1 names) and the oldest 6 of the round-6 block (the
+# r10 ask #1 names) and the oldest 5 of the round-6 block (the
 # gremlin-step family).  With this head every declared query's driver
 # record is <= 5 rounds old again.  Everything not
 # listed keeps its registration order after slot 50 and stays covered
@@ -708,6 +709,7 @@ DRIVER_PRIORITY: list[str] = [
     "m22_ogg_comment_tags",
     "m23_webm_census",
     "p5_ipynb_cells",
+    "rb1_robots_directives",
     "tf1_tfrecord_examples",
     # -- oldest driver signal: the round-5 block (36 queries, last
     # -- checked 6 rounds ago — the exact set VERDICT r10 ask #1
@@ -755,7 +757,6 @@ DRIVER_PRIORITY: list[str] = [
     "g_gremlin_choose",
     "g_gremlin_cyclic_path",
     "g_gremlin_edge_start",
-    "g_gremlin_group",
 ]
 
 # Head entries that ship WITHOUT a DuckDB oracle by documented design (the
@@ -13692,3 +13693,59 @@ def p5_ipynb_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("notebook"),
     )
     return ipynb_cells(notebooks)
+
+
+@_register(
+    "rb1_robots_directives",
+    """SELECT doc_id, CAST(0 AS BIGINT) AS group_idx, '*' AS agents,
+              'disallow' AS directive,
+              '/private' || CAST(doc_id AS VARCHAR) AS value
+       FROM documents
+       UNION ALL
+       SELECT doc_id, 0, '*', 'allow', '/public' FROM documents
+       UNION ALL
+       SELECT doc_id, 1,
+              'bot' || CAST(doc_id % 5 AS VARCHAR) || ',extra'
+                    || CAST(doc_id % 3 AS VARCHAR),
+              'crawl-delay', CAST(1 + doc_id % 10 AS VARCHAR)
+       FROM documents
+       UNION ALL
+       SELECT doc_id, 1,
+              'bot' || CAST(doc_id % 5 AS VARCHAR) || ',extra'
+                    || CAST(doc_id % 3 AS VARCHAR),
+              'disallow', '/tmp'
+       FROM documents""",
+)
+def rb1_robots_directives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt parsing (operators/text.py robots_directives) — the
+    crawl-politeness pass: per-document REP files (two groups, the
+    second with STACKED consecutive User-agent lines per the RFC 9309
+    grouping rule, trailing comments, blank separators, all
+    fixture-derived and built JVM-side) parsed back by the
+    posexplode + regex + lag/running-sum-window group walk.  One row
+    per (group, directive) with the group's sorted comma-joined
+    agents; the oracle replays all four directive rows per document in
+    closed-form SQL, so a wrong group boundary, comment strip, or
+    agent stacking hash-mismatches immediately."""
+    from torcdb_spark.operators.text import robots_directives
+
+    docs = load_table(spark, sf_dir, "documents")
+    robots = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("User-agent: *\n"),
+            F.lit("Disallow: /private"),
+            F.col("doc_id").cast("string"),
+            F.lit("  # crawl keep-out\n"),
+            F.lit("Allow: /public\n"),
+            F.lit("\n"),
+            F.lit("User-agent: bot"),
+            (F.col("doc_id") % 5).cast("string"),
+            F.lit("\nUser-agent: extra"),
+            (F.col("doc_id") % 3).cast("string"),
+            F.lit("\nCrawl-delay: "),
+            (F.lit(1) + F.col("doc_id") % 10).cast("string"),
+            F.lit("\nDisallow: /tmp\n"),
+        ).alias("robots"),
+    )
+    return robots_directives(robots)
