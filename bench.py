@@ -54,7 +54,48 @@ FORCE_ISOLATE = (
     "st_interval_join_stream",
     "st_events_dedup_stream",
     "st_stateful_totals",
+    # r11 open flag (VERDICT r11 ask #1): isolated 4.466 s vs ~1.2 s
+    # r8-r10 band with zero code change; gets BOTH estimators recorded
+    # every round until the band stabilizes.
+    "x_minhash_near_dups",
 )
+
+# Estimator classes (VERDICT r11 "what's wrong" #3, mechanized): which
+# number is the query's steady-state cost when a flag needs arbitration.
+#   isolate   — scan/join-shaped work: a fresh JVM with an idle suite is
+#               the clean measurement; the in-suite value embeds whatever
+#               contention the suite created.  min-of-N fresh-JVM samples
+#               arbitrate (contention vs real regression).
+#   suite_min — superstep/JIT-bound work (dozens of tiny localCheckpoint
+#               stages, Python-worker warm state): a fresh JVM never
+#               reaches suite-warm JIT in N samples, so the fresh-JVM min
+#               OVER-reads (measured: e16 isolated 16.2 s vs 13.4 suite,
+#               e15 8.5 vs 4.4 — PERF_NOTES r11).  The in-suite min with
+#               extra recheck samples is the steady state.
+# Flags auto-close against the DECLARED estimator: bench_detail carries
+# both numbers plus the arbitrated one, so no prose arbitration is left.
+_SUITE_MIN_QUERIES = frozenset({
+    # iterative DataFrame-Pregel analytics (superstep loops)
+    "g_pagerank", "g_pagerank_exact", "g_pr3_fixedpoint",
+    "g_connected_components", "g_cc_doubling", "g_bfs_counts",
+    "g_shortest_paths", "g_betweenness", "g_bc2_integer_grid",
+    "g_lpa_communities", "g_lpa2_integer_votes", "g_hits_parts",
+    "g_hits2_integer", "g_ppr_recommend", "g_ppr2_fixedpoint",
+    "g_mst", "g_mst2_kruskal_witness", "g_kcore", "g_ktruss",
+    "g_diameter", "g_path_pair", "gc1_graph_coloring",
+    "mis1_independent_set", "scc1_navigation_core",
+    "tg1_temporal_reachability", "l2_domain_pagerank",
+    "gs2_random_walks", "gs3_node2vec_walks",
+    # iterative ML loops (per-round aggregates over many small stages)
+    "km2_kmeans_lloyd", "cl1_perceptron_train", "d18_bpe_merges",
+    "d20_bpe_encode",
+    # k-means-superstep-backed embedding pipelines (PERF_NOTES r11)
+    "e8_semantic_dedup", "e16_semantic_dedup_exact", "e15_pq_adc_exact",
+})
+
+
+def estimator_for(name: str) -> str:
+    return "suite_min" if name in _SUITE_MIN_QUERIES else "isolate"
 
 # Samples per query in the --isolate pass (min reported). VERDICT r9 ask
 # #2 asks for min-of-3 on the arbitration cluster; applying it to the
@@ -255,17 +296,67 @@ def main() -> None:
         if qi % 15 == 14:
             spark.sparkContext._jvm.java.lang.System.gc()
 
+    # Load the two comparison baselines BEFORE the recheck pass so
+    # preliminary flag candidates can be folded into it: a suite_min-class
+    # query arbitrates on its in-suite minimum, so the flagged set must
+    # receive extra suite samples (the slowest decile alone can miss a
+    # 1 s query that tripled).
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_detail.json"
+    )
+    prev: dict[str, float] = {}
+    prev_total = None
+    try:
+        with open(detail_path) as f:
+            prev_full = json.load(f)
+        prev = {
+            k: v for k, v in prev_full.get("queries", {}).items() if v >= 0
+        }
+        prev_total = prev_full.get("value")
+    except (OSError, ValueError):
+        pass
+    repo_dir_early = os.path.dirname(os.path.abspath(__file__))
+    prev_round: dict[str, float] = {}
+    prev_round_no = None
+    round_archives = sorted(
+        (int(mm.group(1)), fn)
+        for fn in os.listdir(repo_dir_early)
+        if (mm := re.match(r"bench_detail_r(\d+)\.json$", fn))
+    )
+    if round_archives:
+        prev_round_no, fn = round_archives[-1]
+        try:
+            with open(os.path.join(repo_dir_early, fn)) as f:
+                pr_full = json.load(f)
+            prev_round = {
+                k: v
+                for k, v in pr_full.get("queries", {}).items()
+                if v >= 0
+            }
+        except (OSError, ValueError):
+            prev_round = {}
+
     # Adaptive outlier re-measurement: transient host noise (microVM CPU
     # steal lasting minutes) can inflate BOTH primary runs of whichever
     # queries it overlaps — observed 1.3 s-warm queries recording 23 s.
     # Re-run the slowest decile after the main pass (by then the noise
     # window has usually moved) and keep the min; an honest minimum, same
     # estimator, just more samples exactly where noise concentrates.
+    # PLUS every preliminary flag candidate (>=1.5x either baseline):
+    # suite_min-class flags arbitrate on this re-sampled in-suite min.
     n_recheck = max(4, len(timings) // 10)
     recheck = sorted(
         (k for k, v in timings.items() if v >= 0),
         key=lambda k: -timings[k],
     )[:n_recheck]
+    prelim = {
+        k for k, v in timings.items()
+        if v >= 0 and (
+            (k in prev and v >= prev[k] * 1.5)
+            or (k in prev_round and v >= prev_round[k] * 1.5)
+        )
+    }
+    recheck = list(dict.fromkeys([*recheck, *sorted(prelim)]))
     qmap = dict(queries().items())
     for name in recheck:
         # The >2 s tail gets TWO recheck samples (effective min-of-4):
@@ -295,50 +386,11 @@ def main() -> None:
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     # Per-query delta vs the previous recorded run (bench_detail.json from
-    # the last round), so regressions surface in the artifact itself
-    # rather than in cross-round archaeology. Positive delta = slower.
-    detail_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "bench_detail.json"
-    )
-    prev: dict[str, float] = {}
-    prev_total = None
-    try:
-        with open(detail_path) as f:
-            prev_full = json.load(f)
-        prev = {
-            k: v for k, v in prev_full.get("queries", {}).items() if v >= 0
-        }
-        prev_total = prev_full.get("value")
-    except (OSError, ValueError):
-        pass
-    # ALSO compare against the last completed ROUND's archive
-    # (bench_detail_r{K}.json for the max K on disk): comparing only
-    # against the working file masks round-over-round creep whenever an
-    # intra-round re-run lands in between (VERDICT r9 "what's wrong" #2:
-    # d21 went 1.16 s → 2.57 s across r8→r9 driver runs yet appeared in
-    # no flag list because the builder's closing run absorbed the
-    # drift).  The flag sets are computed with the same ambient-
-    # normalized criteria and unioned into the isolate pass.
-    repo_dir_early = os.path.dirname(os.path.abspath(__file__))
-    prev_round: dict[str, float] = {}
-    prev_round_no = None
-    round_archives = sorted(
-        (int(mm.group(1)), fn)
-        for fn in os.listdir(repo_dir_early)
-        if (mm := re.match(r"bench_detail_r(\d+)\.json$", fn))
-    )
-    if round_archives:
-        prev_round_no, fn = round_archives[-1]
-        try:
-            with open(os.path.join(repo_dir_early, fn)) as f:
-                pr_full = json.load(f)
-            prev_round = {
-                k: v
-                for k, v in pr_full.get("queries", {}).items()
-                if v >= 0
-            }
-        except (OSError, ValueError):
-            prev_round = {}
+    # the last round, loaded above), so regressions surface in the artifact
+    # itself rather than in cross-round archaeology. Positive = slower.
+    # The prior ROUND's archive (bench_detail_r{K}.json) is compared too:
+    # comparing only against the working file masks round-over-round creep
+    # whenever an intra-round re-run lands in between (VERDICT r9 #2).
     delta = {
         k: round(v - prev[k], 3)
         for k, v in timings.items()
@@ -415,6 +467,48 @@ def main() -> None:
         except Exception as exc:
             print(f"bench: isolate pass failed: {exc}", file=sys.stderr)
 
+    # Flag arbitration against the DECLARED estimator (VERDICT r11
+    # "what's wrong" #3, mechanized): each flag closes or stays open by
+    # comparing its estimator-class value — fresh-JVM isolated min for
+    # scan/join work, re-sampled in-suite min for superstep/JIT-bound
+    # work — against the same criterion that raised it.  "closed": true
+    # means contention/noise demonstrated by the declared estimator;
+    # false means the regression survived its own estimator and needs a
+    # plan audit, no prose arbitration in between.
+    flags: dict[str, dict] = {}
+    for k in sorted(set(regressed) | set(regressed_vs_round)):
+        est = estimator_for(k)
+        suite_v = timings.get(k)
+        iso_v = isolated.get(k)
+        arbitrated = (
+            iso_v
+            if est == "isolate" and iso_v is not None and iso_v >= 0
+            else suite_v
+        )
+        checks = []
+        if k in regressed:
+            base = regressed[k][0]
+            checks.append(
+                arbitrated < base * 1.5 * ambient
+                or arbitrated - base < abs_floor
+            )
+        if k in regressed_vs_round:
+            base = regressed_vs_round[k][0]
+            checks.append(
+                arbitrated < base * 1.5 * round_ambient
+                or arbitrated - base < abs_floor
+            )
+        flags[k] = {
+            "estimator": est,
+            "suite_min": suite_v,
+            "isolated": iso_v,
+            "arbitrated": arbitrated,
+            "vs_prev": regressed.get(k, [None])[0],
+            "vs_round": regressed_vs_round.get(k, [None])[0],
+            "closed": bool(checks) and all(checks),
+        }
+    estimator_tags = {k: estimator_for(k) for k in to_isolate}
+
     full = {
         "metric": "total wall sec over declared query inventory",
         "value": total,
@@ -428,6 +522,8 @@ def main() -> None:
         "median_ratio_vs_round": round(round_median, 3),
         "isolated": isolated,
         "isolate_samples": isolate_samples,
+        "estimator": estimator_tags,
+        "flags": flags,
         "calibration_sec": [round(cal_start, 3), round(cal_end, 3)],
         "drift_factor": drift_factor,
         "runs_per_query": n_runs,
@@ -506,6 +602,7 @@ def main() -> None:
         "regressed_vs_round": regressed_vs_round,
         "isolated": isolated,
         "isolate_samples": isolate_samples,
+        "flags": flags,
         "drift_factor": drift_factor,
         "detail": "bench_detail.json",
     }

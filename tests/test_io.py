@@ -362,3 +362,112 @@ def test_delta_log_replay(spark):
     # at v0 both original files are active
     at0 = {r.path for r in delta_active_files(log, version=0).collect()}
     assert at0 == {"a.parquet", "b.parquet"}
+
+
+def test_tfrecord_negative_int64():
+    """ADVICE r11 (high): protobuf int64 is two's complement on the
+    wire — a negative feature value arrives as a 10-byte varint of
+    v + 2**64 and must fold back to the signed value, in BOTH the
+    packed and unpacked Int64List paths, or the Arrow int64 conversion
+    overflows and sinks the task outside the _error degradation."""
+    from torcdb_spark.sources.tfrecord import (
+        _varint,
+        encode_example,
+        parse_example,
+    )
+
+    # packed path: writer emits two's complement, parser folds it back
+    vals = [-1, -(2**62), 0, 5, -42]
+    got = parse_example(encode_example({"lbl": vals}))
+    assert got["lbl"] == ("int64", vals)
+
+    # unpacked path (legal wire form): same fold
+    unpacked = b"".join(
+        _varint(1 << 3 | 0) + _varint(v + (1 << 64) if v < 0 else v)
+        for v in (-7, 8)
+    )
+    feat = _varint(3 << 3 | 2) + _varint(len(unpacked)) + unpacked
+    key = b"\x0a\x01y"
+    val = _varint(2 << 3 | 2) + _varint(len(feat)) + feat
+    entry = key + val
+    feats = _varint(1 << 3 | 2) + _varint(len(entry)) + entry
+    example = _varint(1 << 3 | 2) + _varint(len(feats)) + feats
+    assert parse_example(example)["y"] == ("int64", [-7, 8])
+
+
+def test_tfrecord_negative_int64_dataframe(spark):
+    """The negative fold must survive the Arrow fan-out: int_sum of a
+    mixed-sign Int64List is exact, not a uint64 overflow kill."""
+    from pyspark.sql import Row
+
+    from torcdb_spark.sources.tfrecord import (
+        encode_example,
+        tfrecord_examples,
+        write_tfrecords,
+    )
+
+    good = write_tfrecords([
+        encode_example({"tokens": [-1, -2, 10], "text": ["neg ok"]}),
+    ])
+    shards = spark.createDataFrame([Row(path="a", content=bytearray(good))])
+    rows = {(r.rec_idx, r.feature): r
+            for r in tfrecord_examples(shards).collect()}
+    assert rows[(0, "tokens")].int_sum == 7
+    assert rows[(0, "tokens")].n_values == 3
+
+
+def test_avro_union_branch_by_type():
+    """ADVICE r11: union branch selection must match by value type,
+    not first-non-null — ["null","long","string"] must route "hi" to
+    the string branch and 5 to the long branch, round-tripping both."""
+    from torcdb_spark.sources.avro import parse_avro, write_avro
+
+    schema = {
+        "type": "record", "name": "u", "fields": [
+            {"name": "v", "type": ["null", "long", "string"]},
+            {"name": "w", "type": ["null", "boolean", "int",
+                                   {"type": "array", "items": "long"}]},
+        ],
+    }
+    recs = [
+        {"v": "hi", "w": True},
+        {"v": 5, "w": [1, 2]},
+        {"v": None, "w": 0},
+        # bool-before-int ordering: True must pick boolean, not int
+        {"v": "x", "w": False},
+    ]
+    assert parse_avro(write_avro(schema, recs)) == recs
+
+
+def test_delta_log_intra_commit_resurrection(spark):
+    """ADVICE r11: with a line-position column the replay is exact
+    last-action-in-log-order — a commit that removes then re-adds the
+    same path (intra-commit resurrection) keeps the file; without
+    pos_col the documented remove-wins fallback drops it."""
+    from torcdb_spark.sources.delta_log import (
+        delta_active_files,
+        delta_log_lines,
+    )
+
+    commits = [
+        (0, [{"add": {"path": "a.parquet", "size": 10,
+                      "partitionValues": {}, "dataChange": True}}]),
+        # one commit: remove a, then RE-ADD it (resurrection), and the
+        # reverse order for b (added earlier, add-then-remove here)
+        (1, [{"add": {"path": "b.parquet", "size": 20,
+                      "partitionValues": {}, "dataChange": True}},
+             {"remove": {"path": "a.parquet", "dataChange": True}},
+             {"add": {"path": "a.parquet", "size": 11,
+                      "partitionValues": {}, "dataChange": True}},
+             {"remove": {"path": "b.parquet", "dataChange": True}}]),
+    ]
+    log = delta_log_lines(spark, commits, with_pos=True)
+    exact = {r.path: r
+             for r in delta_active_files(log, pos_col="pos").collect()}
+    assert set(exact) == {"a.parquet"}
+    assert exact["a.parquet"].size == 11  # the intra-commit re-add
+
+    # fallback without pos: remove-wins drops the resurrected file too
+    fb = {r.path for r in delta_active_files(
+        delta_log_lines(spark, commits)).collect()}
+    assert fb == set()

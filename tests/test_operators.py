@@ -3980,3 +3980,93 @@ def test_robots_directives(spark):
     assert rows[(2, "disallow", "/z")] == "d"
     assert not any(v == "/orphan" for (_, _, v) in rows)
     assert len(rows) == 4
+
+
+def test_id3v24_frame_format_flags():
+    """ADVICE r11: v2.4 per-frame format flags beyond unsync — the
+    data-length indicator (0x01) prefixes the content with a 4-byte
+    syncsafe original-size word that must be skipped, and compressed
+    (0x08) / encrypted (0x04) frames are opaque payloads that must be
+    skipped structurally, not decoded as text; v2.3's compression
+    (0x80) / encryption (0x40) flag bits likewise."""
+    from torcdb_spark.operators.multimodal import id3v2_text_frames
+
+    def v24_frame(fid, fmt_flags, content):
+        sz = bytes(((len(content) >> s) & 0x7F) for s in (21, 14, 7, 0))
+        return fid + sz + bytes([0, fmt_flags]) + content
+
+    def v24_tag(body):
+        size = bytes(((len(body) >> s) & 0x7F) for s in (21, 14, 7, 0))
+        return b"ID3" + bytes([4, 0, 0]) + size + body
+
+    # data-length indicator: 4-byte syncsafe word precedes the text
+    dli = bytes([0, 0, 0, 5]) + b"\x00Hello"
+    plain = v24_frame(b"TALB", 0x00, b"\x00Album")
+    tag = v24_tag(v24_frame(b"TIT2", 0x01, dli) + plain)
+    assert id3v2_text_frames(tag) == [("TIT2", "Hello"), ("TALB", "Album")]
+
+    # compressed / encrypted frames skip; the next frame still parses
+    for flag in (0x08, 0x04, 0x0C):
+        junk = v24_frame(b"TPE1", flag, b"\x9c\x01\xff zlib-ish junk")
+        tag = v24_tag(junk + plain)
+        assert id3v2_text_frames(tag) == [("TALB", "Album")], hex(flag)
+
+    # v2.3: compression/encryption status bits also skip structurally
+    def v23_frame(fid, fmt_flags, content):
+        return (fid + len(content).to_bytes(4, "big")
+                + bytes([0, fmt_flags]) + content)
+
+    body = (v23_frame(b"TPE1", 0x80, b"\x00not really deflate")
+            + v23_frame(b"TIT2", 0x00, b"\x00Kept"))
+    size = bytes(((len(body) >> s) & 0x7F) for s in (21, 14, 7, 0))
+    tag3 = b"ID3" + bytes([3, 0, 0]) + size + body
+    assert id3v2_text_frames(tag3) == [("TIT2", "Kept")]
+
+
+def test_synth_documents_twin_free(spark):
+    """VERDICT r11 ask #6: the dedup-decade generator must produce
+    DISTINCT text — no replicated twins and no 5-gram shingle shared
+    across documents — or the decade measures synthetic duplication
+    instead of the operator."""
+    import os
+    import sys
+
+    from pyspark.sql import functions as F
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "tools"))
+    from scaling import synth_documents
+
+    n = 500
+    docs = synth_documents(spark, n).cache()
+    try:
+        assert docs.count() == n
+        assert docs.select("text").distinct().count() == n
+        # token lengths span the declared 60..200 band
+        ntok = docs.select(
+            F.size(F.split("text", " ")).alias("k")).agg(
+            F.min("k"), F.max("k")).first()
+        assert ntok[0] >= 60 and ntok[1] <= 200
+        # no 5-token shingle appears in more than one document
+        sh = docs.select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(
+                        F.lit(0), F.size(F.split("text", " ")) - 5
+                    ),
+                    lambda i: F.array_join(
+                        F.slice(F.split("text", " "), i + 1, 5), " "
+                    ),
+                )
+            ).alias("shingle"),
+        )
+        cross_doc = (
+            sh.groupBy("shingle")
+            .agg(F.countDistinct("doc_id").alias("n_docs"))
+            .where(F.col("n_docs") > 1)
+            .count()
+        )
+        assert cross_doc == 0
+    finally:
+        docs.unpersist()

@@ -421,14 +421,223 @@ def synth_decade_main() -> None:
     except OSError:
         txt = ""
     i = txt.find(SYNTH_MARK)
-    txt = (txt[:i] if i >= 0 else txt.rstrip() + "\n\n") + block
+    if i >= 0:  # replace only this block, preserve any later section
+        j = txt.find("\n## ", i + 1)
+        txt = txt[:i] + block + (txt[j + 1:] if j >= 0 else "")
+    else:
+        txt = txt.rstrip() + "\n\n" + block
     with open(path, "w") as f:
         f.write(txt)
     print(f"wrote SCALING.md synth-decade section ({len(names)} queries)")
 
 
+# ---------------------------------------------------------------------------
+# Dedup-family synthetic decade (VERDICT r11 ask #6)
+# ---------------------------------------------------------------------------
+
+DEDUP_MARK = "## Dedup-family synthetic decade"
+
+
+def synth_documents(spark, n_docs: int):
+    """A `documents` table of n_docs rows whose text is DISTINCT by
+    construction — every token is hash-derived from (doc_id, position)
+    over a 40k vocabulary, so no document has a replicated twin and no
+    5-gram shingle is shared across documents (the property that made
+    the key-shifted decade exclude the dedup family: replicated text
+    inflates LSH buckets and the measurement becomes the synthetic
+    duplication).  Pure JVM expressions — the generator itself scales.
+    Twin-freedom is pytest-asserted (tests/test_operators.py
+    test_synth_documents_twin_free)."""
+    from pyspark.sql import functions as F
+
+    did = F.col("id")
+    n_tok = (F.lit(60) + F.pmod(F.xxhash64(did), F.lit(141))).cast("int")
+    text = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), n_tok - 1),
+            lambda i: F.concat(
+                F.lit("w"),
+                F.pmod(F.xxhash64(did, i), F.lit(40000)).cast("string"),
+            ),
+        ),
+        " ",
+    )
+    langs = F.array(F.lit("en"), F.lit("de"), F.lit("fr"), F.lit("es"))
+    return spark.range(n_docs).select(
+        did.alias("doc_id"),
+        text.alias("text"),
+        F.element_at(
+            langs, (F.pmod(F.xxhash64(did + 1), F.lit(4)) + 1).cast("int")
+        ).alias("lang"),
+        F.concat(
+            F.lit("synth_"), F.pmod(did, F.lit(10)).cast("string")
+        ).alias("source"),
+    ).withColumn("n_chars", F.length("text").cast("long"))
+
+
+def _dedup_decade_targets():
+    """(name, callable) pairs for the dedup-family decade.  ssj1/d26/
+    x_minhash are the declared queries verbatim (they scan the full
+    documents table).  d3/d13 bound their fixture to doc_id<=30 for
+    oracle tractability, so their PRODUCTION operator — the unbounded
+    minhash_lsh_dedup pipeline they wrap — is timed directly instead,
+    at both the d3 setting (64/16) and the x_minhash setting (32/8)."""
+    from torcdb_spark.operators.dedup import minhash_lsh_dedup
+    from torcdb_spark.queries import queries
+    from torcdb_spark.sources.tables import load_table
+
+    qs = queries()
+
+    def minhash_full(perm, bands):
+        def run(spark, sf_dir):
+            docs = load_table(spark, sf_dir, "documents")
+            return minhash_lsh_dedup(
+                docs, num_perm=perm, bands=bands, jaccard_threshold=0.5
+            )
+        return run
+
+    return [
+        ("ssj1_jaccard_join", qs["ssj1_jaccard_join"]),
+        ("d26_containment_join", qs["d26_containment_join"]),
+        ("x_minhash_near_dups", qs["x_minhash_near_dups"]),
+        ("minhash_lsh_64x16 (d3/d13 core, unbounded)",
+         minhash_full(64, 16)),
+    ]
+
+
+def dedup_decade_main() -> None:
+    """--dedup-decade: extend the scaling series one decade for the
+    text/dedup family against hash-derived DISTINCT-text corpora
+    (5k → 50k docs, the same 10× ratio as the key-shifted decade) —
+    both cells from the same generator so the slope isolates data
+    volume, not corpus shape.  Rewrites only its own SCALING.md block."""
+    import gc
+
+    from torcdb_spark.session import get_spark
+
+    out_base = os.environ.get(
+        "SPARK_GRAFT_SYNTH_DOCS_DIR", "/tmp/torcdb_synth_docs"
+    )
+    spark = get_spark(app_name="torcdb_spark-dedup-decade")
+    spark.sparkContext.setLogLevel("ERROR")
+    sizes = {"5k": 5_000, "50k": 50_000}
+    dirs = {}
+    for tag, n in sizes.items():
+        d = os.path.join(out_base, tag)
+        dirs[tag] = d
+        if not os.path.exists(f"{d}/documents.parquet"):
+            print(f"dedup-decade: building {d} ({n} docs)",
+                  file=sys.stderr)
+            synth_documents(spark, n).repartition(32).write.mode(
+                "overwrite"
+            ).parquet(f"{d}/documents.parquet")
+
+    targets = _dedup_decade_targets()
+    result: dict[str, dict[str, float]] = {n: {} for n, _ in targets}
+    for tag in ("5k", "50k"):
+        sf_dir = dirs[tag]
+        spark.read.parquet(f"{sf_dir}/documents.parquet").write.format(
+            "noop"
+        ).mode("overwrite").save()  # warm footers/page cache
+        for name, fn in targets:
+            best = None
+            try:
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    fn(spark, sf_dir).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
+                    took = time.perf_counter() - t0
+                    best = took if best is None else min(best, took)
+            except Exception as exc:
+                print(f"dedup-decade: {name}@{tag} FAILED: {exc}",
+                      file=sys.stderr)
+                best = -1.0
+            result[name][tag] = round(best, 3)
+            spark.catalog.clearCache()
+            gc.collect()
+            print(f"dedup-decade: {name}@{tag} {result[name][tag]}s",
+                  file=sys.stderr)
+
+    # burst re-measurement, same taxonomy as the synth decade
+    for sweep in range(2):
+        flagged = [
+            n for n, _ in targets
+            if result[n]["50k"] > 0 and result[n]["5k"] > 0
+            and result[n]["50k"] > 3 * result[n]["5k"] * 3.33
+        ]
+        if not flagged:
+            break
+        fmap = dict(targets)
+        for name in flagged:
+            try:
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    fmap[name](spark, dirs["50k"]).write.format(
+                        "noop"
+                    ).mode("overwrite").save()
+                    result[name]["50k"] = round(
+                        min(result[name]["50k"],
+                            time.perf_counter() - t0), 3
+                    )
+            except Exception as exc:
+                print(f"dedup-decade: recheck {name} FAILED: {exc}",
+                      file=sys.stderr)
+            spark.catalog.clearCache()
+            gc.collect()
+            print(f"dedup-decade: recheck[{sweep}] {name} "
+                  f"{result[name]['50k']}s", file=sys.stderr)
+
+    lines = [
+        DEDUP_MARK + " (5k → 50k distinct-text docs, VERDICT r11 ask #6)",
+        "",
+        "Generated by `tools/scaling.py --dedup-decade`: both cells use "
+        "hash-derived DISTINCT text (every token = "
+        "xxhash64(doc_id, pos) over a 40k vocab — no replicated twins, "
+        "no shared 5-gram shingles; twin-freedom pytest-asserted), so "
+        "LSH bucket sizes stay realistic and the slope measures the "
+        "operator, not synthetic duplication.  10× docs per decade; "
+        "slope = log(t_50k/t_5k)/log(10).  d3/d13 bound their fixture "
+        "to doc_id<=30 (oracle tractability), so their unbounded "
+        "production core (minhash_lsh_dedup) is timed directly.",
+        "",
+        "| target | 5k docs s | 50k docs s | slope (this decade) |",
+        "|---|---|---|---|",
+    ]
+    for name, _ in targets:
+        r = result[name]
+        if min(r.values()) < 0:
+            lines.append(f"| {name} | {r['5k']} | {r['50k']} | (failed) |")
+            continue
+        slope = (
+            math.log(max(r["50k"], 1e-3) / max(r["5k"], 1e-3))
+            / math.log(10.0)
+        )
+        lines.append(f"| {name} | {r['5k']} | {r['50k']} | {slope:.2f} |")
+    lines.append("")
+    block = "\n".join(lines) + "\n"
+
+    path = os.path.join(REPO, "SCALING.md")
+    try:
+        with open(path) as f:
+            txt = f.read()
+    except OSError:
+        txt = ""
+    i = txt.find(DEDUP_MARK)
+    if i >= 0:
+        j = txt.find("\n## ", i + 1)
+        txt = txt[:i] + block + (txt[j + 1:] if j >= 0 else "")
+    else:
+        txt = txt.rstrip() + "\n\n" + block
+    with open(path, "w") as f:
+        f.write(txt)
+    print(f"wrote SCALING.md dedup-decade section ({len(targets)} targets)")
+
+
 if __name__ == "__main__":
-    if "--synth-decade" in sys.argv:
+    if "--dedup-decade" in sys.argv:
+        dedup_decade_main()
+    elif "--synth-decade" in sys.argv:
         synth_decade_main()
     else:
         main()

@@ -1627,8 +1627,20 @@ def id3v2_text_frames(payload: bytes) -> list:
         frame = buf[body : body + fsize]
         if ver == 4 and fsize:
             fmt_flags = buf[pos + 9]
+            if fmt_flags & 0x0C:  # compressed (0x08) / encrypted (0x04):
+                pos = body + fsize  # opaque payload — skip structurally
+                continue
             if flags & 0x80 or fmt_flags & 0x02:
                 frame = _id3_deunsync(frame)
+            if fmt_flags & 0x01 and len(frame) >= 4:
+                # data-length indicator: a 4-byte syncsafe original-size
+                # word precedes the frame content, not part of the text
+                frame = frame[4:]
+        elif ver == 3 and fsize:
+            fmt_flags = buf[pos + 9]
+            if fmt_flags & 0xC0:  # v2.3 compression (0x80) / encryption (0x40)
+                pos = body + fsize
+                continue
         if fid[0:1] == b"T" and len(frame) >= 1:
             enc = frame[0]
             data = frame[1:]

@@ -1096,6 +1096,44 @@ def html_to_text(html: Column) -> Column:
     return F.trim(F.regexp_replace(t, r"\s+", " "))
 
 
+def docx_text(document_xml: Column) -> Column:
+    """WordprocessingML (a DOCX's ``word/document.xml``) → plain text,
+    as a chain of JVM regex passes — the Office-document sibling of
+    :func:`html_to_text` for an enterprise/crawl corpus: ``<w:tab/>`` /
+    ``<w:br/>`` / ``<w:cr/>`` run children become whitespace, each
+    paragraph (``</w:p>``) is a whitespace boundary, the ``<w:t>`` text
+    runs inside a paragraph concatenate in document order with NO
+    separator (the spec splits runs mid-word on any formatting change;
+    ``xml:space="preserve"`` and other attributes are tolerated), every
+    other element — ``<w:pPr>``, ``<w:rPr>``, ``<w:instrText>`` field
+    codes, proofing marks — is structurally ignored, the five
+    predefined XML entities decode, and whitespace collapses.  Zero
+    Python, zero shuffle; every pattern is Java/RE2-identical so an
+    external SQL oracle can replay it byte-for-byte."""
+    # whitespace-significant empty run children become literal runs so
+    # they survive the <w:t>-only extraction below
+    x = F.regexp_replace(
+        document_xml, r"<w:(?:tab|br|cr)\s*/>", "<w:t> </w:t>"
+    )
+    paras = F.split(x, "</w:p>")
+    para_text = F.transform(
+        paras,
+        lambda p: F.array_join(
+            F.regexp_extract_all(
+                p, F.lit(r"(?s)<w:t(?:\s[^>]*)?>([^<]*)</w:t>"), F.lit(1)
+            ),
+            "",
+        ),
+    )
+    t = F.array_join(para_text, " ")
+    for ent, ch in (
+        ("&lt;", "<"), ("&gt;", ">"), ("&quot;", "\""),
+        ("&apos;", "'"), ("&#39;", "'"), ("&amp;", "&"),  # &amp; LAST
+    ):
+        t = F.replace(t, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(t, r"\s+", " "))
+
+
 def url_parts(url: Column) -> Column:
     """Parse a URL into a (scheme, host, registered_domain, path) struct
     with pure JVM regexes (RE2-identical syntax, so SQL oracles replay it

@@ -650,23 +650,19 @@ def x_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ROTATION_BASIS_ROUND to the round the driver just recorded, re-run the
 # test, and paste the list it expects.
 #
-# ROUND-11 HEAD under that policy = the 9 never-checked round-11
-# additions (m20 Ogg page census, m21 H.264 NAL census, m22 Vorbis
-# comments, m23 WebM/EBML census, tf1 TFRecord/Example ingestion,
-# av1 Avro OCF ingestion, dl1 Delta-log replay, p5 notebook-cell
-# extraction, rb1 robots.txt parsing), then the stalest driver
-# signals:
-# the full round-5 block (36 queries — t1_traverse_both, t8,
-# q1_pricing_summary, e1, s6, g_pagerank_exact, g_triangle_count,
-# g_shortest_paths, ssj1, w1, dq1, dr1, pf1, ivm1, scc1, tg1,
-# orc1/pt1, the LDBC/stream/split utilities — exactly the list VERDICT
-# r10 ask #1 names) and the oldest 5 of the round-6 block (the
-# gremlin-step family).  With this head every declared query's driver
-# record is <= 5 rounds old again.  Everything not
-# listed keeps its registration order after slot 50 and stays covered
-# by the local exact-value gate (tests/test_oracle_parity.py, 3 SFs,
+# ROUND-12 HEAD under that policy (VERDICT r11 ask #4,
+# ROTATION_BASIS_ROUND=11) = the never-checked round-12 addition
+# (p6 DOCX extraction), then the stalest driver signals: the
+# remaining 45 queries of the round-6 block (the rest of the
+# gremlin-step family, the 12 LDBC-IC analogues, 16 TPC-H shapes,
+# the four r6-stamped streaming jobs, g_kcore/g_path_pair) and the
+# first 4 (by name) of the round-7 block (cdc3, cv1, d10, d11).
+# With this head every declared query's driver record is <= 5
+# rounds old again (oldest becomes r7).  Everything not listed
+# keeps its registration order after slot 50 and stays covered by
+# the local exact-value gate (tests/test_oracle_parity.py, 3 SFs,
 # every round).
-ROTATION_BASIS_ROUND = 10
+ROTATION_BASIS_ROUND = 11
 
 
 def staleness_head(n: int = 50, basis: int | None = None) -> list[str]:
@@ -700,63 +696,60 @@ def staleness_head(n: int = 50, basis: int | None = None) -> list[str]:
 
 
 DRIVER_PRIORITY: list[str] = [
-    # -- never driver-checked: the seven round-11 additions
-    # -- (name-sorted, the -1 tie-break) --
-    "av1_avro_ingest",
-    "dl1_delta_log_replay",
-    "m20_ogg_page_census",
-    "m21_h264_nal_census",
-    "m22_ogg_comment_tags",
-    "m23_webm_census",
-    "p5_ipynb_cells",
-    "rb1_robots_directives",
-    "tf1_tfrecord_examples",
-    # -- oldest driver signal: the round-5 block (36 queries, last
-    # -- checked 6 rounds ago — the exact set VERDICT r10 ask #1
-    # -- names, incl. the st_interval bench-arbitration subject) --
-    "dq1_constraint_audit",
-    "dr1_distribution_drift",
-    "e10_mmr_rerank",
-    "e1_cosine_topk",
-    "g_gremlin_simple_path",
-    "g_pagerank_exact",
-    "g_shortest_paths",
-    "g_triangle_count",
-    "ivm1_view_maintenance",
-    "jl1_jsonl_roundtrip",
-    "km1_kmeans_assign",
-    "ldbc_ic_like_foaf_copurchase",
-    "m4_audio_features",
-    "m6_jpeg_roundtrip",
-    "mx1_domain_mixture",
-    "ns1_negative_sampling",
-    "orc1_roundtrip",
-    "pf1_table_profile",
-    "pk1_sequence_packing",
-    "pp1_preference_pairs",
-    "pt1_partition_prune",
-    "q1_pricing_summary",
-    "rj1_attribution_window",
-    "s6_edges_by_key",
-    "scc1_navigation_core",
-    "sm1_schema_evolution",
-    "sp1_stratified_split",
-    "ssj1_jaccard_join",
-    "st_docs_history_dedup",
-    "st_interval_join_stream",
-    "t1_traverse_both",
-    "t8_degree_out",
-    "tg1_temporal_reachability",
-    "tp1_token_budget_selection",
-    "ts4_ewma_smoothing",
-    "w1_warc_ingest",
-    # -- next-oldest: the first 10 (by name) of the round-6 block,
-    # -- the gremlin step family --
-    "g_cc_doubling",
-    "g_gremlin_both_e",
-    "g_gremlin_choose",
-    "g_gremlin_cyclic_path",
-    "g_gremlin_edge_start",
+    # -- never driver-checked: the round-12 addition --
+    "p6_docx_extract",
+    # -- oldest driver signal: the remainder of the round-6 block
+    # -- (gremlin steps, LDBC-IC analogues, TPC-H shapes, streams) --
+    "g_gremlin_group",
+    "g_gremlin_match",
+    "g_gremlin_order_by_prop",
+    "g_gremlin_project",
+    "g_gremlin_range",
+    "g_gremlin_repeat",
+    "g_gremlin_select",
+    "g_gremlin_tail",
+    "g_gremlin_union",
+    "g_gremlin_union_path",
+    "g_gremlin_where_not",
+    "g_kcore",
+    "g_path_pair",
+    "ldbc_ic_like_brand_cooccur",
+    "ldbc_ic_like_expert_search",
+    "ldbc_ic_like_friend_orders",
+    "ldbc_ic_like_friend_recommend",
+    "ldbc_ic_like_new_groups",
+    "ldbc_ic_like_new_parts",
+    "ldbc_ic_like_recent_likers",
+    "ldbc_ic_like_recent_orders",
+    "ldbc_ic_like_recent_replies",
+    "ldbc_ic_like_region_suppliers",
+    "ldbc_ic_like_top_parts",
+    "ldbc_ic_like_weighted_path",
+    "q10_returned_revenue",
+    "q11_important_parts",
+    "q12_priority_by_linestatus",
+    "q13_order_count_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q17_small_quantity_avg_yearly",
+    "q19_or_predicate_revenue",
+    "q20_bulk_shippers",
+    "q21_last_shipper_wait",
+    "q2_min_cost_supplier",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_profit_by_nation_year",
+    "st_events_dedup_stream",
+    "st_events_tumbling_stream",
+    "st_stateful_totals",
+    "st_stream_static_join",
+    # -- next-oldest: the first 4 (by name) of the round-7 block --
+    "cdc3_content_chunks",
+    "cv1_conversation_assembly",
+    "d10_chunking",
+    "d11_redact_pii",
 ]
 
 # Head entries that ship WITHOUT a DuckDB oracle by documented design (the
@@ -13749,3 +13742,126 @@ def rb1_robots_directives(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("robots"),
     )
     return robots_directives(robots)
+
+
+@_register(
+    "p6_docx_extract",
+    r"""SELECT doc_id,
+              CAST(length(trim(regexp_replace(text, '\s+', ' ', 'g')))
+                AS BIGINT) AS n_chars,
+              TRUE AS exact
+       FROM documents WHERE text IS NOT NULL""",
+)
+def p6_docx_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DOCX ingestion as OPERATOR COMPOSITION (VERDICT r11 ask #5) — the
+    one mainstream enterprise/crawl document format that had no on-ramp,
+    built exactly like p3_epub_extract from two existing layers plus one
+    new JVM expression chain: each document becomes a real OOXML package
+    (a ZIP with [Content_Types].xml, _rels/.rels, and a
+    word/document.xml whose paragraphs carry split <w:t> runs with
+    xml:space="preserve" whitespace runs, <w:tab/> separators, pPr/rPr
+    formatting noise, and a <w:instrText> field code the extractor must
+    ignore), fans out through sources.warc.zip_members, and the
+    document part extracts through text.docx_text (paragraph
+    boundaries from </w:p>, run concatenation, entity decode,
+    whitespace collapse).  Word-split → archive → unzip → de-markup is
+    lossless up to whitespace collapse, so the oracle replays character
+    counts with one regexp from the documents table and the `exact`
+    flag pins byte equality."""
+    import pandas as pd
+
+    from torcdb_spark.operators.text import docx_text
+    from torcdb_spark.sources.warc import zip_members
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())  # symmetric with the oracle
+        .select("doc_id", "text")
+    )
+
+    def build(batches):
+        import io
+        import re as _re
+        import zipfile
+
+        def esc(s):
+            return (s.replace("&", "&amp;").replace("<", "&lt;")
+                     .replace(">", "&gt;"))
+
+        # split on the JAVA \s class exactly ([ \t\n\x0b\f\r]), not
+        # Python str.split()'s all-of-Unicode whitespace: a   in a
+        # document must stay inside its word on both sides of the
+        # round trip or the exact-equality flag diverges
+        _ws = _re.compile(r"[ \t\n\x0b\f\r]+")
+
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                words = [w for w in _ws.split(str(text)) if w]
+                paras = [words[i:i + 12] for i in range(0, len(words), 12)]
+                body = []
+                for pi, ws in enumerate(paras):
+                    k = (len(ws) + 1) // 2
+                    r1, r2 = " ".join(ws[:k]), " ".join(ws[k:])
+                    runs = ['<w:pPr><w:jc w:val="left"/></w:pPr>']
+                    if pi == 0:
+                        # field code: extractor must NOT surface this
+                        runs.append("<w:r><w:instrText> PAGE "
+                                    "</w:instrText></w:r>")
+                    runs.append(
+                        f"<w:r><w:rPr><w:b/></w:rPr><w:t>{esc(r1)}</w:t>"
+                        "</w:r>"
+                    )
+                    if r2:
+                        if (int(did) + pi) % 3 == 0:
+                            runs.append("<w:r><w:tab/></w:r>")
+                        else:
+                            runs.append('<w:r><w:t xml:space="preserve">'
+                                        " </w:t></w:r>")
+                        runs.append(f"<w:r><w:t>{esc(r2)}</w:t></w:r>")
+                    body.append("<w:p>" + "".join(runs) + "</w:p>")
+                xml = (
+                    '<?xml version="1.0" encoding="UTF-8" standalone='
+                    '"yes"?><w:document xmlns:w="http://schemas.openxml'
+                    'formats.org/wordprocessingml/2006/main"><w:body>'
+                    + "".join(body) + "<w:sectPr/></w:body></w:document>"
+                )
+                buf = io.BytesIO()
+                with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+                    zf.writestr(
+                        "[Content_Types].xml",
+                        '<?xml version="1.0"?><Types><Default Extension='
+                        '"xml" ContentType="application/xml"/></Types>',
+                    )
+                    zf.writestr(
+                        "_rels/.rels",
+                        '<?xml version="1.0"?><Relationships>'
+                        '<Relationship Id="rId1" Target="word/document.'
+                        'xml"/></Relationships>',
+                    )
+                    zf.writestr("word/document.xml", xml)
+                rows.append(
+                    {"path": f"doc_{int(did)}.docx",
+                     "content": buf.getvalue()}
+                )
+            yield pd.DataFrame(rows)
+
+    archives = docs.mapInPandas(build, "path string, content binary")
+    parts = zip_members(archives).where(
+        F.col("member") == "word/document.xml"
+    )
+    texts = parts.select(
+        F.regexp_extract("path", r"doc_(\d+)\.docx", 1)
+        .cast("long")
+        .alias("doc_id"),
+        docx_text(F.decode("payload", "utf-8")).alias("extracted"),
+    )
+    orig = docs.select(
+        "doc_id",
+        F.trim(F.regexp_replace("text", r"\s+", " ")).alias("norm"),
+    )
+    return texts.join(orig, "doc_id").select(
+        "doc_id",
+        F.length("extracted").cast("long").alias("n_chars"),
+        (F.col("extracted") == F.col("norm")).alias("exact"),
+    )

@@ -157,12 +157,28 @@ def _decode(schema, buf: bytes, pos: int):
 
 def _encode(schema, value) -> bytes:
     """Fixture-synthesis mirror of :func:`_decode`."""
-    if isinstance(schema, list):  # union: pick the matching branch
+    if isinstance(schema, list):  # union: pick the branch by value type
+        _BRANCHES = {
+            bool: ("boolean",),
+            int: ("int", "long"),
+            float: ("float", "double"),
+            str: ("string", "enum"),
+            bytes: ("bytes", "fixed"),
+            dict: ("record", "map"),
+            list: ("array",),
+        }
+        # bool first: isinstance(True, int) is also True
+        want = _BRANCHES[bool] if isinstance(value, bool) else None
+        if want is None:
+            for py, names in _BRANCHES.items():
+                if py is not bool and isinstance(value, py):
+                    want = names
+                    break
         for i, branch in enumerate(schema):
             bt = branch["type"] if isinstance(branch, dict) else branch
             if value is None and bt == "null":
                 return _zigzag(i)
-            if value is not None and bt != "null":
+            if value is not None and want and bt in want:
                 return _zigzag(i) + _encode(branch, value)
         raise ValueError("no union branch matches value")
     t = schema["type"] if isinstance(schema, dict) else schema

@@ -48,28 +48,40 @@ def delta_active_files(
     version: Column | int | None = None,
     version_col: str = "version",
     line_col: str = "line",
+    pos_col: str | None = None,
 ) -> DataFrame:
     """(version, json-line) action rows → the table's ACTIVE file
     snapshot: ``path, size, partition_values, added_version`` — one
     row per data file whose latest action at or below ``version``
     (None = latest) is an ``add``.  The replay is the Delta protocol's
-    snapshot rule: per path, order actions by (commit version, removes
-    after adds within a commit) and keep the file iff the last action
-    adds it.  One hash shuffle on path; no driver-side state, so a
-    multi-million-file log replays distributed."""
+    snapshot rule: per path, the LAST action in log order wins.  Log
+    order within a commit is the JSON line order; pass ``pos_col``
+    (a line-position column, e.g. from a per-file line index) to
+    tie-break exactly.  Without it, a remove is assumed to supersede an
+    add of the same path within one commit — correct for every writer
+    that compacts self-cancelling actions per the protocol's
+    recommendation, but an intra-commit remove-then-re-add
+    (resurrection in one commit) would be dropped; supply ``pos_col``
+    if the source can produce one.  One hash shuffle on path; no
+    driver-side state, so a multi-million-file log replays
+    distributed."""
+    pos = (F.col(pos_col).cast("long") if pos_col is not None
+           else F.lit(None).cast("long"))
     acts = log.select(
         F.col(version_col).cast("long").alias("_v"),
+        pos.alias("_pos"),
         F.from_json(F.col(line_col), ACTION_SCHEMA).alias("a"),
     )
     if version is not None:
         acts = acts.where(F.col("_v") <= F.lit(version))
-    # normalize to (path, is_add, payload); within one commit a remove
-    # of a path supersedes an add of the same path (ordinal 1 > 0)
+    # normalize to (path, is_add, payload); _ord is the no-pos fallback
+    # tie-break (remove supersedes add within a commit)
     adds = acts.where(F.col("a.add.path").isNotNull()).select(
         F.col("a.add.path").alias("path"),
         F.lit(1).alias("_is_add"),
         F.lit(0).alias("_ord"),
         F.col("_v"),
+        F.col("_pos"),
         F.col("a.add.size").alias("size"),
         F.col("a.add.partitionValues").alias("partition_values"),
     )
@@ -78,11 +90,13 @@ def delta_active_files(
         F.lit(0).alias("_is_add"),
         F.lit(1).alias("_ord"),
         F.col("_v"),
+        F.col("_pos"),
         F.lit(None).cast("long").alias("size"),
         F.lit(None).cast("map<string,string>").alias("partition_values"),
     )
     w = Window.partitionBy("path").orderBy(
-        F.col("_v").desc(), F.col("_ord").desc()
+        F.col("_v").desc(), F.col("_pos").desc_nulls_last(),
+        F.col("_ord").desc()
     )
     return (
         adds.unionByName(removes)
@@ -97,15 +111,18 @@ def delta_active_files(
     )
 
 
-def delta_log_lines(spark, commits) -> DataFrame:
+def delta_log_lines(spark, commits, with_pos: bool = False) -> DataFrame:
     """Fixture synthesis: ``[(version, [action_dict, ...]), ...]`` →
     a (version, line) DataFrame of protocol-shaped JSON lines (driver-
-    side json.dumps — fixtures only; real logs arrive as files)."""
+    side json.dumps — fixtures only; real logs arrive as files).
+    ``with_pos=True`` adds the within-commit line index as ``pos`` for
+    the exact intra-commit tie-break in :func:`delta_active_files`."""
     import json
 
     rows = [
-        (int(v), json.dumps(a, sort_keys=True))
+        (int(v), int(i), json.dumps(a, sort_keys=True))
         for v, actions in commits
-        for a in actions
+        for i, a in enumerate(actions)
     ]
-    return spark.createDataFrame(rows, "version long, line string")
+    df = spark.createDataFrame(rows, "version long, pos long, line string")
+    return df if with_pos else df.drop("pos")

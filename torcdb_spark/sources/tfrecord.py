@@ -138,6 +138,14 @@ def _read_varint(buf: bytes, pos: int):
             raise ValueError("protobuf varint exceeds 64 bits")
 
 
+def _to_int64(v: int) -> int:
+    """Unsigned varint value → signed int64 (two's complement).  A legal
+    negative int64 feature (labels, offsets) arrives as a 10-byte varint
+    of v + 2**64; without this fold it surfaces as ~1.8e19 and overflows
+    the Arrow int64 conversion downstream."""
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
 def _ld(field: int, body: bytes) -> bytes:
     """Length-delimited field (wire type 2)."""
     return _varint(field << 3 | 2) + _varint(len(body)) + body
@@ -155,9 +163,11 @@ def encode_example(features: dict) -> bytes:
         if not values:
             raise ValueError(f"empty feature {name!r}")
         if isinstance(values[0], int):
-            packed = b"".join(_varint(v) for v in values)
-            if any(v < 0 for v in values):
-                raise ValueError("fixture writer emits non-negative int64")
+            # protobuf int64 is two's complement on the wire: negatives
+            # encode as 10-byte varints of v + 2**64 (not zigzag).
+            packed = b"".join(
+                _varint(v if v >= 0 else v + (1 << 64)) for v in values
+            )
             feat = _ld(3, _ld(1, packed))
         elif isinstance(values[0], float):
             feat = _ld(2, _ld(1, struct.pack(f"<{len(values)}f", *values)))
@@ -235,9 +245,9 @@ def parse_example(data: bytes) -> dict:
                                     p = v5[0]
                                     while p < v5[1]:
                                         v, p = _read_varint(data, p)
-                                        values.append(v)
+                                        values.append(_to_int64(v))
                                 elif wt5 == 0:
-                                    values.append(v5)
+                                    values.append(_to_int64(v5))
                         elif f4 == 2:  # FloatList
                             kind = "float"
                             for f5, wt5, v5 in _fields(data, *v4):
