@@ -4070,3 +4070,97 @@ def test_synth_documents_twin_free(spark):
         assert cross_doc == 0
     finally:
         docs.unpersist()
+
+
+def test_av1_obu_codec():
+    """AV1 OBU walk against the AOM spec layouts: sequence-header bit
+    decode in both header forms (reduced still-picture and full
+    operating-point, with and without the timing_info block), leb128
+    size fields, extension-header skip, level>7 seq_tier bit, and the
+    ValueError contracts (forbidden/reserved bits, missing size field,
+    size overrun, no sequence header)."""
+    import pytest as _pytest
+
+    from torcdb_spark.operators.av1 import (
+        av1_obu_census,
+        encode_av1_stream,
+        encode_sequence_header,
+        parse_sequence_header,
+    )
+
+    for reduced in (False, True):
+        for timing in ((False, True) if not reduced else (False,)):
+            for w, h, lvl in ((1920, 1080, 8), (640, 360, 5),
+                              (33, 17, 12), (1, 1, 0), (65536, 65536, 31)):
+                seq = encode_sequence_header(w, h, 0, lvl, reduced, timing)
+                got = parse_sequence_header(seq)
+                assert (got["width"], got["height"],
+                        got["seq_level_idx"]) == (w, h, lvl), (
+                    reduced, timing, w, h)
+
+    s = encode_av1_stream(1280, 720, n_frames=4, seq_level_idx=9)
+    c = av1_obu_census(s)
+    assert c["n_frames"] == 4 and c["n_temporal_delim"] == 5
+    assert c["n_seq_hdr"] == 1 and c["n_obus"] == 12
+    assert c["width"] == 1280 and c["height"] == 720
+    assert c["n_metadata"] == 1 and c["n_padding"] == 1
+    assert c["total_bytes"] == len(s)
+
+    with _pytest.raises(ValueError):  # forbidden bit
+        av1_obu_census(b"\x80\x02xx")
+    with _pytest.raises(ValueError):  # reserved bit
+        av1_obu_census(b"\x13\x02xx")
+    with _pytest.raises(ValueError):  # no size field
+        av1_obu_census(bytes([2 << 3]) + b"xx")
+    with _pytest.raises(ValueError):  # size overruns payload
+        av1_obu_census(bytes([(6 << 3) | 2, 0x20]) + b"xx")
+    with _pytest.raises(ValueError):  # no sequence header
+        av1_obu_census(bytes([(2 << 3) | 2, 0]))
+
+
+def test_docx_text_and_xlsx_census(spark):
+    """WordprocessingML text extraction and SpreadsheetML census over
+    hand-built parts: run concatenation without separators, tab/br
+    runs, entity decode, instrText/pPr/rPr skip; sheet counting, typed
+    cell counts, sharedStrings indirection, blank cells."""
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from torcdb_spark.operators.ooxml import xlsx_sheet_census
+    from torcdb_spark.operators.text import docx_text
+
+    xml = (
+        '<?xml version="1.0"?><w:document><w:body>'
+        "<w:p><w:pPr/><w:r><w:instrText> PAGE </w:instrText></w:r>"
+        "<w:r><w:rPr><w:b/></w:rPr><w:t>Hel</w:t></w:r>"
+        "<w:r><w:t>lo &amp; &lt;hi&gt;</w:t></w:r></w:p>"
+        '<w:p><w:r><w:t xml:space="preserve">a </w:t></w:r>'
+        "<w:r><w:tab/></w:r><w:r><w:t>b</w:t></w:r>"
+        "<w:r><w:br/></w:r><w:r><w:t>c</w:t></w:r></w:p>"
+        "<w:sectPr/></w:body></w:document>"
+    )
+    df = spark.createDataFrame([Row(x=xml)])
+    got = df.select(docx_text(F.col("x")).alias("t")).first().t
+    assert got == "Hello & <hi> a b c"
+
+    members = spark.createDataFrame([
+        Row(path="wb.xlsx", member="xl/workbook.xml",
+            payload=bytearray(
+                b'<workbook><sheets><sheet name="S1" sheetId="1"/>'
+                b'<sheet name="S2" sheetId="2"/></sheets></workbook>')),
+        Row(path="wb.xlsx", member="xl/sharedStrings.xml",
+            payload=bytearray(
+                b"<sst><si><t>x &amp; y</t></si>"
+                b'<si><t xml:space="preserve"> z</t></si></sst>')),
+        Row(path="wb.xlsx", member="xl/worksheets/sheet1.xml",
+            payload=bytearray(
+                b'<worksheet><sheetData><row r="1">'
+                b'<c r="A1" t="s"><v>0</v></c><c r="B1"><v>7</v></c>'
+                b'</row><row r="2"><c r="A2" t="s"><v>1</v></c>'
+                b'<c r="B2"><v>41</v></c><c r="C2"/></row>'
+                b"</sheetData></worksheet>")),
+    ])
+    row = xlsx_sheet_census(members).first()
+    assert row.n_sheets == 2 and row.n_cells == 5
+    assert row.n_string_cells == 2 and row.n_number_cells == 2
+    assert row.a1_text == "x & y" and row.b2_value == 41

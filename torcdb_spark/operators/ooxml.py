@@ -1,0 +1,118 @@
+"""Office Open XML spreadsheet (XLSX) structural census — pure JVM
+expressions.
+
+An XLSX workbook is a ZIP package (SpreadsheetML, ECMA-376):
+``xl/workbook.xml`` declares the sheet list, ``xl/sharedStrings.xml``
+holds the deduplicated string table every string cell indexes into,
+and ``xl/worksheets/sheet1.xml`` holds typed cells —
+``<c r="A1" t="s"><v>3</v></c>`` is a shared-string reference,
+``<c r="B1"><v>42</v></c>`` a number, ``<c r="C2"/>`` a blank.  This
+module walks those three parts with ``regexp_extract_all`` +
+higher-order array functions — whole-stage codegen end to end, no
+spreadsheet library — the enterprise-corpus ingestion sibling of the
+notebook (p5) and DOCX (p6) passes.  At 100 TB the workbooks arrive as
+binaryFile rows and fan out through sources.warc.zip_members exactly
+like EPUB/DOCX; the census here is per-row expression work after that
+fan-out, so it scales with the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _decode_entities(col: Column) -> Column:
+    """The five predefined XML entities, &amp; last (double-escape
+    rule) — same chain as text.html_to_text / text.docx_text."""
+    out = col
+    for ent, ch in (
+        ("&lt;", "<"), ("&gt;", ">"), ("&quot;", "\""),
+        ("&apos;", "'"), ("&amp;", "&"),
+    ):
+        out = F.replace(out, F.lit(ent), F.lit(ch))
+    return out
+
+
+def xlsx_sheet_census(
+    members: DataFrame,
+    path_col: str = "path",
+    member_col: str = "member",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """ZIP-member rows (from sources.warc.zip_members) → one census row
+    per workbook: ``path, n_sheets, n_cells, n_string_cells,
+    n_number_cells, a1_text, b2_value`` — sheet count from the
+    workbook part, cell walk over sheet1 (string cells resolved
+    through the sharedStrings indirection, numbers parsed from
+    ``<v>``, blank cells counted but typed as neither).  Three
+    same-path parts join back together; each side is a pushed-filter
+    scan of the already-exploded member rows, so the only shuffle is
+    the final path join."""
+    xml = F.decode(F.col(payload_col), "utf-8")
+
+    wb = members.where(
+        F.col(member_col) == "xl/workbook.xml"
+    ).select(
+        F.col(path_col).alias("path"),
+        F.size(
+            F.regexp_extract_all(xml, F.lit(r"<sheet\s[^>]*/>"), F.lit(0))
+        ).cast("long").alias("n_sheets"),
+    )
+
+    ss = members.where(
+        F.col(member_col) == "xl/sharedStrings.xml"
+    ).select(
+        F.col(path_col).alias("path"),
+        F.transform(
+            F.regexp_extract_all(
+                xml, F.lit(r"<si><t[^>]*>([^<]*)</t></si>"), F.lit(1)
+            ),
+            _decode_entities,
+        ).alias("strings"),
+    )
+
+    cells = F.regexp_extract_all(
+        xml, F.lit(r"(?s)<c\s[^>]*/>|<c\s[^>]*>.*?</c>"), F.lit(0)
+    )
+    is_str = lambda c: c.rlike('\\st="s"')  # noqa: E731
+    has_v = lambda c: c.contains("<v>")  # noqa: E731
+    cell_v = lambda c: F.regexp_extract(c, "<v>([^<]*)</v>", 1)  # noqa: E731
+
+    def ref_cell(ref: str) -> Column:
+        return F.element_at(
+            F.filter(F.col("cells"), lambda c: c.rlike(f'r="{ref}"')), 1
+        )
+
+    sheet = (
+        members.where(F.col(member_col) == "xl/worksheets/sheet1.xml")
+        .select(F.col(path_col).alias("path"), cells.alias("cells"))
+        .select(
+            "path",
+            F.size("cells").cast("long").alias("n_cells"),
+            F.size(F.filter(F.col("cells"), is_str))
+            .cast("long").alias("n_string_cells"),
+            F.size(
+                F.filter(
+                    F.col("cells"), lambda c: has_v(c) & ~is_str(c)
+                )
+            ).cast("long").alias("n_number_cells"),
+            cell_v(ref_cell("A1")).cast("int").alias("_a1_idx"),
+            cell_v(ref_cell("B2")).cast("long").alias("b2_value"),
+        )
+    )
+
+    return (
+        sheet.join(wb, "path")
+        .join(ss, "path")
+        .select(
+            "path",
+            "n_sheets",
+            "n_cells",
+            "n_string_cells",
+            "n_number_cells",
+            F.element_at(F.col("strings"), F.col("_a1_idx") + 1)
+            .alias("a1_text"),
+            "b2_value",
+        )
+    )

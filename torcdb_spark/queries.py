@@ -651,12 +651,13 @@ def x_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 # test, and paste the list it expects.
 #
 # ROUND-12 HEAD under that policy (VERDICT r11 ask #4,
-# ROTATION_BASIS_ROUND=11) = the never-checked round-12 addition
-# (p6 DOCX extraction), then the stalest driver signals: the
-# remaining 45 queries of the round-6 block (the rest of the
-# gremlin-step family, the 12 LDBC-IC analogues, 16 TPC-H shapes,
-# the four r6-stamped streaming jobs, g_kcore/g_path_pair) and the
-# first 4 (by name) of the round-7 block (cdc3, cv1, d10, d11).
+# ROTATION_BASIS_ROUND=11) = the never-checked round-12 additions
+# (m24 AV1 OBU census, p6 DOCX extraction, p7 XLSX census), then
+# the stalest driver signals: the remaining 45 queries of the
+# round-6 block (the rest of the gremlin-step family, the 12
+# LDBC-IC analogues, 16 TPC-H shapes, the four r6-stamped streaming
+# jobs, g_kcore/g_path_pair) and the first 2 (by name) of the
+# round-7 block (cdc3, cv1).
 # With this head every declared query's driver record is <= 5
 # rounds old again (oldest becomes r7).  Everything not listed
 # keeps its registration order after slot 50 and stays covered by
@@ -696,8 +697,11 @@ def staleness_head(n: int = 50, basis: int | None = None) -> list[str]:
 
 
 DRIVER_PRIORITY: list[str] = [
-    # -- never driver-checked: the round-12 addition --
+    # -- never driver-checked: the round-12 additions (name-sorted,
+    # -- the -1 tie-break) --
+    "m24_av1_obu_census",
     "p6_docx_extract",
+    "p7_xlsx_census",
     # -- oldest driver signal: the remainder of the round-6 block
     # -- (gremlin steps, LDBC-IC analogues, TPC-H shapes, streams) --
     "g_gremlin_group",
@@ -745,11 +749,9 @@ DRIVER_PRIORITY: list[str] = [
     "st_events_tumbling_stream",
     "st_stateful_totals",
     "st_stream_static_join",
-    # -- next-oldest: the first 4 (by name) of the round-7 block --
+    # -- next-oldest: the first 2 (by name) of the round-7 block --
     "cdc3_content_chunks",
     "cv1_conversation_assembly",
-    "d10_chunking",
-    "d11_redact_pii",
 ]
 
 # Head entries that ship WITHOUT a DuckDB oracle by documented design (the
@@ -13865,3 +13867,170 @@ def p6_docx_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("extracted").cast("long").alias("n_chars"),
         (F.col("extracted") == F.col("norm")).alias("exact"),
     )
+
+
+@_register(
+    "p7_xlsx_census",
+    """SELECT doc_id,
+              CAST(1 + doc_id % 3 AS BIGINT) AS n_sheets,
+              CAST(5 + doc_id % 3 AS BIGINT) AS n_cells,
+              CAST(2 AS BIGINT) AS n_string_cells,
+              CAST(2 + doc_id % 3 AS BIGINT) AS n_number_cells,
+              substr(text, 1, 8) AS a1_text,
+              CAST(doc_id * 2 + 1 AS BIGINT) AS b2_value
+       FROM documents WHERE text IS NOT NULL""",
+)
+def p7_xlsx_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XLSX sheet census (VERDICT r11 stretch #7) — the enterprise-data
+    sibling of p5's notebook and p6's DOCX extraction, on the same
+    plumbing: each document becomes a real SpreadsheetML package (a ZIP
+    with xl/workbook.xml declaring 1+doc_id%3 sheets, an
+    xl/sharedStrings.xml whose first entry is the document's
+    entity-escaped 8-char prefix, and an xl/worksheets/sheet1.xml with
+    shared-string cells, number cells, a blank cell, and doc-varying
+    extra number cells), fans out through sources.warc.zip_members, and
+    the census walks back through operators.ooxml.xlsx_sheet_census —
+    sheet counts, typed cell counts, the sharedStrings indirection
+    (A1's index resolved through the string table, entity round trip
+    included), and a parsed number cell, all replayed by the oracle in
+    closed-form SQL."""
+    import pandas as pd
+
+    from torcdb_spark.operators.ooxml import xlsx_sheet_census
+    from torcdb_spark.sources.warc import zip_members
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())  # symmetric with the oracle
+        .select("doc_id", "text")
+    )
+
+    def build(batches):
+        import io
+        import zipfile
+
+        def esc(s):
+            return (s.replace("&", "&amp;").replace("<", "&lt;")
+                     .replace(">", "&gt;"))
+
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                did = int(did)
+                n_sheets = 1 + did % 3
+                sheets = "".join(
+                    f'<sheet name="Sheet{i+1}" sheetId="{i+1}" '
+                    f'r:id="rId{i+1}"/>'
+                    for i in range(n_sheets)
+                )
+                workbook = (
+                    '<?xml version="1.0"?><workbook><sheets>'
+                    + sheets + "</sheets></workbook>"
+                )
+                sst = (
+                    '<?xml version="1.0"?><sst count="2" uniqueCount="2">'
+                    f'<si><t xml:space="preserve">{esc(str(text)[:8])}'
+                    f"</t></si><si><t>w{did % 7}</t></si></sst>"
+                )
+                extra = "".join(
+                    f'<c r="{chr(68 + j)}3"><v>{did + j}</v></c>'
+                    for j in range(did % 3)
+                )
+                sheet1 = (
+                    '<?xml version="1.0"?><worksheet><sheetData>'
+                    f'<row r="1"><c r="A1" t="s"><v>0</v></c>'
+                    f'<c r="B1"><v>{did}</v></c></row>'
+                    f'<row r="2"><c r="A2" t="s"><v>1</v></c>'
+                    f'<c r="B2"><v>{did * 2 + 1}</v></c><c r="C2"/></row>'
+                    + (f'<row r="3">{extra}</row>' if extra else "")
+                    + "</sheetData></worksheet>"
+                )
+                buf = io.BytesIO()
+                with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+                    zf.writestr(
+                        "[Content_Types].xml",
+                        '<?xml version="1.0"?><Types><Default Extension='
+                        '"xml" ContentType="application/xml"/></Types>',
+                    )
+                    zf.writestr("xl/workbook.xml", workbook)
+                    zf.writestr("xl/sharedStrings.xml", sst)
+                    zf.writestr("xl/worksheets/sheet1.xml", sheet1)
+                rows.append(
+                    {"path": f"doc_{did}.xlsx", "content": buf.getvalue()}
+                )
+            yield pd.DataFrame(rows)
+
+    archives = docs.mapInPandas(build, "path string, content binary")
+    census = xlsx_sheet_census(zip_members(archives))
+    return census.select(
+        F.regexp_extract("path", r"doc_(\d+)\.xlsx", 1)
+        .cast("long")
+        .alias("doc_id"),
+        "n_sheets",
+        "n_cells",
+        "n_string_cells",
+        "n_number_cells",
+        "a1_text",
+        "b2_value",
+    )
+
+
+@_register(
+    "m24_av1_obu_census",
+    """WITH p AS (
+         SELECT doc_id,
+                CAST(2 + doc_id % 3838 AS BIGINT) AS w,
+                CAST(2 + length(text) % 2158 AS BIGINT) AS h,
+                CAST(1 + length(text) % 5 AS BIGINT) AS nf,
+                CAST(list_extract([5, 8, 9, 12],
+                                  CAST(doc_id % 4 AS INT) + 1)
+                     AS BIGINT) AS lvl
+         FROM documents)
+       SELECT doc_id AS media_id,
+              4 + 2 * nf AS n_obus,
+              CAST(1 AS BIGINT) AS n_seq_hdr,
+              1 + nf AS n_temporal_delim,
+              nf AS n_frames,
+              CAST(0 AS BIGINT) AS n_tile_groups,
+              CAST(1 AS BIGINT) AS n_metadata,
+              CAST(1 AS BIGINT) AS n_padding,
+              w AS width,
+              h AS height,
+              CAST(0 AS BIGINT) AS seq_profile,
+              lvl AS seq_level_idx
+       FROM p""",
+)
+def m24_av1_obu_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AV1 OBU census (VERDICT r11 stretch #8 — the growing-share crawl
+    video codec, for the WebM/MP4 payloads m23/m17 already expose):
+    per-document low-overhead AV1 streams (dimensions, frame count,
+    level, reduced-still-picture vs full operating-point header form,
+    optional timing_info block, extension headers on alternate frames
+    — all fixture-derived) walked by operators/av1.py av1_obu_census
+    via Arrow-batched mapInPandas — OBU-type histogram with validated
+    headers and leb128 size fields, plus a REAL bit-decoded sequence
+    header (profile / seq_level_idx / exact max frame dimensions per
+    AV1 spec §5.5.1, including the timing-info skip widths).  The
+    oracle replays the stream-shape arithmetic in closed-form SQL from
+    the same fixture columns; tile-data decode stays the documented
+    essence boundary like every census."""
+    from torcdb_spark.operators.av1 import av1_census, av1_synth_udf
+
+    docs = load_table(spark, sf_dir, "documents")
+    synth = av1_synth_udf()
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        synth(
+            (F.lit(2) + F.col("doc_id") % 3838).cast("int"),
+            (F.lit(2) + F.length("text") % 2158).cast("int"),
+            (F.lit(1) + F.length("text") % 5).cast("int"),
+            (F.lit(16) + F.col("doc_id") % 40).cast("int"),
+            F.element_at(
+                F.array(F.lit(5), F.lit(8), F.lit(9), F.lit(12)),
+                (F.col("doc_id") % 4 + 1).cast("int"),
+            ).cast("int"),
+            (F.col("doc_id") % 5 == 0).cast("boolean"),
+            (F.col("doc_id") % 2 == 1).cast("boolean"),
+        ).alias("payload"),
+    )
+    return av1_census(media).drop("total_bytes")
