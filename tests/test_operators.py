@@ -4164,3 +4164,70 @@ def test_docx_text_and_xlsx_census(spark):
     assert row.n_sheets == 2 and row.n_cells == 5
     assert row.n_string_cells == 2 and row.n_number_cells == 2
     assert row.a1_text == "x & y" and row.b2_value == 41
+
+
+def test_hevc_nal_codec():
+    """HEVC NAL walk against the ITU-T H.265 layouts: SPS bit decode
+    through the full profile_tier_level block (sub-layer flag
+    alignment included), conformance-window cropping in 4:2:0 units,
+    both Annex-B and length-prefixed framings, IRAP/IDR
+    classification, and the ValueError contracts (forbidden bit, zero
+    nuh_temporal_id_plus1, no SPS)."""
+    import pytest as _pytest
+
+    from torcdb_spark.operators.h264 import _strip_emulation
+    from torcdb_spark.operators.hevc import (
+        encode_hevc_sps,
+        encode_hevc_stream,
+        hevc_nal_census,
+        parse_hevc_sps,
+    )
+
+    for msl in (0, 2):
+        for w, h, p, lv in ((1920, 1080, 1, 120), (1280, 720, 2, 93),
+                            (100, 60, 1, 63), (2, 2, 1, 30)):
+            sps = encode_hevc_sps(w, h, 3, 1, profile_idc=p,
+                                  level_idc=lv, max_sub_layers_minus1=msl)
+            got = parse_hevc_sps(_strip_emulation(sps[2:]))
+            assert got == {"profile_idc": p, "level_idc": lv,
+                           "width": w, "height": h}, (msl, w, h)
+
+    for avcc in (False, True):
+        s = encode_hevc_stream(1918, 1080, n_gops=3, p_per_gop=2,
+                               avcc=avcc)
+        c = hevc_nal_census(s)
+        assert (c["width"], c["height"]) == (1918, 1080)  # 8-px grid crop
+        assert c["n_vps"] == c["n_sps"] == c["n_pps"] == 1
+        assert c["n_idr"] == c["n_irap"] == 3 and c["n_slices"] == 9
+        assert c["n_nalus"] == 12 and c["total_bytes"] == len(s)
+
+    with _pytest.raises(ValueError):
+        hevc_nal_census(b"")
+    with _pytest.raises(ValueError):  # forbidden bit
+        hevc_nal_census(b"\x00\x00\x00\x01\x80\x01xx")
+    with _pytest.raises(ValueError):  # nuh_temporal_id_plus1 == 0
+        hevc_nal_census(b"\x00\x00\x00\x01\x02\x00xx")
+    with _pytest.raises(ValueError):  # no SPS
+        hevc_nal_census(b"\x00\x00\x00\x01\x40\x01xx")
+
+
+def test_pptx_text(spark):
+    """DrawingML slide extraction: separator-free <a:t> run concat,
+    <a:br/> whitespace, rPr skip, entity decode, paragraph
+    boundaries."""
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from torcdb_spark.operators.ooxml import pptx_text
+
+    xml = (
+        "<p:sld><p:cSld><p:spTree><p:sp><p:txBody>"
+        '<a:p><a:r><a:rPr lang="en"/><a:t>Hel</a:t></a:r>'
+        "<a:r><a:t>lo &amp; &lt;x&gt;</a:t></a:r></a:p>"
+        '<a:p><a:r><a:t xml:space="preserve">a </a:t></a:r><a:br/>'
+        "<a:r><a:t>b</a:t></a:r></a:p>"
+        "</p:txBody></p:sp></p:spTree></p:cSld></p:sld>"
+    )
+    df = spark.createDataFrame([Row(x=xml)])
+    got = df.select(pptx_text(F.col("x")).alias("t")).first().t
+    assert got == "Hello & <x> a b"

@@ -34,6 +34,33 @@ def _decode_entities(col: Column) -> Column:
     return out
 
 
+def pptx_text(slide_xml: Column) -> Column:
+    """DrawingML slide part (``ppt/slides/slideN.xml``) → plain text —
+    the PresentationML member of the DOCX/XLSX/PPTX trio, same JVM
+    regex contract as text.docx_text: ``<a:br/>`` line breaks become
+    whitespace, each paragraph (``</a:p>``) is a whitespace boundary,
+    the ``<a:t>`` runs inside a paragraph concatenate in order with no
+    separator, every other element (``<a:rPr>``, ``<p:sp>`` shape
+    scaffolding, field codes) is structurally ignored, entities
+    decode, whitespace collapses."""
+    x = F.regexp_replace(slide_xml, r"<a:br\s*/>", "<a:t> </a:t>")
+    paras = F.split(x, "</a:p>")
+    para_text = F.transform(
+        paras,
+        lambda p: F.array_join(
+            F.regexp_extract_all(
+                p, F.lit(r"(?s)<a:t(?:\s[^>]*)?>([^<]*)</a:t>"), F.lit(1)
+            ),
+            "",
+        ),
+    )
+    return F.trim(
+        F.regexp_replace(
+            _decode_entities(F.array_join(para_text, " ")), r"\s+", " "
+        )
+    )
+
+
 def xlsx_sheet_census(
     members: DataFrame,
     path_col: str = "path",

@@ -652,12 +652,11 @@ def x_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # ROUND-12 HEAD under that policy (VERDICT r11 ask #4,
 # ROTATION_BASIS_ROUND=11) = the never-checked round-12 additions
-# (m24 AV1 OBU census, p6 DOCX extraction, p7 XLSX census), then
-# the stalest driver signals: the remaining 45 queries of the
-# round-6 block (the rest of the gremlin-step family, the 12
-# LDBC-IC analogues, 16 TPC-H shapes, the four r6-stamped streaming
-# jobs, g_kcore/g_path_pair) and the first 2 (by name) of the
-# round-7 block (cdc3, cv1).
+# (m24 AV1 OBU census, m25 HEVC NAL census, p6 DOCX extraction,
+# p7 XLSX census, p8 PPTX extraction), then the stalest driver
+# signals: the remaining 45 queries of the round-6 block (the rest
+# of the gremlin-step family, the 12 LDBC-IC analogues, 16 TPC-H
+# shapes, the four r6-stamped streaming jobs, g_kcore/g_path_pair).
 # With this head every declared query's driver record is <= 5
 # rounds old again (oldest becomes r7).  Everything not listed
 # keeps its registration order after slot 50 and stays covered by
@@ -700,8 +699,10 @@ DRIVER_PRIORITY: list[str] = [
     # -- never driver-checked: the round-12 additions (name-sorted,
     # -- the -1 tie-break) --
     "m24_av1_obu_census",
+    "m25_hevc_nal_census",
     "p6_docx_extract",
     "p7_xlsx_census",
+    "p8_pptx_extract",
     # -- oldest driver signal: the remainder of the round-6 block
     # -- (gremlin steps, LDBC-IC analogues, TPC-H shapes, streams) --
     "g_gremlin_group",
@@ -749,9 +750,6 @@ DRIVER_PRIORITY: list[str] = [
     "st_events_tumbling_stream",
     "st_stateful_totals",
     "st_stream_static_join",
-    # -- next-oldest: the first 2 (by name) of the round-7 block --
-    "cdc3_content_chunks",
-    "cv1_conversation_assembly",
 ]
 
 # Head entries that ship WITHOUT a DuckDB oracle by documented design (the
@@ -14034,3 +14032,214 @@ def m24_av1_obu_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("payload"),
     )
     return av1_census(media).drop("total_bytes")
+
+
+@_register(
+    "m25_hevc_nal_census",
+    """WITH p AS (
+         SELECT doc_id,
+                CAST(2 + 2 * (doc_id % 1912) AS BIGINT) AS w,
+                CAST(2 + 2 * (length(text) % 1072) AS BIGINT) AS h,
+                CAST(1 + length(text) % 4 AS BIGINT) AS gops,
+                CAST(doc_id % 3 AS BIGINT) AS p_per_gop,
+                CAST(list_extract([63, 93, 120, 153],
+                                  CAST(doc_id % 4 AS INT) + 1)
+                     AS BIGINT) AS lvl
+         FROM documents)
+       SELECT doc_id AS media_id,
+              3 + gops * (1 + p_per_gop) AS n_nalus,
+              gops * (1 + p_per_gop) AS n_slices,
+              gops AS n_irap,
+              gops AS n_idr,
+              CAST(1 AS BIGINT) AS n_vps,
+              CAST(1 AS BIGINT) AS n_sps,
+              CAST(1 AS BIGINT) AS n_pps,
+              w AS width,
+              h AS height,
+              CAST(1 AS BIGINT) AS profile_idc,
+              lvl AS level_idc
+       FROM p""",
+)
+def m25_hevc_nal_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HEVC NAL-unit census (operators/hevc.py) — closing the
+    crawl-video census family next to H.264 (m21) and AV1 (m24):
+    per-document HEVC elementary streams (even display dimensions
+    encoded via the 8-px luma grid + conformance-window crop, GOP and
+    TRAIL_R counts, level_idc, alternating Annex-B / length-prefixed
+    framing — all fixture-derived) walked via Arrow-batched
+    mapInPandas: validated 2-byte NAL headers, type histogram with
+    IRAP/IDR classification, and a REAL bit decode of the SPS through
+    the full profile_tier_level block (ITU-T H.265 §7.3.3, including
+    sub-layer flag alignment) to exact conformance-cropped dimensions
+    (§7.4.3.2.1 crop units).  The oracle replays the stream-shape
+    arithmetic in closed-form SQL; slice decode stays the documented
+    essence boundary."""
+    from torcdb_spark.operators.hevc import hevc_census, hevc_synth_udf
+
+    docs = load_table(spark, sf_dir, "documents")
+    synth = hevc_synth_udf()
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        synth(
+            (F.lit(2) + F.lit(2) * (F.col("doc_id") % 1912)).cast("int"),
+            (F.lit(2) + F.lit(2) * (F.length("text") % 1072)).cast("int"),
+            (F.lit(1) + F.length("text") % 4).cast("int"),
+            (F.col("doc_id") % 3).cast("int"),
+            (F.lit(16) + F.col("doc_id") % 40).cast("int"),
+            F.element_at(
+                F.array(F.lit(63), F.lit(93), F.lit(120), F.lit(153)),
+                (F.col("doc_id") % 4 + 1).cast("int"),
+            ).cast("int"),
+            (F.col("doc_id") % 2 == 1).cast("boolean"),
+        ).alias("payload"),
+    )
+    return hevc_census(media).drop("total_bytes")
+
+
+@_register(
+    "p8_pptx_extract",
+    r"""WITH n AS (SELECT doc_id,
+                        trim(regexp_replace(text, '\s+', ' ', 'g')) AS norm
+                 FROM documents WHERE text IS NOT NULL),
+       w AS (SELECT doc_id, norm,
+                    CASE WHEN norm = '' THEN 0
+                         ELSE length(norm) - length(replace(norm, ' ', ''))
+                              + 1 END AS nw
+             FROM n)
+       SELECT doc_id,
+              CAST(CASE WHEN nw = 0 THEN 1
+                        ELSE 1 + floor((nw - 1) / 48) END AS BIGINT)
+                AS n_slides,
+              CAST(length(norm) AS BIGINT) AS n_chars,
+              TRUE AS exact
+       FROM w""",
+)
+def p8_pptx_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PPTX ingestion — the PresentationML member completing the OOXML
+    trio (p6 DOCX, p7 XLSX): each document becomes a real presentation
+    package (48 words per slide, DrawingML paragraphs of 12 words with
+    split <a:t> runs, <a:br/> separators on alternate paragraphs, rPr
+    noise), slide parts fan out through sources.warc.zip_members, each
+    slide extracts through ooxml.pptx_text, and the per-document
+    reassembly (slide count + order-preserving text concat via a
+    sorted collect_list) must reproduce the whitespace-normalized
+    original — slide count AND byte equality both oracle-replayed."""
+    import pandas as pd
+
+    from torcdb_spark.operators.ooxml import pptx_text
+    from torcdb_spark.sources.warc import zip_members
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())  # symmetric with the oracle
+        .select("doc_id", "text")
+    )
+
+    def build(batches):
+        import io
+        import re as _re
+        import zipfile
+
+        def esc(s):
+            return (s.replace("&", "&amp;").replace("<", "&lt;")
+                     .replace(">", "&gt;"))
+
+        _ws = _re.compile(r"[ \t\n\x0b\f\r]+")  # the JAVA \s class
+
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                words = [w for w in _ws.split(str(text)) if w]
+                slides = [words[i:i + 48]
+                          for i in range(0, len(words), 48)] or [[]]
+                buf = io.BytesIO()
+                with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+                    zf.writestr(
+                        "[Content_Types].xml",
+                        '<?xml version="1.0"?><Types><Default Extension='
+                        '"xml" ContentType="application/xml"/></Types>',
+                    )
+                    zf.writestr(
+                        "ppt/presentation.xml",
+                        '<?xml version="1.0"?><p:presentation>'
+                        "<p:sldIdLst>" + "".join(
+                            f'<p:sldId id="{256 + i}"/>'
+                            for i in range(len(slides))
+                        ) + "</p:sldIdLst></p:presentation>",
+                    )
+                    for si, sw in enumerate(slides):
+                        paras = []
+                        for pi in range(0, len(sw), 12):
+                            ws = sw[pi:pi + 12]
+                            k = (len(ws) + 1) // 2
+                            r1 = " ".join(ws[:k])
+                            r2 = " ".join(ws[k:])
+                            runs = (
+                                f"<a:r><a:rPr lang=\"en-US\"/>"
+                                f"<a:t>{esc(r1)}</a:t></a:r>"
+                            )
+                            if r2:
+                                if pi % 24 == 0:
+                                    runs += "<a:br/>"
+                                else:
+                                    runs += ('<a:r><a:t xml:space='
+                                             '"preserve"> </a:t></a:r>')
+                                runs += f"<a:r><a:t>{esc(r2)}</a:t></a:r>"
+                            paras.append(f"<a:p>{runs}</a:p>")
+                        slide = (
+                            '<?xml version="1.0"?><p:sld><p:cSld>'
+                            "<p:spTree><p:sp><p:txBody>"
+                            + "".join(paras)
+                            + "</p:txBody></p:sp></p:spTree>"
+                            "</p:cSld></p:sld>"
+                        )
+                        zf.writestr(
+                            f"ppt/slides/slide{si + 1}.xml", slide
+                        )
+                rows.append(
+                    {"path": f"doc_{int(did)}.pptx",
+                     "content": buf.getvalue()}
+                )
+            yield pd.DataFrame(rows)
+
+    archives = docs.mapInPandas(build, "path string, content binary")
+    slides = zip_members(archives).where(
+        F.col("member").rlike(r"^ppt/slides/slide\d+\.xml$")
+    )
+    per_slide = slides.select(
+        F.regexp_extract("path", r"doc_(\d+)\.pptx", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.regexp_extract("member", r"slide(\d+)\.xml", 1)
+        .cast("int")
+        .alias("slide_no"),
+        pptx_text(F.decode("payload", "utf-8")).alias("t"),
+    )
+    agg = per_slide.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_slides"),
+        F.trim(
+            F.regexp_replace(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("slide_no", "t"))
+                        ),
+                        lambda s: s["t"],
+                    ),
+                    " ",
+                ),
+                r"\s+",
+                " ",
+            )
+        ).alias("extracted"),
+    )
+    orig = docs.select(
+        "doc_id",
+        F.trim(F.regexp_replace("text", r"\s+", " ")).alias("norm"),
+    )
+    return agg.join(orig, "doc_id").select(
+        "doc_id",
+        "n_slides",
+        F.length("extracted").cast("long").alias("n_chars"),
+        (F.col("extracted") == F.col("norm")).alias("exact"),
+    )
