@@ -471,3 +471,74 @@ def test_delta_log_intra_commit_resurrection(spark):
     fb = {r.path for r in delta_active_files(
         delta_log_lines(spark, commits)).collect()}
     assert fb == set()
+
+
+def test_iceberg_snapshot_replay(spark):
+    """Iceberg snapshot rule over the stdlib Avro decoder: live files =
+    non-DELETED entries of exactly the manifests the current manifest
+    list references — orphan manifests and DELETED entries must drop
+    out, corrupt parts degrade instead of sinking the job."""
+    from pyspark.sql import Row
+
+    from torcdb_spark.sources.iceberg import (
+        iceberg_live_files,
+        write_manifest,
+        write_manifest_list,
+    )
+
+    lists = spark.createDataFrame([
+        Row(table_id=1, content=bytearray(
+            write_manifest_list(["m1.avro", "m2.avro"]))),
+        Row(table_id=2, content=bytearray(b"Obj corrupt")),
+    ])
+    manifests = spark.createDataFrame([
+        Row(table_id=1, name="m1.avro", content=bytearray(write_manifest([
+            (1, "a.parquet", 10, 100),
+            (2, "dead.parquet", 99, 9),   # DELETED: excluded
+            (0, "b.parquet", 20, 200),
+        ]))),
+        Row(table_id=1, name="m2.avro", content=bytearray(write_manifest([
+            (1, "c.parquet", 30, 300),
+        ]))),
+        # orphan: valid manifest NOT referenced by the list
+        Row(table_id=1, name="orphan.avro", content=bytearray(
+            write_manifest([(1, "stale.parquet", 777, 7)]))),
+    ])
+    live = {r.file_path: r
+            for r in iceberg_live_files(lists, manifests).collect()}
+    assert set(live) == {"a.parquet", "b.parquet", "c.parquet"}
+    assert live["b.parquet"].record_count == 20
+    assert live["c.parquet"].manifest_path == "m2.avro"
+    # corrupt list (table 2) produced no live rows and no exception
+    assert all(r.table_id == 1 for r in live.values())
+
+
+def test_arrow_ipc_columns(spark):
+    """Arrow IPC census: file and stream framings auto-detect, integer
+    sums and null counts per batch, string first-values, corrupt
+    shards degrade to an _error row."""
+    from pyspark.sql import Row
+
+    from torcdb_spark.sources.arrow_ipc import (
+        arrow_ipc_columns,
+        write_arrow_ipc,
+    )
+
+    cols = {"ids": [1, 2, 3, 4], "txt": ["ab", None, "cd", "ef"]}
+    shards = spark.createDataFrame([
+        Row(path="f", content=bytearray(
+            write_arrow_ipc(cols, [2, 2], file_format=True))),
+        Row(path="s", content=bytearray(
+            write_arrow_ipc(cols, [3, 1], file_format=False))),
+        Row(path="bad", content=bytearray(b"not arrow at all")),
+    ])
+    rows = {(r.path, r.batch_idx, r.column): r
+            for r in arrow_ipc_columns(shards).collect()}
+    assert rows[("f", 0, "ids")].long_sum == 3
+    assert rows[("f", 1, "ids")].long_sum == 7
+    assert rows[("f", 0, "txt")].null_count == 1
+    assert rows[("f", 0, "txt")].text_first == "ab"
+    assert rows[("s", 0, "ids")].long_sum == 6
+    assert rows[("s", 0, "ids")].n_rows == 3
+    assert rows[("s", 1, "txt")].text_first == "ef"
+    assert ("bad", -1, "_error") in rows

@@ -652,11 +652,12 @@ def x_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # ROUND-12 HEAD under that policy (VERDICT r11 ask #4,
 # ROTATION_BASIS_ROUND=11) = the never-checked round-12 additions
-# (m24 AV1 OBU census, m25 HEVC NAL census, p6 DOCX extraction,
-# p7 XLSX census, p8 PPTX extraction), then the stalest driver
-# signals: the remaining 45 queries of the round-6 block (the rest
-# of the gremlin-step family, the 12 LDBC-IC analogues, 16 TPC-H
-# shapes, the four r6-stamped streaming jobs, g_kcore/g_path_pair).
+# (ai1 Arrow IPC ingestion, ic1 Iceberg snapshot replay, m24 AV1
+# OBU census, m25 HEVC NAL census, p6 DOCX extraction, p7 XLSX
+# census, p8 PPTX extraction), then the stalest driver signals: the
+# first 43 (by name) of the round-6 block (the rest of the
+# gremlin-step family, the 12 LDBC-IC analogues, 16 TPC-H shapes,
+# two of the r6-stamped streaming jobs, g_kcore/g_path_pair).
 # With this head every declared query's driver record is <= 5
 # rounds old again (oldest becomes r7).  Everything not listed
 # keeps its registration order after slot 50 and stays covered by
@@ -698,12 +699,14 @@ def staleness_head(n: int = 50, basis: int | None = None) -> list[str]:
 DRIVER_PRIORITY: list[str] = [
     # -- never driver-checked: the round-12 additions (name-sorted,
     # -- the -1 tie-break) --
+    "ai1_arrow_ipc_ingest",
+    "ic1_iceberg_snapshot",
     "m24_av1_obu_census",
     "m25_hevc_nal_census",
     "p6_docx_extract",
     "p7_xlsx_census",
     "p8_pptx_extract",
-    # -- oldest driver signal: the remainder of the round-6 block
+    # -- oldest driver signal: the head of the round-6 block
     # -- (gremlin steps, LDBC-IC analogues, TPC-H shapes, streams) --
     "g_gremlin_group",
     "g_gremlin_match",
@@ -748,8 +751,6 @@ DRIVER_PRIORITY: list[str] = [
     "q9_profit_by_nation_year",
     "st_events_dedup_stream",
     "st_events_tumbling_stream",
-    "st_stateful_totals",
-    "st_stream_static_join",
 ]
 
 # Head entries that ship WITHOUT a DuckDB oracle by documented design (the
@@ -14242,4 +14243,178 @@ def p8_pptx_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_slides",
         F.length("extracted").cast("long").alias("n_chars"),
         (F.col("extracted") == F.col("norm")).alias("exact"),
+    )
+
+
+@_register(
+    "ic1_iceberg_snapshot",
+    """SELECT doc_id AS table_id,
+              CAST(1 + doc_id % 3 AS BIGINT) AS n_manifests,
+              CAST(3 * (1 + doc_id % 3) AS BIGINT) AS n_live_files,
+              CAST(3 * (1 + doc_id % 3) * (10 + doc_id % 7) AS BIGINT)
+                AS total_records,
+              CAST(300 * (1 + doc_id % 3) AS BIGINT) AS total_bytes
+       FROM documents""",
+)
+def ic1_iceberg_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg snapshot replay (sources/iceberg.py) — the OTHER major
+    lakehouse table format next to dl1's Delta-log replay, read by pure
+    composition over the repo's own stdlib Avro OCF decoder: each
+    document becomes an Iceberg metadata tree (a manifest LIST naming
+    1+doc_id%3 manifests, each manifest holding 2 ADDED + 1 EXISTING +
+    doc_id%2 DELETED entries with nested data_file records, PLUS one
+    orphan manifest NOT referenced by the list), and the snapshot rule
+    — live files = non-DELETED entries of exactly the referenced
+    manifests — runs as two Arrow parse passes joined on (table,
+    manifest path).  The oracle replays the per-table live-file
+    census in closed-form SQL, so counting an orphan manifest's files,
+    a DELETED entry, or a mis-decoded nested record hash-mismatches
+    immediately."""
+    import pandas as pd
+
+    from torcdb_spark.sources.iceberg import (
+        iceberg_live_files,
+        write_manifest,
+        write_manifest_list,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def build(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n_m = 1 + did % 3
+                rc = 10 + did % 7
+                names = [f"m{did}_{j}.avro" for j in range(n_m)]
+                rows.append({
+                    "table_id": did, "kind": "list", "name": "list",
+                    "content": write_manifest_list(names, did),
+                })
+                for j, name in enumerate(names):
+                    entries = [
+                        (1, f"data/t{did}/f{j}_0.parquet", rc, 100),
+                        (1, f"data/t{did}/f{j}_1.parquet", rc, 100),
+                        (0, f"data/t{did}/f{j}_2.parquet", rc, 100),
+                    ]
+                    if did % 2:
+                        entries.append(
+                            (2, f"data/t{did}/gone{j}.parquet", 999, 9)
+                        )
+                    rows.append({
+                        "table_id": did, "kind": "manifest",
+                        "name": name,
+                        "content": write_manifest(entries, did),
+                    })
+                # orphan manifest: on storage, absent from the list —
+                # its files must NOT appear in the snapshot
+                rows.append({
+                    "table_id": did, "kind": "manifest",
+                    "name": f"orphan{did}.avro",
+                    "content": write_manifest(
+                        [(1, f"data/t{did}/stale.parquet", 777, 7)], did
+                    ),
+                })
+            yield pd.DataFrame(rows)
+
+    parts = docs.mapInPandas(
+        build, "table_id long, kind string, name string, content binary"
+    )
+    lists = parts.where(F.col("kind") == "list").select(
+        "table_id", "content"
+    )
+    manifests = parts.where(F.col("kind") == "manifest").select(
+        "table_id", "name", "content"
+    )
+    live = iceberg_live_files(lists, manifests)
+    return live.groupBy("table_id").agg(
+        F.countDistinct("manifest_path").cast("long").alias("n_manifests"),
+        F.count("*").cast("long").alias("n_live_files"),
+        F.sum("record_count").cast("long").alias("total_records"),
+        F.sum("file_size_in_bytes").cast("long").alias("total_bytes"),
+    )
+
+
+@_register(
+    "ai1_arrow_ipc_ingest",
+    """WITH p AS (SELECT doc_id, CAST(3 + doc_id % 5 AS BIGINT) AS n, text
+                 FROM documents),
+       b AS (SELECT 0 AS bi UNION ALL SELECT 1)
+       SELECT doc_id, CAST(bi AS BIGINT) AS batch_idx,
+              'ids' AS col_name, 'int64' AS dtype,
+              n AS n_rows, CAST(0 AS BIGINT) AS null_count,
+              CAST(n * doc_id
+                   + CASE WHEN bi = 0 THEN n * (n - 1) / 2
+                          ELSE n * (3 * n - 1) / 2 END AS BIGINT)
+                AS long_sum,
+              CAST(NULL AS VARCHAR) AS text_first
+       FROM p, b
+       UNION ALL
+       SELECT doc_id, CAST(bi AS BIGINT), 'txt', 'string',
+              n, CAST(1 AS BIGINT), CAST(NULL AS BIGINT),
+              substr(text, 1 + 4 * bi, 4)
+       FROM p, b""",
+)
+def ai1_arrow_ipc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow IPC / Feather-v2 ingestion (sources/arrow_ipc.py) — the
+    ML ecosystem's zero-copy interchange format joining the TFRecord /
+    Avro OCF / Delta / Iceberg lakehouse on-ramp family: each document
+    becomes a two-column, two-batch IPC payload (int64 ids and a
+    string column with one trailing null per batch), alternating FILE
+    (ARROW1 magic + footer) and STREAM framing by doc id, and the
+    per-(batch, column) census — dtype, row/null counts, integer sums,
+    leading string — is replayed by the oracle in closed-form SQL.
+    The decode runs inside the same Arrow mapInPandas boundary as
+    every binary source; a poisoned shard degrades to an '_error'
+    row."""
+    import pandas as pd
+
+    from torcdb_spark.sources.arrow_ipc import (
+        arrow_ipc_columns,
+        write_arrow_ipc,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def build(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                did = int(did)
+                n = 3 + did % 5
+                t = str(text)
+                ids = list(range(did, did + 2 * n))
+                txt = []
+                for bi in range(2):
+                    vals = [t[4 * bi : 4 * bi + 4]] + [
+                        f"r{did}_{bi}_{i}" for i in range(n - 2)
+                    ] + [None]
+                    txt.extend(vals)
+                rows.append({
+                    "path": f"doc_{did}.arrow",
+                    "content": write_arrow_ipc(
+                        {"ids": ids, "txt": txt}, [n, n],
+                        file_format=(did % 2 == 0),
+                    ),
+                })
+            yield pd.DataFrame(rows)
+
+    shards = docs.mapInPandas(build, "path string, content binary")
+    census = arrow_ipc_columns(shards)
+    return census.select(
+        F.regexp_extract("path", r"doc_(\d+)\.arrow", 1)
+        .cast("long")
+        .alias("doc_id"),
+        "batch_idx",
+        F.col("column").alias("col_name"),
+        "dtype",
+        "n_rows",
+        "null_count",
+        "long_sum",
+        "text_first",
     )
