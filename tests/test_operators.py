@@ -4231,3 +4231,31 @@ def test_pptx_text(spark):
     df = spark.createDataFrame([Row(x=xml)])
     got = df.select(pptx_text(F.col("x")).alias("t")).first().t
     assert got == "Hello & <x> a b"
+
+
+def test_markdown_to_text(spark):
+    """Markdown strip chain over hand-built cases: fence content
+    preserved, image alt vs link anchor, header/quote/bullet/hr line
+    markers, bold-before-italic ordering, inline code, and backslash
+    escapes surviving the emphasis passes."""
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from torcdb_spark.operators.text import markdown_to_text
+
+    cases = [
+        ("# Title\n\nplain **bold** *it* `code`", "Title plain bold it code"),
+        ("```python\nx = 1\n```\nafter", "x = 1 after"),
+        ("[anchor](https://e.x/p) and ![alt](i.png)", "anchor and alt"),
+        ("> quoted line\n- bullet one\n2. numbered",
+         "quoted line bullet one numbered"),
+        ("above\n\n---\n\nbelow", "above below"),
+        (r"literal \* star and \[bracket\]", "literal * star and [bracket]"),
+        ("__strong__ _em_", "strong em"),
+    ]
+    df = spark.createDataFrame([Row(i=i, md=md) for i, (md, _) in
+                                enumerate(cases)])
+    got = {r.i: r.t for r in df.select(
+        "i", markdown_to_text(F.col("md")).alias("t")).collect()}
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (i, got[i], want)

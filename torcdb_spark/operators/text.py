@@ -1134,6 +1134,31 @@ def docx_text(document_xml: Column) -> Column:
     return F.trim(F.regexp_replace(t, r"\s+", " "))
 
 
+def markdown_to_text(md: Column) -> Column:
+    """Markdown → plain text as a chain of JVM regex passes — the
+    README/docs-corpus sibling of :func:`html_to_text` (code-heavy
+    crawls are full of .md): fenced code blocks keep their content and
+    drop the fences, images reduce to their alt text and links to
+    their anchor text, ATX headers / blockquote markers / list bullets
+    / horizontal rules strip at line starts, bold/italic/inline-code
+    delimiters unwrap (bold before italic so ``**`` never half-matches
+    as two ``*``), backslash escapes unescape LAST (so literal ``\\*``
+    survives the emphasis passes), and whitespace collapses.  Zero
+    Python, zero shuffle; Java/RE2-compatible patterns throughout."""
+    t = F.regexp_replace(md, r"(?s)```[A-Za-z0-9]*\n?(.*?)```", " $1 ")
+    t = F.regexp_replace(t, r"!\[([^\]]*)\]\([^)]*\)", "$1")  # images
+    t = F.regexp_replace(t, r"\[([^\]]*)\]\([^)]*\)", "$1")  # links
+    t = F.regexp_replace(t, r"(?m)^#{1,6}\s+", " ")  # ATX headers
+    t = F.regexp_replace(t, r"(?m)^\s*>\s?", " ")  # blockquotes
+    t = F.regexp_replace(t, r"(?m)^\s*(?:[-*+]|\d+\.)\s+", " ")  # bullets
+    t = F.regexp_replace(t, r"(?m)^\s*(?:-{3,}|\*{3,}|_{3,})\s*$", " ")
+    t = F.regexp_replace(t, r"(\*\*|__)(.*?)\1", "$2")  # bold first
+    t = F.regexp_replace(t, r"(\*|_)([^*_]+)\1", "$2")  # then italic
+    t = F.regexp_replace(t, r"`([^`]+)`", "$1")  # inline code
+    t = F.regexp_replace(t, r"\\([\\`*_{}\[\]()#+.!>-])", "$1")  # escapes
+    return F.trim(F.regexp_replace(t, r"\s+", " "))
+
+
 def url_parts(url: Column) -> Column:
     """Parse a URL into a (scheme, host, registered_domain, path) struct
     with pure JVM regexes (RE2-identical syntax, so SQL oracles replay it

@@ -654,10 +654,11 @@ def x_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ROTATION_BASIS_ROUND=11) = the never-checked round-12 additions
 # (ai1 Arrow IPC ingestion, ic1 Iceberg snapshot replay, m24 AV1
 # OBU census, m25 HEVC NAL census, p6 DOCX extraction, p7 XLSX
-# census, p8 PPTX extraction), then the stalest driver signals: the
-# first 43 (by name) of the round-6 block (the rest of the
-# gremlin-step family, the 12 LDBC-IC analogues, 16 TPC-H shapes,
-# two of the r6-stamped streaming jobs, g_kcore/g_path_pair).
+# census, p8 PPTX extraction, p9 Markdown extraction), then the
+# stalest driver signals: the first 42 (by name) of the round-6
+# block (the rest of the gremlin-step family, the 12 LDBC-IC
+# analogues, 16 TPC-H shapes, one r6-stamped streaming job,
+# g_kcore/g_path_pair).
 # With this head every declared query's driver record is <= 5
 # rounds old again (oldest becomes r7).  Everything not listed
 # keeps its registration order after slot 50 and stays covered by
@@ -706,6 +707,7 @@ DRIVER_PRIORITY: list[str] = [
     "p6_docx_extract",
     "p7_xlsx_census",
     "p8_pptx_extract",
+    "p9_markdown_extract",
     # -- oldest driver signal: the head of the round-6 block
     # -- (gremlin steps, LDBC-IC analogues, TPC-H shapes, streams) --
     "g_gremlin_group",
@@ -750,7 +752,6 @@ DRIVER_PRIORITY: list[str] = [
     "q8_market_share",
     "q9_profit_by_nation_year",
     "st_events_dedup_stream",
-    "st_events_tumbling_stream",
 ]
 
 # Head entries that ship WITHOUT a DuckDB oracle by documented design (the
@@ -14417,4 +14418,90 @@ def ai1_arrow_ipc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "null_count",
         "long_sum",
         "text_first",
+    )
+
+
+@_register(
+    "p9_markdown_extract",
+    r"""SELECT doc_id,
+              CAST(length(trim(regexp_replace(text, '\s+', ' ', 'g')))
+                AS BIGINT) AS n_chars,
+              TRUE AS exact
+       FROM documents WHERE text IS NOT NULL""",
+)
+def p9_markdown_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markdown ingestion (text.markdown_to_text) — the docs/README
+    format a code-heavy crawl hits in volume: each document renders to
+    a real .md file (an ATX header over the first paragraph, a
+    horizontal rule, a fenced code block wrapping one paragraph, a
+    blockquoted paragraph, bulleted lines, and per-word bold / italic
+    / inline-code / link / image decorations) and the JVM regex chain
+    must strip every decoration and recover the whitespace-normalized
+    original — n_chars oracle-replayed, byte equality pinned by the
+    `exact` flag; the backslash-escape pass is pytest-pinned
+    (test_markdown_to_text)."""
+    import pandas as pd
+
+    from torcdb_spark.operators.text import markdown_to_text
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())  # symmetric with the oracle
+        .select("doc_id", "text")
+    )
+
+    def build(batches):
+        import re as _re
+
+        _ws = _re.compile(r"[ \t\n\x0b\f\r]+")  # the JAVA \s class
+
+        def deco(w, i):
+            if i % 19 == 7:
+                return f"**{w}**"
+            if i % 17 == 2:
+                return f"*{w}*"
+            if i % 13 == 5:
+                return f"`{w}`"
+            if i % 11 == 3:
+                return f"[{w}](https://ex.invalid/{i})"
+            if i % 23 == 9:
+                return f"![{w}](img/{i}.png)"
+            return w
+
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                words = [w for w in _ws.split(str(text)) if w]
+                words = [deco(w, i) for i, w in enumerate(words)]
+                paras = [words[i:i + 12] for i in range(0, len(words), 12)]
+                parts = []
+                for pi, ws in enumerate(paras):
+                    body = " ".join(ws)
+                    if pi == 0:
+                        parts.append(f"## {body}")
+                        parts.append("---")
+                    elif pi % 4 == 1:
+                        parts.append(f"```python\n{body}\n```")
+                    elif pi % 4 == 2:
+                        parts.append(f"> {body}")
+                    elif pi % 4 == 3:
+                        parts.append(f"- {body}")
+                    else:
+                        parts.append(body)
+                md = "\n\n".join(parts) if parts else ""
+                rows.append({"doc_id": int(did), "md": md})
+            yield pd.DataFrame(rows)
+
+    mds = docs.mapInPandas(build, "doc_id long, md string")
+    extracted = mds.select(
+        "doc_id", markdown_to_text(F.col("md")).alias("extracted")
+    )
+    orig = docs.select(
+        "doc_id",
+        F.trim(F.regexp_replace("text", r"\s+", " ")).alias("norm"),
+    )
+    return extracted.join(orig, "doc_id").select(
+        "doc_id",
+        F.length("extracted").cast("long").alias("n_chars"),
+        (F.col("extracted") == F.col("norm")).alias("exact"),
     )
