@@ -542,3 +542,28 @@ def test_arrow_ipc_columns(spark):
     assert rows[("s", 0, "ids")].n_rows == 3
     assert rows[("s", 1, "txt")].text_first == "ef"
     assert ("bad", -1, "_error") in rows
+
+
+def test_parquet_footer_census(spark):
+    """Footer census: geometry, physical types, statistics fold
+    (min/max across row groups, null counts), corrupt files degrade."""
+    from pyspark.sql import Row
+
+    from torcdb_spark.sources.parquet_meta import (
+        parquet_footer_census,
+        write_parquet_bytes,
+    )
+
+    good = write_parquet_bytes(
+        {"id": [5, None, 7, 8, 9], "s": list("abcde")}, row_group_size=2
+    )
+    shards = spark.createDataFrame([
+        Row(path="g", content=bytearray(good)),
+        Row(path="bad", content=bytearray(b"PAR1 but not really")),
+    ])
+    rows = {r.path: r for r in parquet_footer_census(shards).collect()}
+    g = rows["g"]
+    assert g.n_rows == 5 and g.n_row_groups == 3 and g.rg0_rows == 2
+    assert g.col_names == "id,s" and g.col_types == "INT64,BYTE_ARRAY"
+    assert g.id_min == 5 and g.id_max == 9 and g.n_nulls == 1
+    assert rows["bad"].col_names == "_error"

@@ -4259,3 +4259,26 @@ def test_markdown_to_text(spark):
         "i", markdown_to_text(F.col("md")).alias("t")).collect()}
     for i, (_, want) in enumerate(cases):
         assert got[i] == want, (i, got[i], want)
+
+
+def test_sitemap_entries(spark):
+    """Sitemap walk: entity decode in loc, optional-field NULLs,
+    comment/namespace tolerance, multi-line whitespace inside tags."""
+    from pyspark.sql import Row
+
+    from torcdb_spark.operators.text import sitemap_entries
+
+    xml = (
+        '<?xml version="1.0"?><!-- c --><urlset xmlns="x">'
+        "<url><loc>https://a.example/?x=1&amp;y=2</loc>"
+        "<lastmod>2026-02-03</lastmod><priority>0.8</priority></url>"
+        "<url><loc>\n  https://b.example/\n</loc>"
+        "<changefreq>weekly</changefreq></url></urlset>"
+    )
+    df = spark.createDataFrame([Row(doc_id=1, sitemap=xml)])
+    rows = {r.url_idx: r for r in sitemap_entries(df).collect()}
+    assert rows[0].loc == "https://a.example/?x=1&y=2"
+    assert rows[0].lastmod == "2026-02-03" and rows[0].priority == 0.8
+    assert rows[0].changefreq is None
+    assert rows[1].loc == "https://b.example/"
+    assert rows[1].lastmod is None and rows[1].changefreq == "weekly"

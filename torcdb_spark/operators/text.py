@@ -1635,3 +1635,46 @@ def robots_directives(
         .join(agents, [id_col, "group_idx"])
         .select(id_col, "group_idx", "agents", "directive", "value")
     )
+
+
+def sitemap_entries(
+    docs: DataFrame,
+    sitemap_col: str = "sitemap",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sitemap-protocol parsing (sitemaps.org XML) — the discovery
+    half of the crawl-politeness layer next to
+    :func:`robots_directives`: ``<url>`` blocks split and posexploded,
+    per-block ``<loc>`` / ``<lastmod>`` / ``<changefreq>`` /
+    ``<priority>`` extracted by regex (missing optional fields yield
+    NULLs, XML comments and the urlset namespace scaffolding are
+    structurally ignored, the five predefined entities decode in loc).
+    Output: (id, url_idx, loc, lastmod, changefreq, priority) — pure
+    JVM expressions, one narrow explode, no shuffle."""
+    blocks = F.filter(
+        F.split(F.col(sitemap_col), "</url>"),
+        lambda b: b.contains("<loc>"),
+    )
+    ex = docs.select(
+        F.col(id_col),
+        F.posexplode(blocks).alias("url_idx", "_b"),
+    )
+
+    def tag(name):
+        return F.regexp_extract(
+            F.col("_b"), f"(?s)<{name}>\\s*(.*?)\\s*</{name}>", 1
+        )
+
+    loc = tag("loc")
+    for ent, ch in (("&lt;", "<"), ("&gt;", ">"), ("&quot;", "\""),
+                    ("&apos;", "'"), ("&amp;", "&")):
+        loc = F.replace(loc, F.lit(ent), F.lit(ch))
+    opt = lambda c: F.when(c != "", c)  # noqa: E731
+    return ex.select(
+        F.col(id_col),
+        F.col("url_idx").cast("long").alias("url_idx"),
+        loc.alias("loc"),
+        opt(tag("lastmod")).alias("lastmod"),
+        opt(tag("changefreq")).alias("changefreq"),
+        opt(tag("priority")).cast("double").alias("priority"),
+    )

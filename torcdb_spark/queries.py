@@ -654,11 +654,11 @@ def x_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ROTATION_BASIS_ROUND=11) = the never-checked round-12 additions
 # (ai1 Arrow IPC ingestion, ic1 Iceberg snapshot replay, m24 AV1
 # OBU census, m25 HEVC NAL census, p6 DOCX extraction, p7 XLSX
-# census, p8 PPTX extraction, p9 Markdown extraction), then the
-# stalest driver signals: the first 42 (by name) of the round-6
-# block (the rest of the gremlin-step family, the 12 LDBC-IC
-# analogues, 16 TPC-H shapes, one r6-stamped streaming job,
-# g_kcore/g_path_pair).
+# census, p8 PPTX extraction, p9 Markdown extraction, pm1 Parquet
+# footer census, sx1 sitemap parsing), then the stalest driver
+# signals: the first 40 (by name) of the round-6 block (the rest of
+# the gremlin-step family, the 12 LDBC-IC analogues, 15 TPC-H
+# shapes, g_kcore/g_path_pair).
 # With this head every declared query's driver record is <= 5
 # rounds old again (oldest becomes r7).  Everything not listed
 # keeps its registration order after slot 50 and stays covered by
@@ -708,6 +708,8 @@ DRIVER_PRIORITY: list[str] = [
     "p7_xlsx_census",
     "p8_pptx_extract",
     "p9_markdown_extract",
+    "pm1_parquet_footer_census",
+    "sx1_sitemap_urls",
     # -- oldest driver signal: the head of the round-6 block
     # -- (gremlin steps, LDBC-IC analogues, TPC-H shapes, streams) --
     "g_gremlin_group",
@@ -750,8 +752,6 @@ DRIVER_PRIORITY: list[str] = [
     "q6_forecast_revenue",
     "q7_volume_shipping",
     "q8_market_share",
-    "q9_profit_by_nation_year",
-    "st_events_dedup_stream",
 ]
 
 # Head entries that ship WITHOUT a DuckDB oracle by documented design (the
@@ -14505,3 +14505,151 @@ def p9_markdown_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("extracted").cast("long").alias("n_chars"),
         (F.col("extracted") == F.col("norm")).alias("exact"),
     )
+
+
+@_register(
+    "pm1_parquet_footer_census",
+    """WITH p AS (SELECT doc_id,
+                        CAST(20 + doc_id % 30 AS BIGINT) AS n
+                 FROM documents)
+       SELECT doc_id, n AS n_rows,
+              CAST(ceil(n / 8.0) AS BIGINT) AS n_row_groups,
+              CAST(2 AS BIGINT) AS n_columns,
+              CAST(8 AS BIGINT) AS rg0_rows,
+              'id,s' AS col_names,
+              'INT64,BYTE_ARRAY' AS col_types,
+              doc_id AS id_min,
+              doc_id + n - 1 AS id_max,
+              CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS BIGINT)
+                AS n_nulls
+       FROM p""",
+)
+def pm1_parquet_footer_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet footer census (sources/parquet_meta.py) — the
+    catalog-crawler pass over foreign parquet dumps: per-document
+    in-memory parquet files (row count, 8-row row groups, an int64 id
+    column whose min/max statistics span doc_id..doc_id+n-1, a string
+    column, one injected null on every third file — all
+    fixture-derived) introspected through the FOOTER ONLY: geometry
+    (rows / row groups / columns), physical types, and the
+    row-group-statistics fold (min/max/null counts) a planner prunes
+    with.  O(files) not O(bytes); the oracle replays every census
+    column in closed-form SQL."""
+    import pandas as pd
+
+    from torcdb_spark.sources.parquet_meta import (
+        parquet_footer_census,
+        write_parquet_bytes,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def build(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = 20 + did % 30
+                ids = list(range(did, did + n))
+                # one null in the id column on every third file so the
+                # statistics fold has a non-zero branch to get wrong
+                if did % 3 == 0:
+                    ids[1] = None
+                s = [f"v{did}_{i}" for i in range(n)]
+                rows.append({
+                    "path": f"doc_{did}.parquet",
+                    "content": write_parquet_bytes(
+                        {"id": ids, "s": s}, row_group_size=8
+                    ),
+                })
+            yield pd.DataFrame(rows)
+
+    shards = docs.mapInPandas(build, "path string, content binary")
+    census = parquet_footer_census(shards)
+    return census.select(
+        F.regexp_extract("path", r"doc_(\d+)\.parquet", 1)
+        .cast("long")
+        .alias("doc_id"),
+        "n_rows",
+        "n_row_groups",
+        "n_columns",
+        "rg0_rows",
+        "col_names",
+        "col_types",
+        "id_min",
+        "id_max",
+        "n_nulls",
+    )
+
+
+@_register(
+    "sx1_sitemap_urls",
+    """WITH p AS (SELECT doc_id, CAST(1 + doc_id % 4 AS BIGINT) AS n
+                 FROM documents),
+       r AS (SELECT p.doc_id, p.n, CAST(g.i AS BIGINT) AS i
+             FROM p, range(0, 4) AS g(i) WHERE g.i < n)
+       SELECT doc_id, i AS url_idx,
+              'https://d' || CAST(doc_id AS VARCHAR) || '.example/p?q='
+                || CAST(i AS VARCHAR) || '&lang=en' AS loc,
+              CASE WHEN i % 2 = 0
+                   THEN '2026-0' || CAST(1 + i % 9 AS VARCHAR) || '-15'
+              END AS lastmod,
+              CASE WHEN i % 3 = 0 THEN 'daily' END AS changefreq,
+              CASE WHEN i % 2 = 1
+                   THEN CAST(0.1 * (1 + i % 9) AS DOUBLE) END AS priority
+       FROM r""",
+)
+def sx1_sitemap_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap parsing (text.sitemap_entries) — the discovery half of
+    the crawl-politeness layer next to rb1's robots.txt pass:
+    per-document sitemap XML (namespaced urlset, an XML comment, 1-4
+    url entries whose loc needs entity decoding (&amp; in a query
+    string) and whose optional lastmod/changefreq/priority fields
+    appear on index-dependent subsets — all fixture-derived and built
+    JVM-side with concat) parsed back by the posexplode + per-block
+    regex walk.  One row per url; the oracle replays every field
+    including the NULL patterns in closed-form SQL."""
+    from torcdb_spark.operators.text import sitemap_entries
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = F.lit(1) + F.col("doc_id") % 4
+    entry = lambda i: F.concat(  # noqa: E731
+        F.lit("<url><loc>https://d"),
+        F.col("doc_id").cast("string"),
+        F.lit(".example/p?q="),
+        i.cast("string"),
+        F.lit("&amp;lang=en</loc>"),
+        F.when(
+            i % 2 == 0,
+            F.concat(F.lit("<lastmod>2026-0"),
+                     (i % 9 + 1).cast("string"),
+                     F.lit("-15</lastmod>")),
+        ).otherwise(F.lit("")),
+        F.when(i % 3 == 0, F.lit("<changefreq>daily</changefreq>"))
+        .otherwise(F.lit("")),
+        F.when(
+            i % 2 == 1,
+            F.concat(F.lit("<priority>0."),
+                     (i % 9 + 1).cast("string"),
+                     F.lit("</priority>")),
+        ).otherwise(F.lit("")),
+        F.lit("</url>"),
+    )
+    xml = F.concat(
+        F.lit('<?xml version="1.0" encoding="UTF-8"?>'
+              "<!-- generated nightly -->"
+              '<urlset xmlns="http://www.sitemaps.org/schemas/'
+              'sitemap/0.9">'),
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(0).cast("long"), (n - 1).cast("long")),
+                entry,
+            ),
+            "",
+        ),
+        F.lit("</urlset>"),
+    )
+    sitemaps = docs.select("doc_id", xml.alias("sitemap"))
+    return sitemap_entries(sitemaps)
