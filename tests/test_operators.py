@@ -4282,3 +4282,33 @@ def test_sitemap_entries(spark):
     assert rows[0].changefreq is None
     assert rows[1].loc == "https://b.example/"
     assert rows[1].lastmod is None and rows[1].changefreq == "weekly"
+
+
+def test_eml_message(spark):
+    """RFC 5322 parse: folded-header unfolding, bracketed vs bare
+    addr-spec, case-insensitive header names, LF-only tolerance,
+    missing headers yield NULLs, body preserved byte-exactly."""
+    from pyspark.sql import Row
+
+    from torcdb_spark.operators.text import eml_message
+
+    eml = (
+        "from: Ann Example <ann@e.x>\r\n"
+        "TO: bob@e.y\r\n"
+        "Subject: part one\r\n\t and two\r\n"
+        "X-Junk: skip\r\n"
+        "\r\n"
+        "body line 1\r\nbody line 2"
+    )
+    lf_only = "Subject: s\nFrom: <f@e.z>\n\nb"
+    df = spark.createDataFrame([
+        Row(doc_id=1, eml=eml), Row(doc_id=2, eml=lf_only)])
+    rows = {r.doc_id: r for r in eml_message(df).collect()}
+    r1 = rows[1]
+    assert r1.subject == "part one and two"  # unfolded to one space
+    assert r1.from_addr == "ann@e.x" and r1.to_addr == "bob@e.y"
+    assert r1.body == "body line 1\r\nbody line 2"
+    assert r1.date is None
+    r2 = rows[2]
+    assert r2.subject == "s" and r2.from_addr == "f@e.z"
+    assert r2.to_addr is None and r2.body == "b"

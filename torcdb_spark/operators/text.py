@@ -1678,3 +1678,42 @@ def sitemap_entries(
         opt(tag("changefreq")).alias("changefreq"),
         opt(tag("priority")).cast("double").alias("priority"),
     )
+
+
+def eml_message(
+    docs: DataFrame,
+    eml_col: str = "eml",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """RFC 5322 message parsing — the enterprise/mailing-list-archive
+    ingestion pass (mbox splitting is one regexp upstream of this):
+    the header block ends at the first blank line, folded headers
+    unfold per §2.2.3 (CRLF followed by WSP joins with one space),
+    standard headers extract case-insensitively with an
+    angle-bracketed addr-spec preferred over the bare form, and the
+    body is everything after the blank line.  Output: (id, subject,
+    from_addr, to_addr, date, body) — pure JVM regex, zero shuffle."""
+    raw = F.col(eml_col)
+    hdr = F.regexp_extract(raw, r"(?s)^(.*?)\r?\n\r?\n", 1)
+    body = F.regexp_replace(raw, r"(?s)^.*?\r?\n\r?\n", "")
+    unfolded = F.regexp_replace(hdr, r"\r?\n[ \t]+", " ")
+
+    def header(name):
+        v = F.regexp_extract(
+            unfolded, f"(?im)^{name}:[ \\t]*([^\\r\\n]*)", 1
+        )
+        return F.when(F.trim(v) != "", F.trim(v))
+
+    def addr(name):
+        v = header(name)
+        bracketed = F.regexp_extract(v, r"<([^>]*)>", 1)
+        return F.when(bracketed != "", bracketed).otherwise(v)
+
+    return docs.select(
+        F.col(id_col),
+        header("Subject").alias("subject"),
+        addr("From").alias("from_addr"),
+        addr("To").alias("to_addr"),
+        header("Date").alias("date"),
+        body.alias("body"),
+    )

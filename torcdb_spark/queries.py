@@ -654,11 +654,11 @@ def x_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ROTATION_BASIS_ROUND=11) = the never-checked round-12 additions
 # (ai1 Arrow IPC ingestion, ic1 Iceberg snapshot replay, m24 AV1
 # OBU census, m25 HEVC NAL census, p6 DOCX extraction, p7 XLSX
-# census, p8 PPTX extraction, p9 Markdown extraction, pm1 Parquet
-# footer census, sx1 sitemap parsing), then the stalest driver
-# signals: the first 40 (by name) of the round-6 block (the rest of
-# the gremlin-step family, the 12 LDBC-IC analogues, 15 TPC-H
-# shapes, g_kcore/g_path_pair).
+# census, p8 PPTX extraction, p9 Markdown extraction, p10 RFC 5322
+# email parsing, pm1 Parquet footer census, sx1 sitemap parsing),
+# then the stalest driver signals: the first 39 (by name) of the
+# round-6 block (the rest of the gremlin-step family, the 12
+# LDBC-IC analogues, 14 TPC-H shapes, g_kcore/g_path_pair).
 # With this head every declared query's driver record is <= 5
 # rounds old again (oldest becomes r7).  Everything not listed
 # keeps its registration order after slot 50 and stays covered by
@@ -704,6 +704,7 @@ DRIVER_PRIORITY: list[str] = [
     "ic1_iceberg_snapshot",
     "m24_av1_obu_census",
     "m25_hevc_nal_census",
+    "p10_eml_extract",
     "p6_docx_extract",
     "p7_xlsx_census",
     "p8_pptx_extract",
@@ -751,7 +752,6 @@ DRIVER_PRIORITY: list[str] = [
     "q2_min_cost_supplier",
     "q6_forecast_revenue",
     "q7_volume_shipping",
-    "q8_market_share",
 ]
 
 # Head entries that ship WITHOUT a DuckDB oracle by documented design (the
@@ -14653,3 +14653,94 @@ def sx1_sitemap_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sitemaps = docs.select("doc_id", xml.alias("sitemap"))
     return sitemap_entries(sitemaps)
+
+
+@_register(
+    "p10_eml_extract",
+    r"""WITH n AS (SELECT doc_id,
+                        trim(regexp_replace(text, '\s+', ' ', 'g')) AS norm
+                 FROM documents WHERE text IS NOT NULL),
+       w AS (SELECT doc_id, norm, string_split(norm, ' ') AS ws
+             FROM n)
+       SELECT doc_id,
+              CASE WHEN norm = '' THEN NULL
+                   ELSE array_to_string(list_slice(ws, 1, 5), ' ')
+              END AS subject,
+              's' || CAST(doc_id AS VARCHAR) || '@example.com'
+                AS from_addr,
+              'list-' || CAST(doc_id % 10 AS VARCHAR) || '@example.org'
+                AS to_addr,
+              CAST(length(CASE WHEN norm = '' OR len(ws) <= 5 THEN ''
+                   ELSE array_to_string(
+                            list_slice(ws, 6, len(ws)), ' ') END)
+                AS BIGINT) AS n_body_chars,
+              TRUE AS body_exact
+       FROM w""",
+)
+def p10_eml_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 5322 email ingestion (text.eml_message): each document
+    renders to a real message — display-name + angle-bracketed From,
+    bare To, a Subject FOLDED across a continuation line (the §2.2.3
+    unfolding path), an ignored X- header, CRLF line endings — whose
+    subject is the document's first five words and whose body is the
+    rest.  The parse must unfold the subject, prefer the bracketed
+    addr-spec, and recover the body byte-exactly; every output column
+    is replayed by the oracle in closed-form SQL (DuckDB list
+    slicing)."""
+    from torcdb_spark.operators.text import eml_message
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())  # symmetric with the oracle
+        .select(
+            "doc_id",
+            F.trim(F.regexp_replace("text", r"\s+", " ")).alias("norm"),
+        )
+    )
+    words = F.split(F.col("norm"), " ")
+    nw = F.size(words)
+    body = F.when(
+        nw > 5, F.array_join(F.expr("slice(split(norm, ' '), 6, size(split(norm, ' ')) - 5)"), " ")
+    ).otherwise(F.lit(""))
+    # fold the subject: two words on the header line, the rest on a
+    # WSP continuation line the parser must unfold back to one space
+    s_words = F.slice(words, 1, 5)
+    l1 = F.array_join(F.slice(s_words, 1, 2), " ")
+    cont = F.when(
+        F.size(s_words) > 2,
+        F.array_join(F.expr(
+            "slice(slice(split(norm, ' '), 1, 5), 3, 3)"), " "),
+    ).otherwise(F.lit(""))
+    eml = F.concat(
+        F.lit("From: Sender "), F.col("doc_id").cast("string"),
+        F.lit(" <s"), F.col("doc_id").cast("string"),
+        F.lit("@example.com>\r\n"),
+        F.lit("To: list-"), (F.col("doc_id") % 10).cast("string"),
+        F.lit("@example.org\r\n"),
+        F.lit("Subject: "), l1,
+        F.when(cont != "", F.concat(F.lit("\r\n\t"), cont))
+        .otherwise(F.lit("")),
+        F.lit("\r\n"),
+        F.lit("X-Mailer: synth 1.0\r\n"),
+        F.lit("\r\n"),
+        body,
+    )
+    msgs = docs.select("doc_id", "norm", eml.alias("eml"))
+    parsed = eml_message(msgs)
+    expected_body = docs.select(
+        "doc_id",
+        F.when(
+            nw > 5,
+            F.array_join(F.expr(
+                "slice(split(norm, ' '), 6, size(split(norm, ' ')) - 5)"
+            ), " "),
+        ).otherwise(F.lit("")).alias("want_body"),
+    )
+    return parsed.join(expected_body, "doc_id").select(
+        "doc_id",
+        "subject",
+        "from_addr",
+        "to_addr",
+        F.length("body").cast("long").alias("n_body_chars"),
+        (F.col("body") == F.col("want_body")).alias("body_exact"),
+    )
