@@ -67,38 +67,36 @@ def xlsx_sheet_census(
     member_col: str = "member",
     payload_col: str = "payload",
 ) -> DataFrame:
-    """ZIP-member rows (from sources.warc.zip_members) → one census row
-    per workbook: ``path, n_sheets, n_cells, n_string_cells,
-    n_number_cells, a1_text, b2_value`` — sheet count from the
+    """ZIP-member rows (from sources.warc.zip_members) -> one census
+    row per workbook: ``path, n_sheets, n_cells, n_string_cells,
+    n_number_cells, a1_text, b2_value`` -- sheet count from the
     workbook part, cell walk over sheet1 (string cells resolved
     through the sharedStrings indirection, numbers parsed from
-    ``<v>``, blank cells counted but typed as neither).  Three
-    same-path parts join back together; each side is a pushed-filter
-    scan of the already-exploded member rows, so the only shuffle is
-    the final path join."""
+    ``<v>``, blank cells counted but typed as neither).  SINGLE-PASS
+    plan: every member row computes its part's fields conditionally
+    (non-matching parts yield NULLs) and one groupBy(path) folds the
+    three parts together -- one scan of the exploded members, one
+    shuffle, and no self-join recomputation of the upstream fan-out
+    (the original three-way path join re-ran the ZIP explode once per
+    branch)."""
     xml = F.decode(F.col(payload_col), "utf-8")
+    member = F.col(member_col)
 
-    wb = members.where(
-        F.col(member_col) == "xl/workbook.xml"
-    ).select(
-        F.col(path_col).alias("path"),
+    n_sheets = F.when(
+        member == "xl/workbook.xml",
         F.size(
             F.regexp_extract_all(xml, F.lit(r"<sheet\s[^>]*/>"), F.lit(0))
-        ).cast("long").alias("n_sheets"),
+        ).cast("long"),
     )
-
-    ss = members.where(
-        F.col(member_col) == "xl/sharedStrings.xml"
-    ).select(
-        F.col(path_col).alias("path"),
+    strings = F.when(
+        member == "xl/sharedStrings.xml",
         F.transform(
             F.regexp_extract_all(
                 xml, F.lit(r"<si><t[^>]*>([^<]*)</t></si>"), F.lit(1)
             ),
             _decode_entities,
-        ).alias("strings"),
+        ),
     )
-
     cells = F.regexp_extract_all(
         xml, F.lit(r"(?s)<c\s[^>]*/>|<c\s[^>]*>.*?</c>"), F.lit(0)
     )
@@ -108,37 +106,46 @@ def xlsx_sheet_census(
 
     def ref_cell(ref: str) -> Column:
         return F.element_at(
-            F.filter(F.col("cells"), lambda c: c.rlike(f'r="{ref}"')), 1
+            F.filter(cells, lambda c: c.rlike(f'r="{ref}"')), 1
         )
 
-    sheet = (
-        members.where(F.col(member_col) == "xl/worksheets/sheet1.xml")
-        .select(F.col(path_col).alias("path"), cells.alias("cells"))
-        .select(
-            "path",
-            F.size("cells").cast("long").alias("n_cells"),
-            F.size(F.filter(F.col("cells"), is_str))
-            .cast("long").alias("n_string_cells"),
+    on_sheet = member == "xl/worksheets/sheet1.xml"
+    per_member = members.select(
+        F.col(path_col).alias("path"),
+        n_sheets.alias("_n_sheets"),
+        strings.alias("_strings"),
+        F.when(on_sheet, F.size(cells).cast("long")).alias("_n_cells"),
+        F.when(on_sheet, F.size(F.filter(cells, is_str)).cast("long"))
+        .alias("_n_str"),
+        F.when(
+            on_sheet,
             F.size(
-                F.filter(
-                    F.col("cells"), lambda c: has_v(c) & ~is_str(c)
-                )
-            ).cast("long").alias("n_number_cells"),
-            cell_v(ref_cell("A1")).cast("int").alias("_a1_idx"),
-            cell_v(ref_cell("B2")).cast("long").alias("b2_value"),
-        )
+                F.filter(cells, lambda c: has_v(c) & ~is_str(c))
+            ).cast("long"),
+        ).alias("_n_num"),
+        F.when(on_sheet, cell_v(ref_cell("A1")).cast("int"))
+        .alias("_a1_idx"),
+        F.when(on_sheet, cell_v(ref_cell("B2")).cast("long"))
+        .alias("_b2"),
     )
-
     return (
-        sheet.join(wb, "path")
-        .join(ss, "path")
+        per_member.groupBy("path")
+        .agg(
+            F.first("_n_sheets", ignorenulls=True).alias("n_sheets"),
+            F.first("_strings", ignorenulls=True).alias("_strings"),
+            F.first("_n_cells", ignorenulls=True).alias("n_cells"),
+            F.first("_n_str", ignorenulls=True).alias("n_string_cells"),
+            F.first("_n_num", ignorenulls=True).alias("n_number_cells"),
+            F.first("_a1_idx", ignorenulls=True).alias("_a1_idx"),
+            F.first("_b2", ignorenulls=True).alias("b2_value"),
+        )
         .select(
             "path",
             "n_sheets",
             "n_cells",
             "n_string_cells",
             "n_number_cells",
-            F.element_at(F.col("strings"), F.col("_a1_idx") + 1)
+            F.element_at(F.col("_strings"), F.col("_a1_idx") + 1)
             .alias("a1_text"),
             "b2_value",
         )

@@ -14323,7 +14323,9 @@ def ic1_iceberg_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     parts = docs.mapInPandas(
         build, "table_id long, kind string, name string, content binary"
-    )
+    ).persist()  # feeds both join sides; without it the fixture
+    # synthesis re-runs once per side (real deployments read lists and
+    # manifests as distinct binaryFile scans — nothing to recompute)
     lists = parts.where(F.col("kind") == "list").select(
         "table_id", "content"
     )
