@@ -4312,3 +4312,69 @@ def test_eml_message(spark):
     r2 = rows[2]
     assert r2.subject == "s" and r2.from_addr == "f@e.z"
     assert r2.to_addr is None and r2.body == "b"
+
+
+def test_robots_path_allowed(spark):
+    """RFC 9309 path matching: longest-octet specificity, * wildcard,
+    $ end anchor (must not match longer paths), allow-wins tie,
+    no-match default-allow."""
+    from pyspark.sql import Row
+
+    from torcdb_spark.operators.text import robots_path_allowed
+
+    rules = spark.createDataFrame([
+        Row(doc_id=1, directive="disallow", value="/p"),
+        Row(doc_id=1, directive="allow", value="/pub"),
+        Row(doc_id=1, directive="disallow", value="/pub/secret$"),
+        Row(doc_id=1, directive="allow", value="/tmp/*.html"),
+        Row(doc_id=1, directive="disallow", value="/tmp"),
+        Row(doc_id=1, directive="allow", value="/dir"),
+        Row(doc_id=1, directive="disallow", value="/dir"),
+    ])
+    cases = [
+        ("/pub/x", True, "/pub"), ("/p/x", False, "/p"),
+        ("/pub/secret", False, "/pub/secret$"),
+        ("/pub/secrets", True, "/pub"),  # $ anchor must not match
+        ("/tmp/a.html", True, "/tmp/*.html"),
+        ("/tmp/a.txt", False, "/tmp"),
+        ("/other", True, None),  # no match -> allowed
+        ("/dir/x", True, "/dir"),  # length tie -> allow wins
+    ]
+    paths = spark.createDataFrame([
+        Row(doc_id=1, path_idx=i, path=p)
+        for i, (p, _, _) in enumerate(cases)
+    ])
+    got = {r.path_idx: r
+           for r in robots_path_allowed(rules, paths).collect()}
+    for i, (p, allowed, rule) in enumerate(cases):
+        assert got[i].allowed == allowed, (p, got[i])
+        assert got[i].winning_rule == rule, (p, got[i])
+
+
+def test_content_type_sniff(spark):
+    """Magic sniffing edge cases: RIFF family split by format tag,
+    ID3-prefixed vs bare-sync MP3, ftyp at offset 5, ZIP covering the
+    OOXML family, unknown fallback never NULL."""
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from torcdb_spark.sources.ingest import content_type_sniff
+
+    cases = [
+        (b"RIFF\x10\x00\x00\x00WAVEfmt ", "wave"),
+        (b"RIFF\x10\x00\x00\x00WEBPVP8 ", "webp"),
+        (b"RIFF\x10\x00\x00\x00AVI LIST", "avi"),
+        (b"ID3\x04\x00\x00\x00\x00\x00\x00", "mp3"),
+        (b"\xff\xfb\x90\x00 bare sync", "mp3"),
+        (b"\x00\x00\x00\x18ftypisom", "mp4"),
+        (b"PK\x03\x04 docx is zip too", "zip"),
+        (b"totally mysterious", "unknown"),
+        (b"", "unknown"),
+    ]
+    df = spark.createDataFrame(
+        [Row(i=i, payload=bytearray(p)) for i, (p, _) in enumerate(cases)]
+    )
+    got = {r.i: r.t for r in df.select(
+        "i", content_type_sniff(F.col("payload")).alias("t")).collect()}
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (i, got[i], want)

@@ -1717,3 +1717,84 @@ def eml_message(
         header("Date").alias("date"),
         body.alias("body"),
     )
+
+
+def robots_path_allowed(
+    rules: DataFrame,
+    paths: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """RFC 9309 §2.2.2 path-rule evaluation — the decision half of the
+    politeness layer (robots_directives parses the file; this answers
+    "may I fetch this URL?"): ``rules`` is (id, directive
+    ['allow'|'disallow'], value) for ONE applicable group, ``paths``
+    is (id, path_idx, path).  Rule values follow the spec's matching
+    syntax — prefix match, ``*`` wildcard, ``$`` end anchor — compiled
+    per rule into an anchored Java regex (metachars escaped first, the
+    two spec wildcards last).  The MOST SPECIFIC match wins (longest
+    rule value in octets), and on a length tie allow beats disallow; a
+    path matching no rule is allowed.  One bounded join
+    (rules-per-host is small) + one window per path; output: (id,
+    path_idx, path, allowed, winning_rule, rule_len)."""
+    from pyspark.sql import Window
+
+    # regex-escape everything EXCEPT the spec wildcards * and $
+    esc = F.regexp_replace(
+        F.col("value"), r"([.\\+?(){}^\[\]|])", r"\\$1"
+    )
+    compiled = rules.select(
+        F.col(id_col),
+        F.col("directive"),
+        F.col("value"),
+        F.length("value").cast("long").alias("rule_len"),
+        esc.alias("_esc"),
+    ).select(
+        id_col,
+        "directive",
+        "value",
+        "rule_len",
+        F.concat(
+            F.lit("^"),
+            F.replace(
+                # a trailing $ is the spec's end anchor and stays one;
+                # any interior $ is literal
+                F.when(
+                    F.col("_esc").endswith("$"),
+                    F.expr("substring(_esc, 1, length(_esc) - 1)"),
+                ).otherwise(F.col("_esc")),
+                F.lit("*"), F.lit(".*"),
+            ),
+            F.when(F.col("_esc").endswith("$"), F.lit("$"))
+            .otherwise(F.lit("")),
+        ).alias("_pat"),
+    )
+    matched = paths.join(compiled, id_col).where(
+        F.expr("path rlike _pat")
+    )
+    w = Window.partitionBy(id_col, "path_idx").orderBy(
+        F.col("rule_len").desc(),
+        # tie: allow beats disallow (RFC 9309 §2.2.2 last paragraph)
+        F.when(F.col("directive") == "allow", 0).otherwise(1),
+    )
+    best = (
+        matched.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(
+            F.col(id_col),
+            "path_idx",
+            (F.col("directive") == "allow").alias("allowed"),
+            F.col("value").alias("winning_rule"),
+            "rule_len",
+        )
+    )
+    return (
+        paths.join(best, [id_col, "path_idx"], "left")
+        .select(
+            F.col(id_col),
+            "path_idx",
+            "path",
+            F.coalesce("allowed", F.lit(True)).alias("allowed"),
+            "winning_rule",
+            F.coalesce("rule_len", F.lit(0)).alias("rule_len"),
+        )
+    )

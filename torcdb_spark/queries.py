@@ -655,10 +655,11 @@ def x_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (ai1 Arrow IPC ingestion, ic1 Iceberg snapshot replay, m24 AV1
 # OBU census, m25 HEVC NAL census, p6 DOCX extraction, p7 XLSX
 # census, p8 PPTX extraction, p9 Markdown extraction, p10 RFC 5322
-# email parsing, pm1 Parquet footer census, sx1 sitemap parsing),
-# then the stalest driver signals: the first 39 (by name) of the
-# round-6 block (the rest of the gremlin-step family, the 12
-# LDBC-IC analogues, 14 TPC-H shapes, g_kcore/g_path_pair).
+# email parsing, pm1 Parquet footer census, rb2 robots-allow
+# evaluation, sx1 sitemap parsing, mime1 magic sniffing), then the
+# stalest driver signals: the first 37 (by name) of the round-6
+# block (the rest of the gremlin-step family, the 12 LDBC-IC
+# analogues, 12 TPC-H shapes, g_kcore/g_path_pair).
 # With this head every declared query's driver record is <= 5
 # rounds old again (oldest becomes r7).  Everything not listed
 # keeps its registration order after slot 50 and stays covered by
@@ -704,12 +705,14 @@ DRIVER_PRIORITY: list[str] = [
     "ic1_iceberg_snapshot",
     "m24_av1_obu_census",
     "m25_hevc_nal_census",
+    "mime1_magic_sniff",
     "p10_eml_extract",
     "p6_docx_extract",
     "p7_xlsx_census",
     "p8_pptx_extract",
     "p9_markdown_extract",
     "pm1_parquet_footer_census",
+    "rb2_robots_allow",
     "sx1_sitemap_urls",
     # -- oldest driver signal: the head of the round-6 block
     # -- (gremlin steps, LDBC-IC analogues, TPC-H shapes, streams) --
@@ -750,8 +753,6 @@ DRIVER_PRIORITY: list[str] = [
     "q20_bulk_shippers",
     "q21_last_shipper_wait",
     "q2_min_cost_supplier",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
 ]
 
 # Head entries that ship WITHOUT a DuckDB oracle by documented design (the
@@ -14745,4 +14746,179 @@ def p10_eml_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         "to_addr",
         F.length("body").cast("long").alias("n_body_chars"),
         (F.col("body") == F.col("want_body")).alias("body_exact"),
+    )
+
+
+@_register(
+    "rb2_robots_allow",
+    """WITH p AS (
+         SELECT doc_id, v.i AS path_idx, v.pth AS path, v.al AS allowed,
+                v.wr AS winning_rule, v.rl AS rule_len
+         FROM documents,
+              (VALUES
+                (0, '/pub/x', TRUE, '/pub', 4),
+                (1, '/p/x', FALSE, '/p', 2),
+                (2, '/pub/secret', FALSE, '/pub/secret$', 12),
+                (3, '/pub/secrets', TRUE, '/pub', 4),
+                (4, '/tmp/a.html', TRUE, '/tmp/*.html', 11),
+                (5, NULL, FALSE, '/tmp', 4),
+                (6, '/other', TRUE, NULL, 0),
+                (7, '/dir/x', TRUE, '/dir', 4)
+              ) AS v(i, pth, al, wr, rl))
+       SELECT doc_id, CAST(path_idx AS BIGINT) AS path_idx,
+              COALESCE(path,
+                       '/tmp/f' || CAST(doc_id % 9 AS VARCHAR) || '.txt')
+                AS path,
+              allowed, winning_rule,
+              CAST(rule_len AS BIGINT) AS rule_len
+       FROM p""",
+)
+def rb2_robots_allow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 9309 path-rule EVALUATION (text.robots_path_allowed) — the
+    decision half of the politeness layer on top of rb1's parsing:
+    per document, a seven-rule group exercising every matching
+    subtlety (prefix specificity, the * wildcard, the $ end anchor
+    that must NOT match a longer path, an allow/disallow length tie
+    where allow wins, and a no-match default-allow) is evaluated
+    against eight test paths (one doc-varying).  Longest-octet rule
+    wins per the spec; the oracle replays every verdict, winning rule,
+    and match length in closed-form SQL."""
+    from torcdb_spark.operators.text import robots_path_allowed
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    RULES = (
+        ("disallow", "/p"), ("allow", "/pub"),
+        ("disallow", "/pub/secret$"), ("allow", "/tmp/*.html"),
+        ("disallow", "/tmp"), ("allow", "/dir"), ("disallow", "/dir"),
+    )
+    rules = docs.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(d).alias("directive"),
+                         F.lit(v).alias("value"))
+                for d, v in RULES
+            ])
+        ).alias("r"),
+    ).select("doc_id", "r.directive", "r.value")
+    PATHS = ["/pub/x", "/p/x", "/pub/secret", "/pub/secrets",
+             "/tmp/a.html", None, "/other", "/dir/x"]
+    paths = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.array(*[
+                F.coalesce(
+                    F.lit(p),
+                    F.concat(F.lit("/tmp/f"),
+                             (F.col("doc_id") % 9).cast("string"),
+                             F.lit(".txt")),
+                )
+                for p in PATHS
+            ])
+        ).alias("path_idx", "path"),
+    ).select("doc_id", F.col("path_idx").cast("long").alias("path_idx"),
+             "path")
+    return robots_path_allowed(rules, paths)
+
+
+@_register(
+    "mime1_magic_sniff",
+    """SELECT doc_id,
+              list_extract(['png','jpeg','gif','pdf','zip','gzip','mp3',
+                            'flac','ogg','webm','h264_annexb','avro'],
+                           CAST(doc_id % 12 AS INT) + 1) AS sniffed,
+              TRUE AS magic_ok
+       FROM documents""",
+)
+def mime1_magic_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Magic-byte content-type detection (sources/ingest.py
+    content_type_sniff) — the first gate of binary ingestion, routing
+    headerless/mislabeled crawl payloads to their census or decoder:
+    per document a REAL payload of one of twelve formats (generated by
+    the repo's own writers — PNG/JPEG/GIF image encoders, PDF/ZIP/gzip
+    via stdlib, MP3/FLAC/Ogg/WebM/H.264 stream writers, Avro OCF) is
+    sniffed by a pure-JVM prefix-comparison expression; the oracle
+    replays the doc→format mapping in closed-form SQL, so one wrong or
+    shadowed signature (e.g. RIFF before its format tag, ID3 before
+    bare MPEG sync) hash-mismatches immediately."""
+    import pandas as pd
+
+    from torcdb_spark.sources.ingest import content_type_sniff
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def build(batches):
+        import gzip as _gzip
+        import io
+        import zipfile
+
+        import numpy as np
+        import pandas as pd
+
+        from torcdb_spark.operators.ebml import encode_webm_stub
+        from torcdb_spark.operators.gif import encode_gif
+        from torcdb_spark.operators.h264 import encode_h264_stream
+        from torcdb_spark.operators.jpeg import encode_jpeg_baseline
+        from torcdb_spark.operators.multimodal import (
+            encode_flac_stub,
+            encode_mp3_stream,
+            encode_ogg_stub,
+            encode_png,
+        )
+        from torcdb_spark.operators.pdf import encode_pdf_text
+        from torcdb_spark.sources.avro import write_avro
+
+        img = (np.arange(48, dtype=np.uint8).reshape(4, 4, 3) * 5) % 256
+
+        def make(did):
+            k = did % 12
+            if k == 0:
+                return encode_png(img)
+            if k == 1:
+                return encode_jpeg_baseline(
+                    np.repeat(np.repeat(img, 2, 0), 2, 1))
+            if k == 2:
+                return encode_gif(img)  # RGB input, palette derived
+            if k == 3:
+                return encode_pdf_text([f"doc {did}"])
+            if k == 4:
+                buf = io.BytesIO()
+                with zipfile.ZipFile(buf, "w") as zf:
+                    zf.writestr("a.txt", f"payload {did}")
+                return buf.getvalue()
+            if k == 5:
+                return _gzip.compress(f"body {did}".encode())
+            if k == 6:
+                return encode_mp3_stream(2, 3)
+            if k == 7:
+                return encode_flac_stub()
+            if k == 8:
+                return encode_ogg_stub()
+            if k == 9:
+                return encode_webm_stub()
+            if k == 10:
+                return encode_h264_stream(64, 48)
+            return write_avro(
+                {"type": "record", "name": "r",
+                 "fields": [{"name": "x", "type": "long"}]},
+                [{"x": did}],
+            )
+
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": [int(d) for d in pdf["doc_id"]],
+                "payload": [make(int(d)) for d in pdf["doc_id"]],
+            })
+
+    payloads = docs.mapInPandas(build, "doc_id long, payload binary")
+    EXPECT = ["png", "jpeg", "gif", "pdf", "zip", "gzip", "mp3",
+              "flac", "ogg", "webm", "h264_annexb", "avro"]
+    want = F.element_at(
+        F.array(*[F.lit(t) for t in EXPECT]),
+        (F.col("doc_id") % 12 + 1).cast("int"),
+    )
+    return payloads.select(
+        "doc_id",
+        content_type_sniff(F.col("payload")).alias("sniffed"),
+        (content_type_sniff(F.col("payload")) == want).alias("magic_ok"),
     )

@@ -71,3 +71,52 @@ def ingest_documents(
         "n_chars",
         F.coalesce(F.col("n_chars"), F.length("text").cast("long")),
     )
+
+
+def content_type_sniff(payload):
+    """Magic-byte content-type detection — the first gate of every
+    binary-ingestion pipeline (a 100 TB crawl's payloads arrive with
+    missing or lying Content-Type headers; the sniff routes each blob
+    to its census/decoder).  Pure JVM expression: prefix comparisons
+    on the binary column, longest/most-specific signature first
+    (RIFF needs its format tag at offset 8, gzip is two bytes, ZIP
+    covers the whole OOXML family until the member walk refines it).
+    Returns a lowercase type tag or 'unknown' — never NULL, so a
+    downstream groupBy routes every row."""
+    from pyspark.sql import functions as F
+
+    def pfx(n, lit):
+        return F.substring(payload, 1, n) == F.lit(lit)
+
+    def at(off, n, lit):
+        return F.substring(payload, off, n) == F.lit(lit)
+
+    return (
+        F.when(pfx(8, bytes([0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A,
+                             0x1A, 0x0A])), "png")
+        .when(pfx(3, b"\xff\xd8\xff"), "jpeg")
+        .when(pfx(6, b"GIF87a") | pfx(6, b"GIF89a"), "gif")
+        .when(pfx(4, b"RIFF") & at(9, 4, b"WAVE"), "wave")
+        .when(pfx(4, b"RIFF") & at(9, 4, b"WEBP"), "webp")
+        .when(pfx(4, b"RIFF") & at(9, 4, b"AVI "), "avi")
+        .when(pfx(5, b"%PDF-"), "pdf")
+        .when(pfx(4, b"PK\x03\x04"), "zip")
+        .when(pfx(2, b"\x1f\x8b"), "gzip")
+        .when(pfx(4, b"Obj\x01"), "avro")
+        .when(pfx(6, b"ARROW1"), "arrow")
+        .when(pfx(4, b"PAR1"), "parquet")
+        .when(pfx(4, b"ORC\x00") | pfx(3, b"ORC"), "orc")
+        .when(pfx(3, b"ID3"), "mp3")
+        .when(pfx(2, b"\xff\xfb") | pfx(2, b"\xff\xf3")
+              | pfx(2, b"\xff\xf2"), "mp3")
+        .when(pfx(4, b"fLaC"), "flac")
+        .when(pfx(4, b"OggS"), "ogg")
+        .when(pfx(4, b"\x1a\x45\xdf\xa3"), "webm")
+        .when(at(5, 4, b"ftyp"), "mp4")
+        .when(pfx(4, b"\x00\x00\x00\x01")
+              | pfx(3, b"\x00\x00\x01"), "h264_annexb")
+        .when(pfx(4, b"WARC"), "warc")
+        .when(pfx(2, b"BM"), "bmp")
+        .when(pfx(4, b"II*\x00") | pfx(4, b"MM\x00*"), "tiff")
+        .otherwise("unknown")
+    )
