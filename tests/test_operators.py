@@ -4378,3 +4378,45 @@ def test_content_type_sniff(spark):
         "i", content_type_sniff(F.col("payload")).alias("t")).collect()}
     for i, (_, want) in enumerate(cases):
         assert got[i] == want, (i, got[i], want)
+
+
+def test_mbox_and_url_canonicalize(spark):
+    """mbox postmark splitting + mboxrd un-escaping, and URL
+    canonicalization edge cases (port kept when non-default, params
+    without '=', interior fragment-less URLs)."""
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from torcdb_spark.operators.text import (
+        canonicalize_url,
+        eml_message,
+        mbox_messages,
+    )
+
+    mbox = (
+        "From a@x Mon Jan  1 00:00:00 2026\n"
+        "Subject: one\r\n\r\nbody1\n>From quoted\n"
+        "From b@y Tue Jan  2 00:00:00 2026\n"
+        "Subject: two\r\n\r\nbody2\n"
+    )
+    df = spark.createDataFrame([Row(doc_id=1, mbox=mbox)])
+    msgs = {r.msg_idx: r for r in mbox_messages(df).collect()}
+    assert len(msgs) == 2
+    assert "From quoted" in msgs[0].eml and ">From" not in msgs[0].eml
+    parsed = {r.msg_idx: r for r in eml_message(
+        mbox_messages(df), extra_cols=("msg_idx",)).collect()}
+    assert parsed[0].subject == "one" and parsed[1].subject == "two"
+
+    cases = [
+        ("HTTP://A.COM:80/x?utm_source=s&z=2&a=1#f", "http://a.com/x?a=1&z=2"),
+        ("https://B.org:443/", "https://b.org/"),
+        ("https://b.org:8443/", "https://b.org:8443/"),  # non-default kept
+        ("http://c.net?ref=r", "http://c.net/"),
+        ("http://d.io/p?fbclid=1&gclid=2&msclkid=3", "http://d.io/p"),
+    ]
+    u = spark.createDataFrame([Row(i=i, url=x) for i, (x, _) in
+                               enumerate(cases)])
+    got = {r.i: r.c for r in u.select(
+        "i", canonicalize_url(F.col("url")).alias("c")).collect()}
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (i, got[i], want)

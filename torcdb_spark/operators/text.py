@@ -1684,6 +1684,7 @@ def eml_message(
     docs: DataFrame,
     eml_col: str = "eml",
     id_col: str = "doc_id",
+    extra_cols: tuple = (),
 ) -> DataFrame:
     """RFC 5322 message parsing — the enterprise/mailing-list-archive
     ingestion pass (mbox splitting is one regexp upstream of this):
@@ -1711,6 +1712,7 @@ def eml_message(
 
     return docs.select(
         F.col(id_col),
+        *[F.col(c) for c in extra_cols],
         header("Subject").alias("subject"),
         addr("From").alias("from_addr"),
         addr("To").alias("to_addr"),
@@ -1797,4 +1799,71 @@ def robots_path_allowed(
             "winning_rule",
             F.coalesce("rule_len", F.lit(0)).alias("rule_len"),
         )
+    )
+
+
+def mbox_messages(
+    docs: DataFrame,
+    mbox_col: str = "mbox",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """mbox mailbox splitting — the archive framing upstream of
+    :func:`eml_message` (mailing-list dumps, Takeout exports): messages
+    are delimited by postmark lines (``From `` at line start, the
+    classic mboxo/mboxrd convention), the postmark itself is metadata
+    not message text, and ``>From `` quoting in bodies un-escapes per
+    mboxrd.  Output: (id, msg_idx, eml) — one row per message, ready
+    for eml_message.  Pure JVM split + posexplode."""
+    msgs = F.filter(
+        F.split(F.col(mbox_col), r"(?m)^From [^\n]*\r?\n"),
+        lambda m: F.trim(m) != "",
+    )
+    return docs.select(
+        F.col(id_col),
+        F.posexplode(msgs).alias("msg_idx", "_m"),
+    ).select(
+        F.col(id_col),
+        F.col("msg_idx").cast("long").alias("msg_idx"),
+        # mboxrd body quoting: >From at line start un-escapes one level
+        F.regexp_replace(F.col("_m"), r"(?m)^>From ", "From ")
+        .alias("eml"),
+    )
+
+
+def canonicalize_url(url: Column) -> Column:
+    """URL canonicalization — the crawl-dedup primitive that merges
+    the dozens of spellings one page arrives under: scheme and host
+    lowercase, default ports drop (:80 http / :443 https), the
+    fragment drops, tracking parameters drop (utm_*, gclid, fbclid,
+    msclkid, ref), surviving query parameters SORT (order never
+    distinguishes resources in practice), and an empty residual query
+    loses its '?'.  Pure JVM expressions; composes with url_parts and
+    the exact/MinHash dedup family upstream."""
+    scheme = F.lower(F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    host = F.lower(F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1))
+    host = (
+        F.when(scheme == "http", F.regexp_replace(host, ":80$", ""))
+        .when(scheme == "https", F.regexp_replace(host, ":443$", ""))
+        .otherwise(host)
+    )
+    path = F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)", 1)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.regexp_extract(url, r"\?([^#]*)", 1)
+    params = F.array_sort(
+        F.filter(
+            F.split(query, "&"),
+            lambda p: (p != "") & ~p.rlike(
+                "^(utm_[^=]*|gclid|fbclid|msclkid|ref)="
+            ),
+        )
+    )
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(
+            F.size(params) > 0,
+            F.concat(F.lit("?"), F.array_join(params, "&")),
+        ).otherwise(F.lit("")),
     )

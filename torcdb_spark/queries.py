@@ -656,10 +656,11 @@ def x_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 # OBU census, m25 HEVC NAL census, p6 DOCX extraction, p7 XLSX
 # census, p8 PPTX extraction, p9 Markdown extraction, p10 RFC 5322
 # email parsing, pm1 Parquet footer census, rb2 robots-allow
-# evaluation, sx1 sitemap parsing, mime1 magic sniffing), then the
-# stalest driver signals: the first 37 (by name) of the round-6
-# block (the rest of the gremlin-step family, the 12 LDBC-IC
-# analogues, 12 TPC-H shapes, g_kcore/g_path_pair).
+# evaluation, sx1 sitemap parsing, mime1 magic sniffing, mb1 mbox
+# splitting, u2 URL canonicalization), then the stalest driver
+# signals: the first 35 (by name) of the round-6 block (the rest of
+# the gremlin-step family, the 12 LDBC-IC analogues, 10 TPC-H
+# shapes, g_kcore/g_path_pair).
 # With this head every declared query's driver record is <= 5
 # rounds old again (oldest becomes r7).  Everything not listed
 # keeps its registration order after slot 50 and stays covered by
@@ -705,6 +706,7 @@ DRIVER_PRIORITY: list[str] = [
     "ic1_iceberg_snapshot",
     "m24_av1_obu_census",
     "m25_hevc_nal_census",
+    "mb1_mbox_messages",
     "mime1_magic_sniff",
     "p10_eml_extract",
     "p6_docx_extract",
@@ -714,6 +716,7 @@ DRIVER_PRIORITY: list[str] = [
     "pm1_parquet_footer_census",
     "rb2_robots_allow",
     "sx1_sitemap_urls",
+    "u2_url_canonicalize",
     # -- oldest driver signal: the head of the round-6 block
     # -- (gremlin steps, LDBC-IC analogues, TPC-H shapes, streams) --
     "g_gremlin_group",
@@ -751,8 +754,6 @@ DRIVER_PRIORITY: list[str] = [
     "q17_small_quantity_avg_yearly",
     "q19_or_predicate_revenue",
     "q20_bulk_shippers",
-    "q21_last_shipper_wait",
-    "q2_min_cost_supplier",
 ]
 
 # Head entries that ship WITHOUT a DuckDB oracle by documented design (the
@@ -14921,4 +14922,118 @@ def mime1_magic_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         content_type_sniff(F.col("payload")).alias("sniffed"),
         (content_type_sniff(F.col("payload")) == want).alias("magic_ok"),
+    )
+
+
+@_register(
+    "mb1_mbox_messages",
+    """WITH p AS (SELECT doc_id, CAST(2 + doc_id % 3 AS BIGINT) AS n
+                 FROM documents),
+       r AS (SELECT doc_id, CAST(g.i AS BIGINT) AS i
+             FROM p, range(0, 4) AS g(i) WHERE g.i < n)
+       SELECT doc_id, i AS msg_idx,
+              'note ' || CAST(i AS VARCHAR) || ' of '
+                || CAST(doc_id AS VARCHAR) AS subject,
+              'u' || CAST(i AS VARCHAR) || '@example.com' AS from_addr,
+              CAST(length('hello ' || CAST(doc_id AS VARCHAR)
+                          || chr(13) || chr(10) || 'From the archive')
+                AS BIGINT) AS n_body_chars
+       FROM r""",
+)
+def mb1_mbox_messages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mbox archive ingestion (text.mbox_messages → text.eml_message)
+    — the mailing-list-dump framing upstream of p10: per document an
+    mbox of 2-4 messages (real ``From `` postmark lines the splitter
+    must treat as metadata, and a body line quoted ``>From `` per
+    mboxrd that must un-escape back to ``From ``), each split message
+    parsed by the RFC 5322 pass.  One row per message; subjects,
+    senders, and the un-escaped body length all oracle-replayed."""
+    from torcdb_spark.operators.text import eml_message, mbox_messages
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    n = F.lit(2) + F.col("doc_id") % 3
+    msg = lambda i: F.concat(  # noqa: E731
+        F.lit("From u"), i.cast("string"),
+        F.lit("@example.com Mon Aug 16 10:00:00 2026\n"),
+        F.lit("From: <u"), i.cast("string"),
+        F.lit("@example.com>\r\n"),
+        F.lit("Subject: note "), i.cast("string"),
+        F.lit(" of "), F.col("doc_id").cast("string"),
+        F.lit("\r\n\r\n"),
+        F.lit("hello "), F.col("doc_id").cast("string"),
+        F.lit("\r\n>From the archive\n"),
+    )
+    mbox = docs.select(
+        "doc_id",
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(0).cast("long"), (n - 1).cast("long")),
+                msg,
+            ),
+            "",
+        ).alias("mbox"),
+    )
+    split = mbox_messages(mbox).select(
+        "doc_id", "msg_idx",
+        # the message's trailing newline belongs to the next postmark
+        # split, not the body
+        F.regexp_replace("eml", r"\n$", "").alias("eml"),
+    )
+    parsed = eml_message(split, extra_cols=("msg_idx",))
+    return parsed.select(
+        "doc_id",
+        "msg_idx",
+        "subject",
+        "from_addr",
+        F.length("body").cast("long").alias("n_body_chars"),
+    )
+
+
+@_register(
+    "u2_url_canonicalize",
+    """WITH p AS (SELECT doc_id,
+                        CAST(doc_id % 5 AS VARCHAR) AS h,
+                        CAST(doc_id % 7 AS VARCHAR) AS b
+                 FROM documents)
+       SELECT doc_id, CAST(0 AS BIGINT) AS variant,
+              'http://ex' || h || '.com/Path/p' || CAST(doc_id AS VARCHAR)
+                || '?a=1&b=' || b AS canonical
+       FROM p
+       UNION ALL
+       SELECT doc_id, 1, 'https://w' || h || '.example/' FROM p
+       UNION ALL
+       SELECT doc_id, 2, 'http://site.org/' FROM p""",
+)
+def u2_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization (text.canonicalize_url) — the crawl-dedup
+    primitive merging the spellings one page arrives under: per
+    document three messy variants (uppercase scheme/host with an
+    explicit default port, tracking parameters interleaved with real
+    ones out of order, a fragment, a missing path, a query that
+    becomes empty after tracking-param removal) must each normalize to
+    the oracle's closed-form canonical string — scheme/host lowercase,
+    :80/:443 dropped, fragment dropped, utm_*/fbclid/ref dropped,
+    surviving params sorted, empty query unmarked, bare host gaining
+    its '/'."""
+    from torcdb_spark.operators.text import canonicalize_url
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    h = (F.col("doc_id") % 5).cast("string")
+    b = (F.col("doc_id") % 7).cast("string")
+    messy = F.array(
+        F.concat(F.lit("HTTP://Ex"), h, F.lit(".COM:80/Path/p"),
+                 F.col("doc_id").cast("string"),
+                 F.lit("?utm_source=x&b="), b,
+                 F.lit("&a=1&fbclid=zz#frag")),
+        F.concat(F.lit("https://W"), h, F.lit(".example:443/")),
+        F.lit("http://Site.ORG?ref=abc"),
+    )
+    urls = docs.select(
+        "doc_id",
+        F.posexplode(messy).alias("variant", "url"),
+    )
+    return urls.select(
+        "doc_id",
+        F.col("variant").cast("long").alias("variant"),
+        canonicalize_url(F.col("url")).alias("canonical"),
     )
