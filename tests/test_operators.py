@@ -4420,3 +4420,33 @@ def test_mbox_and_url_canonicalize(spark):
         "i", canonicalize_url(F.col("url")).alias("c")).collect()}
     for i, (_, want) in enumerate(cases):
         assert got[i] == want, (i, got[i], want)
+
+
+def test_html_tables(spark):
+    """Table mining edge cases: tables amid prose, attributes on
+    every tag, th/td mix, inner markup stripped, colspan cells kept
+    as-is, entity decode, tableless pages yield nothing."""
+    from pyspark.sql import Row
+
+    from torcdb_spark.operators.text import html_tables
+
+    html = (
+        "<p>before</p><TABLE class='x'><tr><th>a &amp; b</th>"
+        "<th colspan=2>c</th></tr>"
+        "<tr valign='top'><td>some <i>italic</i></td><td> s p </td></tr>"
+        "</TABLE><p>no table here</p>"
+    )
+    df = spark.createDataFrame([
+        Row(doc_id=1, html=html),
+        Row(doc_id=2, html="<p>tableless</p>"),
+    ])
+    rows = {(r.doc_id, r.row_idx, r.col_idx): r
+            for r in html_tables(df).collect()}
+    assert len(rows) == 4
+    assert rows[(1, 0, 0)].cell == "a & b" and rows[(1, 0, 0)].is_header
+    assert rows[(1, 0, 1)].cell == "c"
+    # inner tags strip to whitespace (the html_to_text contract), so
+    # the collapse leaves single-spaced words
+    assert rows[(1, 1, 0)].cell == "some italic"
+    assert not rows[(1, 1, 0)].is_header
+    assert rows[(1, 1, 1)].cell == "s p"

@@ -657,10 +657,10 @@ def x_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 # census, p8 PPTX extraction, p9 Markdown extraction, p10 RFC 5322
 # email parsing, pm1 Parquet footer census, rb2 robots-allow
 # evaluation, sx1 sitemap parsing, mime1 magic sniffing, mb1 mbox
-# splitting, u2 URL canonicalization), then the stalest driver
-# signals: the first 35 (by name) of the round-6 block (the rest of
-# the gremlin-step family, the 12 LDBC-IC analogues, 10 TPC-H
-# shapes, g_kcore/g_path_pair).
+# splitting, u2 URL canonicalization, ht1 HTML table mining), then
+# the stalest driver signals: the first 34 (by name) of the round-6
+# block (the rest of the gremlin-step family, the 12 LDBC-IC
+# analogues, 9 TPC-H shapes, g_kcore/g_path_pair).
 # With this head every declared query's driver record is <= 5
 # rounds old again (oldest becomes r7).  Everything not listed
 # keeps its registration order after slot 50 and stays covered by
@@ -703,6 +703,7 @@ DRIVER_PRIORITY: list[str] = [
     # -- never driver-checked: the round-12 additions (name-sorted,
     # -- the -1 tie-break) --
     "ai1_arrow_ipc_ingest",
+    "ht1_html_tables",
     "ic1_iceberg_snapshot",
     "m24_av1_obu_census",
     "m25_hevc_nal_census",
@@ -753,7 +754,6 @@ DRIVER_PRIORITY: list[str] = [
     "q16_supplier_part_counts",
     "q17_small_quantity_avg_yearly",
     "q19_or_predicate_revenue",
-    "q20_bulk_shippers",
 ]
 
 # Head entries that ship WITHOUT a DuckDB oracle by documented design (the
@@ -15037,3 +15037,74 @@ def u2_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("variant").cast("long").alias("variant"),
         canonicalize_url(F.col("url")).alias("canonical"),
     )
+
+
+@_register(
+    "ht1_html_tables",
+    """WITH p AS (SELECT doc_id,
+                        CAST(1 + doc_id % 2 AS BIGINT) AS nt,
+                        CAST(2 + doc_id % 3 AS BIGINT) AS nr
+                 FROM documents),
+       t AS (SELECT doc_id, nr, CAST(g.i AS BIGINT) AS ti
+             FROM p, range(0, 2) AS g(i) WHERE g.i < nt),
+       r AS (SELECT doc_id, ti, CAST(g.i AS BIGINT) AS ri
+             FROM t, range(0, 5) AS g(i) WHERE g.i <= nr),
+       c AS (SELECT doc_id, ti, ri, CAST(g.i AS BIGINT) AS ci
+             FROM r, range(0, 2) AS g(i))
+       SELECT doc_id, ti AS table_idx, ri AS row_idx, ci AS col_idx,
+              CASE WHEN ri = 0 AND ci = 0 THEN 'item & co'
+                   WHEN ri = 0 THEN 'value'
+                   WHEN ci = 0 THEN 'k' || CAST(doc_id AS VARCHAR)
+                        || '_' || CAST(ti AS VARCHAR)
+                        || '_' || CAST(ri AS VARCHAR)
+                   ELSE CAST(doc_id * ri + ti AS VARCHAR) END AS cell,
+              ri = 0 AS is_header
+       FROM c""",
+)
+def ht1_html_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML table mining (text.html_tables) — the structured-data half
+    of crawl extraction: per document a page with 1-2 tables (a
+    <th> header row whose first cell needs entity decoding, 2-4 data
+    rows whose key cells carry inner <b> markup that must strip,
+    cellpadding/class attributes on the tags, surrounding prose the
+    table filter must ignore) mined into one row per cell by two
+    nested posexplodes.  Every cell, position, and header flag is
+    replayed by the oracle in closed-form SQL."""
+    from torcdb_spark.operators.text import html_tables
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    nt = F.lit(1) + F.col("doc_id") % 2
+    nr = F.lit(2) + F.col("doc_id") % 3
+    data_row = lambda ti, ri: F.concat(  # noqa: E731
+        F.lit('<tr class="d"><td><b>k'),
+        F.col("doc_id").cast("string"),
+        F.lit("_"), ti.cast("string"), F.lit("_"), ri.cast("string"),
+        F.lit("</b></td><td align=\"right\">"),
+        (F.col("doc_id") * ri + ti).cast("string"),
+        F.lit("</td></tr>"),
+    )
+    table = lambda ti: F.concat(  # noqa: E731
+        F.lit('<table cellpadding="2"><tr><th>item &amp; co</th>'
+              "<th>value</th></tr>"),
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(1).cast("long"), nr.cast("long")),
+                lambda ri: data_row(ti, ri),
+            ),
+            "",
+        ),
+        F.lit("</table>"),
+    )
+    html = F.concat(
+        F.lit("<html><body><p>prose before</p>"),
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(0).cast("long"), (nt - 1).cast("long")),
+                table,
+            ),
+            "<p>between</p>",
+        ),
+        F.lit("<p>after</p></body></html>"),
+    )
+    pages = docs.select("doc_id", html.alias("html"))
+    return html_tables(pages)
