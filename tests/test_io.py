@@ -567,3 +567,30 @@ def test_parquet_footer_census(spark):
     assert g.col_names == "id,s" and g.col_types == "INT64,BYTE_ARRAY"
     assert g.id_min == 5 and g.id_max == 9 and g.n_nulls == 1
     assert rows["bad"].col_names == "_error"
+
+
+def test_parse_fixed_width(spark):
+    """Fixed-width parsing: right-trim strings, zero-padded longs,
+    implied-decimal dec2, passthrough of non-line columns, and the
+    unsupported-type contract."""
+    import pytest as _pytest
+    from pyspark.sql import Row
+
+    from torcdb_spark.sources.ingest import parse_fixed_width
+
+    df = spark.createDataFrame([
+        Row(doc_id=1, line="00001234AB        0000567820260101Y"),
+    ])
+    specs = [
+        ("rec_id", 1, 8, "long"),
+        ("name", 9, 10, "str"),
+        ("amount", 19, 8, "dec2"),
+        ("posted", 27, 8, "str"),
+        ("flag", 35, 1, "str"),
+    ]
+    r = parse_fixed_width(df, specs).first()
+    assert r.doc_id == 1 and r.rec_id == 1234
+    assert r.name == "AB" and r.amount == 56.78
+    assert r.posted == "20260101" and r.flag == "Y"
+    with _pytest.raises(ValueError):
+        parse_fixed_width(df, [("x", 1, 2, "float16")])

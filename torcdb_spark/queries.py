@@ -657,10 +657,11 @@ def x_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 # census, p8 PPTX extraction, p9 Markdown extraction, p10 RFC 5322
 # email parsing, pm1 Parquet footer census, rb2 robots-allow
 # evaluation, sx1 sitemap parsing, mime1 magic sniffing, mb1 mbox
-# splitting, u2 URL canonicalization, ht1 HTML table mining), then
-# the stalest driver signals: the first 34 (by name) of the round-6
-# block (the rest of the gremlin-step family, the 12 LDBC-IC
-# analogues, 9 TPC-H shapes, g_kcore/g_path_pair).
+# splitting, u2 URL canonicalization, ht1 HTML table mining, fw1
+# fixed-width parsing), then the stalest driver signals: the first
+# 33 (by name) of the round-6 block (the rest of the gremlin-step
+# family, the 12 LDBC-IC analogues, 8 TPC-H shapes,
+# g_kcore/g_path_pair).
 # With this head every declared query's driver record is <= 5
 # rounds old again (oldest becomes r7).  Everything not listed
 # keeps its registration order after slot 50 and stays covered by
@@ -703,6 +704,7 @@ DRIVER_PRIORITY: list[str] = [
     # -- never driver-checked: the round-12 additions (name-sorted,
     # -- the -1 tie-break) --
     "ai1_arrow_ipc_ingest",
+    "fw1_fixed_width_parse",
     "ht1_html_tables",
     "ic1_iceberg_snapshot",
     "m24_av1_obu_census",
@@ -753,7 +755,6 @@ DRIVER_PRIORITY: list[str] = [
     "q15_top_supplier",
     "q16_supplier_part_counts",
     "q17_small_quantity_avg_yearly",
-    "q19_or_predicate_revenue",
 ]
 
 # Head entries that ship WITHOUT a DuckDB oracle by documented design (the
@@ -15108,3 +15109,47 @@ def ht1_html_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pages = docs.select("doc_id", html.alias("html"))
     return html_tables(pages)
+
+
+@_register(
+    "fw1_fixed_width_parse",
+    """SELECT doc_id,
+              doc_id * 10 AS rec_id,
+              'ACCT' || CAST(doc_id % 97 AS VARCHAR) AS name,
+              CAST(doc_id % 100000 AS DOUBLE) / 100 AS amount,
+              '2026' || lpad(CAST(1 + doc_id % 12 AS VARCHAR), 2, '0')
+                || '15' AS posted,
+              CASE WHEN doc_id % 2 = 0 THEN 'Y' ELSE 'N' END AS flag
+       FROM documents""",
+)
+def fw1_fixed_width_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width record parsing (sources/ingest.py parse_fixed_width)
+    — the COBOL-extract format enterprise lakes still receive in
+    volume: per document one 35-byte record (zero-padded numeric
+    fields, a right-padded name, an implied-two-decimal amount per the
+    COMP-3-export convention, a YYYYMMDD date, a flag byte) built
+    JVM-side with lpad/rpad and parsed back by pure substring slices.
+    Every parsed column is replayed by the oracle in closed-form
+    SQL."""
+    from torcdb_spark.sources.ingest import parse_fixed_width
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    line = F.concat(
+        F.lpad((F.col("doc_id") * 10).cast("string"), 8, "0"),
+        F.rpad(F.concat(F.lit("ACCT"),
+                        (F.col("doc_id") % 97).cast("string")), 10, " "),
+        F.lpad((F.col("doc_id") % 100000).cast("string"), 8, "0"),
+        F.concat(F.lit("2026"),
+                 F.lpad((F.lit(1) + F.col("doc_id") % 12).cast("string"),
+                        2, "0"),
+                 F.lit("15")),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("Y")).otherwise(F.lit("N")),
+    )
+    recs = docs.select("doc_id", line.alias("line"))
+    return parse_fixed_width(recs, [
+        ("rec_id", 1, 8, "long"),
+        ("name", 9, 10, "str"),
+        ("amount", 19, 8, "dec2"),
+        ("posted", 27, 8, "str"),
+        ("flag", 35, 1, "str"),
+    ])
