@@ -4450,3 +4450,35 @@ def test_html_tables(spark):
     assert rows[(1, 1, 0)].cell == "some italic"
     assert not rows[(1, 1, 0)].is_header
     assert rows[(1, 1, 1)].cell == "s p"
+
+
+def test_access_log_fields(spark):
+    """CLF parsing edge cases: combined vs common (no referer/UA
+    tail), '-' sentinels, 304 byte dash, malformed lines yield NULL
+    fields not errors."""
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from torcdb_spark.operators.text import access_log_fields
+
+    lines = [
+        ('1.2.3.4 - alice [16/Aug/2026:10:00:00 +0000] '
+         '"GET /x?a=1 HTTP/1.1" 200 123 "https://r.example/" "UA 1.0"'),
+        ('5.6.7.8 - - [16/Aug/2026:10:01:00 +0000] '
+         '"HEAD / HTTP/1.0" 304 -'),  # common format, no tail
+        ("totally not a log line",),
+    ]
+    df = spark.createDataFrame(
+        [Row(i=i, line=ln if isinstance(ln, str) else ln[0])
+         for i, ln in enumerate(lines)]
+    )
+    got = {r.i: r.f for r in df.select(
+        "i", access_log_fields(F.col("line")).alias("f")).collect()}
+    assert got[0].host == "1.2.3.4" and got[0].user == "alice"
+    assert got[0].method == "GET" and got[0].path == "/x?a=1"
+    assert got[0].status == 200 and got[0].bytes == 123
+    assert got[0].referer == "https://r.example/"
+    assert got[1].user is None and got[1].method == "HEAD"
+    assert got[1].status == 304 and got[1].bytes == 0
+    assert got[1].referer is None and got[1].user_agent is None
+    assert got[2].host is None and got[2].status is None

@@ -1924,3 +1924,40 @@ def html_tables(
         F.trim(F.regexp_replace(text, r"\s+", " ")).alias("cell"),
         F.col("_c").rlike("(?is)^<th[\\s>]").alias("is_header"),
     )
+
+
+def access_log_fields(line: Column) -> Column:
+    """NCSA Combined Log Format parsing — the web-server access log
+    every traffic/abuse/referrer analysis starts from (Apache/nginx
+    default): ``host ident authuser [time] "method path proto" status
+    bytes "referer" "user-agent"``.  One anchored JVM regex per field;
+    '-' sentinels become NULLs, bytes '-' becomes 0 (a 304 sends no
+    body), the request line splits into method/path/protocol.  Returns
+    a struct; a line that fails the envelope yields NULL fields rather
+    than poisoning the scan."""
+    core = (
+        r'^(\S+) (\S+) (\S+) \[([^\]]+)\] "(\S+) (\S+) ([^"]*)" '
+        r'(\d{3}) (\S+)(?: "([^"]*)" "([^"]*)")?'
+    )
+
+    def grp(i):
+        return F.regexp_extract(line, core, i)
+
+    def opt(c):
+        return F.when((c != "") & (c != "-"), c)
+
+    return F.struct(
+        opt(grp(1)).alias("host"),
+        opt(grp(3)).alias("user"),
+        opt(grp(4)).alias("ts"),
+        opt(grp(5)).alias("method"),
+        opt(grp(6)).alias("path"),
+        opt(grp(7)).alias("protocol"),
+        # opt() first: a malformed line extracts '' and an ANSI-mode
+        # cast of '' to long throws instead of yielding NULL; bytes is
+        # \S+ on the wire so garbage there try_casts to the 0 fallback
+        opt(grp(8)).cast("long").alias("status"),
+        F.coalesce(opt(grp(9)).try_cast("long"), F.lit(0)).alias("bytes"),
+        opt(grp(10)).alias("referer"),
+        opt(grp(11)).alias("user_agent"),
+    )

@@ -658,10 +658,10 @@ def x_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 # email parsing, pm1 Parquet footer census, rb2 robots-allow
 # evaluation, sx1 sitemap parsing, mime1 magic sniffing, mb1 mbox
 # splitting, u2 URL canonicalization, ht1 HTML table mining, fw1
-# fixed-width parsing), then the stalest driver signals: the first
-# 33 (by name) of the round-6 block (the rest of the gremlin-step
-# family, the 12 LDBC-IC analogues, 8 TPC-H shapes,
-# g_kcore/g_path_pair).
+# fixed-width parsing, cl3 access-log parsing), then the stalest
+# driver signals: the first 32 (by name) of the round-6 block (the
+# rest of the gremlin-step family, the 12 LDBC-IC analogues, 7
+# TPC-H shapes, g_kcore/g_path_pair).
 # With this head every declared query's driver record is <= 5
 # rounds old again (oldest becomes r7).  Everything not listed
 # keeps its registration order after slot 50 and stays covered by
@@ -704,6 +704,7 @@ DRIVER_PRIORITY: list[str] = [
     # -- never driver-checked: the round-12 additions (name-sorted,
     # -- the -1 tie-break) --
     "ai1_arrow_ipc_ingest",
+    "cl3_access_log_parse",
     "fw1_fixed_width_parse",
     "ht1_html_tables",
     "ic1_iceberg_snapshot",
@@ -754,7 +755,6 @@ DRIVER_PRIORITY: list[str] = [
     "q14_promo_revenue",
     "q15_top_supplier",
     "q16_supplier_part_counts",
-    "q17_small_quantity_avg_yearly",
 ]
 
 # Head entries that ship WITHOUT a DuckDB oracle by documented design (the
@@ -15153,3 +15153,82 @@ def fw1_fixed_width_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("posted", 27, 8, "str"),
         ("flag", 35, 1, "str"),
     ])
+
+
+@_register(
+    "cl3_access_log_parse",
+    """SELECT doc_id,
+              '10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.'
+                || CAST(doc_id % 100 AS VARCHAR) AS host,
+              CASE WHEN doc_id % 4 = 0
+                   THEN 'u' || CAST(doc_id % 50 AS VARCHAR) END AS user,
+              '16/Aug/2026:10:' || lpad(CAST(doc_id % 60 AS VARCHAR),
+                                        2, '0') || ':00 +0000' AS ts,
+              CASE WHEN doc_id % 3 = 0 THEN 'POST' ELSE 'GET' END
+                AS method,
+              '/api/v1/r' || CAST(doc_id AS VARCHAR) AS path,
+              'HTTP/1.1' AS protocol,
+              CAST(CASE WHEN doc_id % 7 = 0 THEN 304
+                        WHEN doc_id % 11 = 0 THEN 404
+                        ELSE 200 END AS BIGINT) AS status,
+              CAST(CASE WHEN doc_id % 7 = 0 THEN 0
+                        ELSE 512 + doc_id % 4096 END AS BIGINT) AS bytes,
+              CASE WHEN doc_id % 2 = 0
+                   THEN 'https://ref.example/p'
+                        || CAST(doc_id % 9 AS VARCHAR) END AS referer,
+              'curl/8.' || CAST(doc_id % 5 AS VARCHAR) AS user_agent
+       FROM documents""",
+)
+def cl3_access_log_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NCSA Combined Log Format parsing (text.access_log_fields) — the
+    web-server access log every traffic/abuse analysis starts from:
+    per document one combined-format line ('-' ident, optional
+    authuser, bracketed timestamp, quoted request split into
+    method/path/protocol, a 304's '-' byte count folding to 0,
+    optional referer) built JVM-side and parsed back by the anchored
+    regex struct.  Every field including the NULL patterns is replayed
+    by the oracle in closed-form SQL."""
+    from torcdb_spark.operators.text import access_log_fields
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    status = (F.when(d % 7 == 0, F.lit(304))
+              .when(d % 11 == 0, F.lit(404)).otherwise(F.lit(200)))
+    nbytes = F.when(d % 7 == 0, F.lit("-")).otherwise(
+        (F.lit(512) + d % 4096).cast("string"))
+    line = F.concat(
+        F.lit("10.0."), (d % 256).cast("string"), F.lit("."),
+        (d % 100).cast("string"),
+        F.lit(" - "),
+        F.when(d % 4 == 0,
+               F.concat(F.lit("u"), (d % 50).cast("string")))
+        .otherwise(F.lit("-")),
+        F.lit(" [16/Aug/2026:10:"),
+        F.lpad((d % 60).cast("string"), 2, "0"),
+        F.lit(':00 +0000] "'),
+        F.when(d % 3 == 0, F.lit("POST")).otherwise(F.lit("GET")),
+        F.lit(" /api/v1/r"), d.cast("string"),
+        F.lit(' HTTP/1.1" '),
+        status.cast("string"), F.lit(" "), nbytes,
+        F.lit(' "'),
+        F.when(d % 2 == 0,
+               F.concat(F.lit("https://ref.example/p"),
+                        (d % 9).cast("string")))
+        .otherwise(F.lit("-")),
+        F.lit('" "curl/8.'), (d % 5).cast("string"), F.lit('"'),
+    )
+    logs = docs.select("doc_id", line.alias("line"))
+    f = access_log_fields(F.col("line"))
+    return logs.select(
+        "doc_id",
+        f["host"].alias("host"),
+        f["user"].alias("user"),
+        f["ts"].alias("ts"),
+        f["method"].alias("method"),
+        f["path"].alias("path"),
+        f["protocol"].alias("protocol"),
+        f["status"].alias("status"),
+        f["bytes"].alias("bytes"),
+        f["referer"].alias("referer"),
+        f["user_agent"].alias("user_agent"),
+    )
