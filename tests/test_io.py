@@ -594,3 +594,160 @@ def test_parse_fixed_width(spark):
     assert r.posted == "20260101" and r.flag == "Y"
     with _pytest.raises(ValueError):
         parse_fixed_width(df, [("x", 1, 2, "float16")])
+
+
+def test_snappy_codec_roundtrip_and_vectors():
+    """Pure-Python raw-snappy codec (VERDICT r12 ask #4): round-trips
+    over literal/copy/overlap-heavy inputs, decodes hand-packed format
+    vectors for every tag kind, and enforces the strict ValueError
+    contracts (truncated varint/literal, offset before output start,
+    preamble/output length disagreement)."""
+    import random
+
+    import pytest as _pytest
+
+    from torcdb_spark.sources.snappy import (
+        snappy_compress,
+        snappy_decompress,
+    )
+
+    rng = random.Random(7)
+    cases = [
+        b"", b"a", b"x" * 200,
+        b"the quick brown fox " * 500,  # copy-heavy
+        bytes(rng.randrange(256) for _ in range(10000)),  # incompressible
+        b"abcd" * 70000,  # forces 64-byte copy splitting + long literals
+    ]
+    for c in cases:
+        assert snappy_decompress(snappy_compress(c)) == c
+
+    # hand-packed vectors straight from the public format description
+    assert snappy_decompress(bytes([9, 8 << 2]) + b"Wikipedia") == b"Wikipedia"
+    # copy-1 with overlap (offset 3 < length 8): the RLE path
+    v1 = bytes([11, 2 << 2]) + b"abc" + bytes([((8 - 4) << 2) | 1, 3])
+    assert snappy_decompress(v1) == b"abcabcabcab"
+    # copy-4 tag
+    v4 = (bytes([8, 3 << 2]) + b"abcd"
+          + bytes([((4 - 1) << 2) | 3]) + (4).to_bytes(4, "little"))
+    assert snappy_decompress(v4) == b"abcdabcd"
+
+    for bad in (
+        b"",                                   # empty: no preamble
+        bytes([200]),                          # truncated varint
+        bytes([5, 8 << 2]) + b"Wikipedia",     # length != preamble
+        bytes([4, ((4 - 4) << 2) | 1, 9]),     # offset beyond output
+        bytes([3, 2 << 2]) + b"ab",            # truncated literal
+    ):
+        with _pytest.raises(ValueError):
+            snappy_decompress(bad)
+
+
+def test_avro_snappy_codec():
+    """Avro OCF snappy codec: round-trip through write_avro/parse_avro,
+    big-endian uncompressed-data CRC32 verified on read (corrupting
+    either the CRC or the compressed preamble raises ValueError, and
+    degrades to an _error row through the DataFrame fan-out)."""
+    import pytest as _pytest
+
+    from torcdb_spark.sources.avro import parse_avro, write_avro
+
+    schema = {
+        "type": "record", "name": "d", "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "text", "type": ["null", "string"]},
+        ],
+    }
+    recs = [{"id": i, "text": ("tok%d " % i) * 10} for i in range(25)]
+    recs[3]["text"] = None
+    raw = write_avro(schema, recs, codec="snappy", records_per_block=7)
+    assert parse_avro(raw) == recs
+
+    # corrupt the trailing CRC of the FIRST data block: header is
+    # magic+meta+sync, so flip a byte 4 before the first block's sync
+    sync = raw[-16:]
+    first_sync_end = raw.index(sync) + 16
+    second_sync = raw.index(sync, first_sync_end)
+    bad = bytearray(raw)
+    bad[second_sync - 1] ^= 0xFF
+    with _pytest.raises(ValueError):
+        parse_avro(bytes(bad))
+
+    # corrupt the snappy preamble itself (first byte after the block's
+    # count/size varints) — strict decode must refuse, not mis-frame
+    bad2 = bytearray(raw)
+    bad2[first_sync_end + 2] = 0xFF  # varint that never terminates
+    with _pytest.raises(ValueError):
+        parse_avro(bytes(bad2))
+
+
+def test_gzip_member_lines(spark):
+    """Multi-member .jsonl.gz fan-out: every member recovered with its
+    index (a naive one-member gunzip would see only the first), bytes
+    counted per member, corrupt/truncated streams degrade to a
+    member_idx=-1 error row."""
+    import gzip
+    import io
+
+    from pyspark.sql import Row
+
+    from torcdb_spark.sources.ingest import gzip_member_lines
+
+    def member(text: str) -> bytes:
+        bio = io.BytesIO()
+        with gzip.GzipFile(fileobj=bio, mode="wb", mtime=0) as gz:
+            gz.write(text.encode("utf-8"))
+        return bio.getvalue()
+
+    shard = member('{"a":1}\n{"a":2}') + member('{"a":3}') + member("")
+    truncated = member("x" * 100)[:-5]
+    rows = gzip_member_lines(
+        spark.createDataFrame([
+            Row(path="good", content=bytearray(shard)),
+            Row(path="plain", content=bytearray(b"not gzip at all")),
+            Row(path="cut", content=bytearray(truncated)),
+        ])
+    ).collect()
+    by_key = {(r.path, r.member_idx): r for r in rows}
+    assert by_key[("good", 0)].payload == '{"a":1}\n{"a":2}'
+    assert by_key[("good", 1)].payload == '{"a":3}'
+    assert by_key[("good", 2)].payload == ""
+    assert by_key[("good", 0)].n_bytes == 15
+    assert len([r for r in rows if r.path == "good"]) == 3
+    assert by_key[("plain", -1)].payload.startswith("_error")
+    assert by_key[("cut", -1)].payload.startswith("_error")
+
+
+def test_parquet_page_census(spark):
+    """Column-chunk census one level below the footer: encoding sets,
+    codec, per-row-group value counts, dictionary/page ordering, the
+    size_eq relation (pinned only where the codec makes it lawful),
+    and the _error degradation row."""
+    from pyspark.sql import Row
+
+    from torcdb_spark.sources.parquet_meta import (
+        parquet_page_census,
+        write_parquet_bytes,
+    )
+
+    plain = write_parquet_bytes(
+        {"id": list(range(20)), "s": [f"v{i}" for i in range(20)]},
+        row_group_size=8, compression="NONE", use_dictionary=False)
+    snap = write_parquet_bytes(
+        {"id": list(range(10))}, row_group_size=8,
+        compression="snappy", use_dictionary=True)
+    rows = parquet_page_census(spark.createDataFrame([
+        Row(path="plain", content=bytearray(plain)),
+        Row(path="snap", content=bytearray(snap)),
+        Row(path="junk", content=bytearray(b"PAR1 not really")),
+    ])).collect()
+    by_key = {(r.path, r.rg_idx, r.col_name): r for r in rows}
+    p0 = by_key[("plain", 0, "id")]
+    assert p0.encodings == "PLAIN,RLE" and p0.codec == "UNCOMPRESSED"
+    assert p0.num_values == 8 and p0.size_eq is True
+    assert not p0.has_dict and p0.offset_ordered
+    assert by_key[("plain", 2, "s")].num_values == 4
+    s0 = by_key[("snap", 0, "id")]
+    assert s0.encodings == "PLAIN,RLE,RLE_DICTIONARY"
+    assert s0.codec == "SNAPPY" and s0.has_dict
+    assert s0.size_eq is None and s0.offset_ordered
+    assert by_key[("junk", -1, "_error")] is not None

@@ -4482,3 +4482,60 @@ def test_access_log_fields(spark):
     assert got[1].status == 304 and got[1].bytes == 0
     assert got[1].referer is None and got[1].user_agent is None
     assert got[2].host is None and got[2].status is None
+
+
+def test_opus_packet_census():
+    """RFC 6716 TOC walk: Table-2 anchors, all four frame-count codes,
+    the granule cross-check, and the ValueError contracts (non-Opus
+    stream, truncated code-3 packet, M x duration > 120 ms)."""
+    import pytest as _pytest
+
+    from torcdb_spark.operators.multimodal import (
+        _OPUS_CONFIGS,
+        _ogg_page,
+        encode_ogg_stub,
+        encode_opus_packets,
+        opus_packet_census,
+    )
+
+    assert len(_OPUS_CONFIGS) == 32
+    assert _OPUS_CONFIGS[0] == ("silk", "nb", 480)
+    assert _OPUS_CONFIGS[11] == ("silk", "wb", 2880)
+    assert _OPUS_CONFIGS[12] == ("hybrid", "swb", 480)
+    assert _OPUS_CONFIGS[16] == ("celt", "nb", 120)
+    assert _OPUS_CONFIGS[31] == ("celt", "fb", 960)
+
+    tocs = [
+        (0, False, 0, 1),    # code 0: one 10 ms SILK NB frame
+        (17, True, 1, 2),    # code 1: two CBR CELT NB 5 ms frames
+        (12, False, 2, 2),   # code 2: two VBR hybrid frames
+        (31, True, 3, 2),    # code 3: count byte, two CELT FB frames
+    ]
+    rows = opus_packet_census(encode_opus_packets(tocs, pre_skip=100))
+    assert [r["config"] for r in rows] == [0, 17, 12, 31]
+    assert [r["n_frames"] for r in rows] == [1, 2, 2, 2]
+    assert [r["pkt_samples"] for r in rows] == [480, 480, 960, 1920]
+    assert [r["mode"] for r in rows] == ["silk", "celt", "hybrid",
+                                         "celt"]
+    assert [r["bandwidth"] for r in rows] == ["nb", "nb", "swb", "fb"]
+    assert all(r["granule_match"] for r in rows)
+
+    # a wrong final granule must flip the cross-check, not pass
+    ident = (b"OpusHead" + bytes([1, 2]) + (100).to_bytes(2, "little")
+             + (48000).to_bytes(4, "little") + bytes(2) + bytes([0]))
+    wrong = (_ogg_page(0x02, 0, 1, 0, [ident])
+             + _ogg_page(0x04, 99999, 1, 1, [bytes([0, 0, 0])]))
+    assert not opus_packet_census(wrong)[0]["granule_match"]
+
+    with _pytest.raises(ValueError):  # vorbis stream into the opus walk
+        opus_packet_census(encode_ogg_stub("vorbis"))
+    # code-3 packet truncated before its count byte
+    trunc = (_ogg_page(0x02, 0, 1, 0, [ident])
+             + _ogg_page(0x04, 480, 1, 1, [bytes([0x03])]))
+    with _pytest.raises(ValueError):
+        opus_packet_census(trunc)
+    # code-3 M x duration over the 120 ms bound (config 3 = 60 ms x 3)
+    over = (_ogg_page(0x02, 0, 1, 0, [ident])
+            + _ogg_page(0x04, 480, 1, 1, [bytes([(3 << 3) | 3, 3, 0])]))
+    with _pytest.raises(ValueError):
+        opus_packet_census(over)

@@ -2710,6 +2710,179 @@ def ogg_synth_udf():
     return synth
 
 
+# RFC 6716 §3.1 Table 2: TOC config number → (mode, bandwidth,
+# frame duration in 48 kHz samples).  SILK-only 0-11 (10/20/40/60 ms),
+# Hybrid 12-15 (10/20 ms), CELT-only 16-31 (2.5/5/10/20 ms).
+_OPUS_CONFIGS = (
+    [("silk", bw, n) for bw in ("nb", "mb", "wb")
+     for n in (480, 960, 1920, 2880)]
+    + [("hybrid", bw, n) for bw in ("swb", "fb") for n in (480, 960)]
+    + [("celt", bw, n) for bw in ("nb", "wb", "swb", "fb")
+       for n in (120, 240, 480, 960)]
+)
+
+
+def opus_packet_census(payload: bytes) -> list:
+    """Per-packet Opus TOC walk (VERDICT r12 stretch #8) one level
+    below :func:`ogg_page_census`'s page/granule arithmetic: each
+    audio packet's TOC byte (RFC 6716 §3.1) decodes to config number
+    (bits 3-7 → mode / bandwidth / frame duration per Table 2), the
+    stereo flag (bit 2), and the frame-count code (bits 0-1: 0 = one
+    frame, 1 = two CBR frames, 2 = two VBR frames, 3 = arbitrary —
+    the NEXT byte carries VBR flag (bit 7), padding flag (bit 6) and
+    frame count M in bits 0-5, with M >= 1 and M x duration <= 120 ms
+    enforced per §3.2.5).  Returns one dict per audio packet
+    (``pkt_idx, config, stereo, fcode, n_frames, frame_samples,
+    pkt_samples, mode, bandwidth, granule_match``) where
+    ``granule_match`` cross-checks the summed TOC durations against
+    the container's granule arithmetic (last granule − pre-skip on
+    the 48 kHz Opus clock) — the two independent duration sources a
+    broken TOC parse would disagree on.  Internal frame-length
+    indicators (code 2/3 VBR) are not parsed — census scope is the
+    TOC layer, as the page census's scope is the lacing layer.
+    Raises ValueError on a non-Opus stream, an empty packet, a
+    truncated code-3 header, or an M that violates §3.2.5."""
+    info = ogg_page_census(payload)
+    if info["codec"] != "opus":
+        raise ValueError("opus packet census over a non-Opus stream")
+    packets = list(_ogg_packets(payload))
+    audio = packets[1:]
+    if audio and audio[0][:8] == b"OpusTags":
+        audio = audio[1:]
+    out = []
+    total = 0
+    for idx, pkt in enumerate(audio):
+        if not pkt:
+            raise ValueError("empty Opus packet")
+        toc = pkt[0]
+        config = toc >> 3
+        stereo = bool(toc & 0x04)
+        fcode = toc & 0x03
+        mode, bandwidth, spf = _OPUS_CONFIGS[config]
+        if fcode == 0:
+            n_frames = 1
+        elif fcode in (1, 2):
+            n_frames = 2
+        else:
+            if len(pkt) < 2:
+                raise ValueError("code-3 Opus packet without count byte")
+            n_frames = pkt[1] & 0x3F
+            if n_frames < 1 or n_frames * spf > 5760:  # 120 ms at 48 kHz
+                raise ValueError("code-3 frame count violates RFC 6716 "
+                                 "section 3.2.5")
+        total += n_frames * spf
+        out.append({
+            "pkt_idx": idx,
+            "config": config,
+            "stereo": stereo,
+            "fcode": fcode,
+            "n_frames": n_frames,
+            "frame_samples": spf,
+            "pkt_samples": n_frames * spf,
+            "mode": mode,
+            "bandwidth": bandwidth,
+        })
+    match = (info["last_granule"] - info["pre_skip"]) == total
+    for row in out:
+        row["granule_match"] = match
+    return out
+
+
+def encode_opus_packets(
+    packet_tocs: list,
+    pre_skip: int = 312,
+    channels: int = 2,
+    sample_rate: int = 48000,
+) -> bytes:
+    """Structurally valid Ogg Opus stream whose audio packets carry
+    REAL TOC bytes: ``packet_tocs`` is ``[(config, stereo, fcode,
+    n_frames), ...]`` — one audio packet per entry, all on one audio
+    page, with the final granule set to pre-skip + the Table-2 sum so
+    the census's granule cross-check holds by construction.  Fixture
+    synthesis for :func:`opus_packet_census`."""
+    ident = (b"OpusHead" + bytes([1, channels])
+             + pre_skip.to_bytes(2, "little")
+             + sample_rate.to_bytes(4, "little")
+             + bytes(2) + bytes([0]))
+    segments = []
+    total = 0
+    for config, stereo, fcode, n_frames in packet_tocs:
+        toc = (config << 3) | (0x04 if stereo else 0) | fcode
+        pkt = bytes([toc])
+        if fcode == 3:
+            pkt += bytes([(0x80 if n_frames > 1 else 0) | n_frames])
+        pkt += bytes(4 + (total % 5))  # varied dummy frame payload
+        segments.append(pkt)
+        total += n_frames * _OPUS_CONFIGS[config][2]
+    out = [_ogg_page(0x02, 0, 0x4F50_5553, 0, [ident])]
+    out.append(_ogg_page(0x04, pre_skip + total, 0x4F50_5553, 1,
+                         segments))
+    return b"".join(out)
+
+
+def opus_packet_synth_udf():
+    """pandas_udf synthesizing per-row Ogg Opus streams whose packet
+    TOCs follow the closed-form (doc_id, j) arithmetic the m26 oracle
+    replays: packet j of doc d has config (d + 3j) mod 32, stereo
+    (d + j) mod 2, frame-count code j mod 4, and code-3 packets carry
+    M = 1 + j mod 2 frames."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def synth(doc_id: pd.Series, n_packets: pd.Series) -> pd.Series:
+        out = []
+        for d, n in zip(doc_id, n_packets):
+            d, n = int(d), int(n)
+            tocs = []
+            for j in range(n):
+                fcode = j % 4
+                n_frames = (1 + j % 2) if fcode == 3 else (
+                    1 if fcode == 0 else 2)
+                tocs.append(((d + 3 * j) % 32, (d + j) % 2 == 1,
+                             fcode, n_frames))
+            out.append(encode_opus_packets(tocs))
+        return pd.Series(out)
+
+    return synth
+
+
+def opus_census(media: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """DataFrame boundary for :func:`opus_packet_census`: one row per
+    (file, audio packet) with the TOC decode and the granule
+    cross-check, Arrow-batched; a malformed stream degrades to a
+    ``pkt_idx=-1`` error row with the reason in ``mode``."""
+    schema = (
+        "doc_id long, pkt_idx long, config long, stereo boolean, "
+        "fcode long, n_frames long, frame_samples long, "
+        "pkt_samples long, mode string, bandwidth string, "
+        "granule_match boolean"
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            out = []
+            for did, payload in zip(pdf["doc_id"], pdf[payload_col]):
+                did = int(did)
+                try:
+                    for row in opus_packet_census(bytes(payload)):
+                        out.append({"doc_id": did, **row})
+                except ValueError as exc:
+                    out.append({
+                        "doc_id": did, "pkt_idx": -1, "config": 0,
+                        "stereo": None, "fcode": 0, "n_frames": 0,
+                        "frame_samples": 0, "pkt_samples": 0,
+                        "mode": f"_error: {exc}", "bandwidth": None,
+                        "granule_match": None,
+                    })
+            yield pd.DataFrame(out, columns=[
+                "doc_id", "pkt_idx", "config", "stereo", "fcode",
+                "n_frames", "frame_samples", "pkt_samples", "mode",
+                "bandwidth", "granule_match",
+            ])
+
+    return media.mapInPandas(kernel, schema=schema)
+
+
 def encode_tiff_rgb(img, compression: int = 1, predictor: int = 1) -> bytes:
     """Minimal little-endian TIFF writer (single strip) — the
     fixture-synthesis counterpart of :func:`_decode_tiff`, mirroring

@@ -10,8 +10,9 @@ strings/bytes, little-endian float/double, block-encoded arrays/maps,
 union indices) and a schema-driven recursive decoder covering the
 types tabular Avro actually uses — record, null, boolean, int, long,
 float, double, string, bytes, enum, fixed, array, map, and
-``["null", T]``-style unions — plus the ``null`` and ``deflate``
-codecs (raw zlib, wbits=-15).
+``["null", T]``-style unions — plus the ``null``, ``deflate`` (raw
+zlib, wbits=-15) and ``snappy`` (sources/snappy.py pure-Python raw
+blocks + the spec's 4-byte big-endian uncompressed-data CRC32) codecs.
 
 Spark side: :func:`avro_records` is the same one-Arrow-pass binaryFile
 fan-out as sources/warc.py and sources/tfrecord.py — one row per
@@ -28,6 +29,11 @@ import zlib
 import pandas as pd  # module-level: pandas_udf resolves stringified hints
 
 from pyspark.sql import DataFrame
+
+from torcdb_spark.sources.snappy import (
+    snappy_compress as _snappy_compress,
+    snappy_decompress as _snappy_decompress,
+)
 
 _MAGIC = b"Obj\x01"
 
@@ -260,6 +266,11 @@ def write_avro(
         if codec == "deflate":
             data = zlib.compress(data, 6)[2:-4]  # raw deflate: strip
             # the zlib header/trailer per the Avro spec's RFC 1951 form
+        elif codec == "snappy":
+            # Avro spec: snappy blocks carry a 4-byte BIG-endian CRC32
+            # of the UNCOMPRESSED data after the compressed bytes
+            crc = zlib.crc32(data) & 0xFFFFFFFF
+            data = _snappy_compress(data) + crc.to_bytes(4, "big")
         elif codec != "null":
             raise ValueError(f"unsupported codec {codec!r}")
         out += _zigzag(len(block))
@@ -312,6 +323,13 @@ def parse_avro(payload: bytes) -> list:
         pos += 16
         if codec == "deflate":
             data = zlib.decompress(data, -15)
+        elif codec == "snappy":
+            if len(data) < 4:
+                raise ValueError("snappy Avro block shorter than its CRC")
+            data, want = data[:-4], int.from_bytes(data[-4:], "big")
+            data = _snappy_decompress(data)
+            if zlib.crc32(data) & 0xFFFFFFFF != want:
+                raise ValueError("snappy Avro block CRC32 mismatch")
         elif codec != "null":
             raise ValueError(f"unsupported Avro codec {codec!r}")
         p = 0
@@ -394,11 +412,13 @@ def avro_records(
     return shards.mapInPandas(kernel, schema=schema)
 
 
-def avro_synth_udf():
+def avro_synth_udf(codec_pair: tuple[str, str] = ("null", "deflate")):
     """pandas_udf synthesizing per-row Avro OCF shards ({id: long,
     score: double, text: ["null","string"]} records, codec alternating
-    null/deflate) — fixture synthesis for the Avro ingestion
-    pipeline."""
+    ``codec_pair[0]``/``codec_pair[1]`` on the final boolean column —
+    fixture synthesis for the Avro ingestion pipeline.  The default
+    pair keeps av1's null/deflate bytes stable; av2 passes
+    ("snappy", "snappy") so every block rides the snappy path."""
     from pyspark.sql.functions import pandas_udf
 
     SCHEMA = {
@@ -435,7 +455,7 @@ def avro_synth_udf():
             ]
             out.append(write_avro(
                 SCHEMA, recs,
-                codec="deflate" if df else "null",
+                codec=codec_pair[1] if df else codec_pair[0],
             ))
         return pd.Series(out)
 

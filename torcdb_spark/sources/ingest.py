@@ -11,6 +11,8 @@ inferSchema on production data — schema inference is a full extra pass over
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf resolves stringified hints
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -150,3 +152,92 @@ def parse_fixed_width(
     return lines.select(
         *[c for c in lines.columns if c != line_col], *out
     )
+
+
+def gzip_member_lines(
+    files: DataFrame,
+    path_col: str = "path",
+    content_col: str = "content",
+) -> DataFrame:
+    """Multi-member ``.jsonl.gz`` shard fan-out (VERDICT r12 ask #5) —
+    the wire form open-web text dumps actually ship: one physical file
+    holding MANY independently-gzipped members concatenated (RFC 1952
+    explicitly allows it; pigz/bgzip and most dump pipelines produce
+    it, and naive ``gzip.decompress`` reads only the first member,
+    silently dropping the rest of the corpus).  Walks members with
+    ``zlib.decompressobj(16+MAX_WBITS)`` over ``unused_data`` —
+    the same loop as sources/warc.py — and yields one row per
+    (file, member): ``path, member_idx, n_bytes, payload`` with the
+    member's decompressed UTF-8 text, so the JVM-side line split /
+    from_json path (jl1) takes over from there.  A corrupt member
+    degrades the file to a single ``member_idx=-1`` row with the
+    error in ``payload`` — the WARC-path contract."""
+    schema = "path string, member_idx long, n_bytes long, payload string"
+
+    def kernel(batches):
+        import zlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"path": [], "member_idx": [], "n_bytes": [],
+                   "payload": []}
+            for path, content in zip(pdf[path_col], pdf[content_col]):
+                buf = bytes(content)
+                try:
+                    if buf[:2] != b"\x1f\x8b":
+                        raise ValueError("not a gzip stream")
+                    idx = 0
+                    while buf:
+                        d = zlib.decompressobj(16 + zlib.MAX_WBITS)
+                        data = d.decompress(buf) + d.flush()
+                        if not d.eof:
+                            raise ValueError(
+                                f"truncated gzip member {idx}"
+                            )
+                        out["path"].append(path)
+                        out["member_idx"].append(idx)
+                        out["n_bytes"].append(len(data))
+                        out["payload"].append(data.decode("utf-8"))
+                        idx += 1
+                        buf = d.unused_data
+                except (ValueError, zlib.error, UnicodeDecodeError) as exc:
+                    out["path"].append(path)
+                    out["member_idx"].append(-1)
+                    out["n_bytes"].append(0)
+                    out["payload"].append(f"_error: {exc}")
+            yield pd.DataFrame(out)
+
+    return files.mapInPandas(kernel, schema=schema)
+
+
+def jsonl_gz_synth_udf(lines_per_member: int = 5):
+    """pandas_udf synthesizing a multi-member ``.jsonl.gz`` shard from
+    a newline-joined block of JSONL lines: every ``lines_per_member``
+    lines become one INDEPENDENT gzip member (mtime pinned to 0 so
+    the bytes are deterministic), members concatenated — fixture
+    synthesis for :func:`gzip_member_lines`."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def synth(lines_blob: pd.Series) -> pd.Series:
+        import gzip
+        import io
+
+        out = []
+        for blob in lines_blob:
+            lines = str(blob).split("\n")
+            shard = bytearray()
+            for i in range(0, len(lines), lines_per_member):
+                member = "\n".join(lines[i : i + lines_per_member])
+                bio = io.BytesIO()
+                with gzip.GzipFile(
+                    fileobj=bio, mode="wb", mtime=0
+                ) as gz:
+                    gz.write(member.encode("utf-8"))
+                shard += bio.getvalue()
+            out.append(bytes(shard))
+        return pd.Series(out)
+
+    return synth

@@ -89,9 +89,89 @@ def parquet_footer_census(
     return shards.mapInPandas(kernel, schema=schema)
 
 
-def write_parquet_bytes(columns: dict, row_group_size: int) -> bytes:
+def parquet_page_census(
+    shards: DataFrame,
+    path_col: str = "path",
+    content_col: str = "content",
+) -> DataFrame:
+    """One level below the footer (VERDICT r12 stretch #7): per
+    (file, row group, column chunk) — the encoding/compression census
+    planners and compaction jobs want before touching 100 TB of
+    foreign parquet.  Still O(files): pyarrow's ``ColumnChunkMetaData``
+    lives entirely in the footer (codec, encoding list, value counts,
+    page offsets, compressed/uncompressed byte totals), so no data
+    page is ever decoded.  Emits ``path, rg_idx, col_name,
+    physical_type, codec, encodings`` (name-sorted, comma-joined — the
+    set is what matters, not thrift order), ``num_values, has_dict,
+    size_eq`` (compressed == uncompressed; NULL for compressed codecs
+    where the relation depends on data entropy) and ``offset_ordered``
+    (dictionary page, when present, precedes the first data page).
+    Failures degrade to a ``rg_idx=-1`` error row."""
+    import pandas as pd  # noqa: F401
+
+    schema = (
+        "path string, rg_idx long, col_name string, "
+        "physical_type string, codec string, encodings string, "
+        "num_values long, has_dict boolean, size_eq boolean, "
+        "offset_ordered boolean"
+    )
+    keys = ("path", "rg_idx", "col_name", "physical_type", "codec",
+            "encodings", "num_values", "has_dict", "size_eq",
+            "offset_ordered")
+
+    def kernel(batches):
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            out = {k: [] for k in keys}
+
+            def emit(*vals):
+                for k, v in zip(keys, vals):
+                    out[k].append(v)
+
+            for path, content in zip(pdf[path_col], pdf[content_col]):
+                try:
+                    md = pq.ParquetFile(
+                        pa.BufferReader(bytes(content))
+                    ).metadata
+                    for g in range(md.num_row_groups):
+                        rg = md.row_group(g)
+                        for c in range(rg.num_columns):
+                            cc = rg.column(c)
+                            uncompressed = cc.compression == "UNCOMPRESSED"
+                            emit(
+                                path, g, cc.path_in_schema,
+                                cc.physical_type, cc.compression,
+                                ",".join(sorted(cc.encodings)),
+                                cc.num_values,
+                                cc.has_dictionary_page,
+                                (cc.total_compressed_size
+                                 == cc.total_uncompressed_size)
+                                if uncompressed else None,
+                                (cc.dictionary_page_offset
+                                 < cc.data_page_offset)
+                                if cc.has_dictionary_page else True,
+                            )
+                except Exception as exc:
+                    emit(path, -1, "_error", str(exc)[:100], None,
+                         None, 0, None, None, None)
+            yield pd.DataFrame(out)
+
+    return shards.mapInPandas(kernel, schema=schema)
+
+
+def write_parquet_bytes(
+    columns: dict,
+    row_group_size: int,
+    compression: str = "snappy",
+    use_dictionary: bool = True,
+) -> bytes:
     """Fixture synthesis: column dict → in-memory parquet bytes with a
-    controlled row-group size (footer statistics enabled)."""
+    controlled row-group size (footer statistics enabled); codec and
+    dictionary encoding selectable so the page census sees both the
+    PLAIN/UNCOMPRESSED and RLE_DICTIONARY/SNAPPY shapes."""
     import io
 
     import pyarrow as pa
@@ -100,5 +180,6 @@ def write_parquet_bytes(columns: dict, row_group_size: int) -> bytes:
     table = pa.table(columns)
     sink = io.BytesIO()
     pq.write_table(table, sink, row_group_size=row_group_size,
-                   write_statistics=True)
+                   write_statistics=True, compression=compression,
+                   use_dictionary=use_dictionary)
     return sink.getvalue()
