@@ -26,6 +26,38 @@ def _checkpointed(df: DataFrame) -> DataFrame:
     return df.localCheckpoint(eager=True)
 
 
+def _ck_lazy(df: DataFrame) -> DataFrame:
+    """LAZY localCheckpoint: the first action over the returned frame
+    materializes (and persists) the checkpoint blocks as a side effect
+    of computing it. Pairing this with the superstep's convergence/count
+    probe fuses what was two blocking jobs per superstep — an eager
+    materialization pass plus a probe pass over the materialized blocks
+    — into ONE pass over the data. Lineage truncation and the persisted
+    blocks are identical to the eager form (same RDD, same storage
+    level); only the job cadence changes. On a cluster this halves the
+    full passes over superstep state (guide §1.2: remove passes first).
+    A lazy checkpoint with NO explicit probe materializes inside its
+    first consumer's job — correct, and cheaper still, whenever the
+    loop needs no datum from it on the driver."""
+    return df.localCheckpoint(eager=False)
+
+
+def _ck_lazy_nostats(df: DataFrame) -> DataFrame:
+    """Lazy variant of ``_checkpointed_nostats``: the same stats barrier
+    (LogicalRDD rebuilt without the geometric sizeInBytes rewrite), with
+    materialization deferred to the caller's probe action."""
+    ck = df.localCheckpoint(eager=False)
+    try:
+        jdf = ck._jdf
+        spark = ck.sparkSession
+        new_jdf = spark._jsparkSession.internalCreateDataFrame(
+            jdf.queryExecution().toRdd(), jdf.schema(), False
+        )
+        return DataFrame(new_jdf, spark)
+    except Exception:  # pragma: no cover — internal API moved; degrade
+        return ck
+
+
 def _checkpointed_nostats(df: DataFrame) -> DataFrame:
     """Eager localCheckpoint + STATS BARRIER for high-fan iterative loops.
 
@@ -94,7 +126,8 @@ def pagerank(
         .dropDuplicates(["id"])
     )
     out_deg = e.groupBy("src").agg(F.count("*").alias("out_deg"))
-    state = _checkpointed(
+    # lazy checkpoint: the vertex count below is the materializing action
+    state = _ck_lazy(
         verts.join(out_deg, verts["id"] == out_deg["src"], "left")
         .select("id", F.lit(1.0).alias("rank"), "out_deg")
     )
@@ -141,8 +174,64 @@ def pagerank(
             )
         )
         if (i + 1) % checkpoint_interval == 0 or i == num_iter - 1:
-            state = _checkpointed(state)
+            # lazy: lineage still truncates at the same cadence, but the
+            # materialization rides the next superstep's dangling-mass
+            # broadcast (or the final action) instead of a blocking
+            # per-interval driver job (r13)
+            state = _ck_lazy(state)
     return state.select("id", "rank")
+
+
+def _cc_union_find(rows):
+    """Sequential union-find over (a, b) pairs with union-toward-the-
+    smaller-root, so every root IS the minimum id of its component —
+    exactly the fixpoint the distributed label flood / star contraction
+    converge to. Works for any totally ordered id type (longs, 16-byte
+    binary ids: Python bytes compare unsigned-lexicographically, same as
+    Spark's BinaryType ordering)."""
+    parent: dict = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in rows:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    return {v: find(v) for v in parent}
+
+
+def _cc_finish_local(und: DataFrame, a_col: str, b_col: str) -> DataFrame:
+    """Small-core finisher for the CC operators (the _kruskal_local /
+    _tarjan_local discipline): once the edge set fits one task, log-many
+    more distributed rounds of fixed job overhead cost more than the
+    whole remainder. One repartition(1) mapInPandas runs the union-find;
+    the (id, component) result is IDENTICAL to the distributed fixpoint
+    (min id per component) by construction."""
+    id_t = dict(und.dtypes)[a_col]
+
+    def _finish(batches):
+        import pandas as pd
+
+        rows = []
+        for b in batches:
+            rows.extend(zip(b[a_col].tolist(), b[b_col].tolist()))
+        comp = _cc_union_find(rows)
+        items = sorted(comp.items())
+        return iter([pd.DataFrame(
+            {"id": [k for k, _ in items], "component": [v for _, v in items]}
+        )])
+
+    return und.select(a_col, b_col).repartition(1).mapInPandas(
+        _finish, f"id {id_t}, component {id_t}"
+    )
 
 
 def connected_components(
@@ -150,6 +239,7 @@ def connected_components(
     max_iter: int = 20,
     src_col: str = "src",
     dst_col: str = "dst",
+    local_threshold: int = 1_000_000,
 ) -> DataFrame:
     """Undirected connected components via iterative label propagation
     (small-label-wins) → (id, component). Converges in O(diameter)
@@ -175,6 +265,17 @@ def connected_components(
     # ordinary shuffle path, re-planned by AQE.
     broadcast_threshold = 500_000
     small = state.count() <= broadcast_threshold
+    # Small-core finisher: |V| ≤ the broadcast bar makes the edge-count
+    # check worth taking (the count materializes the persisted ``und``
+    # the first superstep would have paid for anyway — no extra pass);
+    # under the threshold one union-find task replaces the whole flood,
+    # with the identical min-id-per-component result. |V| > the bar
+    # implies |und| ≥ |V| > it too, so the 100 TB path never pays the
+    # probe and runs the flood unchanged.
+    if small and und.count() <= local_threshold:
+        out = _checkpointed(_cc_finish_local(und, "a", "b"))
+        und.unpersist()
+        return out
     for _ in range(max_iter):
         s = F.broadcast(state) if small else state
         nbr_min = (
@@ -186,15 +287,15 @@ def connected_components(
             nbr_min = F.broadcast(nbr_min)
         # Fold convergence detection into the update itself: the join that
         # produces the new component already sees the old one, so a
-        # ``changed`` flag costs nothing extra. The eager localCheckpoint is
-        # the superstep's one heavy job; the convergence probe then scans
-        # only the checkpointed blocks (no join recompute — previously this
-        # re-ran a state⋈state join per superstep).
+        # ``changed`` flag costs nothing extra. The checkpoint is LAZY and
+        # the convergence probe below is its materializing action, so the
+        # superstep costs exactly one job (r13: previously an eager
+        # checkpoint job plus a separate probe over the blocks).
         new_comp = F.least(
             F.col("component"),
             F.coalesce(F.col("nbr_component"), F.col("component")),
         )
-        new_state = _checkpointed(
+        new_state = _ck_lazy(
             state.join(nbr_min, state["id"] == nbr_min["b"], "left").select(
                 "id",
                 new_comp.alias("component"),
@@ -202,7 +303,12 @@ def connected_components(
             )
         )
         state = new_state.select("id", "component")
-        if new_state.where(F.col("_changed")).limit(1).count() == 0:
+        # ONE job: materializes the lazy checkpoint and evaluates the
+        # convergence probe in the same pass (max over empty → NULL →
+        # break, matching the old empty-frame behavior)
+        if not new_state.agg(
+            F.max(F.col("_changed").cast("int")).alias("c")
+        ).first()["c"]:
             break
     und.unpersist()
     return state
@@ -230,7 +336,7 @@ def bfs_distances(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     ).persist()
     id_c = "id" if "id" in sources.columns else sources.columns[0]
-    visited = _checkpointed(
+    visited = _ck_lazy(
         sources.select(F.col(id_c).alias("id")).dropDuplicates(["id"]).withColumn(
             "distance", F.lit(0)
         )
@@ -261,7 +367,9 @@ def bfs_distances(
         seen = visited.select("id")
         if n_visited <= broadcast_threshold:
             seen = F.broadcast(seen)
-        nxt = _checkpointed(nxt.join(seen, "id", "left_anti"))
+        # lazy checkpoint: the frontier count is the materializing action
+        # — one job per depth instead of checkpoint + count (r13)
+        nxt = _ck_lazy(nxt.join(seen, "id", "left_anti"))
         n_frontier = nxt.count()
         if n_frontier == 0:
             break
@@ -386,7 +494,7 @@ def shortest_paths(
             f"on edge ({bad[0].esrc!r} -> {bad[0].edst!r})"
         )
     id_c = "id" if "id" in sources.columns else sources.columns[0]
-    state = _checkpointed(
+    state = _ck_lazy(
         sources.select(F.col(id_c).alias("id"))
         .dropDuplicates(["id"])
         .withColumn("dist", F.lit(0.0))
@@ -415,7 +523,7 @@ def shortest_paths(
         improved = F.col("id").isNull() | (
             F.col("mdist").isNotNull() & (F.col("mdist") < F.col("dist"))
         )
-        new_state = _checkpointed(
+        new_state = _ck_lazy(
             merged.select(
                 new_id.alias("id"),
                 new_dist.alias("dist"),
@@ -423,8 +531,15 @@ def shortest_paths(
             )
         )
         state = new_state.select("id", "dist")
-        n_state = new_state.count()
-        if new_state.where(F.col("_changed")).limit(1).count() == 0:
+        # ONE job per superstep (r13): the count + convergence probe is
+        # the lazy checkpoint's materializing action — previously eager
+        # checkpoint, count, and changed-probe were three blocking jobs
+        probe = new_state.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max(F.col("_changed").cast("int")).alias("c"),
+        ).first()
+        n_state = probe["n"]
+        if not probe["c"]:
             break
     # state is an eager localCheckpoint — it no longer references e's cache
     e.unpersist()
@@ -460,7 +575,9 @@ def k_core(
         .where(F.col("a") != F.col("b"))
         .dropDuplicates(["a", "b"])
     )
-    live = _checkpointed(und)
+    # lazy checkpoints throughout the peel loop: each round's count is
+    # the materializing action — one job per round instead of two (r13)
+    live = _ck_lazy(und)
     n_edges = live.count()
     for _ in range(max_iter):
         if n_edges == 0:
@@ -473,7 +590,7 @@ def k_core(
         # frontier twice per peel round
         if n_edges <= 1_000_000:
             keep = F.broadcast(keep)
-        nxt = _checkpointed(
+        nxt = _ck_lazy(
             live.join(keep, "a", "left_semi").join(
                 keep.select(F.col("a").alias("b")), "b", "left_semi"
             )
@@ -537,7 +654,7 @@ def shortest_path_pair(
             .groupBy(F.col("dst").alias("nid"))
             .agg(F.min("src").alias("parent"))
         )
-        nxt = _checkpointed(
+        nxt = _ck_lazy(
             expanded.join(
                 visited.select(F.col("id").alias("nid")), "nid", "left_anti"
             ).select(
@@ -546,11 +663,21 @@ def shortest_path_pair(
                 "parent",
             )
         )
-        n_new = nxt.count()
+        # ONE job per level (r13): frontier count + target-found probe
+        # fused into the lazy checkpoint's materializing action
+        # (previously: eager checkpoint + count + found-count + an eager
+        # re-checkpoint of the visited union = four jobs per level).
+        probe = nxt.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max((F.col("id") == bytes(dst_id)).cast("int")).alias("f"),
+        ).first()
+        n_new = probe["n"]
         if n_new == 0:
             break
-        visited = _checkpointed(visited.unionByName(nxt))
-        found = nxt.where(F.col("id") == bytes(dst_id)).count() > 0
+        # visited is a union of already-checkpointed frontiers — no
+        # re-checkpoint (same discipline as bfs_distances)
+        visited = visited.unionByName(nxt)
+        found = bool(probe["f"])
         frontier = nxt.select("id")
     e.unpersist()
     if not found:
@@ -576,6 +703,7 @@ def connected_components_doubling(
     max_rounds: int = 16,
     src_col: str = "src",
     dst_col: str = "dst",
+    local_threshold: int = 1_000_000,
 ) -> DataFrame:
     """Undirected connected components in O(log n) ROUNDS via alternating
     large-star / small-star edge rewriting (the MapReduce-and-Beyond
@@ -645,10 +773,20 @@ def connected_components_doubling(
         ).first()
         return (r["n"], r["h"])
 
-    cur = _checkpointed(e)
+    # lazy checkpoints: the checksum aggregate IS the materializing
+    # action, so each alternation round costs one job instead of an
+    # eager-checkpoint job plus the checksum job (r13)
+    cur = _ck_lazy(e)
     prev_sig = checksum(cur)
+    # Small-core finisher (the _kruskal_local/_tarjan_local discipline):
+    # the initial checksum already carries |E|, so the decision is free.
+    # Under the threshold one union-find task replaces the whole
+    # alternation loop with the identical min-id-per-component result;
+    # a 100 TB edge set takes the star-contraction path unchanged.
+    if prev_sig[0] <= local_threshold:
+        return _cc_finish_local(cur, "u", "v")
     for _ in range(max_rounds):
-        cur = _checkpointed(star(star(cur, large=True), large=False))
+        cur = _ck_lazy(star(star(cur, large=True), large=False))
         sig = checksum(cur)
         if sig == prev_sig:
             break
@@ -735,8 +873,9 @@ def personalized_pagerank(
             lvl.unpersist()
         # materialize the (small) pruned edge set ONCE — every superstep
         # job would otherwise re-evaluate the semi-joins over the full
-        # edge table
-        e = _checkpointed(
+        # edge table. Lazy: the seed-count probe below materializes it
+        # through the state build (r13).
+        e = _ck_lazy(
             base.join(
                 F.broadcast(reach.withColumnRenamed("id", "src")),
                 "src", "left_semi",
@@ -745,7 +884,6 @@ def personalized_pagerank(
                 "dst", "left_semi",
             )
         )
-        base.unpersist()
     verts = (
         e.select(F.col("src").alias("id"))
         .unionByName(e.select(F.col("dst").alias("id")))
@@ -754,7 +892,7 @@ def personalized_pagerank(
     id_c = "id" if "id" in sources.columns else sources.columns[0]
     src_ids = sources.select(F.col(id_c).alias("id")).dropDuplicates(["id"])
     out_deg = e.groupBy("src").agg(F.count("*").alias("out_deg"))
-    state = _checkpointed(
+    state = _ck_lazy(
         verts.join(out_deg, verts["id"] == out_deg["src"], "left")
         .join(
             src_ids.withColumn("_is_src", F.lit(1)), "id", "left"
@@ -767,7 +905,11 @@ def personalized_pagerank(
             "out_deg",
         )
     )
+    # one job: materializes state (and, through it, the lazy pruned edge
+    # checkpoint above) while computing the seed count (r13)
     n_src = state.where(F.col("is_src") == 1).count()
+    if prune_unreachable:
+        base.unpersist()
     if n_src == 0:
         raise ValueError("personalized_pagerank requires a non-empty source set")
     for i in range(num_iter):
@@ -799,7 +941,11 @@ def personalized_pagerank(
             )
         )
         if (i + 1) % checkpoint_interval == 0 or i == num_iter - 1:
-            state = _checkpointed(state)
+            # lazy: lineage still truncates at the same cadence, but the
+            # materialization rides the next superstep's dangling-mass
+            # broadcast (or the final action) instead of a blocking
+            # per-interval driver job (r13)
+            state = _ck_lazy(state)
     return state.select("id", "rank")
 
 
@@ -835,7 +981,7 @@ def hits(
         .unionByName(e.select(F.col("dst").alias("id")))
         .dropDuplicates(["id"])
     )
-    state = _checkpointed(
+    state = _ck_lazy(
         verts.select("id", F.lit(1.0).alias("hub"), F.lit(1.0).alias("auth"))
     )
     for _i in range(num_iter):
@@ -848,7 +994,10 @@ def hits(
             .groupBy("dst")
             .agg(F.sum("hub").alias("_a"))
         )
-        half = _checkpointed(
+        # lazy: the L2-norm broadcast aggregate right below is the
+        # materializing action — one job per half-step instead of an
+        # eager checkpoint plus the norm job (r13)
+        half = _ck_lazy(
             state.join(a_msgs, state["id"] == a_msgs["dst"], "left").select(
                 "id", "hub", F.coalesce(F.col("_a"), F.lit(0.0)).alias("auth")
             )
@@ -872,7 +1021,7 @@ def hits(
             .groupBy("src")
             .agg(F.sum("auth").alias("_h"))
         )
-        half2 = _checkpointed(
+        half2 = _ck_lazy(
             state.join(h_msgs, state["id"] == h_msgs["src"], "left").select(
                 "id", F.coalesce(F.col("_h"), F.lit(0.0)).alias("hub"), "auth"
             )
@@ -930,7 +1079,7 @@ def betweenness_sampled(
     )
     one = F.lit(1).cast("long") if scale else F.lit(1.0)
     id_c = sources.columns[0]
-    lvl0 = _checkpointed(
+    lvl0 = _ck_lazy(
         sources.select(F.col(id_c).alias("s"))
         .dropDuplicates(["s"])
         .select(
@@ -962,7 +1111,9 @@ def betweenness_sampled(
             .select("s", F.col("ed").alias("v"), "sigma")
         )
         agg = msgs.groupBy("s", "v").agg(F.sum("sigma").alias("sigma"))
-        new = _checkpointed(agg.join(visited, ["s", "v"], "left_anti"))
+        # lazy checkpoint: the level count below is the materializing
+        # action — one job per forward level instead of two (r13)
+        new = _ck_lazy(agg.join(visited, ["s", "v"], "left_anti"))
         n_new = new.count()
         if n_new == 0:
             break
@@ -997,7 +1148,11 @@ def betweenness_sampled(
             .groupBy("s", "v")
             .agg(F.sum(per_succ).alias("_c"))
         )
-        delta = _checkpointed(
+        # lazy checkpoint with NO probe: each backward level's delta
+        # materializes inside its consumer (the next level's contrib
+        # join / the final accumulation) while still truncating lineage
+        # — the per-level blocking checkpoint job disappears (r13)
+        delta = _ck_lazy(
             cur.select("s", "v")
             .join(_maybe_bcast(contrib, level_sizes[li]), ["s", "v"], "left")
             .select("s", "v", F.coalesce(F.col("_c"), zero).alias("delta"))
@@ -1132,9 +1287,13 @@ def label_propagation(
             winner = F.broadcast(winner)
         # checkpoint EVERY superstep (pagerank's interval-2 cadence was
         # tried and measured 40% slower here: the broadcast of a
-        # non-materialized state recomputes the chained superstep once
-        # for the broadcast exchange and again for the join's left side)
-        state = _checkpointed(
+        # NON-CHECKPOINTED state recomputes the chained superstep once
+        # for the broadcast exchange and again for the join's left side
+        # — a LAZY checkpoint does not have that failure mode: its first
+        # compute persists the blocks every later consumer reads, so the
+        # r13 lazy form keeps the cadence while dropping the blocking
+        # per-superstep materialization job)
+        state = _ck_lazy(
             state.join(winner, state["id"] == winner["v"], "left").select(
                 "id",
                 F.coalesce("new_community", "community").alias("community"),
@@ -1253,8 +1412,10 @@ def boruvka_mst(
         .unionByName(e0.select(F.col("v").alias("id")))
         .dropDuplicates(["id"])
     )
-    comp = _checkpointed_nostats(verts.select("id", F.col("id").alias("comp")))
-    cand = _checkpointed_nostats(e0)
+    # lazy checkpoints: round 0's keyed-edge count materializes comp,
+    # cand and keyed in one job instead of three eager barriers (r13)
+    comp = _ck_lazy_nostats(verts.select("id", F.col("id").alias("comp")))
+    cand = _ck_lazy_nostats(e0)
     chosen = None
     for _r in range(max_rounds):
         # re-key candidate edges to current components, drop internals
@@ -1264,7 +1425,7 @@ def boruvka_mst(
             cand.join(cu, "u").join(cv, "v")
             .where(F.col("cu") != F.col("cv"))
         )
-        keyed = _checkpointed_nostats(keyed)
+        keyed = _ck_lazy_nostats(keyed)
         n_keyed = keyed.count()
         if n_keyed == 0:
             break
@@ -1298,7 +1459,7 @@ def boruvka_mst(
                     }
                 )])
 
-            tail = _checkpointed_nostats(
+            tail = _ck_lazy_nostats(
                 keyed.select("u", "v", "w", "cu", "cv")
                 .repartition(1)
                 .mapInPandas(_finish_mst, f"u {id_t}, v {id_t}, w double")
@@ -1353,7 +1514,9 @@ def boruvka_mst(
             new_edges if chosen is None
             else chosen.unionByName(new_edges)
         )
-        chosen = _checkpointed_nostats(chosen)
+        # lazy: the accumulated forest materializes through its next
+        # consumer (the following round's union or the final select)
+        chosen = _ck_lazy_nostats(chosen)
         # pointer graph: c -> other; break 2-cycles toward the smaller id
         ptr = picked.select("c", F.col("other").alias("p"))
         # 2-cycle break: if a.p = b and b.p = a, the larger points to the
@@ -1371,10 +1534,10 @@ def boruvka_mst(
         # frame itself, so convergence costs one isEmpty on the local
         # checkpoint blocks — not extra joins (the original two-join
         # probe tripled the job count and dominated wall time).
-        ptr = _checkpointed_nostats(ptr)
+        ptr = _ck_lazy_nostats(ptr)
         for _j in range(64):
             nxt = ptr.select(F.col("c").alias("jc"), F.col("p").alias("jp"))
-            jumped = _checkpointed_nostats(
+            jumped = _ck_lazy_nostats(
                 ptr.join(nxt, ptr["p"] == nxt["jc"], "left").select(
                     "c",
                     F.coalesce(F.col("jp"), F.col("p")).alias("p"),
@@ -1384,12 +1547,18 @@ def boruvka_mst(
                     ).alias("moved"),
                 )
             )
-            done = jumped.where(F.col("moved")).isEmpty()
+            # ONE job per jump: the moved-probe materializes the lazy
+            # checkpoint (max over empty → NULL → done, as before)
+            done = not bool(
+                jumped.agg(F.max(F.col("moved").cast("int")).alias("m"))
+                .first()["m"]
+            )
             ptr = jumped.select("c", "p")
             if done:
                 break
-        # fold vertex components through the round's pointer map
-        comp = _checkpointed_nostats(
+        # fold vertex components through the round's pointer map (lazy:
+        # the next round's keyed-edge count materializes it)
+        comp = _ck_lazy_nostats(
             comp.join(
                 ptr.select(F.col("c").alias("comp"), "p"), "comp", "left"
             ).select("id", F.coalesce(F.col("p"), F.col("comp")).alias("comp"))
@@ -1506,9 +1675,9 @@ def strongly_connected_components(
        m. At minimum the SCC of the globally-min active id peels each
        round, so the loop terminates; DAG-ish periphery goes via trim.
 
-    Every superstep is an eager localCheckpoint (lineage discipline,
-    module docstring); counts that drive the loops are probes over
-    checkpointed blocks. Worst case (a long path of singleton SCCs)
+    Every superstep is a LAZY localCheckpoint (lineage discipline,
+    module docstring) whose materializing action is the loop probe that
+    follows it — one job per superstep instead of two (r13). Worst case (a long path of singleton SCCs)
     costs O(path) trim passes — the known bound of this family; real
     web/navigation graphs resolve in a few rounds. Self-loops are
     stripped from propagation (a self-loop never changes an SCC).
@@ -1521,8 +1690,8 @@ def strongly_connected_components(
         .unionByName(e_all.select(F.col("dst").alias("id")))
         .dropDuplicates(["id"])
     )
-    active_e = _checkpointed_nostats(e_all.where(F.col("src") != F.col("dst")))
-    active_v = _checkpointed_nostats(verts)
+    active_e = _ck_lazy_nostats(e_all.where(F.col("src") != F.col("dst")))
+    active_v = _ck_lazy_nostats(verts)
     done_parts: list[DataFrame] = []
     # The stats barrier (mandatory here: the per-round label self-joins
     # would otherwise explode the checkpoint size estimates geometrically,
@@ -1553,7 +1722,7 @@ def strongly_connected_components(
         satisfies F==B (e.g. a directed cycle longer than ~2*max_prop
         peels only its min-id vertex), and removing that subset severs
         the SCC so trim then mislabels the rest as singletons."""
-        lab = _checkpointed_nostats(
+        lab = _ck_lazy_nostats(
             vs.select("id", F.col("id").alias("f"), F.col("id").alias("b"))
         )
         converged = False
@@ -1576,7 +1745,7 @@ def strongly_connected_components(
             )
             new_f = F.least(F.col("f"), F.coalesce(F.col("nf"), F.col("f")))
             new_b = F.least(F.col("b"), F.coalesce(F.col("nb"), F.col("b")))
-            step = _checkpointed_nostats(
+            step = _ck_lazy_nostats(
                 lab.join(_b(fmsg), lab["id"] == fmsg["src"], "left")
                 .join(_b(bmsg), lab["id"] == bmsg["dst"], "left")
                 .select(
@@ -1630,7 +1799,7 @@ def strongly_connected_components(
                 )
 
             done_parts.append(
-                _checkpointed_nostats(
+                _ck_lazy_nostats(
                     core.repartition(1).mapInPandas(
                         _finish, f"id {id_t}, scc_id {id_t}"
                     )
@@ -1654,7 +1823,7 @@ def strongly_connected_components(
                 .dropDuplicates(["id"])
                 .withColumn("_i", F.lit(True))
             )
-            flagged = _checkpointed_nostats(
+            flagged = _ck_lazy_nostats(
                 active_v.join(_b(has_out), "id", "left")
                 .join(_b(has_in), "id", "left")
                 .select(
@@ -1676,7 +1845,7 @@ def strongly_connected_components(
             ).join(_b(active_v), active_e["dst"] == active_v["id"], "left_semi")
         if active_v.isEmpty():
             break
-        active_e = _checkpointed_nostats(active_e)
+        active_e = _ck_lazy_nostats(active_e)
         # 3. fused forward/backward min-label fixpoint on the cyclic core
         fb, fb_converged = _propagate_fb(active_e, active_v)
         if not fb_converged:
@@ -1691,16 +1860,16 @@ def strongly_connected_components(
                 " scc_ids."
             )
         # 4. peel complete SCCs where F == B
-        peeled = _checkpointed_nostats(
+        peeled = _ck_lazy_nostats(
             fb.where(F.col("f") == F.col("b")).select(
                 "id", F.col("f").alias("scc_id")
             )
         )
         done_parts.append(peeled)
-        active_v = _checkpointed_nostats(
+        active_v = _ck_lazy_nostats(
             active_v.join(_b(peeled), "id", "left_anti")
         )
-        active_e = _checkpointed_nostats(
+        active_e = _ck_lazy_nostats(
             active_e.join(_b(peeled), active_e["src"] == peeled["id"], "left_anti")
             .join(_b(peeled), active_e["dst"] == peeled["id"], "left_anti")
         )
@@ -1841,7 +2010,7 @@ def maximal_independent_set(
     # distributed fixed job overhead cost more than the entire problem —
     # run the IDENTICAL algorithm sequentially in one partition. Both
     # paths select the same set (md5 priorities; pytest-pinned).
-    sym = _checkpointed(sym)
+    sym = _ck_lazy(sym)
     if sym.count() <= local_threshold:
         id_t = dict(sym.dtypes)["a"]
 
@@ -1854,7 +2023,7 @@ def maximal_independent_set(
             return iter([pd.DataFrame({"id": sorted(_luby_local(pairs))})])
 
         return sym.repartition(1).mapInPandas(_finish_mis, f"id {id_t}")
-    active_v = _checkpointed(
+    active_v = _ck_lazy(
         sym.select(F.col("a").alias("id"))
         .unionByName(sym.select(F.col("b").alias("id")))
         .distinct()
@@ -1892,10 +2061,10 @@ def maximal_independent_set(
                 selected.withColumnRenamed("id", "a"), "a"
             ).select(F.col("b").alias("id"))
         ).distinct()
-        active_v = _checkpointed_nostats(
+        active_v = _ck_lazy_nostats(
             active_v.join(removed, "id", "left_anti")
         )
-        active_e = _checkpointed_nostats(
+        active_e = _ck_lazy_nostats(
             active_e.join(active_v.withColumnRenamed("id", "a"), "a")
             .join(active_v.withColumnRenamed("id", "b"), "b")
             .select("a", "b")
@@ -1979,7 +2148,7 @@ def greedy_coloring(
         return sym.repartition(1).mapInPandas(
             _finish_color, f"id {id_t}, color long"
         )
-    uncolored = _checkpointed(
+    uncolored = _ck_lazy(
         sym.select(F.col("a").alias("id")).distinct()
     )
     colored = uncolored.limit(0).withColumn(
@@ -2030,11 +2199,11 @@ def greedy_coloring(
                 ).alias("color"),
             )
         )
-        assigned = _checkpointed(assigned)
+        assigned = _ck_lazy(assigned)
         parts.append(assigned)
         # lazy union of checkpointed parts — no extra eager job
         colored = colored.unionByName(assigned)
-        uncolored = _checkpointed_nostats(
+        uncolored = _ck_lazy_nostats(
             uncolored.join(assigned, "id", "left_anti")
         )
     else:
@@ -2138,21 +2307,28 @@ def temporal_min_arrival(
         )
         return merged, merged.where(F.col("_changed")).select("id", "arr")
 
-    arrival = _checkpointed(
+    arrival = _ck_lazy(
         seeds.select(F.col("id"), F.lit(neg_inf).cast("long").alias("arr"))
         .distinct()
     )
     delta = arrival
+    delta_nonempty = not delta.isEmpty()
     for _ in range(max_iter):
-        if delta.isEmpty():
+        if not delta_nonempty:
             return arrival.select("id", "arr")
         # TWO relaxations fuse into one lazy plan per checkpoint round:
         # the state frame is vocabulary-sized, so plan depth is cheap and
-        # halving the per-round job count halves local-mode wall time
+        # halving the per-round job count halves local-mode wall time.
+        # The checkpoint is lazy and the frontier-emptiness probe is its
+        # materializing action — one job per round, not two (r13).
         mid, delta_mid = step(arrival, delta)
         merged, _ = step(mid.select("id", "arr"), delta_mid)
-        arrival = _checkpointed_nostats(merged)
+        arrival = _ck_lazy_nostats(merged)
         delta = arrival.where(F.col("_changed")).select("id", "arr")
+        delta_nonempty = bool(
+            arrival.agg(F.max(F.col("_changed").cast("int")).alias("c"))
+            .first()["c"]
+        )
     raise RuntimeError(
         f"temporal_min_arrival did not converge in {max_iter} supersteps"
     )
@@ -2196,7 +2372,8 @@ def k_truss(
     below threshold now stays below it forever). Deterministic; exact
     agreement with a sequential replay is pytest-proven
     (tests/test_temporal.py sibling suite tests/test_ktruss.py)."""
-    e = _checkpointed(
+    # lazy checkpoint: the edge count is the materializing action (r13)
+    e = _ck_lazy(
         edges.select(
             F.least(F.col(src_col), F.col(dst_col)).alias("a"),
             F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
@@ -2249,7 +2426,7 @@ def k_truss(
             .groupBy("a", "b")
             .agg(F.count("*").alias("_sup"))
         )
-        kept = _checkpointed_nostats(
+        kept = _ck_lazy_nostats(
             e.join(sup, ["a", "b"], "left")
             .where(F.coalesce(F.col("_sup"), F.lit(0)) >= thresh)
             .select("a", "b")
@@ -2307,7 +2484,7 @@ def double_sweep_diameter(
     ``bfs_distances`` runs — 2·O(diameter) supersteps — instead of the
     O(V) BFS sweeps exact diameter needs; THE scalable first question
     ("how wide is this graph?") asked of any new 100 TB edge set."""
-    sym = _checkpointed(
+    sym = _ck_lazy(
         edges.select(
             F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
         ).unionByName(
@@ -2467,7 +2644,7 @@ def ifub_diameter(
     edges the IDENTICAL algorithm (same seeds, midpoint, fringe order,
     and budget semantics) runs sequentially in one task (pytest-pinned
     equal on path/star/tripartite fixtures, both paths)."""
-    sym = _checkpointed(
+    sym = _ck_lazy(
         edges.select(
             F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
         ).unionByName(

@@ -70,7 +70,7 @@ def bpe_train(
     )
     state = words.select(
         _wrap_chars(F.col("w")).alias("s"), F.col("n")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
 
     merges = []
     for rank in range(1, num_merges + 1):
@@ -103,9 +103,14 @@ def bpe_train(
         merges.append((rank, a, b, a + b, cnt))
         target = f"{_L}{a}{_R}{_L}{b}{_R}"
         repl = f"{_L}{a}{b}{_R}"
+        # LAZY checkpoint: the next round's argmax collect (or the final
+        # caller action) materializes it — lineage still truncates to one
+        # replace per round, but the blocking per-round checkpoint job
+        # disappears (r13; the training loop is inherently sequential in
+        # the merge table, so the collect is the only real barrier)
         state = state.select(
             F.replace(F.col("s"), F.lit(target), F.lit(repl)).alias("s"), "n"
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
 
     spark = docs.sparkSession
     return spark.createDataFrame(
