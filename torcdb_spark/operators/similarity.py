@@ -1250,21 +1250,24 @@ def kmeans_lloyd_quantized(
             F.col(vec_col).cast("array<double>"),
             lambda x: F.floor(x * scale).cast("long"),
         ).alias("v"),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
 
     w_seed = Window.orderBy("id")
-    # The codebook is ≤k rows; eager-checkpointing it at the seed and after
+    # The codebook is ≤k rows; checkpointing it at the seed and after
     # every update keeps each Lloyd round's plan ONE assignment deep —
-    # without the barrier the final plan nests every prior round's window +
-    # two-level aggregate and re-executes any subtree Catalyst fails to
-    # reuse (measured 2.2× on the fixture corpus, identical output: a
-    # checkpoint is a lineage cut, not arithmetic).
+    # without the barrier the final plan nests every prior round's
+    # argmin + two-level aggregate and re-executes any subtree Catalyst
+    # fails to reuse (measured 2.2× on the fixture corpus, identical
+    # output: a checkpoint is a lineage cut, not arithmetic). The
+    # checkpoints are LAZY (r13): each round's codebook materializes
+    # inside the broadcast build that consumes it, so no blocking
+    # per-round driver job remains.
     cents = (
         q.orderBy("id")
         .limit(k)
         .withColumn("cid", F.row_number().over(w_seed) - 1)
         .select("cid", F.col("v").alias("cv"))
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
 
     d2_expr = F.aggregate(
         F.zip_with(
@@ -1273,17 +1276,36 @@ def kmeans_lloyd_quantized(
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
-    w_arg = Window.partitionBy("id").orderBy(
-        F.asc("d2"), F.asc("cid")
-    )
 
     def assign(cent_df: DataFrame) -> DataFrame:
+        # argmin via min(struct(d2, cid, v)): struct ordering compares
+        # (d2, cid) first and cid is unique per candidate row, so this
+        # is exactly the old window's (d2 ASC, cid ASC) row_number()=1
+        # tie-break (v is never reached in the comparison — it rides
+        # along to avoid re-joining it back). As an AGGREGATE it
+        # partial-aggregates map-side: the exchange carries |V|
+        # pre-reduced rows instead of |V|·k window-sorted rows, and the
+        # per-partition sort the window needed disappears (guide §2.3
+        # "aggregate before you shuffle"; r13 plan diff: Window +
+        # Exchange(|V|·k) → HashAggregate pair over |V|).
         return (
             q.crossJoin(F.broadcast(cent_df))
-            .withColumn("d2", d2_expr)
-            .withColumn("rk", F.row_number().over(w_arg))
-            .where(F.col("rk") == 1)
-            .select("id", "v", "cid", "d2")
+            .select(
+                "id",
+                F.struct(
+                    d2_expr.alias("d2"),
+                    F.col("cid").alias("cid"),
+                    F.col("v").alias("v"),
+                ).alias("_s"),
+            )
+            .groupBy("id")
+            .agg(F.min("_s").alias("_s"))
+            .select(
+                "id",
+                F.col("_s.v").alias("v"),
+                F.col("_s.cid").alias("cid"),
+                F.col("_s.d2").alias("d2"),
+            )
         )
 
     for _ in range(iters):
@@ -1307,7 +1329,7 @@ def kmeans_lloyd_quantized(
                     lambda s: s["cd"],
                 ).alias("cv")
             )
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
     final = assign(cents)
     if return_state:
         # (assignment, trained centroids) — the state an IVF index keeps
@@ -1531,20 +1553,32 @@ def pq_adc_exact(
     corpus scan reads m small ints per vector instead of the full
     vector, the LUT broadcast is m·ksub rows."""
     sub_dim = dim // m
-    code_frames = []
-    cent_frames = []
-    for s in range(m):
+    # The m per-subspace Lloyd trainings are fully independent — build
+    # them from a small driver thread pool (guide §2.6: overlap
+    # independent jobs) so each subspace's codebook/assignment jobs
+    # back-fill executors freed by another's stragglers instead of
+    # serializing m whole training pipelines end to end. Arithmetic and
+    # results are per-subspace identical; only job overlap changes.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _train(s: int):
         sub = corpus.select(
             F.col(id_col),
             F.slice(F.col(vec_col), s * sub_dim + 1, sub_dim).alias(
                 "embedding"
             ),
         )
-        assign_df, cents = kmeans_lloyd_quantized(
+        return kmeans_lloyd_quantized(
             sub, k=ksub, iters=lloyd_iters,
             id_col=id_col, vec_col="embedding", scale=scale,
             return_state=True,
         )
+
+    with ThreadPoolExecutor(max_workers=m) as pool:
+        trained = list(pool.map(_train, range(m)))
+    code_frames = []
+    cent_frames = []
+    for s, (assign_df, cents) in enumerate(trained):
         code_frames.append(
             assign_df.select(
                 F.col("id").alias("nid"),
