@@ -48,6 +48,12 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # guide §3.1/§9: when neither side broadcasts, let the planner
+        # pick shuffled-hash over sort-merge where its size conditions
+        # hold — skips both sort passes. Scale-valid (the guide's own
+        # baseline recommendation), not a local[32]-only tune; AQE still
+        # rewrites from runtime sizes either way.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
         # 128 MB splits: at 100 TB this bounds per-task input so a scan
         # task's columnar batches + shuffle write buffers fit executor
         # memory; AQE coalesces the small-file tail at runtime.
