@@ -1290,44 +1290,76 @@ def content_defined_chunks(
     (fixed-size chunking would shift every downstream chunk, defeating
     chunk-level dedup). Expected chunk length ≈ divisor.
 
-    The rolling hash is md5 of the k-gram — one position explode + one
-    per-position md5 + two windows over the (id, position) partitioning,
-    all JVM expressions, exactly SQL-replayable. Positions before the
-    first full k-gram cannot host a boundary (no partial windows)."""
-    from pyspark.sql.window import Window as W
+    The rolling hash is md5 of the k-gram — all JVM expressions, exactly
+    SQL-replayable. Positions before the first full k-gram cannot host a
+    boundary (no partial windows).
 
+    Execution (r13, guide §2.4 "remove shuffles outright"): boundary
+    positions are computed per ROW with array higher-order functions —
+    ``filter(sequence(k, len), i -> md5(gram(i)) % divisor = 0)`` — and
+    chunk lengths fall out as differences of consecutive boundary
+    positions, so the operator is ZERO-shuffle: no position explode, no
+    (id, position) window, no aggregation exchange. The previous form
+    exploded every character position and shuffled |corpus characters|
+    rows through a window + groupBy (2 Exchanges); at 100 TB that shuffle
+    was the whole cost. Chunk ids/lengths are identical by construction:
+    chunk j spans (b_j, b_{j+1}] over boundary positions b (with b_0 = 0
+    and a final synthetic end at len when the text does not end on a
+    boundary), which is exactly "chunk of position i = boundaries
+    strictly before i" aggregated to counts."""
     base = docs.select(F.col(id_col), F.col(text_col).alias("_t")).where(
         F.length("_t") >= 1
     )
-    pos = base.select(
-        F.col(id_col),
-        "_t",
-        F.explode(F.sequence(F.lit(1), F.length("_t"))).alias("_i"),
-    )
-    gram = F.substring(F.col("_t"), F.col("_i") - (k - 1), k)
-    is_boundary = F.when(
-        (F.col("_i") >= k)
-        & (
+
+    def _is_boundary(i: Column) -> Column:
+        gram = F.substring(F.col("_t"), i - (k - 1), k)
+        return (
             F.pmod(
                 F.conv(F.substring(F.md5(gram), 1, 8), 16, 10).cast("long"),
                 F.lit(divisor),
             )
             == 0
-        ),
-        1,
-    ).otherwise(0)
-    w = W.partitionBy(id_col).orderBy("_i")
-    tagged = pos.select(
+        )
+
+    # boundary positions, ascending (sequence(k, n) would DESCEND for
+    # n < k — guard those rows to an empty array instead)
+    withb = base.select(
         F.col(id_col),
-        F.col("_i"),
-        # chunk of position i = boundaries strictly BEFORE i
-        F.coalesce(
-            F.sum(is_boundary).over(w.rowsBetween(W.unboundedPreceding, -1)),
-            F.lit(0),
-        ).cast("long").alias("chunk_id"),
+        F.length("_t").alias("_n"),
+        F.when(
+            F.length("_t") >= k,
+            F.filter(F.sequence(F.lit(k), F.length("_t")), _is_boundary),
+        )
+        .otherwise(F.array().cast("array<int>"))
+        .alias("_b"),
     )
-    return tagged.groupBy(id_col, "chunk_id").agg(
-        F.count("*").cast("long").alias("chunk_len")
+    # chunk END positions: the boundaries, plus len when the last chunk
+    # is open (text does not end exactly on a boundary)
+    last_is_len = F.coalesce(
+        F.try_element_at(F.col("_b"), F.lit(-1)) == F.col("_n"), F.lit(False)
+    )
+    withe = withb.select(
+        F.col(id_col),
+        F.when(last_is_len, F.col("_b"))
+        .otherwise(F.concat(F.col("_b"), F.array(F.col("_n"))))
+        .alias("_e"),
+    )
+    # chunk_id = 0-based index of the end position; chunk_len = distance
+    # to the previous end (F.get is 0-indexed and NULL-safe at j-1 = -1)
+    out = withe.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.col("_e"),
+                lambda x, j: x
+                - F.coalesce(F.get(F.col("_e"), j - 1), F.lit(0)),
+            )
+        ).alias("chunk_id", "chunk_len"),
+    )
+    return out.select(
+        F.col(id_col),
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.col("chunk_len").cast("long").alias("chunk_len"),
     )
 
 
