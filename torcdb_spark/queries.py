@@ -57,6 +57,19 @@ def _register(name: str, oracle: str | None = None):
     return deco
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Fixture-spread hint for the Python-kernel / per-row-codec queries:
+    the sf fixtures are one row group -> ONE scan partition, which would
+    serialize every Arrow mapInPandas kernel and per-row byte-walk on a
+    single core. One round-robin repartition to defaultParallelism moves
+    the (tiny) fixture rows once and unlocks the full cluster for the
+    kernel (guide §2.5 "input skew: repartition immediately after the
+    read"). A 100 TB corpus arrives in thousands of splits and gets the
+    same treatment only from its own layout; the hint shuffles metadata-
+    sized rows, never payload re-shuffles mid-pipeline."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
 def _graph(spark: SparkSession, sf_dir: str) -> PropertyGraph:
     return PropertyGraph.open(spark, sf_dir)
 
@@ -1263,7 +1276,7 @@ def m1_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         extract_features,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _spread(load_table(spark, sf_dir, "documents"))
     feats = extract_features(documents_as_media(docs))
     return feats.select(
         "media_id",
@@ -2312,7 +2325,7 @@ def m3_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     known pixel arrays."""
     from torcdb_spark.operators.multimodal import decode_and_featurize
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _spread(load_table(spark, sf_dir, "documents"))
     w, h = 16, 8
     header = F.encode(F.lit(f"P6\n{w} {h}\n255\n"), "utf-8")
     body = F.encode(F.rpad(F.col("text"), w * h * 3, " "), "utf-8")
@@ -2630,9 +2643,9 @@ def p2_pdf_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     from torcdb_spark.operators.pdf import encode_pdf_text, extract_pdf_text
 
     docs = (
-        load_table(spark, sf_dir, "documents")
+        _spread(load_table(spark, sf_dir, "documents")
         .where(F.col("text").isNotNull())  # symmetric with the oracle
-        .select("doc_id", "text")
+        .select("doc_id", "text"))
     )
 
     def kernel(batches):
@@ -2746,9 +2759,9 @@ def p3_epub_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     from torcdb_spark.sources.warc import zip_members
 
     docs = (
-        load_table(spark, sf_dir, "documents")
+        _spread(load_table(spark, sf_dir, "documents")
         .where(F.col("text").isNotNull())  # symmetric with the oracle
-        .select("doc_id", "text")
+        .select("doc_id", "text"))
     )
 
     def build(batches):
@@ -4823,7 +4836,12 @@ def e7_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     codebooks + one Lloyd step, no random init)."""
     from torcdb_spark.operators.similarity import pq_topk
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings").repartition(
+        # single-row-group fixture -> 1 scan partition; spread the Arrow
+        # train/encode/ADC kernels across the cluster (a 100 TB corpus
+        # arrives in thousands of splits and needs no such hint)
+        spark.sparkContext.defaultParallelism
+    )
     qs = emb.where(F.col("vec_id") < 10)
     return pq_topk(
         emb, qs, k=5, m_subspaces=4, k_sub=64, rerank_factor=20,
@@ -5361,7 +5379,12 @@ def d16_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     measure relationally via UNNEST + GROUP BY."""
     from torcdb_spark.operators.text import repetition_signals
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        # single-row-group fixture -> 1 scan partition; spread the heavy
+        # per-row n-gram array expressions across the cluster (a 100 TB
+        # corpus arrives in thousands of splits and needs no such hint)
+        spark.sparkContext.defaultParallelism
+    )
     return repetition_signals(docs)
 
 
@@ -6629,9 +6652,9 @@ def m6_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from torcdb_spark.operators.jpeg import decode_jpeg, encode_jpeg_baseline
 
-    docs = load_table(spark, sf_dir, "documents").where(
+    docs = _spread(load_table(spark, sf_dir, "documents").where(
         F.col("doc_id") < 200
-    ).select("doc_id")
+    ).select("doc_id"))
 
     def kernel(batches):
         import numpy as np
@@ -6706,9 +6729,9 @@ def m13_webp_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         encode_webp_lossless,
     )
 
-    docs = load_table(spark, sf_dir, "documents").where(
+    docs = _spread(load_table(spark, sf_dir, "documents").where(
         F.col("doc_id") < 200
-    ).select("doc_id")
+    ).select("doc_id"))
 
     def kernel(batches):
         import numpy as np
@@ -7038,6 +7061,10 @@ def m8_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents")
         .where(F.col("doc_id") % 10 == 0)
         .select("doc_id")
+        # single-row-group fixture -> 1 scan partition; spread the Python
+        # fixture-build + parse kernels across the cluster (a 100 TB input
+        # arrives in thousands of splits and needs no such hint)
+        .repartition(spark.sparkContext.defaultParallelism)
     )
 
     def synth(batches):
@@ -7142,9 +7169,9 @@ def m9_gif_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from torcdb_spark.operators.multimodal import decode_image
 
     docs = (
-        load_table(spark, sf_dir, "documents")
+        _spread(load_table(spark, sf_dir, "documents")
         .where(F.col("doc_id") % 10 == 0)
-        .select("doc_id")
+        .select("doc_id"))
     )
 
     def kernel(batches):
@@ -7879,9 +7906,9 @@ def m10_gif_animation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from torcdb_spark.operators.gif import decode_gif_frames, encode_gif_animated
 
     docs = (
-        load_table(spark, sf_dir, "documents")
+        _spread(load_table(spark, sf_dir, "documents")
         .where(F.col("doc_id") % 10 == 0)
-        .select("doc_id")
+        .select("doc_id"))
     )
 
     def kernel(batches):
@@ -10837,9 +10864,9 @@ def m11_progressive_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
         encode_jpeg_progressive,
     )
 
-    docs = load_table(spark, sf_dir, "documents").where(
+    docs = _spread(load_table(spark, sf_dir, "documents").where(
         (F.col("doc_id") % 5 == 0) & (F.col("doc_id") < 500)
-    ).select("doc_id")
+    ).select("doc_id"))
 
     def kernel(batches):
         import numpy as np
@@ -11402,7 +11429,7 @@ def ar2_tar_webdataset(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from torcdb_spark.sources.warc import tar_members
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _spread(load_table(spark, sf_dir, "documents"))
 
     def build(pdf):
         import pandas as pd
@@ -11463,7 +11490,7 @@ def v2_safetensors_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_safetensors,
     )
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _spread(load_table(spark, sf_dir, "embeddings"))
 
     def pack(pdf):
         import numpy as np
@@ -12769,7 +12796,7 @@ def m3b_image_decode_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     path (Arrow batching, schema, error channel) to a value hash."""
     from torcdb_spark.operators.multimodal import decode_and_featurize
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _spread(load_table(spark, sf_dir, "documents"))
     w, h = 16, 8
     header = F.encode(F.lit(f"P6\n{w} {h}\n255\n"), "utf-8")
     body = F.encode(F.rpad(F.col("text"), w * h * 3, " "), "utf-8")
@@ -12930,7 +12957,7 @@ def m1b_media_features_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         extract_features,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _spread(load_table(spark, sf_dir, "documents"))
     feats = extract_features(documents_as_media(docs))
     n = F.col("n_bytes").cast("double")
     sel = [
@@ -13136,7 +13163,7 @@ def m17_mp4_box_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     censuses."""
     from torcdb_spark.operators.multimodal import mp4_census, mp4_synth_udf
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _spread(load_table(spark, sf_dir, "documents"))
     synth = mp4_synth_udf()
     media = docs.select(
         F.col("doc_id").alias("media_id"),
@@ -13325,7 +13352,7 @@ def m20_ogg_page_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     documented out-of-scope (decode_wav's contract)."""
     from torcdb_spark.operators.multimodal import ogg_census, ogg_synth_udf
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _spread(load_table(spark, sf_dir, "documents"))
     synth = ogg_synth_udf()
     opus = F.col("doc_id") % 2 == 0
     media = docs.select(
@@ -13438,7 +13465,7 @@ def m22_ogg_comment_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
         ogg_tags_synth_udf,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _spread(load_table(spark, sf_dir, "documents"))
     synth = ogg_tags_synth_udf()
     media = docs.select(
         F.col("doc_id").alias("media_id"),
@@ -13549,7 +13576,7 @@ def tf1_tfrecord_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
         tfrecord_synth_udf,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _spread(load_table(spark, sf_dir, "documents"))
     synth = tfrecord_synth_udf()
     shards = docs.select(
         F.concat(F.lit("doc_"), F.col("doc_id").cast("string")).alias(
@@ -13614,7 +13641,7 @@ def av1_avro_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     contract."""
     from torcdb_spark.sources.avro import avro_records, avro_synth_udf
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _spread(load_table(spark, sf_dir, "documents"))
     synth = avro_synth_udf()
     shards = docs.select(
         F.concat(F.lit("doc_"), F.col("doc_id").cast("string")).alias(
@@ -13913,9 +13940,9 @@ def p6_docx_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     from torcdb_spark.sources.warc import zip_members
 
     docs = (
-        load_table(spark, sf_dir, "documents")
+        _spread(load_table(spark, sf_dir, "documents")
         .where(F.col("text").isNotNull())  # symmetric with the oracle
-        .select("doc_id", "text")
+        .select("doc_id", "text"))
     )
 
     def build(batches):
@@ -14037,9 +14064,9 @@ def p7_xlsx_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     from torcdb_spark.sources.warc import zip_members
 
     docs = (
-        load_table(spark, sf_dir, "documents")
+        _spread(load_table(spark, sf_dir, "documents")
         .where(F.col("text").isNotNull())  # symmetric with the oracle
-        .select("doc_id", "text")
+        .select("doc_id", "text"))
     )
 
     def build(batches):
@@ -14215,7 +14242,7 @@ def m25_hevc_nal_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     essence boundary."""
     from torcdb_spark.operators.hevc import hevc_census, hevc_synth_udf
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _spread(load_table(spark, sf_dir, "documents"))
     synth = hevc_synth_udf()
     media = docs.select(
         F.col("doc_id").alias("media_id"),
@@ -14345,6 +14372,10 @@ def p8_pptx_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents")
         .where(F.col("text").isNotNull())  # symmetric with the oracle
         .select("doc_id", "text")
+        # single-row-group fixture -> 1 scan partition; spread the zip
+        # build + regex extraction across the cluster (a 100 TB input
+        # arrives in thousands of splits and needs no such hint)
+        .repartition(spark.sparkContext.defaultParallelism)
     )
 
     def build(batches):
@@ -14489,7 +14520,7 @@ def ic1_iceberg_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_manifest_list,
     )
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = _spread(load_table(spark, sf_dir, "documents").select("doc_id"))
 
     def build(batches):
         import pandas as pd
@@ -14590,7 +14621,12 @@ def ai1_arrow_ipc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_arrow_ipc,
     )
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").repartition(
+        # single-row-group fixture -> 1 scan partition; spread the Python
+        # fixture-build + parse kernels across the cluster (a 100 TB input
+        # arrives in thousands of splits and needs no such hint)
+        spark.sparkContext.defaultParallelism
+    )
 
     def build(batches):
         import pandas as pd
@@ -14657,9 +14693,9 @@ def p9_markdown_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     from torcdb_spark.operators.text import markdown_to_text
 
     docs = (
-        load_table(spark, sf_dir, "documents")
+        _spread(load_table(spark, sf_dir, "documents")
         .where(F.col("text").isNotNull())  # symmetric with the oracle
-        .select("doc_id", "text")
+        .select("doc_id", "text"))
     )
 
     def build(batches):
@@ -14754,7 +14790,12 @@ def pm1_parquet_footer_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_parquet_bytes,
     )
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").repartition(
+        # single-row-group fixture -> 1 scan partition; spread the Python
+        # fixture-build + parse kernels across the cluster (a 100 TB input
+        # arrives in thousands of splits and needs no such hint)
+        spark.sparkContext.defaultParallelism
+    )
 
     def build(batches):
         import pandas as pd
@@ -14843,7 +14884,12 @@ def pm2_page_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_parquet_bytes,
     )
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").repartition(
+        # single-row-group fixture -> 1 scan partition; spread the Python
+        # fixture-build + parse kernels across the cluster (a 100 TB input
+        # arrives in thousands of splits and needs no such hint)
+        spark.sparkContext.defaultParallelism
+    )
 
     def build(batches):
         import pandas as pd
@@ -15128,7 +15174,7 @@ def mime1_magic_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from torcdb_spark.sources.ingest import content_type_sniff
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = _spread(load_table(spark, sf_dir, "documents").select("doc_id"))
 
     def build(batches):
         import gzip as _gzip
