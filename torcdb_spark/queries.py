@@ -7906,9 +7906,9 @@ def m10_gif_animation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from torcdb_spark.operators.gif import decode_gif_frames, encode_gif_animated
 
     docs = (
-        _spread(load_table(spark, sf_dir, "documents")
+        load_table(spark, sf_dir, "documents")
         .where(F.col("doc_id") % 10 == 0)
-        .select("doc_id"))
+        .select("doc_id")
     )
 
     def kernel(batches):
@@ -11429,7 +11429,7 @@ def ar2_tar_webdataset(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from torcdb_spark.sources.warc import tar_members
 
-    docs = _spread(load_table(spark, sf_dir, "documents"))
+    docs = load_table(spark, sf_dir, "documents")
 
     def build(pdf):
         import pandas as pd
@@ -11490,7 +11490,7 @@ def v2_safetensors_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_safetensors,
     )
 
-    emb = _spread(load_table(spark, sf_dir, "embeddings"))
+    emb = load_table(spark, sf_dir, "embeddings")
 
     def pack(pdf):
         import numpy as np
@@ -13163,7 +13163,7 @@ def m17_mp4_box_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     censuses."""
     from torcdb_spark.operators.multimodal import mp4_census, mp4_synth_udf
 
-    docs = _spread(load_table(spark, sf_dir, "documents"))
+    docs = load_table(spark, sf_dir, "documents")
     synth = mp4_synth_udf()
     media = docs.select(
         F.col("doc_id").alias("media_id"),
@@ -13465,7 +13465,7 @@ def m22_ogg_comment_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
         ogg_tags_synth_udf,
     )
 
-    docs = _spread(load_table(spark, sf_dir, "documents"))
+    docs = load_table(spark, sf_dir, "documents")
     synth = ogg_tags_synth_udf()
     media = docs.select(
         F.col("doc_id").alias("media_id"),
@@ -13576,7 +13576,7 @@ def tf1_tfrecord_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
         tfrecord_synth_udf,
     )
 
-    docs = _spread(load_table(spark, sf_dir, "documents"))
+    docs = load_table(spark, sf_dir, "documents")
     synth = tfrecord_synth_udf()
     shards = docs.select(
         F.concat(F.lit("doc_"), F.col("doc_id").cast("string")).alias(
@@ -13641,7 +13641,7 @@ def av1_avro_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     contract."""
     from torcdb_spark.sources.avro import avro_records, avro_synth_udf
 
-    docs = _spread(load_table(spark, sf_dir, "documents"))
+    docs = load_table(spark, sf_dir, "documents")
     synth = avro_synth_udf()
     shards = docs.select(
         F.concat(F.lit("doc_"), F.col("doc_id").cast("string")).alias(
@@ -14242,7 +14242,7 @@ def m25_hevc_nal_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     essence boundary."""
     from torcdb_spark.operators.hevc import hevc_census, hevc_synth_udf
 
-    docs = _spread(load_table(spark, sf_dir, "documents"))
+    docs = load_table(spark, sf_dir, "documents")
     synth = hevc_synth_udf()
     media = docs.select(
         F.col("doc_id").alias("media_id"),

@@ -48,12 +48,16 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        # guide §3.1/§9: when neither side broadcasts, let the planner
-        # pick shuffled-hash over sort-merge where its size conditions
-        # hold — skips both sort passes. Scale-valid (the guide's own
-        # baseline recommendation), not a local[32]-only tune; AQE still
-        # rewrites from runtime sizes either way.
-        .config("spark.sql.join.preferSortMergeJoin", "false")
+        # preferSortMergeJoin stays at its default (true). The guide §9
+        # baseline suggests false, and an isolate A/B on six SMJ-heavy
+        # queries first read as a win — but the suite-wide warm interleaved
+        # A/B (r13, OPTIMIZATION_r13.md §JOIN) showed sort-merge clearly
+        # better across the TPC-H/LDBC join families here (q*+ldbc 45.4 s
+        # SMJ vs 67.6 s SHJ warm; ldbc_ic_like_new_parts degrades 5.6× under
+        # SHJ — per-partition hash builds of a large side), while the
+        # apparent SHJ wins did not reproduce warm. Where shuffled-hash is
+        # provably right (salted_join's replicated small side), it is
+        # selected with a targeted SHUFFLE_HASH hint instead.
         # 128 MB splits: at 100 TB this bounds per-task input so a scan
         # task's columnar batches + shuffle write buffers fit executor
         # memory; AQE coalesces the small-file tail at runtime.
