@@ -374,9 +374,15 @@ def bfs_distances(
         if n_frontier == 0:
             break
         # visited is a union of already-checkpointed frontiers — no
-        # re-checkpoint: eagerly copying the whole visited set per depth is
-        # O(V·depth) churn; the union plan over cached parents stays flat
+        # per-depth re-checkpoint: eagerly copying the whole visited set per
+        # depth is O(V·depth) churn. But the union fan-in is CONSOLIDATED
+        # every 8 depths (lazy — the next depth's frontier count
+        # materializes it): depth-unbounded callers (ifub_diameter,
+        # eccentricity) would otherwise anti-join against a linearly
+        # growing union plan, O(depth²) block scans total.
         visited = visited.unionByName(nxt.withColumn("distance", F.lit(depth)))
+        if depth % 8 == 0:
+            visited = _ck_lazy(visited)
         n_visited += n_frontier
         frontier = nxt
     # Every per-depth frontier is already an eager localCheckpoint, so the
@@ -675,8 +681,15 @@ def shortest_path_pair(
         if n_new == 0:
             break
         # visited is a union of already-checkpointed frontiers — no
-        # re-checkpoint (same discipline as bfs_distances)
+        # per-level re-checkpoint (same discipline as bfs_distances), but
+        # CONSOLIDATED every 8 levels: without the periodic cut, level L's
+        # anti-join re-reads all L prior frontier block-sets (O(L²) total
+        # block scans) and the union plan grows linearly — fine shallow,
+        # degrading on high-diameter graphs. The consolidation checkpoint
+        # is lazy: the next level's probe is its materializing action.
         visited = visited.unionByName(nxt)
+        if dist % 8 == 0:
+            visited = _ck_lazy(visited)
         found = bool(probe["f"])
         frontier = nxt.select("id")
     e.unpersist()

@@ -1553,11 +1553,16 @@ def pq_adc_exact(
     corpus scan reads m small ints per vector instead of the full
     vector, the LUT broadcast is m·ksub rows."""
     sub_dim = dim // m
-    # The m per-subspace Lloyd trainings are fully independent — build
+    # The m per-subspace Lloyd trainings are fully independent — run
     # them from a small driver thread pool (guide §2.6: overlap
     # independent jobs) so each subspace's codebook/assignment jobs
     # back-fill executors freed by another's stragglers instead of
-    # serializing m whole training pipelines end to end. Arithmetic and
+    # serializing m whole training pipelines end to end. Since
+    # kmeans_lloyd_quantized is fully lazy (its checkpoints materialize
+    # inside their consumers), each thread must run an ACTION for the
+    # overlap to exist: the eager checkpoint of the final assignment is
+    # that action (and downstream consumers then read cached blocks
+    # instead of re-deriving the training lineage). Arithmetic and
     # results are per-subspace identical; only job overlap changes.
     from concurrent.futures import ThreadPoolExecutor
 
@@ -1568,11 +1573,12 @@ def pq_adc_exact(
                 "embedding"
             ),
         )
-        return kmeans_lloyd_quantized(
+        assign_df, cents = kmeans_lloyd_quantized(
             sub, k=ksub, iters=lloyd_iters,
             id_col=id_col, vec_col="embedding", scale=scale,
             return_state=True,
         )
+        return assign_df.localCheckpoint(eager=True), cents
 
     with ThreadPoolExecutor(max_workers=m) as pool:
         trained = list(pool.map(_train, range(m)))

@@ -59,10 +59,56 @@ def salted_join(
         "_salt",
         F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)).cast("array<bigint>")),
     )
-    # SHUFFLE_HASH on the replicated small side (guide §3.1): after
+    # SHUFFLE_HASH on the replicated small side (guide §3.1), SCOPED: after
     # salting, each (key, salt) partition of the small side is small by
-    # construction — exactly the shuffled-hash build-side condition — and
-    # hashing it skips the sort of BOTH sides that sort-merge would pay on
-    # the deliberately oversized salted big side (measured r13: 4.0 s vs
-    # 5.1 s warm on q_salted_join; plan: SortMergeJoin → ShuffledHashJoin).
-    return b.join(s.hint("shuffle_hash"), [on, "_salt"], how).drop("_salt")
+    # construction — the shuffled-hash build-side condition — and hashing
+    # skips the sort of BOTH sides that sort-merge would pay on the
+    # deliberately oversized salted big side. But a join-strategy hint
+    # overrides size-based broadcast selection, so an unconditional hint
+    # would displace a broadcast join whenever the REPLICATED small side
+    # still fits the threshold — adding two exchanges where the big side
+    # previously never shuffled at all (r13 plan evidence). Apply the hint
+    # only when the salted small side's estimated size exceeds
+    # autoBroadcastJoinThreshold; when the estimate is unavailable, leave
+    # the planner alone (broadcast/AQE decide from sizes).
+    if _salted_exceeds_broadcast(small, salt_buckets):
+        s = s.hint("shuffle_hash")
+    return b.join(s, [on, "_salt"], how).drop("_salt")
+
+
+def _salted_exceeds_broadcast(small: DataFrame, salt_buckets: int) -> bool:
+    """True when ``small`` replicated ``salt_buckets``× is estimated to
+    exceed ``spark.sql.autoBroadcastJoinThreshold`` — the only regime where
+    forcing a shuffled-hash join cannot displace a (strictly better)
+    broadcast join. Uses Catalyst's own compile-time size estimate, the
+    same statistic the broadcast decision reads."""
+    try:
+        thresh = _parse_bytes(
+            small.sparkSession.conf.get(
+                "spark.sql.autoBroadcastJoinThreshold", "10485760"
+            )
+        )
+        if thresh <= 0:  # auto-broadcast disabled: hint can't displace it
+            return True
+        est = int(
+            small._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+        return est * salt_buckets > thresh
+    except Exception:  # pragma: no cover — internal API moved; stay neutral
+        return False
+
+
+def _parse_bytes(v: str) -> int:
+    """Parse a Spark byte-size conf value ('67108864', '10MB', '-1')."""
+    s = str(v).strip().lower()
+    mult = 1
+    for suffix, m in (
+        ("kb", 1024), ("mb", 1024**2), ("gb", 1024**3), ("tb", 1024**4),
+        ("k", 1024), ("m", 1024**2), ("g", 1024**3), ("t", 1024**4),
+        ("b", 1),
+    ):
+        if s.endswith(suffix):
+            s = s[: -len(suffix)]
+            mult = m
+            break
+    return int(float(s)) * mult

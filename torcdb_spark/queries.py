@@ -64,10 +64,19 @@ def _spread(df: DataFrame) -> DataFrame:
     single core. One round-robin repartition to defaultParallelism moves
     the (tiny) fixture rows once and unlocks the full cluster for the
     kernel (guide §2.5 "input skew: repartition immediately after the
-    read"). A 100 TB corpus arrives in thousands of splits and gets the
-    same treatment only from its own layout; the hint shuffles metadata-
-    sized rows, never payload re-shuffles mid-pipeline."""
-    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    read"). Splits-aware guard: when the scan already arrives in at least
+    defaultParallelism splits (any real corpus does), the repartition is
+    skipped outright — a round-robin repartition of a 100 TB corpus would
+    be a full payload shuffle with zero placement value. The partition
+    probe is plan-side only (no job runs for a narrow scan plan)."""
+    sc = df.sparkSession.sparkContext
+    par = sc.defaultParallelism
+    try:
+        if df.rdd.getNumPartitions() >= par:
+            return df
+    except Exception:
+        pass
+    return df.repartition(par)
 
 
 def _graph(spark: SparkSession, sf_dir: str) -> PropertyGraph:
@@ -12957,7 +12966,10 @@ def m1b_media_features_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         extract_features,
     )
 
-    docs = _spread(load_table(spark, sf_dir, "documents"))
+    # No _spread here: m1b's declared contract (tests/test_plans.py
+    # test_media_features_twin_single_arrow_stage) is ONE Arrow kernel over
+    # ONE scan with no shuffle; m1 keeps the fixture-spread for the family.
+    docs = load_table(spark, sf_dir, "documents")
     feats = extract_features(documents_as_media(docs))
     n = F.col("n_bytes").cast("double")
     sel = [

@@ -48,6 +48,14 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # The iterative operators use LAZY localCheckpoints whose
+        # materializing action is often the next superstep's broadcast
+        # build (dangling-mass/L2-norm/winner aggregates). On a cluster
+        # that places a multi-superstep compute under the broadcast
+        # timeout, so the default 300 s is far too tight a failure bound
+        # for a 100 TB superstep; raise it rather than re-introducing the
+        # per-interval eager materialization job the r13 fusion removed.
+        .config("spark.sql.broadcastTimeout", "3600")
         # preferSortMergeJoin stays at its default (true). The guide §9
         # baseline suggests false, and an isolate A/B on six SMJ-heavy
         # queries first read as a win — but the suite-wide warm interleaved
@@ -67,6 +75,11 @@ def get_spark(
         # (On a real cluster this would be spark.executor.memory instead.)
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
+        # the app status store backs the bench's task-time/wall scaling
+        # probe (bench.py _task_time_ms): keep enough stages retained that
+        # the cumulative executorRunTime counter never evicts mid-run
+        # (default 1000 stages; a full bench pass creates >15k)
+        .config("spark.ui.retainedStages", "60000")
         # stdout hygiene: the driver harness parses bench.py's final stdout
         # line as JSON — progress bars would interleave with it.
         .config("spark.ui.showConsoleProgress", "false")
