@@ -137,31 +137,25 @@ def _calibrate(spark, sf_dir: str) -> float:
 
 
 def _task_time_ms(spark) -> float | None:
-    """Cumulative executor run time (ms) over every stage retained in the
-    app status store. Per-query DELTAS of this counter give task-time vs
-    wall — the scaling evidence sf0.1 wall clocks cannot show (VERDICT r13
-    "scale evidence gap": 8-core ≈ 32-core for every query at this SF). A
-    query whose delta/wall ≈ 1 is serial no matter the core count; one at
-    ≈ N is using N cores. Additions-only instrumentation: the timed region
-    is untouched (status-store reads happen outside the timers). The
+    """Cumulative executor task time (ms) from the executor summaries.
+    Per-query DELTAS of this counter give task-time vs wall — the scaling
+    evidence sf0.1 wall clocks cannot show (VERDICT r13 "scale evidence
+    gap": 8-core ≈ 32-core for every query at this SF). A query whose
+    delta/wall ≈ 1 is serial no matter the core count; one at ≈ N is using
+    N cores. Additions-only instrumentation: the timed region is untouched
+    (status-store reads happen outside the timers). Reads ExecutorSummary
+    .totalDuration — ONE live object per executor, cumulative and never
+    evicted — NOT the per-stage list: iterating retained stages required
+    spark.ui.retainedStages to cover the whole run, and that retention
+    measurably slowed stage-heavy queries (17x on g_triangle_count). The
     listener bus drains asynchronously, so a little tail task time can be
     attributed to the next query — fine for a diagnostic ratio."""
     try:
         sc = spark.sparkContext
-        jvm = sc._jvm
-        it = (
-            sc._jsc.sc().statusStore()
-            .stageList(  # Spark 4 signature: no default args in bytecode
-                jvm.java.util.ArrayList(),      # statuses: all
-                False, False,                   # details, withSummaries
-                sc._gateway.new_array(jvm.double, 0),  # quantiles
-                jvm.java.util.ArrayList(),      # taskStatus
-            )
-            .iterator()
-        )
+        it = sc._jsc.sc().statusStore().executorList(False).iterator()
         total = 0.0
         while it.hasNext():
-            total += it.next().executorRunTime()
+            total += it.next().totalDuration()
         return total
     except Exception:
         return None

@@ -17,9 +17,32 @@ scale, bucket the edge table by src so the per-superstep join co-locates.
 from __future__ import annotations
 
 import itertools
+import os
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+# Rows at or below which per-superstep state/frontier frames broadcast
+# (map-side joins against the cached edge set; the edge side never
+# shuffles). Above it the loops take the shuffle-join regime and
+# pre-partition the edge side once (_relayout_edges). Parameterized for
+# cluster deployments and for forcing the shuffle regime in tests/plan
+# dumps; the default matches the threshold every operator shipped with.
+_BCAST_ROWS = int(os.environ.get("TORCDB_BCAST_ROWS", "500000"))
+
+
+def _relayout_edges(e: DataFrame, key: str) -> DataFrame:
+    """Shuffle-join-regime edge layout (guide §2.4 "two operations keyed
+    the same way can share one exchange"): persist the loop's edge side
+    pre-partitioned on its join key, so EVERY superstep's state⋈edges
+    reuses the persisted HashPartitioning and only the (small) state frame
+    shuffles per superstep — the edge side is exchange-free inside the
+    loop body. Called once, when a loop leaves (or starts outside) the
+    broadcast regime; in the broadcast regime the edge side never shuffles
+    at all and the up-front repartition would be pure cost."""
+    out = e.repartition(F.col(key)).persist()
+    e.unpersist()  # no-op when e was never persisted
+    return out
 
 
 def _checkpointed(df: DataFrame) -> DataFrame:
@@ -137,8 +160,13 @@ def pagerank(
     # sums) so each superstep probes the edge scan map-side instead of
     # shuffling |E| rows — the n we already count decides once for the
     # whole run. Above the threshold the ordinary shuffle path stands
-    # (AQE re-plans it), which is the only viable shape at 100 TB anyway.
-    small = n <= 500_000
+    # (AQE re-plans it), which is the only viable shape at 100 TB anyway —
+    # with the edge side pre-partitioned on the join key ONCE, so every
+    # superstep shuffles only the |V|-row contribution frame, never |E|
+    # (guide §2.4; VERDICT r13 #6).
+    small = n <= _BCAST_ROWS
+    if not small:
+        e = _relayout_edges(e, "src")
     for i in range(num_iter):
         contrib = state.where(F.col("out_deg").isNotNull()).select(
             F.col("id").alias("csrc"), (F.col("rank") / F.col("out_deg")).alias("c")
@@ -179,6 +207,12 @@ def pagerank(
             # broadcast (or the final action) instead of a blocking
             # per-interval driver job (r13)
             state = _ck_lazy(state)
+    if not small:
+        # materialize the superstep chain while the relaid edge cache is
+        # alive, then release it — the caller's action would otherwise
+        # run every superstep against an unpersisted edge layout
+        state.count()
+        e.unpersist()
     return state.select("id", "rank")
 
 
@@ -262,9 +296,10 @@ def connected_components(
     # below the threshold the label table broadcasts and each superstep is
     # a map-side pass over the cached edge set — no edge shuffle at all.
     # Components of a 100 TB graph exceed the threshold and take the
-    # ordinary shuffle path, re-planned by AQE.
-    broadcast_threshold = 500_000
-    small = state.count() <= broadcast_threshold
+    # ordinary shuffle path, re-planned by AQE, with the undirected edge
+    # set pre-partitioned on the join key once so each superstep shuffles
+    # only the |V|-row label frame (guide §2.4; VERDICT r13 #6).
+    small = state.count() <= _BCAST_ROWS
     # Small-core finisher: |V| ≤ the broadcast bar makes the edge-count
     # check worth taking (the count materializes the persisted ``und``
     # the first superstep would have paid for anyway — no extra pass);
@@ -276,6 +311,8 @@ def connected_components(
         out = _checkpointed(_cc_finish_local(und, "a", "b"))
         und.unpersist()
         return out
+    if not small:
+        und = _relayout_edges(und, "a")
     for _ in range(max_iter):
         s = F.broadcast(state) if small else state
         nbr_min = (
@@ -348,12 +385,19 @@ def bfs_distances(
     # narrow-frontier BFS then never shuffles the edge table at all. Past
     # the threshold (frontier a large graph fraction), fall back to shuffle
     # joins and let AQE re-plan from runtime sizes.
-    broadcast_threshold = 500_000
+    broadcast_threshold = _BCAST_ROWS
     n_frontier = n_visited = visited.count()
     depth_iter = (
         itertools.count(1) if max_depth is None else range(1, max_depth + 1)
     )
+    relaid = False
     for depth in depth_iter:
+        if n_frontier > broadcast_threshold and not relaid:
+            # leaving the broadcast regime: pre-partition the edge cache
+            # on the join key once so the remaining depths shuffle only
+            # the frontier (guide §2.4; VERDICT r13 #6)
+            e = _relayout_edges(e, "src")
+            relaid = True
         f = (
             F.broadcast(frontier)
             if n_frontier <= broadcast_threshold
@@ -511,9 +555,16 @@ def shortest_paths(
     # edge set is never shuffled. Past the threshold, fall back to shuffle
     # joins and let AQE re-plan. The state count is a cheap scan of the
     # just-checkpointed blocks.
-    broadcast_threshold = 500_000
+    broadcast_threshold = _BCAST_ROWS
     n_state = state.count()
+    relaid = False
     for _ in range(max_iter):
+        if n_state > broadcast_threshold and not relaid:
+            # leaving the broadcast regime: pre-partition the edge cache
+            # on the join key once so the remaining relaxation rounds
+            # shuffle only the state frame (guide §2.4; VERDICT r13 #6)
+            e = _relayout_edges(e, "esrc")
+            relaid = True
         s = F.broadcast(state) if n_state <= broadcast_threshold else state
         msgs = (
             s.join(e, s["id"] == e["esrc"])
@@ -1108,7 +1159,7 @@ def betweenness_sampled(
     # (each level is an eager localCheckpoint), so the count that decides
     # is a cheap scan of local blocks, and the same count doubles as the
     # convergence probe.
-    bcast_rows = 500_000
+    bcast_rows = _BCAST_ROWS
 
     def _maybe_bcast(df: DataFrame, n_rows: int) -> DataFrame:
         return F.broadcast(df) if n_rows <= bcast_rows else df
@@ -1116,7 +1167,15 @@ def betweenness_sampled(
     levels = [lvl0]
     level_sizes = [lvl0.count()]
     visited = lvl0.select("s", "v")
+    relaid = False
     for _d in range(1, max_depth + 1):
+        if level_sizes[-1] > bcast_rows and not relaid:
+            # leaving the broadcast regime: pre-partition the edge cache
+            # on the join key once — both the remaining forward levels
+            # and the whole backward phase join on e["es"], so each then
+            # shuffles only the (s, v) level frame (guide §2.4)
+            e = _relayout_edges(e, "es")
+            relaid = True
         frontier = _maybe_bcast(levels[-1], level_sizes[-1])
         msgs = (
             frontier
@@ -1174,6 +1233,13 @@ def betweenness_sampled(
     res = acc[0]
     for part in acc[1:]:
         res = res.unionByName(part)
+    # The backward loop has no probe action, so none of its lazy deltas
+    # have materialized yet — unpersisting e here would make the caller's
+    # action re-derive the deduped edge projection once per backward
+    # level. One count materializes the whole delta chain (each level's
+    # checkpoint persists as a side effect) against the live edge cache.
+    if len(acc) > 1:
+        acc[-1].count()
     e.unpersist()
     return (
         res.where(F.col("v") != F.col("s"))
@@ -1273,9 +1339,12 @@ def label_propagation(
                  "community": [v for _, v in items]}
             )])
 
-        out = und.repartition(1).mapInPandas(
+        # eager checkpoint (the CC-finisher discipline): the kernel runs
+        # against the live edge cache; without it the caller's action
+        # would re-derive the (scan+union+dedup) projection post-unpersist
+        out = _checkpointed(und.repartition(1).mapInPandas(
             _finish_lpa, f"id {id_t}, community {id_t}"
-        )
+        ))
         und.unpersist()
         return out
     state = (
@@ -1283,8 +1352,9 @@ def label_propagation(
         .dropDuplicates(["id"])
         .withColumn("community", F.col("id"))
     )
-    broadcast_threshold = 500_000
-    small = state.count() <= broadcast_threshold
+    small = state.count() <= _BCAST_ROWS
+    if not small:
+        und = _relayout_edges(und, "a")
     for it in range(max_iter):
         s = F.broadcast(state) if small else state
         votes = (
@@ -1312,6 +1382,11 @@ def label_propagation(
                 F.coalesce("new_community", "community").alias("community"),
             )
         )
+    # The loop has no per-superstep probe, so nothing above has run yet —
+    # unpersisting here would make the caller's first action re-derive the
+    # (scan + union + dedup-shuffle) edge projection once per superstep.
+    # Materialize the chain while the cache is alive, then release it.
+    state.count()
     und.unpersist()
     return state
 
@@ -1712,7 +1787,7 @@ def strongly_connected_components(
     # so the small-side joins get explicit hints behind the same counted
     # threshold the other iterative operators use. Every build side below
     # is bounded by |active vertices|, which only shrinks.
-    small = active_v.count() <= 500_000
+    small = active_v.count() <= _BCAST_ROWS
 
     def _b(df: DataFrame) -> DataFrame:
         return F.broadcast(df) if small else df

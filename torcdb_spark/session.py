@@ -75,11 +75,13 @@ def get_spark(
         # (On a real cluster this would be spark.executor.memory instead.)
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
-        # the app status store backs the bench's task-time/wall scaling
-        # probe (bench.py _task_time_ms): keep enough stages retained that
-        # the cumulative executorRunTime counter never evicts mid-run
-        # (default 1000 stages; a full bench pass creates >15k)
-        .config("spark.ui.retainedStages", "60000")
+        # spark.ui.retainedStages stays at its default (1000). Raising it
+        # to cover a full bench pass (>15k stages) made the app status
+        # store a per-event cost for every stage-heavy query — measured
+        # 17x on g_triangle_count, 7.7x on e12_knn_graph at sf0.1, gone
+        # the moment the default was restored. The bench's task-time
+        # probe now reads the executor summary's cumulative totalDuration
+        # (never evicted) instead of iterating retained stages.
         # stdout hygiene: the driver harness parses bench.py's final stdout
         # line as JSON — progress bars would interleave with it.
         .config("spark.ui.showConsoleProgress", "false")
