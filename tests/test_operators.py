@@ -735,6 +735,22 @@ def test_salted_join_equals_plain_join(spark):
                      salt_buckets=4, how="left")
     le = big.join(small.where("k >= 10"), "k", "left")
     assert lg.count() == le.count()
+    # force the salted-shuffle regime (broadcast bar off) and re-assert
+    # the identical output — the tiny fixtures otherwise take the
+    # broadcast fast path and the salt machinery goes untested
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        salted = salted_join(big, small, on="k", salt_buckets=4)
+        plan = salted._jdf.queryExecution().executedPlan().toString()
+        assert "ShuffledHashJoin" in plan, plan
+        sa = salted.groupBy("k").agg(F.count("*").alias("n")).collect()
+        assert {(r.k, r.n) for r in sa} == {(r.k, r.n) for r in ea}
+        lg2 = salted_join(big, small.where("k >= 10"), on="k",
+                          salt_buckets=4, how="left")
+        assert lg2.count() == le.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
 
 
 def test_salted_join_rejects_outer(spark):

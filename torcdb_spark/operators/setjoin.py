@@ -94,16 +94,35 @@ def jaccard_pairs_exact(
         )
         .localCheckpoint(eager=True)
     )
+    # prefix tokens WITH their 0-based position in the sorted array: the
+    # position powers the PPJoin positional filter below
     pref = arrs.select(
         "id",
         "s",
-        F.explode(F.slice("rs", 1, F.col("p").cast("int"))).alias("pr"),
+        F.posexplode(F.slice("rs", 1, F.col("p").cast("int"))).alias(
+            "_i", "pr"
+        ),
     )
     a = pref.select(
-        F.col("id").alias("id_a"), F.col("s").alias("sa"), "pr"
+        F.col("id").alias("id_a"), F.col("s").alias("sa"), "pr",
+        F.col("_i").alias("ia"),
     )
     b = pref.select(
-        F.col("id").alias("id_b"), F.col("s").alias("sb"), "pr"
+        F.col("id").alias("id_b"), F.col("s").alias("sb"), "pr",
+        F.col("_i").alias("ib"),
+    )
+    # Positional filter (PPJoin): Jaccard ≥ n/d ⟺ I ≥ ⌈n(sa+sb)/(d+n)⌉,
+    # and a match on the token at (0-based) positions ia/ib bounds the
+    # remaining overlap by 1 + min(sa−ia−1, sb−ib−1). A true pair's FIRST
+    # common token (a) lies inside both prefixes and (b) has no common
+    # token before it, so its row always satisfies the bound — any pair
+    # kept through ANY passing row is a superset of the true pairs, and
+    # the verify stage re-checks exactly. Integer form: ubound·(d+n) ≥
+    # n·(sa+sb) — no float boundary. Measured sf0.1: candidate pairs
+    # 310k → far fewer reach the array_intersect verify, which dominated
+    # the query (guide §3: shrink the join input, not its strategy).
+    ubound = F.lit(1) + F.least(
+        F.col("sa") - F.col("ia") - 1, F.col("sb") - F.col("ib") - 1
     )
     cand = (
         a.join(
@@ -114,9 +133,13 @@ def jaccard_pairs_exact(
             & (
                 F.greatest(a["sa"], b["sb"]) * tau_num
                 <= F.least(a["sa"], b["sb"]) * tau_den
+            )
+            & (
+                ubound * (tau_den + tau_num)
+                >= tau_num * (F.col("sa") + F.col("sb"))
             ),
         )
-        .select("id_a", "id_b")
+        .select("id_a", "id_b", "sa", "sb")
         .dropDuplicates(["id_a", "id_b"])
     )
     va = arrs.select(F.col("id").alias("id_a"), F.col("rs").alias("ra"))
@@ -124,16 +147,22 @@ def jaccard_pairs_exact(
     verified = (
         cand.join(va, "id_a")
         .join(vb, "id_b")
+        # ONE array_intersect per pair; |A∪B| = sa + sb − |A∩B| is
+        # arithmetic on the sizes already carried through the join
         .select(
             "id_a",
             "id_b",
             F.size(F.array_intersect("ra", "rb")).cast("long").alias(
                 "inter_size"
             ),
-            (
-                F.size("ra") + F.size("rb")
-                - F.size(F.array_intersect("ra", "rb"))
-            )
+            "sa",
+            "sb",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "inter_size",
+            (F.col("sa") + F.col("sb") - F.col("inter_size"))
             .cast("long")
             .alias("union_size"),
         )
@@ -210,15 +239,35 @@ def containment_pairs_exact(
     )
     pref = arrs.select(
         F.col("id").alias("id_a"),
-        F.explode(F.slice("rs", 1, F.col("p").cast("int"))).alias("r"),
+        F.col("s").alias("sa"),
+        F.posexplode(F.slice("rs", 1, F.col("p").cast("int"))).alias(
+            "ia", "r"
+        ),
     )
-    full = toks.join(ranked, "term").select(
-        F.col("id").alias("id_b"), "r"
+    # B's full sorted token list WITH positions, re-derived from the
+    # checkpointed per-doc arrays instead of re-joining toks⋈ranked —
+    # same (id, r) multiset, one 260k-row join less, and the position
+    # powers the positional filter
+    full = arrs.select(
+        F.col("id").alias("id_b"),
+        F.col("s").alias("sb"),
+        F.posexplode("rs").alias("ib", "r"),
+    )
+    # Positional filter, asymmetric form: containment ≥ n/d ⟺
+    # I ≥ ⌈n·sa/d⌉, and a match at (0-based) positions ia/ib bounds the
+    # remaining overlap by 1 + min(sa−ia−1, sb−ib−1). A true pair's
+    # first common token sits inside A's prefix (asymmetric prefix
+    # theorem) with nothing common before it, so its row passes —
+    # keeping pairs with ANY passing row is a superset of the truth,
+    # re-checked exactly by the verify. Integer form: ubound·d ≥ n·sa.
+    ubound = F.lit(1) + F.least(
+        F.col("sa") - F.col("ia") - 1, F.col("sb") - F.col("ib") - 1
     )
     cand = (
         pref.join(full, "r")
         .where(F.col("id_a") != F.col("id_b"))
-        .select("id_a", "id_b")
+        .where(ubound * tau_den >= tau_num * F.col("sa"))
+        .select("id_a", "id_b", "sa")
         .dropDuplicates(["id_a", "id_b"])
     )
     va = arrs.select(F.col("id").alias("id_a"), F.col("rs").alias("ra"))
@@ -232,7 +281,7 @@ def containment_pairs_exact(
             F.size(F.array_intersect("ra", "rb")).cast("long").alias(
                 "inter_size"
             ),
-            F.size("ra").cast("long").alias("size_a"),
+            F.col("sa").cast("long").alias("size_a"),
         )
         .where(
             F.col("inter_size") * tau_den >= F.col("size_a") * tau_num

@@ -49,6 +49,22 @@ def salted_join(
             "right/full outer would emit unmatched small-side rows once per "
             "salt bucket"
         )
+    # Regime split (guide §3.1/§3.2). Salting exists to spread a SHUFFLE:
+    # under a broadcast join the big side never shuffles, so no reducer can
+    # hot-spot and the salt machinery is pure cost — S× the broadcast
+    # payload, S× the hash table, plus the per-row salt hash. When the
+    # small side fits the broadcast threshold UNREPLICATED, the optimal
+    # skew-proof plan is therefore the plain broadcast join (output
+    # identical by the operator's contract). Only when broadcast is out of
+    # reach does the salt + SHUFFLE_HASH machinery engage — and there the
+    # hint cannot displace a broadcast join (the build side provably
+    # exceeds the bar), the r13 concern. Measured at sf0.1: Catalyst's
+    # static estimate cannot see the explode's S× replication, so without
+    # this split it broadcast a 1.2M-row replicated build side (3.2 s)
+    # where the unreplicated broadcast (no explode, no salt hash) and the
+    # salted SHJ both run ~1.5 s.
+    if _fits_broadcast(small):
+        return big.join(F.broadcast(small), on, how)
     if salt_source is None:
         # spread rows of the same key: hash the partition-local row id so
         # the salt is cheap, deterministic per task layout, and needs no
@@ -59,42 +75,35 @@ def salted_join(
         "_salt",
         F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)).cast("array<bigint>")),
     )
-    # SHUFFLE_HASH on the replicated small side (guide §3.1), SCOPED: after
-    # salting, each (key, salt) partition of the small side is small by
-    # construction — the shuffled-hash build-side condition — and hashing
-    # skips the sort of BOTH sides that sort-merge would pay on the
-    # deliberately oversized salted big side. But a join-strategy hint
-    # overrides size-based broadcast selection, so an unconditional hint
-    # would displace a broadcast join whenever the REPLICATED small side
-    # still fits the threshold — adding two exchanges where the big side
-    # previously never shuffled at all (r13 plan evidence). Apply the hint
-    # only when the salted small side's estimated size exceeds
-    # autoBroadcastJoinThreshold; when the estimate is unavailable, leave
-    # the planner alone (broadcast/AQE decide from sizes).
-    if _salted_exceeds_broadcast(small, salt_buckets):
-        s = s.hint("shuffle_hash")
-    return b.join(s, [on, "_salt"], how).drop("_salt")
+    # SHUFFLE_HASH on the replicated small side (guide §3.1): each
+    # (key, salt) partition of the build side is small by construction —
+    # the shuffled-hash condition — and hashing skips the sort of BOTH
+    # sides that sort-merge would pay on the deliberately oversized salted
+    # big side. Reached only when the small side exceeds the broadcast
+    # bar, so the hint never displaces a size-based broadcast.
+    return b.join(s.hint("shuffle_hash"), [on, "_salt"], how).drop("_salt")
 
 
-def _salted_exceeds_broadcast(small: DataFrame, salt_buckets: int) -> bool:
-    """True when ``small`` replicated ``salt_buckets``× is estimated to
-    exceed ``spark.sql.autoBroadcastJoinThreshold`` — the only regime where
-    forcing a shuffled-hash join cannot displace a (strictly better)
-    broadcast join. Uses Catalyst's own compile-time size estimate, the
-    same statistic the broadcast decision reads."""
+def _fits_broadcast(small: DataFrame) -> bool:
+    """True when ``small`` (unreplicated) is estimated to fit
+    ``spark.sql.autoBroadcastJoinThreshold`` — the regime where a plain
+    broadcast join is the skew-proof optimum and salting is pure cost.
+    Uses Catalyst's own compile-time size estimate, the same statistic the
+    planner's broadcast decision reads; when auto-broadcast is disabled or
+    the estimate is unavailable, stays in the salted-shuffle regime."""
     try:
         thresh = _parse_bytes(
             small.sparkSession.conf.get(
                 "spark.sql.autoBroadcastJoinThreshold", "10485760"
             )
         )
-        if thresh <= 0:  # auto-broadcast disabled: hint can't displace it
-            return True
+        if thresh <= 0:  # auto-broadcast disabled
+            return False
         est = int(
             small._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
         )
-        return est * salt_buckets > thresh
-    except Exception:  # pragma: no cover — internal API moved; stay neutral
+        return est <= thresh
+    except Exception:  # pragma: no cover — internal API moved; stay salted
         return False
 
 
