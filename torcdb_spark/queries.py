@@ -12298,14 +12298,27 @@ def e16_semantic_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("_r"),
         l2_norm(F.col("embedding")).alias("_n"),
     )
-    a = (
-        cells.select(F.col("id").alias("ia"), "cid")
-        .join(raw.selectExpr("vec_id AS ia", "_r AS ra", "_n AS na"), "ia")
+    # spread the PROBE side's cells scan (narrow checkpoint scan — the
+    # _spread partition probe is free there; probing the joined frame
+    # would force AQE to execute its stages at build time) so the pair
+    # scoring runs at full width even though the checkpointed assignment
+    # lands in a handful of AQE-coalesced partitions
+    a = _spread(cells).select(F.col("id").alias("ia"), "cid").join(
+        raw.selectExpr("vec_id AS ia", "_r AS ra", "_n AS na"), "ia"
     )
-    b = (
-        cells.select(F.col("id").alias("ib"), "cid")
-        .join(raw.selectExpr("vec_id AS ib", "_r AS rb", "_n AS nb"), "ib")
+    b = cells.select(F.col("id").alias("ib"), "cid").join(
+        raw.selectExpr("vec_id AS ib", "_r AS rb", "_n AS nb"), "ib"
     )
+    # cid has at most k(=8) distinct values, so the shuffle form of this
+    # self-join caps at k active reducers AND pays Exchange+Sort on both
+    # sides; under the analytics row bar the build side is the corpus
+    # itself, so broadcast-hash it (zero exchanges, probe parallelism =
+    # the spread scan). Above the bar — a corpus too big to broadcast —
+    # the shuffle join stands unchanged; the count is a free read of the
+    # already-eager checkpoint, never a recompute.
+    from torcdb_spark.analytics import _BCAST_ROWS
+    if cells.count() <= _BCAST_ROWS:
+        b = F.broadcast(b)
     denom = F.col("na") * F.col("nb")
     cos = F.when(denom != 0.0, dot(F.col("ra"), F.col("rb")) / denom)
     pairs = (
